@@ -1,0 +1,36 @@
+"""A PySpark-native property-graph query + data-processing engine with the
+query capabilities of microsoft/openCypherTranspiler (reference studied at
+/root/reference, MIT). Brand-new implementation: Cypher text is parsed and
+planned in Python, then compiled to declarative PySpark DataFrame plans that
+Catalyst/Tungsten/AQE optimize and execute.
+"""
+
+from .engine import CypherEngine
+from .exceptions import (
+    TranspilerBindingError,
+    TranspilerError,
+    TranspilerInternalError,
+    TranspilerNotSupportedError,
+    TranspilerSyntaxError,
+)
+from .schema import EdgeSchema, EntityProperty, GraphSchema, NodeSchema
+from .sources import TableRegistry, parquet_registry, tpch_graph_schema, tpch_table_registry
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CypherEngine",
+    "EdgeSchema",
+    "EntityProperty",
+    "GraphSchema",
+    "NodeSchema",
+    "TableRegistry",
+    "TranspilerBindingError",
+    "TranspilerError",
+    "TranspilerInternalError",
+    "TranspilerNotSupportedError",
+    "TranspilerSyntaxError",
+    "parquet_registry",
+    "tpch_graph_schema",
+    "tpch_table_registry",
+]

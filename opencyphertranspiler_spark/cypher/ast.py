@@ -1,0 +1,281 @@
+"""AST for the supported openCypher subset.
+
+Mirrors the reference's IR #1 shape (SURVEY.md §3 stage 1): a query is a
+UNION chain of single queries; a single query is a sequence of reading
+clauses (MATCH / OPTIONAL MATCH / UNWIND) and WITH projections ending in
+RETURN. Expression node kinds follow
+/root/reference/src/openCypherParser/AST/Expressions/.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+
+# ---------------------------------------------------------------------------
+# Expressions
+# ---------------------------------------------------------------------------
+
+
+class BinaryOp(enum.Enum):
+    # value (reference BinaryOperator.cs:11-37)
+    PLUS = "+"
+    MINUS = "-"
+    MULTIPLY = "*"
+    DIVIDE = "/"
+    MODULO = "%"
+    POW = "^"
+    # logical
+    AND = "AND"
+    OR = "OR"
+    XOR = "XOR"
+    # comparison
+    EQ = "="
+    NEQ = "<>"
+    LT = "<"
+    LE = "<="
+    GT = ">"
+    GE = ">="
+    REGMATCH = "=~"
+    IN = "IN"
+
+
+VALUE_OPS = {
+    BinaryOp.PLUS,
+    BinaryOp.MINUS,
+    BinaryOp.MULTIPLY,
+    BinaryOp.DIVIDE,
+    BinaryOp.MODULO,
+    BinaryOp.POW,
+}
+LOGICAL_OPS = {BinaryOp.AND, BinaryOp.OR, BinaryOp.XOR}
+COMPARISON_OPS = {
+    BinaryOp.EQ,
+    BinaryOp.NEQ,
+    BinaryOp.LT,
+    BinaryOp.LE,
+    BinaryOp.GT,
+    BinaryOp.GE,
+    BinaryOp.REGMATCH,
+    BinaryOp.IN,
+}
+
+
+class Expr:
+    """Base expression node."""
+
+    def children(self) -> list["Expr"]:
+        return []
+
+    def walk(self):
+        yield self
+        for c in self.children():
+            yield from c.walk()
+
+
+@dataclass
+class Literal(Expr):
+    value: object  # None | bool | int | float | str
+
+
+@dataclass
+class ListLiteral(Expr):
+    items: list[Expr]
+
+    def children(self):
+        return list(self.items)
+
+
+@dataclass
+class Variable(Expr):
+    """Bare alias reference — an entity or a projected value column."""
+
+    name: str
+
+
+@dataclass
+class Property(Expr):
+    """Single-level property access ``alias.prop`` (nested is rejected)."""
+
+    alias: str
+    prop: str
+
+
+@dataclass
+class Binary(Expr):
+    op: BinaryOp
+    left: Expr
+    right: Expr
+
+    def children(self):
+        return [self.left, self.right]
+
+
+@dataclass
+class Unary(Expr):
+    op: str  # '+', '-', 'NOT'
+    operand: Expr
+
+    def children(self):
+        return [self.operand]
+
+
+@dataclass
+class FuncCall(Expr):
+    """Scalar function call (incl. STARTS WITH / IS NULL sugar — the parser
+    lowers those postfix operators into named functions, matching the
+    reference Function enum, Function.cs:17-60)."""
+
+    name: str  # lowercase
+    args: list[Expr]
+
+    def children(self):
+        return list(self.args)
+
+
+@dataclass
+class AggCall(Expr):
+    """Aggregation function call; ``arg is None`` means ``count(*)``.
+
+    ``extras`` carries trailing arguments (percentileCont(x, 0.5))."""
+
+    name: str  # lowercase: count avg sum min max first last stdev stdevp ...
+    arg: Expr | None
+    distinct: bool = False
+    extras: list[Expr] = field(default_factory=list)
+
+    def children(self):
+        out = [self.arg] if self.arg is not None else []
+        return out + list(self.extras)
+
+
+@dataclass
+class CaseExpr(Expr):
+    """Searched CASE WHEN (the ``CASE <expr> WHEN`` form is rejected)."""
+
+    whens: list[tuple[Expr, Expr]]
+    else_: Expr | None
+
+    def children(self):
+        out = []
+        for c, v in self.whens:
+            out.append(c)
+            out.append(v)
+        if self.else_ is not None:
+            out.append(self.else_)
+        return out
+
+
+AGG_FUNCTION_NAMES = {
+    "count",
+    "avg",
+    "sum",
+    "min",
+    "max",
+    "first",
+    "last",
+    "stdev",
+    "stdevp",
+    "percentilecont",
+    "percentiledisc",
+    "collect",
+}
+
+
+def contains_aggregate(e: Expr) -> bool:
+    return any(isinstance(n, AggCall) for n in e.walk())
+
+
+# ---------------------------------------------------------------------------
+# Patterns
+# ---------------------------------------------------------------------------
+
+
+class Direction(enum.Enum):
+    FORWARD = "->"  # (a)-[r]->(b)
+    BACKWARD = "<-"  # (a)<-[r]-(b)
+    EITHER = "--"  # (a)-[r]-(b)
+
+
+@dataclass
+class NodePattern:
+    alias: str | None
+    label: str | None
+
+
+@dataclass
+class RelPattern:
+    alias: str | None
+    verb: str | None
+    direction: Direction
+
+
+@dataclass
+class PatternPart:
+    """Alternating nodes and relationships: n0 r0 n1 r1 n2 ..."""
+
+    nodes: list[NodePattern]
+    rels: list[RelPattern]
+
+    def hops(self):
+        """Yield (left_node, rel, right_node) triples."""
+        for i, r in enumerate(self.rels):
+            yield self.nodes[i], r, self.nodes[i + 1]
+
+
+# ---------------------------------------------------------------------------
+# Clauses / query structure
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class MatchClause:
+    patterns: list[PatternPart]
+    optional: bool = False
+    where: Expr | None = None
+
+
+@dataclass
+class UnwindClause:
+    expr: Expr
+    alias: str = ""
+
+
+@dataclass
+class SortItem:
+    expr: Expr
+    ascending: bool = True
+
+
+@dataclass
+class ProjectionClause:
+    """WITH ... or RETURN ... body."""
+
+    items: list[tuple[str, Expr]]  # (output alias, expression)
+    distinct: bool = False
+    where: Expr | None = None  # WITH ... WHERE only
+    order_by: list[SortItem] = field(default_factory=list)
+    skip: int | None = None
+    limit: int | None = None
+    is_return: bool = False
+
+
+Clause = MatchClause | UnwindClause | ProjectionClause
+
+
+@dataclass
+class SingleQuery:
+    clauses: list[Clause]  # ends with a ProjectionClause(is_return=True)
+
+
+@dataclass
+class UnionQuery:
+    """left UNION [ALL] right — chained left-assoc."""
+
+    left: "SingleQuery | UnionQuery"
+    right: SingleQuery
+    all: bool = False
+
+
+Query = SingleQuery | UnionQuery

@@ -1,0 +1,549 @@
+"""Recursive-descent parser for the supported openCypher subset.
+
+Covers the reference's accepted grammar (SURVEY.md §2.6) plus the declared
+extensions (COUNT(*), SKIP, UNWIND, working UNION — SURVEY.md §7.2.8), and
+raises TranspilerNotSupportedError for the reference's scope fence
+(SURVEY.md §2.7): write clauses, CALL, inline property maps, multiple
+labels/verbs, variable-length relationships, pattern variables, parameters,
+nested property lookup, ``CASE <expr> WHEN`` form.
+
+Expression precedence mirrors the openCypher grammar chain used by the
+reference visitor (/root/reference/src/openCypherParser/AST/CypherVisitor.cs:1348-1558):
+OR < XOR < AND < NOT < comparison < string/list/null postfix < +- < */% < ^ < unary.
+"""
+
+from __future__ import annotations
+
+from ..exceptions import TranspilerNotSupportedError, TranspilerSyntaxError
+from . import ast as A
+from .lexer import Token, tokenize
+
+COMPARISON_TOKENS = {
+    "=": A.BinaryOp.EQ,
+    "<>": A.BinaryOp.NEQ,
+    "<": A.BinaryOp.LT,
+    "<=": A.BinaryOp.LE,
+    ">": A.BinaryOp.GT,
+    ">=": A.BinaryOp.GE,
+}
+
+
+class Parser:
+    def __init__(self, text: str):
+        self.text = text
+        self.toks = tokenize(text)
+        self.i = 0
+
+    # -- token helpers ------------------------------------------------------
+    @property
+    def cur(self) -> Token:
+        return self.toks[self.i]
+
+    def peek(self, k: int = 1) -> Token:
+        j = min(self.i + k, len(self.toks) - 1)
+        return self.toks[j]
+
+    def advance(self) -> Token:
+        t = self.cur
+        if t.kind != "eof":
+            self.i += 1
+        return t
+
+    def accept_punct(self, *vals: str) -> Token | None:
+        if self.cur.is_punct(*vals):
+            return self.advance()
+        return None
+
+    def accept_kw(self, *names: str) -> Token | None:
+        if self.cur.is_kw(*names):
+            return self.advance()
+        return None
+
+    def expect_punct(self, val: str) -> Token:
+        if not self.cur.is_punct(val):
+            raise TranspilerSyntaxError(
+                f"Expected '{val}' at position {self.cur.pos}, got {self.cur.value!r}"
+            )
+        return self.advance()
+
+    def expect_kw(self, name: str) -> Token:
+        if not self.cur.is_kw(name):
+            raise TranspilerSyntaxError(
+                f"Expected {name} at position {self.cur.pos}, got {self.cur.value!r}"
+            )
+        return self.advance()
+
+    def expect_ident(self) -> str:
+        if self.cur.kind != "ident":
+            raise TranspilerSyntaxError(
+                f"Expected identifier at position {self.cur.pos}, got {self.cur.value!r}"
+            )
+        return str(self.advance().value)
+
+    def expect_name(self) -> str:
+        """A symbolic name position (label, verb, property, AS alias):
+        keywords are allowed as names here, per the openCypher grammar."""
+        t = self.cur
+        if t.kind == "ident":
+            return str(self.advance().value)
+        if t.kind == "kw":
+            self.advance()
+            return str(t.value)  # keyword spelling, canonical upper-case
+        raise TranspilerSyntaxError(
+            f"Expected a name at position {t.pos}, got {t.value!r}"
+        )
+
+    # -- entry ---------------------------------------------------------------
+    def parse_query(self) -> A.Query:
+        q: A.Query = self.parse_single_query()
+        while self.accept_kw("UNION"):
+            all_ = bool(self.accept_kw("ALL"))
+            right = self.parse_single_query()
+            q = A.UnionQuery(q, right, all_)
+        self.accept_punct(";")
+        if self.cur.kind != "eof":
+            raise TranspilerSyntaxError(
+                f"Unexpected trailing input at position {self.cur.pos}: {self.cur.value!r}"
+            )
+        return q
+
+    def parse_single_query(self) -> A.SingleQuery:
+        clauses: list[A.Clause] = []
+        while True:
+            t = self.cur
+            if t.is_kw("MATCH") or t.is_kw("OPTIONAL"):
+                clauses.append(self.parse_match())
+            elif t.is_kw("UNWIND"):
+                clauses.append(self.parse_unwind())
+            elif t.is_kw("WITH"):
+                clauses.append(self.parse_projection(is_return=False))
+            elif t.is_kw("RETURN"):
+                clauses.append(self.parse_projection(is_return=True))
+                break
+            elif t.is_kw("CREATE", "MERGE", "SET", "DELETE", "DETACH", "REMOVE"):
+                raise TranspilerNotSupportedError(
+                    f"Write clause {t.value} is not supported (read-only engine)"
+                )
+            elif t.is_kw("CALL"):
+                raise TranspilerNotSupportedError("CALL is not supported")
+            else:
+                raise TranspilerSyntaxError(
+                    f"Expected a clause keyword at position {t.pos}, got {t.value!r}"
+                )
+        # validations mirroring the reference
+        if not any(isinstance(c, (A.MatchClause, A.UnwindClause)) for c in clauses):
+            raise TranspilerNotSupportedError(
+                "Standalone WITH/RETURN with no MATCH is not supported"
+            )
+        for prev, nxt in zip(clauses, clauses[1:]):
+            if (
+                isinstance(prev, A.MatchClause)
+                and prev.optional
+                and isinstance(nxt, A.MatchClause)
+                and not nxt.optional
+            ):
+                raise TranspilerNotSupportedError(
+                    "MATCH cannot directly follow OPTIONAL MATCH "
+                    "(reference CypherVisitor.cs:344-359)"
+                )
+        first_match = next(
+            (c for c in clauses if isinstance(c, A.MatchClause)), None
+        )
+        if first_match is not None and first_match.optional:
+            prior = clauses[: clauses.index(first_match)]
+            if not any(isinstance(c, (A.MatchClause, A.UnwindClause)) for c in prior):
+                raise TranspilerNotSupportedError(
+                    "OPTIONAL MATCH cannot be the first reading clause"
+                )
+        return A.SingleQuery(clauses)
+
+    # -- clauses ---------------------------------------------------------------
+    def parse_match(self) -> A.MatchClause:
+        optional = bool(self.accept_kw("OPTIONAL"))
+        self.expect_kw("MATCH")
+        patterns = [self.parse_pattern_part()]
+        while self.accept_punct(","):
+            patterns.append(self.parse_pattern_part())
+        where = None
+        if self.accept_kw("WHERE"):
+            where = self.parse_expr()
+        return A.MatchClause(patterns, optional, where)
+
+    def parse_unwind(self) -> A.UnwindClause:
+        self.expect_kw("UNWIND")
+        expr = self.parse_expr()
+        self.expect_kw("AS")
+        alias = self.expect_ident()
+        return A.UnwindClause(expr, alias)
+
+    def parse_projection(self, is_return: bool) -> A.ProjectionClause:
+        self.advance()  # WITH / RETURN
+        distinct = bool(self.accept_kw("DISTINCT"))
+        items: list[tuple[str, A.Expr]] = []
+        if self.cur.is_punct("*"):
+            raise TranspilerNotSupportedError("RETURN * / WITH * is not supported")
+        while True:
+            expr = self.parse_expr()
+            if self.accept_kw("AS"):
+                alias = self.expect_name()
+            else:
+                alias = self._implicit_alias(expr)
+            items.append((alias, expr))
+            if not self.accept_punct(","):
+                break
+        seen = set()
+        for alias, _ in items:
+            if alias in seen:
+                raise TranspilerSyntaxError(f"Duplicate projection alias '{alias}'")
+            seen.add(alias)
+        order_by: list[A.SortItem] = []
+        if self.accept_kw("ORDER"):
+            self.expect_kw("BY")
+            while True:
+                e = self.parse_expr()
+                asc = True
+                if self.accept_kw("DESC", "DESCENDING"):
+                    asc = False
+                else:
+                    self.accept_kw("ASC", "ASCENDING")
+                order_by.append(A.SortItem(e, asc))
+                if not self.accept_punct(","):
+                    break
+        skip = limit = None
+        if self.accept_kw("SKIP"):
+            skip = self._expect_nonneg_int("SKIP")
+        if self.accept_kw("LIMIT"):
+            limit = self._expect_nonneg_int("LIMIT")
+        where = None
+        if self.accept_kw("WHERE"):
+            if is_return:
+                raise TranspilerSyntaxError("WHERE is not allowed after RETURN")
+            where = self.parse_expr()
+        return A.ProjectionClause(
+            items, distinct, where, order_by, skip, limit, is_return
+        )
+
+    def _expect_nonneg_int(self, what: str) -> int:
+        t = self.cur
+        if t.kind != "int" or int(t.value) < 0:
+            raise TranspilerSyntaxError(
+                f"{what} requires a non-negative integer literal at position {t.pos}"
+            )
+        self.advance()
+        return int(t.value)
+
+    def _implicit_alias(self, expr: A.Expr) -> str:
+        if isinstance(expr, A.Variable):
+            return expr.name
+        if isinstance(expr, A.Property):
+            return f"{expr.alias}.{expr.prop}"
+        raise TranspilerSyntaxError(
+            "Computed projection items require an explicit alias (use AS)"
+        )
+
+    # -- patterns ----------------------------------------------------------------
+    def parse_pattern_part(self) -> A.PatternPart:
+        if self.cur.kind == "ident" and self.peek().is_punct("="):
+            raise TranspilerNotSupportedError(
+                "Pattern variables 'p = (a)-[]-(b)' are not supported"
+            )
+        nodes = [self.parse_node_pattern()]
+        rels: list[A.RelPattern] = []
+        while self.cur.is_punct("-", "<"):
+            rels.append(self.parse_rel_pattern())
+            nodes.append(self.parse_node_pattern())
+        return A.PatternPart(nodes, rels)
+
+    def parse_node_pattern(self) -> A.NodePattern:
+        self.expect_punct("(")
+        alias = None
+        if self.cur.kind == "ident":
+            alias = self.expect_ident()
+        label = None
+        if self.accept_punct(":"):
+            label = self.expect_name()
+            if self.cur.is_punct(":"):
+                raise TranspilerNotSupportedError(
+                    "Multiple node labels are not supported"
+                )
+        if self.cur.is_punct("{"):
+            raise TranspilerNotSupportedError(
+                "Inline property maps on patterns are not supported"
+            )
+        self.expect_punct(")")
+        return A.NodePattern(alias, label)
+
+    def parse_rel_pattern(self) -> A.RelPattern:
+        # assembled from single-char tokens:  <-[..]-   -[..]->   -[..]-
+        # plus bracketless shorthands:  <--   -->   --
+        left_arrow = bool(self.accept_punct("<"))
+        self.expect_punct("-")
+        alias = verb = None
+        if self.accept_punct("["):
+            if self.cur.kind == "ident":
+                alias = self.expect_ident()
+            if self.accept_punct(":"):
+                verb = self.expect_name()
+                if self.cur.is_punct("|"):
+                    raise TranspilerNotSupportedError(
+                        "Multiple relationship types are not supported"
+                    )
+            if self.cur.is_punct("*"):
+                raise TranspilerNotSupportedError(
+                    "Variable-length relationships are not supported"
+                )
+            if self.cur.is_punct("{"):
+                raise TranspilerNotSupportedError(
+                    "Inline property maps on patterns are not supported"
+                )
+            self.expect_punct("]")
+        self.expect_punct("-")
+        right_arrow = bool(self.accept_punct(">"))
+        if left_arrow and right_arrow:
+            raise TranspilerSyntaxError("Relationship cannot point both ways")
+        if left_arrow:
+            direction = A.Direction.BACKWARD
+        elif right_arrow:
+            direction = A.Direction.FORWARD
+        else:
+            direction = A.Direction.EITHER
+        return A.RelPattern(alias, verb, direction)
+
+    # -- expressions ----------------------------------------------------------
+    def parse_expr(self) -> A.Expr:
+        return self.parse_or()
+
+    def parse_or(self) -> A.Expr:
+        e = self.parse_xor()
+        while self.accept_kw("OR"):
+            e = A.Binary(A.BinaryOp.OR, e, self.parse_xor())
+        return e
+
+    def parse_xor(self) -> A.Expr:
+        e = self.parse_and()
+        while self.accept_kw("XOR"):
+            e = A.Binary(A.BinaryOp.XOR, e, self.parse_and())
+        return e
+
+    def parse_and(self) -> A.Expr:
+        e = self.parse_not()
+        while self.accept_kw("AND"):
+            e = A.Binary(A.BinaryOp.AND, e, self.parse_not())
+        return e
+
+    def parse_not(self) -> A.Expr:
+        if self.accept_kw("NOT"):
+            return A.Unary("NOT", self.parse_not())
+        return self.parse_comparison()
+
+    def parse_comparison(self) -> A.Expr:
+        e = self.parse_string_list_null()
+        while self.cur.kind == "punct" and str(self.cur.value) in COMPARISON_TOKENS:
+            op = COMPARISON_TOKENS[str(self.advance().value)]
+            e = A.Binary(op, e, self.parse_string_list_null())
+        return e
+
+    def parse_string_list_null(self) -> A.Expr:
+        e = self.parse_add_sub()
+        while True:
+            if self.accept_punct("=~"):
+                e = A.Binary(A.BinaryOp.REGMATCH, e, self.parse_add_sub())
+            elif self.accept_kw("IN"):
+                e = A.Binary(A.BinaryOp.IN, e, self.parse_add_sub())
+            elif self.cur.is_kw("STARTS"):
+                self.advance()
+                self.expect_kw("WITH")
+                e = A.FuncCall("startswith", [e, self.parse_add_sub()])
+            elif self.cur.is_kw("ENDS"):
+                self.advance()
+                self.expect_kw("WITH")
+                e = A.FuncCall("endswith", [e, self.parse_add_sub()])
+            elif self.accept_kw("CONTAINS"):
+                e = A.FuncCall("contains", [e, self.parse_add_sub()])
+            elif self.cur.is_kw("IS"):
+                self.advance()
+                if self.accept_kw("NOT"):
+                    self.expect_kw("NULL")
+                    e = A.FuncCall("isnotnull", [e])
+                else:
+                    self.expect_kw("NULL")
+                    e = A.FuncCall("isnull", [e])
+            elif self.cur.is_punct("["):
+                raise TranspilerNotSupportedError(
+                    "List index/slice expressions are not supported"
+                )
+            else:
+                return e
+
+    def parse_add_sub(self) -> A.Expr:
+        e = self.parse_mul_div()
+        while self.cur.is_punct("+", "-"):
+            op = A.BinaryOp.PLUS if self.advance().value == "+" else A.BinaryOp.MINUS
+            e = A.Binary(op, e, self.parse_mul_div())
+        return e
+
+    def parse_mul_div(self) -> A.Expr:
+        e = self.parse_power()
+        while self.cur.is_punct("*", "/", "%"):
+            tok = str(self.advance().value)
+            op = {
+                "*": A.BinaryOp.MULTIPLY,
+                "/": A.BinaryOp.DIVIDE,
+                "%": A.BinaryOp.MODULO,
+            }[tok]
+            e = A.Binary(op, e, self.parse_power())
+        return e
+
+    def parse_power(self) -> A.Expr:
+        e = self.parse_unary()
+        while self.cur.is_punct("^"):
+            self.advance()
+            e = A.Binary(A.BinaryOp.POW, e, self.parse_unary())
+        return e
+
+    def parse_unary(self) -> A.Expr:
+        if self.cur.is_punct("-"):
+            self.advance()
+            operand = self.parse_unary()
+            if isinstance(operand, A.Literal) and isinstance(
+                operand.value, (int, float)
+            ):
+                return A.Literal(-operand.value)
+            return A.Unary("-", operand)
+        if self.cur.is_punct("+"):
+            self.advance()
+            return self.parse_unary()
+        return self.parse_postfix()
+
+    def parse_postfix(self) -> A.Expr:
+        e = self.parse_atom()
+        while self.cur.is_punct("."):
+            self.advance()
+            prop = self.expect_name()
+            if isinstance(e, A.Variable):
+                e = A.Property(e.name, prop)
+            elif isinstance(e, A.Property):
+                raise TranspilerNotSupportedError(
+                    "Nested property lookup 'a.b.c' is not supported"
+                )
+            else:
+                raise TranspilerSyntaxError(
+                    f"Property access on a non-variable at position {self.cur.pos}"
+                )
+        return e
+
+    def parse_atom(self) -> A.Expr:
+        t = self.cur
+        if t.kind in ("int", "float", "string"):
+            self.advance()
+            return A.Literal(t.value)
+        if t.is_kw("TRUE"):
+            self.advance()
+            return A.Literal(True)
+        if t.is_kw("FALSE"):
+            self.advance()
+            return A.Literal(False)
+        if t.is_kw("NULL"):
+            self.advance()
+            return A.Literal(None)
+        if t.is_punct("$"):
+            raise TranspilerNotSupportedError("Query parameters $param are not supported")
+        if t.is_punct("{"):
+            raise TranspilerNotSupportedError("Map literals are not supported")
+        if t.is_punct("("):
+            self.advance()
+            e = self.parse_expr()
+            self.expect_punct(")")
+            return e
+        if t.is_punct("["):
+            self.advance()
+            items: list[A.Expr] = []
+            if not self.cur.is_punct("]"):
+                while True:
+                    items.append(self.parse_expr())
+                    if self.cur.is_punct("."):
+                        raise TranspilerNotSupportedError(
+                            "Range literals are not supported"
+                        )
+                    if not self.accept_punct(","):
+                        break
+            self.expect_punct("]")
+            return A.ListLiteral(items)
+        if t.is_kw("CASE"):
+            return self.parse_case()
+        if t.is_kw("NOT"):
+            self.advance()
+            return A.Unary("NOT", self.parse_not())
+        if t.kind == "ident":
+            # function call?
+            if self.peek().is_punct("("):
+                return self.parse_func_call()
+            name = self.expect_ident()
+            return A.Variable(name)
+        if t.is_kw("CONTAINS", "END"):  # identifiers that collide with keywords
+            self.advance()
+            return A.Variable(str(t.value).lower())
+        raise TranspilerSyntaxError(
+            f"Unexpected token {t.value!r} at position {t.pos}"
+        )
+
+    def parse_case(self) -> A.Expr:
+        self.expect_kw("CASE")
+        if not self.cur.is_kw("WHEN"):
+            raise TranspilerNotSupportedError(
+                "Only the searched form 'CASE WHEN <pred> THEN <val> ... END' is "
+                "supported ('CASE <expr> WHEN' is rejected, reference "
+                "CypherVisitor.cs:1776-1782)"
+            )
+        whens: list[tuple[A.Expr, A.Expr]] = []
+        while self.accept_kw("WHEN"):
+            cond = self.parse_expr()
+            self.expect_kw("THEN")
+            val = self.parse_expr()
+            whens.append((cond, val))
+        else_ = None
+        if self.accept_kw("ELSE"):
+            else_ = self.parse_expr()
+        self.expect_kw("END")
+        return A.CaseExpr(whens, else_)
+
+    def parse_func_call(self) -> A.Expr:
+        name = self.expect_ident().lower()
+        self.expect_punct("(")
+        distinct = bool(self.accept_kw("DISTINCT"))
+        if name in A.AGG_FUNCTION_NAMES:
+            if name == "count" and self.cur.is_punct("*"):
+                self.advance()
+                self.expect_punct(")")
+                return A.AggCall("count", None, distinct)
+            arg = self.parse_expr()
+            extras: list[A.Expr] = []
+            while self.accept_punct(","):
+                extras.append(self.parse_expr())
+            # tolerate reference-style count(DISTINCT(x)) — DISTINCT already eaten
+            self.expect_punct(")")
+            if distinct and name != "count":
+                raise TranspilerNotSupportedError(
+                    "DISTINCT is only supported inside count() "
+                    "(reference SQLRenderer.cs:708-711)"
+                )
+            if any(A.contains_aggregate(e) for e in [arg, *extras]):
+                raise TranspilerNotSupportedError(
+                    "Nested aggregation functions are not supported"
+                )
+            return A.AggCall(name, arg, distinct, extras)
+        if distinct:
+            raise TranspilerSyntaxError(f"DISTINCT is not valid inside {name}()")
+        args: list[A.Expr] = []
+        if not self.cur.is_punct(")"):
+            while True:
+                args.append(self.parse_expr())
+                if not self.accept_punct(","):
+                    break
+        self.expect_punct(")")
+        return A.FuncCall(name, args)
+
+
+def parse(text: str) -> A.Query:
+    """Parse a Cypher query string into the AST (IR #1)."""
+    return Parser(text).parse_query()

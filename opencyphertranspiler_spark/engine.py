@@ -1,0 +1,43 @@
+"""Session façade: ``engine.cypher(query) -> DataFrame``.
+
+The PySpark analogue of the reference's two-line entry point
+(/root/reference/README.md:25-38):
+
+    plan  = LogicalPlan.ProcessQueryTree(OpenCypherParser.Parse(q), graphDef)
+    tsql  = new SQLRenderer(graphDef).RenderPlan(plan)
+
+here becomes:
+
+    engine = CypherEngine(spark, graph_schema, tables)
+    df     = engine.cypher(q)          # lazy DataFrame; Catalyst optimizes
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .cypher import parse
+from .operators import Compiler
+from .plans import plan_query
+from .schema import GraphSchema
+from .sources import TableRegistry
+
+
+class CypherEngine:
+    def __init__(
+        self, spark: SparkSession, graph: GraphSchema, tables: TableRegistry
+    ):
+        self.spark = spark
+        self.graph = graph
+        self.tables = tables
+
+    def cypher(self, query: str) -> DataFrame:
+        """Parse, plan, and compile a Cypher query to a lazy DataFrame."""
+        ast = parse(query)
+        plan = plan_query(ast, self.graph)
+        return Compiler(self.spark, self.tables).compile(plan)
+
+    def explain_plan(self, query: str) -> str:
+        """Dump the logical operator DAG (the reference's DumpGraph,
+        /root/reference/src/LogicalPlanner/LogicalPlan.cs:88-110)."""
+        return plan_query(parse(query), self.graph).describe()

@@ -1,0 +1,126 @@
+"""Scalar function library (reference inventory SURVEY.md §2.4, lowering per
+/root/reference/src/SQLRenderer/SQLRenderer.cs:563-629) plus a small set of
+clearly-marked extensions. All lowerings are built-in pyspark.sql.functions —
+JVM-side, whole-stage-codegen friendly; no Python UDFs.
+
+Note: the reference declares toDouble -> long? / toLong -> double? return
+types (a bug, QueryExpressionFunction.cs:53-56); we implement the correct
+casts. ``=~`` is true regex here (F.rlike), unlike the reference's PATINDEX
+substring hack (SQLRenderer.cs:50) — we follow openCypher semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..exceptions import TranspilerBindingError, TranspilerNotSupportedError
+
+
+def _arity(name: str, args: list, n: int, m: int | None = None):
+    m = n if m is None else m
+    if not (n <= len(args) <= m):
+        raise TranspilerBindingError(
+            f"Function {name}() takes {n}{'' if m == n else f'..{m}'} argument(s), "
+            f"got {len(args)}"
+        )
+
+
+def compile_scalar(name: str, args: list[Column]) -> Column:
+    """Lower a scalar function call to a Column expression."""
+    # --- casts (reference SQLRenderer.cs:568-585) ---
+    if name == "tofloat":
+        _arity(name, args, 1)
+        return args[0].cast("float")
+    if name == "todouble":
+        _arity(name, args, 1)
+        return args[0].cast("double")
+    if name == "tostring":
+        _arity(name, args, 1)
+        return args[0].cast("string")
+    if name == "toboolean":
+        _arity(name, args, 1)
+        return args[0].cast("boolean")
+    if name == "tointeger":
+        _arity(name, args, 1)
+        return args[0].cast("int")
+    if name == "tolong":
+        _arity(name, args, 1)
+        return args[0].cast("long")
+    # --- strings (reference SQLRenderer.cs:589-621) ---
+    if name == "startswith":
+        _arity(name, args, 2)
+        return args[0].startswith(args[1])
+    if name == "endswith":
+        _arity(name, args, 2)
+        return args[0].endswith(args[1])
+    if name == "contains":
+        _arity(name, args, 2)
+        return args[0].contains(args[1])
+    if name == "left":
+        _arity(name, args, 2)
+        return F.substr(args[0], F.lit(1), args[1])
+    if name == "right":
+        _arity(name, args, 2)
+        s, n = args
+        return F.substr(s, F.greatest(F.length(s) - n + F.lit(1), F.lit(1)), n)
+    if name == "trim":
+        _arity(name, args, 1)
+        return F.trim(args[0])
+    if name == "ltrim":
+        _arity(name, args, 1)
+        return F.ltrim(args[0])
+    if name == "rtrim":
+        _arity(name, args, 1)
+        return F.rtrim(args[0])
+    if name == "toupper":
+        _arity(name, args, 1)
+        return F.upper(args[0])
+    if name == "tolower":
+        _arity(name, args, 1)
+        return F.lower(args[0])
+    if name == "size":
+        _arity(name, args, 1)
+        return F.length(args[0])
+    if name == "isnull":
+        _arity(name, args, 1)
+        return args[0].isNull()
+    if name == "isnotnull":
+        _arity(name, args, 1)
+        return args[0].isNotNull()
+    # --- extensions beyond the reference library (documented additions) ---
+    if name == "substring":  # Cypher substring(s, start[, len]) is 0-based
+        _arity(name, args, 2, 3)
+        if len(args) == 2:
+            return F.substr(args[0], args[1] + F.lit(1))
+        return F.substr(args[0], args[1] + F.lit(1), args[2])
+    if name == "replace":
+        _arity(name, args, 3)
+        return F.replace(args[0], args[1], args[2])
+    if name == "split":
+        _arity(name, args, 2)
+        return F.split(args[0], args[1])
+    if name == "reverse":
+        _arity(name, args, 1)
+        return F.reverse(args[0])
+    if name == "coalesce":
+        return F.coalesce(*args)
+    if name == "abs":
+        _arity(name, args, 1)
+        return F.abs(args[0])
+    if name == "round":
+        _arity(name, args, 1, 2)
+        return F.round(args[0], args[1] if len(args) > 1 else F.lit(0))
+    if name == "floor":
+        _arity(name, args, 1)
+        return F.floor(args[0])
+    if name == "ceil":
+        _arity(name, args, 1)
+        return F.ceil(args[0])
+    if name == "sqrt":
+        _arity(name, args, 1)
+        return F.sqrt(args[0])
+    if name == "sign":
+        _arity(name, args, 1)
+        return F.signum(args[0]).cast("int")
+    raise TranspilerNotSupportedError(f"Unknown function {name}()")

@@ -1,0 +1,198 @@
+"""Operator compiler: logical DAG (IR #2) -> PySpark DataFrame (lazy).
+
+This is the counterpart of the reference's SQLRenderer
+(/root/reference/src/SQLRenderer/SQLRenderer.cs:1066-1083 recursive dispatch),
+except the target is a declarative DataFrame plan that Catalyst optimizes:
+predicate pushdown, column pruning (entity properties never referenced are
+pruned all the way to the parquet scan), join-strategy selection
+(broadcast for dimension-sized node tables), and AQE re-planning all come
+for free because every operator lowers to built-in DataFrame operations —
+no RDDs, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..cypher import ast as A
+from ..exceptions import TranspilerInternalError
+from ..plans.logical import (
+    DataSourceOp,
+    EntityRef,
+    JoinOp,
+    LogicalOp,
+    ProjectOp,
+    SelectionOp,
+    SetOp,
+    TrimOp,
+    UnwindOp,
+    ValueRef,
+)
+from ..sources.registry import TableRegistry
+from .expressions import ExprCompiler
+
+
+class Compiler:
+    def __init__(self, spark: SparkSession, tables: TableRegistry):
+        self.spark = spark
+        self.tables = tables
+
+    def compile(self, op: LogicalOp) -> DataFrame:
+        if isinstance(op, DataSourceOp):
+            return self._data_source(op)
+        if isinstance(op, JoinOp):
+            return self._join(op)
+        if isinstance(op, SelectionOp):
+            return self._selection(op)
+        if isinstance(op, ProjectOp):
+            return self._project(op)
+        if isinstance(op, TrimOp):
+            return self._trim(op)
+        if isinstance(op, SetOp):
+            return self._set(op)
+        if isinstance(op, UnwindOp):
+            return self._unwind(op)
+        raise TranspilerInternalError(f"Unknown operator {op!r}")
+
+    # -- scan -----------------------------------------------------------------
+    def _data_source(self, op: DataSourceOp) -> DataFrame:
+        ref = op.entity
+        sch = ref.node if ref.kind == "node" else ref.edge
+        df = self.tables.get(sch.table)
+        # namespace every property as __{alias}_{prop}; Catalyst prunes the
+        # unreferenced ones down to the parquet ReadSchema
+        return df.select(
+            [F.col(p).alias(ref.col(p)) for p in ref.property_names]
+        )
+
+    # -- join -----------------------------------------------------------------
+    def _join(self, op: JoinOp) -> DataFrame:
+        left = self.compile(op.left)
+        right = self.compile(op.right)
+        if op.how == "cross":
+            return left.crossJoin(right)
+        # all column names are globally unique (per-alias namespacing), so
+        # name-based equality conditions are unambiguous even for self-joins
+        cond = None
+        for l_col, r_col in op.pairs:
+            eq = F.col(l_col) == F.col(r_col)
+            cond = eq if cond is None else cond & eq
+        df = left.join(right, on=cond, how=op.how)
+        if op.drop_right:
+            df = df.drop(*op.drop_right)
+        return df
+
+    # -- filter / order / limit -------------------------------------------------
+    def _selection(self, op: SelectionOp) -> DataFrame:
+        df = self.compile(op.input)
+        if op.predicate is not None:
+            ec = ExprCompiler(op.env, df)
+            return df.filter(ec.compile(op.predicate))
+        ec = ExprCompiler(op.env, df)
+        if op.order_by:
+            sort_cols = []
+            for s in op.order_by:
+                c = ec.compile(s.expr)
+                sort_cols.append(c.asc() if s.ascending else c.desc())
+            df = df.orderBy(*sort_cols)
+        if op.skip is not None:
+            df = df.offset(op.skip)
+        if op.limit is not None:
+            df = df.limit(op.limit)
+        return df
+
+    # -- projection ---------------------------------------------------------------
+    def _project(self, op: ProjectOp) -> DataFrame:
+        in_df = self.compile(op.input)
+        in_env = op.input.env
+        ec = ExprCompiler(in_env, in_df)
+
+        def entity_cols(alias: str, expr: A.Expr) -> list:
+            """Select list renaming an entity passthrough to its new alias."""
+            in_ref = in_env[expr.name]
+            out_ref = op.env[alias]
+            return [
+                F.col(in_ref.col(p)).alias(out_ref.col(p))
+                for p in in_ref.property_names
+            ]
+
+        def is_entity_item(expr: A.Expr) -> bool:
+            return isinstance(expr, A.Variable) and isinstance(
+                in_env.get(expr.name), EntityRef
+            )
+
+        if op.has_agg:
+            group_cols: list = []
+            agg_cols: list = []
+            out_cols: list[str] = []
+            for alias, expr in op.items:
+                if A.contains_aggregate(expr):
+                    agg_cols.append(ec.compile(expr).alias(alias))
+                    out_cols.append(alias)
+                elif is_entity_item(expr):
+                    cols = entity_cols(alias, expr)
+                    group_cols.extend(cols)
+                    out_cols.extend(op.env[alias].columns())
+                else:
+                    group_cols.append(ec.compile(expr).alias(alias))
+                    out_cols.append(alias)
+            if group_cols:
+                df = in_df.groupBy(*group_cols).agg(*agg_cols)
+            else:
+                df = in_df.agg(*agg_cols)
+            df = df.select(*out_cols)
+            if op.distinct:
+                df = df.distinct()
+            return df
+
+        select_cols: list = []
+        seen: set[str] = set()
+        for alias, expr in op.items:
+            if is_entity_item(expr):
+                for c in entity_cols(alias, expr):
+                    select_cols.append(c)
+                seen.update(op.env[alias].columns())
+            else:
+                select_cols.append(ec.compile(expr).alias(alias))
+                seen.add(alias)
+        if op.carry:
+            for alias, ref in op.env.items():
+                if alias in op.output_aliases:
+                    continue
+                for c in ref.columns():
+                    if c not in seen:
+                        select_cols.append(F.col(c))
+                        seen.add(c)
+        df = in_df.select(*select_cols)
+        if op.distinct:
+            df = df.distinct()
+        return df
+
+    def _trim(self, op: TrimOp) -> DataFrame:
+        df = self.compile(op.input)
+        cols: list[str] = []
+        for alias in op.aliases:
+            for c in op.env[alias].columns():
+                if c not in cols:
+                    cols.append(c)
+        return df.select(*cols)
+
+    # -- set ------------------------------------------------------------------
+    def _set(self, op: SetOp) -> DataFrame:
+        left = self.compile(op.left)
+        right = self.compile(op.right)
+        df = left.unionByName(right)
+        if not op.all:
+            df = df.distinct()
+        return df
+
+    # -- unwind ----------------------------------------------------------------
+    def _unwind(self, op: UnwindOp) -> DataFrame:
+        if op.input is None:
+            one = self.spark.range(1)
+            ec = ExprCompiler({}, one)
+            return one.select(F.explode(ec.compile(op.expr)).alias(op.alias))
+        df = self.compile(op.input)
+        ec = ExprCompiler(op.input.env, df)
+        return df.select("*", F.explode(ec.compile(op.expr)).alias(op.alias))

@@ -1,0 +1,218 @@
+"""Expression compiler: Cypher AST expression -> pyspark.sql.Column.
+
+Implements the reference's expression semantics (SURVEY.md §2.3) with the
+Cypher/Spark coercion deltas applied explicitly (SURVEY.md §4.3):
+
+- ``+`` with a string operand concatenates (Cypher: int + string -> string,
+  reference TypeCoersionTables.cs:30); numeric otherwise;
+- integer ``/`` stays integral with truncation toward zero (T-SQL / Cypher);
+- ``^`` is double POWER (reference SQLRenderer.cs:38);
+- XOR expands to ``(a AND NOT b) OR (NOT a AND b)`` preserving 3-valued
+  logic (reference SQLRenderer.cs:42);
+- CASE branch values are unified: any string branch makes all branches
+  string (reference folds branch types via the Plus table,
+  QueryExpressionCaseExpression.cs:77-117).
+
+Type questions are answered by probing the input DataFrame's schema
+(Catalyst is the type checker) — no parallel type-inference engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..cypher import ast as A
+from ..exceptions import (
+    TranspilerBindingError,
+    TranspilerInternalError,
+    TranspilerNotSupportedError,
+)
+from ..functions import compile_aggregate, compile_scalar
+from ..plans.logical import ColRef, EntityRef, Env, ValueRef
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+class ExprCompiler:
+    """Compiles expressions against an environment + input DataFrame."""
+
+    def __init__(self, env: Env, df: DataFrame | None):
+        self.env = env
+        self.df = df
+
+    # -- type probing -------------------------------------------------------
+    def dtype(self, col: Column) -> T.DataType:
+        if self.df is None:
+            raise TranspilerInternalError("No input DataFrame to probe types")
+        return self.df.select(col.alias("__probe")).schema[0].dataType
+
+    # -- entry ----------------------------------------------------------------
+    def compile(self, expr: A.Expr) -> Column:
+        if isinstance(expr, ColRef):
+            return F.col(expr.col)
+        if isinstance(expr, A.Literal):
+            return F.lit(expr.value)
+        if isinstance(expr, A.ListLiteral):
+            return F.array(*[self.compile(i) for i in expr.items])
+        if isinstance(expr, A.Variable):
+            ref = self._ref(expr.name)
+            if isinstance(ref, EntityRef):
+                raise TranspilerNotSupportedError(
+                    f"Entity '{expr.name}' cannot be used as a value; "
+                    "reference a property or aggregate it"
+                )
+            return F.col(ref.col)
+        if isinstance(expr, A.Property):
+            ref = self._ref(expr.alias)
+            if not isinstance(ref, EntityRef):
+                raise TranspilerBindingError(
+                    f"'{expr.alias}' is not an entity; cannot access "
+                    f"property '{expr.prop}'"
+                )
+            if expr.prop not in ref.property_names:
+                raise TranspilerBindingError(
+                    f"Property '{expr.prop}' is not defined on '{expr.alias}'"
+                )
+            return F.col(ref.col(expr.prop))
+        if isinstance(expr, A.Unary):
+            return self._unary(expr)
+        if isinstance(expr, A.Binary):
+            return self._binary(expr)
+        if isinstance(expr, A.FuncCall):
+            return compile_scalar(expr.name, [self.compile(a) for a in expr.args])
+        if isinstance(expr, A.AggCall):
+            return self._aggregate(expr)
+        if isinstance(expr, A.CaseExpr):
+            return self._case(expr)
+        raise TranspilerInternalError(f"Unknown expression node {expr!r}")
+
+    def _ref(self, alias: str):
+        ref = self.env.get(alias)
+        if ref is None:
+            raise TranspilerBindingError(f"Alias '{alias}' does not exist")
+        return ref
+
+    # -- operators ---------------------------------------------------------------
+    def _unary(self, expr: A.Unary) -> Column:
+        c = self.compile(expr.operand)
+        if expr.op == "-":
+            return -c
+        if expr.op == "+":
+            return c
+        if expr.op == "NOT":
+            return ~c
+        raise TranspilerInternalError(f"Unknown unary operator {expr.op}")
+
+    def _binary(self, expr: A.Binary) -> Column:
+        op = expr.op
+        if op == A.BinaryOp.IN:
+            left = self.compile(expr.left)
+            if isinstance(expr.right, A.ListLiteral):
+                if all(isinstance(i, A.Literal) for i in expr.right.items):
+                    return left.isin([i.value for i in expr.right.items])
+                return F.array_contains(
+                    F.array(*[self.compile(i) for i in expr.right.items]), left
+                )
+            return F.array_contains(self.compile(expr.right), left)
+        l, r = self.compile(expr.left), self.compile(expr.right)
+        if op == A.BinaryOp.AND:
+            return l & r
+        if op == A.BinaryOp.OR:
+            return l | r
+        if op == A.BinaryOp.XOR:
+            return (l & ~r) | (~l & r)
+        if op == A.BinaryOp.EQ:
+            return l == r
+        if op == A.BinaryOp.NEQ:
+            return l != r
+        if op == A.BinaryOp.LT:
+            return l < r
+        if op == A.BinaryOp.LE:
+            return l <= r
+        if op == A.BinaryOp.GT:
+            return l > r
+        if op == A.BinaryOp.GE:
+            return l >= r
+        if op == A.BinaryOp.REGMATCH:
+            return F.regexp_like(l, r)
+        if op == A.BinaryOp.PLUS:
+            lt, rt = self._types(expr.left, l), self._types(expr.right, r)
+            if isinstance(lt, T.StringType) or isinstance(rt, T.StringType):
+                return F.concat(l.cast("string"), r.cast("string"))
+            return l + r
+        if op == A.BinaryOp.MINUS:
+            return l - r
+        if op == A.BinaryOp.MULTIPLY:
+            return l * r
+        if op == A.BinaryOp.DIVIDE:
+            lt, rt = self._types(expr.left, l), self._types(expr.right, r)
+            if isinstance(lt, _INTEGRAL) and isinstance(rt, _INTEGRAL):
+                # Cypher/T-SQL integer division truncates toward zero
+                return (l / r).cast("long")
+            return l / r
+        if op == A.BinaryOp.MODULO:
+            return l % r  # Spark % keeps the dividend sign, like T-SQL
+        if op == A.BinaryOp.POW:
+            return F.pow(l, r)
+        raise TranspilerInternalError(f"Unknown binary operator {op}")
+
+    def _types(self, node: A.Expr, col: Column) -> T.DataType:
+        """Cheap type resolution: literals without probing, else probe."""
+        if isinstance(node, A.Literal):
+            v = node.value
+            if v is None:
+                return T.NullType()
+            if isinstance(v, bool):
+                return T.BooleanType()
+            if isinstance(v, int):
+                return T.LongType()
+            if isinstance(v, float):
+                return T.DoubleType()
+            return T.StringType()
+        return self.dtype(col)
+
+    # -- aggregates -----------------------------------------------------------------
+    def _aggregate(self, expr: A.AggCall) -> Column:
+        extras = [self.compile(e) for e in expr.extras]
+        if expr.arg is None:
+            return compile_aggregate(expr.name, None, expr.distinct, extras)
+        if isinstance(expr.arg, A.Variable):
+            ref = self._ref(expr.arg.name)
+            if isinstance(ref, EntityRef):
+                keys = [F.col(c) for c in ref.key_cols()]
+                return compile_aggregate(
+                    expr.name, None, expr.distinct, extras, entity_keys=keys
+                )
+        arg = self.compile(expr.arg)
+        arg_type = None
+        if expr.name in ("avg",):
+            arg_type = self._types(expr.arg, arg)
+        return compile_aggregate(
+            expr.name, arg, expr.distinct, extras, arg_type=arg_type
+        )
+
+    # -- CASE -------------------------------------------------------------------
+    def _case(self, expr: A.CaseExpr) -> Column:
+        branch_vals = [self.compile(v) for _, v in expr.whens]
+        if expr.else_ is not None:
+            branch_vals.append(self.compile(expr.else_))
+        branch_nodes = [v for _, v in expr.whens] + (
+            [expr.else_] if expr.else_ is not None else []
+        )
+        types = [self._types(n, c) for n, c in zip(branch_nodes, branch_vals)]
+        any_string = any(isinstance(t, T.StringType) for t in types)
+        any_other = any(
+            not isinstance(t, (T.StringType, T.NullType)) for t in types
+        )
+        cast_string = any_string and any_other
+        out = None
+        for (cond, _), val in zip(expr.whens, branch_vals):
+            v = val.cast("string") if cast_string else val
+            c = self.compile(cond)
+            out = F.when(c, v) if out is None else out.when(c, v)
+        if expr.else_ is not None:
+            e = branch_vals[-1]
+            out = out.otherwise(e.cast("string") if cast_string else e)
+        return out

@@ -1,0 +1,267 @@
+"""Logical operator DAG (IR #2).
+
+The same five relational operators as the reference (SURVEY.md §2.1):
+DataSource, Join, Selection, Projection, Set — plus Unwind/Trim for the
+declared extensions. Unlike the reference (which renders these to SQL text),
+each operator here compiles to a PySpark DataFrame transformation
+(operators/compiler.py); Catalyst is the optimizer.
+
+Entity columns are namespaced ``__{alias}_{prop}`` exactly like the
+reference's flattened entity fields
+(/root/reference/src/SQLRenderer/SQLRenderer.cs:284-288
+``GetFieldNameForEntityField``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..cypher import ast as A
+from ..exceptions import TranspilerInternalError
+from ..schema import EdgeSchema, NodeSchema
+
+
+# ---------------------------------------------------------------------------
+# Schema refs (the planner's Field model — SURVEY.md §1.3)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class EntityRef:
+    """A node or relationship flowing through the plan as a column group
+    (the reference's EntityField, Schema.cs:44-168)."""
+
+    alias: str
+    kind: str  # 'node' | 'edge'
+    node: NodeSchema | None = None
+    edge: EdgeSchema | None = None
+    left_is_source: bool = True  # edges: pattern-left endpoint is edge source
+    col_prefix: str | None = None  # physical prefix; defaults to alias
+
+    @property
+    def prefix(self) -> str:
+        return self.col_prefix or self.alias
+
+    @property
+    def label(self) -> str:
+        return self.node.label if self.kind == "node" else self.edge.verb
+
+    def col(self, prop: str) -> str:
+        return f"__{self.prefix}_{prop}"
+
+    @property
+    def property_names(self) -> tuple[str, ...]:
+        sch = self.node if self.kind == "node" else self.edge
+        return sch.property_names
+
+    def columns(self) -> list[str]:
+        return [self.col(p) for p in self.property_names]
+
+    def key_cols(self) -> list[str]:
+        """Surrogate key columns: node id, or edge (source, sink) ids."""
+        if self.kind == "node":
+            return [self.col(self.node.id_property)]
+        return [self.col(self.edge.source_id_property), self.col(self.edge.sink_id_property)]
+
+    def renamed(self, new_alias: str) -> "EntityRef":
+        return EntityRef(
+            new_alias, self.kind, self.node, self.edge, self.left_is_source, None
+        )
+
+    def with_prefix(self, prefix: str) -> "EntityRef":
+        return EntityRef(
+            self.alias, self.kind, self.node, self.edge, self.left_is_source, prefix
+        )
+
+
+@dataclass
+class ValueRef:
+    """A scalar column (the reference's ValueField)."""
+
+    alias: str
+
+    @property
+    def col(self) -> str:
+        return self.alias
+
+    def columns(self) -> list[str]:
+        return [self.alias]
+
+
+Ref = EntityRef | ValueRef
+Env = dict[str, Ref]  # alias -> ref, insertion-ordered
+
+
+class ColRef(A.Expr):
+    """Planner-internal expression: a direct physical column reference.
+
+    Used for generated predicates (join-cycle equalities, relationship
+    uniqueness conjuncts) where the target column is already known.
+    """
+
+    def __init__(self, col: str):
+        self.col = col
+
+    def __repr__(self):
+        return f"ColRef({self.col})"
+
+
+# ---------------------------------------------------------------------------
+# Operators
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class LogicalOp:
+    env: Env = field(default_factory=dict, kw_only=True)
+
+    def children(self) -> list["LogicalOp"]:
+        return []
+
+    def describe(self, indent: int = 0) -> str:
+        """Debug plan dump (the reference's DumpGraph, LogicalPlan.cs:88-110)."""
+        pad = "  " * indent
+        lines = [f"{pad}{self!r}"]
+        for c in self.children():
+            lines.append(c.describe(indent + 1))
+        return "\n".join(lines)
+
+
+@dataclass
+class DataSourceOp(LogicalOp):
+    """Scan of one node/edge entity (reference DataSourceOperator.cs:19-122)."""
+
+    entity: EntityRef
+
+    def __repr__(self):
+        return f"DataSource({self.entity.alias}:{self.entity.label} -> {self.entity.prefix})"
+
+
+@dataclass
+class JoinOp(LogicalOp):
+    """Equi/cross join (reference JoinOperator.cs:18-241). ``pairs`` are
+    (left physical column, right physical column). ``drop_right`` lists right
+    columns removed after an OPTIONAL-MATCH fork rejoin."""
+
+    left: LogicalOp
+    right: LogicalOp
+    how: str  # 'inner' | 'left' | 'cross'
+    pairs: list[tuple[str, str]] = field(default_factory=list)
+    drop_right: list[str] = field(default_factory=list)
+
+    def children(self):
+        return [self.left, self.right]
+
+    def __repr__(self):
+        return f"Join({self.how}, on={self.pairs})"
+
+
+@dataclass
+class SelectionOp(LogicalOp):
+    """Filter and/or ORDER BY/SKIP/LIMIT carrier (reference
+    SelectionOperator.cs:20-223). Exactly one of predicate / ordering is set."""
+
+    input: LogicalOp
+    predicate: A.Expr | None = None
+    order_by: list[A.SortItem] = field(default_factory=list)
+    skip: int | None = None
+    limit: int | None = None
+
+    def children(self):
+        return [self.input]
+
+    def __repr__(self):
+        if self.predicate is not None:
+            return "Selection(filter)"
+        return f"Selection(order={len(self.order_by)}, skip={self.skip}, limit={self.limit})"
+
+
+@dataclass
+class ProjectOp(LogicalOp):
+    """WITH/RETURN projection (reference ProjectionOperator.cs:17-85).
+
+    ``items`` is the ordered (output alias, expression) list. ``has_agg``
+    triggers Cypher implicit grouping: group by every non-aggregated item.
+    ``carry`` keeps (non-shadowed) input fields flowing for the
+    post-projection WHERE/ORDER BY implicit-field scoping rule
+    (reference LogicalPlan.cs:203-288); a TrimOp re-trims afterwards.
+    """
+
+    input: LogicalOp
+    items: list[tuple[str, A.Expr]]
+    distinct: bool = False
+    has_agg: bool = False
+    carry: bool = False
+    output_aliases: list[str] = field(default_factory=list)
+
+    def children(self):
+        return [self.input]
+
+    def __repr__(self):
+        flags = []
+        if self.distinct:
+            flags.append("distinct")
+        if self.has_agg:
+            flags.append("agg")
+        if self.carry:
+            flags.append("carry")
+        return f"Projection({[a for a, _ in self.items]}{' ' + ','.join(flags) if flags else ''})"
+
+
+@dataclass
+class TrimOp(LogicalOp):
+    """Drop carried implicit fields, keeping only the projected aliases."""
+
+    input: LogicalOp
+    aliases: list[str]
+
+    def children(self):
+        return [self.input]
+
+    def __repr__(self):
+        return f"Trim({self.aliases})"
+
+
+@dataclass
+class SetOp(LogicalOp):
+    """UNION / UNION ALL (reference SetOperator.cs:17-96)."""
+
+    left: LogicalOp
+    right: LogicalOp
+    all: bool = False
+
+    def children(self):
+        return [self.left, self.right]
+
+    def __repr__(self):
+        return f"Set(union{' all' if self.all else ''})"
+
+
+@dataclass
+class UnwindOp(LogicalOp):
+    """UNWIND <list-expr> AS alias — extension (reference rejects UNWIND;
+    SURVEY.md §7.2.8 names it a post-parity goal). Compiles to explode()."""
+
+    input: LogicalOp | None
+    expr: A.Expr
+    alias: str
+
+    def children(self):
+        return [self.input] if self.input is not None else []
+
+    def __repr__(self):
+        return f"Unwind({self.alias})"
+
+
+def all_columns(env: Env) -> list[str]:
+    cols: list[str] = []
+    for ref in env.values():
+        for c in ref.columns():
+            if c not in cols:
+                cols.append(c)
+    return cols
+
+
+def ensure(cond: bool, msg: str) -> None:
+    if not cond:
+        raise TranspilerInternalError(msg)

@@ -1,0 +1,521 @@
+"""AST -> logical operator DAG (IR #1 -> IR #2).
+
+Re-implements the reference's planning semantics (SURVEY.md §2.2, §2.6) as
+plain Python:
+
+- one DataSource per distinct pattern alias; anonymous entities get
+  ``__unnamed_N`` aliases (reference MatchClause.cs:53-73);
+- label/verb inference to fixpoint over pattern hops using the directional
+  edge registry (reference CypherVisitor.cs:644-788);
+- join fabric: hop joins are Inner equi-joins on node-id vs edge src/sink
+  keys; re-visited aliases become equality predicates; disjoint pattern
+  segments cross-join (reference LogicalPlan.cs:646-1020, three-pass
+  Inner->Left->Cross construction);
+- implicit relationship-uniqueness conjuncts when one edge type appears
+  more than once in a MATCH (reference LogicalPlan.cs:969-1017);
+- OPTIONAL MATCH forks the plan: the optional side is planned standalone
+  (its WHERE applied inside), then LEFT-joined back on the shared node ids
+  (reference LogicalPlan.cs:367-408);
+- WITH/RETURN projections with Cypher implicit grouping and the
+  implicit-field scoping rule (reference LogicalPlan.cs:203-288).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from ..cypher import ast as A
+from ..exceptions import (
+    TranspilerBindingError,
+    TranspilerInternalError,
+    TranspilerNotSupportedError,
+)
+from ..schema import EdgeSchema, GraphSchema
+from .logical import (
+    ColRef,
+    DataSourceOp,
+    EntityRef,
+    Env,
+    JoinOp,
+    LogicalOp,
+    ProjectOp,
+    SelectionOp,
+    SetOp,
+    TrimOp,
+    UnwindOp,
+    ValueRef,
+)
+
+
+def plan_query(query: A.Query, schema: GraphSchema) -> LogicalOp:
+    """Plan a parsed query against the graph schema."""
+    if isinstance(query, A.UnionQuery):
+        left = plan_query(query.left, schema)
+        right = plan_query(query.right, schema)
+        l_aliases = list(left.env.keys())
+        r_aliases = list(right.env.keys())
+        if sorted(l_aliases) != sorted(r_aliases):
+            raise TranspilerBindingError(
+                f"UNION branches must return the same columns: {l_aliases} vs {r_aliases}"
+            )
+        return SetOp(left, right, all=query.all, env=dict(left.env))
+    return _SingleQueryPlanner(schema).plan(query)
+
+
+# ---------------------------------------------------------------------------
+
+
+def _expr_alias_refs(expr: A.Expr):
+    """Yield (alias, prop_or_None) for every variable/property reference."""
+    for node in expr.walk():
+        if isinstance(node, A.Variable):
+            yield node.name, None
+        elif isinstance(node, A.Property):
+            yield node.alias, node.prop
+
+
+def validate_expr(expr: A.Expr, env: Env) -> None:
+    """Binding check: every referenced alias/property must resolve."""
+    for alias, prop in _expr_alias_refs(expr):
+        ref = env.get(alias)
+        if ref is None:
+            raise TranspilerBindingError(f"Alias '{alias}' does not exist")
+        if prop is not None:
+            if isinstance(ref, ValueRef):
+                raise TranspilerBindingError(
+                    f"'{alias}' is not an entity; cannot access property '{prop}'"
+                )
+            if prop not in ref.property_names:
+                raise TranspilerBindingError(
+                    f"Property '{prop}' is not defined on '{alias}' ({ref.label})"
+                )
+
+
+class _SingleQueryPlanner:
+    def __init__(self, schema: GraphSchema):
+        self.schema = schema
+        self.counter = itertools.count()
+
+    def _gen_alias(self, base: str) -> str:
+        return f"__{base}_{next(self.counter)}"
+
+    def plan(self, sq: A.SingleQuery) -> LogicalOp:
+        cur: LogicalOp | None = None
+        for clause in sq.clauses:
+            if isinstance(clause, A.MatchClause):
+                if clause.optional:
+                    cur = self.plan_optional_match(cur, clause)
+                else:
+                    cur = self.plan_match(cur, clause)
+            elif isinstance(clause, A.UnwindClause):
+                cur = self.plan_unwind(cur, clause)
+            elif isinstance(clause, A.ProjectionClause):
+                cur = self.plan_projection(cur, clause)
+            else:  # pragma: no cover
+                raise TranspilerInternalError(f"Unknown clause {clause!r}")
+        if cur is None:  # pragma: no cover — parser guarantees a RETURN
+            raise TranspilerInternalError("Empty query plan")
+        return cur
+
+    # -- MATCH ---------------------------------------------------------------
+
+    def plan_match(
+        self,
+        piped: LogicalOp | None,
+        clause: A.MatchClause,
+        known_labels: dict[str, str] | None = None,
+        prefix_overrides: dict[str, str] | None = None,
+    ) -> LogicalOp:
+        env: Env = dict(piped.env) if piped is not None else {}
+        prefix_overrides = prefix_overrides or {}
+
+        # 1. assign generated aliases to anonymous entities
+        for part in clause.patterns:
+            for n in part.nodes:
+                if n.alias is None:
+                    n.alias = self._gen_alias("unnamed")
+            for r in part.rels:
+                if r.alias is None:
+                    r.alias = self._gen_alias("unnamed")
+
+        node_aliases: list[str] = []
+        rel_aliases: list[str] = []
+        for part in clause.patterns:
+            for n in part.nodes:
+                if n.alias not in node_aliases:
+                    node_aliases.append(n.alias)
+            for r in part.rels:
+                if r.alias in rel_aliases:
+                    raise TranspilerNotSupportedError(
+                        f"Relationship alias '{r.alias}' is used more than once in "
+                        "a MATCH (reference LogicalPlan.cs:660-667)"
+                    )
+                rel_aliases.append(r.alias)
+        for ra in rel_aliases:
+            if ra in node_aliases:
+                raise TranspilerBindingError(
+                    f"Alias '{ra}' is used for both a node and a relationship"
+                )
+            if ra in env:
+                raise TranspilerNotSupportedError(
+                    f"Relationship alias '{ra}' is already bound by an earlier clause"
+                )
+
+        # 2. label inference to fixpoint (reference CypherVisitor.cs:644-788)
+        labels: dict[str, str] = dict(known_labels or {})
+
+        def stamp(alias: str, label: str):
+            prev = labels.get(alias)
+            if prev is not None and prev != label:
+                raise TranspilerBindingError(
+                    f"Conflicting labels for alias '{alias}': {prev} vs {label}"
+                )
+            labels[alias] = label
+
+        for alias in node_aliases:
+            ref = env.get(alias)
+            if ref is not None:
+                if not isinstance(ref, EntityRef) or ref.kind != "node":
+                    raise TranspilerBindingError(
+                        f"Alias '{alias}' is not a node entity"
+                    )
+                stamp(alias, ref.node.label)
+        for part in clause.patterns:
+            for n in part.nodes:
+                if n.label is not None:
+                    stamp(n.alias, n.label)
+
+        hops: list[tuple[str, A.RelPattern, str]] = []
+        for part in clause.patterns:
+            for l, r, rt in part.hops():
+                hops.append((l.alias, r, rt.alias))
+
+        rels: dict[str, tuple[EdgeSchema, bool]] = {}
+        for _ in range(len(hops) + 2):
+            changed = False
+            for la, r, ra in hops:
+                if r.alias in rels:
+                    continue
+                cands: list[tuple[EdgeSchema, bool]] = []
+                if r.direction in (A.Direction.FORWARD, A.Direction.EITHER):
+                    cands += [
+                        (e, True)
+                        for e in self.schema.candidate_edges(
+                            r.verb, labels.get(la), labels.get(ra)
+                        )
+                    ]
+                if r.direction in (A.Direction.BACKWARD, A.Direction.EITHER):
+                    cands += [
+                        (e, False)
+                        for e in self.schema.candidate_edges(
+                            r.verb, labels.get(ra), labels.get(la)
+                        )
+                    ]
+                uniq = list({(e.id, lis): (e, lis) for e, lis in cands}.values())
+                if len(uniq) == 1:
+                    e, lis = uniq[0]
+                    rels[r.alias] = (e, lis)
+                    stamp(la, e.source_label if lis else e.sink_label)
+                    stamp(ra, e.sink_label if lis else e.source_label)
+                    changed = True
+                elif (
+                    len(uniq) == 2
+                    and r.direction == A.Direction.EITHER
+                    and uniq[0][0].id == uniq[1][0].id
+                    and uniq[0][0].source_label == uniq[0][0].sink_label
+                ):
+                    raise TranspilerNotSupportedError(
+                        "Undirected relationship between same-label endpoints is "
+                        "not supported (reference LogicalPlan.cs:603-612)"
+                    )
+            if not changed:
+                break
+        for la, r, ra in hops:
+            if r.alias not in rels:
+                n = 0
+                if r.verb is not None:
+                    n = len(self.schema.edges_by_verb(r.verb))
+                raise TranspilerBindingError(
+                    f"Cannot bind relationship "
+                    f"'{r.verb or '(untyped)'}' between '{labels.get(la, '?')}' and "
+                    f"'{labels.get(ra, '?')}'"
+                    + (" (no such edge)" if n == 0 else " (ambiguous)")
+                )
+        for alias in node_aliases:
+            if alias not in labels:
+                raise TranspilerBindingError(
+                    f"Cannot infer a label for node alias '{alias}'"
+                )
+
+        # 3. data sources per fresh alias
+        refs: dict[str, EntityRef] = {
+            a: r for a, r in env.items() if isinstance(r, EntityRef)
+        }
+        groups: list[dict] = []
+        if piped is not None:
+            groups.append({"op": piped, "aliases": set(env.keys())})
+
+        def add_source(ref: EntityRef):
+            refs[ref.alias] = ref
+            op = DataSourceOp(ref, env={ref.alias: ref})
+            groups.append({"op": op, "aliases": {ref.alias}})
+
+        for alias in node_aliases:
+            if alias in env:
+                continue
+            node = self.schema.get_node(labels[alias])
+            add_source(
+                EntityRef(alias, "node", node=node, col_prefix=prefix_overrides.get(alias))
+            )
+        for alias in rel_aliases:
+            e, lis = rels[alias]
+            add_source(EntityRef(alias, "edge", edge=e, left_is_source=lis))
+
+        # 4. join fabric (reference LogicalPlan.cs:880-967)
+        def find_group(alias: str) -> dict:
+            for g in groups:
+                if alias in g["aliases"]:
+                    return g
+            raise TranspilerInternalError(f"Alias '{alias}' missing from join groups")
+
+        extra_eq: list[tuple[str, str]] = []
+
+        def connect(a_alias: str, a_col: str, b_alias: str, b_col: str):
+            ga, gb = find_group(a_alias), find_group(b_alias)
+            if ga is gb:
+                extra_eq.append((a_col, b_col))
+                return
+            # keep earlier group (piped side) on the left
+            if groups.index(ga) > groups.index(gb):
+                ga, gb = gb, ga
+                a_col, b_col = b_col, a_col
+            merged_env: Env = {**ga["op"].env, **gb["op"].env}
+            op = JoinOp(ga["op"], gb["op"], "inner", [(a_col, b_col)], env=merged_env)
+            ga["op"] = op
+            ga["aliases"] |= gb["aliases"]
+            groups.remove(gb)
+
+        for la, r, ra in hops:
+            e, lis = rels[r.alias]
+            rel_ref = refs[r.alias]
+            src_col = rel_ref.col(e.source_id_property)
+            sink_col = rel_ref.col(e.sink_id_property)
+            l_ref, r_ref = refs[la], refs[ra]
+            connect(
+                la,
+                l_ref.col(l_ref.node.id_property),
+                r.alias,
+                src_col if lis else sink_col,
+            )
+            connect(
+                ra,
+                r_ref.col(r_ref.node.id_property),
+                r.alias,
+                sink_col if lis else src_col,
+            )
+
+        # disjoint segments -> cross join (reference pass 3, LogicalPlan.cs:952-967)
+        while len(groups) > 1:
+            g0, g1 = groups[0], groups[1]
+            merged_env = {**g0["op"].env, **g1["op"].env}
+            g0["op"] = JoinOp(g0["op"], g1["op"], "cross", [], env=merged_env)
+            g0["aliases"] |= g1["aliases"]
+            groups.remove(g1)
+        op = groups[0]["op"]
+
+        # 5. cycle equalities as a filter (Catalyst folds it into the join)
+        if extra_eq:
+            pred = None
+            for a_col, b_col in extra_eq:
+                eq = A.Binary(A.BinaryOp.EQ, ColRef(a_col), ColRef(b_col))
+                pred = eq if pred is None else A.Binary(A.BinaryOp.AND, pred, eq)
+            op = SelectionOp(op, predicate=pred, env=dict(op.env))
+
+        # 6. implicit relationship uniqueness (reference LogicalPlan.cs:969-1017)
+        by_edge: dict[str, list[str]] = {}
+        for alias in rel_aliases:
+            by_edge.setdefault(rels[alias][0].id, []).append(alias)
+        uniq_pred = None
+        for edge_id_, aliases in by_edge.items():
+            for i in range(len(aliases)):
+                for j in range(i + 1, len(aliases)):
+                    r1, r2 = refs[aliases[i]], refs[aliases[j]]
+                    e = rels[aliases[i]][0]
+                    cond = A.Binary(
+                        A.BinaryOp.OR,
+                        A.Binary(
+                            A.BinaryOp.NEQ,
+                            ColRef(r1.col(e.source_id_property)),
+                            ColRef(r2.col(e.source_id_property)),
+                        ),
+                        A.Binary(
+                            A.BinaryOp.NEQ,
+                            ColRef(r1.col(e.sink_id_property)),
+                            ColRef(r2.col(e.sink_id_property)),
+                        ),
+                    )
+                    uniq_pred = (
+                        cond
+                        if uniq_pred is None
+                        else A.Binary(A.BinaryOp.AND, uniq_pred, cond)
+                    )
+        if uniq_pred is not None:
+            op = SelectionOp(op, predicate=uniq_pred, env=dict(op.env))
+
+        # 7. WHERE
+        if clause.where is not None:
+            validate_expr(clause.where, op.env)
+            op = SelectionOp(op, predicate=clause.where, env=dict(op.env))
+        return op
+
+    # -- OPTIONAL MATCH --------------------------------------------------------
+
+    def plan_optional_match(
+        self, piped: LogicalOp | None, clause: A.MatchClause
+    ) -> LogicalOp:
+        if piped is None:  # pragma: no cover — parser rejects
+            raise TranspilerNotSupportedError("OPTIONAL MATCH cannot be first")
+        env = piped.env
+        pattern_nodes: list[str] = []
+        for part in clause.patterns:
+            for n in part.nodes:
+                if n.alias is not None and n.alias not in pattern_nodes:
+                    pattern_nodes.append(n.alias)
+        shared = [a for a in pattern_nodes if a in env]
+        for a in shared:
+            ref = env[a]
+            if not isinstance(ref, EntityRef) or ref.kind != "node":
+                raise TranspilerBindingError(
+                    f"OPTIONAL MATCH alias '{a}' is not a node entity"
+                )
+        if not shared:
+            raise TranspilerNotSupportedError(
+                "OPTIONAL MATCH must share at least one node alias with the "
+                "preceding query part"
+            )
+        prefix_overrides = {a: self._gen_alias(f"opt_{a}") for a in shared}
+        known_labels = {a: env[a].node.label for a in shared}
+        right = self.plan_match(
+            None, clause, known_labels=known_labels, prefix_overrides=prefix_overrides
+        )
+        pairs = []
+        drop_right: list[str] = []
+        for a in shared:
+            left_ref, right_ref = env[a], right.env[a]
+            pairs.append(
+                (
+                    left_ref.col(left_ref.node.id_property),
+                    right_ref.col(right_ref.node.id_property),
+                )
+            )
+            drop_right.extend(right_ref.columns())
+        new_env: Env = dict(env)
+        for a, ref in right.env.items():
+            if a in shared:
+                continue
+            if a in new_env:
+                raise TranspilerBindingError(
+                    f"Alias '{a}' from OPTIONAL MATCH is already bound"
+                )
+            new_env[a] = ref
+        return JoinOp(piped, right, "left", pairs, drop_right, env=new_env)
+
+    # -- UNWIND ------------------------------------------------------------------
+
+    def plan_unwind(
+        self, piped: LogicalOp | None, clause: A.UnwindClause
+    ) -> LogicalOp:
+        env: Env = dict(piped.env) if piped is not None else {}
+        if clause.alias in env:
+            raise TranspilerBindingError(
+                f"UNWIND alias '{clause.alias}' is already bound"
+            )
+        if piped is not None:
+            validate_expr(clause.expr, env)
+        env[clause.alias] = ValueRef(clause.alias)
+        return UnwindOp(piped, clause.expr, clause.alias, env=env)
+
+    # -- WITH / RETURN ------------------------------------------------------------
+
+    def plan_projection(
+        self, piped: LogicalOp | None, clause: A.ProjectionClause
+    ) -> LogicalOp:
+        if piped is None:  # pragma: no cover — parser rejects standalone RETURN
+            raise TranspilerNotSupportedError("Projection with no reading clause")
+        in_env = piped.env
+        has_agg = any(A.contains_aggregate(e) for _, e in clause.items)
+
+        out_env: Env = {}
+        for alias, expr in clause.items:
+            if isinstance(expr, A.Variable):
+                ref = in_env.get(expr.name)
+                if ref is None:
+                    raise TranspilerBindingError(f"Alias '{expr.name}' does not exist")
+                if isinstance(ref, EntityRef):
+                    if clause.is_return:
+                        raise TranspilerNotSupportedError(
+                            "Returning node/relationship entities from RETURN is "
+                            "not supported (reference LogicalPlan.cs:324-328); "
+                            "return their properties instead"
+                        )
+                    out_env[alias] = ref.renamed(alias)
+                else:
+                    out_env[alias] = ValueRef(alias)
+            else:
+                validate_expr(expr, in_env)
+                out_env[alias] = ValueRef(alias)
+
+        # scoping of post-projection WHERE / ORDER BY (reference LogicalPlan.cs:203-288)
+        scope_exprs: list[A.Expr] = []
+        if clause.where is not None:
+            scope_exprs.append(clause.where)
+        scope_exprs.extend(s.expr for s in clause.order_by)
+        carry = False
+        for e in scope_exprs:
+            for alias, _prop in _expr_alias_refs(e):
+                if alias in out_env:
+                    continue
+                if alias not in in_env:
+                    raise TranspilerBindingError(f"Alias '{alias}' does not exist")
+                if clause.distinct or has_agg:
+                    raise TranspilerBindingError(
+                        f"Alias '{alias}' is not visible after DISTINCT/aggregation "
+                        "(reference LogicalPlan.cs:216-249)"
+                    )
+                carry = True
+
+        proj_env: Env = dict(out_env)
+        if carry:
+            for alias, ref in in_env.items():
+                if alias not in proj_env:
+                    proj_env[alias] = ref
+        op: LogicalOp = ProjectOp(
+            piped,
+            list(clause.items),
+            distinct=clause.distinct,
+            has_agg=has_agg,
+            carry=carry,
+            output_aliases=[a for a, _ in clause.items],
+            env=proj_env,
+        )
+        if clause.where is not None:
+            validate_expr(clause.where, op.env)
+            op = SelectionOp(op, predicate=clause.where, env=dict(op.env))
+        if clause.order_by or clause.skip is not None or clause.limit is not None:
+            for s in clause.order_by:
+                validate_expr(s.expr, op.env)
+                if A.contains_aggregate(s.expr):
+                    raise TranspilerNotSupportedError(
+                        "Aggregate expressions in ORDER BY are not supported; "
+                        "alias the aggregate in the projection first"
+                    )
+            op = SelectionOp(
+                op,
+                order_by=list(clause.order_by),
+                skip=clause.skip,
+                limit=clause.limit,
+                env=dict(op.env),
+            )
+        if carry:
+            op = TrimOp(op, [a for a, _ in clause.items], env=out_env)
+        return op

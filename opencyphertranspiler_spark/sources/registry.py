@@ -1,0 +1,63 @@
+"""Physical binding: table name -> DataFrame.
+
+Plays the role of the reference's ISQLDBSchemaProvider / SQLTableDescriptor
+(/root/reference/src/SQLRenderer/ISQLDBSchemaProvider.cs:11-15) — except the
+binding target is a lazily-constructed PySpark DataFrame instead of a SQL
+table name. Lazy thunks keep session startup cheap and let a "table" be any
+DataFrame expression (view, projection, computed column), which is how the
+TPC-H overlay synthesizes edge tables from FK pairs without new data.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..exceptions import TranspilerBindingError
+
+
+class TableRegistry:
+    """Maps logical table names to DataFrame factories, with memoization."""
+
+    def __init__(self, factories: dict[str, Callable[[], DataFrame]] | None = None):
+        self._factories: dict[str, Callable[[], DataFrame]] = dict(factories or {})
+        self._cache: dict[str, DataFrame] = {}
+
+    def register(self, name: str, factory: Callable[[], DataFrame]) -> None:
+        self._factories[name] = factory
+        self._cache.pop(name, None)
+
+    def register_df(self, name: str, df: DataFrame) -> None:
+        self._factories[name] = lambda: df
+        self._cache[name] = df
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._factories
+
+    def get(self, name: str) -> DataFrame:
+        if name not in self._factories:
+            raise TranspilerBindingError(
+                f"Table '{name}' is not registered with the engine"
+            )
+        if name not in self._cache:
+            self._cache[name] = self._factories[name]()
+        return self._cache[name]
+
+
+def parquet_registry(
+    spark: SparkSession, directory: str, names: list[str] | None = None
+) -> TableRegistry:
+    """Registry over ``{directory}/{name}.parquet`` files."""
+    if names is None:
+        names = sorted(
+            f[: -len(".parquet")]
+            for f in os.listdir(directory)
+            if f.endswith(".parquet")
+        )
+    reg = TableRegistry()
+    for name in names:
+        path = os.path.join(directory, f"{name}.parquet")
+        reg.register(name, lambda p=path: spark.read.parquet(p))
+    return reg

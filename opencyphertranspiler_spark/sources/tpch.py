@@ -1,0 +1,125 @@
+"""Graph-schema overlay on the driver's TPC-H-ish parquet tables.
+
+Implements FIXTURES.md "Set B": nodes = the base tables keyed by their PK;
+edges = 2-3 column projections of the child table of each FK pair. No new
+data is synthesized except the Lineitem surrogate id
+``l_id = l_orderkey * 10 + l_linenumber`` (the data model requires a single
+id column per node — /root/reference/src/Common/GraphSchema/DataSourceOperator.cs:55-58).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import EdgeSchema, EntityProperty, GraphSchema, NodeSchema
+from .registry import TableRegistry, parquet_registry
+
+BASE_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def tpch_graph_schema() -> GraphSchema:
+    """The FIXTURES.md Set B node/edge declarations."""
+    P = EntityProperty
+    nodes = [
+        NodeSchema("Region", "region", "r_regionkey", (P("r_name"),)),
+        NodeSchema("Nation", "nation", "n_nationkey", (P("n_name"),)),
+        NodeSchema(
+            "Customer",
+            "customer",
+            "c_custkey",
+            (P("c_name"), P("c_acctbal", "double"), P("c_mktsegment")),
+        ),
+        NodeSchema(
+            "Supplier", "supplier", "s_suppkey", (P("s_name"), P("s_acctbal", "double"))
+        ),
+        NodeSchema(
+            "Part",
+            "part",
+            "p_partkey",
+            (
+                P("p_name"),
+                P("p_brand"),
+                P("p_type"),
+                P("p_size", "int"),
+                P("p_retailprice", "double"),
+            ),
+        ),
+        NodeSchema(
+            "Orders",
+            "orders",
+            "o_orderkey",
+            (
+                P("o_orderstatus"),
+                P("o_totalprice", "double"),
+                P("o_orderdate", "timestamp"),
+                P("o_orderpriority"),
+            ),
+        ),
+        NodeSchema(
+            "Lineitem",
+            "lineitem_node",
+            "l_id",
+            (
+                P("l_quantity", "double"),
+                P("l_extendedprice", "double"),
+                P("l_discount", "double"),
+                P("l_tax", "double"),
+                P("l_returnflag"),
+                P("l_linestatus"),
+                P("l_shipdate", "timestamp"),
+            ),
+        ),
+    ]
+    edges = [
+        EdgeSchema("IN_REGION", "Nation", "Region", "nation", "n_nationkey", "n_regionkey"),
+        EdgeSchema(
+            "FROM_NATION", "Customer", "Nation", "customer", "c_custkey", "c_nationkey"
+        ),
+        EdgeSchema(
+            "FROM_NATION", "Supplier", "Nation", "supplier", "s_suppkey", "s_nationkey"
+        ),
+        EdgeSchema("PLACED", "Customer", "Orders", "orders", "o_custkey", "o_orderkey"),
+        EdgeSchema(
+            "CONTAINS",
+            "Orders",
+            "Lineitem",
+            "lineitem_node",
+            "l_orderkey",
+            "l_id",
+            (EntityProperty("l_linenumber", "int"),),
+        ),
+        EdgeSchema("OF_PART", "Lineitem", "Part", "lineitem_node", "l_id", "l_partkey"),
+        EdgeSchema(
+            "FROM_SUPPLIER", "Lineitem", "Supplier", "lineitem_node", "l_id", "l_suppkey"
+        ),
+    ]
+    return GraphSchema(nodes, edges)
+
+
+def tpch_table_registry(spark: SparkSession, sf_dir: str) -> TableRegistry:
+    """Base parquet tables plus the ``lineitem_node`` view with the l_id surrogate."""
+    reg = parquet_registry(spark, sf_dir, BASE_TABLES)
+    reg.register(
+        "lineitem_node",
+        lambda: reg.get("lineitem").withColumn(
+            "l_id",
+            F.col("l_orderkey") * F.lit(10) + F.col("l_linenumber").cast("long"),
+        ),
+    )
+    return reg
+
+
+# DuckDB-side view of the same surrogate, for oracle SQL parity.
+LINEITEM_NODE_SQL = "(SELECT *, l_orderkey * 10 + l_linenumber AS l_id FROM lineitem)"
