@@ -1,0 +1,487 @@
+"""Query catalog: every supported construct as a (Cypher, DuckDB-oracle-SQL)
+pair over the TPC-H graph overlay (FIXTURES.md Set B).
+
+This is the single source of truth consumed by:
+- ``__spark_entry__.py``  -> driver correctness gate (queries / oracle_sql)
+- ``tests/test_e2e.py``   -> local differential tests at sf0.001
+- ``bench.py``            -> wall-clock per headline query at sf0.1
+
+The entries port the reference's 12 e2e differential test groups
+(/root/reference/tests/SQLRenderer.Test/SQLRendererTest.cs:363-894 —
+SURVEY.md §5.3) onto the driver's deterministic tables, plus the declared
+extensions (COUNT(*), SKIP, UNWIND, working UNION).
+
+Column-naming contract: every computed column is aliased identically in the
+Cypher and the SQL so the driver's sorted-by-name value-hash matches.
+Float aggregates are rounded on BOTH sides to keep value hashes stable
+across summation orders.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Lineitem node surrogate id, shared with sources/tpch.py
+_LN = "(SELECT *, l_orderkey * 10 + l_linenumber AS l_id FROM lineitem)"
+
+
+@dataclass(frozen=True)
+class CatalogEntry:
+    name: str
+    cypher: str | None = None
+    oracle: str | None = None  # DuckDB SQL; None -> rows-only check
+    bench: bool = False  # include in bench.py headline suite
+    fn: Callable[[SparkSession, str], DataFrame] | None = None  # non-Cypher ops
+    tags: tuple[str, ...] = ()
+
+
+_engines: dict = {}
+
+
+def get_engine(spark: SparkSession, sf_dir: str):
+    """Engine cache keyed by (session, data dir)."""
+    key = (id(spark), sf_dir)
+    if key not in _engines:
+        from .engine import CypherEngine
+        from .sources import tpch_graph_schema, tpch_table_registry
+
+        _engines[key] = CypherEngine(
+            spark, tpch_graph_schema(), tpch_table_registry(spark, sf_dir)
+        )
+    return _engines[key]
+
+
+def run_entry(entry: CatalogEntry, spark: SparkSession, sf_dir: str) -> DataFrame:
+    if entry.fn is not None:
+        return entry.fn(spark, sf_dir)
+    return get_engine(spark, sf_dir).cypher(entry.cypher)
+
+
+CATALOG: list[CatalogEntry] = [
+    # ---- group 1: sanity MATCH + WHERE + implicit GROUP BY (flagship) ----
+    CatalogEntry(
+        name="q01_match_where_agg",
+        cypher="""
+            MATCH (c:Customer)-[:PLACED]->(o:Orders)
+            WHERE c.c_mktsegment = 'BUILDING'
+            RETURN c.c_name AS name, count(o) AS order_count
+        """,
+        oracle="""
+            SELECT c.c_name AS name, count(o.o_orderkey) AS order_count
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY c.c_name
+        """,
+        bench=True,
+        tags=("match", "agg"),
+    ),
+    # ---- multi-hop traversal Customer->Orders->Lineitem->Part ----
+    CatalogEntry(
+        name="q02_multi_hop",
+        cypher="""
+            MATCH (c:Customer)-[:PLACED]->(o:Orders)-[:CONTAINS]->(l:Lineitem)
+                  -[:OF_PART]->(p:Part)
+            WHERE p.p_size < 10
+            RETURN p.p_brand AS brand, count(l) AS n,
+                   round(sum(l.l_extendedprice), 2) AS total
+        """,
+        oracle=f"""
+            SELECT p.p_brand AS brand, count(*) AS n,
+                   round(sum(l.l_extendedprice), 2) AS total
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN {_LN} l ON l.l_orderkey = o.o_orderkey
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_size < 10
+            GROUP BY p.p_brand
+        """,
+        bench=True,
+        tags=("match", "join"),
+    ),
+    # ---- group 2: implicit relationship-uniqueness inequality ----
+    CatalogEntry(
+        name="q03_rel_uniqueness",
+        cypher="""
+            MATCH (o:Orders)-[r1:CONTAINS]->(l1:Lineitem),
+                  (o)-[r2:CONTAINS]->(l2:Lineitem)
+            WHERE l1.l_returnflag = 'R' AND l2.l_returnflag = 'A'
+            RETURN o.o_orderstatus AS status, count(*) AS pairs
+        """,
+        oracle=f"""
+            SELECT o.o_orderstatus AS status, count(*) AS pairs
+            FROM orders o
+            JOIN {_LN} l1 ON l1.l_orderkey = o.o_orderkey
+            JOIN {_LN} l2 ON l2.l_orderkey = o.o_orderkey
+            WHERE (l1.l_orderkey <> l2.l_orderkey OR l1.l_id <> l2.l_id)
+              AND l1.l_returnflag = 'R' AND l2.l_returnflag = 'A'
+            GROUP BY o.o_orderstatus
+        """,
+        bench=True,
+        tags=("rel-uniqueness",),
+    ),
+    # ---- group 3: CASE WHEN incl. mixed-type branches ----
+    CatalogEntry(
+        name="q04_case_when",
+        cypher="""
+            MATCH (c:Customer)
+            RETURN c.c_name AS name,
+                   CASE WHEN c.c_acctbal > 5000 THEN 'high'
+                        WHEN c.c_acctbal > 0 THEN 'mid'
+                        ELSE 'low' END AS bucket
+        """,
+        oracle="""
+            SELECT c_name AS name,
+                   CASE WHEN c_acctbal > 5000 THEN 'high'
+                        WHEN c_acctbal > 0 THEN 'mid'
+                        ELSE 'low' END AS bucket
+            FROM customer
+        """,
+        tags=("case",),
+    ),
+    # ---- group 3b: entity alias swap through WITH (reference 405-427) ----
+    CatalogEntry(
+        name="q05_alias_swap",
+        cypher="""
+            MATCH (c:Customer)-[:PLACED]->(o:Orders)
+            WITH c AS o2, o AS c2
+            RETURN c2.o_orderpriority AS pri, count(c2) AS n,
+                   round(avg(o2.c_acctbal), 2) AS ab
+        """,
+        oracle="""
+            SELECT o.o_orderpriority AS pri, count(o.o_orderkey) AS n,
+                   round(avg(c.c_acctbal), 2) AS ab
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY o.o_orderpriority
+        """,
+        tags=("with", "alias-swap"),
+    ),
+    # ---- group 4: OPTIONAL MATCH with WHERE inside + count(o)>0 flag ----
+    CatalogEntry(
+        name="q06_optional_match",
+        cypher="""
+            MATCH (c:Customer)
+            OPTIONAL MATCH (c)-[:PLACED]->(o:Orders)
+            WHERE o.o_totalprice > 100000
+            WITH c, count(o) AS big_orders
+            RETURN c.c_mktsegment AS seg,
+                   sum(CASE WHEN big_orders > 0 THEN 1 ELSE 0 END) AS has_big,
+                   count(*) AS total
+        """,
+        oracle="""
+            WITH t AS (
+                SELECT c.c_custkey, c.c_mktsegment,
+                       count(o.o_orderkey) AS big_orders
+                FROM customer c
+                LEFT JOIN orders o
+                  ON o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+                GROUP BY c.c_custkey, c.c_mktsegment
+            )
+            SELECT c_mktsegment AS seg,
+                   CAST(sum(CASE WHEN big_orders > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS has_big,
+                   count(*) AS total
+            FROM t GROUP BY c_mktsegment
+        """,
+        bench=True,
+        tags=("optional-match",),
+    ),
+    # ---- group 5: DISTINCT on a whole entity through WITH ----
+    CatalogEntry(
+        name="q07_distinct_entity",
+        cypher="""
+            MATCH (c:Customer)-[:PLACED]->(o:Orders)
+            WITH DISTINCT c
+            RETURN c.c_mktsegment AS seg, count(c) AS n
+        """,
+        oracle="""
+            SELECT c_mktsegment AS seg, count(*) AS n
+            FROM (SELECT DISTINCT c.* FROM customer c
+                  JOIN orders o ON o.o_custkey = c.c_custkey)
+            GROUP BY c_mktsegment
+        """,
+        tags=("distinct",),
+    ),
+    # ---- group 6: value operators IN % * - / ----
+    CatalogEntry(
+        name="q08_operators_in_mod",
+        cypher="""
+            MATCH (l:Lineitem)
+            WHERE l.l_returnflag IN ['A', 'R']
+            RETURN l.l_linenumber % 2 AS parity,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev,
+                   count(*) AS n
+        """,
+        oracle="""
+            SELECT l_linenumber % 2 AS parity,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev,
+                   count(*) AS n
+            FROM lineitem
+            WHERE l_returnflag IN ('A', 'R')
+            GROUP BY l_linenumber % 2
+        """,
+        bench=True,
+        tags=("operators",),
+    ),
+    CatalogEntry(
+        name="q09_arith_div_pow",
+        cypher="""
+            MATCH (p:Part)
+            RETURN p.p_size AS size, p.p_size / 3 AS d3, p.p_size % 4 AS m4,
+                   round(p.p_size ^ 2, 1) AS sq
+        """,
+        oracle="""
+            SELECT p_size AS size, p_size // 3 AS d3, p_size % 4 AS m4,
+                   round(pow(p_size, 2), 1) AS sq
+            FROM part
+        """,
+        tags=("operators",),
+    ),
+    # ---- group 7: string functions ----
+    CatalogEntry(
+        name="q10_string_funcs",
+        cypher="""
+            MATCH (c:Customer)
+            WHERE c.c_name ENDS WITH '1'
+            RETURN toUpper(c.c_name) AS up, left(c.c_name, 8) AS l8,
+                   size(c.c_name) AS len,
+                   CASE WHEN c.c_name CONTAINS '00' THEN 1 ELSE 0 END AS has00
+        """,
+        oracle="""
+            SELECT upper(c_name) AS up, left(c_name, 8) AS l8,
+                   length(c_name) AS len,
+                   CASE WHEN position('00' IN c_name) > 0 THEN 1 ELSE 0 END AS has00
+            FROM customer WHERE c_name LIKE '%1'
+        """,
+        tags=("strings",),
+    ),
+    # ---- group 8: aggregation library ----
+    CatalogEntry(
+        name="q11_agg_library",
+        cypher="""
+            MATCH (o:Orders)
+            RETURN o.o_orderpriority AS pri, count(*) AS n,
+                   round(avg(o.o_totalprice), 2) AS avg_p,
+                   round(stdev(o.o_totalprice), 2) AS sd,
+                   round(sum(o.o_totalprice), 1) AS total,
+                   min(o.o_orderdate) AS mn, max(o.o_orderdate) AS mx
+        """,
+        oracle="""
+            SELECT o_orderpriority AS pri, count(*) AS n,
+                   round(avg(o_totalprice), 2) AS avg_p,
+                   round(stddev_samp(o_totalprice), 2) AS sd,
+                   round(sum(o_totalprice), 1) AS total,
+                   min(o_orderdate) AS mn, max(o_orderdate) AS mx
+            FROM orders GROUP BY o_orderpriority
+        """,
+        bench=True,
+        tags=("agg",),
+    ),
+    CatalogEntry(
+        name="q12_count_distinct_entity",
+        cypher="""
+            MATCH (c:Customer)-[:PLACED]->(o:Orders)-[:CONTAINS]->(l:Lineitem)
+            RETURN c.c_mktsegment AS seg, count(DISTINCT o) AS orders,
+                   count(l) AS items
+        """,
+        oracle=f"""
+            SELECT c.c_mktsegment AS seg, count(DISTINCT o.o_orderkey) AS orders,
+                   count(*) AS items
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN {_LN} l ON l.l_orderkey = o.o_orderkey
+            GROUP BY c.c_mktsegment
+        """,
+        bench=True,
+        tags=("agg", "count-distinct"),
+    ),
+    # ---- group 9: edge directions: backward arrow + either-direction ----
+    CatalogEntry(
+        name="q13_direction_backward",
+        cypher="""
+            MATCH (n:Nation)<-[:FROM_NATION]-(s:Supplier)
+            RETURN n.n_name AS nation, count(s) AS suppliers
+        """,
+        oracle="""
+            SELECT n.n_name AS nation, count(s.s_suppkey) AS suppliers
+            FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        tags=("direction",),
+    ),
+    CatalogEntry(
+        name="q14_direction_either",
+        cypher="""
+            MATCH (r:Region)-[:IN_REGION]-(n:Nation)
+            RETURN r.r_name AS region, count(n) AS nations
+        """,
+        oracle="""
+            SELECT r.r_name AS region, count(n.n_nationkey) AS nations
+            FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        tags=("direction",),
+    ),
+    # ---- group 10: ORDER BY / LIMIT in WITH and in RETURN ----
+    CatalogEntry(
+        name="q15_orderby_with_limit",
+        cypher="""
+            MATCH (c:Customer)
+            WITH c ORDER BY c.c_acctbal DESC, c.c_name LIMIT 10
+            RETURN c.c_name AS name, round(c.c_acctbal, 2) AS bal
+        """,
+        oracle="""
+            SELECT c_name AS name, round(c_acctbal, 2) AS bal
+            FROM (SELECT * FROM customer ORDER BY c_acctbal DESC, c_name LIMIT 10)
+        """,
+        tags=("orderby",),
+    ),
+    CatalogEntry(
+        name="q16_skip_limit",
+        cypher="""
+            MATCH (c:Customer)
+            RETURN c.c_name AS name
+            ORDER BY name SKIP 5 LIMIT 10
+        """,
+        oracle="""
+            SELECT c_name AS name FROM customer
+            ORDER BY c_name LIMIT 10 OFFSET 5
+        """,
+        tags=("skip",),
+    ),
+    # ---- implicit-field scoping: ORDER BY on an unprojected column ----
+    CatalogEntry(
+        name="q17_orderby_implicit_field",
+        cypher="""
+            MATCH (c:Customer)
+            WITH c.c_name AS name ORDER BY c.c_acctbal DESC, name LIMIT 5
+            RETURN name
+        """,
+        oracle="""
+            SELECT c_name AS name
+            FROM (SELECT * FROM customer ORDER BY c_acctbal DESC, c_name LIMIT 5)
+        """,
+        tags=("scoping",),
+    ),
+    # ---- group 11: WHERE placements (on WITH) ----
+    CatalogEntry(
+        name="q18_where_on_with",
+        cypher="""
+            MATCH (c:Customer)-[:PLACED]->(o:Orders)
+            WITH c.c_name AS name, o.o_totalprice AS price
+            WHERE price > 150000
+            RETURN name, count(*) AS n
+        """,
+        oracle="""
+            SELECT c.c_name AS name, count(*) AS n
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+            WHERE o.o_totalprice > 150000
+            GROUP BY c.c_name
+        """,
+        tags=("where",),
+    ),
+    # ---- group 12: UNION / UNION ALL (working, unlike the reference bug) ----
+    CatalogEntry(
+        name="q19_union_distinct",
+        cypher="""
+            MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+            RETURN n.n_name AS name
+            UNION
+            MATCH (s:Supplier)-[:FROM_NATION]->(n:Nation)
+            RETURN n.n_name AS name
+        """,
+        oracle="""
+            SELECT n.n_name AS name FROM customer c
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            UNION
+            SELECT n.n_name AS name FROM supplier s
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+        """,
+        tags=("union",),
+    ),
+    CatalogEntry(
+        name="q20_union_all",
+        cypher="""
+            MATCH (c:Customer) RETURN 'customer' AS kind, count(*) AS n
+            UNION ALL
+            MATCH (s:Supplier) RETURN 'supplier' AS kind, count(*) AS n
+        """,
+        oracle="""
+            SELECT 'customer' AS kind, count(*) AS n FROM customer
+            UNION ALL
+            SELECT 'supplier' AS kind, count(*) AS n FROM supplier
+        """,
+        tags=("union",),
+    ),
+    # ---- extensions: UNWIND, count(*), XOR, regex ----
+    CatalogEntry(
+        name="q21_unwind",
+        cypher="""
+            UNWIND [1, 2, 3] AS x
+            MATCH (r:Region)
+            RETURN r.r_name AS name, x AS x
+        """,
+        oracle="""
+            SELECT r_name AS name, CAST(x AS BIGINT) AS x
+            FROM region CROSS JOIN (SELECT unnest([1, 2, 3]) AS x)
+        """,
+        tags=("unwind",),
+    ),
+    CatalogEntry(
+        name="q22_count_star_edges",
+        cypher="""
+            MATCH (o:Orders)-[r:CONTAINS]->(l:Lineitem)
+            RETURN count(*) AS all_pairs, count(DISTINCT r) AS distinct_edges
+        """,
+        oracle=f"""
+            SELECT count(*) AS all_pairs,
+                   count(DISTINCT l_id) AS distinct_edges
+            FROM {_LN}
+        """,
+        tags=("count-star",),
+    ),
+    CatalogEntry(
+        name="q23_xor_regex",
+        cypher="""
+            MATCH (c:Customer)
+            WHERE ((c.c_mktsegment = 'BUILDING') XOR (c.c_acctbal > 5000))
+              AND c.c_name =~ '.*[13579]$'
+            RETURN count(*) AS n
+        """,
+        oracle="""
+            SELECT count(*) AS n FROM customer
+            WHERE (((c_mktsegment = 'BUILDING') AND NOT (c_acctbal > 5000))
+                   OR (NOT (c_mktsegment = 'BUILDING') AND (c_acctbal > 5000)))
+              AND regexp_matches(c_name, '.*[13579]$')
+        """,
+        tags=("operators", "regex"),
+    ),
+    # ---- 3+ hop with cross-pattern comma and timestamps ----
+    CatalogEntry(
+        name="q24_comma_patterns_dates",
+        cypher="""
+            MATCH (c:Customer)-[:PLACED]->(o:Orders),
+                  (c)-[:FROM_NATION]->(n:Nation)
+            WHERE o.o_orderdate >= '1997-01-01'
+            RETURN n.n_name AS nation, count(o) AS orders,
+                   round(max(o.o_totalprice), 2) AS max_price
+        """,
+        oracle="""
+            SELECT n.n_name AS nation, count(o.o_orderkey) AS orders,
+                   round(max(o.o_totalprice), 2) AS max_price
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
+        """,
+        bench=True,
+        tags=("match", "dates"),
+    ),
+]
+
+
+def catalog_by_name() -> dict[str, CatalogEntry]:
+    return {e.name: e for e in CATALOG}

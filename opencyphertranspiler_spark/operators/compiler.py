@@ -57,14 +57,16 @@ class Compiler:
 
     # -- scan -----------------------------------------------------------------
     def _data_source(self, op: DataSourceOp) -> DataFrame:
-        ref = op.entity
-        sch = ref.node if ref.kind == "node" else ref.edge
+        # all entities of a fused scan share one backing table (planner invariant)
+        first = op.entities[0]
+        sch = first.node if first.kind == "node" else first.edge
         df = self.tables.get(sch.table)
         # namespace every property as __{alias}_{prop}; Catalyst prunes the
         # unreferenced ones down to the parquet ReadSchema
-        return df.select(
-            [F.col(p).alias(ref.col(p)) for p in ref.property_names]
-        )
+        cols = []
+        for ref in op.entities:
+            cols.extend(F.col(p).alias(ref.col(p)) for p in ref.property_names)
+        return df.select(cols)
 
     # -- join -----------------------------------------------------------------
     def _join(self, op: JoinOp) -> DataFrame:

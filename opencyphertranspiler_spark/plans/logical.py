@@ -129,12 +129,20 @@ class LogicalOp:
 
 @dataclass
 class DataSourceOp(LogicalOp):
-    """Scan of one node/edge entity (reference DataSourceOperator.cs:19-122)."""
+    """Scan of one or more entities backed by the SAME table rows
+    (reference DataSourceOperator.cs:19-122).
 
-    entity: EntityRef
+    Fusion: when an edge and an endpoint node share the backing table and
+    the edge's endpoint key IS the node's id column (every FK-derived edge),
+    the planner binds both entities to one scan — no self-join. At 100 TB
+    this removes one shuffle join per pattern hop; it is also the correct
+    semantics when the surrogate id is not unique."""
+
+    entities: list[EntityRef]
 
     def __repr__(self):
-        return f"DataSource({self.entity.alias}:{self.entity.label} -> {self.entity.prefix})"
+        parts = ", ".join(f"{e.alias}:{e.label}" for e in self.entities)
+        return f"DataSource({parts})"
 
 
 @dataclass

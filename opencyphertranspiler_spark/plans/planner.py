@@ -247,7 +247,27 @@ class _SingleQueryPlanner:
                     f"Cannot infer a label for node alias '{alias}'"
                 )
 
-        # 3. data sources per fresh alias
+        # 3. edge-node scan fusion: bind an edge and its endpoint node to one
+        # scan when they share the backing table and the edge endpoint key IS
+        # the node id column (true for every FK-derived edge). Removes a
+        # self-join per hop — the dominant scale win for FK graph overlays.
+        fused_with: dict[str, tuple[str, str]] = {}  # rel -> (node alias, role)
+        for la, r, ra in hops:
+            e, lis = rels[r.alias]
+            src_alias = la if lis else ra
+            sink_alias = ra if lis else la
+            for node_alias, key_prop, role in (
+                (sink_alias, e.sink_id_property, "sink"),
+                (src_alias, e.source_id_property, "source"),
+            ):
+                if node_alias in env:
+                    continue  # inherited alias is already materialized upstream
+                nsch = self.schema.get_node(labels[node_alias])
+                if nsch.table == e.table and key_prop == nsch.id_property:
+                    fused_with[r.alias] = (node_alias, role)
+                    break
+
+        # 4. data sources per fresh alias (fused entities share one scan)
         refs: dict[str, EntityRef] = {
             a: r for a, r in env.items() if isinstance(r, EntityRef)
         }
@@ -255,23 +275,36 @@ class _SingleQueryPlanner:
         if piped is not None:
             groups.append({"op": piped, "aliases": set(env.keys())})
 
-        def add_source(ref: EntityRef):
-            refs[ref.alias] = ref
-            op = DataSourceOp(ref, env={ref.alias: ref})
-            groups.append({"op": op, "aliases": {ref.alias}})
+        node_scans: dict[str, dict] = {}
 
         for alias in node_aliases:
             if alias in env:
                 continue
             node = self.schema.get_node(labels[alias])
-            add_source(
-                EntityRef(alias, "node", node=node, col_prefix=prefix_overrides.get(alias))
+            ref = EntityRef(
+                alias, "node", node=node, col_prefix=prefix_overrides.get(alias)
             )
+            refs[alias] = ref
+            g = {"entities": [ref], "aliases": {alias}}
+            node_scans[alias] = g
+            groups.append(g)
         for alias in rel_aliases:
             e, lis = rels[alias]
-            add_source(EntityRef(alias, "edge", edge=e, left_is_source=lis))
+            ref = EntityRef(alias, "edge", edge=e, left_is_source=lis)
+            refs[alias] = ref
+            if alias in fused_with:
+                g = node_scans[fused_with[alias][0]]
+                g["entities"].append(ref)
+                g["aliases"].add(alias)
+            else:
+                groups.append({"entities": [ref], "aliases": {alias}})
+        for g in groups:
+            if "entities" in g:
+                g["op"] = DataSourceOp(
+                    g["entities"], env={r.alias: r for r in g["entities"]}
+                )
 
-        # 4. join fabric (reference LogicalPlan.cs:880-967)
+        # 5. join fabric (reference LogicalPlan.cs:880-967)
         def find_group(alias: str) -> dict:
             for g in groups:
                 if alias in g["aliases"]:
@@ -301,18 +334,19 @@ class _SingleQueryPlanner:
             src_col = rel_ref.col(e.source_id_property)
             sink_col = rel_ref.col(e.sink_id_property)
             l_ref, r_ref = refs[la], refs[ra]
-            connect(
-                la,
-                l_ref.col(l_ref.node.id_property),
-                r.alias,
-                src_col if lis else sink_col,
-            )
-            connect(
-                ra,
-                r_ref.col(r_ref.node.id_property),
-                r.alias,
-                sink_col if lis else src_col,
-            )
+            fused = fused_with.get(r.alias)
+            for node_alias, node_ref, rel_col, role in (
+                (la, l_ref, src_col if lis else sink_col, "source" if lis else "sink"),
+                (ra, r_ref, sink_col if lis else src_col, "sink" if lis else "source"),
+            ):
+                if fused == (node_alias, role):
+                    continue  # same physical row — no join needed
+                connect(
+                    node_alias,
+                    node_ref.col(node_ref.node.id_property),
+                    r.alias,
+                    rel_col,
+                )
 
         # disjoint segments -> cross join (reference pass 3, LogicalPlan.cs:952-967)
         while len(groups) > 1:

@@ -72,6 +72,7 @@ def tpch_graph_schema() -> GraphSchema:
             "lineitem_node",
             "l_id",
             (
+                P("l_linenumber", "int"),
                 P("l_quantity", "double"),
                 P("l_extendedprice", "double"),
                 P("l_discount", "double"),

@@ -1,0 +1,100 @@
+"""Differential-test helpers: DuckDB oracle + tolerant result comparison.
+
+Comparison semantics replicate the reference's DataTableComparisonHelper
+(/root/reference/tests/SQLRenderer.Test/DataTableComparisonHelper.cs:16-163):
+unordered rows, column match by name with approximate type-equivalence
+groups (int-family -> int64, float-family -> double), numeric comparison
+with 1e-4 relative tolerance for floats, and null ~ '' for strings.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+
+def duckdb_connection(sf_dir: str):
+    """A DuckDB connection with the driver's tables registered as views,
+    mirroring the driver's oracle environment."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Map every column into its type-equivalence group representative."""
+    out = {}
+    for col in df.columns:
+        s = df[col]
+        if pd.api.types.is_bool_dtype(s):
+            out[col] = s.astype("boolean")
+        elif pd.api.types.is_integer_dtype(s):
+            out[col] = s.astype("Int64")
+        elif pd.api.types.is_float_dtype(s):
+            out[col] = s.astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            t = pd.to_datetime(s)
+            if getattr(t.dt, "tz", None) is not None:
+                t = t.dt.tz_localize(None)
+            out[col] = t.astype("datetime64[us]")
+        else:
+            # strings: null ~ '' (reference DataTableComparisonHelper.cs:53-65)
+            out[col] = s.map(lambda v: "" if v is None or v is pd.NA else str(v))
+    return pd.DataFrame(out)
+
+
+def assert_frames_match(
+    actual: pd.DataFrame, expected: pd.DataFrame, rel_tol: float = 1e-4
+) -> None:
+    """Unordered, type-group, float-tolerant comparison. Raises AssertionError."""
+    a_cols, e_cols = sorted(actual.columns), sorted(expected.columns)
+    assert a_cols == e_cols, f"Column sets differ: {a_cols} vs {e_cols}"
+    assert len(actual) == len(expected), (
+        f"Row counts differ: {len(actual)} vs {len(expected)}"
+    )
+    a = _normalize(actual[a_cols].copy())
+    e = _normalize(expected[e_cols].copy())
+
+    # sort rows by all columns (floats rounded for a stable sort key)
+    def sort_key(df: pd.DataFrame) -> pd.DataFrame:
+        keyed = df.copy()
+        for c in keyed.columns:
+            if pd.api.types.is_float_dtype(keyed[c]):
+                keyed[c] = keyed[c].round(6)
+        return keyed.sort_values(by=list(keyed.columns), na_position="first").index
+
+    a = a.loc[sort_key(a)].reset_index(drop=True)
+    e = e.loc[sort_key(e)].reset_index(drop=True)
+
+    for col in a.columns:
+        av, ev = a[col], e[col]
+        if pd.api.types.is_float_dtype(av):
+            for i, (x, y) in enumerate(zip(av, ev)):
+                x_nan = x is None or (isinstance(x, float) and math.isnan(x))
+                y_nan = y is None or (isinstance(y, float) and math.isnan(y))
+                if x_nan and y_nan:
+                    continue
+                assert not (x_nan or y_nan), f"{col}[{i}]: {x!r} vs {y!r}"
+                assert math.isclose(x, y, rel_tol=rel_tol, abs_tol=1e-9), (
+                    f"{col}[{i}]: {x!r} vs {y!r}"
+                )
+        else:
+            same = av.equals(ev)
+            if not same:
+                diff = av.compare(ev) if len(av) == len(ev) else None
+                raise AssertionError(f"Column '{col}' differs:\n{diff}")

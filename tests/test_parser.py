@@ -1,0 +1,116 @@
+"""Parser layer: AST shape + scope-fence negatives (SURVEY.md §5.1)."""
+
+from __future__ import annotations
+
+import pytest
+
+from opencyphertranspiler_spark.cypher import ast as A
+from opencyphertranspiler_spark.cypher import parse
+from opencyphertranspiler_spark.exceptions import (
+    TranspilerNotSupportedError,
+    TranspilerSyntaxError,
+)
+
+
+def test_flagship_shape():
+    q = parse(
+        "MATCH (c:Customer)-[:PLACED]->(o:Orders) "
+        "WHERE c.c_mktsegment = 'BUILDING' "
+        "RETURN c.c_name AS Name, count(o) AS OrderCount"
+    )
+    assert isinstance(q, A.SingleQuery)
+    match, ret = q.clauses
+    assert isinstance(match, A.MatchClause) and not match.optional
+    assert match.where is not None
+    (part,) = match.patterns
+    assert [n.label for n in part.nodes] == ["Customer", "Orders"]
+    assert part.rels[0].verb == "PLACED"
+    assert part.rels[0].direction == A.Direction.FORWARD
+    assert isinstance(ret, A.ProjectionClause) and ret.is_return
+    assert [a for a, _ in ret.items] == ["Name", "OrderCount"]
+    assert isinstance(ret.items[1][1], A.AggCall)
+
+
+def test_directions():
+    q = parse("MATCH (a:X)<-[r:R]-(b)-[s:S]-(c) RETURN a.p AS p")
+    part = q.clauses[0].patterns[0]
+    assert part.rels[0].direction == A.Direction.BACKWARD
+    assert part.rels[1].direction == A.Direction.EITHER
+
+
+def test_expression_precedence():
+    q = parse("MATCH (a:X) WHERE a.p + 2 * 3 = 8 OR NOT a.q RETURN a.p AS p")
+    w = q.clauses[0].where
+    assert isinstance(w, A.Binary) and w.op == A.BinaryOp.OR
+    left = w.left
+    assert left.op == A.BinaryOp.EQ
+    assert left.left.op == A.BinaryOp.PLUS
+    assert left.left.right.op == A.BinaryOp.MULTIPLY
+
+
+def test_string_operators_lowered_to_functions():
+    q = parse(
+        "MATCH (a:X) WHERE a.s STARTS WITH 'T' AND a.s IS NOT NULL RETURN a.s AS s"
+    )
+    w = q.clauses[0].where
+    assert w.left.name == "startswith"
+    assert w.right.name == "isnotnull"
+
+
+def test_union_chain():
+    q = parse(
+        "MATCH (a:X) RETURN a.v AS v UNION MATCH (b:Y) RETURN b.v AS v "
+        "UNION ALL MATCH (c:Z) RETURN c.v AS v"
+    )
+    assert isinstance(q, A.UnionQuery) and q.all
+    assert isinstance(q.left, A.UnionQuery) and not q.left.all
+
+
+def test_keywords_as_names():
+    q = parse("MATCH (o:Orders)-[:CONTAINS]->(l:Lineitem) RETURN l.l_quantity AS q")
+    assert q.clauses[0].patterns[0].rels[0].verb == "CONTAINS"
+
+
+def test_skip_limit_distinct():
+    q = parse("MATCH (a:X) RETURN DISTINCT a.v AS v ORDER BY v DESC SKIP 2 LIMIT 7")
+    ret = q.clauses[-1]
+    assert ret.distinct and ret.skip == 2 and ret.limit == 7
+    assert not ret.order_by[0].ascending
+
+
+def test_count_star_and_distinct():
+    q = parse("MATCH (a:X) RETURN count(*) AS c, count(DISTINCT a.v) AS d")
+    c = q.clauses[-1].items[0][1]
+    d = q.clauses[-1].items[1][1]
+    assert isinstance(c, A.AggCall) and c.arg is None
+    assert d.distinct
+
+
+NEGATIVES = [
+    ("CREATE (a:X) RETURN a", TranspilerNotSupportedError),
+    ("MERGE (a:X) RETURN a", TranspilerNotSupportedError),
+    ("MATCH (a:X {k: 1}) RETURN a.v AS v", TranspilerNotSupportedError),
+    ("MATCH (a:X:Y) RETURN a.v AS v", TranspilerNotSupportedError),
+    ("MATCH (a:X)-[r:A|B]->(b) RETURN a.v AS v", TranspilerNotSupportedError),
+    ("MATCH (a:X)-[r*1..2]->(b) RETURN a.v AS v", TranspilerNotSupportedError),
+    ("MATCH p = (a:X)--(b) RETURN a.v AS v", TranspilerNotSupportedError),
+    ("MATCH (a:X) RETURN a.b.c AS v", TranspilerNotSupportedError),
+    ("MATCH (a:X) RETURN sum(count(a.v)) AS v", TranspilerNotSupportedError),
+    ("MATCH (a:X) WHERE a.v = $p RETURN a.v AS v", TranspilerNotSupportedError),
+    ("OPTIONAL MATCH (a:X) RETURN a.v AS v", TranspilerNotSupportedError),
+    ("MATCH (a:X) RETURN CASE a.v WHEN 1 THEN 2 END AS v", TranspilerNotSupportedError),
+    ("MATCH (a:X) RETURN sum(DISTINCT a.v) AS v", TranspilerNotSupportedError),
+    ("RETURN 1 AS one", TranspilerNotSupportedError),
+    ("MATCH (a:X) OPTIONAL MATCH (a)--(b) MATCH (b)--(c) RETURN a.v AS v",
+     TranspilerNotSupportedError),
+    ("MATCH (a:X) RETURN a.v AS v, a.w AS v", TranspilerSyntaxError),
+    ("MATCH (a:X RETURN a.v AS v", TranspilerSyntaxError),
+    ("MATCH (a:X) RETURN a.v + AS v", TranspilerSyntaxError),
+    ("MATCH (a:X) WHERE a.s = 'unterminated RETURN a.v AS v", TranspilerSyntaxError),
+]
+
+
+@pytest.mark.parametrize("query,exc", NEGATIVES)
+def test_negatives(query, exc):
+    with pytest.raises(exc):
+        parse(query)
