@@ -483,5 +483,336 @@ CATALOG: list[CatalogEntry] = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# LLM-pipeline + streaming operators (SURVEY.md §2.8 / §7.2.8 additive scope)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.tpch import load_events
+
+    return load_events(spark, sf_dir)
+
+
+def _p_exact_dedup(spark, sf_dir):
+    from .pipeline.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def _p_ngram_jaccard(spark, sf_dir):
+    from .pipeline.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+def _p_minhash_lsh(spark, sf_dir):
+    from .pipeline.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+def _p_simhash(spark, sf_dir):
+    from .pipeline.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _p_token_stats(spark, sf_dir):
+    from .pipeline.text import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def _p_quality(spark, sf_dir):
+    from .pipeline.text import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _p_langid(spark, sf_dir):
+    from .pipeline.text import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def _p_fingerprint(spark, sf_dir):
+    from .pipeline.text import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _p_cosine_topk(spark, sf_dir):
+    from .pipeline.similarity import cosine_topk
+
+    embs = _embs(spark, sf_dir)
+    return cosine_topk(embs, embs.filter("vec_id < 20"), k=5)
+
+
+def _p_cosine_pairs(spark, sf_dir):
+    from .pipeline.similarity import cosine_pairs
+
+    return cosine_pairs(_embs(spark, sf_dir), threshold=0.4)
+
+
+def _p_cosine_lsh_topk(spark, sf_dir):
+    from .pipeline.similarity import cosine_lsh_topk
+
+    embs = _embs(spark, sf_dir)
+    return cosine_lsh_topk(embs, embs.filter("vec_id < 20"), k=5)
+
+
+def _p_multimodal(spark, sf_dir):
+    from .pipeline.multimodal import attach_fake_payload, extract_features
+
+    return extract_features(attach_fake_payload(_docs(spark, sf_dir)), fake=True)
+
+
+def _s_event_windows(spark, sf_dir):
+    from .streaming.windows import windowed_event_stats
+
+    return windowed_event_stats(_events(spark, sf_dir), "1 hour")
+
+
+def _s_sessionize(spark, sf_dir):
+    from .streaming.windows import sessionize
+
+    return sessionize(_events(spark, sf_dir), gap_minutes=30)
+
+
+# duckdb n-gram shingle CTE shared by the jaccard oracles
+_SHINGLES = """
+    WITH s AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN length(text) >= 3
+                   THEN [text[i:i+2] FOR i IN range(1, length(text) - 1)]
+                   ELSE [] END) AS sh
+        FROM documents
+    )
+"""
+
+_JACCARD_ORACLE = (
+    _SHINGLES
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE len(a.sh) > 0 AND len(b.sh) > 0
+      AND round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                / len(list_distinct(a.sh || b.sh)), 6) >= 0.8
+"""
+)
+
+_COS = (
+    "list_sum([q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE FOR i IN range(1, 65)])"
+    " / (sqrt(list_sum([q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE FOR i IN range(1, 65)]))"
+    " * sqrt(list_sum([c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE FOR i IN range(1, 65)])))"
+)
+
+_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+_LTOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+PIPELINE_CATALOG: list[CatalogEntry] = [
+    CatalogEntry(
+        name="p01_exact_dedup",
+        fn=_p_exact_dedup,
+        oracle="""
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents
+            GROUP BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+        """,
+        tags=("dedup",),
+    ),
+    CatalogEntry(
+        name="p02_ngram_jaccard_pairs",
+        fn=_p_ngram_jaccard,
+        oracle=_JACCARD_ORACLE,
+        bench=True,
+        tags=("dedup", "jaccard"),
+    ),
+    CatalogEntry(
+        name="p03_minhash_lsh_pairs",
+        fn=_p_minhash_lsh,
+        # LSH with 16 bands x 4 rows has recall ~1 at J>=0.8 on this corpus
+        # (validated in tests against the exhaustive pairs); the verify step
+        # makes precision exact, so the exhaustive oracle applies.
+        oracle=_JACCARD_ORACLE,
+        bench=True,
+        tags=("dedup", "minhash", "lsh"),
+    ),
+    CatalogEntry(
+        name="p04_simhash_pairs",
+        fn=_p_simhash,
+        oracle=None,  # xxhash64 not expressible in ANSI SQL -> rows-only
+        tags=("dedup", "simhash"),
+    ),
+    CatalogEntry(
+        name="p05_token_stats",
+        fn=_p_token_stats,
+        oracle=f"""
+            SELECT doc_id,
+                   len({_TOKS})::BIGINT AS n_tokens,
+                   len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT
+                       AS n_subtokens,
+                   length(text)::BIGINT AS n_chars,
+                   len(regexp_extract_all(text, '[.,;:!?]'))::BIGINT AS n_punct,
+                   round(CASE WHEN len({_TOKS}) > 0
+                         THEN list_sum(list_transform({_TOKS}, t -> length(t)))::DOUBLE
+                              / len({_TOKS})
+                         ELSE 0.0 END, 4) AS mean_token_len
+            FROM documents
+        """,
+        tags=("text",),
+    ),
+    CatalogEntry(
+        name="p06_quality_score",
+        fn=_p_quality,
+        oracle=f"""
+            WITH t AS (
+                SELECT doc_id,
+                       len({_TOKS}) AS n_tokens,
+                       length(text) AS n_chars,
+                       len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+                       CASE WHEN len({_TOKS}) > 0
+                            THEN list_sum(list_transform({_TOKS}, t -> length(t)))::DOUBLE
+                                 / len({_TOKS})
+                            ELSE 0.0 END AS mean_token_len
+                FROM documents
+            )
+            SELECT doc_id,
+                   round(0.4 * least(CASE WHEN n_chars BETWEEN 100 AND 10000
+                                     THEN 1.0 ELSE n_chars / 100.0 END, 1.0)
+                       + 0.3 * (1.0 - least(n_punct::DOUBLE
+                                            / greatest(n_tokens::DOUBLE, 1.0), 1.0))
+                       + 0.3 * (CASE WHEN mean_token_len BETWEEN 3.0 AND 10.0
+                                     THEN 1.0 ELSE 0.5 END), 4) AS quality
+            FROM t
+        """,
+        tags=("text",),
+    ),
+    CatalogEntry(
+        name="p07_language_id",
+        fn=_p_langid,
+        oracle=f"""
+            WITH sc AS (
+                SELECT doc_id, text,
+                       len(list_filter({_LTOKS}, t -> t IN ('the', 'and', 'of'))) AS s_en,
+                       len(list_filter({_LTOKS}, t -> t IN ('der', 'und', 'die'))) AS s_de,
+                       len(list_filter({_LTOKS}, t -> t IN ('le', 'et', 'les'))) AS s_fr,
+                       len(list_filter({_LTOKS}, t -> t IN ('el', 'de', 'los'))) AS s_es
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                        WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+                        WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                        WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                        WHEN s_fr >= s_es THEN 'fr'
+                        ELSE 'es' END AS pred_lang
+            FROM sc
+        """,
+        tags=("text", "langid"),
+    ),
+    CatalogEntry(
+        name="p08_fingerprint",
+        fn=_p_fingerprint,
+        oracle="""
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+            FROM documents
+        """,
+        tags=("text", "fingerprint"),
+    ),
+    CatalogEntry(
+        name="p09_cosine_topk",
+        fn=_p_cosine_topk,
+        oracle=f"""
+            WITH p AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS match_id, {_COS} AS cosine
+                FROM embeddings q JOIN embeddings c
+                  ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+            )
+            SELECT query_id, match_id, round(cosine, 6) AS cosine, rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY cosine DESC, match_id) AS rank
+                  FROM p)
+            WHERE rank <= 5
+        """,
+        bench=True,
+        tags=("similarity", "ann"),
+    ),
+    CatalogEntry(
+        name="p10_cosine_pairs",
+        fn=_p_cosine_pairs,
+        oracle=f"""
+            SELECT q.vec_id AS id_a, c.vec_id AS id_b, round({_COS}, 6) AS cosine
+            FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+            WHERE {_COS} >= 0.4
+        """,
+        tags=("similarity",),
+    ),
+    CatalogEntry(
+        name="p11_cosine_lsh_topk",
+        fn=_p_cosine_lsh_topk,
+        oracle=None,  # hyperplane projection not practical in SQL; recall
+        # vs the exact top-k is asserted in tests/test_pipeline.py
+        tags=("similarity", "lsh"),
+    ),
+    CatalogEntry(
+        name="p12_multimodal_features",
+        fn=_p_multimodal,
+        oracle=None,  # mapInPandas decode stub -> rows-only
+        tags=("multimodal",),
+    ),
+    CatalogEntry(
+        name="s01_event_windows",
+        fn=_s_event_windows,
+        oracle="""
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        bench=True,
+        tags=("streaming", "window"),
+    ),
+    CatalogEntry(
+        name="s02_sessionize",
+        fn=_s_sessionize,
+        oracle="""
+            WITH g AS (
+                SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                               THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT *, sum(is_new) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS session_no
+                FROM g
+            )
+            SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+                   count(*) AS n_events, min(ts) AS session_start,
+                   max(ts) AS session_end, round(sum(value), 4) AS sum_value
+            FROM s GROUP BY user_id, session_no
+        """,
+        bench=True,
+        tags=("streaming", "session"),
+    ),
+]
+
+CATALOG.extend(PIPELINE_CATALOG)
+
+
 def catalog_by_name() -> dict[str, CatalogEntry]:
     return {e.name: e for e in CATALOG}

@@ -1,0 +1,187 @@
+"""Embedding similarity search over an array<float> column.
+
+- cosine_topk:       brute-force top-k — broadcast the (small) query set
+                     against the (huge) corpus; one pass, no shuffle of the
+                     corpus. The correctness baseline.
+- cosine_lsh_topk:   random-hyperplane LSH — corpus is bucketed by sign
+                     bits, candidates come from an equi-join on the bucket
+                     key (multi-probe over single-bit flips), then exact
+                     re-rank. The 100 TB path: the corpus is hashed once and
+                     the join touches only matching buckets.
+- cosine_pairs:      all pairs above a similarity threshold (exhaustive).
+
+All dot products fold left-to-right in double precision via
+aggregate(zip_with(...)) so results are bit-reproducible against an oracle
+that does the same.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str):
+    return F.sqrt(
+        F.expr(
+            f"aggregate({a}, CAST(0.0 AS DOUBLE), "
+            f"(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+    )
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    return df.withColumn(out, _dot(a, b) / (_norm(a) * _norm(b)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (excluding self-matches).
+
+    The query side is broadcast — the corpus is scanned once with no
+    shuffle; ranking shuffles only (n_queries * corpus) survivors."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("match_id"))
+        .withColumn("cosine", _dot("qv", "cv") / (_norm("qv") * _norm("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (id_a < id_b) pairs with cosine >= threshold — embedding-space
+    near-duplicate detection, exhaustive baseline."""
+    s = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (_dot("a.v", "b.v") / (_norm("a.v") * _norm("b.v"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).round(6).tolist()
+
+
+def _bucket_expr(vec_col: str, planes: list[list[float]]):
+    """Sign-bit bucket id from fixed random hyperplanes (deterministic)."""
+    bits = []
+    for p in planes:
+        arr = ", ".join(f"CAST({x} AS DOUBLE)" for x in p)
+        bits.append(
+            f"IF(aggregate(zip_with({vec_col}, array({arr}), "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), "
+            f"(acc, v) -> acc + v) > 0, 1L, 0L)"
+        )
+    packed = "aggregate(array(" + ", ".join(bits) + "), 0L, (acc, b) -> acc * 2 + b)"
+    return F.expr(packed)
+
+
+def cosine_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 8,
+    dim: int = 64,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: multi-table random-hyperplane LSH + exact re-rank.
+
+    L independent hash tables of n_planes sign bits each; queries probe
+    their own bucket plus all single-bit-flip neighbors per table
+    (multi-probe). Recall ~ 1 - (1 - p_table)^L where p_table is the
+    per-table collision probability — tables multiply recall where longer
+    codes would destroy it. The corpus-side bucket column is computed once
+    per table; the candidate join is a plain equi-join on (table, bucket)."""
+    per_table = [
+        _hyperplanes(dim, n_planes, seed=42 + 1000 * t) for t in range(n_tables)
+    ]
+    c_buckets = corpus.select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv")
+    ).select(
+        "match_id",
+        "cv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _bucket_expr("cv", per_table[t]).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("match_id", "cv", "tb.tbl", "tb.bucket")
+    q_base = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    probe_structs = []
+    for t in range(n_tables):
+        b0 = _bucket_expr("qv", per_table[t])
+        probe_structs.append(F.struct(F.lit(t).alias("tbl"), b0.alias("bucket")))
+        if multiprobe:
+            for bit in range(n_planes):
+                probe_structs.append(
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        b0.bitwiseXOR(F.lit(1 << bit)).alias("bucket"),
+                    )
+                )
+    q_probes = q_base.select(
+        "query_id", "qv", F.explode(F.array(*probe_structs)).alias("tb")
+    ).select("query_id", "qv", "tb.tbl", "tb.bucket")
+    scored = (
+        c_buckets.join(F.broadcast(q_probes), ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id", "qv", "cv")
+        .distinct()
+        .withColumn("cosine", _dot("qv", "cv") / (_norm("qv") * _norm("cv")))
+        .select("query_id", "match_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

@@ -109,9 +109,21 @@ def tpch_graph_schema() -> GraphSchema:
     return GraphSchema(nodes, edges)
 
 
+def load_events(spark: SparkSession, sf_dir: str):
+    """The events table carries TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; read nanos as long and truncate to microseconds (the
+    same truncation DuckDB applies)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def tpch_table_registry(spark: SparkSession, sf_dir: str) -> TableRegistry:
     """Base parquet tables plus the ``lineitem_node`` view with the l_id surrogate."""
     reg = parquet_registry(spark, sf_dir, BASE_TABLES)
+    reg.register("events", lambda: load_events(spark, sf_dir))
     reg.register(
         "lineitem_node",
         lambda: reg.get("lineitem").withColumn(

@@ -21,7 +21,9 @@ def spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.ansi.enabled", "false")
+        # intentionally NOT setting spark.sql.ansi.enabled: tests run with
+        # the same Spark 4 default (ANSI on) the driver uses, so ANSI
+        # overflow/cast issues surface here first
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

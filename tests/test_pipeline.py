@@ -1,0 +1,134 @@
+"""Pipeline-operator tests that go beyond the catalog oracles: LSH recall
+against exact baselines, simhash sanity, multimodal stub behavior, and the
+real Structured Streaming path."""
+
+from __future__ import annotations
+
+import pytest
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_minhash_lsh_equals_exhaustive(spark, docs):
+    from opencyphertranspiler_spark.pipeline.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    exact = {
+        (r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, 0.8).collect()
+    }
+    lsh = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, 0.8).collect()}
+    assert lsh <= exact, "verify step must make precision exact"
+    recall = len(lsh) / max(len(exact), 1)
+    assert recall == 1.0, f"LSH recall {recall} on planted near-dups"
+    assert len(exact) > 0, "corpus should contain planted near-duplicates"
+
+
+def test_simhash_finds_planted_near_dups(spark, docs):
+    from opencyphertranspiler_spark.pipeline.dedup import (
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    sim = {(r.id_a, r.id_b) for r in simhash_pairs(docs, max_hamming=3).collect()}
+    # extremely similar docs (J >= 0.95) should collide in simhash space
+    strong = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, 0.95).collect()}
+    assert strong, "expected planted strong near-duplicates"
+    overlap = len(sim & strong) / len(strong)
+    assert overlap >= 0.8, f"simhash caught only {overlap:.0%} of strong dups"
+
+
+def test_cosine_lsh_recall(spark, embs):
+    from opencyphertranspiler_spark.pipeline.similarity import (
+        cosine_lsh_topk,
+        cosine_topk,
+    )
+
+    queries = embs.filter("vec_id < 20")
+    exact = {
+        (r.query_id, r.match_id) for r in cosine_topk(embs, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.match_id)
+        for r in cosine_lsh_topk(embs, queries, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"multiprobe LSH top-5 recall {recall:.2f} too low"
+
+
+def test_multimodal_features_deterministic(spark, docs):
+    from opencyphertranspiler_spark.pipeline.multimodal import (
+        FEATURE_DIM,
+        attach_fake_payload,
+        extract_features,
+    )
+
+    payloads = attach_fake_payload(docs.limit(50))
+    out1 = extract_features(payloads, fake=True).orderBy("doc_id").collect()
+    out2 = extract_features(payloads, fake=True).orderBy("doc_id").collect()
+    assert out1 == out2
+    assert all(len(r.features) == FEATURE_DIM for r in out1)
+    assert all(r.n_bytes > 0 for r in out1 if r.n_bytes is not None)
+
+
+def test_multimodal_real_decode_raises():
+    from opencyphertranspiler_spark.pipeline.multimodal import _decode_payload
+
+    with pytest.raises(NotImplementedError):
+        _decode_payload(b"\x00\x01", "image", fake=False)
+
+
+def test_frame_sampling(spark, docs):
+    from opencyphertranspiler_spark.pipeline.multimodal import (
+        attach_fake_payload,
+        sample_frames,
+    )
+
+    frames = sample_frames(attach_fake_payload(docs.limit(20)), 100, 4)
+    rows = frames.collect()
+    assert rows and all(r.frame_len <= 100 for r in rows)
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_no)
+    assert all(f == sorted(f) and len(f) <= 4 for f in per_doc.values())
+
+
+def test_structured_streaming_matches_batch(spark, tmp_path):
+    """The streaming plan (file source, watermark, availableNow) produces
+    the same windowed aggregates as the batch plan."""
+    from opencyphertranspiler_spark.sources.tpch import load_events
+    from opencyphertranspiler_spark.streaming.windows import (
+        stream_windowed_counts,
+        windowed_event_stats,
+    )
+
+    stream_df = stream_windowed_counts(spark, f"{SF_DIR}/events.parquet", "1 hour")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = windowed_event_stats(load_events(spark, SF_DIR), "1 hour")
+    want = {
+        (r.window_start, r.event_type): (r.n, r.sum_value) for r in batch.collect()
+    }
+    assert got == want
