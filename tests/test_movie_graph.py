@@ -1,0 +1,235 @@
+"""Reference-faithful Movie-graph tests (FIXTURES.md Set A).
+
+The TPC-H overlay can't exercise OPTIONAL MATCH null rows (every customer
+has orders in the synthetic data) or self-label edges; this in-memory
+fixture mirrors the reference's own test graph
+(/root/reference/tests/SQLRenderer.Test/TestData/MovieGraph.json) and
+asserts hand-computed results."""
+
+from __future__ import annotations
+
+import pytest
+
+from opencyphertranspiler_spark import (
+    CypherEngine,
+    EdgeSchema,
+    EntityProperty,
+    GraphSchema,
+    NodeSchema,
+    TableRegistry,
+    TranspilerNotSupportedError,
+)
+
+P = EntityProperty
+
+
+@pytest.fixture(scope="module")
+def movie_engine(spark):
+    persons = spark.createDataFrame(
+        [
+            ("p1", "Tom Hanks", 1956),
+            ("p2", "Meg Ryan", 1961),
+            ("p3", "Rob Reiner", 1947),
+            ("p4", "Nora Ephron", None),
+            ("p5", "Bill Paxton", 1955),
+        ],
+        "id string, Name string, Born int",
+    )
+    movies = spark.createDataFrame(
+        [
+            ("m1", "Sleepless in Seattle", "What if...", 1993),
+            ("m2", "You've Got Mail", None, 1998),
+            ("m3", "Apollo 13", "Houston...", 1995),
+        ],
+        "id string, Title string, Tagline string, Released int",
+    )
+    acted_in = spark.createDataFrame(
+        [
+            ("p1", "m1", "Sam"),
+            ("p2", "m1", "Annie"),
+            ("p1", "m2", "Joe"),
+            ("p2", "m2", "Kathleen"),
+            ("p1", "m3", "Jim"),
+            ("p5", "m3", "Fred"),
+        ],
+        "_vertexId string, _sink string, Roles string",
+    )
+    directed = spark.createDataFrame(
+        [("p4", "m1"), ("p4", "m2"), ("p3", "m3")],
+        "_vertexId string, _sink string",
+    )
+    reviewed = spark.createDataFrame(
+        [
+            ("p3", "m1", "Loved it", 9),
+            ("p5", "m1", "Fine", 7),
+            ("p3", "m2", "OK", 6),
+        ],
+        "_vertexId string, _sink string, Summary string, Rating int",
+    )
+    follows = spark.createDataFrame(
+        [("p2", "p1"), ("p5", "p1"), ("p3", "p4")],
+        "_vertexId string, _sink string",
+    )
+    graph = GraphSchema(
+        nodes=[
+            NodeSchema("Person", "person", "id", (P("Name"), P("Born", "int"))),
+            NodeSchema(
+                "Movie",
+                "movie",
+                "id",
+                (P("Title"), P("Tagline"), P("Released", "int")),
+            ),
+        ],
+        edges=[
+            EdgeSchema(
+                "ACTED_IN", "Person", "Movie", "acted_in", "_vertexId", "_sink",
+                (P("Roles"),),
+            ),
+            EdgeSchema("DIRECTED", "Person", "Movie", "directed", "_vertexId", "_sink"),
+            EdgeSchema(
+                "REVIEWED", "Person", "Movie", "reviewed", "_vertexId", "_sink",
+                (P("Summary"), P("Rating", "int")),
+            ),
+            EdgeSchema("FOLLOWS", "Person", "Person", "follows", "_vertexId", "_sink"),
+        ],
+    )
+    reg = TableRegistry()
+    for name, df in [
+        ("person", persons),
+        ("movie", movies),
+        ("acted_in", acted_in),
+        ("directed", directed),
+        ("reviewed", reviewed),
+        ("follows", follows),
+    ]:
+        reg.register_df(name, df)
+    return CypherEngine(spark, graph, reg)
+
+
+def rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_optional_match_produces_null_rows(movie_engine):
+    # p1, p2, p5 acted but never directed -> count(m2) = 0 for them
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        OPTIONAL MATCH (p)-[:DIRECTED]->(m2:Movie)
+        RETURN p.Name AS name, count(m2) AS directed
+        """
+    )
+    assert rows(df) == {
+        ("Tom Hanks", 0),
+        ("Meg Ryan", 0),
+        ("Rob Reiner", 1),
+        ("Nora Ephron", 2),
+        ("Bill Paxton", 0),
+    }
+
+
+def test_is_director_flag(movie_engine):
+    # the reference's count(d) > 0 AS IsDirector shape (SQLRendererTest.cs:431-486)
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
+        OPTIONAL MATCH (p)-[d:DIRECTED]->(md:Movie)
+        WITH p, count(d) AS dirs
+        RETURN p.Name AS name, CASE WHEN dirs > 0 THEN true ELSE false END AS is_director
+        """
+    )
+    assert rows(df) == {
+        ("Tom Hanks", False),
+        ("Meg Ryan", False),
+        ("Bill Paxton", False),
+    }
+
+
+def test_rel_inequality_costar_pairs(movie_engine):
+    # two ACTED_IN hops through one movie: uniqueness predicate excludes the
+    # same edge on both sides, so each co-star pair appears twice (ordered)
+    df = movie_engine.cypher(
+        """
+        MATCH (a:Person)-[x:ACTED_IN]->(m:Movie)<-[y:ACTED_IN]-(b:Person)
+        RETURN m.Title AS title, count(*) AS pairs
+        """
+    )
+    assert rows(df) == {
+        ("Sleepless in Seattle", 2),
+        ("You've Got Mail", 2),
+        ("Apollo 13", 2),
+    }
+
+
+def test_undirected_self_label_rejected(movie_engine):
+    with pytest.raises(TranspilerNotSupportedError):
+        movie_engine.cypher(
+            "MATCH (a:Person)-[:FOLLOWS]-(b:Person) RETURN a.Name AS n"
+        )
+
+
+def test_directed_self_label_edge(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (a:Person)-[:FOLLOWS]->(b:Person)
+        RETURN b.Name AS followed, count(a) AS n
+        """
+    )
+    assert rows(df) == {("Tom Hanks", 2), ("Nora Ephron", 1)}
+
+
+def test_left_join_widens_nullability(movie_engine):
+    # Born is null for Nora Ephron; Rating nullable after OPTIONAL MATCH
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        OPTIONAL MATCH (p)-[r:REVIEWED]->(m:Movie)
+        RETURN p.Name AS name, min(r.Rating) AS min_rating
+        """
+    )
+    got = {tuple(r) for r in df.collect()}
+    assert ("Tom Hanks", None) in got
+    assert ("Rob Reiner", 6) in got
+
+
+def test_string_prefix_and_nullable_born(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        WHERE p.Name STARTS WITH 'T' OR p.Born IS NULL
+        RETURN p.Name AS name
+        """
+    )
+    assert rows(df) == {("Tom Hanks",), ("Nora Ephron",)}
+
+
+def test_stdev_with_popsize_filter(movie_engine):
+    # reference's STDEV group (SQLRendererTest.cs:643-705): only movies
+    # with >= 2 reviews have a sample stddev
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)-[r:REVIEWED]->(m:Movie)
+        WITH m, count(r) AS n, stdev(r.Rating) AS sd
+        WHERE n > 1
+        RETURN m.Title AS title, round(sd, 4) AS sd
+        """
+    )
+    got = list(df.collect())
+    assert len(got) == 1
+    assert got[0].title == "Sleepless in Seattle"
+    assert abs(got[0].sd - 1.4142) < 1e-3
+
+
+def test_alias_swap_through_with(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
+        WITH p AS m2, m AS p2
+        RETURN p2.Title AS title, count(m2) AS actors
+        """
+    )
+    assert rows(df) == {
+        ("Sleepless in Seattle", 2),
+        ("You've Got Mail", 2),
+        ("Apollo 13", 2),
+    }
