@@ -483,6 +483,101 @@ CATALOG: list[CatalogEntry] = [
 ]
 
 
+CATALOG += [
+    # ---- chained MATCH re-binding a piped entity alias ----
+    CatalogEntry(
+        name="q25_chained_match_piped_entity",
+        cypher="""
+            MATCH (n:Nation)
+            WITH n
+            MATCH (n)<-[:FROM_NATION]-(c:Customer)
+            WHERE c.c_acctbal > 0
+            RETURN n.n_name AS nation, count(c) AS positive_customers
+        """,
+        oracle="""
+            SELECT n.n_name AS nation, count(c.c_custkey) AS positive_customers
+            FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+            WHERE c.c_acctbal > 0
+            GROUP BY n.n_name
+        """,
+        tags=("with", "chained-match"),
+    ),
+    # ---- cast library (toString/toFloat/toInteger/toLong) ----
+    CatalogEntry(
+        name="q26_casts",
+        cypher="""
+            MATCH (p:Part)
+            WHERE p.p_size < 6
+            RETURN toString(p.p_size) AS s, toFloat(p.p_size) / 2 AS f,
+                   toInteger(p.p_retailprice) AS i, toLong(p.p_size) AS l
+        """,
+        oracle="""
+            SELECT CAST(p_size AS VARCHAR) AS s, CAST(p_size AS FLOAT) / 2 AS f,
+                   CAST(trunc(p_retailprice) AS INTEGER) AS i,
+                   CAST(p_size AS BIGINT) AS l
+            FROM part WHERE p_size < 6
+        """,
+        tags=("casts",),
+    ),
+    # ---- remaining string library ----
+    CatalogEntry(
+        name="q27_string_library",
+        cypher="""
+            MATCH (c:Customer)
+            WHERE c.c_name STARTS WITH 'Customer#0000001'
+            RETURN toLower(c.c_name) AS lo, right(c.c_name, 3) AS r3,
+                   trim(c.c_name) AS t, ltrim(c.c_name) AS lt,
+                   rtrim(c.c_name) AS rt
+        """,
+        oracle="""
+            SELECT lower(c_name) AS lo, right(c_name, 3) AS r3,
+                   trim(c_name) AS t, ltrim(c_name) AS lt, rtrim(c_name) AS rt
+            FROM customer WHERE c_name LIKE 'Customer#0000001%'
+        """,
+        tags=("strings",),
+    ),
+    # ---- first/last (reference lowers to MIN/MAX) + percentileCont ----
+    CatalogEntry(
+        name="q28_first_last_percentile",
+        cypher="""
+            MATCH (o:Orders)
+            RETURN o.o_orderstatus AS st, first(o.o_orderpriority) AS fp,
+                   last(o.o_orderpriority) AS lp,
+                   round(percentileCont(o.o_totalprice, 0.5), 2) AS median_price
+        """,
+        oracle="""
+            SELECT o_orderstatus AS st, min(o_orderpriority) AS fp,
+                   max(o_orderpriority) AS lp,
+                   round(quantile_cont(o_totalprice, 0.5), 2) AS median_price
+            FROM orders GROUP BY o_orderstatus
+        """,
+        tags=("agg",),
+    ),
+    # ---- collect() -> list column -> UNWIND round trip ----
+    CatalogEntry(
+        name="q29_collect_unwind",
+        cypher="""
+            MATCH (r:Region)
+            WITH collect(r.r_name) AS names
+            UNWIND names AS name
+            RETURN name
+        """,
+        oracle="SELECT r_name AS name FROM region",
+        tags=("collect", "unwind"),
+    ),
+    # ---- plain DISTINCT on values ----
+    CatalogEntry(
+        name="q30_distinct_values",
+        cypher="""
+            MATCH (c:Customer)
+            RETURN DISTINCT c.c_mktsegment AS seg
+        """,
+        oracle="SELECT DISTINCT c_mktsegment AS seg FROM customer",
+        tags=("distinct",),
+    ),
+]
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline + streaming operators (SURVEY.md §2.8 / §7.2.8 additive scope)
 # ---------------------------------------------------------------------------
@@ -636,7 +731,9 @@ PIPELINE_CATALOG: list[CatalogEntry] = [
         name="p02_ngram_jaccard_pairs",
         fn=_p_ngram_jaccard,
         oracle=_JACCARD_ORACLE,
-        bench=True,
+        # exhaustive O(n^2) verification baseline: correctness-gate only
+        # (500 docs at sf0.01); the bench/scale path is p03 minhash LSH
+        bench=False,
         tags=("dedup", "jaccard"),
     ),
     CatalogEntry(

@@ -97,20 +97,36 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(sh_col: str = "sh", k: int = 64):
-    """MinHash signature array (k minima) from a shingle-array column.
+def minhash_signature_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(id, mh0..mh{k-1}) MinHash signature columns.
 
-    h_i(s) = (a_i * xxhash64(s) + b_i) mod M61, folded columnar with
-    transform/array_min — all JVM expressions."""
-    mins = []
-    for a, b in MINHASH_COEFFS[:k]:
-        # fold xxhash64 into the 31-bit field first so every product stays
-        # within int64 (ANSI-safe)
-        mins.append(
-            f"array_min(transform({sh_col}, s -> "
-            f"pmod({a}L * pmod(xxhash64(s), {_MERSENNE}L) + {b}L, {_MERSENNE}L)))"
-        )
-    return F.expr(f"array({', '.join(mins)})")
+    Plan shape matters here: Spark's higher-order array lambdas
+    (transform/aggregate) are CodegenFallback — interpreted, ~100x slower
+    than codegen — so the signature is computed as
+    explode(shingles) -> k codegen'd hash columns -> groupBy(id).min(...)
+    with map-side partial aggregation. Everything stays in whole-stage
+    codegen; the only shuffle carries k longs per document.
+
+    h_i(x) = (a_i * x + b_i) mod M31 over the 31-bit prehash
+    x = xxhash64(shingle) mod M31 — products stay within int64 (ANSI-safe)."""
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s")
+    ).withColumn("h", F.expr(f"pmod(xxhash64(s), {_MERSENNE}L)"))
+    hash_cols = [
+        F.expr(f"pmod({a}L * h + {b}L, {_MERSENNE}L)").alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+    ]
+    return (
+        ex.select("id", *hash_cols)
+        .groupBy("id")
+        .agg(*[F.min(f"mh{i}").alias(f"mh{i}") for i in range(num_hashes)])
+    )
 
 
 def minhash_lsh_pairs(
@@ -120,50 +136,92 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 8,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified with true
-    n-gram Jaccard (so precision is exact; recall ~ 1-(1-t^r)^b).
+    n-gram Jaccard (so precision is exact; recall ~ 1-(1-t^r)^b — with the
+    default 8 bands x 8 rows, >= 0.998 per pair at J >= 0.93).
 
-    Plan shape (scale-critical): shingle+sign map -> explode to (band,
-    band_hash) -> shuffle hash self-join on the band bucket -> distinct
-    candidate pairs -> verify join. No cross join anywhere."""
+    Plan shape (scale-critical): signature via explode + partial-agg
+    (codegen, see minhash_signature_df) -> explode to (band, band_hash) ->
+    shuffle hash self-join on the band bucket -> distinct candidate pairs
+    -> CHEAP codegen'd signature-agreement prefilter (broadcast the
+    signature table; estimated J = fraction of agreeing minhashes) ->
+    exact n-gram Jaccard verify on the survivors only. No cross join; the
+    interpreted array-intersection work runs on a tiny survivor set even
+    when a template-heavy corpus floods the band buckets."""
     rows = num_hashes // bands
-    s = (
-        df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .withColumn("sig", minhash_signature("sh", num_hashes))
-    )
-    band_entries = s.select(
-        "id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> "
-                f"struct(b AS band, hash(slice(sig, b * {rows} + 1, {rows})) AS bh))"
-            )
-        ).alias("bb"),
+    # the signature subtree is referenced three times (banding + both sides
+    # of the prefilter join); persist so it is computed once. At 100 TB the
+    # equivalent is writing signatures to a staging table.
+    sig = minhash_signature_df(df, id_col, text_col, n, num_hashes).persist()
+    # band hash = hash(r consecutive signature columns); explode to
+    # (id, band, bh) rows — all codegen'd projections + one generator
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.hash(*[F.col(f"mh{b * rows + j}") for j in range(rows)]).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    band_entries = sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("id", "bb.band", "bb.bh")
     l, r = band_entries.alias("l"), band_entries.alias("r")
-    candidates = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    candidates = l.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bh") == F.col("r.bh"))
+        & (F.col("l.id") < F.col("r.id")),
+    ).select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    # prefilter: estimated J = fraction of agreeing signature components.
+    # Pure codegen'd integer comparisons (Catalyst broadcasts the signature
+    # table when it is small; at extreme scale this becomes a shuffle join).
+    # Cutoff = threshold - 2.5 sigma of the binomial estimator: pairs truly
+    # at the threshold pass w.p. >= 0.99; the banding stage (J^rows per
+    # band) is the binding recall constraint, not this filter.
+    sigma = (threshold * (1 - threshold) / num_hashes) ** 0.5
+    cutoff = max(0.0, threshold - 2.5 * sigma)
+    est = sum(
+        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    ) / F.lit(float(num_hashes))
+    # prefilter BEFORE distinct: the dedup shuffle then only carries the
+    # tiny survivor set instead of every band collision
+    prefiltered = (
+        candidates.join(sig.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(sig.alias("sb"), F.col("id_b") == F.col("sb.id"))
+        .filter(est >= F.lit(cutoff))
+        .select("id_a", "id_b")
         .distinct()
     )
-    sh = s.select("id", "sh")
+    # exact verify over HASHED shingle sets: same Jaccard (xxhash64
+    # collisions are negligible), but long-array intersection is much
+    # cheaper than string-array intersection
+    sh = (
+        df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select(
+            "id",
+            F.expr(f"transform(sh, s -> pmod(xxhash64(s), {_MERSENNE}L))").alias(
+                "shh"
+            ),
+        )
+        .persist()
+    )
     verified = (
-        candidates.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
-        .join(sh.alias("sb"), F.col("id_b") == F.col("sb.id"))
+        prefiltered.join(sh.alias("sha"), F.col("id_a") == F.col("sha.id"))
+        .join(sh.alias("shb"), F.col("id_b") == F.col("shb.id"))
         .select(
             "id_a",
             "id_b",
             F.round(
-                F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh"))).cast("double")
-                / F.size(F.array_union(F.col("sa.sh"), F.col("sb.sh"))).cast("double"),
+                F.size(F.array_intersect(F.col("sha.shh"), F.col("shb.shh"))).cast(
+                    "double"
+                )
+                / F.size(F.array_union(F.col("sha.shh"), F.col("shb.shh"))).cast(
+                    "double"
+                ),
                 6,
             ).alias("jaccard"),
         )
