@@ -41,3 +41,11 @@ class CypherEngine:
         """Dump the logical operator DAG (the reference's DumpGraph,
         /root/reference/src/LogicalPlanner/LogicalPlan.cs:88-110)."""
         return plan_query(parse(query), self.graph).describe()
+
+    def register_sql_views(self, names: list[str] | None = None) -> list[str]:
+        """Expose the registered backing tables as Spark SQL temp views so
+        Cypher results and spark.sql() queries compose in one session."""
+        names = names if names is not None else self.tables.names()
+        for name in names:
+            self.tables.get(name).createOrReplaceTempView(name)
+        return names

