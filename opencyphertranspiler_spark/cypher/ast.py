@@ -95,6 +95,15 @@ class Variable(Expr):
 
 
 @dataclass
+class Parameter(Expr):
+    """Query parameter ``$name`` — extension (the reference rejects
+    parameters, CypherVisitor.cs:1890-1912). Bound at compile time from the
+    ``params`` dict passed to ``CypherEngine.cypher``."""
+
+    name: str
+
+
+@dataclass
 class Property(Expr):
     """Single-level property access ``alias.prop`` (nested is rejected)."""
 
@@ -209,6 +218,10 @@ class RelPattern:
     alias: str | None
     verb: str | None
     direction: Direction
+    # bounded variable-length hops (extension; reference rejects *n..m).
+    # None = ordinary single hop.
+    min_hops: int | None = None
+    max_hops: int | None = None
 
 
 @dataclass

@@ -143,8 +143,9 @@ def tokenize(text: str) -> list[Token]:
             tokens.append(Token("string", "".join(buf), i))
             i = j + 1
             continue
-        # number
-        if c.isdigit() or (c == "." and i + 1 < n and text[i + 1].isdigit()):
+        # number (a leading digit is required: '.5' would make the '..'
+        # range punctuation in '*1..2' ambiguous — write '0.5')
+        if c.isdigit():
             j = i
             is_float = False
             while j < n and text[j].isdigit():

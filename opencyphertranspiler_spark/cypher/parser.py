@@ -288,15 +288,45 @@ class Parser:
                     raise TranspilerNotSupportedError(
                         "Multiple relationship types are not supported"
                     )
-            if self.cur.is_punct("*"):
-                raise TranspilerNotSupportedError(
-                    "Variable-length relationships are not supported"
-                )
+            min_hops = max_hops = None
+            if self.accept_punct("*"):
+                # bounded variable-length (extension): *n, *n..m, *..m.
+                # An upper bound is required — unbounded expansion would be
+                # an unbounded union of join chains.
+                min_hops = 1
+                if self.cur.kind == "int":
+                    min_hops = int(self.advance().value)
+                    max_hops = min_hops  # exact *n unless .. follows
+                if self.accept_punct("."):
+                    self.expect_punct(".")
+                    max_hops = None
+                    if self.cur.kind == "int":
+                        max_hops = int(self.advance().value)
+                if max_hops is None:
+                    raise TranspilerNotSupportedError(
+                        "Unbounded variable-length relationships are not "
+                        "supported; give an upper bound, e.g. *1..3"
+                    )
+                if min_hops < 1 or max_hops < min_hops:
+                    raise TranspilerSyntaxError(
+                        f"Invalid variable-length range *{min_hops}..{max_hops}"
+                    )
+                if max_hops > 8:
+                    raise TranspilerNotSupportedError(
+                        "Variable-length upper bound is limited to 8 hops"
+                    )
+                if alias is not None:
+                    raise TranspilerNotSupportedError(
+                        "A variable-length relationship cannot be bound to an "
+                        "alias"
+                    )
             if self.cur.is_punct("{"):
                 raise TranspilerNotSupportedError(
                     "Inline property maps on patterns are not supported"
                 )
             self.expect_punct("]")
+        else:
+            min_hops = max_hops = None
         self.expect_punct("-")
         right_arrow = bool(self.accept_punct(">"))
         if left_arrow and right_arrow:
@@ -307,7 +337,11 @@ class Parser:
             direction = A.Direction.FORWARD
         else:
             direction = A.Direction.EITHER
-        return A.RelPattern(alias, verb, direction)
+        if min_hops is not None and direction == A.Direction.EITHER:
+            raise TranspilerNotSupportedError(
+                "Variable-length relationships must be directed"
+            )
+        return A.RelPattern(alias, verb, direction, min_hops, max_hops)
 
     # -- expressions ----------------------------------------------------------
     def parse_expr(self) -> A.Expr:
@@ -447,7 +481,8 @@ class Parser:
             self.advance()
             return A.Literal(None)
         if t.is_punct("$"):
-            raise TranspilerNotSupportedError("Query parameters $param are not supported")
+            self.advance()
+            return A.Parameter(self.expect_name())
         if t.is_punct("{"):
             raise TranspilerNotSupportedError("Map literals are not supported")
         if t.is_punct("("):

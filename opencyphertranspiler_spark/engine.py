@@ -31,11 +31,14 @@ class CypherEngine:
         self.graph = graph
         self.tables = tables
 
-    def cypher(self, query: str) -> DataFrame:
-        """Parse, plan, and compile a Cypher query to a lazy DataFrame."""
+    def cypher(self, query: str, params: dict | None = None) -> DataFrame:
+        """Parse, plan, and compile a Cypher query to a lazy DataFrame.
+
+        ``params`` binds ``$name`` query parameters (extension — the
+        reference rejects parameters)."""
         ast = parse(query)
         plan = plan_query(ast, self.graph)
-        return Compiler(self.spark, self.tables).compile(plan)
+        return Compiler(self.spark, self.tables, params=params).compile(plan)
 
     def explain_plan(self, query: str) -> str:
         """Dump the logical operator DAG (the reference's DumpGraph,

@@ -34,9 +34,15 @@ from .expressions import ExprCompiler
 
 
 class Compiler:
-    def __init__(self, spark: SparkSession, tables: TableRegistry):
+    def __init__(
+        self,
+        spark: SparkSession,
+        tables: TableRegistry,
+        params: dict | None = None,
+    ):
         self.spark = spark
         self.tables = tables
+        self.params = params or {}
 
     def compile(self, op: LogicalOp) -> DataFrame:
         if isinstance(op, DataSourceOp):
@@ -89,9 +95,9 @@ class Compiler:
     def _selection(self, op: SelectionOp) -> DataFrame:
         df = self.compile(op.input)
         if op.predicate is not None:
-            ec = ExprCompiler(op.env, df)
+            ec = ExprCompiler(op.env, df, self.params)
             return df.filter(ec.compile(op.predicate))
-        ec = ExprCompiler(op.env, df)
+        ec = ExprCompiler(op.env, df, self.params)
         if op.order_by:
             sort_cols = []
             for s in op.order_by:
@@ -108,7 +114,7 @@ class Compiler:
     def _project(self, op: ProjectOp) -> DataFrame:
         in_df = self.compile(op.input)
         in_env = op.input.env
-        ec = ExprCompiler(in_env, in_df)
+        ec = ExprCompiler(in_env, in_df, self.params)
 
         def entity_cols(alias: str, expr: A.Expr) -> list:
             """Select list renaming an entity passthrough to its new alias."""
@@ -193,8 +199,8 @@ class Compiler:
     def _unwind(self, op: UnwindOp) -> DataFrame:
         if op.input is None:
             one = self.spark.range(1)
-            ec = ExprCompiler({}, one)
+            ec = ExprCompiler({}, one, self.params)
             return one.select(F.explode(ec.compile(op.expr)).alias(op.alias))
         df = self.compile(op.input)
-        ec = ExprCompiler(op.input.env, df)
+        ec = ExprCompiler(op.input.env, df, self.params)
         return df.select("*", F.explode(ec.compile(op.expr)).alias(op.alias))

@@ -38,9 +38,17 @@ _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 class ExprCompiler:
     """Compiles expressions against an environment + input DataFrame."""
 
-    def __init__(self, env: Env, df: DataFrame | None):
+    def __init__(self, env: Env, df: DataFrame | None, params: dict | None = None):
         self.env = env
         self.df = df
+        self.params = params or {}
+
+    def _param(self, name: str):
+        if name not in self.params:
+            raise TranspilerBindingError(
+                f"Query parameter ${name} was not supplied (pass params={{...}})"
+            )
+        return self.params[name]
 
     # -- type probing -------------------------------------------------------
     def dtype(self, col: Column) -> T.DataType:
@@ -52,6 +60,9 @@ class ExprCompiler:
     def compile(self, expr: A.Expr) -> Column:
         if isinstance(expr, ColRef):
             return F.col(expr.col)
+        if isinstance(expr, A.Parameter):
+            v = self._param(expr.name)
+            return F.array(*[F.lit(i) for i in v]) if isinstance(v, list) else F.lit(v)
         if isinstance(expr, A.Literal):
             return F.lit(expr.value)
         if isinstance(expr, A.ListLiteral):
@@ -109,6 +120,11 @@ class ExprCompiler:
         op = expr.op
         if op == A.BinaryOp.IN:
             left = self.compile(expr.left)
+            if isinstance(expr.right, A.Parameter):
+                v = self._param(expr.right.name)
+                if isinstance(v, list):
+                    return left.isin(v)
+                return left == F.lit(v)
             if isinstance(expr.right, A.ListLiteral):
                 if all(isinstance(i, A.Literal) for i in expr.right.items):
                     return left.isin([i.value for i in expr.right.items])

@@ -126,6 +126,89 @@ class _SingleQueryPlanner:
         known_labels: dict[str, str] | None = None,
         prefix_overrides: dict[str, str] | None = None,
     ) -> LogicalOp:
+        """Plan a MATCH clause. Bounded variable-length relationships
+        (extension) expand into fixed-length variants whose join fabrics are
+        UNION ALL-ed over the clause's *named* aliases — one output row per
+        path, with per-variant relationship-uniqueness enforcing Cypher's
+        edge-distinct path semantics; WHERE applies after the union."""
+        variants = self._expand_var_length(clause)
+        if len(variants) == 1:
+            return self._plan_match_single(
+                piped, variants[0], known_labels, prefix_overrides
+            )
+        ops = []
+        for vc in variants:
+            vc.where = None
+            ops.append(
+                self._plan_match_single(piped, vc, known_labels, prefix_overrides)
+            )
+        common: Env = {
+            a: r for a, r in ops[0].env.items() if not a.startswith("__unnamed_")
+        }
+        if not common:
+            raise TranspilerNotSupportedError(
+                "A variable-length pattern needs at least one named alias"
+            )
+        aliases = list(common.keys())
+        op: LogicalOp = TrimOp(ops[0], aliases, env=dict(common))
+        for o in ops[1:]:
+            trimmed = TrimOp(o, aliases, env=dict(common))
+            op = SetOp(op, trimmed, all=True, env=dict(common))
+        if clause.where is not None:
+            validate_expr(clause.where, op.env)
+            op = SelectionOp(op, predicate=clause.where, env=dict(op.env))
+        return op
+
+    def _expand_var_length(self, clause: A.MatchClause) -> list[A.MatchClause]:
+        """Expand *n..m relationships into every fixed-length combination."""
+        import copy
+        import itertools
+
+        slots: list[tuple[int, int]] = []  # (pattern idx, rel idx)
+        for pi, part in enumerate(clause.patterns):
+            for ri, rel in enumerate(part.rels):
+                if rel.min_hops is not None:
+                    slots.append((pi, ri))
+        if not slots:
+            return [clause]
+        ranges = [
+            range(
+                clause.patterns[pi].rels[ri].min_hops,
+                clause.patterns[pi].rels[ri].max_hops + 1,
+            )
+            for pi, ri in slots
+        ]
+        combos = list(itertools.product(*ranges))
+        if len(combos) > 32:
+            raise TranspilerNotSupportedError(
+                "Variable-length expansion exceeds 32 fixed-length variants"
+            )
+        out: list[A.MatchClause] = []
+        for combo in combos:
+            vc = copy.deepcopy(clause)
+            # replace right-to-left so earlier rel indices stay valid
+            for (pi, ri), length in sorted(
+                zip(slots, combo), key=lambda x: (-x[0][0], -x[0][1])
+            ):
+                part = vc.patterns[pi]
+                proto = part.rels[ri]
+                hops = [
+                    A.RelPattern(None, proto.verb, proto.direction)
+                    for _ in range(length)
+                ]
+                mid_nodes = [A.NodePattern(None, None) for _ in range(length - 1)]
+                part.rels[ri : ri + 1] = hops
+                part.nodes[ri + 1 : ri + 1] = mid_nodes
+            out.append(vc)
+        return out
+
+    def _plan_match_single(
+        self,
+        piped: LogicalOp | None,
+        clause: A.MatchClause,
+        known_labels: dict[str, str] | None = None,
+        prefix_overrides: dict[str, str] | None = None,
+    ) -> LogicalOp:
         env: Env = dict(piped.env) if piped is not None else {}
         prefix_overrides = prefix_overrides or {}
 

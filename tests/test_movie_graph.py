@@ -67,7 +67,7 @@ def movie_engine(spark):
         "_vertexId string, _sink string, Summary string, Rating int",
     )
     follows = spark.createDataFrame(
-        [("p2", "p1"), ("p5", "p1"), ("p3", "p4")],
+        [("p2", "p1"), ("p5", "p1"), ("p3", "p4"), ("p4", "p2")],
         "_vertexId string, _sink string",
     )
     graph = GraphSchema(
@@ -175,7 +175,7 @@ def test_directed_self_label_edge(movie_engine):
         RETURN b.Name AS followed, count(a) AS n
         """
     )
-    assert rows(df) == {("Tom Hanks", 2), ("Nora Ephron", 1)}
+    assert rows(df) == {("Tom Hanks", 2), ("Nora Ephron", 1), ("Meg Ryan", 1)}
 
 
 def test_left_join_widens_nullability(movie_engine):
@@ -218,6 +218,87 @@ def test_stdev_with_popsize_filter(movie_engine):
     assert len(got) == 1
     assert got[0].title == "Sleepless in Seattle"
     assert abs(got[0].sd - 1.4142) < 1e-3
+
+
+def test_variable_length_paths(movie_engine):
+    # extension: bounded *1..2 expands to a UNION ALL of fixed-length
+    # chains; one row per edge-distinct path
+    df = movie_engine.cypher(
+        """
+        MATCH (a:Person)-[:FOLLOWS*1..2]->(b:Person)
+        RETURN a.Name AS a, b.Name AS b
+        """
+    )
+    assert rows(df) == {
+        # 1-hop
+        ("Meg Ryan", "Tom Hanks"),
+        ("Bill Paxton", "Tom Hanks"),
+        ("Rob Reiner", "Nora Ephron"),
+        ("Nora Ephron", "Meg Ryan"),
+        # 2-hop
+        ("Rob Reiner", "Meg Ryan"),
+        ("Nora Ephron", "Tom Hanks"),
+    }
+
+
+def test_variable_length_exact_and_agg(movie_engine):
+    # exactly-2 hops; aggregation happens over the unioned path set
+    df = movie_engine.cypher(
+        """
+        MATCH (a:Person)-[:FOLLOWS*2]->(b:Person)
+        RETURN count(*) AS n
+        """
+    )
+    assert df.collect()[0].n == 2
+    # paths of length 1 and 2 both feed one aggregate
+    df2 = movie_engine.cypher(
+        """
+        MATCH (a:Person)-[:FOLLOWS*1..2]->(b:Person)
+        RETURN b.Name AS name, count(*) AS n
+        """
+    )
+    assert rows(df2) == {("Tom Hanks", 3), ("Nora Ephron", 1), ("Meg Ryan", 2)}
+
+
+def test_variable_length_negatives(movie_engine):
+    with pytest.raises(TranspilerNotSupportedError):
+        movie_engine.cypher(
+            "MATCH (a:Person)-[:FOLLOWS*]->(b:Person) RETURN a.Name AS n"
+        )
+    with pytest.raises(TranspilerNotSupportedError):
+        movie_engine.cypher(
+            "MATCH (a:Person)-[r:FOLLOWS*1..2]->(b:Person) RETURN a.Name AS n"
+        )
+    with pytest.raises(TranspilerNotSupportedError):
+        movie_engine.cypher(
+            "MATCH (a:Person)-[:FOLLOWS*1..2]-(b:Person) RETURN a.Name AS n"
+        )
+
+
+def test_query_parameters(movie_engine):
+    # extension: $params bound at compile time (reference rejects them)
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
+        WHERE m.Released > $year AND p.Name IN $names
+        RETURN p.Name AS name, m.Title AS title
+        """,
+        params={"year": 1994, "names": ["Tom Hanks", "Bill Paxton"]},
+    )
+    assert rows(df) == {
+        ("Tom Hanks", "You've Got Mail"),
+        ("Tom Hanks", "Apollo 13"),
+        ("Bill Paxton", "Apollo 13"),
+    }
+
+
+def test_missing_parameter_is_binding_error(movie_engine):
+    from opencyphertranspiler_spark import TranspilerBindingError
+
+    with pytest.raises(TranspilerBindingError):
+        movie_engine.cypher(
+            "MATCH (p:Person) WHERE p.Born > $y RETURN p.Name AS n"
+        )
 
 
 def test_alias_swap_through_with(movie_engine):

@@ -96,7 +96,6 @@ NEGATIVES = [
     ("MATCH p = (a:X)--(b) RETURN a.v AS v", TranspilerNotSupportedError),
     ("MATCH (a:X) RETURN a.b.c AS v", TranspilerNotSupportedError),
     ("MATCH (a:X) RETURN sum(count(a.v)) AS v", TranspilerNotSupportedError),
-    ("MATCH (a:X) WHERE a.v = $p RETURN a.v AS v", TranspilerNotSupportedError),
     ("OPTIONAL MATCH (a:X) RETURN a.v AS v", TranspilerNotSupportedError),
     ("MATCH (a:X) RETURN CASE a.v WHEN 1 THEN 2 END AS v", TranspilerNotSupportedError),
     ("MATCH (a:X) RETURN sum(DISTINCT a.v) AS v", TranspilerNotSupportedError),
