@@ -1,0 +1,119 @@
+"""Property-based differential testing: random expression trees are
+rendered simultaneously to Cypher (run on Spark through the engine) and to
+SQL (run on DuckDB), and results must match under the tolerant comparator.
+
+This fuzzes the expression compiler's coercion semantics (int division,
+string +, pow, CASE, 3VL logic) far beyond the hand-written catalog."""
+
+from __future__ import annotations
+
+import hypothesis.strategies as st
+import pytest
+from hypothesis import HealthCheck, given, settings
+
+from opencyphertranspiler_spark.testing import assert_frames_match
+
+from .conftest import SF_DIR
+
+# each generated node renders to (cypher_text, duckdb_text, kind)
+# kind: 'int' | 'float' | 'str' | 'bool'
+
+
+@st.composite
+def int_expr(draw, depth=0):
+    if depth >= 2 or draw(st.booleans()):
+        choice = draw(st.integers(0, 2))
+        if choice == 0:
+            n = draw(st.integers(-99, 99))
+            return (str(n), str(n))
+        if choice == 1:
+            return ("n.n_nationkey", "n_nationkey")
+        return ("size(n.n_name)", "length(n_name)")
+    a_c, a_s = draw(int_expr(depth + 1))
+    b_c, b_s = draw(int_expr(depth + 1))
+    op = draw(st.sampled_from(["+", "-", "*", "/", "%"]))
+    if op == "/":
+        # avoid division by zero: divide by a non-zero literal
+        d = draw(st.integers(1, 9))
+        return (f"({a_c}) / {d}", f"CAST(trunc(CAST(({a_s}) AS DOUBLE) / {d}) AS BIGINT)")
+    if op == "%":
+        d = draw(st.integers(1, 9))
+        return (f"({a_c}) % {d}", f"({a_s}) % {d}")
+    return (f"({a_c}) {op} ({b_c})", f"({a_s}) {op} ({b_s})")
+
+
+@st.composite
+def str_expr(draw, depth=0):
+    if depth >= 2 or draw(st.booleans()):
+        choice = draw(st.integers(0, 2))
+        if choice == 0:
+            s = draw(st.text(alphabet="abcXY_0", min_size=0, max_size=5))
+            return (f"'{s}'", f"'{s}'")
+        if choice == 1:
+            return ("n.n_name", "n_name")
+        return ("toUpper(n.n_name)", "upper(n_name)")
+    choice = draw(st.integers(0, 2))
+    a_c, a_s = draw(str_expr(depth + 1))
+    if choice == 0:
+        i_c, i_s = draw(int_expr(depth + 1))
+        # Cypher string + int -> concat
+        return (f"({a_c}) + toString({i_c})", f"({a_s}) || CAST(({i_s}) AS VARCHAR)")
+    if choice == 1:
+        n = draw(st.integers(1, 6))
+        return (f"left({a_c}, {n})", f"left({a_s}, {n})")
+    return (f"trim({a_c})", f"trim({a_s})")
+
+
+@st.composite
+def bool_expr(draw, depth=0):
+    a_c, a_s = draw(int_expr(depth + 1))
+    b_c, b_s = draw(int_expr(depth + 1))
+    op = draw(st.sampled_from(["=", "<>", "<", "<=", ">", ">="]))
+    base = (f"({a_c}) {op} ({b_c})", f"({a_s}) {op} ({b_s})")
+    if depth < 1 and draw(st.booleans()):
+        c_c, c_s = draw(bool_expr(depth + 1))
+        lop = draw(st.sampled_from(["AND", "OR"]))
+        return (f"({base[0]}) {lop} ({c_c})", f"({base[1]}) {lop} ({c_s})")
+    return base
+
+
+@st.composite
+def any_expr(draw):
+    kind = draw(st.integers(0, 3))
+    if kind == 0:
+        return draw(int_expr())
+    if kind == 1:
+        return draw(str_expr())
+    if kind == 2:
+        c, s = draw(bool_expr())
+        # boolean as a value column
+        return (f"CASE WHEN {c} THEN 1 ELSE 0 END", f"CASE WHEN {s} THEN 1 ELSE 0 END")
+    wc, ws = draw(bool_expr())
+    tc, ts = draw(int_expr())
+    ec, es = draw(int_expr())
+    return (
+        f"CASE WHEN {wc} THEN {tc} ELSE {ec} END",
+        f"CASE WHEN {ws} THEN {ts} ELSE {es} END",
+    )
+
+
+@pytest.fixture(scope="module")
+def fuzz_env(spark, duck):
+    from opencyphertranspiler_spark.catalog import get_engine
+
+    return get_engine(spark, SF_DIR), duck
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(exprs=st.lists(any_expr(), min_size=1, max_size=3))
+def test_random_expressions_match_duckdb(fuzz_env, exprs):
+    engine, duck = fuzz_env
+    cy_items = ", ".join(f"{c} AS v{i}" for i, (c, _) in enumerate(exprs))
+    sql_items = ", ".join(f"{s} AS v{i}" for i, (_, s) in enumerate(exprs))
+    actual = engine.cypher(f"MATCH (n:Nation) RETURN {cy_items}").toPandas()
+    expected = duck.sql(f"SELECT {sql_items} FROM nation").df()
+    assert_frames_match(actual, expected)
