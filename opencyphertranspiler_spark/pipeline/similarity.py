@@ -18,6 +18,7 @@ that does the same.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -90,6 +91,46 @@ def cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k with the vectorized Pandas-UDF path.
+
+    Same plan shape as cosine_topk (broadcast queries, scan corpus once),
+    but the dot products run in numpy over Arrow batches instead of
+    interpreted SQL lambdas — the faster choice when the arithmetic
+    dominates (wide embeddings, many queries). Summation order differs
+    from the SQL fold (numpy pairwise), so use cosine_topk where
+    bit-reproducibility against a SQL oracle matters."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        q = np.stack(qv.to_numpy()).astype("float64")
+        c = np.stack(cv.to_numpy()).astype("float64")
+        num = (q * c).sum(axis=1)
+        den = np.linalg.norm(q, axis=1) * np.linalg.norm(c, axis=1)
+        return pd.Series(num / den)
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"))
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("match_id")).withColumn(
+        "cosine", cos(F.col("qv"), F.col("cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
 
 

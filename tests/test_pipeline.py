@@ -67,6 +67,24 @@ def test_cosine_lsh_recall(spark, embs):
     assert recall >= 0.5, f"multiprobe LSH top-5 recall {recall:.2f} too low"
 
 
+def test_cosine_topk_pandas_matches_sql_fold(spark, embs):
+    from opencyphertranspiler_spark.pipeline.similarity import (
+        cosine_topk,
+        cosine_topk_pandas,
+    )
+
+    queries = embs.filter("vec_id < 10")
+    a = {
+        (r.query_id, r.match_id, r.rank)
+        for r in cosine_topk(embs, queries, k=5).collect()
+    }
+    b = {
+        (r.query_id, r.match_id, r.rank)
+        for r in cosine_topk_pandas(embs, queries, k=5).collect()
+    }
+    assert a == b
+
+
 def test_multimodal_features_deterministic(spark, docs):
     from opencyphertranspiler_spark.pipeline.multimodal import (
         FEATURE_DIM,
