@@ -575,6 +575,25 @@ CATALOG += [
         oracle="SELECT DISTINCT c_mktsegment AS seg FROM customer",
         tags=("distinct",),
     ),
+    # ---- mixed-type CASE branches: Cypher unifies to string (reference
+    # folds branch types via the Plus coercion table; the e2e CASE group
+    # exercises mixed branches, SQLRendererTest.cs:405-427) ----
+    CatalogEntry(
+        name="q31_case_mixed_types",
+        cypher="""
+            MATCH (p:Part)
+            RETURN p.p_name AS name,
+                   CASE WHEN p.p_size > 40 THEN 'jumbo'
+                        ELSE p.p_size END AS size_class
+        """,
+        oracle="""
+            SELECT p_name AS name,
+                   CASE WHEN p_size > 40 THEN 'jumbo'
+                        ELSE CAST(p_size AS VARCHAR) END AS size_class
+            FROM part
+        """,
+        tags=("case", "coercion"),
+    ),
 ]
 
 
