@@ -233,7 +233,7 @@ CATALOG: list[CatalogEntry] = [
                    round(p.p_size ^ 2, 1) AS sq
         """,
         oracle="""
-            SELECT p_size AS size, p_size // 3 AS d3, p_size % 4 AS m4,
+            SELECT p_size AS size, CAST(p_size // 3 AS BIGINT) AS d3, p_size % 4 AS m4,
                    round(pow(p_size, 2), 1) AS sq
             FROM part
         """,
@@ -251,7 +251,7 @@ CATALOG: list[CatalogEntry] = [
         """,
         oracle="""
             SELECT upper(c_name) AS up, left(c_name, 8) AS l8,
-                   length(c_name) AS len,
+                   CAST(length(c_name) AS INTEGER) AS len,
                    CASE WHEN position('00' IN c_name) > 0 THEN 1 ELSE 0 END AS has00
             FROM customer WHERE c_name LIKE '%1'
         """,
@@ -424,7 +424,7 @@ CATALOG: list[CatalogEntry] = [
             RETURN r.r_name AS name, x AS x
         """,
         oracle="""
-            SELECT r_name AS name, CAST(x AS BIGINT) AS x
+            SELECT r_name AS name, CAST(x AS INTEGER) AS x
             FROM region CROSS JOIN (SELECT unnest([1, 2, 3]) AS x)
         """,
         tags=("unwind",),
@@ -512,7 +512,7 @@ CATALOG += [
                    toInteger(p.p_retailprice) AS i, toLong(p.p_size) AS l
         """,
         oracle="""
-            SELECT CAST(p_size AS VARCHAR) AS s, CAST(p_size AS FLOAT) / 2 AS f,
+            SELECT CAST(p_size AS VARCHAR) AS s, CAST(CAST(p_size AS FLOAT) / 2 AS DOUBLE) AS f,
                    CAST(trunc(p_retailprice) AS INTEGER) AS i,
                    CAST(p_size AS BIGINT) AS l
             FROM part WHERE p_size < 6
@@ -857,7 +857,8 @@ PIPELINE_CATALOG: list[CatalogEntry] = [
                 FROM embeddings q JOIN embeddings c
                   ON q.vec_id < 20 AND q.vec_id <> c.vec_id
             )
-            SELECT query_id, match_id, round(cosine, 6) AS cosine, rank
+            SELECT query_id, match_id, round(cosine, 6) AS cosine,
+                   CAST(rank AS INTEGER) AS rank
             FROM (SELECT *, row_number() OVER (
                       PARTITION BY query_id
                       ORDER BY cosine DESC, match_id) AS rank

@@ -120,9 +120,27 @@ def load_events(spark: SparkSession, sf_dir: str):
     return df
 
 
+def _normalize_timestamps(df):
+    """Spark 4 reads parquet TIMESTAMP(isAdjustedToUTC=false) as
+    timestamp_ntz; cast to plain timestamp (session TZ is UTC, values
+    unchanged) so result schemas line up with the DuckDB oracle's
+    TIMESTAMP."""
+    for name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(name, F.col(name).cast("timestamp"))
+    return df
+
+
 def tpch_table_registry(spark: SparkSession, sf_dir: str) -> TableRegistry:
     """Base parquet tables plus the ``lineitem_node`` view with the l_id surrogate."""
     reg = parquet_registry(spark, sf_dir, BASE_TABLES)
+    for t in BASE_TABLES:
+        reg.register(
+            t,
+            lambda p=f"{sf_dir}/{t}.parquet": _normalize_timestamps(
+                spark.read.parquet(p)
+            ),
+        )
     reg.register("events", lambda: load_events(spark, sf_dir))
     reg.register(
         "lineitem_node",
