@@ -575,6 +575,22 @@ CATALOG += [
         oracle="SELECT DISTINCT c_mktsegment AS seg FROM customer",
         tags=("distinct",),
     ),
+    # ---- WHERE on an implicit (unprojected) field after a plain WITH:
+    # the reference's scoping rule widens then re-trims the projection
+    # (LogicalPlan.cs:203-288) ----
+    CatalogEntry(
+        name="q32_where_implicit_field",
+        cypher="""
+            MATCH (c:Customer)
+            WITH c.c_name AS name
+            WHERE c.c_acctbal > 5000
+            RETURN name
+        """,
+        oracle="""
+            SELECT c_name AS name FROM customer WHERE c_acctbal > 5000
+        """,
+        tags=("scoping", "where"),
+    ),
     # ---- mixed-type CASE branches: Cypher unifies to string (reference
     # folds branch types via the Plus coercion table; the e2e CASE group
     # exercises mixed branches, SQLRendererTest.cs:405-427) ----
@@ -901,6 +917,27 @@ PIPELINE_CATALOG: list[CatalogEntry] = [
         """,
         bench=True,
         tags=("streaming", "window"),
+    ),
+    CatalogEntry(
+        name="s03_sliding_windows",
+        fn=lambda spark, sf_dir: __import__(
+            "opencyphertranspiler_spark.streaming.windows",
+            fromlist=["sliding_event_stats"],
+        ).sliding_event_stats(_events(spark, sf_dir), "2 hours", "1 hour"),
+        oracle="""
+            -- a 2h window sliding by 1h: each event lands in the buckets
+            -- starting at tb(ts) and tb(ts) - 1h
+            WITH b AS (
+                SELECT time_bucket(INTERVAL '1 hour', ts) - k * INTERVAL '1 hour'
+                           AS window_start,
+                       event_type, value
+                FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+            )
+            SELECT window_start, event_type, count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM b GROUP BY window_start, event_type
+        """,
+        tags=("streaming", "window", "sliding"),
     ),
     CatalogEntry(
         name="s02_sessionize",

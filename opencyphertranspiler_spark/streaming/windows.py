@@ -32,6 +32,24 @@ def windowed_event_stats(df: DataFrame, window: str = "1 hour") -> DataFrame:
     )
 
 
+def sliding_event_stats(
+    df: DataFrame, window: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Sliding-window counts/sums per event_type. F.window with a slide
+    emits one row per (event, overlapping window) — window/slide fan-out
+    happens map-side before the single keyed shuffle."""
+    return (
+        df.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
 def sessionize(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization (batch form): a new session starts when a
     user's inter-event gap exceeds the threshold. Classic lag + running-sum

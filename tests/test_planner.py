@@ -122,6 +122,17 @@ def test_binding_negatives(query):
         plan(query)
 
 
+def test_entity_masking_through_with():
+    # after WITH c AS x, the old alias c is out of scope (entity masking)
+    with pytest.raises(TranspilerBindingError):
+        plan(
+            "MATCH (c:Customer) WITH c AS x RETURN c.c_name AS n"
+        )
+    # and the new alias works
+    p = plan("MATCH (c:Customer) WITH c AS x RETURN x.c_name AS n")
+    assert p is not None
+
+
 def test_same_rel_alias_twice_rejected():
     with pytest.raises(TranspilerNotSupportedError):
         plan(
