@@ -902,6 +902,18 @@ PIPELINE_CATALOG: list[CatalogEntry] = [
         tags=("similarity", "lsh"),
     ),
     CatalogEntry(
+        name="p13_ivf_topk",
+        fn=lambda spark, sf_dir: __import__(
+            "opencyphertranspiler_spark.pipeline.similarity",
+            fromlist=["ivf_topk"],
+        ).ivf_topk(
+            _embs(spark, sf_dir), _embs(spark, sf_dir).filter("vec_id < 20"), k=5
+        ),
+        oracle=None,  # approximate by design; recall vs exact asserted in
+        # tests/test_pipeline.py
+        tags=("similarity", "ivf"),
+    ),
+    CatalogEntry(
         name="p12_multimodal_features",
         fn=_p_multimodal,
         oracle=None,  # mapInPandas decode stub -> rows-only

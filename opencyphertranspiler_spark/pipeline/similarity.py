@@ -134,6 +134,77 @@ def cosine_topk_pandas(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 6,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantizer -> inverted lists ->
+    probe the nprobe nearest cells -> exact re-rank.
+
+    The coarse centroids are n_cells corpus vectors picked deterministically
+    (lowest ids) — real deployments train k-means offline and broadcast the
+    centroids exactly like this closure does. Cell assignment and scoring
+    are vectorized pandas UDFs (numpy over Arrow batches); the candidate
+    join is a plain equi-join on the cell id, so query cost scales with
+    list sizes, not corpus size."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    )
+    cents = np.stack([np.asarray(r[1], dtype="float64") for r in cent_rows])
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    @pandas_udf("int")
+    def assign_cell(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype("float64")
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cents.T, axis=1).astype("int32"))
+
+    @pandas_udf("array<int>")
+    def probe_cells(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype("float64")
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(m @ cents.T), axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(order))
+
+    @pandas_udf("double")
+    def cos(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        q = np.stack(qv.to_numpy()).astype("float64")
+        c = np.stack(cv.to_numpy()).astype("float64")
+        num = (q * c).sum(axis=1)
+        den = np.linalg.norm(q, axis=1) * np.linalg.norm(c, axis=1)
+        return pd.Series(num / den)
+
+    c = corpus.select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cell", assign_cell(F.col("cv")))
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn("cell", F.explode(probe_cells(F.col("qv"))))
+    )
+    scored = (
+        c.join(F.broadcast(q), ["cell"])
+        .filter(F.col("query_id") != F.col("match_id"))
+        .withColumn("cosine", cos(F.col("qv"), F.col("cv")))
+        .select("query_id", "match_id", "cosine")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).round(6).tolist()

@@ -67,6 +67,21 @@ def test_cosine_lsh_recall(spark, embs):
     assert recall >= 0.5, f"multiprobe LSH top-5 recall {recall:.2f} too low"
 
 
+def test_ivf_topk_recall(spark, embs):
+    from opencyphertranspiler_spark.pipeline.similarity import cosine_topk, ivf_topk
+
+    queries = embs.filter("vec_id < 20")
+    exact = {
+        (r.query_id, r.match_id) for r in cosine_topk(embs, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.match_id)
+        for r in ivf_topk(embs, queries, k=5, n_cells=16, nprobe=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF nprobe=6/16 top-5 recall {recall:.2f} too low"
+
+
 def test_cosine_topk_pandas_matches_sql_fold(spark, embs):
     from opencyphertranspiler_spark.pipeline.similarity import (
         cosine_topk,
