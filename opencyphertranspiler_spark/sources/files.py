@@ -56,6 +56,26 @@ def register_json(
     reg.register(name, load)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_by: str,
+    n_buckets: int = 16,
+    sort_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    Two tables bucketed the same way join WITHOUT a shuffle — the physical
+    plan reads co-located buckets directly into the sort-merge join. This
+    is the pre-partitioning strategy for repeatedly-joined 100 TB fact
+    tables; at small scale it simply works via the session catalog."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_by)
+    if sort_by is not None:
+        writer = writer.sortBy(sort_by)
+    writer.saveAsTable(name)
+
+
 def write_table(
     df: DataFrame,
     path: str,

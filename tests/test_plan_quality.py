@@ -70,6 +70,44 @@ def test_dimension_join_is_broadcast(spark, engine):
     assert "BroadcastHashJoin" in plan, "nation-sized dims must broadcast"
 
 
+def test_bucketed_tables_join_without_shuffle(spark, engine):
+    """Same-bucketed tables sort-merge join with no Exchange — the
+    co-located-join strategy for repeatedly-joined big tables."""
+    from opencyphertranspiler_spark.sources.files import write_bucketed_table
+
+    from .conftest import SF_DIR
+
+    import shutil
+
+    for t in ["b_customer", "b_orders"]:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    write_bucketed_table(cust, "b_customer", "c_custkey", 8, sort_by="c_custkey")
+    write_bucketed_table(orders, "b_orders", "c_custkey", 8, sort_by="c_custkey")
+    # force the sort-merge path (small test tables would broadcast) to make
+    # the bucketing effect observable: no shuffle exchange on either side
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_customer").join(spark.table("b_orders"), "c_custkey")
+        joined.collect()
+        executed = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in executed, executed
+        assert "Exchange" not in executed, (
+            f"bucketed join still shuffles:\n{executed}"
+        )
+        assert (
+            joined.count()
+            == spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_whole_stage_codegen_covers_expressions(spark, engine):
     df = engine.cypher(
         """
