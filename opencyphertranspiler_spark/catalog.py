@@ -575,6 +575,31 @@ CATALOG += [
         oracle="SELECT DISTINCT c_mktsegment AS seg FROM customer",
         tags=("distinct",),
     ),
+    # ---- grouping by TWO entities through WITH, then re-aggregating ----
+    CatalogEntry(
+        name="q33_multi_entity_grouping",
+        cypher="""
+            MATCH (c:Customer)-[:PLACED]->(o:Orders)-[:CONTAINS]->(l:Lineitem)
+            WITH c, o, count(l) AS items
+            RETURN o.o_orderpriority AS pri, count(*) AS orders,
+                   round(avg(toFloat(items)), 2) AS avg_items
+        """,
+        oracle=f"""
+            WITH t AS (
+                SELECT c.c_custkey, o.o_orderkey, o.o_orderpriority,
+                       count(*) AS items
+                FROM customer c
+                JOIN orders o ON o.o_custkey = c.c_custkey
+                JOIN {_LN} l ON l.l_orderkey = o.o_orderkey
+                GROUP BY c.c_custkey, o.o_orderkey, o.o_orderpriority
+            )
+            SELECT o_orderpriority AS pri, count(*) AS orders,
+                   round(avg(CAST(items AS FLOAT)), 2) AS avg_items
+            FROM t GROUP BY o_orderpriority
+        """,
+        bench=True,
+        tags=("with", "multi-entity", "agg"),
+    ),
     # ---- WHERE on an implicit (unprojected) field after a plain WITH:
     # the reference's scoping rule widens then re-trims the projection
     # (LogicalPlan.cs:203-288) ----

@@ -33,6 +33,16 @@ MINHASH_COEFFS: list[tuple[int, int]] = [
 ]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a (possibly single-file) input across the cluster's
+    default parallelism so per-row interpreted work parallelizes. No-op
+    cost at scale: inputs that already have many partitions keep them."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def normalized_text(col: str = "text"):
     """Whitespace-collapsed, lower-cased text (the dedup canonical form)."""
     return F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " ")))
@@ -79,7 +89,7 @@ def ngram_jaccard_pairs(
     O(n^2) — correct by construction; use as the verification oracle and for
     small corpora. The scale path is minhash_lsh_pairs (same verify step,
     LSH candidate generation)."""
-    s = df.select(
+    s = _spread(df).select(
         F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
     ).filter(F.size("sh") > 0)
     a, b = s.alias("a"), s.alias("b")
@@ -115,6 +125,10 @@ def minhash_signature_df(
 
     h_i(x) = (a_i * x + b_i) mod M31 over the 31-bit prehash
     x = xxhash64(shingle) mod M31 — products stay within int64 (ANSI-safe)."""
+    # spread docs across cores BEFORE shingling: a small corpus often sits
+    # in one parquet file -> one partition, which would serialize the
+    # (interpreted) shingle transform on a single task
+    df = _spread(df)
     ex = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s")
     ).withColumn("h", F.expr(f"pmod(xxhash64(s), {_MERSENNE}L)"))
@@ -199,7 +213,8 @@ def minhash_lsh_pairs(
     # collisions are negligible), but long-array intersection is much
     # cheaper than string-array intersection
     sh = (
-        df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+        _spread(df)
+        .select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
         .filter(F.size("sh") > 0)
         .select(
             "id",
@@ -249,7 +264,7 @@ def simhash_pairs(
     ).format(c=text_col)
     bits = f"transform({votes}, v -> IF(v > 0, 1L, 0L))"
     s = (
-        df.select(F.col(id_col).alias("id"), F.expr(bits).alias("bits"))
+        _spread(df).select(F.col(id_col).alias("id"), F.expr(bits).alias("bits"))
         .withColumn(
             "bands",
             F.expr(
