@@ -575,6 +575,24 @@ CATALOG += [
         oracle="SELECT DISTINCT c_mktsegment AS seg FROM customer",
         tags=("distinct",),
     ),
+    # ---- the documents table as a graph node (Cypher over text corpora) ----
+    CatalogEntry(
+        name="q34_documents_as_nodes",
+        cypher="""
+            MATCH (d:Document)
+            WHERE d.lang IN ['en', 'de'] AND size(d.text) > 100
+            RETURN d.lang AS lang, d.source AS source, count(*) AS docs,
+                   round(avg(toFloat(d.n_chars)), 2) AS avg_chars
+        """,
+        oracle="""
+            SELECT lang, source, count(*) AS docs,
+                   round(avg(CAST(n_chars AS FLOAT)), 2) AS avg_chars
+            FROM documents
+            WHERE lang IN ('en', 'de') AND length(text) > 100
+            GROUP BY lang, source
+        """,
+        tags=("documents",),
+    ),
     # ---- grouping by TWO entities through WITH, then re-aggregating ----
     CatalogEntry(
         name="q33_multi_entity_grouping",

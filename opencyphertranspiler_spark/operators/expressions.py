@@ -30,7 +30,7 @@ from ..exceptions import (
     TranspilerNotSupportedError,
 )
 from ..functions import compile_aggregate, compile_scalar
-from ..plans.logical import ColRef, EntityRef, Env, ValueRef
+from ..plans.logical import ColRef, EntityRef, Env
 
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 

@@ -17,7 +17,6 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from ..cypher import ast as A
-from ..exceptions import TranspilerInternalError
 from ..schema import EdgeSchema, NodeSchema
 
 
@@ -268,8 +267,3 @@ def all_columns(env: Env) -> list[str]:
             if c not in cols:
                 cols.append(c)
     return cols
-
-
-def ensure(cond: bool, msg: str) -> None:
-    if not cond:
-        raise TranspilerInternalError(msg)

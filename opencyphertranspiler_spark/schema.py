@@ -13,7 +13,7 @@ table name -> DataFrame supplied by a :class:`~.sources.registry.TableRegistry`.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from .exceptions import TranspilerBindingError
 

@@ -9,8 +9,6 @@ results — the round-trip a pipeline needs (query -> curated table).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 from .registry import TableRegistry

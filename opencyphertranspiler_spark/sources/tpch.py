@@ -68,6 +68,12 @@ def tpch_graph_schema() -> GraphSchema:
             ),
         ),
         NodeSchema(
+            "Document",
+            "documents",
+            "doc_id",
+            (P("text"), P("lang"), P("source"), P("n_chars", "long")),
+        ),
+        NodeSchema(
             "Lineitem",
             "lineitem_node",
             "l_id",
