@@ -92,7 +92,12 @@ class ExprCompiler:
         if isinstance(expr, A.Binary):
             return self._binary(expr)
         if isinstance(expr, A.FuncCall):
-            return compile_scalar(expr.name, [self.compile(a) for a in expr.args])
+            args = [self.compile(a) for a in expr.args]
+            if expr.name == "size" and args:
+                # Cypher size() is overloaded: list length vs string length
+                if isinstance(self._types(expr.args[0], args[0]), T.ArrayType):
+                    return F.size(args[0])
+            return compile_scalar(expr.name, args)
         if isinstance(expr, A.AggCall):
             return self._aggregate(expr)
         if isinstance(expr, A.CaseExpr):

@@ -275,6 +275,25 @@ def test_variable_length_negatives(movie_engine):
         )
 
 
+def test_size_on_collected_list(movie_engine):
+    # size() is overloaded: list length after collect(), string length else
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
+        WITH m, collect(p.Name) AS cast_names
+        RETURN m.Title AS title, size(cast_names) AS n_cast,
+               size(m.Title) AS title_len
+        """
+    )
+    got = {(r.title, r.n_cast) for r in df.collect()}
+    assert got == {
+        ("Sleepless in Seattle", 2),
+        ("You've Got Mail", 2),
+        ("Apollo 13", 2),
+    }
+    assert all(r.title_len == len(r.title) for r in df.collect())
+
+
 def test_query_parameters(movie_engine):
     # extension: $params bound at compile time (reference rejects them)
     df = movie_engine.cypher(
