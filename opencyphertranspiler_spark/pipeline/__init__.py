@@ -1,3 +1,3 @@
-from . import dedup, multimodal, similarity, text
+from . import dedup, multimodal, similarity, sketches, skew, text
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "multimodal", "similarity", "sketches", "skew", "text"]

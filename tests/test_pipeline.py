@@ -67,6 +67,45 @@ def test_cosine_lsh_recall(spark, embs):
     assert recall >= 0.5, f"multiprobe LSH top-5 recall {recall:.2f} too low"
 
 
+def test_sketches_error_bounds(spark):
+    from opencyphertranspiler_spark.pipeline.sketches import (
+        approx_distinct,
+        approx_quantiles,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    exact = {
+        (r.l_returnflag, r.n)
+        for r in li.groupBy("l_returnflag")
+        .agg(__import__("pyspark.sql.functions", fromlist=["countDistinct"])
+             .countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    approx = {
+        r.l_returnflag: r.approx_ndv_l_partkey
+        for r in approx_distinct(li, ["l_returnflag"], "l_partkey").collect()
+    }
+    for flag, n in exact:
+        rel_err = abs(approx[flag] - n) / n
+        assert rel_err < 0.1, f"{flag}: approx {approx[flag]} vs exact {n}"
+
+    qs = {
+        r.l_returnflag: r.approx_q_l_extendedprice
+        for r in approx_quantiles(
+            li, ["l_returnflag"], "l_extendedprice", [0.5]
+        ).collect()
+    }
+    import numpy as np
+
+    for flag in qs:
+        vals = [
+            r.l_extendedprice
+            for r in li.filter(f"l_returnflag = '{flag}'").collect()
+        ]
+        true_med = float(np.median(vals))
+        assert abs(qs[flag][0] - true_med) / true_med < 0.05
+
+
 def test_ivf_topk_recall(spark, embs):
     from opencyphertranspiler_spark.pipeline.similarity import cosine_topk, ivf_topk
 
