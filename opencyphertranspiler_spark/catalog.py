@@ -575,6 +575,43 @@ CATALOG += [
         oracle="SELECT DISTINCT c_mktsegment AS seg FROM customer",
         tags=("distinct",),
     ),
+    # ---- HAVING-style: WHERE on an aggregate alias after WITH ----
+    CatalogEntry(
+        name="q35_having_on_aggregate",
+        cypher="""
+            MATCH (c:Customer)-[:PLACED]->(o:Orders)
+            WITH c.c_name AS name, count(o) AS n
+            WHERE n >= 10
+            RETURN name, n
+        """,
+        oracle="""
+            SELECT c.c_name AS name, count(o.o_orderkey) AS n
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_name HAVING count(o.o_orderkey) >= 10
+        """,
+        tags=("with", "having"),
+    ),
+    # ---- two sequential OPTIONAL MATCHes from the same anchor ----
+    CatalogEntry(
+        name="q36_chained_optional",
+        cypher="""
+            MATCH (n:Nation)
+            OPTIONAL MATCH (n)<-[:FROM_NATION]-(c:Customer)
+            OPTIONAL MATCH (n)<-[:FROM_NATION]-(s:Supplier)
+            RETURN n.n_name AS nation, count(DISTINCT c) AS customers,
+                   count(DISTINCT s) AS suppliers
+        """,
+        oracle="""
+            SELECT n.n_name AS nation,
+                   count(DISTINCT c.c_custkey) AS customers,
+                   count(DISTINCT s.s_suppkey) AS suppliers
+            FROM nation n
+            LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+            LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        tags=("optional-match", "chained"),
+    ),
     # ---- the documents table as a graph node (Cypher over text corpora) ----
     CatalogEntry(
         name="q34_documents_as_nodes",
