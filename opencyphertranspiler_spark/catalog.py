@@ -454,7 +454,7 @@ CATALOG: list[CatalogEntry] = [
             SELECT count(*) AS n FROM customer
             WHERE (((c_mktsegment = 'BUILDING') AND NOT (c_acctbal > 5000))
                    OR (NOT (c_mktsegment = 'BUILDING') AND (c_acctbal > 5000)))
-              AND regexp_matches(c_name, '.*[13579]$')
+              AND regexp_full_match(c_name, '.*[13579]$')
         """,
         tags=("operators", "regex"),
     ),
@@ -502,19 +502,23 @@ CATALOG += [
         """,
         tags=("with", "chained-match"),
     ),
-    # ---- cast library (toString/toFloat/toInteger/toLong) ----
+    # ---- full cast library (all six casts, reference SQLRendererTest.cs:616-640) ----
     CatalogEntry(
         name="q26_casts",
         cypher="""
             MATCH (p:Part)
             WHERE p.p_size < 6
             RETURN toString(p.p_size) AS s, toFloat(p.p_size) / 2 AS f,
-                   toInteger(p.p_retailprice) AS i, toLong(p.p_size) AS l
+                   toInteger(p.p_retailprice) AS i, toLong(p.p_size) AS l,
+                   toDouble(p.p_retailprice) AS d,
+                   toBoolean(toString(p.p_size > 3)) AS b
         """,
         oracle="""
             SELECT CAST(p_size AS VARCHAR) AS s, CAST(CAST(p_size AS FLOAT) / 2 AS DOUBLE) AS f,
-                   CAST(trunc(p_retailprice) AS INTEGER) AS i,
-                   CAST(p_size AS BIGINT) AS l
+                   CAST(trunc(p_retailprice) AS BIGINT) AS i,
+                   CAST(p_size AS BIGINT) AS l,
+                   CAST(p_retailprice AS DOUBLE) AS d,
+                   CAST(CAST(p_size > 3 AS VARCHAR) AS BOOLEAN) AS b
             FROM part WHERE p_size < 6
         """,
         tags=("casts",),

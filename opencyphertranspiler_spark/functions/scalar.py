@@ -5,8 +5,9 @@ JVM-side, whole-stage-codegen friendly; no Python UDFs.
 
 Note: the reference declares toDouble -> long? / toLong -> double? return
 types (a bug, QueryExpressionFunction.cs:53-56); we implement the correct
-casts. ``=~`` is true regex here (F.rlike), unlike the reference's PATINDEX
-substring hack (SQLRenderer.cs:50) — we follow openCypher semantics.
+casts. ``=~`` is true regex anchored to the ENTIRE string (openCypher
+semantics), unlike the reference's PATINDEX substring hack
+(SQLRenderer.cs:50).
 """
 
 from __future__ import annotations
@@ -43,7 +44,9 @@ def compile_scalar(name: str, args: list[Column]) -> Column:
         return args[0].cast("boolean")
     if name == "tointeger":
         _arity(name, args, 1)
-        return args[0].cast("int")
+        # openCypher integers are 64-bit; a 32-bit cast would overflow-throw
+        # under Spark 4 ANSI mode on long surrogate keys (e.g. l_id)
+        return args[0].cast("long")
     if name == "tolong":
         _arity(name, args, 1)
         return args[0].cast("long")

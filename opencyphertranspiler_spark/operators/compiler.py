@@ -30,7 +30,7 @@ from ..plans.logical import (
     ValueRef,
 )
 from ..sources.registry import TableRegistry
-from .expressions import ExprCompiler
+from .expressions import ExprCompiler, qcol
 
 
 class Compiler:
@@ -102,7 +102,12 @@ class Compiler:
             sort_cols = []
             for s in op.order_by:
                 c = ec.compile(s.expr)
-                sort_cols.append(c.asc() if s.ascending else c.desc())
+                # openCypher null ordering: nulls LAST ascending, FIRST
+                # descending (opposite of Spark's default) — also matches
+                # the DuckDB oracle's default NULLS LAST for ASC
+                sort_cols.append(
+                    c.asc_nulls_last() if s.ascending else c.desc_nulls_first()
+                )
             df = df.orderBy(*sort_cols)
         if op.skip is not None:
             df = df.offset(op.skip)
@@ -149,7 +154,7 @@ class Compiler:
                 df = in_df.groupBy(*group_cols).agg(*agg_cols)
             else:
                 df = in_df.agg(*agg_cols)
-            df = df.select(*out_cols)
+            df = df.select(*[qcol(c) for c in out_cols])
             if op.distinct:
                 df = df.distinct()
             return df
@@ -170,7 +175,7 @@ class Compiler:
                     continue
                 for c in ref.columns():
                     if c not in seen:
-                        select_cols.append(F.col(c))
+                        select_cols.append(qcol(c))
                         seen.add(c)
         df = in_df.select(*select_cols)
         if op.distinct:
@@ -184,7 +189,7 @@ class Compiler:
             for c in op.env[alias].columns():
                 if c not in cols:
                     cols.append(c)
-        return df.select(*cols)
+        return df.select(*[qcol(c) for c in cols])
 
     # -- set ------------------------------------------------------------------
     def _set(self, op: SetOp) -> DataFrame:

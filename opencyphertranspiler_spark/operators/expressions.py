@@ -35,6 +35,13 @@ from ..plans.logical import ColRef, EntityRef, Env
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
+def qcol(name: str) -> Column:
+    """Column reference by exact name. Implicit projection aliases can
+    contain a dot (``a.name``); backtick-quoting stops Spark from parsing
+    it as a nested-field access."""
+    return F.col(f"`{name}`")
+
+
 class ExprCompiler:
     """Compiles expressions against an environment + input DataFrame."""
 
@@ -59,7 +66,7 @@ class ExprCompiler:
     # -- entry ----------------------------------------------------------------
     def compile(self, expr: A.Expr) -> Column:
         if isinstance(expr, ColRef):
-            return F.col(expr.col)
+            return qcol(expr.col)
         if isinstance(expr, A.Parameter):
             v = self._param(expr.name)
             return F.array(*[F.lit(i) for i in v]) if isinstance(v, list) else F.lit(v)
@@ -74,7 +81,7 @@ class ExprCompiler:
                     f"Entity '{expr.name}' cannot be used as a value; "
                     "reference a property or aggregate it"
                 )
-            return F.col(ref.col)
+            return qcol(ref.col)
         if isinstance(expr, A.Property):
             ref = self._ref(expr.alias)
             if not isinstance(ref, EntityRef):
@@ -86,7 +93,7 @@ class ExprCompiler:
                 raise TranspilerBindingError(
                     f"Property '{expr.prop}' is not defined on '{expr.alias}'"
                 )
-            return F.col(ref.col(expr.prop))
+            return qcol(ref.col(expr.prop))
         if isinstance(expr, A.Unary):
             return self._unary(expr)
         if isinstance(expr, A.Binary):
@@ -157,7 +164,9 @@ class ExprCompiler:
         if op == A.BinaryOp.GE:
             return l >= r
         if op == A.BinaryOp.REGMATCH:
-            return F.regexp_like(l, r)
+            # openCypher '=~' matches the ENTIRE string; regexp_like is
+            # find-anywhere, so anchor the pattern in a non-capturing group
+            return F.regexp_like(l, F.concat(F.lit("^(?:"), r, F.lit(")$")))
         if op == A.BinaryOp.PLUS:
             lt, rt = self._types(expr.left, l), self._types(expr.right, r)
             if isinstance(lt, T.StringType) or isinstance(rt, T.StringType):
@@ -202,7 +211,7 @@ class ExprCompiler:
         if isinstance(expr.arg, A.Variable):
             ref = self._ref(expr.arg.name)
             if isinstance(ref, EntityRef):
-                keys = [F.col(c) for c in ref.key_cols()]
+                keys = [qcol(c) for c in ref.key_cols()]
                 return compile_aggregate(
                     expr.name, None, expr.distinct, extras, entity_keys=keys
                 )

@@ -615,9 +615,9 @@ class _SingleQueryPlanner:
             output_aliases=[a for a, _ in clause.items],
             env=proj_env,
         )
-        if clause.where is not None:
-            validate_expr(clause.where, op.env)
-            op = SelectionOp(op, predicate=clause.where, env=dict(op.env))
+        # subclause order matches the reference (LogicalPlanner/LogicalPlan.cs:
+        # 255-267): ORDER BY + SKIP/LIMIT are applied FIRST, the WHERE filter
+        # on top — so `WITH x ORDER BY x LIMIT 5 WHERE x > 2` limits then filters
         if clause.order_by or clause.skip is not None or clause.limit is not None:
             for s in clause.order_by:
                 validate_expr(s.expr, op.env)
@@ -633,6 +633,9 @@ class _SingleQueryPlanner:
                 limit=clause.limit,
                 env=dict(op.env),
             )
+        if clause.where is not None:
+            validate_expr(clause.where, op.env)
+            op = SelectionOp(op, predicate=clause.where, env=dict(op.env))
         if carry:
             op = TrimOp(op, [a for a, _ in clause.items], env=out_env)
         return op

@@ -1,0 +1,79 @@
+"""Regression tests for openCypher semantic fixes flagged in round-1 review:
+WITH subclause ordering, anchored `=~`, null sort ordering, 64-bit
+toInteger, and dotted implicit projection aliases."""
+
+from __future__ import annotations
+
+
+def rows(engine, q, col):
+    return [r[col] for r in engine.cypher(q).collect()]
+
+
+def test_with_orders_and_limits_before_where(engine):
+    # reference LogicalPlan.cs:255-267: ORDER BY/SKIP/LIMIT first, WHERE after.
+    # Limit-then-filter gives [1, 2]; filter-then-limit would give [1, 2, 3].
+    q = """
+        MATCH (r:Region)
+        WITH r.r_regionkey AS k ORDER BY k LIMIT 3 WHERE k > 0
+        RETURN k ORDER BY k
+    """
+    assert rows(engine, q, "k") == [1, 2]
+
+
+def test_with_skip_applies_before_where(engine):
+    # keys 0..4 -> ORDER BY k SKIP 2 = [2, 3, 4] -> WHERE k <> 3 = [2, 4]
+    q = """
+        MATCH (r:Region)
+        WITH r.r_regionkey AS k ORDER BY k SKIP 2 WHERE k <> 3
+        RETURN k ORDER BY k
+    """
+    assert rows(engine, q, "k") == [2, 4]
+
+
+def test_regex_matches_entire_string(engine):
+    # '=~' must match the ENTIRE string: every c_name contains digits, but
+    # no c_name IS a digit run, so the anchored pattern matches nothing
+    q = """
+        MATCH (c:Customer) WHERE c.c_name =~ '[0-9]+'
+        RETURN count(*) AS n
+    """
+    assert rows(engine, q, "n") == [0]
+    q2 = """
+        MATCH (c:Customer) WHERE c.c_name =~ 'Customer#[0-9]+'
+        RETURN count(*) AS n
+    """
+    assert rows(engine, q2, "n")[0] > 0
+
+
+def test_order_by_nulls_last_asc_first_desc(engine):
+    q = """
+        MATCH (r:Region)
+        WITH CASE WHEN r.r_regionkey = 2 THEN null ELSE r.r_regionkey END AS k
+        RETURN k ORDER BY k
+    """
+    assert rows(engine, q, "k") == [0, 1, 3, 4, None]
+    q_desc = q.replace("ORDER BY k", "ORDER BY k DESC")
+    assert rows(engine, q_desc, "k") == [None, 4, 3, 1, 0]
+
+
+def test_tointeger_is_64_bit(engine):
+    # l_id surrogates exceed 2^31; a 32-bit cast would throw under ANSI mode
+    q = """
+        MATCH ()-[l:CONTAINS]->()
+        RETURN max(toInteger(l.l_id * 1000000)) AS big
+    """
+    (big,) = rows(engine, q, "big")
+    assert big > 2**31
+
+
+def test_dotted_implicit_alias_roundtrip(engine):
+    # RETURN r.r_name with no AS produces the column literally named
+    # 'r.r_name'; ORDER BY forces a carry + trim over that dotted name
+    q = """
+        MATCH (r:Region)
+        RETURN r.r_name ORDER BY r.r_name LIMIT 2
+    """
+    df = engine.cypher(q)
+    assert df.columns == ["r.r_name"]
+    got = [r["r.r_name"] for r in df.collect()]
+    assert got == sorted(got) and len(got) == 2
