@@ -35,10 +35,19 @@ MINHASH_COEFFS: list[tuple[int, int]] = [
 
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition a (possibly single-file) input across the cluster's
-    default parallelism so per-row interpreted work parallelizes. No-op
-    cost at scale: inputs that already have many partitions keep them."""
+    default parallelism so per-row interpreted work parallelizes.
+
+    The heuristic reads the scan's file list (metadata only) instead of
+    probing df.rdd.getNumPartitions(): constructing the RDD lineage forces
+    plan conversion and defeats AQE coalescing on that edge. Inputs backed
+    by many files (the 100 TB case) — or by no file scan at all — pass
+    through untouched."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        few_files = 0 < len(df.inputFiles()) < target
+    except Exception:
+        few_files = False
+    if few_files:
         return df.repartition(target)
     return df
 
@@ -151,6 +160,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_hashes: int = 64,
     bands: int = 8,
+    staging_dir: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified with true
     n-gram Jaccard (so precision is exact; recall ~ 1-(1-t^r)^b — with the
@@ -163,12 +173,24 @@ def minhash_lsh_pairs(
     signature table; estimated J = fraction of agreeing minhashes) ->
     exact n-gram Jaccard verify on the survivors only. No cross join; the
     interpreted array-intersection work runs on a tiny survivor set even
-    when a template-heavy corpus floods the band buckets."""
+    when a template-heavy corpus floods the band buckets.
+
+    Reused-subtree discipline: the signature table is referenced three
+    times and the hashed-shingle table twice. With ``staging_dir`` set they
+    are written to parquet and read back (the 100 TB pattern — no executor
+    cache at all); otherwise they are persisted for the duration of the
+    call, the (tiny) verified result is materialized eagerly, and both
+    input caches are released before returning — no corpus-sized blocks
+    outlive the operator."""
+
+    def _stage(frame: DataFrame, name: str) -> DataFrame:
+        path = f"{staging_dir}/{name}"
+        frame.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
     rows = num_hashes // bands
-    # the signature subtree is referenced three times (banding + both sides
-    # of the prefilter join); persist so it is computed once. At 100 TB the
-    # equivalent is writing signatures to a staging table.
-    sig = minhash_signature_df(df, id_col, text_col, n, num_hashes).persist()
+    sig = minhash_signature_df(df, id_col, text_col, n, num_hashes)
+    sig = _stage(sig, "signatures") if staging_dir else sig.persist()
     # band hash = hash(r consecutive signature columns); explode to
     # (id, band, bh) rows — all codegen'd projections + one generator
     band_structs = [
@@ -222,8 +244,8 @@ def minhash_lsh_pairs(
                 "shh"
             ),
         )
-        .persist()
     )
+    sh = _stage(sh, "shingle_hashes") if staging_dir else sh.persist()
     verified = (
         prefiltered.join(sh.alias("sha"), F.col("id_a") == F.col("sha.id"))
         .join(sh.alias("shb"), F.col("id_b") == F.col("shb.id"))
@@ -242,6 +264,12 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    if staging_dir is None:
+        # materialize the (tiny) result once, then release the two
+        # corpus-sized input caches before handing the frame back
+        verified = verified.localCheckpoint(eager=True)
+        sig.unpersist()
+        sh.unpersist()
     return verified
 
 
@@ -250,18 +278,25 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_hash: str = "xxhash64({t})",
 ) -> DataFrame:
     """Near-duplicate pairs by 64-bit SimHash with banded blocking.
 
     Pigeonhole: any pair within hamming distance 3 agrees exactly on at
     least one of the 4 16-bit bands, so the blocking join has full recall
-    for max_hamming <= 3. Verification computes the true bit distance."""
+    for max_hamming <= 3. Verification computes the true bit distance.
+
+    ``token_hash`` is a SQL template for the per-token 64-bit hash
+    (``{t}`` = token). The default xxhash64 is the production path; the
+    driver gate passes an md5-derived hash so a DuckDB oracle can recompute
+    the identical simhash from the same text."""
+    token_h = token_hash.format(t="t")
     votes = (
         "aggregate(filter(split(lower({c}), '\\\\s+'), t -> t <> ''), "
         "array_repeat(0L, 64), (acc, t) -> zip_with(acc, "
         "transform(sequence(0, 63), b -> "
-        "IF(((xxhash64(t) >> b) & 1) = 1, 1L, -1L)), (x, y) -> x + y))"
-    ).format(c=text_col)
+        "IF((({h} >> b) & 1) = 1, 1L, -1L)), (x, y) -> x + y))"
+    ).format(c=text_col, h=token_h)
     bits = f"transform({votes}, v -> IF(v > 0, 1L, 0L))"
     s = (
         _spread(df).select(F.col(id_col).alias("id"), F.expr(bits).alias("bits"))

@@ -43,6 +43,37 @@ def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame
     return df.withColumn(out, _dot(a, b) / (_norm(a) * _norm(b)))
 
 
+def _global_topk(scored: DataFrame, k: int, two_phase: bool = True) -> DataFrame:
+    """Per-query top-k of a (query_id, match_id, cosine) relation.
+
+    A single Window.partitionBy(query_id) would shuffle EVERY scored row
+    into at most n_queries tasks — with few queries over a huge corpus
+    that is a handful of tasks each sorting ~corpus-size data. Phase 1
+    therefore ranks within (query_id, input partition): same total shuffle
+    volume but spread over n_queries * n_partitions keys, and only
+    k survivors per (query, partition) reach the tiny global phase-2
+    window. The (cosine DESC, match_id ASC) total order makes the final
+    top-k independent of partitioning."""
+    if two_phase:
+        w_local = Window.partitionBy("query_id", "__part").orderBy(
+            F.col("cosine").desc(), F.col("match_id").asc()
+        )
+        scored = (
+            scored.withColumn("__part", F.spark_partition_id())
+            .withColumn("__lr", F.row_number().over(w_local))
+            .filter(F.col("__lr") <= k)
+            .drop("__part", "__lr")
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -53,7 +84,8 @@ def cosine_topk(
     """Exact top-k by cosine for each query vector (excluding self-matches).
 
     The query side is broadcast — the corpus is scanned once with no
-    shuffle; ranking shuffles only (n_queries * corpus) survivors."""
+    shuffle; ranking pre-reduces to k rows per (query, partition) before
+    the global per-query window (see _global_topk)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
@@ -61,15 +93,9 @@ def cosine_topk(
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("match_id"))
         .withColumn("cosine", _dot("qv", "cv") / (_norm("qv") * _norm("cv")))
+        .select("query_id", "match_id", "cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("match_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "match_id", F.round("cosine", 6).alias("cosine"), "rank")
-    )
+    return _global_topk(scored, k)
 
 
 def cosine_pairs(
@@ -121,17 +147,69 @@ def cosine_topk_pandas(
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"))
-    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("match_id")).withColumn(
-        "cosine", cos(F.col("qv"), F.col("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("match_id"))
+        .withColumn("cosine", cos(F.col("qv"), F.col("cv")))
+        .select("query_id", "match_id", "cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("match_id").asc()
+    return _global_topk(scored, k)
+
+
+def _assign_cell_udf(cents: np.ndarray):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def assign_cell(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype("float64")
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cents.T, axis=1).astype("int32"))
+
+    return assign_cell
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained with distributed
+    DataFrame aggregations.
+
+    Init = the n_cells lowest-id corpus vectors (deterministic); each
+    iteration assigns every vector to its max-cosine centroid (vectorized
+    pandas UDF over the broadcast centroid matrix) and recomputes centroids
+    as the per-cell per-dimension mean via posexplode + groupBy — one
+    shuffle of n_cells * dim partial aggregates per iteration, map-side
+    combined. At 100 TB you run this on a corpus sample (FAISS-style);
+    the aggregation shape is identical. Empty cells keep their previous
+    centroid. Centroids are L2-normalized so argmax-dot == argmax-cosine."""
+    cent_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "match_id", F.round("cosine", 6).alias("cosine"), "rank")
-    )
+    cents = np.stack([np.asarray(r[1], dtype="float64") for r in cent_rows])
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    for _ in range(iters):
+        assigned = corpus.select(
+            _assign_cell_udf(cents)(F.col(vec_col)).alias("cell"),
+            F.posexplode(vec_col).alias("pos", "x"),
+        )
+        means = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new = cents.copy()
+        by_cell: dict[int, np.ndarray] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], np.zeros(cents.shape[1]))[r["pos"]] = r["m"]
+        for cell, vec in by_cell.items():
+            n = np.linalg.norm(vec)
+            if n > 0:
+                new[cell] = vec / n
+        cents = new
+    return cents
 
 
 def ivf_topk(
@@ -142,29 +220,20 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_cells: int = 16,
     nprobe: int = 6,
+    train_iters: int = 3,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse quantizer -> inverted lists ->
     probe the nprobe nearest cells -> exact re-rank.
 
-    The coarse centroids are n_cells corpus vectors picked deterministically
-    (lowest ids) — real deployments train k-means offline and broadcast the
-    centroids exactly like this closure does. Cell assignment and scoring
-    are vectorized pandas UDFs (numpy over Arrow batches); the candidate
-    join is a plain equi-join on the cell id, so query cost scales with
-    list sizes, not corpus size."""
+    The coarse centroids come from train_ivf_centroids (distributed
+    spherical k-means; train_iters=0 falls back to the raw lowest-id
+    seeds). Cell assignment and scoring are vectorized pandas UDFs (numpy
+    over Arrow batches); the candidate join is a plain equi-join on the
+    cell id, so query cost scales with list sizes, not corpus size."""
     from pyspark.sql.functions import pandas_udf
 
-    cent_rows = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
-    )
-    cents = np.stack([np.asarray(r[1], dtype="float64") for r in cent_rows])
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-
-    @pandas_udf("int")
-    def assign_cell(v: pd.Series) -> pd.Series:
-        m = np.stack(v.to_numpy()).astype("float64")
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(m @ cents.T, axis=1).astype("int32"))
+    cents = train_ivf_centroids(corpus, n_cells, train_iters, id_col, vec_col)
+    assign_cell = _assign_cell_udf(cents)
 
     @pandas_udf("array<int>")
     def probe_cells(v: pd.Series) -> pd.Series:
@@ -195,14 +264,8 @@ def ivf_topk(
         .select("query_id", "match_id", "cosine")
         .distinct()
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("match_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "match_id", F.round("cosine", 6).alias("cosine"), "rank")
-    )
+    # candidates are already bucket-pruned; a single per-query window is fine
+    return _global_topk(scored, k, two_phase=False)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -289,11 +352,5 @@ def cosine_lsh_topk(
         .withColumn("cosine", _dot("qv", "cv") / (_norm("qv") * _norm("cv")))
         .select("query_id", "match_id", "cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("match_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "match_id", F.round("cosine", 6).alias("cosine"), "rank")
-    )
+    # candidates are already bucket-pruned; a single per-query window is fine
+    return _global_topk(scored, k, two_phase=False)

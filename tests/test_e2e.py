@@ -26,3 +26,11 @@ def test_catalog_rows_only(entry, spark):
     df = run_entry(entry, spark, SF_DIR)
     assert df.count() >= 0  # runs, stable schema
     assert len(df.schema) > 0
+
+
+def test_catalog_fits_driver_gate():
+    # the driver records at most 50 entries per round (observed in round 1:
+    # 52 in the catalog -> the last 2 got no CORRECTNESS row). Keep exactly
+    # <= 50 so every operator gets a gate verdict; merge entries rather
+    # than append past the cap.
+    assert len(CATALOG) <= 50

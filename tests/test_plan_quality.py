@@ -123,3 +123,22 @@ def test_whole_stage_codegen_covers_expressions(spark, engine):
     assert "*(" in executed, "expressions fell out of whole-stage codegen"
     plan = formatted_plan(spark, df)
     assert "In(l_returnflag, [A,R])" in plan, "IN filter must push to the scan"
+
+
+def test_cosine_topk_prereduces_before_global_window(spark):
+    """The scored (corpus x queries) relation must NOT be globally sorted
+    into n_queries partitions: phase 1 windows over (query_id, partition),
+    so only k rows per (query, partition) reach the per-query window."""
+    from opencyphertranspiler_spark.pipeline.similarity import cosine_topk
+
+    embs = spark.read.parquet(
+        __import__("tests.conftest", fromlist=["SF_DIR"]).SF_DIR
+        + "/embeddings.parquet"
+    )
+    df = cosine_topk(embs, embs.filter("vec_id < 5"), k=5)
+    plan = formatted_plan(spark, df)
+    # two ranking phases...
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
+    # ...the inner one partitioned by BOTH query_id and the physical
+    # partition id -> never a handful of giant sort tasks
+    assert re.search(r"hashpartitioning\(query_id#\d+L?, __part#\d+", plan), plan
