@@ -76,7 +76,12 @@ def exact_duplicates(
 
 
 def shingles(col: str, n: int = 3, distinct: bool = True):
-    """Character n-gram shingle array (empty when the text is too short)."""
+    """Character n-gram shingle array (empty when the text is too short).
+
+    Array form — used by the exhaustive Jaccard baseline. The scale paths
+    (minhash signature + verify) use shingle_hashes instead: higher-order
+    array lambdas like this transform are CodegenFallback (interpreted,
+    ~100x slower), fine for a verification oracle but not for hot paths."""
     body = (
         f"transform(sequence(1, length({col}) - {n - 1}), i -> substring({col}, i, {n}))"
     )
@@ -84,6 +89,29 @@ def shingles(col: str, n: int = 3, distinct: bool = True):
     if distinct:
         expr = f"array_distinct({expr})"
     return F.expr(expr)
+
+
+def shingle_hashes(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, h) rows: 31-bit-hashed character n-gram at every position.
+
+    Fully whole-stage-codegen: explode a positions sequence, then
+    substring + xxhash64 as plain column expressions — no interpreted
+    array lambdas. Duplicate shingles are KEPT (harmless for minhash MIN;
+    dedup with collect_set where set semantics matter)."""
+    positions = (
+        f"CASE WHEN length({text_col}) >= {n} "
+        f"THEN sequence(1, length({text_col}) - {n - 1}) ELSE array() END"
+    )
+    return _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.expr(positions)).alias("i"),
+        F.col(text_col).alias("__t"),
+    ).select(
+        "id",
+        F.expr(f"pmod(xxhash64(substring(__t, i, {n})), {_MERSENNE}L)").alias("h"),
+    )
 
 
 def ngram_jaccard_pairs(
@@ -121,7 +149,7 @@ def minhash_signature_df(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    num_hashes: int = 64,
+    num_hashes: int = 32,
 ) -> DataFrame:
     """(id, mh0..mh{k-1}) MinHash signature columns.
 
@@ -134,13 +162,7 @@ def minhash_signature_df(
 
     h_i(x) = (a_i * x + b_i) mod M31 over the 31-bit prehash
     x = xxhash64(shingle) mod M31 — products stay within int64 (ANSI-safe)."""
-    # spread docs across cores BEFORE shingling: a small corpus often sits
-    # in one parquet file -> one partition, which would serialize the
-    # (interpreted) shingle transform on a single task
-    df = _spread(df)
-    ex = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("s")
-    ).withColumn("h", F.expr(f"pmod(xxhash64(s), {_MERSENNE}L)"))
+    ex = shingle_hashes(df, id_col, text_col, n)
     hash_cols = [
         F.expr(f"pmod({a}L * h + {b}L, {_MERSENNE}L)").alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
@@ -158,13 +180,17 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    num_hashes: int = 64,
+    num_hashes: int = 32,
     bands: int = 8,
     staging_dir: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified with true
-    n-gram Jaccard (so precision is exact; recall ~ 1-(1-t^r)^b — with the
-    default 8 bands x 8 rows, >= 0.998 per pair at J >= 0.93).
+    n-gram Jaccard (so precision is exact; recall ~ 1-(1-t^r)^b — the
+    default 8 bands x 4 rows misses a pair sitting exactly AT J = 0.8
+    w.p. ~1.5% and is effectively exhaustive above it; shorter rows both
+    RAISE recall at the threshold and halve signature codegen + shuffle
+    width vs 8x8, at the price of more — cheaply prefiltered — band
+    collisions).
 
     Plan shape (scale-critical): signature via explode + partial-agg
     (codegen, see minhash_signature_df) -> explode to (band, band_hash) ->
@@ -232,18 +258,14 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verify over HASHED shingle sets: same Jaccard (xxhash64
-    # collisions are negligible), but long-array intersection is much
-    # cheaper than string-array intersection
+    # collisions are negligible), but long-set intersection is much
+    # cheaper than string-array intersection. collect_set both dedups
+    # (Jaccard is over distinct shingles) and keeps the whole path in
+    # codegen — no interpreted array transform
     sh = (
-        _spread(df)
-        .select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select(
-            "id",
-            F.expr(f"transform(sh, s -> pmod(xxhash64(s), {_MERSENNE}L))").alias(
-                "shh"
-            ),
-        )
+        shingle_hashes(df, id_col, text_col, n)
+        .groupBy("id")
+        .agg(F.collect_set("h").alias("shh"))
     )
     sh = _stage(sh, "shingle_hashes") if staging_dir else sh.persist()
     verified = (
