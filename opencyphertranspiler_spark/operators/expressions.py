@@ -145,6 +145,7 @@ class ExprCompiler:
                 )
             return F.array_contains(self.compile(expr.right), left)
         l, r = self.compile(expr.left), self.compile(expr.right)
+        self._check_binary_types(expr, l, r)
         if op == A.BinaryOp.AND:
             return l & r
         if op == A.BinaryOp.OR:
@@ -187,6 +188,65 @@ class ExprCompiler:
         if op == A.BinaryOp.POW:
             return F.pow(l, r)
         raise TranspilerInternalError(f"Unknown binary operator {op}")
+
+    # coercion taxonomy: the reference rejects unsupported (op, lhs, rhs)
+    # combinations via its lookup tables (TypeCoersionTables.cs:17-1196)
+    # with TranspilerNotSupportedException. We delegate fine-grained typing
+    # to Catalyst, but pre-check the combinations the tables reject so the
+    # user sees the same typed error instead of a raw AnalysisException.
+    _ARITH_OPS = frozenset(
+        {
+            A.BinaryOp.PLUS,
+            A.BinaryOp.MINUS,
+            A.BinaryOp.MULTIPLY,
+            A.BinaryOp.DIVIDE,
+            A.BinaryOp.MODULO,
+            A.BinaryOp.POW,
+        }
+    )
+    _ORDER_CMP_OPS = frozenset(
+        {A.BinaryOp.LT, A.BinaryOp.LE, A.BinaryOp.GT, A.BinaryOp.GE}
+    )
+
+    @staticmethod
+    def _type_category(t: T.DataType) -> str:
+        if isinstance(t, T.NullType):
+            return "null"
+        if isinstance(t, T.BooleanType):
+            return "boolean"
+        if isinstance(t, T.StringType):
+            return "string"
+        if isinstance(t, T.NumericType):
+            return "numeric"
+        if isinstance(t, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+            return "datetime"
+        return "other"
+
+    def _check_binary_types(self, expr: A.Binary, l: Column, r: Column) -> None:
+        op = expr.op
+        if op not in self._ARITH_OPS and op not in self._ORDER_CMP_OPS:
+            return
+        lt = self._type_category(self._types(expr.left, l))
+        rt = self._type_category(self._types(expr.right, r))
+        if "null" in (lt, rt) or "other" in (lt, rt):
+            return  # nulls propagate; arrays/structs are handled elsewhere
+        bad = False
+        if op in self._ARITH_OPS:
+            if "boolean" in (lt, rt):
+                bad = True
+            elif "datetime" in (lt, rt):
+                bad = True
+            elif "string" in (lt, rt) and op != A.BinaryOp.PLUS:
+                bad = True  # '+' concatenates; other arithmetic does not coerce
+        else:  # < <= > >=
+            if "boolean" in (lt, rt):
+                bad = True  # the reference only supports = / <> on booleans
+        if bad:
+            raise TranspilerNotSupportedError(
+                f"Operator '{op.value}' is not supported between {lt} and {rt} "
+                "operands (reference TypeCoersionTables.cs rejects this "
+                "combination)"
+            )
 
     def _types(self, node: A.Expr, col: Column) -> T.DataType:
         """Cheap type resolution: literals without probing, else probe."""

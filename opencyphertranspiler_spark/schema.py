@@ -13,11 +13,43 @@ table name -> DataFrame supplied by a :class:`~.sources.registry.TableRegistry`.
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass
 
 from .exceptions import TranspilerBindingError
 
 EDGE_SEP = "@"
+
+# .NET type name (as used in the reference's JSON schema documents,
+# tests/SQLRenderer.Test/TestData/MovieGraph.json) -> Spark simple type
+_DOTNET_TO_SPARK = {
+    "System.String": "string",
+    "System.Boolean": "boolean",
+    "System.Byte": "tinyint",
+    "System.Int16": "smallint",
+    "System.Int32": "int",
+    "System.Int64": "long",
+    "System.Single": "float",
+    "System.Double": "double",
+    "System.Decimal": "decimal(38,18)",
+    "System.DateTime": "timestamp",
+    "System.Byte[]": "binary",
+}
+_SPARK_TO_DOTNET = {v: k for k, v in _DOTNET_TO_SPARK.items()}
+
+
+def _parse_dotnet_type(name: str) -> tuple[str, bool]:
+    """'System.Nullable`1[System.Int32]' -> ('int', True)."""
+    nullable = False
+    if name.startswith("System.Nullable`1[") and name.endswith("]"):
+        nullable = True
+        name = name[len("System.Nullable`1[") : -1]
+    spark_type = _DOTNET_TO_SPARK.get(name)
+    if spark_type is None:
+        # permissive: allow Spark simple type strings directly so hand-
+        # written schemas need not speak .NET
+        spark_type = name
+    return spark_type, nullable or spark_type == "string"
 
 
 def edge_id(source_label: str, verb: str, sink_label: str) -> str:
@@ -140,6 +172,110 @@ class GraphSchema:
 
     def edges_by_verb(self, verb: str) -> list[EdgeSchema]:
         return [e for e in self._edges.values() if e.verb == verb]
+
+    # -- JSON schema documents --------------------------------------------
+    # The user-facing schema format of the reference is a JSON document
+    # (tests/SQLRenderer.Test/TestData/MovieGraph.json:1-202, provider in
+    # examples/simple/Program.cs:109-143): Nodes with Id/Name/IdProperty/
+    # Properties and Edges with Id/Name/FromNode/ToNode/SourceIdProperty/
+    # SinkIdProperty/Properties, property types as .NET type names. The
+    # JSON carries no physical table names, so the backing table defaults
+    # to the lower-cased Name; an optional "Table" key (our extension)
+    # overrides it.
+
+    @classmethod
+    def from_json(cls, source: str | dict) -> "GraphSchema":
+        """Load a schema from a reference-dialect JSON document.
+
+        ``source`` is a path, a JSON string, or an already-parsed dict."""
+        if isinstance(source, dict):
+            doc = source
+        elif source.lstrip().startswith("{"):
+            doc = json.loads(source)
+        else:
+            with open(source, encoding="utf-8") as f:
+                doc = json.load(f)
+
+        def props(items) -> tuple[EntityProperty, ...]:
+            out = []
+            for p in items or []:
+                t, nullable = _parse_dotnet_type(p["PropertyType"])
+                out.append(EntityProperty(p["PropertyName"], t, nullable))
+            return tuple(out)
+
+        nodes = []
+        for n in doc.get("Nodes", []):
+            label = n.get("Name") or n["Id"]
+            nodes.append(
+                NodeSchema(
+                    label=label,
+                    table=n.get("Table", label.lower()),
+                    id_property=n["IdProperty"]["PropertyName"],
+                    properties=props(n.get("Properties")),
+                )
+            )
+        edges = []
+        for e in doc.get("Edges", []):
+            verb = e.get("Name") or e["Id"].split(EDGE_SEP)[1]
+            edges.append(
+                EdgeSchema(
+                    verb=verb,
+                    source_label=e["FromNode"],
+                    sink_label=e["ToNode"],
+                    table=e.get("Table", verb.lower()),
+                    source_id_property=e["SourceIdProperty"]["PropertyName"],
+                    sink_id_property=e["SinkIdProperty"]["PropertyName"],
+                    properties=props(e.get("Properties")),
+                )
+            )
+        return cls(nodes, edges)
+
+    def to_json(self) -> str:
+        """Serialize back to the reference JSON dialect (round-trips
+        through from_json; Spark types map to .NET names where one
+        exists, otherwise pass through verbatim)."""
+
+        def prop(p: EntityProperty) -> dict:
+            t = _SPARK_TO_DOTNET.get(p.data_type, p.data_type)
+            if p.nullable and t != "System.String" and t.startswith("System."):
+                t = f"System.Nullable`1[{t}]"
+            return {"PropertyName": p.name, "PropertyType": t}
+
+        doc = {
+            "Nodes": [
+                {
+                    "Id": n.label,
+                    "Name": n.label,
+                    "Table": n.table,
+                    "IdProperty": {
+                        "PropertyName": n.id_property,
+                        "PropertyType": "System.String",
+                    },
+                    "Properties": [prop(p) for p in n.properties],
+                }
+                for n in self.nodes
+            ],
+            "Edges": [
+                {
+                    "Id": e.id,
+                    "Name": e.verb,
+                    "FromNode": e.source_label,
+                    "ToNode": e.sink_label,
+                    "Table": e.table,
+                    "SourceIdProperty": {
+                        "PropertyName": e.source_id_property,
+                        "PropertyType": "System.String",
+                    },
+                    "SinkIdProperty": {
+                        "PropertyName": e.sink_id_property,
+                        "PropertyType": "System.String",
+                    },
+                    "Properties": [prop(p) for p in e.properties],
+                }
+                for e in self.edges
+            ],
+        }
+        return json.dumps(doc, indent=2)
 
     def candidate_edges(
         self,

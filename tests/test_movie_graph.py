@@ -8,6 +8,8 @@ asserts hand-computed results."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from opencyphertranspiler_spark import (
@@ -70,28 +72,11 @@ def movie_engine(spark):
         [("p2", "p1"), ("p5", "p1"), ("p3", "p4"), ("p4", "p2")],
         "_vertexId string, _sink string",
     )
-    graph = GraphSchema(
-        nodes=[
-            NodeSchema("Person", "person", "id", (P("Name"), P("Born", "int"))),
-            NodeSchema(
-                "Movie",
-                "movie",
-                "id",
-                (P("Title"), P("Tagline"), P("Released", "int")),
-            ),
-        ],
-        edges=[
-            EdgeSchema(
-                "ACTED_IN", "Person", "Movie", "acted_in", "_vertexId", "_sink",
-                (P("Roles"),),
-            ),
-            EdgeSchema("DIRECTED", "Person", "Movie", "directed", "_vertexId", "_sink"),
-            EdgeSchema(
-                "REVIEWED", "Person", "Movie", "reviewed", "_vertexId", "_sink",
-                (P("Summary"), P("Rating", "int")),
-            ),
-            EdgeSchema("FOLLOWS", "Person", "Person", "follows", "_vertexId", "_sink"),
-        ],
+    # the schema comes from the reference-dialect JSON document — the
+    # user-facing schema format (GraphSchema.from_json); tables bind by
+    # the lower-cased Name default
+    graph = GraphSchema.from_json(
+        os.path.join(os.path.dirname(__file__), "data", "movie_graph.json")
     )
     reg = TableRegistry()
     for name, df in [
@@ -333,3 +318,20 @@ def test_alias_swap_through_with(movie_engine):
         ("You've Got Mail", 2),
         ("Apollo 13", 2),
     }
+
+
+def test_json_schema_roundtrip():
+    path = os.path.join(os.path.dirname(__file__), "data", "movie_graph.json")
+    g = GraphSchema.from_json(path)
+    assert {n.label for n in g.nodes} == {"Person", "Movie"}
+    person = g.get_node("Person")
+    assert person.table == "person" and person.id_property == "id"
+    born = {p.name: p for p in person.properties}["Born"]
+    assert born.data_type == "int" and born.nullable
+    acted = g.get_edge("ACTED_IN", "Person", "Movie")
+    assert acted.table == "acted_in"
+    assert acted.source_id_property == "_vertexId"
+    # serialize -> reload -> identical structure
+    g2 = GraphSchema.from_json(g.to_json())
+    assert {n.label: n for n in g2.nodes} == {n.label: n for n in g.nodes}
+    assert {e.id: e for e in g2.edges} == {e.id: e for e in g.edges}

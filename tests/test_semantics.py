@@ -77,3 +77,23 @@ def test_dotted_implicit_alias_roundtrip(engine):
     assert df.columns == ["r.r_name"]
     got = [r["r.r_name"] for r in df.collect()]
     assert got == sorted(got) and len(got) == 2
+
+
+def test_coercion_taxonomy_rejects_unsupported_combos(engine):
+    # reference TypeCoersionTables semantics: typed TranspilerNotSupportedError
+    # instead of a raw Catalyst AnalysisException
+    import pytest
+
+    from opencyphertranspiler_spark.exceptions import TranspilerNotSupportedError
+
+    bad = [
+        "MATCH (p:Part) RETURN (p.p_size > 3) + 1 AS x",       # boolean + numeric
+        "MATCH (p:Part) RETURN p.p_name - 1 AS x",             # string - numeric
+        "MATCH (p:Part) RETURN (p.p_size > 3) < p.p_size AS x" # boolean < numeric
+    ]
+    for q in bad:
+        with pytest.raises(TranspilerNotSupportedError):
+            engine.cypher(q)
+    # still-supported coercions keep working
+    ok = engine.cypher("MATCH (p:Part) RETURN (p.p_name + 1) AS x LIMIT 1")
+    assert ok.collect()[0]["x"].endswith("1")
