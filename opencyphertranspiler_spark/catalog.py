@@ -125,21 +125,27 @@ CATALOG: list[CatalogEntry] = [
     # ---- group 3: CASE WHEN incl. mixed-type branches ----
     CatalogEntry(
         name="q04_case_when",
+        # merged with former q31: one searched CASE plus one mixed-type
+        # CASE (string branch unifies the numeric branch to string)
         cypher="""
             MATCH (c:Customer)
             RETURN c.c_name AS name,
                    CASE WHEN c.c_acctbal > 5000 THEN 'high'
                         WHEN c.c_acctbal > 0 THEN 'mid'
-                        ELSE 'low' END AS bucket
+                        ELSE 'low' END AS bucket,
+                   CASE WHEN c.c_acctbal > 5000 THEN 'jumbo'
+                        ELSE c.c_custkey END AS mixed
         """,
         oracle="""
             SELECT c_name AS name,
                    CASE WHEN c_acctbal > 5000 THEN 'high'
                         WHEN c_acctbal > 0 THEN 'mid'
-                        ELSE 'low' END AS bucket
+                        ELSE 'low' END AS bucket,
+                   CASE WHEN c_acctbal > 5000 THEN 'jumbo'
+                        ELSE CAST(c_custkey AS VARCHAR) END AS mixed
             FROM customer
         """,
-        tags=("case",),
+        tags=("case", "coercion"),
     ),
     # ---- group 3b: entity alias swap through WITH (reference 405-427) ----
     CatalogEntry(
@@ -230,7 +236,7 @@ CATALOG: list[CatalogEntry] = [
         bench=True,
         tags=("operators",),
     ),
-    # ---- group 7: string functions ----
+    # ---- group 7: string functions (merged former q27 string library) ----
     CatalogEntry(
         name="q10_string_funcs",
         cypher="""
@@ -238,12 +244,17 @@ CATALOG: list[CatalogEntry] = [
             WHERE c.c_name ENDS WITH '1'
             RETURN toUpper(c.c_name) AS up, left(c.c_name, 8) AS l8,
                    size(c.c_name) AS len,
-                   CASE WHEN c.c_name CONTAINS '00' THEN 1 ELSE 0 END AS has00
+                   CASE WHEN c.c_name CONTAINS '00' THEN 1 ELSE 0 END AS has00,
+                   toLower(c.c_name) AS lo, right(c.c_name, 3) AS r3,
+                   trim(c.c_name) AS t, ltrim(c.c_name) AS lt,
+                   rtrim(c.c_name) AS rt
         """,
         oracle="""
             SELECT upper(c_name) AS up, left(c_name, 8) AS l8,
                    CAST(length(c_name) AS INTEGER) AS len,
-                   CASE WHEN position('00' IN c_name) > 0 THEN 1 ELSE 0 END AS has00
+                   CASE WHEN position('00' IN c_name) > 0 THEN 1 ELSE 0 END AS has00,
+                   lower(c_name) AS lo, right(c_name, 3) AS r3,
+                   trim(c_name) AS t, ltrim(c_name) AS lt, rtrim(c_name) AS rt
             FROM customer WHERE c_name LIKE '%1'
         """,
         tags=("strings",),
@@ -504,23 +515,6 @@ CATALOG += [
         """,
         tags=("casts",),
     ),
-    # ---- remaining string library ----
-    CatalogEntry(
-        name="q27_string_library",
-        cypher="""
-            MATCH (c:Customer)
-            WHERE c.c_name STARTS WITH 'Customer#0000001'
-            RETURN toLower(c.c_name) AS lo, right(c.c_name, 3) AS r3,
-                   trim(c.c_name) AS t, ltrim(c.c_name) AS lt,
-                   rtrim(c.c_name) AS rt
-        """,
-        oracle="""
-            SELECT lower(c_name) AS lo, right(c_name, 3) AS r3,
-                   trim(c_name) AS t, ltrim(c_name) AS lt, rtrim(c_name) AS rt
-            FROM customer WHERE c_name LIKE 'Customer#0000001%'
-        """,
-        tags=("strings",),
-    ),
     # ---- first/last (reference lowers to MIN/MAX) + percentileCont ----
     CatalogEntry(
         name="q28_first_last_percentile",
@@ -659,22 +653,6 @@ CATALOG += [
     # ---- mixed-type CASE branches: Cypher unifies to string (reference
     # folds branch types via the Plus coercion table; the e2e CASE group
     # exercises mixed branches, SQLRendererTest.cs:405-427) ----
-    CatalogEntry(
-        name="q31_case_mixed_types",
-        cypher="""
-            MATCH (p:Part)
-            RETURN p.p_name AS name,
-                   CASE WHEN p.p_size > 40 THEN 'jumbo'
-                        ELSE p.p_size END AS size_class
-        """,
-        oracle="""
-            SELECT p_name AS name,
-                   CASE WHEN p_size > 40 THEN 'jumbo'
-                        ELSE CAST(p_size AS VARCHAR) END AS size_class
-            FROM part
-        """,
-        tags=("case", "coercion"),
-    ),
 ]
 
 
@@ -934,6 +912,36 @@ def _p13_oracle() -> str:
               FROM scored)
         WHERE rank <= 5
     """
+
+
+# deterministic chain graph for the iterative operators: part keys link
+# k -> k+1 within blocks of 10, giving 10-node chains (10 fixpoint rounds)
+_CHAIN_EDGES_SQL = (
+    "SELECT p_partkey AS src, p_partkey + 1 AS dst FROM part "
+    "WHERE p_partkey % 10 <> 0"
+)
+
+
+def _chain_edges(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return part.filter("p_partkey % 10 != 0").select(
+        F.col("p_partkey").alias("src"),
+        (F.col("p_partkey") + 1).alias("dst"),
+    )
+
+
+def _p_transitive_closure(spark, sf_dir):
+    from .pipeline.graph import transitive_closure
+
+    return transitive_closure(_chain_edges(spark, sf_dir))
+
+
+def _p_connected_components(spark, sf_dir):
+    from .pipeline.graph import connected_components
+
+    return connected_components(_chain_edges(spark, sf_dir))
 
 
 def _p_multimodal(spark, sf_dir):
@@ -1204,6 +1212,41 @@ PIPELINE_CATALOG: list[CatalogEntry] = [
             FROM documents
         """,
         tags=("multimodal",),
+    ),
+    CatalogEntry(
+        name="p14_transitive_closure",
+        fn=_p_transitive_closure,
+        # semi-naive fixpoint vs DuckDB WITH RECURSIVE (UNION dedups, so
+        # both sides compute reachability and terminate on cycles)
+        oracle=f"""
+            WITH RECURSIVE e AS ({_CHAIN_EDGES_SQL}),
+            reach(src, dst) AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+            )
+            SELECT src, dst FROM reach
+        """,
+        tags=("graph", "iterative"),
+    ),
+    CatalogEntry(
+        name="p15_connected_components",
+        fn=_p_connected_components,
+        oracle=f"""
+            WITH RECURSIVE e AS ({_CHAIN_EDGES_SQL}),
+            und AS (
+                SELECT src AS a, dst AS b FROM e
+                UNION SELECT dst, src FROM e
+            ),
+            reach(a, b) AS (
+                SELECT a, b FROM und
+                UNION
+                SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+            )
+            SELECT a AS node, least(a, min(b)) AS comp
+            FROM reach GROUP BY a
+        """,
+        tags=("graph", "iterative", "dedup-clusters"),
     ),
     CatalogEntry(
         name="s01_event_windows",

@@ -1,0 +1,124 @@
+"""Iterative graph operators: reachability and connected components.
+
+These are the operators behind unbounded graph questions the Cypher core
+deliberately bounds (the reference rejects unbounded ``*`` paths outright,
+CypherVisitor.cs:2035-2039): driver-coordinated fixpoint loops over
+DataFrame joins — the standard Spark shape for iterative algorithms
+(GraphFrames/Pregel do the same underneath).
+
+Scale notes (100 TB):
+- semi-naive evaluation: each round joins only the NEW frontier against
+  the edge table, never the accumulated result;
+- every frontier is localCheckpoint'ed so lineage stays O(1) deep instead
+  of O(iterations) — without this, round k replays rounds 1..k-1;
+- the edge table is persisted once and released at the end;
+- connected components converge in O(graph diameter) rounds of
+  min-label propagation; for skewed web-scale graphs swap in
+  large-star/small-star — the per-round join shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+) -> DataFrame:
+    """All distinct (src, dst) pairs connected by a directed path.
+
+    Semi-naive fixpoint: frontier(k+1) = (frontier(k) JOIN edges) MINUS
+    seen. Terminates on cyclic graphs because reachability (not path
+    enumeration) is computed — the pair set is finite. Runs eagerly (the
+    fixpoint needs per-round emptiness checks on the driver)."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    seen = e.localCheckpoint(eager=True)
+    frontier = seen
+    for _ in range(max_iters):
+        nxt = (
+            frontier.alias("f")
+            .join(e.alias("e2"), F.col("f.dst") == F.col("e2.src"))
+            .select(F.col("f.src").alias("src"), F.col("e2.dst").alias("dst"))
+            .distinct()
+            .join(seen, ["src", "dst"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    else:
+        e.unpersist()
+        raise RuntimeError(
+            f"transitive_closure did not converge within {max_iters} rounds"
+        )
+    e.unpersist()
+    return seen
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(node, comp) with comp = the smallest node id in the component.
+
+    Undirected min-label propagation: each round every node takes the
+    minimum label among itself and its neighbours; converges in
+    O(diameter) rounds. This is the dedup-cluster builder: feed it the
+    near-duplicate pair set and each component is one duplicate cluster."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neigh_min = (
+            und.join(labels, und["b"] == labels["node"])
+            .groupBy(und["a"].alias("node2"))
+            .agg(F.min("comp").alias("neigh_comp"))
+        )
+        updated = (
+            labels.join(neigh_min, labels["node"] == neigh_min["node2"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("neigh_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), F.col("u.node") == F.col("l.node"))
+            .filter(F.col("u.comp") != F.col("l.comp"))
+        )
+        done = changed.isEmpty()
+        labels = updated
+        if done:
+            break
+    else:
+        und.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} rounds"
+        )
+    und.unpersist()
+    return labels

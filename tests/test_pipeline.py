@@ -273,3 +273,33 @@ def test_minhash_default_mode_releases_input_caches(spark, docs):
     # (tiny, eagerly checkpointed) result itself may remain tracked
     assert after - before <= 1
     assert n >= 0
+
+
+def test_graph_operators_on_cycles(spark):
+    from opencyphertranspiler_spark.pipeline.graph import (
+        connected_components,
+        transitive_closure,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11)], "src: long, dst: long"
+    )
+    tc = {(r.src, r.dst) for r in transitive_closure(edges).collect()}
+    # the 3-cycle closes over itself (self-pairs included); the chain doesn't
+    assert tc == {(a, b) for a in (1, 2, 3) for b in (1, 2, 3)} | {(10, 11)}
+    cc = {(r.node, r.comp) for r in connected_components(edges).collect()}
+    assert cc == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_cluster_near_dups(spark, docs):
+    # the composition pipeline: near-dup pairs -> duplicate clusters
+    from opencyphertranspiler_spark.pipeline.dedup import minhash_lsh_pairs
+    from opencyphertranspiler_spark.pipeline.graph import connected_components
+
+    pairs = minhash_lsh_pairs(docs, 0.8).select("id_a", "id_b")
+    comps = connected_components(pairs, src="id_a", dst="id_b")
+    n_pairs = pairs.count()
+    by_comp = comps.groupBy("comp").count().collect()
+    assert n_pairs > 0 and len(by_comp) >= 1
+    # every clustered doc appears exactly once
+    assert comps.select("node").distinct().count() == comps.count()
