@@ -290,28 +290,30 @@ class Parser:
                     )
             min_hops = max_hops = None
             if self.accept_punct("*"):
-                # bounded variable-length (extension): *n, *n..m, *..m.
-                # An upper bound is required — unbounded expansion would be
-                # an unbounded union of join chains.
+                # variable-length (extension): *n, *n..m, *..m expand to a
+                # bounded union of join chains; * and *n.. (no upper bound)
+                # compile to REACHABILITY over an iterative transitive
+                # closure — distinct endpoint pairs, not one row per path
+                # (the reference rejects all of these outright,
+                # CypherVisitor.cs:2035-2039).
                 min_hops = 1
+                unbounded = True
                 if self.cur.kind == "int":
                     min_hops = int(self.advance().value)
                     max_hops = min_hops  # exact *n unless .. follows
+                    unbounded = False
                 if self.accept_punct("."):
                     self.expect_punct(".")
                     max_hops = None
+                    unbounded = True
                     if self.cur.kind == "int":
                         max_hops = int(self.advance().value)
-                if max_hops is None:
-                    raise TranspilerNotSupportedError(
-                        "Unbounded variable-length relationships are not "
-                        "supported; give an upper bound, e.g. *1..3"
-                    )
-                if min_hops < 1 or max_hops < min_hops:
+                        unbounded = False
+                if min_hops < 1 or (max_hops is not None and max_hops < min_hops):
                     raise TranspilerSyntaxError(
                         f"Invalid variable-length range *{min_hops}..{max_hops}"
                     )
-                if max_hops > 8:
+                if not unbounded and max_hops > 8:
                     raise TranspilerNotSupportedError(
                         "Variable-length upper bound is limited to 8 hops"
                     )

@@ -167,6 +167,13 @@ class _SingleQueryPlanner:
         slots: list[tuple[int, int]] = []  # (pattern idx, rel idx)
         for pi, part in enumerate(clause.patterns):
             for ri, rel in enumerate(part.rels):
+                if rel.min_hops is not None and rel.max_hops is None:
+                    raise TranspilerNotSupportedError(
+                        "Unbounded variable-length relationships are resolved "
+                        "by the engine front-end (CypherEngine rewrites them "
+                        "to reachability scans); plan_query alone cannot "
+                        "expand them"
+                    )
                 if rel.min_hops is not None:
                     slots.append((pi, ri))
         if not slots:

@@ -246,9 +246,11 @@ def test_variable_length_exact_and_agg(movie_engine):
 
 
 def test_variable_length_negatives(movie_engine):
+    # unbounded without an explicit type is rejected (cannot resolve the
+    # edge table for the reachability rewrite)
     with pytest.raises(TranspilerNotSupportedError):
         movie_engine.cypher(
-            "MATCH (a:Person)-[:FOLLOWS*]->(b:Person) RETURN a.Name AS n"
+            "MATCH (a:Person)-[*]->(b:Person) RETURN a.Name AS n"
         )
     with pytest.raises(TranspilerNotSupportedError):
         movie_engine.cypher(
@@ -335,3 +337,48 @@ def test_json_schema_roundtrip():
     g2 = GraphSchema.from_json(g.to_json())
     assert {n.label: n for n in g2.nodes} == {n.label: n for n in g.nodes}
     assert {e.id: e for e in g2.edges} == {e.id: e for e in g.edges}
+
+
+def test_unbounded_var_length_reachability(movie_engine):
+    # follows: Meg->Tom, Bill->Tom, Rob->Nora, Nora->Meg
+    df = movie_engine.cypher(
+        """
+        MATCH (a:Person)-[:FOLLOWS*]->(b:Person)
+        RETURN a.Name AS a, b.Name AS b
+        """
+    )
+    assert rows(df) == {
+        ("Meg Ryan", "Tom Hanks"),
+        ("Bill Paxton", "Tom Hanks"),
+        ("Rob Reiner", "Nora Ephron"),
+        ("Nora Ephron", "Meg Ryan"),
+        # transitive
+        ("Rob Reiner", "Meg Ryan"),
+        ("Rob Reiner", "Tom Hanks"),
+        ("Nora Ephron", "Tom Hanks"),
+    }
+
+
+def test_unbounded_min_hops(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (a:Person)-[:FOLLOWS*2..]->(b:Person)
+        RETURN a.Name AS a, b.Name AS b
+        """
+    )
+    assert rows(df) == {
+        ("Rob Reiner", "Meg Ryan"),
+        ("Rob Reiner", "Tom Hanks"),
+        ("Nora Ephron", "Tom Hanks"),
+    }
+
+
+def test_unbounded_composes_with_filters_and_agg(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (a:Person)-[:FOLLOWS*]->(b:Person)
+        WHERE b.Name = 'Tom Hanks'
+        RETURN count(*) AS n
+        """
+    )
+    assert df.collect()[0].n == 4
