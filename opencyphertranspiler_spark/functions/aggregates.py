@@ -75,7 +75,18 @@ def compile_aggregate(
             raise TranspilerNotSupportedError(
                 "percentileDisc(expr, percentile) takes exactly 2 arguments"
             )
-        return F.percentile_approx(arg, extras[0], F.lit(2147483647))
+        # exact SQL-standard PERCENTILE_DISC: the smallest value whose
+        # cumulative fraction >= p, i.e. the element at 1-based index
+        # ceil(p*n) of the sorted non-null values; returns the INPUT type.
+        # collect_list holds one group's values in executor memory — same
+        # envelope as any exact percentile; use approx_quantiles
+        # (pipeline/sketches.py) when groups are 100 TB-sized.
+        idx = (
+            F.ceil(F.round(extras[0] * F.count(arg), 9)).cast("int") - F.lit(1)
+        )
+        return F.get(
+            F.sort_array(F.collect_list(arg)), F.greatest(F.lit(0), idx)
+        )
     if name == "collect":
         # extension: openCypher collect() -> array (reference has no lists)
         return F.collect_list(arg)

@@ -97,3 +97,72 @@ def test_coercion_taxonomy_rejects_unsupported_combos(engine):
     # still-supported coercions keep working
     ok = engine.cypher("MATCH (p:Part) RETURN (p.p_name + 1) AS x LIMIT 1")
     assert ok.collect()[0]["x"].endswith("1")
+
+
+def test_percentile_disc_is_exact(spark, engine, duck):
+    q = """
+        MATCH (l:Lineitem)
+        RETURN l.l_returnflag AS flag,
+               percentileDisc(l.l_quantity, 0.5) AS med,
+               percentileDisc(l.l_quantity, 0.25) AS q1,
+               percentileDisc(l.l_quantity, 1.0) AS hi
+    """
+    got = {r.flag: (r.med, r.q1, r.hi) for r in engine.cypher(q).collect()}
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duck.sql(
+            """
+            SELECT l_returnflag,
+                   quantile_disc(l_quantity, 0.5),
+                   quantile_disc(l_quantity, 0.25),
+                   quantile_disc(l_quantity, 1.0)
+            FROM lineitem GROUP BY l_returnflag
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_decimal_and_binary_node_properties(spark):
+    # graph-schema decimal/binary property types end-to-end (reference
+    # type map SQLRenderer.cs:55-73)
+    from decimal import Decimal
+
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EntityProperty,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+    )
+
+    df = spark.createDataFrame(
+        [(1, Decimal("10.50"), b"\x01\x02"), (2, Decimal("20.25"), b"\x03")],
+        "id long, price decimal(12,2), blob binary",
+    )
+    g = GraphSchema(
+        nodes=[
+            NodeSchema(
+                "Item",
+                "item",
+                "id",
+                (
+                    EntityProperty("price", "decimal(12,2)"),
+                    EntityProperty("blob", "binary"),
+                ),
+            )
+        ],
+        edges=[],
+    )
+    reg = TableRegistry()
+    reg.register_df("item", df)
+    eng = CypherEngine(spark, g, reg)
+    out = eng.cypher(
+        """
+        MATCH (i:Item)
+        RETURN round(avg(i.price), 3) AS avg_price, count(i.blob) AS blobs,
+               max(toFloat(i.price)) AS mx
+        """
+    ).collect()[0]
+    assert float(out.avg_price) == 15.375 and out.blobs == 2
+    assert abs(out.mx - 20.25) < 1e-6
