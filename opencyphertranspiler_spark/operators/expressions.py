@@ -99,6 +99,9 @@ class ExprCompiler:
         if isinstance(expr, A.Binary):
             return self._binary(expr)
         if isinstance(expr, A.FuncCall):
+            entity_fn = self._entity_function(expr)
+            if entity_fn is not None:
+                return entity_fn
             args = [self.compile(a) for a in expr.args]
             if expr.name == "size" and args:
                 # Cypher size() is overloaded: list length vs string length
@@ -110,6 +113,41 @@ class ExprCompiler:
         if isinstance(expr, A.CaseExpr):
             return self._case(expr)
         raise TranspilerInternalError(f"Unknown expression node {expr!r}")
+
+    def _entity_function(self, expr: A.FuncCall) -> Column | None:
+        """labels(n) / type(r) / id(n) — extensions over entity aliases
+        (openCypher staples the reference lacks). Labels and types are
+        schema constants here (single-label model), so they fold to
+        literals; id(n) is the node's id column, id(r) the edge's
+        (source, sink) pair as a struct."""
+        if expr.name not in ("labels", "type", "id"):
+            return None
+        if len(expr.args) != 1 or not isinstance(expr.args[0], A.Variable):
+            raise TranspilerBindingError(
+                f"{expr.name}() takes a single node/relationship alias"
+            )
+        ref = self._ref(expr.args[0].name)
+        if not isinstance(ref, EntityRef):
+            raise TranspilerBindingError(
+                f"{expr.name}() requires a node/relationship alias, "
+                f"'{expr.args[0].name}' is a value"
+            )
+        if expr.name == "labels":
+            if ref.kind != "node":
+                raise TranspilerBindingError("labels() requires a node alias")
+            return F.array(F.lit(ref.node.label))
+        if expr.name == "type":
+            if ref.kind != "edge":
+                raise TranspilerBindingError(
+                    "type() requires a relationship alias"
+                )
+            return F.lit(ref.edge.verb)
+        if ref.kind == "node":
+            return qcol(ref.col(ref.node.id_property))
+        return F.struct(
+            qcol(ref.col(ref.edge.source_id_property)).alias("src"),
+            qcol(ref.col(ref.edge.sink_id_property)).alias("dst"),
+        )
 
     def _ref(self, alias: str):
         ref = self.env.get(alias)

@@ -382,3 +382,27 @@ def test_unbounded_composes_with_filters_and_agg(movie_engine):
         """
     )
     assert df.collect()[0].n == 4
+
+
+def test_labels_type_id_functions(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)-[r:ACTED_IN]->(m:Movie)
+        WHERE p.Name = 'Tom Hanks'
+        RETURN labels(p) AS ls, type(r) AS t, id(m) AS mid
+        """
+    )
+    got = {(tuple(r.ls), r.t, r.mid) for r in df.collect()}
+    assert got == {
+        (("Person",), "ACTED_IN", "m1"),
+        (("Person",), "ACTED_IN", "m2"),
+        (("Person",), "ACTED_IN", "m3"),
+    }
+    # id(r) yields the (src, dst) pair; distinct edge count via id()
+    df2 = movie_engine.cypher(
+        """
+        MATCH (p:Person)-[r:FOLLOWS]->(q:Person)
+        RETURN count(DISTINCT id(r)) AS n
+        """
+    )
+    assert df2.collect()[0].n == 4
