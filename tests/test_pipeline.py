@@ -303,3 +303,43 @@ def test_connected_components_cluster_near_dups(spark, docs):
     assert n_pairs > 0 and len(by_comp) >= 1
     # every clustered doc appears exactly once
     assert comps.select("node").distinct().count() == comps.count()
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one row per fingerprint; the
+    batch twin agrees on the surviving fingerprint set."""
+    import datetime as dt
+
+    from opencyphertranspiler_spark.streaming.dedup import (
+        dedup_batch,
+        dedup_stream,
+    )
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), text)
+        for i, text in enumerate(
+            ["alpha beta", "alpha   BETA", "gamma", "alpha beta", "delta", "GAMMA "]
+        )
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, text string")
+    src_dir = str(tmp_path / "docs")
+    df.repartition(1).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(df.schema).parquet(src_dir)
+    out = dedup_stream(stream, "ts", "text", "30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT fp FROM dedup_out").collect()
+    batch_fps = {r.fp for r in dedup_batch(df).collect()}
+    # normalization folds case + whitespace: alpha-beta, gamma, delta
+    assert len(batch_fps) == 3
+    assert {r.fp for r in got} == batch_fps
+    assert len(got) == 3  # duplicates dropped within the stream too

@@ -166,3 +166,38 @@ def test_decimal_and_binary_node_properties(spark):
     ).collect()[0]
     assert float(out.avg_price) == 15.375 and out.blobs == 2
     assert abs(out.mx - 20.25) < 1e-6
+
+
+def test_array_property_and_unwind(spark):
+    # list-typed node properties flow through the engine and UNWIND
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EntityProperty,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["b", "c", "d"])],
+        "id long, tags array<string>",
+    )
+    g = GraphSchema(
+        nodes=[NodeSchema("Doc", "doc", "id", (EntityProperty("tags", "array<string>"),))],
+        edges=[],
+    )
+    reg = TableRegistry()
+    reg.register_df("doc", df)
+    eng = CypherEngine(spark, g, reg)
+    out = eng.cypher(
+        """
+        MATCH (d:Doc)
+        UNWIND d.tags AS tag
+        RETURN tag, count(*) AS n
+        """
+    )
+    got = {(r.tag, r.n) for r in out.collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 1), ("d", 1)}
+    # size() overload on the list property
+    sizes = eng.cypher("MATCH (d:Doc) RETURN d.id AS id, size(d.tags) AS n")
+    assert {(r.id, r.n) for r in sizes.collect()} == {(1, 2), (2, 3)}
