@@ -237,6 +237,15 @@ class PatternPart:
             yield self.nodes[i], r, self.nodes[i + 1]
 
 
+@dataclass
+class PatternPredicate(Expr):
+    """``exists((a)-[:V]->(b))`` — a pattern used as a WHERE predicate
+    (extension; the reference has no pattern predicates). Planned as a
+    LEFT SEMI join (ANTI under NOT), never as a Column expression."""
+
+    part: PatternPart
+
+
 # ---------------------------------------------------------------------------
 # Clauses / query structure
 # ---------------------------------------------------------------------------

@@ -511,6 +511,10 @@ class Parser:
         if t.is_kw("NOT"):
             self.advance()
             return A.Unary("NOT", self.parse_not())
+        if t.is_kw("EXISTS"):
+            self.advance()
+            self.expect_punct("(")
+            return self._parse_exists_tail()
         if t.kind == "ident":
             # function call?
             if self.peek().is_punct("("):
@@ -544,9 +548,29 @@ class Parser:
         self.expect_kw("END")
         return A.CaseExpr(whens, else_)
 
+    def _parse_exists_tail(self) -> A.Expr:
+        """After 'exists(': pattern predicate (semi join) or IS-NOT-NULL.
+
+        exists((a)-[:V]->(b)) -> PatternPredicate; exists(n.prop) -> the
+        Neo4j-legacy property-existence form. Backtracks if the
+        parenthesized form is not a pattern."""
+        if self.cur.is_punct("("):
+            mark = self.i
+            try:
+                part = self.parse_pattern_part()
+                self.expect_punct(")")
+                return A.PatternPredicate(part)
+            except TranspilerSyntaxError:
+                self.i = mark
+        arg = self.parse_expr()
+        self.expect_punct(")")
+        return A.FuncCall("isnotnull", [arg])
+
     def parse_func_call(self) -> A.Expr:
         name = self.expect_ident().lower()
         self.expect_punct("(")
+        if name == "exists":
+            return self._parse_exists_tail()
         distinct = bool(self.accept_kw("DISTINCT"))
         if name in A.AGG_FUNCTION_NAMES:
             if name == "count" and self.cur.is_punct("*"):

@@ -86,7 +86,9 @@ class Compiler:
         for l_col, r_col in op.pairs:
             eq = F.col(l_col) == F.col(r_col)
             cond = eq if cond is None else cond & eq
-        df = left.join(right, on=cond, how=op.how)
+        # 'semi'/'anti' carry exists()/NOT exists() pattern predicates
+        how = {"semi": "left_semi", "anti": "left_anti"}.get(op.how, op.how)
+        df = left.join(right, on=cond, how=how)
         if op.drop_right:
             df = df.drop(*op.drop_right)
         return df

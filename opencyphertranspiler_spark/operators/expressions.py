@@ -112,6 +112,11 @@ class ExprCompiler:
             return self._aggregate(expr)
         if isinstance(expr, A.CaseExpr):
             return self._case(expr)
+        if isinstance(expr, A.PatternPredicate):
+            raise TranspilerNotSupportedError(
+                "exists(pattern) is only supported as a top-level AND "
+                "conjunct of a MATCH WHERE"
+            )
         raise TranspilerInternalError(f"Unknown expression node {expr!r}")
 
     def _entity_function(self, expr: A.FuncCall) -> Column | None:

@@ -126,10 +126,115 @@ class _SingleQueryPlanner:
         known_labels: dict[str, str] | None = None,
         prefix_overrides: dict[str, str] | None = None,
     ) -> LogicalOp:
-        """Plan a MATCH clause. Bounded variable-length relationships
-        (extension) expand into fixed-length variants whose join fabrics are
-        UNION ALL-ed over the clause's *named* aliases — one output row per
-        path, with per-variant relationship-uniqueness enforcing Cypher's
+        """Plan a MATCH clause, peeling exists() pattern predicates off the
+        WHERE first — they become LEFT SEMI / LEFT ANTI joins on top of the
+        planned fabric, not Column expressions."""
+        residual, pattern_preds = self._split_pattern_predicates(clause.where)
+        if pattern_preds:
+            clause = A.MatchClause(clause.patterns, clause.optional, residual)
+        op = self._plan_match_body(piped, clause, known_labels, prefix_overrides)
+        for part, negated in pattern_preds:
+            op = self._plan_pattern_predicate(op, part, negated)
+        return op
+
+    def _split_pattern_predicates(
+        self, where: A.Expr | None
+    ) -> tuple[A.Expr | None, list[tuple[A.PatternPart, bool]]]:
+        """Extract top-level AND conjuncts that are [NOT] exists(pattern).
+
+        Returns (residual where, [(pattern part, negated), ...]). A pattern
+        predicate anywhere else (under OR/XOR/CASE/...) is rejected — semi
+        joins do not compose as boolean columns."""
+        preds: list[tuple[A.PatternPart, bool]] = []
+
+        def split(e: A.Expr) -> A.Expr | None:
+            if isinstance(e, A.PatternPredicate):
+                preds.append((e.part, False))
+                return None
+            if (
+                isinstance(e, A.Unary)
+                and e.op == "NOT"
+                and isinstance(e.operand, A.PatternPredicate)
+            ):
+                preds.append((e.operand.part, True))
+                return None
+            if isinstance(e, A.Binary) and e.op == A.BinaryOp.AND:
+                left, right = split(e.left), split(e.right)
+                if left is None:
+                    return right
+                if right is None:
+                    return left
+                e.left, e.right = left, right
+                return e
+            for n in e.walk():
+                if isinstance(n, A.PatternPredicate):
+                    raise TranspilerNotSupportedError(
+                        "exists(pattern) is only supported as a top-level "
+                        "AND conjunct of a MATCH WHERE (it plans as a "
+                        "semi join, not a boolean column)"
+                    )
+            return e
+
+        if where is None:
+            return None, preds
+        return split(where), preds
+
+    def _plan_pattern_predicate(
+        self, op: LogicalOp, part: A.PatternPart, negated: bool
+    ) -> LogicalOp:
+        """[NOT] exists(pattern): plan the pattern standalone with fresh
+        column prefixes for the shared node aliases (the OPTIONAL MATCH
+        fork mechanics), then LEFT SEMI (or LEFT ANTI) join back on the
+        shared node ids. The output env is unchanged — a semi join adds
+        no columns."""
+        env = op.env
+        shared = [
+            n.alias
+            for n in part.nodes
+            if n.alias is not None and n.alias in env
+        ]
+        if not shared:
+            raise TranspilerNotSupportedError(
+                "exists(pattern) must reference at least one node alias "
+                "bound in the enclosing MATCH"
+            )
+        for a in shared:
+            ref = env[a]
+            if not isinstance(ref, EntityRef) or ref.kind != "node":
+                raise TranspilerBindingError(
+                    f"exists() alias '{a}' is not a node entity"
+                )
+        clause = A.MatchClause([part], optional=False, where=None)
+        prefix_overrides = {a: self._gen_alias(f"ex_{a}") for a in shared}
+        known_labels = {a: env[a].node.label for a in shared}
+        right = self._plan_match_body(
+            None, clause, known_labels=known_labels,
+            prefix_overrides=prefix_overrides,
+        )
+        pairs = []
+        for a in shared:
+            left_ref, right_ref = env[a], right.env[a]
+            pairs.append(
+                (
+                    left_ref.col(left_ref.node.id_property),
+                    right_ref.col(right_ref.node.id_property),
+                )
+            )
+        return JoinOp(
+            op, right, "anti" if negated else "semi", pairs, [], env=dict(env)
+        )
+
+    def _plan_match_body(
+        self,
+        piped: LogicalOp | None,
+        clause: A.MatchClause,
+        known_labels: dict[str, str] | None = None,
+        prefix_overrides: dict[str, str] | None = None,
+    ) -> LogicalOp:
+        """Bounded variable-length relationships (extension) expand into
+        fixed-length variants whose join fabrics are UNION ALL-ed over the
+        clause's *named* aliases — one output row per path, with
+        per-variant relationship-uniqueness enforcing Cypher's
         edge-distinct path semantics; WHERE applies after the union."""
         variants = self._expand_var_length(clause)
         if len(variants) == 1:

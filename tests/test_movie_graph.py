@@ -406,3 +406,56 @@ def test_labels_type_id_functions(movie_engine):
         """
     )
     assert df2.collect()[0].n == 4
+
+
+def test_exists_pattern_predicate(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        WHERE exists((p)-[:DIRECTED]->(:Movie))
+        RETURN p.Name AS name
+        """
+    )
+    assert rows(df) == {("Rob Reiner",), ("Nora Ephron",)}
+    df2 = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        WHERE NOT exists((p)-[:DIRECTED]->(:Movie)) AND p.Born IS NOT NULL
+        RETURN p.Name AS name
+        """
+    )
+    assert rows(df2) == {("Tom Hanks",), ("Meg Ryan",), ("Bill Paxton",)}
+
+
+def test_exists_property_form(movie_engine):
+    df = movie_engine.cypher(
+        "MATCH (p:Person) WHERE NOT exists(p.Born) RETURN p.Name AS name"
+    )
+    assert rows(df) == {("Nora Ephron",)}
+
+
+def test_exists_pattern_with_shared_mid_node(movie_engine):
+    # actors in a movie someone reviewed
+    df = movie_engine.cypher(
+        """
+        MATCH (a:Person)-[:ACTED_IN]->(m:Movie)
+        WHERE exists((:Person)-[:REVIEWED]->(m))
+        RETURN a.Name AS name, m.Title AS title
+        """
+    )
+    got = rows(df)
+    # m1 and m2 are reviewed; Apollo 13 (m3) is not
+    assert ("Tom Hanks", "Apollo 13") not in got
+    assert ("Tom Hanks", "Sleepless in Seattle") in got
+    assert len(got) == 4
+
+
+def test_exists_rejected_under_or(movie_engine):
+    with pytest.raises(TranspilerNotSupportedError):
+        movie_engine.cypher(
+            """
+            MATCH (p:Person)
+            WHERE exists((p)-[:DIRECTED]->(:Movie)) OR p.Born > 1950
+            RETURN p.Name AS name
+            """
+        )
