@@ -409,17 +409,27 @@ CATALOG: list[CatalogEntry] = [
     ),
     # ---- extensions: UNWIND, count(*), XOR, regex ----
     CatalogEntry(
-        name="q21_unwind",
+        # exists() pattern predicates: ANTI (orders with no lineitems — 257
+        # such orders exist in the synthetic data) + a stacked SEMI conjunct
+        name="q21_exists_pattern",
         cypher="""
-            UNWIND [1, 2, 3] AS x
-            MATCH (r:Region)
-            RETURN r.r_name AS name, x AS x
+            MATCH (o:Orders)
+            WHERE NOT exists((o)-[:CONTAINS]->(:Lineitem))
+              AND exists((o)<-[:PLACED]-(:Customer))
+              AND o.o_totalprice > 50000
+            RETURN o.o_orderstatus AS status, count(*) AS empty_orders
         """,
         oracle="""
-            SELECT r_name AS name, CAST(x AS INTEGER) AS x
-            FROM region CROSS JOIN (SELECT unnest([1, 2, 3]) AS x)
+            SELECT o.o_orderstatus AS status, count(*) AS empty_orders
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey)
+              AND EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)
+              AND o.o_totalprice > 50000
+            GROUP BY o.o_orderstatus
         """,
-        tags=("unwind",),
+        tags=("exists", "semi-join"),
     ),
     CatalogEntry(
         name="q22_count_star_edges",
@@ -534,14 +544,20 @@ CATALOG += [
     ),
     # ---- collect() -> list column -> UNWIND round trip ----
     CatalogEntry(
+        # merged former q21: collect->UNWIND roundtrip plus a chained
+        # literal-list UNWIND in one entry
         name="q29_collect_unwind",
         cypher="""
             MATCH (r:Region)
             WITH collect(r.r_name) AS names
             UNWIND names AS name
-            RETURN name
+            UNWIND [1, 2] AS x
+            RETURN name, x AS x
         """,
-        oracle="SELECT r_name AS name FROM region",
+        oracle="""
+            SELECT r_name AS name, CAST(x AS INTEGER) AS x
+            FROM region CROSS JOIN (SELECT unnest([1, 2]) AS x)
+        """,
         tags=("collect", "unwind"),
     ),
     # ---- plain DISTINCT on values ----

@@ -144,3 +144,10 @@ def test_same_rel_alias_twice_rejected():
 def test_returning_entity_rejected():
     with pytest.raises(TranspilerNotSupportedError):
         plan("MATCH (c:Customer) RETURN c")
+
+
+def test_unwind_first_clause(engine):
+    # UNWIND before any MATCH (formerly gate entry q21) — plan_unwind with
+    # no piped input
+    df = engine.cypher("UNWIND [1, 2, 3] AS x RETURN x ORDER BY x")
+    assert [r.x for r in df.collect()] == [1, 2, 3]
