@@ -68,12 +68,20 @@ class CypherEngine:
             else:
                 yield q
 
+        def parts_of(clause: A.MatchClause):
+            yield from clause.patterns
+            if clause.where is not None:
+                # exists(pattern) predicates carry pattern parts too
+                for n in clause.where.walk():
+                    if isinstance(n, A.PatternPredicate):
+                        yield n.part
+
         rewrites: list[tuple[A.NodePattern, A.RelPattern, A.NodePattern]] = []
         for sq in single_queries(ast_query):
             for clause in sq.clauses:
                 if not isinstance(clause, A.MatchClause):
                     continue
-                for part in clause.patterns:
+                for part in parts_of(clause):
                     for i, rel in enumerate(part.rels):
                         if rel.min_hops is not None and rel.max_hops is None:
                             rewrites.append(

@@ -64,6 +64,47 @@ def transitive_closure(
     return seen
 
 
+def shortest_path_lengths(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(src, dst, dist) — the length of the shortest directed path.
+
+    Same semi-naive loop as transitive_closure: a pair's FIRST appearance
+    in the frontier is by construction via a shortest path, so the round
+    number is the distance (unweighted BFS over joins)."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    seen = e.withColumn("dist", F.lit(1)).localCheckpoint(eager=True)
+    frontier = seen
+    for k in range(2, max_iters + 2):
+        nxt = (
+            frontier.alias("f")
+            .join(e.alias("e2"), F.col("f.dst") == F.col("e2.src"))
+            .select(F.col("f.src").alias("src"), F.col("e2.dst").alias("dst"))
+            .distinct()
+            .join(seen.select("src", "dst"), ["src", "dst"], "left_anti")
+            .withColumn("dist", F.lit(k))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    else:
+        e.unpersist()
+        raise RuntimeError(
+            f"shortest_path_lengths did not converge within {max_iters} rounds"
+        )
+    e.unpersist()
+    return seen
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

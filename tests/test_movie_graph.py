@@ -459,3 +459,17 @@ def test_exists_rejected_under_or(movie_engine):
             RETURN p.Name AS name
             """
         )
+
+
+def test_exists_with_unbounded_path(movie_engine):
+    # pattern predicate over an unbounded reachability rewrite
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        WHERE exists((p)-[:FOLLOWS*]->(:Person))
+        RETURN p.Name AS name
+        """
+    )
+    assert rows(df) == {
+        ("Meg Ryan",), ("Bill Paxton",), ("Rob Reiner",), ("Nora Ephron",),
+    }

@@ -343,3 +343,18 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     assert len(batch_fps) == 3
     assert {r.fp for r in got} == batch_fps
     assert len(got) == 3  # duplicates dropped within the stream too
+
+
+def test_shortest_path_lengths(spark):
+    from opencyphertranspiler_spark.pipeline.graph import shortest_path_lengths
+
+    # chain 1->2->3->4 plus shortcut 1->3 and a cycle edge 4->1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (4, 1)], "src: long, dst: long"
+    )
+    got = {(r.src, r.dst): r.dist for r in shortest_path_lengths(edges).collect()}
+    assert got[(1, 3)] == 1      # shortcut wins over 1->2->3
+    assert got[(1, 4)] == 2      # via the shortcut
+    assert got[(4, 3)] == 2      # 4->1->3
+    assert got[(2, 1)] == 3      # 2->3->4->1
+    assert got[(1, 1)] == 3      # cycle closes on itself

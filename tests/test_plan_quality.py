@@ -142,3 +142,23 @@ def test_cosine_topk_prereduces_before_global_window(spark):
     # ...the inner one partitioned by BOTH query_id and the physical
     # partition id -> never a handful of giant sort tasks
     assert re.search(r"hashpartitioning\(query_id#\d+L?, __part#\d+", plan), plan
+
+
+def test_exists_compiles_to_semi_join(spark, engine):
+    df = engine.cypher(
+        """
+        MATCH (o:Orders)
+        WHERE NOT exists((o)-[:CONTAINS]->(:Lineitem))
+        RETURN count(*) AS n
+        """
+    )
+    plan = formatted_plan(spark, df)
+    assert "LeftAnti" in plan, plan
+    df2 = engine.cypher(
+        """
+        MATCH (c:Customer)
+        WHERE exists((c)-[:PLACED]->(:Orders))
+        RETURN count(*) AS n
+        """
+    )
+    assert "LeftSemi" in formatted_plan(spark, df2)
