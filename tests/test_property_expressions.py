@@ -117,3 +117,42 @@ def test_random_expressions_match_duckdb(fuzz_env, exprs):
     actual = engine.cypher(f"MATCH (n:Nation) RETURN {cy_items}").toPandas()
     expected = duck.sql(f"SELECT {sql_items} FROM nation").df()
     assert_frames_match(actual, expected)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    e=int_expr(),
+    with_nulls=st.booleans(),
+    desc=st.booleans(),
+    k=st.integers(1, 12),
+)
+def test_order_by_null_ordering_matches_duckdb(fuzz_env, e, with_nulls, desc, k):
+    """Sorted prefixes agree with DuckDB under openCypher null ordering
+    (nulls last ascending / first descending) — n_nationkey tiebreak makes
+    the prefix deterministic."""
+    engine, duck = fuzz_env
+    c, s = e
+    if with_nulls:
+        c = f"CASE WHEN n.n_nationkey % 3 = 0 THEN null ELSE {c} END"
+        s = f"CASE WHEN n_nationkey % 3 = 0 THEN null ELSE {s} END"
+    d = "DESC" if desc else ""
+    nulls = "NULLS FIRST" if desc else "NULLS LAST"
+    actual = [
+        r.v
+        for r in engine.cypher(
+            f"MATCH (n:Nation) RETURN {c} AS v "
+            f"ORDER BY v {d}, n.n_nationkey LIMIT {k}"
+        ).collect()
+    ]
+    expected = [
+        r[0]
+        for r in duck.sql(
+            f"SELECT {s} AS v FROM nation "
+            f"ORDER BY v {d} {nulls}, n_nationkey LIMIT {k}"
+        ).fetchall()
+    ]
+    assert actual == expected
