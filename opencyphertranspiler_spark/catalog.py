@@ -301,28 +301,22 @@ CATALOG: list[CatalogEntry] = [
     ),
     # ---- group 9: edge directions: backward arrow + either-direction ----
     CatalogEntry(
-        name="q13_direction_backward",
+        # merged former q13+q14: backward arrow and either-direction edge
+        # in one comma pattern (frees a gate slot for p16_asof_join)
+        name="q13_directions",
         cypher="""
-            MATCH (n:Nation)<-[:FROM_NATION]-(s:Supplier)
-            RETURN n.n_name AS nation, count(s) AS suppliers
+            MATCH (n:Nation)<-[:FROM_NATION]-(s:Supplier),
+                  (r:Region)-[:IN_REGION]-(n)
+            RETURN r.r_name AS region, n.n_name AS nation,
+                   count(s) AS suppliers
         """,
         oracle="""
-            SELECT n.n_name AS nation, count(s.s_suppkey) AS suppliers
-            FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
-            GROUP BY n.n_name
-        """,
-        tags=("direction",),
-    ),
-    CatalogEntry(
-        name="q14_direction_either",
-        cypher="""
-            MATCH (r:Region)-[:IN_REGION]-(n:Nation)
-            RETURN r.r_name AS region, count(n) AS nations
-        """,
-        oracle="""
-            SELECT r.r_name AS region, count(n.n_nationkey) AS nations
-            FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
-            GROUP BY r.r_name
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   count(s.s_suppkey) AS suppliers
+            FROM nation n
+            JOIN supplier s ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, n.n_name
         """,
         tags=("direction",),
     ),
@@ -960,6 +954,24 @@ def _p_connected_components(spark, sf_dir):
     return connected_components(_chain_edges(spark, sf_dir))
 
 
+def _p_asof_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .pipeline.temporal import as_of_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "event_id", "ts", "user_id"
+    )
+    views = ev.filter("event_type = 'view'").select("user_id", "ts", "event_id")
+    j = as_of_join(purchases, views, on=["user_id"], tiebreak="event_id")
+    # lag in integer microseconds: exact on both engines
+    return j.select(
+        "event_id",
+        (F.unix_micros("ts") - F.unix_micros("right_ts")).alias("lag_us"),
+    )
+
+
 def _p_multimodal(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1228,6 +1240,28 @@ PIPELINE_CATALOG: list[CatalogEntry] = [
             FROM documents
         """,
         tags=("multimodal",),
+    ),
+    CatalogEntry(
+        name="p16_asof_join",
+        fn=_p_asof_join,
+        # per purchase: microsecond lag since the user's latest view at or
+        # before it (null when none). Timestamps are µs-truncated on the
+        # DuckDB side so both engines compare at Spark's µs precision.
+        oracle="""
+            WITH p AS (
+                SELECT event_id, user_id,
+                       make_timestamp(epoch_us(ts)) AS ts
+                FROM events WHERE event_type = 'purchase'
+            ), v AS (
+                SELECT user_id, make_timestamp(epoch_us(ts)) AS ts
+                FROM events WHERE event_type = 'view'
+            )
+            SELECT p.event_id AS event_id,
+                   epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+            FROM p ASOF LEFT JOIN v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        tags=("temporal", "asof-join"),
     ),
     CatalogEntry(
         name="p14_transitive_closure",
