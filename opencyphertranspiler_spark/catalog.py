@@ -1261,6 +1261,7 @@ PIPELINE_CATALOG: list[CatalogEntry] = [
             FROM p ASOF LEFT JOIN v
               ON p.user_id = v.user_id AND p.ts >= v.ts
         """,
+        bench=True,
         tags=("temporal", "asof-join"),
     ),
     CatalogEntry(
@@ -1277,6 +1278,7 @@ PIPELINE_CATALOG: list[CatalogEntry] = [
             )
             SELECT src, dst FROM reach
         """,
+        bench=True,
         tags=("graph", "iterative"),
     ),
     CatalogEntry(

@@ -93,9 +93,9 @@ def interval_join(
     Executes as an equi-join on (keys..., time bin): the right side fans
     out to its own bin and the next one, so every qualifying pair shares a
     join key — a shuffle hash join, not a nested loop."""
-    d = max_delta_seconds
+    d_us = int(max_delta_seconds) * 1_000_000  # microsecond precision
     l = left.select(
-        "*", (F.unix_timestamp(left_ts) / d).cast("long").alias("__bin")
+        "*", (F.unix_micros(left_ts) / d_us).cast("long").alias("__bin")
     )
     r_cols = [c for c in right.columns if c not in on]
     r = right.select(
@@ -103,16 +103,16 @@ def interval_join(
         *[F.col(c).alias(f"{right_prefix}{c}") for c in r_cols],
         F.explode(
             F.array(
-                (F.unix_timestamp(right_ts) / d).cast("long"),
-                (F.unix_timestamp(right_ts) / d).cast("long") + 1,
+                (F.unix_micros(right_ts) / d_us).cast("long"),
+                (F.unix_micros(right_ts) / d_us).cast("long") + 1,
             )
         ).alias("__bin"),
     )
-    delta = F.unix_timestamp(F.col(left_ts)) - F.unix_timestamp(
+    delta = F.unix_micros(F.col(left_ts)) - F.unix_micros(
         F.col(f"{right_prefix}{right_ts}")
     )
     return (
         l.join(r, [*on, "__bin"])
-        .filter((delta >= 0) & (delta <= d))
+        .filter((delta >= 0) & (delta <= d_us))
         .drop("__bin")
     )
