@@ -175,6 +175,16 @@ class CypherEngine:
         self._reach_cache[key] = out
         return out
 
+    def explain(self, query: str, mode: str = "formatted") -> str:
+        """Catalyst's physical plan for a query ('formatted', 'extended',
+        'cost', 'codegen') — the plan-quality audit surface."""
+        df = self.cypher(query)
+        return df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                mode
+            )
+        )
+
     def explain_plan(self, query: str) -> str:
         """Dump the logical operator DAG (the reference's DumpGraph,
         /root/reference/src/LogicalPlanner/LogicalPlan.cs:88-110)."""

@@ -114,3 +114,106 @@ def fingerprint(
     provenance key."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+# PII patterns: conservative, line-noise-free regexes. Redaction is a pure
+# regexp_replace chain — codegen'd, no UDFs, safe at 100 TB scan speed.
+PII_PATTERNS: list[tuple[str, str]] = [
+    # ordered most-specific first: each pattern only sees text the earlier
+    # (more precise) redactions have already cleaned, so the greedy phone
+    # shape cannot eat IP octets or card digit runs
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b(?:\d[ -]?){13,16}\b", "<CARD>"),
+    (r"\b(?:\+?\d{1,3}[ .-]?)?(?:\(\d{2,4}\)[ .-]?)?\d{3}[ .-]\d{3,4}[ .-]?\d{0,4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Replace common PII shapes (emails, phone numbers, card-like digit
+    runs, SSNs, IPv4s) with typed placeholder tokens, and count the
+    replacements per document. Patterns apply in order, so earlier
+    (more specific) redactions shield later (greedier) ones."""
+    red = F.col(text_col)
+    hits = F.lit(0).cast("long")
+    for pat, token in PII_PATTERNS:
+        # count on the progressively-redacted text so a card number is not
+        # double-counted by the (greedier) phone pattern later
+        hits = hits + F.coalesce(
+            F.size(F.regexp_extract_all(red, F.lit(pat), F.lit(0)))
+            .cast("long"),
+            F.lit(0),
+        )
+        red = F.regexp_replace(red, pat, token)
+    return df.select(
+        F.col(id_col),
+        red.alias("redacted_text"),
+        hits.alias("n_redactions"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals:
+
+    - dup_token_frac:  1 - distinct tokens / tokens
+    - top_token_frac:  occurrences of the most frequent token / tokens
+    - dup_bigram_frac: 1 - distinct bigrams / bigrams
+
+    High values flag boilerplate/template documents that fingerprint-level
+    dedup misses. Token stats run as explode -> two-level groupBy — fully
+    codegen with map-side combine, the 100 TB shape. The bigram fractions
+    use array expressions (one interpreted transform, bounded by the
+    per-document token count)."""
+    ex = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+    )
+    tok = (
+        ex.groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("__n"),
+            F.count(F.lit(1)).alias("__distinct"),
+            F.max("c").alias("__top"),
+        )
+    )
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t <> '')"
+    bigrams = (
+        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"transform(sequence(1, size({toks}) - 1), "
+        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1))) "
+        f"ELSE array() END"
+    )
+    nb = F.expr(f"size({bigrams})").cast("double")
+    base = df.select(
+        F.col(id_col),
+        F.when(
+            nb > 0,
+            F.round(1 - F.expr(f"size(array_distinct({bigrams}))") / nb, 4),
+        )
+        .otherwise(0.0)
+        .alias("dup_bigram_frac"),
+    )
+    n = F.col("__n").cast("double")
+    return (
+        base.join(tok, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                F.round(1 - F.col("__distinct") / n, 4), F.lit(0.0)
+            ).alias("dup_token_frac"),
+            F.coalesce(
+                F.round(F.col("__top").cast("double") / n, 4), F.lit(0.0)
+            ).alias("top_token_frac"),
+            "dup_bigram_frac",
+        )
+    )

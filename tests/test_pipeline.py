@@ -403,3 +403,71 @@ def test_interval_join_is_not_nested_loop(spark):
     plan = j._jdf.queryExecution().executedPlan().toString() if False else \
         j._jdf.queryExecution().optimizedPlan().toString()
     assert "NestedLoop" not in plan
+
+
+def test_repetition_stats_match_duckdb(spark, docs, duck):
+    from opencyphertranspiler_spark.pipeline.text import repetition_stats
+
+    got = {
+        r.doc_id: (r.dup_token_frac, r.top_token_frac, r.dup_bigram_frac)
+        for r in repetition_stats(docs).collect()
+    }
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duck.sql(
+            """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS ts
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, unnest(ts) AS tk FROM t
+            ), cnt AS (
+                SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY doc_id, tk
+            ), agg AS (
+                SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n,
+                       count(*) AS nd, max(c) AS top
+                FROM cnt GROUP BY doc_id
+            ), big AS (
+                SELECT doc_id,
+                       CASE WHEN len(ts) >= 2 THEN
+                           [ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]
+                       ELSE [] END AS bg
+                FROM t
+            )
+            SELECT a.doc_id,
+                   round(1 - nd / n, 4),
+                   round(top / n, 4),
+                   CASE WHEN len(bg) > 0
+                        THEN round(1 - len(list_distinct(bg))::DOUBLE / len(bg), 4)
+                        ELSE 0.0 END
+            FROM agg a JOIN big b ON a.doc_id = b.doc_id
+            """
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        for a, b in zip(got[k], want[k]):
+            assert abs(a - b) < 1e-6, (k, got[k], want[k])
+
+
+def test_redact_pii(spark):
+    from opencyphertranspiler_spark.pipeline.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.org or call 555-123-4567"),
+            (2, "server 192.168.0.1 took card 4111 1111 1111 1111"),
+            (3, "ssn 123-45-6789 done"),
+            (4, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.redacted_text, r.n_redactions) for r in redact_pii(df).collect()}
+    assert "<EMAIL>" in out[1][0] and "<PHONE>" in out[1][0]
+    assert "jane" not in out[1][0]
+    assert "<IP>" in out[2][0] and "<CARD>" in out[2][0]
+    assert "<SSN>" in out[3][0]
+    assert out[4] == ("clean text only", 0)
+    assert out[1][1] == 2 and out[3][1] == 1
