@@ -68,3 +68,42 @@ def stream_dedup_counts(
         .parquet(os.path.dirname(path))
     )
     return dedup_stream(stream, ts_col, text_col, watermark)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delta_seconds: int = 3600,
+    watermark: str = "2 hours",
+    right_prefix: str = "right_",
+) -> DataFrame:
+    """Streaming twin of pipeline.temporal.interval_join: all pairs with
+    ``0 <= left_ts - right_ts <= max_delta_seconds`` sharing the join keys.
+
+    Uses Spark's native stream-stream inner join: the equality keys plus
+    the event-time range condition let the state store evict rows older
+    than ``watermark`` + ``max_delta_seconds`` — state is bounded by the
+    time horizon, not the stream length."""
+    r_cols = [c for c in right.columns if c not in on]
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = (
+        right.select(
+            *on, *[F.col(c).alias(f"{right_prefix}{c}") for c in r_cols]
+        )
+        .withWatermark(f"{right_prefix}{right_ts}", watermark)
+        .alias("r")
+    )
+    cond = None
+    for k in on:
+        eq = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = eq if cond is None else cond & eq
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_prefix}{right_ts}")
+    cond = (
+        cond
+        & (lts >= rts)
+        & (lts <= rts + F.expr(f"INTERVAL {max_delta_seconds} SECONDS"))
+    )
+    return l.join(r, cond).drop(*[F.col(f"r.{k}") for k in on])

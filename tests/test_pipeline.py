@@ -471,3 +471,44 @@ def test_redact_pii(spark):
     assert "<SSN>" in out[3][0]
     assert out[4] == ("clean text only", 0)
     assert out[1][1] == 2 and out[3][1] == 1
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    from opencyphertranspiler_spark.pipeline.temporal import interval_join
+    from opencyphertranspiler_spark.sources.tpch import load_events
+    from opencyphertranspiler_spark.streaming.dedup import stream_interval_join
+
+    ev = load_events(spark, SF_DIR)
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "event_id", "ts", "user_id"
+    )
+    views = ev.filter("event_type = 'view'").select("user_id", "ts", "event_id")
+    # write both sides out and re-read them as file streams
+    pdir, vdir = str(tmp_path / "p"), str(tmp_path / "v")
+    purchases.write.parquet(pdir)
+    views.write.parquet(vdir)
+    ps = spark.readStream.schema(purchases.schema).parquet(pdir)
+    vs = spark.readStream.schema(views.schema).parquet(vdir)
+    out = stream_interval_join(
+        ps, vs, on=["user_id"], max_delta_seconds=3600, watermark="30 days"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sij")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.event_id, r.right_event_id)
+        for r in spark.sql("SELECT event_id, right_event_id FROM sij").collect()
+    }
+    want = {
+        (r.event_id, r.right_event_id)
+        for r in interval_join(
+            purchases, views, on=["user_id"], max_delta_seconds=3600
+        ).collect()
+    }
+    assert got == want and len(got) > 0
