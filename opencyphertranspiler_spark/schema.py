@@ -173,6 +173,41 @@ class GraphSchema:
     def edges_by_verb(self, verb: str) -> list[EdgeSchema]:
         return [e for e in self._edges.values() if e.verb == verb]
 
+    def validate(self, tables) -> list[str]:
+        """Check every node/edge against its backing table in a
+        TableRegistry: table registered, id/source/sink/property columns
+        present. Returns a list of problems (empty = valid) so callers can
+        report them all at once; raise-on-first via require_valid()."""
+        problems: list[str] = []
+
+        def check(kind: str, name: str, table: str, cols: list[str]):
+            if table not in tables:
+                problems.append(
+                    f"{kind} '{name}': backing table '{table}' is not registered"
+                )
+                return
+            have = set(tables.get(table).columns)
+            for c in cols:
+                if c not in have:
+                    problems.append(
+                        f"{kind} '{name}': column '{c}' not found in "
+                        f"table '{table}' (has: {sorted(have)})"
+                    )
+
+        for n in self.nodes:
+            check("node", n.label, n.table, list(n.property_names))
+        for e in self.edges:
+            check("edge", e.id, e.table, list(e.property_names))
+        return problems
+
+    def require_valid(self, tables) -> None:
+        problems = self.validate(tables)
+        if problems:
+            raise TranspilerBindingError(
+                "Graph schema does not bind to the registered tables:\n  - "
+                + "\n  - ".join(problems)
+            )
+
     # -- JSON schema documents --------------------------------------------
     # The user-facing schema format of the reference is a JSON document
     # (tests/SQLRenderer.Test/TestData/MovieGraph.json:1-202, provider in

@@ -139,3 +139,36 @@ def test_stateful_sessionize_stream(spark, tmp_path):
         for r in closed_batch.collect()
     }
     assert got == want
+
+
+def test_graph_schema_validate(spark):
+    from opencyphertranspiler_spark import (
+        EdgeSchema,
+        EntityProperty,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+    )
+    from opencyphertranspiler_spark.exceptions import TranspilerBindingError
+    import pytest
+
+    reg = TableRegistry()
+    reg.register_df(
+        "person", spark.createDataFrame([(1, "a")], "id long, Name string")
+    )
+    good = GraphSchema(
+        nodes=[NodeSchema("Person", "person", "id", (EntityProperty("Name"),))],
+        edges=[],
+    )
+    assert good.validate(reg) == []
+    bad = GraphSchema(
+        nodes=[
+            NodeSchema("Person", "person", "id", (EntityProperty("Born"),)),
+            NodeSchema("Movie", "movie", "id"),
+        ],
+        edges=[EdgeSchema("ACTED", "Person", "Movie", "acted", "_v", "_s")],
+    )
+    problems = bad.validate(reg)
+    assert len(problems) == 3  # missing column, missing table x2
+    with pytest.raises(TranspilerBindingError):
+        bad.require_valid(reg)
