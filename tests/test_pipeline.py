@@ -512,3 +512,50 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_sample_frames_matches_duckdb_arithmetic(spark, docs, duck):
+    from opencyphertranspiler_spark.pipeline.multimodal import (
+        attach_fake_payload,
+        sample_frames,
+    )
+
+    subset = docs.filter("doc_id < 20")
+    got = {
+        (r.doc_id, r.frame_no, r.frame_len)
+        for r in sample_frames(attach_fake_payload(subset), 100, 4).collect()
+    }
+    want = {
+        (a, b, c)
+        for a, b, c in duck.sql(
+            """
+            WITH d AS (
+                SELECT doc_id, strlen(text) AS n FROM documents WHERE doc_id < 20
+            )
+            SELECT doc_id, CAST(off / 100 AS INTEGER) AS frame_no,
+                   CAST(least(100, n - off) AS BIGINT) AS frame_len
+            FROM d CROSS JOIN (SELECT unnest([0, 100, 200, 300]) AS off)
+            WHERE off <= least(n - 1, 300)
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_as_of_join_is_single_shuffle(spark):
+    from opencyphertranspiler_spark.pipeline.temporal import as_of_join
+    from opencyphertranspiler_spark.sources.tpch import load_events
+
+    ev = load_events(spark, SF_DIR)
+    j = as_of_join(
+        ev.filter("event_type = 'purchase'").select("event_id", "ts", "user_id"),
+        ev.filter("event_type = 'view'").select("user_id", "ts", "event_id"),
+        on=["user_id"],
+        tiebreak="event_id",
+    )
+    plan = j._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, "as-of must not be a join"
+    physical = j._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", physical)) == 1, physical
