@@ -746,8 +746,16 @@ class _SingleQueryPlanner:
                 env=dict(op.env),
             )
         if clause.where is not None:
-            validate_expr(clause.where, op.env)
-            op = SelectionOp(op, predicate=clause.where, env=dict(op.env))
+            # WITH ... WHERE also accepts exists() pattern predicates over
+            # entity aliases still in scope — same semi/anti join lowering
+            residual, pattern_preds = self._split_pattern_predicates(
+                clause.where
+            )
+            if residual is not None:
+                validate_expr(residual, op.env)
+                op = SelectionOp(op, predicate=residual, env=dict(op.env))
+            for part, negated in pattern_preds:
+                op = self._plan_pattern_predicate(op, part, negated)
         if carry:
             op = TrimOp(op, [a for a, _ in clause.items], env=out_env)
         return op

@@ -473,3 +473,22 @@ def test_exists_with_unbounded_path(movie_engine):
     assert rows(df) == {
         ("Meg Ryan",), ("Bill Paxton",), ("Rob Reiner",), ("Nora Ephron",),
     }
+
+
+def test_exists_in_with_where(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        WITH p WHERE exists((p)-[:DIRECTED]->(:Movie))
+        RETURN p.Name AS name
+        """
+    )
+    assert rows(df) == {("Rob Reiner",), ("Nora Ephron",)}
+    df2 = movie_engine.cypher(
+        """
+        MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
+        WITH DISTINCT m WHERE NOT exists((:Person)-[:REVIEWED]->(m))
+        RETURN m.Title AS title
+        """
+    )
+    assert rows(df2) == {("Apollo 13",)}
