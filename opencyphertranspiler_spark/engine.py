@@ -28,11 +28,18 @@ from .sources import TableRegistry
 
 class CypherEngine:
     def __init__(
-        self, spark: SparkSession, graph: GraphSchema, tables: TableRegistry
+        self,
+        spark: SparkSession,
+        graph: GraphSchema,
+        tables: TableRegistry,
+        reach_max_iters: int = 200,
     ):
         self.spark = spark
         self.graph = graph
         self.tables = tables
+        # unbounded-`*` reachability: fixpoint round cap (= max path length
+        # the rewrite can discover; raise for graphs with larger diameter)
+        self.reach_max_iters = reach_max_iters
         # reachability DataFrames for unbounded var-length rels, keyed by
         # (edge id, min_hops) — the fixpoint runs once per engine lifetime
         self._reach_cache: dict[tuple[str, int], DataFrame] = {}
@@ -68,19 +75,20 @@ class CypherEngine:
             else:
                 yield q
 
-        def parts_of(clause: A.MatchClause):
-            yield from clause.patterns
-            if clause.where is not None:
-                # exists(pattern) predicates carry pattern parts too
-                for n in clause.where.walk():
+        def parts_of(clause):
+            # MATCH patterns, plus exists(pattern) predicates in ANY
+            # clause's WHERE (MATCH, WITH and RETURN all accept them)
+            if isinstance(clause, A.MatchClause):
+                yield from clause.patterns
+            where = getattr(clause, "where", None)
+            if where is not None:
+                for n in where.walk():
                     if isinstance(n, A.PatternPredicate):
                         yield n.part
 
         rewrites: list[tuple[A.NodePattern, A.RelPattern, A.NodePattern]] = []
         for sq in single_queries(ast_query):
             for clause in sq.clauses:
-                if not isinstance(clause, A.MatchClause):
-                    continue
                 for part in parts_of(clause):
                     for i, rel in enumerate(part.rels):
                         if rel.min_hops is not None and rel.max_hops is None:
@@ -113,7 +121,11 @@ class CypherEngine:
             edge = cands[0]
             reach = self._reachability(edge, rel.min_hops)
             vname = f"__reach_{rel.min_hops}_{edge.id}"
-            vverb = f"__REACH{rel.min_hops}_{edge.verb}"
+            # key the virtual verb by the full edge IDENTITY, not just the
+            # verb: one verb can back several (source, sink) label pairs
+            # (e.g. FROM_NATION on Customer and Supplier), each needing its
+            # own reachability table
+            vverb = f"__REACH{rel.min_hops}_{edge.id}"
             overlay.register_df(vname, reach)
             if not any(e.verb == vverb for e in extra_edges):
                 extra_edges.append(
@@ -147,7 +159,7 @@ class CypherEngine:
             F.col(edge.source_id_property).alias("src"),
             F.col(edge.sink_id_property).alias("dst"),
         )
-        r1 = transitive_closure(e)
+        r1 = transitive_closure(e, max_iters=self.reach_max_iters)
         out = r1
         if min_hops > 1:
             # length >= n decomposes into an exact (n-1)-hop prefix plus a

@@ -49,6 +49,11 @@ class ExprCompiler:
         self.env = env
         self.df = df
         self.params = params or {}
+        # per-AST-node type memo: _types() probes run a full Catalyst
+        # analysis of the accumulated plan, and the coercion pre-check plus
+        # the PLUS/DIVIDE/avg branches would otherwise probe the same
+        # operand repeatedly
+        self._type_cache: dict[int, T.DataType] = {}
 
     def _param(self, name: str):
         if name not in self.params:
@@ -292,7 +297,8 @@ class ExprCompiler:
             )
 
     def _types(self, node: A.Expr, col: Column) -> T.DataType:
-        """Cheap type resolution: literals without probing, else probe."""
+        """Cheap type resolution: literals without probing, else probe
+        (memoized per AST node for this compile)."""
         if isinstance(node, A.Literal):
             v = node.value
             if v is None:
@@ -304,7 +310,10 @@ class ExprCompiler:
             if isinstance(v, float):
                 return T.DoubleType()
             return T.StringType()
-        return self.dtype(col)
+        key = id(node)
+        if key not in self._type_cache:
+            self._type_cache[key] = self.dtype(col)
+        return self._type_cache[key]
 
     # -- aggregates -----------------------------------------------------------------
     def _aggregate(self, expr: A.AggCall) -> Column:

@@ -27,7 +27,7 @@ def transitive_closure(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iters: int = 50,
+    max_iters: int = 200,
 ) -> DataFrame:
     """All distinct (src, dst) pairs connected by a directed path.
 
@@ -68,7 +68,7 @@ def shortest_path_lengths(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iters: int = 50,
+    max_iters: int = 200,
 ) -> DataFrame:
     """(src, dst, dist) — the length of the shortest directed path.
 
@@ -109,7 +109,7 @@ def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iters: int = 50,
+    max_iters: int = 200,
 ) -> DataFrame:
     """(node, comp) with comp = the smallest node id in the component.
 

@@ -94,18 +94,19 @@ def interval_join(
     out to its own bin and the next one, so every qualifying pair shares a
     join key — a shuffle hash join, not a nested loop."""
     d_us = int(max_delta_seconds) * 1_000_000  # microsecond precision
-    l = left.select(
-        "*", (F.unix_micros(left_ts) / d_us).cast("long").alias("__bin")
-    )
+
+    def bin_of(ts_col: str):
+        # floor, not cast-truncation: negative epoch micros (pre-1970)
+        # must round DOWN or boundary pairs land in the wrong bin
+        return F.floor(F.unix_micros(ts_col) / d_us).cast("long")
+
+    l = left.select("*", bin_of(left_ts).alias("__bin"))
     r_cols = [c for c in right.columns if c not in on]
     r = right.select(
         *on,
         *[F.col(c).alias(f"{right_prefix}{c}") for c in r_cols],
         F.explode(
-            F.array(
-                (F.unix_micros(right_ts) / d_us).cast("long"),
-                (F.unix_micros(right_ts) / d_us).cast("long") + 1,
-            )
+            F.array(bin_of(right_ts), bin_of(right_ts) + 1)
         ).alias("__bin"),
     )
     delta = F.unix_micros(F.col(left_ts)) - F.unix_micros(

@@ -57,16 +57,21 @@ def stream_dedup_counts(
     text_col: str = "text",
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """File-source streaming dedup: read a parquet directory as a stream
-    and emit the deduplicated rows (append mode)."""
+    """File-source streaming dedup: read parquet as a stream and emit the
+    deduplicated rows (append mode). ``path`` may be a directory (normal
+    Spark output layout) or a single parquet file (streamed via its parent
+    directory + a file-name glob, since the file source requires a
+    directory)."""
     import os
 
     src = spark.read.parquet(path)
-    stream = (
-        spark.readStream.schema(src.schema)
-        .option("pathGlobFilter", os.path.basename(path))
-        .parquet(os.path.dirname(path))
-    )
+    reader = spark.readStream.schema(src.schema)
+    if os.path.isdir(path):
+        stream = reader.parquet(path)
+    else:
+        stream = reader.option(
+            "pathGlobFilter", os.path.basename(path)
+        ).parquet(os.path.dirname(path))
     return dedup_stream(stream, ts_col, text_col, watermark)
 
 

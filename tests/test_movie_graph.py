@@ -492,3 +492,59 @@ def test_exists_in_with_where(movie_engine):
         """
     )
     assert rows(df2) == {("Apollo 13",)}
+
+
+def test_unbounded_either_direction_rejected(movie_engine):
+    # var-length must be directed — unbounded either-direction included
+    with pytest.raises(TranspilerNotSupportedError):
+        movie_engine.cypher(
+            "MATCH (a:Person)-[:FOLLOWS*]-(b:Person) RETURN a.Name AS n"
+        )
+
+
+def test_unbounded_same_verb_different_edges(spark):
+    # one verb backing two (source, sink) label pairs: each unbounded hop
+    # must get its OWN reachability table (regression: vverb collision)
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EdgeSchema,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+    )
+
+    reg = TableRegistry()
+    reg.register_df("a", spark.createDataFrame([(1,), (2,)], "id long"))
+    reg.register_df("b", spark.createDataFrame([(10,), (11,)], "id long"))
+    reg.register_df("c", spark.createDataFrame([(20,)], "id long"))
+    reg.register_df(
+        "ab", spark.createDataFrame([(1, 10), (2, 11)], "src long, dst long")
+    )
+    reg.register_df("bc", spark.createDataFrame([(10, 20)], "src long, dst long"))
+    g = GraphSchema(
+        nodes=[NodeSchema("A", "a", "id"), NodeSchema("B", "b", "id"),
+               NodeSchema("C", "c", "id")],
+        edges=[
+            EdgeSchema("LINKS", "A", "B", "ab", "src", "dst"),
+            EdgeSchema("LINKS", "B", "C", "bc", "src", "dst"),
+        ],
+    )
+    eng = CypherEngine(spark, g, reg)
+    df = eng.cypher(
+        """
+        MATCH (a:A)-[:LINKS*]->(b:B), (b)-[:LINKS*]->(c:C)
+        RETURN a.id AS a, b.id AS b, c.id AS c
+        """
+    )
+    assert {tuple(r) for r in df.collect()} == {(1, 10, 20)}
+
+
+def test_unbounded_inside_with_where_exists(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        WITH p WHERE exists((p)-[:FOLLOWS*2..]->(:Person))
+        RETURN p.Name AS name
+        """
+    )
+    assert rows(df) == {("Rob Reiner",), ("Nora Ephron",)}
