@@ -583,9 +583,9 @@ class Parser:
                 extras.append(self.parse_expr())
             # tolerate reference-style count(DISTINCT(x)) — DISTINCT already eaten
             self.expect_punct(")")
-            if distinct and name != "count":
+            if distinct and name not in ("count", "collect"):
                 raise TranspilerNotSupportedError(
-                    "DISTINCT is only supported inside count() "
+                    "DISTINCT is only supported inside count() and collect() "
                     "(reference SQLRenderer.cs:708-711)"
                 )
             if any(A.contains_aggregate(e) for e in [arg, *extras]):

@@ -88,6 +88,7 @@ def compile_aggregate(
             F.sort_array(F.collect_list(arg)), F.greatest(F.lit(0), idx)
         )
     if name == "collect":
-        # extension: openCypher collect() -> array (reference has no lists)
-        return F.collect_list(arg)
+        # extension: openCypher collect() -> array (reference has no lists);
+        # collect(DISTINCT x) -> set semantics via collect_set
+        return F.collect_set(arg) if distinct else F.collect_list(arg)
     raise TranspilerNotSupportedError(f"Unknown aggregation function {name}()")

@@ -548,3 +548,17 @@ def test_unbounded_inside_with_where_exists(movie_engine):
         """
     )
     assert rows(df) == {("Rob Reiner",), ("Nora Ephron",)}
+
+
+def test_collect_distinct(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)-[r:REVIEWED]->(m:Movie)
+        RETURN p.Name AS name, collect(DISTINCT m.Title) AS titles
+        """
+    )
+    got = {r.name: sorted(r.titles) for r in df.collect()}
+    assert got == {
+        "Rob Reiner": ["Sleepless in Seattle", "You've Got Mail"],
+        "Bill Paxton": ["Sleepless in Seattle"],
+    }
