@@ -61,10 +61,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     for e in bench_entries:
         run_entry(e, spark, warm_dir).count()  # warm-up, not timed
-        t0 = time.perf_counter()
-        df = run_entry(e, spark, sf_dir)
-        df.count()  # execute fully; result sizes are small (aggregates)
-        timings[e.name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):  # min-of-2: the box is noisy (2-3x run-to-run)
+            t0 = time.perf_counter()
+            df = run_entry(e, spark, sf_dir)
+            df.count()  # execute fully; result sizes are small (aggregates)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[e.name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -257,13 +257,25 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    # referenced twice below (survivor-id derivation + the verify join)
+    prefiltered = (
+        _stage(prefiltered, "prefiltered") if staging_dir
+        else prefiltered.persist()
+    )
     # exact verify over HASHED shingle sets: same Jaccard (xxhash64
     # collisions are negligible), but long-set intersection is much
     # cheaper than string-array intersection. collect_set both dedups
     # (Jaccard is over distinct shingles) and keeps the whole path in
-    # codegen — no interpreted array transform
+    # codegen — no interpreted array transform. Only SURVIVOR documents
+    # are shingled: at 100 TB the verify set is a tiny fraction of the
+    # corpus, so materializing shingle sets for every document would
+    # dominate the whole job
+    survivor_ids = prefiltered.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
+    survivors = df.join(survivor_ids, id_col, "left_semi")
     sh = (
-        shingle_hashes(df, id_col, text_col, n)
+        shingle_hashes(survivors, id_col, text_col, n)
         .groupBy("id")
         .agg(F.collect_set("h").alias("shh"))
     )
@@ -287,11 +299,12 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     if staging_dir is None:
-        # materialize the (tiny) result once, then release the two
+        # materialize the (tiny) result once, then release the
         # corpus-sized input caches before handing the frame back
         verified = verified.localCheckpoint(eager=True)
         sig.unpersist()
         sh.unpersist()
+        prefiltered.unpersist()
     return verified
 
 

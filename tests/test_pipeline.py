@@ -259,7 +259,10 @@ def test_minhash_staging_mode_leaves_no_cached_blocks(spark, docs):
     pairs = minhash_lsh_pairs(docs, 0.8, staging_dir=staging)
     pairs.count()
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert after == before, "staging mode must not persist anything"
+    # async ContextCleaner may release OLDER tests' checkpoint blocks
+    # between the two snapshots, so assert no NEW blocks rather than
+    # exact equality
+    assert after <= before, "staging mode must not persist anything"
 
 
 def test_minhash_default_mode_releases_input_caches(spark, docs):
