@@ -53,6 +53,7 @@ def main() -> None:
     kept = (
         docs.join(quality.select("doc_id"), "doc_id")
         .join(langs.select("doc_id"), "doc_id")
+        .persist()  # reused by the dedup pair-gen AND the final anti-join
     )
 
     # 2. near-duplicate pairs -> duplicate clusters -> canonical member
@@ -67,13 +68,15 @@ def main() -> None:
     # 3. stable content fingerprint on the survivors
     out = deduped.join(fingerprint(deduped), "doc_id")
 
+    out = out.persist()  # one materialization feeds count + show
     n_out = out.count()
-    n_clusters = canonical.count()
     print(
         f"in={n_in} kept_after_filters={kept.count()} "
-        f"dup_clusters={n_clusters} out={n_out}"
+        f"dup_clusters={canonical.count()} out={n_out}"
     )
     out.select("doc_id", "lang", "fp").show(5, truncate=False)
+    out.unpersist()
+    kept.unpersist()
     spark.stop()
 
 

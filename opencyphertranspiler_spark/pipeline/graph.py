@@ -34,34 +34,16 @@ def transitive_closure(
     Semi-naive fixpoint: frontier(k+1) = (frontier(k) JOIN edges) MINUS
     seen. Terminates on cyclic graphs because reachability (not path
     enumeration) is computed — the pair set is finite. Runs eagerly (the
-    fixpoint needs per-round emptiness checks on the driver)."""
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .persist()
-    )
-    seen = e.localCheckpoint(eager=True)
-    frontier = seen
-    for _ in range(max_iters):
-        nxt = (
-            frontier.alias("f")
-            .join(e.alias("e2"), F.col("f.dst") == F.col("e2.src"))
-            .select(F.col("f.src").alias("src"), F.col("e2.dst").alias("dst"))
-            .distinct()
-            .join(seen, ["src", "dst"], "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        if nxt.isEmpty():
-            break
-        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
-    else:
-        e.unpersist()
+    fixpoint needs per-round emptiness checks on the driver). Implemented
+    as shortest_path_lengths minus the distance column — same loop, one
+    implementation to maintain."""
+    try:
+        sp = shortest_path_lengths(edges, src, dst, max_iters)
+    except RuntimeError:
         raise RuntimeError(
             f"transitive_closure did not converge within {max_iters} rounds"
-        )
-    e.unpersist()
-    return seen
+        ) from None
+    return sp.select("src", "dst")
 
 
 def shortest_path_lengths(

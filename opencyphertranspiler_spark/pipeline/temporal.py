@@ -35,6 +35,10 @@ def as_of_join(
     ``right_ts <= left_ts`` sharing the ``on`` keys (null columns when no
     such row exists). ``tiebreak`` orders right rows that share a
     timestamp (defaults to the last of the right's own columns order)."""
+    # a null right timestamp can never satisfy right_ts <= left_ts; drop
+    # such rows up front (ascending sort would otherwise place them at the
+    # partition head and last() would wrongly attach them to every left row)
+    right = right.filter(F.col(right_ts).isNotNull())
     r_payload_cols = [c for c in right.columns if c not in on]
     order_cols = [F.col("__ts"), F.col("__tag")]
     if tiebreak is not None:
@@ -93,7 +97,11 @@ def interval_join(
     Executes as an equi-join on (keys..., time bin): the right side fans
     out to its own bin and the next one, so every qualifying pair shares a
     join key — a shuffle hash join, not a nested loop."""
-    d_us = int(max_delta_seconds) * 1_000_000  # microsecond precision
+    if max_delta_seconds < 0:
+        raise ValueError("max_delta_seconds must be >= 0")
+    # microsecond precision; a 0-second delta still needs a non-zero bin
+    # width (exact-timestamp pairs then survive the residual filter)
+    d_us = max(int(max_delta_seconds) * 1_000_000, 1)
 
     def bin_of(ts_col: str):
         # floor, not cast-truncation: negative epoch micros (pre-1970)

@@ -699,9 +699,22 @@ class _SingleQueryPlanner:
         if clause.where is not None:
             scope_exprs.append(clause.where)
         scope_exprs.extend(s.expr for s in clause.order_by)
+        def scope_refs(e: A.Expr):
+            yield from _expr_alias_refs(e)
+            # exists(pattern) predicates reference their SHARED node
+            # aliases (aliases bound in the pattern itself are fresh
+            # bindings, not references)
+            for n in e.walk():
+                if isinstance(n, A.PatternPredicate):
+                    for np in n.part.nodes:
+                        if np.alias is not None and (
+                            np.alias in in_env or np.alias in out_env
+                        ):
+                            yield np.alias, None
+
         carry = False
         for e in scope_exprs:
-            for alias, _prop in _expr_alias_refs(e):
+            for alias, _prop in scope_refs(e):
                 if alias in out_env:
                     continue
                 if alias not in in_env:

@@ -562,3 +562,16 @@ def test_collect_distinct(movie_engine):
         "Rob Reiner": ["Sleepless in Seattle", "You've Got Mail"],
         "Bill Paxton": ["Sleepless in Seattle"],
     }
+
+
+def test_exists_in_with_where_over_unprojected_alias(movie_engine):
+    # the exists() alias p is NOT projected — the carry mechanism must
+    # keep p's columns flowing for the semi join, then trim them
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        WITH p.Name AS name WHERE exists((p)-[:DIRECTED]->(:Movie))
+        RETURN name
+        """
+    )
+    assert rows(df) == {("Rob Reiner",), ("Nora Ephron",)}
