@@ -211,6 +211,10 @@ class Direction(enum.Enum):
 class NodePattern:
     alias: str | None
     label: str | None
+    # additional labels (extension): `(n:A:B)` — the first label is the
+    # PRIMARY (binds the scan and resolves properties); each extra label
+    # becomes a semi join on the node id against that label's table
+    extra_labels: list[str] = field(default_factory=list)
 
 
 @dataclass

@@ -260,18 +260,19 @@ class Parser:
         if self.cur.kind == "ident":
             alias = self.expect_ident()
         label = None
+        extra: list[str] = []
         if self.accept_punct(":"):
+            # multi-label (extension): first label is primary, the rest
+            # intersect via semi joins on the node id
             label = self.expect_name()
-            if self.cur.is_punct(":"):
-                raise TranspilerNotSupportedError(
-                    "Multiple node labels are not supported"
-                )
+            while self.accept_punct(":"):
+                extra.append(self.expect_name())
         if self.cur.is_punct("{"):
             raise TranspilerNotSupportedError(
                 "Inline property maps on patterns are not supported"
             )
         self.expect_punct(")")
-        return A.NodePattern(alias, label)
+        return A.NodePattern(alias, label, extra)
 
     def parse_rel_pattern(self) -> A.RelPattern:
         # assembled from single-char tokens:  <-[..]-   -[..]->   -[..]-

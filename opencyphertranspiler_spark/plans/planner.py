@@ -135,7 +135,47 @@ class _SingleQueryPlanner:
         op = self._plan_match_body(piped, clause, known_labels, prefix_overrides)
         for part, negated in pattern_preds:
             op = self._plan_pattern_predicate(op, part, negated)
+        # multi-label nodes: each extra label intersects via a semi join
+        seen_extra: set[tuple[str, str]] = set()
+        for part in clause.patterns:
+            for n in part.nodes:
+                for lbl in n.extra_labels:
+                    if n.alias is None:
+                        raise TranspilerNotSupportedError(
+                            "Extra node labels require a named alias, "
+                            "e.g. (n:A:B)"
+                        )
+                    if (n.alias, lbl) not in seen_extra:
+                        seen_extra.add((n.alias, lbl))
+                        op = self._plan_extra_label(op, n.alias, lbl)
         return op
+
+    def _plan_extra_label(
+        self, op: LogicalOp, alias: str, label: str
+    ) -> LogicalOp:
+        """`(n:A:B)`: n's scan is bound to the PRIMARY label A; each extra
+        label B adds a LEFT SEMI join of n's id against B's node table —
+        the node must exist under both labels. Properties resolve against
+        the primary label only (documented extension semantics)."""
+        ref = op.env.get(alias)
+        if not isinstance(ref, EntityRef) or ref.kind != "node":
+            raise TranspilerBindingError(
+                f"Extra label ':{label}' applies to '{alias}', which is "
+                "not a node entity"
+            )
+        sch = self.schema.get_node(label)
+        extra_ref = EntityRef(
+            alias=alias, kind="node", node=sch,
+            col_prefix=self._gen_alias(f"xl_{alias}"),
+        )
+        scan = DataSourceOp([extra_ref], env={})
+        pairs = [
+            (
+                ref.col(ref.node.id_property),
+                extra_ref.col(sch.id_property),
+            )
+        ]
+        return JoinOp(op, scan, "semi", pairs, [], env=dict(op.env))
 
     def _split_pattern_predicates(
         self, where: A.Expr | None

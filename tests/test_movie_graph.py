@@ -575,3 +575,52 @@ def test_exists_in_with_where_over_unprojected_alias(movie_engine):
         """
     )
     assert rows(df) == {("Rob Reiner",), ("Nora Ephron",)}
+
+
+def test_multi_label_nodes(spark):
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EdgeSchema,
+        EntityProperty,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+    )
+
+    reg = TableRegistry()
+    reg.register_df(
+        "person",
+        spark.createDataFrame(
+            [("p1", "Ann"), ("p2", "Bo"), ("p3", "Cy")], "id string, Name string"
+        ),
+    )
+    # directors are a SUBSET of persons sharing the id domain
+    reg.register_df(
+        "director",
+        spark.createDataFrame([("p2", 3), ("p9", 1)], "id string, movies int"),
+    )
+    g = GraphSchema(
+        nodes=[
+            NodeSchema("Person", "person", "id", (EntityProperty("Name"),)),
+            NodeSchema(
+                "Director", "director", "id", (EntityProperty("movies", "int"),)
+            ),
+        ],
+        edges=[],
+    )
+    eng = CypherEngine(spark, g, reg)
+    df = eng.cypher("MATCH (p:Person:Director) RETURN p.Name AS name")
+    assert rows(df) == {("Bo",)}
+    # primary label resolves properties: Director first exposes 'movies'
+    df2 = eng.cypher("MATCH (d:Director:Person) RETURN d.movies AS m")
+    assert rows(df2) == {(3,)}
+    # anonymous multi-label nodes work too (planner assigns an internal
+    # alias before the extra-label semi joins apply)
+    assert eng.cypher(
+        "MATCH (:Person:Director) RETURN count(*) AS n"
+    ).collect()[0].n == 1
+    # unknown extra label -> binding error
+    from opencyphertranspiler_spark.exceptions import TranspilerBindingError
+
+    with pytest.raises(TranspilerBindingError):
+        eng.cypher("MATCH (p:Person:Nope) RETURN p.Name AS name")

@@ -90,7 +90,6 @@ NEGATIVES = [
     ("CREATE (a:X) RETURN a", TranspilerNotSupportedError),
     ("MERGE (a:X) RETURN a", TranspilerNotSupportedError),
     ("MATCH (a:X {k: 1}) RETURN a.v AS v", TranspilerNotSupportedError),
-    ("MATCH (a:X:Y) RETURN a.v AS v", TranspilerNotSupportedError),
     ("MATCH (a:X)-[r:A|B]->(b) RETURN a.v AS v", TranspilerNotSupportedError),
     ("MATCH (a:X)-[r*1..2]->(b) RETURN a.v AS v", TranspilerNotSupportedError),
     ("MATCH p = (a:X)--(b) RETURN a.v AS v", TranspilerNotSupportedError),
