@@ -105,10 +105,14 @@ class Parameter(Expr):
 
 @dataclass
 class Property(Expr):
-    """Single-level property access ``alias.prop`` (nested is rejected)."""
+    """Property access ``alias.prop``. ``path`` (extension) carries any
+    further struct-field segments: ``n.meta.width`` -> prop='meta',
+    path=['width'] — the property resolves against the graph schema, the
+    path against the column's struct type (Catalyst checks it)."""
 
     alias: str
     prop: str
+    path: list[str] = field(default_factory=list)
 
 
 @dataclass

@@ -236,7 +236,7 @@ class Parser:
         if isinstance(expr, A.Variable):
             return expr.name
         if isinstance(expr, A.Property):
-            return f"{expr.alias}.{expr.prop}"
+            return ".".join([expr.alias, expr.prop, *expr.path])
         raise TranspilerSyntaxError(
             "Computed projection items require an explicit alias (use AS)"
         )
@@ -460,9 +460,8 @@ class Parser:
             if isinstance(e, A.Variable):
                 e = A.Property(e.name, prop)
             elif isinstance(e, A.Property):
-                raise TranspilerNotSupportedError(
-                    "Nested property lookup 'a.b.c' is not supported"
-                )
+                # struct-field path (extension): n.meta.width
+                e = A.Property(e.alias, e.prop, e.path + [prop])
             else:
                 raise TranspilerSyntaxError(
                     f"Property access on a non-variable at position {self.cur.pos}"

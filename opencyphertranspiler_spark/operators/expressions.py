@@ -98,7 +98,10 @@ class ExprCompiler:
                 raise TranspilerBindingError(
                     f"Property '{expr.prop}' is not defined on '{expr.alias}'"
                 )
-            return qcol(ref.col(expr.prop))
+            col = qcol(ref.col(expr.prop))
+            for fld in expr.path:  # struct-field path: n.meta.width
+                col = col.getField(fld)
+            return col
         if isinstance(expr, A.Unary):
             return self._unary(expr)
         if isinstance(expr, A.Binary):

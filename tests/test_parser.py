@@ -93,7 +93,6 @@ NEGATIVES = [
     ("MATCH (a:X)-[r:A|B]->(b) RETURN a.v AS v", TranspilerNotSupportedError),
     ("MATCH (a:X)-[r*1..2]->(b) RETURN a.v AS v", TranspilerNotSupportedError),
     ("MATCH p = (a:X)--(b) RETURN a.v AS v", TranspilerNotSupportedError),
-    ("MATCH (a:X) RETURN a.b.c AS v", TranspilerNotSupportedError),
     ("MATCH (a:X) RETURN sum(count(a.v)) AS v", TranspilerNotSupportedError),
     ("OPTIONAL MATCH (a:X) RETURN a.v AS v", TranspilerNotSupportedError),
     ("MATCH (a:X) RETURN CASE a.v WHEN 1 THEN 2 END AS v", TranspilerNotSupportedError),

@@ -201,3 +201,52 @@ def test_array_property_and_unwind(spark):
     # size() overload on the list property
     sizes = eng.cypher("MATCH (d:Doc) RETURN d.id AS id, size(d.tags) AS n")
     assert {(r.id, r.n) for r in sizes.collect()} == {(1, 2), (2, 3)}
+
+
+def test_struct_field_property_access(spark):
+    # n.prop.field resolves the property against the schema and the field
+    # path against the column's struct type (multimodal metadata shape)
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EntityProperty,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+    )
+    from opencyphertranspiler_spark.pipeline.multimodal import (
+        attach_fake_payload,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = attach_fake_payload(docs.filter("doc_id < 10"))
+    reg = TableRegistry()
+    reg.register_df("media", media)
+    g = GraphSchema(
+        nodes=[
+            NodeSchema(
+                "Media",
+                "media",
+                "doc_id",
+                (
+                    EntityProperty("modality"),
+                    EntityProperty("meta", "struct<width:int,height:int,codec:string>"),
+                ),
+            )
+        ],
+        edges=[],
+    )
+    eng = CypherEngine(spark, g, reg)
+    df = eng.cypher(
+        """
+        MATCH (m:Media)
+        WHERE m.meta.width > 10
+        RETURN m.meta.codec AS codec, count(*) AS n, max(m.meta.height) AS mh
+        """
+    )
+    rows_out = df.collect()
+    assert rows_out and rows_out[0].codec == "fake/raw"
+    exp = media.filter("meta.width > 10")
+    assert rows_out[0].n == exp.count()
+    # implicit alias keeps the full dotted path
+    df2 = eng.cypher("MATCH (m:Media) RETURN m.meta.width LIMIT 1")
+    assert df2.columns == ["m.meta.width"]
