@@ -563,3 +563,49 @@ def test_as_of_join_is_single_shuffle(spark):
     import re
 
     assert len(re.findall(r"Exchange hashpartitioning", physical)) == 1, physical
+
+
+def test_stratified_sample_exact_and_deterministic(spark, docs):
+    from opencyphertranspiler_spark.pipeline.sampling import stratified_sample
+
+    s1 = stratified_sample(docs, ["lang"], n_per_stratum=20)
+    sizes = {r.lang: r.n for r in s1.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    full = {r.lang: r.n for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    for lang, n in sizes.items():
+        assert n == min(20, full[lang])
+    # deterministic under repartitioning
+    s2 = stratified_sample(docs.repartition(13), ["lang"], n_per_stratum=20)
+    assert {r.doc_id for r in s1.collect()} == {r.doc_id for r in s2.collect()}
+    # fraction mode: deterministic and roughly proportional
+    f1 = stratified_sample(docs, ["lang"], fraction=0.3)
+    f2 = stratified_sample(docs.repartition(7), ["lang"], fraction=0.3)
+    ids1 = {r.doc_id for r in f1.collect()}
+    assert ids1 == {r.doc_id for r in f2.collect()}
+    assert 0.15 * 500 < len(ids1) < 0.45 * 500
+
+
+def test_grouped_topk_matches_exhaustive(spark, duck):
+    from opencyphertranspiler_spark.pipeline.sampling import grouped_topk
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    got = {
+        (r.l_returnflag, r.l_orderkey, r.l_linenumber, r.rank)
+        for r in grouped_topk(
+            li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+            ["l_returnflag"], "l_extendedprice", 5, tiebreak="l_orderkey",
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duck.sql(
+            """
+            SELECT l_returnflag, l_orderkey, l_linenumber, CAST(rank AS INTEGER)
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY l_returnflag
+                      ORDER BY l_extendedprice DESC, l_orderkey) AS rank
+                  FROM lineitem)
+            WHERE rank <= 5
+            """
+        ).fetchall()
+    }
+    assert got == want
