@@ -1,19 +1,31 @@
 """Sampling and groupwise-selection utilities for dataset mixing.
 
 - stratified_sample: deterministic per-stratum sampling — the data-mixing
-  primitive (e.g. cap each source/language at N docs or at a fraction).
-  Seeded xxhash64 ranking makes the draw reproducible across runs and
-  cluster layouts (no RNG-per-partition nondeterminism).
-- grouped_topk: generic per-group top-k with the same two-phase window
-  shape as the similarity rankers — pre-reduce per (group, partition)
-  before the per-group window, so no single-group sort task sees more
-  than k * n_partitions rows.
+  primitive (e.g. cap each source/language at N docs, or keep an exact
+  fraction of every stratum). Seeded xxhash64 ranking makes the draw
+  reproducible across runs and cluster layouts (no RNG-per-partition
+  nondeterminism).
+- grouped_topk: generic per-group top-k with a two-phase window — rank
+  within (group, physical partition) first, so no single-group sort task
+  sees more than k * n_partitions rows. similarity._global_topk is the
+  specialised cosine-ranking instance of the same idiom.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_RESERVED = ("__part", "__lr", "__r", "__cnt")
+
+
+def _check_columns(df: DataFrame, produced: tuple[str, ...] = ()):
+    clash = [c for c in (*_RESERVED, *produced) if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {clash}; rename them first "
+            "(they would be silently overwritten)"
+        )
 
 
 def stratified_sample(
@@ -24,20 +36,33 @@ def stratified_sample(
     id_col: str = "doc_id",
     seed: int = 42,
 ) -> DataFrame:
-    """Sample each stratum down to ``n_per_stratum`` rows (exact) or to
-    ``fraction`` (hash-proportional, exact-in-expectation).
+    """Sample each stratum down to ``n_per_stratum`` rows, or to an exact
+    ``ceil(fraction * stratum_size)`` rows per stratum.
 
-    Ranking key = xxhash64(id, seed): deterministic, uniform, and
+    Ranking key = (xxhash64(id, seed), id): deterministic, uniform, and
     independent of partitioning — rerunning on repartitioned data returns
-    the SAME sample. n_per_stratum uses the two-phase top-k, so huge
-    strata never funnel into one task."""
+    the SAME sample, PROVIDED ``id_col`` is unique and non-null (rows
+    tying on the full key are ordered arbitrarily). n_per_stratum mode
+    pre-reduces per (stratum, partition) so huge strata never funnel into
+    one task; fraction mode needs the true stratum size, so it pays one
+    full per-stratum window."""
     if (n_per_stratum is None) == (fraction is None):
         raise ValueError("pass exactly one of n_per_stratum / fraction")
+    _check_columns(df)
     h = F.xxhash64(F.col(id_col), F.lit(seed))
     if fraction is not None:
-        # map the 64-bit hash onto [0, 1); keep the low tail
-        u = (h.cast("double") / F.lit(float(2**63)) + 1.0) / 2.0
-        return df.filter(u < fraction)
+        if not (0.0 <= fraction <= 1.0):
+            raise ValueError("fraction must be in [0, 1]")
+        w = Window.partitionBy(*strata)
+        w_rank = w.orderBy(h.asc(), F.col(id_col))
+        return (
+            df.withColumn("__cnt", F.count(F.lit(1)).over(w))
+            .withColumn("__r", F.row_number().over(w_rank))
+            .filter(
+                F.col("__r") <= F.ceil(F.lit(fraction) * F.col("__cnt"))
+            )
+            .drop("__cnt", "__r")
+        )
     w_local = Window.partitionBy(*strata, "__part").orderBy(h.asc(), F.col(id_col))
     w = Window.partitionBy(*strata).orderBy(h.asc(), F.col(id_col))
     return (
@@ -58,20 +83,27 @@ def grouped_topk(
     k: int,
     descending: bool = True,
     tiebreak: str | None = None,
+    two_phase: bool = True,
+    rank_col: str = "rank",
 ) -> DataFrame:
     """Top-k rows per group by ``order_col`` (ties broken by ``tiebreak``
-    for a deterministic result). Two-phase: rank within (group, physical
-    partition) first, then globally — the generic form of the similarity
-    rankers' pre-reduction."""
+    for a deterministic result), with the rank in ``rank_col``.
+
+    Two-phase by default: rank within (group, physical partition) first,
+    then globally — disable for inputs already pruned per group."""
+    _check_columns(df, produced=(rank_col,))
     oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
     order = [oc] + ([F.col(tiebreak)] if tiebreak else [])
-    w_local = Window.partitionBy(*keys, "__part").orderBy(*order)
+    if two_phase:
+        w_local = Window.partitionBy(*keys, "__part").orderBy(*order)
+        df = (
+            df.withColumn("__part", F.spark_partition_id())
+            .withColumn("__lr", F.row_number().over(w_local))
+            .filter(F.col("__lr") <= k)
+            .drop("__part", "__lr")
+        )
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
-        df.withColumn("__part", F.spark_partition_id())
-        .withColumn("__lr", F.row_number().over(w_local))
-        .filter(F.col("__lr") <= k)
-        .drop("__part", "__lr")
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
     )

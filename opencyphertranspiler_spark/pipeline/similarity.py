@@ -48,29 +48,23 @@ def _global_topk(scored: DataFrame, k: int, two_phase: bool = True) -> DataFrame
 
     A single Window.partitionBy(query_id) would shuffle EVERY scored row
     into at most n_queries tasks — with few queries over a huge corpus
-    that is a handful of tasks each sorting ~corpus-size data. Phase 1
-    therefore ranks within (query_id, input partition): same total shuffle
-    volume but spread over n_queries * n_partitions keys, and only
-    k survivors per (query, partition) reach the tiny global phase-2
-    window. The (cosine DESC, match_id ASC) total order makes the final
-    top-k independent of partitioning."""
-    if two_phase:
-        w_local = Window.partitionBy("query_id", "__part").orderBy(
-            F.col("cosine").desc(), F.col("match_id").asc()
-        )
-        scored = (
-            scored.withColumn("__part", F.spark_partition_id())
-            .withColumn("__lr", F.row_number().over(w_local))
-            .filter(F.col("__lr") <= k)
-            .drop("__part", "__lr")
-        )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("match_id").asc()
+    that is a handful of tasks each sorting ~corpus-size data. The
+    generic two-phase idiom lives in sampling.grouped_topk; this wrapper
+    fixes the (cosine DESC, match_id ASC) total order, which makes the
+    final top-k independent of partitioning, and rounds for output."""
+    from .sampling import grouped_topk
+
+    ranked = grouped_topk(
+        scored,
+        keys=["query_id"],
+        order_col="cosine",
+        k=k,
+        descending=True,
+        tiebreak="match_id",
+        two_phase=two_phase,
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "match_id", F.round("cosine", 6).alias("cosine"), "rank")
+    return ranked.select(
+        "query_id", "match_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
 
 

@@ -132,18 +132,30 @@ class _SingleQueryPlanner:
         residual, pattern_preds = self._split_pattern_predicates(clause.where)
         if pattern_preds:
             clause = A.MatchClause(clause.patterns, clause.optional, residual)
+        # anonymous multi-label nodes get their alias assigned HERE so it
+        # survives the var-length deepcopy expansion and is visible to the
+        # extra-label pass below
+        for part in clause.patterns:
+            for n in part.nodes:
+                if n.extra_labels and n.alias is None:
+                    n.alias = self._gen_alias("mlbl")
         op = self._plan_match_body(piped, clause, known_labels, prefix_overrides)
         for part, negated in pattern_preds:
             op = self._plan_pattern_predicate(op, part, negated)
-        # multi-label nodes: each extra label intersects via a semi join
+        op = self._apply_extra_labels(op, clause.patterns)
+        return op
+
+    def _apply_extra_labels(
+        self, op: LogicalOp, patterns: list[A.PatternPart]
+    ) -> LogicalOp:
+        """Multi-label nodes: each extra label intersects via a semi join."""
         seen_extra: set[tuple[str, str]] = set()
-        for part in clause.patterns:
+        for part in patterns:
             for n in part.nodes:
                 for lbl in n.extra_labels:
-                    if n.alias is None:
-                        raise TranspilerNotSupportedError(
-                            "Extra node labels require a named alias, "
-                            "e.g. (n:A:B)"
+                    if n.alias is None:  # pragma: no cover — pre-assigned
+                        raise TranspilerInternalError(
+                            "unnamed multi-label node reached planning"
                         )
                     if (n.alias, lbl) not in seen_extra:
                         seen_extra.add((n.alias, lbl))
@@ -245,12 +257,20 @@ class _SingleQueryPlanner:
                     f"exists() alias '{a}' is not a node entity"
                 )
         clause = A.MatchClause([part], optional=False, where=None)
+        # anonymous multi-label nodes inside the predicate pattern need
+        # aliases before the extra-label pass, like in plan_match
+        for n in part.nodes:
+            if n.extra_labels and n.alias is None:
+                n.alias = self._gen_alias("mlbl")
         prefix_overrides = {a: self._gen_alias(f"ex_{a}") for a in shared}
         known_labels = {a: env[a].node.label for a in shared}
         right = self._plan_match_body(
             None, clause, known_labels=known_labels,
             prefix_overrides=prefix_overrides,
         )
+        # extra labels on predicate-pattern nodes (shared or fresh) apply
+        # to the pattern's own plan before the semi join
+        right = self._apply_extra_labels(right, [part])
         pairs = []
         for a in shared:
             left_ref, right_ref = env[a], right.env[a]

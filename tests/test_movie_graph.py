@@ -624,3 +624,58 @@ def test_multi_label_nodes(spark):
 
     with pytest.raises(TranspilerBindingError):
         eng.cypher("MATCH (p:Person:Nope) RETURN p.Name AS name")
+
+
+def test_exists_pattern_respects_extra_labels(spark):
+    # regression: extra labels inside exists() patterns must intersect
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EdgeSchema,
+        EntityProperty,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+    )
+
+    reg = TableRegistry()
+    reg.register_df(
+        "person",
+        spark.createDataFrame(
+            [("p1", "Ann"), ("p2", "Bo"), ("p3", "Cy")], "id string, Name string"
+        ),
+    )
+    reg.register_df(
+        "director",
+        spark.createDataFrame([("p2", 3)], "id string, movies int"),
+    )
+    reg.register_df(
+        "knows",
+        spark.createDataFrame([("p1", "p2"), ("p3", "p1")], "_v string, _s string"),
+    )
+    g = GraphSchema(
+        nodes=[
+            NodeSchema("Person", "person", "id", (EntityProperty("Name"),)),
+            NodeSchema("Director", "director", "id", (EntityProperty("movies", "int"),)),
+        ],
+        edges=[EdgeSchema("KNOWS", "Person", "Person", "knows", "_v", "_s")],
+    )
+    eng = CypherEngine(spark, g, reg)
+    # shared alias with an extra label inside exists()
+    df = eng.cypher(
+        "MATCH (p:Person) WHERE exists((p:Person:Director)) RETURN p.Name AS name"
+    )
+    assert rows(df) == {("Bo",)}
+    # fresh node with an extra label inside the pattern: who knows a director?
+    df2 = eng.cypher(
+        """
+        MATCH (p:Person)
+        WHERE exists((p)-[:KNOWS]->(:Person:Director))
+        RETURN p.Name AS name
+        """
+    )
+    assert rows(df2) == {("Ann",)}
+    # anonymous multi-label node combined with bounded var-length
+    df3 = eng.cypher(
+        "MATCH (:Person:Director)<-[:KNOWS*1..2]-(b:Person) RETURN b.Name AS name"
+    )
+    assert rows(df3) == {("Ann",), ("Cy",)}

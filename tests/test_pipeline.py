@@ -576,12 +576,16 @@ def test_stratified_sample_exact_and_deterministic(spark, docs):
     # deterministic under repartitioning
     s2 = stratified_sample(docs.repartition(13), ["lang"], n_per_stratum=20)
     assert {r.doc_id for r in s1.collect()} == {r.doc_id for r in s2.collect()}
-    # fraction mode: deterministic and roughly proportional
+    # fraction mode: deterministic and EXACTLY proportional per stratum
+    import math
+
     f1 = stratified_sample(docs, ["lang"], fraction=0.3)
     f2 = stratified_sample(docs.repartition(7), ["lang"], fraction=0.3)
     ids1 = {r.doc_id for r in f1.collect()}
     assert ids1 == {r.doc_id for r in f2.collect()}
-    assert 0.15 * 500 < len(ids1) < 0.45 * 500
+    fsizes = {r.lang: r.n for r in f1.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    for lang, n in fsizes.items():
+        assert n == math.ceil(0.3 * full[lang]), (lang, n, full[lang])
 
 
 def test_grouped_topk_matches_exhaustive(spark, duck):
