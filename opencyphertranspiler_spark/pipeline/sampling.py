@@ -59,7 +59,11 @@ def stratified_sample(
             df.withColumn("__cnt", F.count(F.lit(1)).over(w))
             .withColumn("__r", F.row_number().over(w_rank))
             .filter(
-                F.col("__r") <= F.ceil(F.lit(fraction) * F.col("__cnt"))
+                # round(...,9) before ceil: binary float error at exact
+                # boundaries (0.7*10 -> 7.000000000000001) must not
+                # overshoot the stratum sample size by 1
+                F.col("__r")
+                <= F.ceil(F.round(F.lit(fraction) * F.col("__cnt"), 9))
             )
             .drop("__cnt", "__r")
         )

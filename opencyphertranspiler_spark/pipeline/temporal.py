@@ -22,6 +22,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _epoch_us(col) -> "F.Column":
+    """Epoch microseconds for TIMESTAMP and TIMESTAMP_NTZ alike.
+
+    ``unix_micros`` rejects NTZ; the cast interprets NTZ in the session
+    timezone, which cancels out everywhere we only compare or difference
+    two timestamps from the same dataset."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,
@@ -40,6 +50,14 @@ def as_of_join(
     # partition head and last() would wrongly attach them to every left row)
     right = right.filter(F.col(right_ts).isNotNull())
     r_payload_cols = [c for c in right.columns if c not in on]
+    collisions = {f"{right_prefix}{c}" for c in r_payload_cols} & set(
+        left.columns
+    )
+    if collisions:
+        raise ValueError(
+            "as_of_join output column collision with left columns: "
+            f"{sorted(collisions)}; pick a different right_prefix"
+        )
     order_cols = [F.col("__ts"), F.col("__tag")]
     if tiebreak is not None:
         order_cols.append(F.col(f"__p.{tiebreak}"))
@@ -99,14 +117,16 @@ def interval_join(
     join key — a shuffle hash join, not a nested loop."""
     if max_delta_seconds < 0:
         raise ValueError("max_delta_seconds must be >= 0")
-    # microsecond precision; a 0-second delta still needs a non-zero bin
-    # width (exact-timestamp pairs then survive the residual filter)
-    d_us = max(int(max_delta_seconds) * 1_000_000, 1)
+    # microsecond precision; the residual filter uses the TRUE bound, while
+    # the bin width is padded to >= 1 so a 0-second delta still bins
+    # (exact-timestamp pairs land in the same bin and survive the filter)
+    bound_us = int(max_delta_seconds) * 1_000_000
+    d_us = max(bound_us, 1)
 
     def bin_of(ts_col: str):
         # floor, not cast-truncation: negative epoch micros (pre-1970)
         # must round DOWN or boundary pairs land in the wrong bin
-        return F.floor(F.unix_micros(ts_col) / d_us).cast("long")
+        return F.floor(_epoch_us(ts_col) / d_us).cast("long")
 
     l = left.select("*", bin_of(left_ts).alias("__bin"))
     r_cols = [c for c in right.columns if c not in on]
@@ -117,11 +137,9 @@ def interval_join(
             F.array(bin_of(right_ts), bin_of(right_ts) + 1)
         ).alias("__bin"),
     )
-    delta = F.unix_micros(F.col(left_ts)) - F.unix_micros(
-        F.col(f"{right_prefix}{right_ts}")
-    )
+    delta = _epoch_us(left_ts) - _epoch_us(f"{right_prefix}{right_ts}")
     return (
         l.join(r, [*on, "__bin"])
-        .filter((delta >= 0) & (delta <= d_us))
+        .filter((delta >= 0) & (delta <= bound_us))
         .drop("__bin")
     )

@@ -80,6 +80,10 @@ class NodeSchema:
     table: str
     id_property: str
     properties: tuple[EntityProperty, ...] = ()
+    # declared type of the id column (Spark simple type string); the
+    # reference JSON dialect carries a real .NET type on IdProperty, so
+    # to_json must round-trip it rather than hardcode System.String
+    id_property_type: str = "string"
 
     @property
     def property_names(self) -> tuple[str, ...]:
@@ -104,6 +108,8 @@ class EdgeSchema:
     source_id_property: str
     sink_id_property: str
     properties: tuple[EntityProperty, ...] = ()
+    source_id_property_type: str = "string"
+    sink_id_property_type: str = "string"
 
     @property
     def id(self) -> str:
@@ -238,6 +244,9 @@ class GraphSchema:
                 out.append(EntityProperty(p["PropertyName"], t, nullable))
             return tuple(out)
 
+        def id_type(p: dict) -> str:
+            return _parse_dotnet_type(p.get("PropertyType", "System.String"))[0]
+
         nodes = []
         for n in doc.get("Nodes", []):
             label = n.get("Name") or n["Id"]
@@ -246,6 +255,7 @@ class GraphSchema:
                     label=label,
                     table=n.get("Table", label.lower()),
                     id_property=n["IdProperty"]["PropertyName"],
+                    id_property_type=id_type(n["IdProperty"]),
                     properties=props(n.get("Properties")),
                 )
             )
@@ -260,6 +270,8 @@ class GraphSchema:
                     table=e.get("Table", verb.lower()),
                     source_id_property=e["SourceIdProperty"]["PropertyName"],
                     sink_id_property=e["SinkIdProperty"]["PropertyName"],
+                    source_id_property_type=id_type(e["SourceIdProperty"]),
+                    sink_id_property_type=id_type(e["SinkIdProperty"]),
                     properties=props(e.get("Properties")),
                 )
             )
@@ -276,16 +288,21 @@ class GraphSchema:
                 t = f"System.Nullable`1[{t}]"
             return {"PropertyName": p.name, "PropertyType": t}
 
+        def id_prop(name: str, spark_type: str) -> dict:
+            # id/join-key columns are non-nullable by role, so never wrap
+            # in System.Nullable`1
+            return {
+                "PropertyName": name,
+                "PropertyType": _SPARK_TO_DOTNET.get(spark_type, spark_type),
+            }
+
         doc = {
             "Nodes": [
                 {
                     "Id": n.label,
                     "Name": n.label,
                     "Table": n.table,
-                    "IdProperty": {
-                        "PropertyName": n.id_property,
-                        "PropertyType": "System.String",
-                    },
+                    "IdProperty": id_prop(n.id_property, n.id_property_type),
                     "Properties": [prop(p) for p in n.properties],
                 }
                 for n in self.nodes
@@ -297,14 +314,12 @@ class GraphSchema:
                     "FromNode": e.source_label,
                     "ToNode": e.sink_label,
                     "Table": e.table,
-                    "SourceIdProperty": {
-                        "PropertyName": e.source_id_property,
-                        "PropertyType": "System.String",
-                    },
-                    "SinkIdProperty": {
-                        "PropertyName": e.sink_id_property,
-                        "PropertyType": "System.String",
-                    },
+                    "SourceIdProperty": id_prop(
+                        e.source_id_property, e.source_id_property_type
+                    ),
+                    "SinkIdProperty": id_prop(
+                        e.sink_id_property, e.sink_id_property_type
+                    ),
                     "Properties": [prop(p) for p in e.properties],
                 }
                 for e in self.edges

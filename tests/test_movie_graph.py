@@ -339,6 +339,55 @@ def test_json_schema_roundtrip():
     assert {e.id: e for e in g2.edges} == {e.id: e for e in g.edges}
 
 
+def test_json_schema_roundtrip_non_string_ids():
+    """Non-string id columns (the reference dialect carries real .NET
+    types on IdProperty/SourceIdProperty/SinkIdProperty) must round-trip
+    through to_json -> from_json without collapsing to System.String."""
+    doc = {
+        "Nodes": [
+            {
+                "Id": "N",
+                "Name": "N",
+                "IdProperty": {
+                    "PropertyName": "nid",
+                    "PropertyType": "System.Int64",
+                },
+                "Properties": [],
+            }
+        ],
+        "Edges": [
+            {
+                "Id": "N@E@N",
+                "Name": "E",
+                "FromNode": "N",
+                "ToNode": "N",
+                "SourceIdProperty": {
+                    "PropertyName": "src",
+                    "PropertyType": "System.Int64",
+                },
+                "SinkIdProperty": {
+                    "PropertyName": "dst",
+                    "PropertyType": "System.Int32",
+                },
+                "Properties": [],
+            }
+        ],
+    }
+    g = GraphSchema.from_json(doc)
+    assert g.get_node("N").id_property_type == "long"
+    g2 = GraphSchema.from_json(g.to_json())
+    assert g2.get_node("N").id_property_type == "long"
+    e = g2.get_edge("E", "N", "N")
+    assert e.source_id_property_type == "long"
+    assert e.sink_id_property_type == "int"
+    import json as _json
+
+    emitted = _json.loads(g.to_json())
+    assert (
+        emitted["Nodes"][0]["IdProperty"]["PropertyType"] == "System.Int64"
+    )
+
+
 def test_unbounded_var_length_reachability(movie_engine):
     # follows: Meg->Tom, Bill->Tom, Rob->Nora, Nora->Meg
     df = movie_engine.cypher(

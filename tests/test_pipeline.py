@@ -409,6 +409,43 @@ def test_interval_join_is_not_nested_loop(spark):
     assert "NestedLoop" not in plan
 
 
+def test_interval_join_zero_delta_excludes_one_microsecond(spark):
+    """max_delta_seconds=0 admits ONLY exact-timestamp pairs; rows 1 us
+    apart must be excluded (regression: the 1-us bin-width pad must not
+    leak into the residual filter bound)."""
+    import datetime
+
+    from opencyphertranspiler_spark.pipeline.temporal import interval_join
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0, 0)
+    t1 = datetime.datetime(2024, 1, 1, 0, 0, 0, 1)  # +1 microsecond
+    left = spark.createDataFrame(
+        [(1, t0, "l0"), (1, t1, "l1")], "k int, ts timestamp, lid string"
+    )
+    right = spark.createDataFrame(
+        [(1, t0, "r0")], "k int, ts timestamp, rid string"
+    )
+    j = interval_join(left, right, on=["k"], max_delta_seconds=0)
+    got = {(r.lid, r.right_rid) for r in j.collect()}
+    assert got == {("l0", "r0")}
+
+
+def test_as_of_join_rejects_output_column_collision(spark):
+    import datetime
+
+    import pytest
+
+    from opencyphertranspiler_spark.pipeline.temporal import as_of_join
+
+    t0 = datetime.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0, "x")], "k int, ts timestamp, right_v string"
+    )
+    right = spark.createDataFrame([(1, t0, "y")], "k int, ts timestamp, v string")
+    with pytest.raises(ValueError, match="collision"):
+        as_of_join(left, right, on=["k"])
+
+
 def test_repetition_stats_match_duckdb(spark, docs, duck):
     from opencyphertranspiler_spark.pipeline.text import repetition_stats
 
@@ -586,6 +623,17 @@ def test_stratified_sample_exact_and_deterministic(spark, docs):
     fsizes = {r.lang: r.n for r in f1.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
     for lang, n in fsizes.items():
         assert n == math.ceil(0.3 * full[lang]), (lang, n, full[lang])
+
+
+def test_stratified_fraction_exact_boundary(spark):
+    """fraction * size landing exactly on an integer must not overshoot
+    by 1 from binary-float error (0.7 * 10 -> 7.000000000000001)."""
+    from opencyphertranspiler_spark.pipeline.sampling import stratified_sample
+
+    rows = [(f"d{i}", "en", "t") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, text string")
+    s = stratified_sample(df, ["lang"], fraction=0.7)
+    assert s.count() == 7
 
 
 def test_grouped_topk_matches_exhaustive(spark, duck):
