@@ -123,7 +123,10 @@ def load_events(spark: SparkSession, sf_dir: str):
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    # The driver sometimes regenerates events.parquet with
+    # TIMESTAMP(isAdjustedToUTC=false) (Spark 4: timestamp_ntz); normalize
+    # like every other base table so downstream unix_micros/casts work.
+    return _normalize_timestamps(df)
 
 
 def _normalize_timestamps(df):

@@ -72,6 +72,9 @@ def stream_dedup_counts(
         stream = reader.option(
             "pathGlobFilter", os.path.basename(path)
         ).parquet(os.path.dirname(path))
+    from ..sources.tpch import _normalize_timestamps
+
+    stream = _normalize_timestamps(stream)
     return dedup_stream(stream, ts_col, text_col, watermark)
 
 

@@ -104,6 +104,9 @@ def stream_windowed_counts(
         stream = reader.parquet(events_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from ..sources.tpch import _normalize_timestamps
+
+    stream = _normalize_timestamps(stream)
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
