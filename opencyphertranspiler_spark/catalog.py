@@ -64,9 +64,11 @@ CATALOG: list[CatalogEntry] = [
     # ---- group 1: sanity MATCH + WHERE + implicit GROUP BY (flagship) ----
     CatalogEntry(
         name="q01_match_where_agg",
+        # the segment filter uses inline-property-map sugar (extension;
+        # reference rejects maps, CypherVisitor.cs:1094-1097) — desugars
+        # to the same WHERE conjunct, oracle unchanged
         cypher="""
-            MATCH (c:Customer)-[:PLACED]->(o:Orders)
-            WHERE c.c_mktsegment = 'BUILDING'
+            MATCH (c:Customer {c_mktsegment: 'BUILDING'})-[:PLACED]->(o:Orders)
             RETURN c.c_name AS name, count(o) AS order_count
         """,
         oracle="""
@@ -323,33 +325,26 @@ CATALOG: list[CatalogEntry] = [
     # ---- group 10: ORDER BY/LIMIT in WITH plus SKIP/LIMIT in RETURN
     # (merged q15+q16 so the 50-entry driver gate fits) ----
     CatalogEntry(
-        name="q15_orderby_with_limit",
+    # merged q15+q17 (driver gate caps at 50 entries): stacked ORDER BY +
+    # LIMIT/SKIP, including ORDER BY on an unprojected (implicit) column
+    # after a narrowing WITH — the reference's widen-then-re-trim scoping
+    # (LogicalPlan.cs:203-288)
+        name="q15_orderby_limits_implicit_field",
         cypher="""
             MATCH (c:Customer)
             WITH c ORDER BY c.c_acctbal DESC, c.c_name LIMIT 30
-            RETURN c.c_name AS name, round(c.c_acctbal, 2) AS bal
-            ORDER BY name SKIP 5 LIMIT 10
+            WITH c.c_name AS name ORDER BY c.c_acctbal DESC, name LIMIT 20
+            RETURN name ORDER BY name SKIP 5 LIMIT 10
         """,
         oracle="""
-            SELECT c_name AS name, round(c_acctbal, 2) AS bal
-            FROM (SELECT * FROM customer ORDER BY c_acctbal DESC, c_name LIMIT 30)
-            ORDER BY c_name LIMIT 10 OFFSET 5
+            SELECT name FROM (
+                SELECT c_name AS name, c_acctbal FROM (
+                    SELECT * FROM customer
+                    ORDER BY c_acctbal DESC, c_name LIMIT 30
+                ) ORDER BY c_acctbal DESC, c_name LIMIT 20
+            ) ORDER BY name LIMIT 10 OFFSET 5
         """,
-        tags=("orderby", "skip"),
-    ),
-    # ---- implicit-field scoping: ORDER BY on an unprojected column ----
-    CatalogEntry(
-        name="q17_orderby_implicit_field",
-        cypher="""
-            MATCH (c:Customer)
-            WITH c.c_name AS name ORDER BY c.c_acctbal DESC, name LIMIT 5
-            RETURN name
-        """,
-        oracle="""
-            SELECT c_name AS name
-            FROM (SELECT * FROM customer ORDER BY c_acctbal DESC, c_name LIMIT 5)
-        """,
-        tags=("scoping",),
+        tags=("orderby", "skip", "scoping"),
     ),
     # ---- group 11: WHERE placements (on WITH) ----
     CatalogEntry(
@@ -369,35 +364,29 @@ CATALOG: list[CatalogEntry] = [
         tags=("where",),
     ),
     # ---- group 12: UNION / UNION ALL (working, unlike the reference bug) ----
+    # merged q19+q20 (driver gate caps at 50 entries): one chained query
+    # mixing UNION (distinct) and UNION ALL, left-associative like SQL
     CatalogEntry(
-        name="q19_union_distinct",
+        name="q19_union_mixed",
         cypher="""
             MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
             RETURN n.n_name AS name
             UNION
             MATCH (s:Supplier)-[:FROM_NATION]->(n:Nation)
             RETURN n.n_name AS name
+            UNION ALL
+            MATCH (s:Supplier)-[:FROM_NATION]->(n:Nation)
+            RETURN n.n_name AS name
         """,
         oracle="""
-            SELECT n.n_name AS name FROM customer c
-            JOIN nation n ON n.n_nationkey = c.c_nationkey
-            UNION
+            (SELECT n.n_name AS name FROM customer c
+             JOIN nation n ON n.n_nationkey = c.c_nationkey
+             UNION
+             SELECT n.n_name AS name FROM supplier s
+             JOIN nation n ON n.n_nationkey = s.s_nationkey)
+            UNION ALL
             SELECT n.n_name AS name FROM supplier s
             JOIN nation n ON n.n_nationkey = s.s_nationkey
-        """,
-        tags=("union",),
-    ),
-    CatalogEntry(
-        name="q20_union_all",
-        cypher="""
-            MATCH (c:Customer) RETURN 'customer' AS kind, count(*) AS n
-            UNION ALL
-            MATCH (s:Supplier) RETURN 'supplier' AS kind, count(*) AS n
-        """,
-        oracle="""
-            SELECT 'customer' AS kind, count(*) AS n FROM customer
-            UNION ALL
-            SELECT 'supplier' AS kind, count(*) AS n FROM supplier
         """,
         tags=("union",),
     ),
@@ -663,7 +652,85 @@ CATALOG += [
     # ---- mixed-type CASE branches: Cypher unifies to string (reference
     # folds branch types via the Plus coercion table; the e2e CASE group
     # exercises mixed branches, SQLRendererTest.cs:405-427) ----
+    # ---- multiple relationship types [:A|B] (extension; reference rejects
+    # at CypherVisitor.cs:1181-1207): virtual union edge with per-row
+    # type(r) discriminator, engine.py:_resolve_multi_verb ----
+    CatalogEntry(
+        name="q37_multi_rel_types",
+        cypher="""
+            MATCH (c:Customer)-[r:PLACED_URGENT|PLACED_NORMAL]->(o:Orders)
+            WHERE c.c_mktsegment = 'MACHINERY'
+            RETURN type(r) AS rel_type, count(*) AS n,
+                   round(sum(o.o_totalprice), 2) AS total
+        """,
+        oracle="""
+            SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 'PLACED_URGENT' ELSE 'PLACED_NORMAL' END AS rel_type,
+                   count(*) AS n, round(sum(o.o_totalprice), 2) AS total
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'MACHINERY'
+            GROUP BY 1
+        """,
+        tags=("match", "multi-rel-types", "union-edge"),
+    ),
+    # ---- unbounded variable-length [:V*] (extension; reference rejects at
+    # CypherVisitor.cs:2035-2039): engine rewrites to reachability over an
+    # iterative transitive closure (engine.py). NEXT chains each customer's
+    # orders by orderkey, so NEXT* reachability has the closed-form oracle
+    # "same customer, strictly later orderkey" — exact, no recursion needed.
+    CatalogEntry(
+        name="q38_unbounded_varlength",
+        fn=lambda spark, sf_dir: _q38_unbounded(spark, sf_dir),
+        oracle="""
+            SELECT a.o_orderkey AS src_order, b.o_orderkey AS dst_order
+            FROM orders a
+            JOIN orders b ON b.o_custkey = a.o_custkey
+                         AND b.o_orderkey > a.o_orderkey
+        """,
+        tags=("match", "var-length", "unbounded", "reachability"),
+    ),
 ]
+
+
+def _q38_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine with an extra Orders-[:NEXT]->Orders successor edge (each
+    order to the same customer's next order by key); `[:NEXT*]` then
+    reaches every strictly-later order of the same customer."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .engine import CypherEngine
+    from .schema import EdgeSchema, GraphSchema
+    from .sources import tpch_graph_schema, tpch_table_registry
+
+    reg = tpch_table_registry(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    reg.register(
+        "orders_next",
+        lambda: reg.get("orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.lead("o_orderkey").over(w).alias("next_key"),
+        )
+        .filter(F.col("next_key").isNotNull())
+        .select(
+            F.col("o_orderkey").alias("src"), F.col("next_key").alias("dst")
+        ),
+    )
+    base = tpch_graph_schema()
+    graph = GraphSchema(
+        base.nodes,
+        base.edges
+        + [EdgeSchema("NEXT", "Orders", "Orders", "orders_next", "src", "dst")],
+    )
+    eng = CypherEngine(spark, graph, reg)
+    return eng.cypher(
+        """
+        MATCH (a:Orders)-[:NEXT*]->(b:Orders)
+        RETURN a.o_orderkey AS src_order, b.o_orderkey AS dst_order
+        """
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -219,6 +219,10 @@ class NodePattern:
     # PRIMARY (binds the scan and resolves properties); each extra label
     # becomes a semi join on the node id against that label's table
     extra_labels: list[str] = field(default_factory=list)
+    # inline property map `(n:L {k: v})` (extension; reference rejects at
+    # CypherVisitor.cs:1094-1097) — desugared by the planner to WHERE
+    # equality conjuncts on the pattern's alias
+    props: list[tuple[str, Expr]] = field(default_factory=list)
 
 
 @dataclass
@@ -230,6 +234,13 @@ class RelPattern:
     # None = ordinary single hop.
     min_hops: int | None = None
     max_hops: int | None = None
+    # multiple relationship types `[:A|B]` (extension; reference rejects at
+    # CypherVisitor.cs:1181-1207). ``verb`` holds the first alternative;
+    # the engine rewrites the hop to a single virtual union edge before
+    # planning (engine.py:_resolve_multi_verb).
+    alt_verbs: list[str] = field(default_factory=list)
+    # inline property map `[r:T {k: v}]` — same desugaring as NodePattern
+    props: list[tuple[str, Expr]] = field(default_factory=list)
 
 
 @dataclass

@@ -267,12 +267,26 @@ class Parser:
             label = self.expect_name()
             while self.accept_punct(":"):
                 extra.append(self.expect_name())
-        if self.cur.is_punct("{"):
-            raise TranspilerNotSupportedError(
-                "Inline property maps on patterns are not supported"
-            )
+        props = self.parse_property_map() if self.cur.is_punct("{") else []
         self.expect_punct(")")
-        return A.NodePattern(alias, label, extra)
+        return A.NodePattern(alias, label, extra, props)
+
+    def parse_property_map(self) -> list[tuple[str, A.Expr]]:
+        """Inline property map `{k: v, ...}` (extension; the reference
+        rejects them, CypherVisitor.cs:1094-1097) — pure sugar: the
+        planner desugars each pair to a WHERE equality conjunct on the
+        pattern's alias, so `(n:L {k: v})` ≡ `(n:L) ... WHERE n.k = v`."""
+        self.expect_punct("{")
+        props: list[tuple[str, A.Expr]] = []
+        if not self.cur.is_punct("}"):
+            while True:
+                key = self.expect_name()
+                self.expect_punct(":")
+                props.append((key, self.parse_expr()))
+                if not self.accept_punct(","):
+                    break
+        self.expect_punct("}")
+        return props
 
     def parse_rel_pattern(self) -> A.RelPattern:
         # assembled from single-char tokens:  <-[..]-   -[..]->   -[..]-
@@ -280,15 +294,26 @@ class Parser:
         left_arrow = bool(self.accept_punct("<"))
         self.expect_punct("-")
         alias = verb = None
+        alt_verbs: list[str] = []
+        rel_props: list[tuple[str, A.Expr]] = []
         if self.accept_punct("["):
             if self.cur.kind == "ident":
                 alias = self.expect_ident()
             if self.accept_punct(":"):
+                # multiple types `[:A|B]` / `[:A|:B]` (extension; the
+                # reference rejects them, CypherVisitor.cs:1181-1207):
+                # collected here, rewritten by the engine to a single
+                # virtual union edge before planning
                 verb = self.expect_name()
-                if self.cur.is_punct("|"):
-                    raise TranspilerNotSupportedError(
-                        "Multiple relationship types are not supported"
-                    )
+                while self.accept_punct("|"):
+                    self.accept_punct(":")  # Neo4j also allows [:A|:B]
+                    alt = self.expect_name()
+                    if alt == verb or alt in alt_verbs:
+                        raise TranspilerSyntaxError(
+                            f"Duplicate relationship type '{alt}' in "
+                            "alternation"
+                        )
+                    alt_verbs.append(alt)
             min_hops = max_hops = None
             if self.accept_punct("*"):
                 # variable-length (extension): *n, *n..m, *..m expand to a
@@ -324,9 +349,7 @@ class Parser:
                         "alias"
                     )
             if self.cur.is_punct("{"):
-                raise TranspilerNotSupportedError(
-                    "Inline property maps on patterns are not supported"
-                )
+                rel_props = self.parse_property_map()
             self.expect_punct("]")
         else:
             min_hops = max_hops = None
@@ -344,7 +367,9 @@ class Parser:
             raise TranspilerNotSupportedError(
                 "Variable-length relationships must be directed"
             )
-        return A.RelPattern(alias, verb, direction, min_hops, max_hops)
+        return A.RelPattern(
+            alias, verb, direction, min_hops, max_hops, alt_verbs, rel_props
+        )
 
     # -- expressions ----------------------------------------------------------
     def parse_expr(self) -> A.Expr:

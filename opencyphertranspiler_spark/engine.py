@@ -50,7 +50,8 @@ class CypherEngine:
         ``params`` binds ``$name`` query parameters (extension — the
         reference rejects parameters)."""
         ast_query = parse(query)
-        graph, tables = self._resolve_unbounded(ast_query)
+        graph, tables = self._resolve_multi_verb(ast_query, self.graph, self.tables)
+        graph, tables = self._resolve_unbounded(ast_query, graph, tables)
         plan = plan_query(ast_query, graph)
         return Compiler(self.spark, tables, params=params).compile(plan)
 
@@ -65,9 +66,12 @@ class CypherEngine:
     # reference rejects unbounded paths outright (CypherVisitor.cs:
     # 2035-2039); this is a documented extension.
 
-    def _resolve_unbounded(
-        self, ast_query
-    ) -> tuple[GraphSchema, TableRegistry]:
+    @staticmethod
+    def _pattern_triples(ast_query):
+        """Yield every (left_node, rel, right_node) hop in the query —
+        MATCH patterns plus exists(pattern) predicates in any clause's
+        WHERE (MATCH, WITH and RETURN all accept them)."""
+
         def single_queries(q):
             if isinstance(q, A.UnionQuery):
                 yield from single_queries(q.left)
@@ -76,8 +80,6 @@ class CypherEngine:
                 yield q
 
         def parts_of(clause):
-            # MATCH patterns, plus exists(pattern) predicates in ANY
-            # clause's WHERE (MATCH, WITH and RETURN all accept them)
             if isinstance(clause, A.MatchClause):
                 yield from clause.patterns
             where = getattr(clause, "where", None)
@@ -86,22 +88,220 @@ class CypherEngine:
                     if isinstance(n, A.PatternPredicate):
                         yield n.part
 
-        rewrites: list[tuple[A.NodePattern, A.RelPattern, A.NodePattern]] = []
         for sq in single_queries(ast_query):
             for clause in sq.clauses:
                 for part in parts_of(clause):
                     for i, rel in enumerate(part.rels):
-                        if rel.min_hops is not None and rel.max_hops is None:
-                            rewrites.append(
-                                (part.nodes[i], rel, part.nodes[i + 1])
-                            )
+                        yield part.nodes[i], rel, part.nodes[i + 1]
+
+    # -- multiple relationship types `[:A|B]` ------------------------------
+    # The reference rejects type alternation outright
+    # (CypherVisitor.cs:1181-1207). Here each multi-type hop is rewritten
+    # BEFORE planning to an ordinary 1-hop relationship over a virtual
+    # UNION edge: the alternatives' edge tables are unionByName-ed into
+    # one DataFrame with canonical (__src, __dst) key columns, a __type
+    # discriminator (per-row relationship type — drives type(r) and edge
+    # identity), and the union of the alternatives' property columns
+    # (null-padded where an alternative lacks one, Neo4j semantics).
+    # Restriction: all alternatives must connect the same endpoint labels
+    # (a typed single-label column model cannot union heterogeneous node
+    # schemas); for either-direction patterns an alternative whose edge
+    # runs opposite to the first is flipped into the canonical
+    # orientation, which preserves undirected-match semantics.
+
+    def _resolve_multi_verb(
+        self, ast_query, graph: GraphSchema, tables: TableRegistry
+    ) -> tuple[GraphSchema, TableRegistry]:
+        rewrites = [
+            (left, rel, right)
+            for left, rel, right in self._pattern_triples(ast_query)
+            if rel.alt_verbs
+        ]
         if not rewrites:
-            return self.graph, self.tables
+            return graph, tables
 
         extra_edges: list[EdgeSchema] = []
         overlay = TableRegistry()
-        for name in self.tables.names():
-            overlay.register(name, lambda n=name: self.tables.get(n))
+        for name in tables.names():
+            overlay.register(name, lambda n=name: tables.get(n))
+
+        for left, rel, right in rewrites:
+            verbs = [rel.verb, *rel.alt_verbs]
+            if rel.direction == A.Direction.BACKWARD:
+                src_node, snk_node = right, left
+            else:  # FORWARD and EITHER anchor pattern-left as source
+                src_node, snk_node = left, right
+
+            resolved: list[tuple[EdgeSchema, bool]] = []  # (edge, flipped)
+            for v in verbs:
+                cands = [
+                    (e, False)
+                    for e in graph.candidate_edges(
+                        v, src_node.label, snk_node.label
+                    )
+                ]
+                if rel.direction == A.Direction.EITHER:
+                    fwd_edges = {id(c[0]) for c in cands}
+                    cands += [
+                        (e, True)
+                        for e in graph.candidate_edges(
+                            v, snk_node.label, src_node.label
+                        )
+                        if id(e) not in fwd_edges
+                    ]
+                if len(cands) == 0:
+                    raise TranspilerNotSupportedError(
+                        f"No edge named '{v}' connects "
+                        f"({src_node.label})-[:{'|'.join(verbs)}]->"
+                        f"({snk_node.label})"
+                    )
+                if len(cands) > 1:
+                    raise TranspilerNotSupportedError(
+                        f"Relationship type '{v}' in [:{'|'.join(verbs)}] "
+                        "is ambiguous — label both endpoint nodes"
+                    )
+                resolved.append(cands[0])
+
+            def norm_labels(e: EdgeSchema, flipped: bool) -> tuple[str, str]:
+                return (
+                    (e.sink_label, e.source_label)
+                    if flipped
+                    else (e.source_label, e.sink_label)
+                )
+
+            endpoint_sets = {norm_labels(e, fl) for e, fl in resolved}
+            if len(endpoint_sets) != 1:
+                raise TranspilerNotSupportedError(
+                    f"[:{'|'.join(verbs)}] alternatives connect different "
+                    f"node labels {sorted(endpoint_sets)}; alternation "
+                    "requires a common (source, sink) label pair"
+                )
+            src_label, snk_label = endpoint_sets.pop()
+
+            vverb = "|".join(verbs)
+            key = (vverb, src_label, snk_label)
+            existing = next(
+                (
+                    e
+                    for e in extra_edges
+                    if (e.verb, e.source_label, e.sink_label) == key
+                ),
+                None,
+            )
+            if existing is None:
+                existing = self._build_union_edge(
+                    resolved, vverb, src_label, snk_label, tables, overlay
+                )
+                extra_edges.append(existing)
+
+            rel.verb = vverb
+            rel.alt_verbs = []
+            if rel.direction == A.Direction.BACKWARD:
+                left.label, right.label = snk_label, src_label
+            else:
+                left.label, right.label = src_label, snk_label
+
+        merged_graph = GraphSchema(graph.nodes, graph.edges + extra_edges)
+        return merged_graph, overlay
+
+    def _build_union_edge(
+        self,
+        resolved: list[tuple[EdgeSchema, bool]],
+        vverb: str,
+        src_label: str,
+        snk_label: str,
+        tables: TableRegistry,
+        overlay: TableRegistry,
+    ) -> EdgeSchema:
+        from .schema import EntityProperty
+
+        merged_props: dict[str, EntityProperty] = {}
+        for e, _fl in resolved:
+            id_cols = {e.source_id_property, e.sink_id_property}
+            for p in e.properties:
+                if p.name in id_cols:
+                    continue
+                if p.name in ("__src", "__dst", "__type"):
+                    raise TranspilerNotSupportedError(
+                        f"Edge '{e.verb}' property '{p.name}' collides "
+                        "with union-edge internals"
+                    )
+                prev = merged_props.get(p.name)
+                if prev is None:
+                    merged_props[p.name] = p
+                elif prev.data_type != p.data_type:
+                    raise TranspilerNotSupportedError(
+                        f"Property '{p.name}' has conflicting types across "
+                        f"[:{vverb}] alternatives: {prev.data_type} vs "
+                        f"{p.data_type}"
+                    )
+
+        parts = []
+        for e, flipped in resolved:
+            df = tables.get(e.table)
+            src_c = e.sink_id_property if flipped else e.source_id_property
+            dst_c = e.source_id_property if flipped else e.sink_id_property
+            own = {
+                p.name for p in e.properties
+            } - {e.source_id_property, e.sink_id_property}
+            sel = [
+                F.col(src_c).alias("__src"),
+                F.col(dst_c).alias("__dst"),
+                F.lit(e.verb).alias("__type"),
+            ]
+            for name, p in merged_props.items():
+                if name in own:
+                    sel.append(F.col(name).alias(name))
+                else:
+                    sel.append(F.lit(None).cast(p.data_type).alias(name))
+            parts.append(df.select(sel))
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+
+        first, first_flipped = resolved[0]
+        src_t = (
+            first.sink_id_property_type
+            if first_flipped
+            else first.source_id_property_type
+        )
+        snk_t = (
+            first.source_id_property_type
+            if first_flipped
+            else first.sink_id_property_type
+        )
+        vname = f"__union_{vverb}_{src_label}_{snk_label}"
+        overlay.register_df(vname, union)
+        return EdgeSchema(
+            verb=vverb,
+            source_label=src_label,
+            sink_label=snk_label,
+            table=vname,
+            source_id_property="__src",
+            sink_id_property="__dst",
+            properties=(
+                EntityProperty("__type", "string"),
+                *merged_props.values(),
+            ),
+            source_id_property_type=src_t,
+            sink_id_property_type=snk_t,
+            type_property="__type",
+        )
+
+    def _resolve_unbounded(
+        self, ast_query, graph: GraphSchema, tables: TableRegistry
+    ) -> tuple[GraphSchema, TableRegistry]:
+        rewrites: list[tuple[A.NodePattern, A.RelPattern, A.NodePattern]] = []
+        for left, rel, right in self._pattern_triples(ast_query):
+            if rel.min_hops is not None and rel.max_hops is None:
+                rewrites.append((left, rel, right))
+        if not rewrites:
+            return graph, tables
+
+        extra_edges: list[EdgeSchema] = []
+        overlay = TableRegistry()
+        for name in tables.names():
+            overlay.register(name, lambda n=name: tables.get(n))
 
         for left, rel, right in rewrites:
             if rel.verb is None:
@@ -112,14 +312,14 @@ class CypherEngine:
             fwd = rel.direction == A.Direction.FORWARD
             src_label = left.label if fwd else right.label
             snk_label = right.label if fwd else left.label
-            cands = self.graph.candidate_edges(rel.verb, src_label, snk_label)
+            cands = graph.candidate_edges(rel.verb, src_label, snk_label)
             if len(cands) != 1:
                 raise TranspilerNotSupportedError(
                     f"Unbounded '*{rel.min_hops}..' over ambiguous edge "
                     f"'{rel.verb}' — label both endpoint nodes"
                 )
             edge = cands[0]
-            reach = self._reachability(edge, rel.min_hops)
+            reach = self._reachability(edge, rel.min_hops, tables)
             vname = f"__reach_{rel.min_hops}_{edge.id}"
             # key the virtual verb by the full edge IDENTITY, not just the
             # verb: one verb can back several (source, sink) label pairs
@@ -146,16 +346,18 @@ class CypherEngine:
             else:
                 left.label, right.label = edge.sink_label, edge.source_label
 
-        graph = GraphSchema(self.graph.nodes, self.graph.edges + extra_edges)
-        return graph, overlay
+        merged = GraphSchema(graph.nodes, graph.edges + extra_edges)
+        return merged, overlay
 
-    def _reachability(self, edge: EdgeSchema, min_hops: int) -> DataFrame:
+    def _reachability(
+        self, edge: EdgeSchema, min_hops: int, tables: TableRegistry
+    ) -> DataFrame:
         key = (edge.id, min_hops)
         if key in self._reach_cache:
             return self._reach_cache[key]
         from .pipeline.graph import transitive_closure
 
-        e = self.tables.get(edge.table).select(
+        e = tables.get(edge.table).select(
             F.col(edge.source_id_property).alias("src"),
             F.col(edge.sink_id_property).alias("dst"),
         )

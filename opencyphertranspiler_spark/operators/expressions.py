@@ -154,6 +154,9 @@ class ExprCompiler:
                 raise TranspilerBindingError(
                     "type() requires a relationship alias"
                 )
+            if ref.edge.type_property is not None:
+                # `[:A|B]` union edge: per-row discriminator column
+                return qcol(ref.col(ref.edge.type_property))
             return F.lit(ref.edge.verb)
         if ref.kind == "node":
             return qcol(ref.col(ref.node.id_property))

@@ -57,10 +57,19 @@ class EntityRef:
         return [self.col(p) for p in self.property_names]
 
     def key_cols(self) -> list[str]:
-        """Surrogate key columns: node id, or edge (source, sink) ids."""
+        """Surrogate key columns: node id, or edge (source, sink) ids —
+        plus the type discriminator for `[:A|B]` union edges, so two
+        parallel edges of different types between the same node pair stay
+        distinct under DISTINCT / count(DISTINCT r) / uniqueness."""
         if self.kind == "node":
             return [self.col(self.node.id_property)]
-        return [self.col(self.edge.source_id_property), self.col(self.edge.sink_id_property)]
+        cols = [
+            self.col(self.edge.source_id_property),
+            self.col(self.edge.sink_id_property),
+        ]
+        if self.edge.type_property is not None:
+            cols.append(self.col(self.edge.type_property))
+        return cols
 
     def renamed(self, new_alias: str) -> "EntityRef":
         return EntityRef(

@@ -365,7 +365,14 @@ class _SingleQueryPlanner:
                 part = vc.patterns[pi]
                 proto = part.rels[ri]
                 hops = [
-                    A.RelPattern(None, proto.verb, proto.direction)
+                    # props apply to EVERY hop (Neo4j: `[:T*2 {k: v}]`
+                    # constrains each traversed relationship)
+                    A.RelPattern(
+                        None,
+                        proto.verb,
+                        proto.direction,
+                        props=[(k, copy.deepcopy(v)) for k, v in proto.props],
+                    )
                     for _ in range(length)
                 ]
                 mid_nodes = [A.NodePattern(None, None) for _ in range(length - 1)]
@@ -392,6 +399,29 @@ class _SingleQueryPlanner:
             for r in part.rels:
                 if r.alias is None:
                     r.alias = self._gen_alias("unnamed")
+
+        # 1b. desugar inline property maps `{k: v}` into WHERE equality
+        # conjuncts on the (now guaranteed) alias — `(n:L {k: v})` ≡
+        # `(n:L) ... WHERE n.k = v`. Runs after alias generation so
+        # anonymous patterns work; prepended to the clause's WHERE, so in
+        # OPTIONAL MATCH it filters inside the optional side (Neo4j
+        # semantics) and Catalyst pushes the equality into the scan.
+        prop_pred: A.Expr | None = None
+        for part in clause.patterns:
+            for ent in (*part.nodes, *part.rels):
+                for key, value in ent.props:
+                    eq = A.Binary(A.BinaryOp.EQ, A.Property(ent.alias, key), value)
+                    prop_pred = (
+                        eq
+                        if prop_pred is None
+                        else A.Binary(A.BinaryOp.AND, prop_pred, eq)
+                    )
+        if prop_pred is not None:
+            clause.where = (
+                prop_pred
+                if clause.where is None
+                else A.Binary(A.BinaryOp.AND, prop_pred, clause.where)
+            )
 
         node_aliases: list[str] = []
         rel_aliases: list[str] = []
@@ -443,6 +473,13 @@ class _SingleQueryPlanner:
         hops: list[tuple[str, A.RelPattern, str]] = []
         for part in clause.patterns:
             for l, r, rt in part.hops():
+                if r.alt_verbs:
+                    raise TranspilerNotSupportedError(
+                        "Multi-type relationships [:A|B] are resolved by "
+                        "the engine front-end (CypherEngine rewrites them "
+                        "to a virtual union edge); plan_query alone cannot "
+                        "bind them"
+                    )
                 hops.append((l.alias, r, rt.alias))
 
         rels: dict[str, tuple[EdgeSchema, bool]] = {}
@@ -630,19 +667,23 @@ class _SingleQueryPlanner:
                 for j in range(i + 1, len(aliases)):
                     r1, r2 = refs[aliases[i]], refs[aliases[j]]
                     e = rels[aliases[i]][0]
-                    cond = A.Binary(
-                        A.BinaryOp.OR,
-                        A.Binary(
+                    key_props = [e.source_id_property, e.sink_id_property]
+                    if e.type_property is not None:
+                        # `[:A|B]` union edge: parallel edges of different
+                        # types between the same nodes are distinct
+                        key_props.append(e.type_property)
+                    cond = None
+                    for kp in key_props:
+                        neq = A.Binary(
                             A.BinaryOp.NEQ,
-                            ColRef(r1.col(e.source_id_property)),
-                            ColRef(r2.col(e.source_id_property)),
-                        ),
-                        A.Binary(
-                            A.BinaryOp.NEQ,
-                            ColRef(r1.col(e.sink_id_property)),
-                            ColRef(r2.col(e.sink_id_property)),
-                        ),
-                    )
+                            ColRef(r1.col(kp)),
+                            ColRef(r2.col(kp)),
+                        )
+                        cond = (
+                            neq
+                            if cond is None
+                            else A.Binary(A.BinaryOp.OR, cond, neq)
+                        )
                     uniq_pred = (
                         cond
                         if uniq_pred is None

@@ -110,6 +110,10 @@ class EdgeSchema:
     properties: tuple[EntityProperty, ...] = ()
     source_id_property_type: str = "string"
     sink_id_property_type: str = "string"
+    # virtual union edges (`[:A|B]` rewrite): the property column holding
+    # the concrete relationship type of each row. None for ordinary edges
+    # (type folds to the verb literal). Part of edge identity when set.
+    type_property: str | None = None
 
     @property
     def id(self) -> str:

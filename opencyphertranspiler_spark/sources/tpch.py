@@ -111,6 +111,28 @@ def tpch_graph_schema() -> GraphSchema:
         EdgeSchema(
             "FROM_SUPPLIER", "Lineitem", "Supplier", "lineitem_node", "l_id", "l_suppkey"
         ),
+        # PLACED split by order priority: two parallel edge types between
+        # the same (Customer, Orders) labels — exercises `[:A|B]` type
+        # alternation (virtual union edge, engine.py:_resolve_multi_verb).
+        # PLACED_URGENT carries a property PLACED_NORMAL lacks, so the
+        # union edge's null-padding path is exercised too.
+        EdgeSchema(
+            "PLACED_URGENT",
+            "Customer",
+            "Orders",
+            "orders_urgent",
+            "o_custkey",
+            "o_orderkey",
+            (P("o_orderpriority"),),
+        ),
+        EdgeSchema(
+            "PLACED_NORMAL",
+            "Customer",
+            "Orders",
+            "orders_normal",
+            "o_custkey",
+            "o_orderkey",
+        ),
     ]
     return GraphSchema(nodes, edges)
 
@@ -151,6 +173,20 @@ def tpch_table_registry(spark: SparkSession, sf_dir: str) -> TableRegistry:
             ),
         )
     reg.register("events", lambda: load_events(spark, sf_dir))
+    # priority-split PLACED edge tables (see tpch_graph_schema): plain
+    # filtered views — Catalyst pushes the filter into the parquet scan
+    reg.register(
+        "orders_urgent",
+        lambda: reg.get("orders").filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        ),
+    )
+    reg.register(
+        "orders_normal",
+        lambda: reg.get("orders").filter(
+            ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        ),
+    )
     reg.register(
         "lineitem_node",
         lambda: reg.get("lineitem").withColumn(

@@ -728,3 +728,251 @@ def test_exists_pattern_respects_extra_labels(spark):
         "MATCH (:Person:Director)<-[:KNOWS*1..2]-(b:Person) RETURN b.Name AS name"
     )
     assert rows(df3) == {("Ann",), ("Cy",)}
+
+
+# ---------------------------------------------------------------------------
+# Multiple relationship types [:A|B] (extension; reference rejects at
+# CypherVisitor.cs:1181-1207) — engine rewrite to a virtual union edge
+# ---------------------------------------------------------------------------
+
+
+def test_multi_rel_types_forward(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)-[r:ACTED_IN|DIRECTED]->(m:Movie)
+        RETURN p.Name AS name, type(r) AS t, m.Title AS title
+        """
+    )
+    assert rows(df) == {
+        ("Tom Hanks", "ACTED_IN", "Sleepless in Seattle"),
+        ("Meg Ryan", "ACTED_IN", "Sleepless in Seattle"),
+        ("Tom Hanks", "ACTED_IN", "You've Got Mail"),
+        ("Meg Ryan", "ACTED_IN", "You've Got Mail"),
+        ("Tom Hanks", "ACTED_IN", "Apollo 13"),
+        ("Bill Paxton", "ACTED_IN", "Apollo 13"),
+        ("Nora Ephron", "DIRECTED", "Sleepless in Seattle"),
+        ("Nora Ephron", "DIRECTED", "You've Got Mail"),
+        ("Rob Reiner", "DIRECTED", "Apollo 13"),
+    }
+
+
+def test_multi_rel_types_null_padded_properties(movie_engine):
+    # ACTED_IN rows carry Roles (no Rating); REVIEWED rows the reverse
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)-[r:ACTED_IN|REVIEWED]->(m:Movie)
+        WHERE m.Title = 'Sleepless in Seattle'
+        RETURN p.Name AS name, r.Roles AS roles, r.Rating AS rating
+        """
+    )
+    assert rows(df) == {
+        ("Tom Hanks", "Sam", None),
+        ("Meg Ryan", "Annie", None),
+        ("Rob Reiner", None, 9),
+        ("Bill Paxton", None, 7),
+    }
+
+
+def test_multi_rel_types_either_direction(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (m:Movie)-[r:DIRECTED|REVIEWED]-(p:Person)
+        RETURN m.Title AS title, type(r) AS t, p.Name AS name
+        """
+    )
+    assert rows(df) == {
+        ("Sleepless in Seattle", "DIRECTED", "Nora Ephron"),
+        ("You've Got Mail", "DIRECTED", "Nora Ephron"),
+        ("Apollo 13", "DIRECTED", "Rob Reiner"),
+        ("Sleepless in Seattle", "REVIEWED", "Rob Reiner"),
+        ("Sleepless in Seattle", "REVIEWED", "Bill Paxton"),
+        ("You've Got Mail", "REVIEWED", "Rob Reiner"),
+    }
+
+
+def test_multi_rel_types_three_way_and_where_type(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)-[r:ACTED_IN|DIRECTED|REVIEWED]->(m:Movie)
+        RETURN count(*) AS n
+        """
+    )
+    assert rows(df) == {(12,)}
+    df2 = movie_engine.cypher(
+        """
+        MATCH (p:Person)-[r:ACTED_IN|DIRECTED|REVIEWED]->(m:Movie)
+        WHERE type(r) = 'REVIEWED' AND r.Rating >= 7
+        RETURN p.Name AS name, m.Title AS title
+        """
+    )
+    assert rows(df2) == {
+        ("Rob Reiner", "Sleepless in Seattle"),
+        ("Bill Paxton", "Sleepless in Seattle"),
+    }
+
+
+def test_multi_rel_types_in_exists_predicate(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        WHERE exists((p)-[:DIRECTED|REVIEWED]->(:Movie))
+        RETURN p.Name AS name
+        """
+    )
+    assert rows(df) == {("Nora Ephron",), ("Rob Reiner",), ("Bill Paxton",)}
+
+
+def test_multi_rel_types_alt_syntax_colon(movie_engine):
+    # Neo4j also accepts [:A|:B]
+    df = movie_engine.cypher(
+        "MATCH (:Person)-[r:DIRECTED|:REVIEWED]->(:Movie) RETURN count(*) AS n"
+    )
+    assert rows(df) == {(6,)}
+
+
+def test_multi_rel_types_heterogeneous_endpoints_rejected(movie_engine):
+    # ACTED_IN sinks at Movie, FOLLOWS at Person -> no common label pair
+    with pytest.raises(TranspilerNotSupportedError, match="different node labels"):
+        movie_engine.cypher(
+            "MATCH (p:Person)-[r:ACTED_IN|FOLLOWS]->(x) RETURN p.Name AS n"
+        )
+
+
+def test_multi_rel_types_duplicate_rejected(movie_engine):
+    from opencyphertranspiler_spark.exceptions import TranspilerSyntaxError
+
+    with pytest.raises(TranspilerSyntaxError, match="Duplicate relationship type"):
+        movie_engine.cypher(
+            "MATCH (p:Person)-[r:ACTED_IN|ACTED_IN]->(m:Movie) RETURN p.Name AS n"
+        )
+
+
+def test_multi_rel_types_parallel_edge_identity(spark):
+    # A and B edges between the SAME node pair must stay distinct under
+    # count(DISTINCT r) and the implicit r1 <> r2 uniqueness conjunct
+    # (edge identity includes the __type discriminator)
+    reg = TableRegistry()
+    reg.register_df(
+        "xs", spark.createDataFrame([("x1", "X")], "id string, Name string")
+    )
+    reg.register_df(
+        "ys", spark.createDataFrame([("y1", "Y")], "id string, Name string")
+    )
+    reg.register_df(
+        "a_edges", spark.createDataFrame([("x1", "y1")], "_v string, _s string")
+    )
+    reg.register_df(
+        "b_edges", spark.createDataFrame([("x1", "y1")], "_v string, _s string")
+    )
+    g = GraphSchema(
+        nodes=[
+            NodeSchema("X", "xs", "id", (P("Name"),)),
+            NodeSchema("Y", "ys", "id", (P("Name"),)),
+        ],
+        edges=[
+            EdgeSchema("A", "X", "Y", "a_edges", "_v", "_s"),
+            EdgeSchema("B", "X", "Y", "b_edges", "_v", "_s"),
+        ],
+    )
+    eng = CypherEngine(spark, g, reg)
+    df = eng.cypher(
+        "MATCH (x:X)-[r:A|B]->(y:Y) RETURN count(DISTINCT r) AS n"
+    )
+    assert rows(df) == {(2,)}
+    # two aliases over the union edge: the only surviving pair is (A, B)
+    # in either order — the same-type same-pair combos are filtered
+    df2 = eng.cypher(
+        """
+        MATCH (x:X)-[r1:A|B]->(y:Y), (x)-[r2:A|B]->(y)
+        RETURN type(r1) AS t1, type(r2) AS t2
+        """
+    )
+    assert rows(df2) == {("A", "B"), ("B", "A")}
+
+
+# ---------------------------------------------------------------------------
+# Inline property maps (extension; reference rejects at
+# CypherVisitor.cs:1094-1097) — parser sugar for WHERE equality conjuncts
+# ---------------------------------------------------------------------------
+
+
+def test_property_map_on_node(movie_engine):
+    df = movie_engine.cypher(
+        "MATCH (p:Person {Name: 'Tom Hanks'})-[:ACTED_IN]->(m:Movie) "
+        "RETURN m.Title AS title"
+    )
+    assert rows(df) == {
+        ("Sleepless in Seattle",),
+        ("You've Got Mail",),
+        ("Apollo 13",),
+    }
+
+
+def test_property_map_on_rel_and_anonymous_node(movie_engine):
+    df = movie_engine.cypher(
+        "MATCH (p:Person)-[r:ACTED_IN {Roles: 'Sam'}]->(:Movie {Released: 1993}) "
+        "RETURN p.Name AS name"
+    )
+    assert rows(df) == {("Tom Hanks",)}
+
+
+def test_property_map_in_optional_match_filters_inside(movie_engine):
+    # the map must behave like WHERE inside the OPTIONAL side: persons
+    # without a 1993 movie keep their row with a null count, not drop out
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        OPTIONAL MATCH (p)-[:ACTED_IN]->(m:Movie {Released: 1993})
+        RETURN p.Name AS name, count(m) AS n93
+        """
+    )
+    assert rows(df) == {
+        ("Tom Hanks", 1),
+        ("Meg Ryan", 1),
+        ("Rob Reiner", 0),
+        ("Nora Ephron", 0),
+        ("Bill Paxton", 0),
+    }
+
+
+def test_property_map_in_exists_predicate(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        WHERE exists((p)-[:REVIEWED {Rating: 9}]->(:Movie))
+        RETURN p.Name AS name
+        """
+    )
+    assert rows(df) == {("Rob Reiner",)}
+
+
+def test_property_map_with_parameter_and_combined_where(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person {Name: $who})-[r:REVIEWED]->(m:Movie)
+        WHERE r.Rating < 7
+        RETURN m.Title AS title
+        """,
+        params={"who": "Rob Reiner"},
+    )
+    assert rows(df) == {("You've Got Mail",)}
+
+
+def test_property_map_unknown_property_is_binding_error(movie_engine):
+    from opencyphertranspiler_spark.exceptions import TranspilerBindingError
+
+    with pytest.raises(TranspilerBindingError, match="not defined"):
+        movie_engine.cypher("MATCH (p:Person {Nope: 1}) RETURN p.Name AS n")
+
+
+def test_property_map_on_var_length_applies_every_hop(movie_engine):
+    # FOLLOWS chains: p5->p1, p2->p1, p3->p4->p2. A map on the var-length
+    # rel must constrain each hop (here: trivially true equality on the
+    # only property-less edge is impossible, so use Person-side REVIEWED)
+    df = movie_engine.cypher(
+        """
+        MATCH (a:Person)-[:REVIEWED*1..1 {Rating: 6}]->(m:Movie)
+        RETURN a.Name AS name, m.Title AS title
+        """
+    )
+    assert rows(df) == {("Rob Reiner", "You've Got Mail")}

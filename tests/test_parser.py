@@ -89,8 +89,11 @@ def test_count_star_and_distinct():
 NEGATIVES = [
     ("CREATE (a:X) RETURN a", TranspilerNotSupportedError),
     ("MERGE (a:X) RETURN a", TranspilerNotSupportedError),
-    ("MATCH (a:X {k: 1}) RETURN a.v AS v", TranspilerNotSupportedError),
-    ("MATCH (a:X)-[r:A|B]->(b) RETURN a.v AS v", TranspilerNotSupportedError),
+    # `(a:X {k: 1})` and `[r:A|B]` are now supported extensions (property
+    # maps desugar to WHERE; alternation becomes a virtual union edge)
+    ("MATCH (a:X)-[r:A|A]->(b) RETURN a.v AS v", TranspilerSyntaxError),
+    ("MATCH (a:X {k: }) RETURN a.v AS v", TranspilerSyntaxError),
+    ("MATCH (a:X {k 1}) RETURN a.v AS v", TranspilerSyntaxError),
     ("MATCH (a:X)-[r*1..2]->(b) RETURN a.v AS v", TranspilerNotSupportedError),
     ("MATCH p = (a:X)--(b) RETURN a.v AS v", TranspilerNotSupportedError),
     ("MATCH (a:X) RETURN sum(count(a.v)) AS v", TranspilerNotSupportedError),
@@ -111,3 +114,24 @@ NEGATIVES = [
 def test_negatives(query, exc):
     with pytest.raises(exc):
         parse(query)
+
+
+def test_parse_inline_property_maps():
+    q = parse("MATCH (a:X {k: 1, s: 'x'})-[r:REL {w: 2.5}]->(b {t: $p}) RETURN a.v AS v")
+    part = q.clauses[0].patterns[0]
+    a, b = part.nodes
+    assert [(k, type(v).__name__) for k, v in a.props] == [("k", "Literal"), ("s", "Literal")]
+    assert b.alias == "b" and [k for k, _ in b.props] == ["t"]
+    assert type(b.props[0][1]).__name__ == "Parameter"
+    (rk, rv), = part.rels[0].props
+    assert rk == "w"
+
+
+def test_parse_rel_type_alternation():
+    q = parse("MATCH (a)-[r:A|B|:C]->(b) RETURN a.v AS v")
+    rel = q.clauses[0].patterns[0].rels[0]
+    assert rel.verb == "A" and rel.alt_verbs == ["B", "C"]
+    # var-length composes with alternation
+    q2 = parse("MATCH (a)-[:A|B*1..2]->(b) RETURN a.v AS v")
+    rel2 = q2.clauses[0].patterns[0].rels[0]
+    assert rel2.alt_verbs == ["B"] and (rel2.min_hops, rel2.max_hops) == (1, 2)
