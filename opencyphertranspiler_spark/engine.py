@@ -33,10 +33,15 @@ class CypherEngine:
         graph: GraphSchema,
         tables: TableRegistry,
         reach_max_iters: int = 200,
+        ordered_aggregates: bool = False,
     ):
         self.spark = spark
         self.graph = graph
         self.tables = tables
+        # collect()/first()/last() honor a directly preceding WITH's
+        # ORDER BY, Neo4j-style (extension; default off = reference's
+        # MIN/MAX first/last parity and unordered collect)
+        self.ordered_aggregates = ordered_aggregates
         # unbounded-`*` reachability: fixpoint round cap (= max path length
         # the rewrite can discover; raise for graphs with larger diameter)
         self.reach_max_iters = reach_max_iters
@@ -52,7 +57,9 @@ class CypherEngine:
         ast_query = parse(query)
         graph, tables = self._resolve_multi_verb(ast_query, self.graph, self.tables)
         graph, tables = self._resolve_unbounded(ast_query, graph, tables)
-        plan = plan_query(ast_query, graph)
+        plan = plan_query(
+            ast_query, graph, ordered_aggregates=self.ordered_aggregates
+        )
         return Compiler(self.spark, tables, params=params).compile(plan)
 
     # -- unbounded variable-length rewrite ---------------------------------

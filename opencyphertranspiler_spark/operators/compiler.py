@@ -20,6 +20,7 @@ from ..exceptions import TranspilerInternalError
 from ..plans.logical import (
     DataSourceOp,
     EntityRef,
+    ExistsFlagOp,
     JoinOp,
     LogicalOp,
     ProjectOp,
@@ -59,6 +60,8 @@ class Compiler:
             return self._set(op)
         if isinstance(op, UnwindOp):
             return self._unwind(op)
+        if isinstance(op, ExistsFlagOp):
+            return self._exists_flag(op)
         raise TranspilerInternalError(f"Unknown operator {op!r}")
 
     # -- scan -----------------------------------------------------------------
@@ -93,6 +96,25 @@ class Compiler:
             df = df.drop(*op.drop_right)
         return df
 
+    # -- exists() as a boolean column -----------------------------------------
+    def _exists_flag(self, op: ExistsFlagOp) -> DataFrame:
+        left = self.compile(op.left)
+        right = self.compile(op.right)
+        rkeys = [r for _, r in op.pairs]
+        # DISTINCT on the shared keys keeps the left row count intact
+        # (a matching pattern may bind many ways); the flag is true where
+        # the left join hits, null where it misses
+        rdf = (
+            right.select(*[qcol(c) for c in rkeys])
+            .distinct()
+            .withColumn(op.flag_col, F.lit(True))
+        )
+        cond = None
+        for l_col, r_col in op.pairs:
+            eq = F.col(l_col) == F.col(r_col)
+            cond = eq if cond is None else cond & eq
+        return left.join(rdf, on=cond, how="left").drop(*rkeys)
+
     # -- filter / order / limit -------------------------------------------------
     def _selection(self, op: SelectionOp) -> DataFrame:
         df = self.compile(op.input)
@@ -122,6 +144,7 @@ class Compiler:
         in_df = self.compile(op.input)
         in_env = op.input.env
         ec = ExprCompiler(in_env, in_df, self.params)
+        ec.order_hint = op.order_hint
 
         def entity_cols(alias: str, expr: A.Expr) -> list:
             """Select list renaming an entity passthrough to its new alias."""

@@ -49,6 +49,10 @@ class ExprCompiler:
         self.env = env
         self.df = df
         self.params = params or {}
+        # set by the projection compiler when the engine's
+        # ordered_aggregates option is on: the preceding WITH's ORDER BY
+        # items (A.SortItem), making collect()/first()/last() order-aware
+        self.order_hint: list = []
         # per-AST-node type memo: _types() probes run a full Catalyst
         # analysis of the accumulated plan, and the coercion pre-check plus
         # the PLUS/DIVIDE/avg branches would otherwise probe the same
@@ -323,6 +327,20 @@ class ExprCompiler:
 
     # -- aggregates -----------------------------------------------------------------
     def _aggregate(self, expr: A.AggCall) -> Column:
+        # order-sensitive collect()/first()/last() (engine option): sort
+        # each group's values by the inherited ORDER BY before
+        # collecting/picking. DISTINCT keeps set semantics (unordered).
+        if (
+            getattr(self, "order_hint", None)
+            and expr.name in ("collect", "first", "last")
+            and not expr.distinct
+            and expr.arg is not None
+            and not (
+                isinstance(expr.arg, A.Variable)
+                and isinstance(self.env.get(expr.arg.name), EntityRef)
+            )
+        ):
+            return self._ordered_aggregate(expr)
         extras = [self.compile(e) for e in expr.extras]
         if expr.arg is None:
             return compile_aggregate(expr.name, None, expr.distinct, extras)
@@ -340,6 +358,43 @@ class ExprCompiler:
         return compile_aggregate(
             expr.name, arg, expr.distinct, extras, arg_type=arg_type
         )
+
+    def _ordered_aggregate(self, expr: A.AggCall) -> Column:
+        """collect/first/last honoring the inherited ORDER BY: collect
+        (sort key..., value) structs, array_sort with a comparator that
+        mirrors the ORDER BY directions (nulls last ASC / first DESC,
+        DuckDB's list(x ORDER BY ...) defaults), then project the values.
+        One aggregation, no extra shuffle beyond the groupBy itself."""
+        keys = [(self.compile(s.expr), s.ascending) for s in self.order_hint]
+        val = self.compile(expr.arg)
+        item = F.struct(
+            *[k.alias(f"__k{i}") for i, (k, _) in enumerate(keys)],
+            val.alias("__v"),
+        )
+
+        def cmp(x: Column, y: Column) -> Column:
+            result = F.lit(0)
+            for i, (_, asc) in reversed(list(enumerate(keys))):
+                kx, ky = x[f"__k{i}"], y[f"__k{i}"]
+                lt, gt = (-1, 1) if asc else (1, -1)
+                result = (
+                    F.when(kx.isNull() & ky.isNull(), result)
+                    .when(kx.isNull(), F.lit(1 if asc else -1))
+                    .when(ky.isNull(), F.lit(-1 if asc else 1))
+                    .when(kx < ky, F.lit(lt))
+                    .when(kx > ky, F.lit(gt))
+                    .otherwise(result)
+                )
+            return result
+
+        ordered_vals = F.transform(
+            F.array_sort(F.collect_list(item), cmp), lambda s: s["__v"]
+        )
+        if expr.name == "collect":
+            return ordered_vals
+        if expr.name == "first":
+            return F.element_at(ordered_vals, 1)
+        return F.element_at(ordered_vals, -1)
 
     # -- CASE -------------------------------------------------------------------
     def _case(self, expr: A.CaseExpr) -> Column:

@@ -145,3 +145,100 @@ def connected_components(
         )
     und.unpersist()
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+    return_rounds: bool = False,
+) -> DataFrame:
+    """(node, comp) via alternating large-star / small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the skew-proof CC for power-law / high-diameter graphs.
+
+    Why a second CC: min-label propagation (``connected_components``)
+    needs O(diameter) rounds — a 10M-hop chain means 10M shuffles. The
+    star operations contract the graph toward component-minimum stars in
+    O(log^2 n) rounds regardless of diameter, and each round's groupBy
+    keys SHRINK as hubs collapse, so power-law degree skew dies out
+    instead of recurring every round. Same (node, comp) contract as
+    ``connected_components`` (comp = smallest node id, nodes appearing in
+    the edge list only).
+
+    Per round:
+    - large-star: each node points its LARGER neighbors at the minimum of
+      its neighborhood (incl. itself);
+    - small-star: each node points its smaller neighbors (and itself) at
+      the neighborhood minimum.
+    Fixpoint when the edge set stops changing; the surviving edges are
+    exactly (node -> component minimum)."""
+    cur = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        # large-star over the symmetric edge set
+        sym = cur.unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("mn"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over max->min oriented edges
+        e2 = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins2 = e2.groupBy("u").agg(F.min("v").alias("mn"))
+        joined = e2.join(mins2, "u")
+        small = (
+            joined.select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .unionByName(joined.select("u", F.col("mn").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        same_count = small.count() == cur.count()
+        if same_count and small.join(cur, ["u", "v"], "left_anti").isEmpty():
+            cur = small
+            break
+        cur = small
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge within {max_iters} rounds"
+        )
+    comps = cur.select(F.col("v").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    )
+    labels = cur.select(
+        F.col("u").alias("node"), F.col("v").alias("comp")
+    ).unionByName(comps)
+    # nodes whose only edges were self-loops vanish from the contracted
+    # edge set — restore them as singleton components (same contract as
+    # connected_components: every node appearing in the input is labeled)
+    all_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    singletons = all_nodes.join(
+        labels.select("node"), "node", "left_anti"
+    ).withColumn("comp", F.col("node"))
+    labels = labels.unionByName(singletons)
+    if return_rounds:
+        return labels, rounds
+    return labels

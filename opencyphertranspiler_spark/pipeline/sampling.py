@@ -61,7 +61,11 @@ def stratified_sample(
             .filter(
                 # round(...,9) before ceil: binary float error at exact
                 # boundaries (0.7*10 -> 7.000000000000001) must not
-                # overshoot the stratum sample size by 1
+                # overshoot the stratum sample size by 1. Known limits of
+                # the 1e-9 guard: strata beyond ~1e10 rows can still
+                # overshoot by 1 (float error > 5e-10 * cnt), and a
+                # genuine fraction < 5e-10 rounds to 0 rows instead of
+                # ceil's 1 — both far outside sane sampling use
                 F.col("__r")
                 <= F.ceil(F.round(F.lit(fraction) * F.col("__cnt"), 9))
             )

@@ -27,7 +27,11 @@ def _epoch_us(col) -> "F.Column":
 
     ``unix_micros`` rejects NTZ; the cast interprets NTZ in the session
     timezone, which cancels out everywhere we only compare or difference
-    two timestamps from the same dataset."""
+    two timestamps from the same dataset — PROVIDED the session timezone
+    is fixed-offset (e.g. the UTC this engine standardizes on,
+    spark.sql.session.timeZone=UTC). Under a DST-shifting zone two NTZ
+    values straddling a transition would differ by the DST offset; keep
+    the session timezone UTC when feeding NTZ columns through here."""
     c = F.col(col) if isinstance(col, str) else col
     return F.unix_micros(c.cast("timestamp"))
 
@@ -117,6 +121,16 @@ def interval_join(
     join key — a shuffle hash join, not a nested loop."""
     if max_delta_seconds < 0:
         raise ValueError("max_delta_seconds must be >= 0")
+    # same output-column collision guard as as_of_join: a left column named
+    # like a prefixed right column would make the residual filter ambiguous
+    clash = {f"{right_prefix}{c}" for c in right.columns if c not in on} & set(
+        left.columns
+    )
+    if clash:
+        raise ValueError(
+            f"left columns {sorted(clash)} collide with prefixed right "
+            f"columns; pass a different right_prefix"
+        )
     # microsecond precision; the residual filter uses the TRUE bound, while
     # the bin width is padded to >= 1 so a 0-second delta still bins
     # (exact-timestamp pairs land in the same bin and survive the filter)

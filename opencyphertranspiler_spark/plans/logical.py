@@ -209,6 +209,11 @@ class ProjectOp(LogicalOp):
     has_agg: bool = False
     carry: bool = False
     output_aliases: list[str] = field(default_factory=list)
+    # order-sensitive collect()/first()/last() (extension, engine option
+    # ordered_aggregates=True): the preceding WITH's ORDER BY items, used
+    # by the compiler to sort group values Neo4j-style. Empty = MIN/MAX
+    # first/last parity and unordered collect (reference behavior).
+    order_hint: list[A.SortItem] = field(default_factory=list)
 
     def children(self):
         return [self.input]
@@ -236,6 +241,29 @@ class TrimOp(LogicalOp):
 
     def __repr__(self):
         return f"Trim({self.aliases})"
+
+
+@dataclass
+class ExistsFlagOp(LogicalOp):
+    """exists(pattern) in boolean-EXPRESSION position (under OR / XOR /
+    CASE / a projection item): LEFT join against the DISTINCT shared-key
+    projection of the planned pattern, materializing a boolean
+    ``flag_col`` (true where matched, null where not — consumers wrap it
+    in coalesce(flag, false)). Top-level AND conjuncts keep the cheaper
+    semi/anti lowering (JoinOp 'semi'/'anti'); this op exists only for
+    the compositional case. env is the left env — the flag is a physical
+    column, not a named value."""
+
+    left: LogicalOp
+    right: LogicalOp
+    pairs: list[tuple[str, str]]  # (left id col, right id col)
+    flag_col: str = ""
+
+    def children(self):
+        return [self.left, self.right]
+
+    def __repr__(self):
+        return f"ExistsFlag({self.flag_col} on {self.pairs})"
 
 
 @dataclass

@@ -36,6 +36,7 @@ from .logical import (
     DataSourceOp,
     EntityRef,
     Env,
+    ExistsFlagOp,
     JoinOp,
     LogicalOp,
     ProjectOp,
@@ -47,11 +48,17 @@ from .logical import (
 )
 
 
-def plan_query(query: A.Query, schema: GraphSchema) -> LogicalOp:
-    """Plan a parsed query against the graph schema."""
+def plan_query(
+    query: A.Query, schema: GraphSchema, ordered_aggregates: bool = False
+) -> LogicalOp:
+    """Plan a parsed query against the graph schema.
+
+    ``ordered_aggregates`` (extension, off by default for reference
+    parity) makes collect()/first()/last() honor the immediately
+    preceding WITH's ORDER BY, Neo4j-style."""
     if isinstance(query, A.UnionQuery):
-        left = plan_query(query.left, schema)
-        right = plan_query(query.right, schema)
+        left = plan_query(query.left, schema, ordered_aggregates)
+        right = plan_query(query.right, schema, ordered_aggregates)
         l_aliases = list(left.env.keys())
         r_aliases = list(right.env.keys())
         if sorted(l_aliases) != sorted(r_aliases):
@@ -59,7 +66,7 @@ def plan_query(query: A.Query, schema: GraphSchema) -> LogicalOp:
                 f"UNION branches must return the same columns: {l_aliases} vs {r_aliases}"
             )
         return SetOp(left, right, all=query.all, env=dict(left.env))
-    return _SingleQueryPlanner(schema).plan(query)
+    return _SingleQueryPlanner(schema, ordered_aggregates).plan(query)
 
 
 # ---------------------------------------------------------------------------
@@ -92,7 +99,8 @@ def validate_expr(expr: A.Expr, env: Env) -> None:
 
 
 class _SingleQueryPlanner:
-    def __init__(self, schema: GraphSchema):
+    def __init__(self, schema: GraphSchema, ordered_aggregates: bool = False):
+        self.ordered_aggregates = ordered_aggregates
         self.schema = schema
         self.counter = itertools.count()
 
@@ -101,6 +109,7 @@ class _SingleQueryPlanner:
 
     def plan(self, sq: A.SingleQuery) -> LogicalOp:
         cur: LogicalOp | None = None
+        prev_clause: A.Clause | None = None
         for clause in sq.clauses:
             if isinstance(clause, A.MatchClause):
                 if clause.optional:
@@ -110,9 +119,23 @@ class _SingleQueryPlanner:
             elif isinstance(clause, A.UnwindClause):
                 cur = self.plan_unwind(cur, clause)
             elif isinstance(clause, A.ProjectionClause):
-                cur = self.plan_projection(cur, clause)
+                # order-sensitive aggregates: an aggregating projection
+                # directly after `WITH ... ORDER BY` inherits that order
+                # for collect()/first()/last() (engine option)
+                hint: list[A.SortItem] = []
+                if (
+                    self.ordered_aggregates
+                    and isinstance(prev_clause, A.ProjectionClause)
+                    and prev_clause.order_by
+                    and any(A.contains_aggregate(e) for _, e in clause.items)
+                ):
+                    import copy
+
+                    hint = copy.deepcopy(prev_clause.order_by)
+                cur = self.plan_projection(cur, clause, order_hint=hint)
             else:  # pragma: no cover
                 raise TranspilerInternalError(f"Unknown clause {clause!r}")
+            prev_clause = clause
         if cur is None:  # pragma: no cover — parser guarantees a RETURN
             raise TranspilerInternalError("Empty query plan")
         return cur
@@ -130,8 +153,15 @@ class _SingleQueryPlanner:
         WHERE first — they become LEFT SEMI / LEFT ANTI joins on top of the
         planned fabric, not Column expressions."""
         residual, pattern_preds = self._split_pattern_predicates(clause.where)
-        if pattern_preds:
-            clause = A.MatchClause(clause.patterns, clause.optional, residual)
+        # nested predicates (under OR/XOR/CASE/NOT-of-AND/...) need the
+        # planned fabric first — they become boolean flag columns below
+        has_nested = residual is not None and any(
+            isinstance(n, A.PatternPredicate) for n in residual.walk()
+        )
+        if pattern_preds or has_nested:
+            clause = A.MatchClause(
+                clause.patterns, clause.optional, None if has_nested else residual
+            )
         # anonymous multi-label nodes get their alias assigned HERE so it
         # survives the var-length deepcopy expansion and is visible to the
         # extra-label pass below
@@ -140,6 +170,10 @@ class _SingleQueryPlanner:
                 if n.extra_labels and n.alias is None:
                     n.alias = self._gen_alias("mlbl")
         op = self._plan_match_body(piped, clause, known_labels, prefix_overrides)
+        if has_nested:
+            residual, op = self._rewrite_pattern_predicates(residual, op)
+            validate_expr(residual, op.env)
+            op = SelectionOp(op, predicate=residual, env=dict(op.env))
         for part, negated in pattern_preds:
             op = self._plan_pattern_predicate(op, part, negated)
         op = self._apply_extra_labels(op, clause.patterns)
@@ -194,9 +228,11 @@ class _SingleQueryPlanner:
     ) -> tuple[A.Expr | None, list[tuple[A.PatternPart, bool]]]:
         """Extract top-level AND conjuncts that are [NOT] exists(pattern).
 
-        Returns (residual where, [(pattern part, negated), ...]). A pattern
-        predicate anywhere else (under OR/XOR/CASE/...) is rejected — semi
-        joins do not compose as boolean columns."""
+        Returns (residual where, [(pattern part, negated), ...]). Pattern
+        predicates anywhere else (under OR/XOR/CASE/...) stay in the
+        residual; the caller lowers them to boolean flag columns via
+        ``_rewrite_pattern_predicates`` (left join + coalesce) — the
+        top-level conjuncts here keep the cheaper semi/anti joins."""
         preds: list[tuple[A.PatternPart, bool]] = []
 
         def split(e: A.Expr) -> A.Expr | None:
@@ -218,13 +254,6 @@ class _SingleQueryPlanner:
                     return left
                 e.left, e.right = left, right
                 return e
-            for n in e.walk():
-                if isinstance(n, A.PatternPredicate):
-                    raise TranspilerNotSupportedError(
-                        "exists(pattern) is only supported as a top-level "
-                        "AND conjunct of a MATCH WHERE (it plans as a "
-                        "semi join, not a boolean column)"
-                    )
             return e
 
         if where is None:
@@ -234,11 +263,71 @@ class _SingleQueryPlanner:
     def _plan_pattern_predicate(
         self, op: LogicalOp, part: A.PatternPart, negated: bool
     ) -> LogicalOp:
-        """[NOT] exists(pattern): plan the pattern standalone with fresh
-        column prefixes for the shared node aliases (the OPTIONAL MATCH
-        fork mechanics), then LEFT SEMI (or LEFT ANTI) join back on the
-        shared node ids. The output env is unchanged — a semi join adds
-        no columns."""
+        """[NOT] exists(pattern) as a top-level AND conjunct: LEFT SEMI
+        (or LEFT ANTI) join back on the shared node ids. The output env is
+        unchanged — a semi join adds no columns."""
+        right, pairs = self._plan_predicate_pattern_fabric(op, part)
+        return JoinOp(
+            op, right, "anti" if negated else "semi", pairs, [], env=dict(op.env)
+        )
+
+    def _plan_exists_flag(
+        self, op: LogicalOp, part: A.PatternPart, flag_col: str
+    ) -> LogicalOp:
+        """exists(pattern) in boolean-expression position (under OR / in a
+        projection item): LEFT join against the distinct shared keys,
+        materializing ``flag_col`` (true/null; consumers coalesce to
+        false). Same pattern fabric as the semi/anti path."""
+        right, pairs = self._plan_predicate_pattern_fabric(op, part)
+        return ExistsFlagOp(op, right, pairs, flag_col, env=dict(op.env))
+
+    def _rewrite_pattern_predicates(
+        self, expr: A.Expr | None, op: LogicalOp
+    ) -> tuple[A.Expr | None, LogicalOp]:
+        """Replace every remaining PatternPredicate inside ``expr`` with
+        ``coalesce(<flag col>, false)``, attaching one ExistsFlagOp per
+        predicate to ``op``. No-op when the expression has none."""
+        if expr is None:
+            return None, op
+
+        def rec(e: A.Expr) -> A.Expr:
+            nonlocal op
+            if isinstance(e, A.PatternPredicate):
+                flag = self._gen_alias("exists_flag")
+                op = self._plan_exists_flag(op, e.part, flag)
+                return A.FuncCall(
+                    "coalesce", [ColRef(flag), A.Literal(False)]
+                )
+            if isinstance(e, A.Binary):
+                e.left, e.right = rec(e.left), rec(e.right)
+                return e
+            if isinstance(e, A.Unary):
+                e.operand = rec(e.operand)
+                return e
+            if isinstance(e, A.FuncCall):
+                e.args = [rec(a) for a in e.args]
+                return e
+            if isinstance(e, A.AggCall):
+                if e.arg is not None:
+                    e.arg = rec(e.arg)
+                e.extras = [rec(a) for a in e.extras]
+                return e
+            if isinstance(e, A.CaseExpr):
+                e.whens = [(rec(c), rec(v)) for c, v in e.whens]
+                if e.else_ is not None:
+                    e.else_ = rec(e.else_)
+                return e
+            return e
+
+        return rec(expr), op
+
+    def _plan_predicate_pattern_fabric(
+        self, op: LogicalOp, part: A.PatternPart
+    ) -> tuple[LogicalOp, list[tuple[str, str]]]:
+        """Plan an exists() pattern standalone with fresh column prefixes
+        for the shared node aliases (the OPTIONAL MATCH fork mechanics);
+        returns the planned fabric and the (left, right) id-column join
+        pairs."""
         env = op.env
         shared = [
             n.alias
@@ -280,9 +369,7 @@ class _SingleQueryPlanner:
                     right_ref.col(right_ref.node.id_property),
                 )
             )
-        return JoinOp(
-            op, right, "anti" if negated else "semi", pairs, [], env=dict(env)
-        )
+        return right, pairs
 
     def _plan_match_body(
         self,
@@ -768,10 +855,26 @@ class _SingleQueryPlanner:
     # -- WITH / RETURN ------------------------------------------------------------
 
     def plan_projection(
-        self, piped: LogicalOp | None, clause: A.ProjectionClause
+        self,
+        piped: LogicalOp | None,
+        clause: A.ProjectionClause,
+        order_hint: list[A.SortItem] | None = None,
     ) -> LogicalOp:
         if piped is None:  # pragma: no cover — parser rejects standalone RETURN
             raise TranspilerNotSupportedError("Projection with no reading clause")
+        # exists() in projection-item position (`RETURN exists(...) AS f`):
+        # attach flag joins to the piped op and substitute boolean columns
+        # before planning the projection itself
+        if any(
+            isinstance(n, A.PatternPredicate)
+            for _, e in clause.items
+            for n in e.walk()
+        ):
+            new_items = []
+            for alias, expr in clause.items:
+                expr, piped = self._rewrite_pattern_predicates(expr, piped)
+                new_items.append((alias, expr))
+            clause.items = new_items
         in_env = piped.env
         has_agg = any(A.contains_aggregate(e) for _, e in clause.items)
 
@@ -832,6 +935,17 @@ class _SingleQueryPlanner:
             for alias, ref in in_env.items():
                 if alias not in proj_env:
                     proj_env[alias] = ref
+        # an order hint only survives if every sort expression still binds
+        # in the projection's input scope (implicit fields may have been
+        # trimmed away); best-effort by design
+        valid_hint: list[A.SortItem] = []
+        if order_hint:
+            try:
+                for s in order_hint:
+                    validate_expr(s.expr, in_env)
+                valid_hint = order_hint
+            except TranspilerBindingError:
+                valid_hint = []
         op: LogicalOp = ProjectOp(
             piped,
             list(clause.items),
@@ -839,6 +953,7 @@ class _SingleQueryPlanner:
             has_agg=has_agg,
             carry=carry,
             output_aliases=[a for a, _ in clause.items],
+            order_hint=valid_hint,
             env=proj_env,
         )
         # subclause order matches the reference (LogicalPlanner/LogicalPlan.cs:
@@ -866,6 +981,8 @@ class _SingleQueryPlanner:
                 clause.where
             )
             if residual is not None:
+                # nested exists() under OR/... lowers to flag columns
+                residual, op = self._rewrite_pattern_predicates(residual, op)
                 validate_expr(residual, op.env)
                 op = SelectionOp(op, predicate=residual, env=dict(op.env))
             for part, negated in pattern_preds:

@@ -499,15 +499,78 @@ def test_exists_pattern_with_shared_mid_node(movie_engine):
     assert len(got) == 4
 
 
-def test_exists_rejected_under_or(movie_engine):
-    with pytest.raises(TranspilerNotSupportedError):
-        movie_engine.cypher(
-            """
-            MATCH (p:Person)
-            WHERE exists((p)-[:DIRECTED]->(:Movie)) OR p.Born > 1950
-            RETURN p.Name AS name
-            """
-        )
+def test_exists_under_or(movie_engine):
+    # boolean-expression position: lowered to a left-join flag column
+    # (ExistsFlagOp) instead of the top-level-conjunct semi join
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        WHERE exists((p)-[:DIRECTED]->(:Movie)) OR p.Born > 1950
+        RETURN p.Name AS name
+        """
+    )
+    # directors: Nora, Rob; born > 1950: Tom (1956), Meg (1961), Bill (1955)
+    assert rows(df) == {
+        ("Nora Ephron",),
+        ("Rob Reiner",),
+        ("Tom Hanks",),
+        ("Meg Ryan",),
+        ("Bill Paxton",),
+    }
+
+
+def test_not_exists_under_or(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        WHERE NOT exists((p)-[:ACTED_IN]->(:Movie)) OR p.Born < 1950
+        RETURN p.Name AS name
+        """
+    )
+    # non-actors: Rob, Nora; born < 1950: Rob (1947); Nora Born is null
+    assert rows(df) == {("Rob Reiner",), ("Nora Ephron",)}
+
+
+def test_exists_in_return_position(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        RETURN p.Name AS name, exists((p)-[:DIRECTED]->(:Movie)) AS directs
+        """
+    )
+    assert rows(df) == {
+        ("Tom Hanks", False),
+        ("Meg Ryan", False),
+        ("Rob Reiner", True),
+        ("Nora Ephron", True),
+        ("Bill Paxton", False),
+    }
+
+
+def test_exists_in_case_and_agg(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        RETURN CASE WHEN exists((p)-[:REVIEWED]->(:Movie))
+                    THEN 'critic' ELSE 'civilian' END AS kind,
+               count(*) AS n
+        """
+    )
+    assert rows(df) == {("critic", 2), ("civilian", 3)}
+
+
+def test_exists_under_xor(movie_engine):
+    # acted XOR directed: Nora/Rob directed-only, Tom/Meg/Bill acted-only
+    # -> all five satisfy XOR; nobody did both
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        WHERE exists((p)-[:ACTED_IN]->(:Movie))
+              XOR exists((p)-[:DIRECTED]->(:Movie))
+        RETURN count(*) AS n
+        """
+    )
+    assert rows(df) == {(5,)}
 
 
 def test_exists_with_unbounded_path(movie_engine):

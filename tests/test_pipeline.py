@@ -661,3 +661,46 @@ def test_grouped_topk_matches_exhaustive(spark, duck):
         ).fetchall()
     }
     assert got == want
+
+
+def test_connected_components_star_equivalence(spark):
+    import random
+
+    from opencyphertranspiler_spark.pipeline.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    random.seed(13)
+    cases = {
+        "random": [
+            (random.randrange(300), random.randrange(300)) for _ in range(220)
+        ],
+        "hub_skew": [(0, i) for i in range(1, 120)]
+        + [(200 + i, 201 + i) for i in range(25)],
+        "self_loops": [(1, 2), (2, 3), (10, 11), (5, 5)],
+    }
+    for name, edges_py in cases.items():
+        e = spark.createDataFrame(edges_py, "src long, dst long")
+        base = {(r["node"], r["comp"]) for r in connected_components(e).collect()}
+        star = {
+            (r["node"], r["comp"])
+            for r in connected_components_star(e).collect()
+        }
+        assert base == star, f"{name}: star CC diverges from min-label CC"
+
+
+def test_connected_components_star_sublinear_rounds(spark):
+    # a 64-node chain has diameter 63: min-label propagation needs ~63
+    # rounds, the star contraction must stay logarithmic
+    from opencyphertranspiler_spark.pipeline.graph import (
+        connected_components_star,
+    )
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src long, dst long"
+    )
+    labels, rounds = connected_components_star(e, return_rounds=True)
+    assert rounds <= 10, f"expected O(log n) rounds on a chain, got {rounds}"
+    got = {(r["node"], r["comp"]) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(64)}

@@ -250,3 +250,81 @@ def test_struct_field_property_access(spark):
     # implicit alias keeps the full dotted path
     df2 = eng.cypher("MATCH (m:Media) RETURN m.meta.width LIMIT 1")
     assert df2.columns == ["m.meta.width"]
+
+
+# ---------------------------------------------------------------------------
+# Order-sensitive collect()/first()/last() (engine option ordered_aggregates;
+# default stays reference parity: unordered collect, MIN/MAX first/last)
+# ---------------------------------------------------------------------------
+
+
+def test_ordered_aggregates_differential_vs_duckdb(spark, duck):
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        tpch_graph_schema,
+        tpch_table_registry,
+    )
+    from .conftest import SF_DIR
+
+    eng = CypherEngine(
+        spark,
+        tpch_graph_schema(),
+        tpch_table_registry(spark, SF_DIR),
+        ordered_aggregates=True,
+    )
+    q = """
+        MATCH (c:Customer)-[:PLACED]->(o:Orders)
+        WHERE c.c_custkey <= 5
+        WITH c.c_custkey AS k, o.o_orderstatus AS st, o.o_orderkey AS ok
+        ORDER BY st, ok DESC
+        RETURN k, collect(ok) AS oks, first(ok) AS first_ok, last(ok) AS last_ok
+    """
+    got = {
+        r["k"]: (list(r["oks"]), r["first_ok"], r["last_ok"])
+        for r in eng.cypher(q).collect()
+    }
+    exp = {
+        r[0]: (list(r[1]), r[2], r[3])
+        for r in duck.execute(
+            """
+            SELECT c.c_custkey AS k,
+                   list(o.o_orderkey ORDER BY o.o_orderstatus, o.o_orderkey DESC) AS oks,
+                   (list(o.o_orderkey ORDER BY o.o_orderstatus, o.o_orderkey DESC))[1],
+                   (list(o.o_orderkey ORDER BY o.o_orderstatus, o.o_orderkey DESC))[-1]
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey <= 5 GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert got == exp
+
+
+def test_ordered_aggregates_default_off_keeps_min_max_parity(spark, duck):
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        tpch_graph_schema,
+        tpch_table_registry,
+    )
+    from .conftest import SF_DIR
+
+    eng = CypherEngine(
+        spark, tpch_graph_schema(), tpch_table_registry(spark, SF_DIR)
+    )
+    q = """
+        MATCH (c:Customer)-[:PLACED]->(o:Orders)
+        WHERE c.c_custkey <= 5
+        WITH c.c_custkey AS k, o.o_orderkey AS ok ORDER BY ok DESC
+        RETURN k, first(ok) AS f, last(ok) AS l
+    """
+    got = {r["k"]: (r["f"], r["l"]) for r in eng.cypher(q).collect()}
+    exp = {
+        r[0]: (r[1], r[2])
+        for r in duck.execute(
+            """
+            SELECT c.c_custkey AS k, min(o.o_orderkey), max(o.o_orderkey)
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey <= 5 GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert got == exp
