@@ -362,13 +362,16 @@ class CypherEngine:
         key = (edge.id, min_hops)
         if key in self._reach_cache:
             return self._reach_cache[key]
-        from .pipeline.graph import transitive_closure
+        from .pipeline.graph import transitive_closure_doubling
 
         e = tables.get(edge.table).select(
             F.col(edge.source_id_property).alias("src"),
             F.col(edge.sink_id_property).alias("dst"),
         )
-        r1 = transitive_closure(e, max_iters=self.reach_max_iters)
+        # path doubling: O(log diameter) rounds — user graphs reached via
+        # `[:V*]` have unbounded diameter, so the semi-naive O(diameter)
+        # loop would mean diameter-many driver round-trips
+        r1 = transitive_closure_doubling(e, max_iters=self.reach_max_iters)
         out = r1
         if min_hops > 1:
             # length >= n decomposes into an exact (n-1)-hop prefix plus a

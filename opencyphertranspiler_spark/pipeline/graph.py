@@ -46,6 +46,48 @@ def transitive_closure(
     return sp.select("src", "dst")
 
 
+def transitive_closure_doubling(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 40,
+) -> DataFrame:
+    """All distinct (src, dst) reachable pairs via PATH DOUBLING:
+    reach(2k) = reach(k) ∘ reach(k) ∪ reach(k) — O(log diameter) rounds
+    instead of semi-naive's O(diameter).
+
+    Tradeoff vs ``transitive_closure``: each doubling round self-joins
+    the FULL accumulated pair set (not just the frontier), so per-round
+    work is heavier; it wins when the diameter is long relative to the
+    closure size (chains, order successions, linked histories) and loses
+    on dense graphs whose frontier dies quickly. The engine's unbounded
+    `[:V*]` reachability uses this — user graphs have unbounded diameter,
+    and O(log d) driver round-trips is the scalable shape."""
+    reach = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = reach.count()
+    for _ in range(max_iters):
+        nxt = (
+            reach.alias("a")
+            .join(reach.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+            .unionByName(reach)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        m = nxt.count()
+        # reach grows monotonically: equal size == fixpoint
+        if m == n:
+            return reach
+        reach, n = nxt, m
+    raise RuntimeError(
+        f"transitive_closure_doubling did not converge within {max_iters} rounds"
+    )
+
+
 def shortest_path_lengths(
     edges: DataFrame,
     src: str = "src",

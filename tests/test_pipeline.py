@@ -704,3 +704,24 @@ def test_connected_components_star_sublinear_rounds(spark):
     assert rounds <= 10, f"expected O(log n) rounds on a chain, got {rounds}"
     got = {(r["node"], r["comp"]) for r in labels.collect()}
     assert got == {(i, 0) for i in range(64)}
+
+
+def test_transitive_closure_doubling_equivalence(spark):
+    import random
+
+    from opencyphertranspiler_spark.pipeline.graph import (
+        transitive_closure,
+        transitive_closure_doubling,
+    )
+
+    random.seed(5)
+    cases = {
+        "chain40": [(i, i + 1) for i in range(40)],
+        "dag": [(random.randrange(0, 50), random.randrange(50, 120)) for _ in range(80)],
+        "cyclic": [(1, 2), (2, 3), (3, 1), (3, 4)],
+    }
+    for name, edges_py in cases.items():
+        e = spark.createDataFrame(edges_py, "src long, dst long")
+        a = {(r["src"], r["dst"]) for r in transitive_closure(e).collect()}
+        b = {(r["src"], r["dst"]) for r in transitive_closure_doubling(e).collect()}
+        assert a == b, f"{name}: doubling closure diverges from semi-naive"

@@ -162,3 +162,45 @@ def test_exists_compiles_to_semi_join(spark, engine):
         """
     )
     assert "LeftSemi" in formatted_plan(spark, df2)
+
+
+def test_multi_rel_type_union_keeps_pushdown(spark, engine):
+    # [:A|B] union edge: the customer filter must still reach the
+    # customer scan, and the priority split must reach the orders scans
+    # (the union edge is two filtered orders scans, each with its
+    # isin-pushdown)
+    df = engine.cypher(
+        """
+        MATCH (c:Customer {c_mktsegment: 'MACHINERY'})
+              -[r:PLACED_URGENT|PLACED_NORMAL]->(o:Orders)
+        RETURN type(r) AS t, count(*) AS n
+        """
+    )
+    plan = formatted_plan(spark, df)
+    assert "EqualTo(c_mktsegment,MACHINERY)" in plan
+    assert "In(o_orderpriority" in plan, "priority split must push down"
+
+
+def test_exists_conjunct_stays_semi_join(spark, engine):
+    df = engine.cypher(
+        "MATCH (c:Customer) WHERE exists((c)-[:PLACED]->(:Orders)) "
+        "RETURN count(*) AS n"
+    )
+    plan = formatted_plan(spark, df)
+    assert "LeftSemi" in plan, "top-level exists must stay a semi join"
+
+
+def test_exists_flag_under_or_is_single_left_join(spark, engine):
+    # boolean-position exists: one left outer join against a
+    # de-duplicated key set; no cartesian product
+    df = engine.cypher(
+        """
+        MATCH (c:Customer)
+        WHERE c.c_acctbal > 9000 OR exists((c)-[:PLACED]->(:Orders))
+        RETURN count(*) AS n
+        """
+    )
+    plan = formatted_plan(spark, df)
+    assert "Cartesian" not in plan
+    assert "LeftOuter" in plan
+    assert "HashAggregate" in plan  # the distinct on pattern keys
