@@ -513,6 +513,17 @@ class Parser:
         if t.is_punct("{"):
             raise TranspilerNotSupportedError("Map literals are not supported")
         if t.is_punct("("):
+            # bare pattern predicate `(a)-[:V]->(b)` in expression position
+            # (Neo4j idiom, same lowering as exists(...)): try-parse a
+            # pattern with >= 1 hop, else backtrack to parenthesized expr
+            mark = self.i
+            try:
+                part = self.parse_pattern_part()
+                if part.rels:
+                    return A.PatternPredicate(part)
+            except (TranspilerSyntaxError, TranspilerNotSupportedError):
+                pass
+            self.i = mark
             self.advance()
             e = self.parse_expr()
             self.expect_punct(")")
@@ -554,19 +565,27 @@ class Parser:
         )
 
     def parse_case(self) -> A.Expr:
+        """Searched CASE, plus the simple `CASE <expr> WHEN <val>` form
+        (extension; the reference rejects it, CypherVisitor.cs:1776-1782)
+        desugared to searched equality: WHEN <val> -> WHEN <expr> = <val>.
+        Equality-with-null never matches (3VL), same as Cypher's simple
+        CASE, so the desugaring is exact."""
+        import copy
+
         self.expect_kw("CASE")
+        subject: A.Expr | None = None
         if not self.cur.is_kw("WHEN"):
-            raise TranspilerNotSupportedError(
-                "Only the searched form 'CASE WHEN <pred> THEN <val> ... END' is "
-                "supported ('CASE <expr> WHEN' is rejected, reference "
-                "CypherVisitor.cs:1776-1782)"
-            )
+            subject = self.parse_expr()
         whens: list[tuple[A.Expr, A.Expr]] = []
         while self.accept_kw("WHEN"):
             cond = self.parse_expr()
+            if subject is not None:
+                cond = A.Binary(A.BinaryOp.EQ, copy.deepcopy(subject), cond)
             self.expect_kw("THEN")
             val = self.parse_expr()
             whens.append((cond, val))
+        if not whens:
+            raise TranspilerSyntaxError("CASE requires at least one WHEN")
         else_ = None
         if self.accept_kw("ELSE"):
             else_ = self.parse_expr()

@@ -126,4 +126,21 @@ def compile_scalar(name: str, args: list[Column]) -> Column:
     if name == "sign":
         _arity(name, args, 1)
         return F.signum(args[0]).cast("int")
+    # --- lists (extensions; openCypher staples the reference lacks).
+    # first()/last() stay aggregates (parser routes them to AggCall), so
+    # the list accessors are head()/tail() only, per openCypher. ---
+    if name == "range":
+        # range(start, stop[, step]) is INCLUSIVE of stop (openCypher);
+        # F.sequence is inclusive too
+        _arity(name, args, 2, 3)
+        step = args[2] if len(args) == 3 else F.lit(1)
+        return F.sequence(
+            args[0].cast("long"), args[1].cast("long"), step.cast("long")
+        )
+    if name == "head":
+        _arity(name, args, 1)
+        return F.try_element_at(args[0], F.lit(1))
+    if name == "tail":
+        _arity(name, args, 1)
+        return F.slice(args[0], 2, F.greatest(F.size(args[0]) - 1, F.lit(0)))
     raise TranspilerNotSupportedError(f"Unknown function {name}()")

@@ -137,7 +137,7 @@ class ExprCompiler:
         schema constants here (single-label model), so they fold to
         literals; id(n) is the node's id column, id(r) the edge's
         (source, sink) pair as a struct."""
-        if expr.name not in ("labels", "type", "id"):
+        if expr.name not in ("labels", "type", "id", "keys", "properties"):
             return None
         if len(expr.args) != 1 or not isinstance(expr.args[0], A.Variable):
             raise TranspilerBindingError(
@@ -162,6 +162,26 @@ class ExprCompiler:
                 # `[:A|B]` union edge: per-row discriminator column
                 return qcol(ref.col(ref.edge.type_property))
             return F.lit(ref.edge.verb)
+        if expr.name == "keys":
+            # schema constant (single-label model): the declared property
+            # names, internal columns excluded
+            return F.array(
+                *[
+                    F.lit(p)
+                    for p in ref.property_names
+                    if not p.startswith("__")
+                ]
+            )
+        if expr.name == "properties":
+            # heterogeneous value types -> STRUCT keyed by property name
+            # (a Spark map would force a common value type)
+            return F.struct(
+                *[
+                    qcol(ref.col(p)).alias(p)
+                    for p in ref.property_names
+                    if not p.startswith("__")
+                ]
+            )
         if ref.kind == "node":
             return qcol(ref.col(ref.node.id_property))
         return F.struct(

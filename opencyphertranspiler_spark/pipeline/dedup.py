@@ -372,3 +372,39 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **minhash_kwargs,
+) -> DataFrame:
+    """End-to-end near-dup clustering: (doc_id, cluster_id, is_canonical).
+
+    The composition a training-data pipeline actually runs: MinHash-LSH
+    near-duplicate PAIRS -> connected components over the pair graph
+    (star contraction, skew-proof: near-dup clusters are exactly the
+    power-law case — one boilerplate template can span millions of docs)
+    -> cluster_id = smallest member id, canonical = that member.
+    Documents with no near-duplicate form singleton clusters. Filtering
+    to ``is_canonical`` yields the deduplicated corpus; grouping by
+    ``cluster_id`` yields the duplicate groups."""
+    from .graph import connected_components_star
+
+    pairs = minhash_lsh_pairs(
+        df, threshold, id_col, text_col, **minhash_kwargs
+    )
+    labels = connected_components_star(pairs, src="id_a", dst="id_b")
+    all_ids = df.select(id_col).distinct()
+    return (
+        all_ids.join(
+            labels.withColumnRenamed("node", id_col), id_col, "left"
+        )
+        .select(
+            id_col,
+            F.coalesce("comp", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )

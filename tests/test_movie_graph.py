@@ -1039,3 +1039,92 @@ def test_property_map_on_var_length_applies_every_hop(movie_engine):
         """
     )
     assert rows(df) == {("Rob Reiner", "You've Got Mail")}
+
+
+# ---------------------------------------------------------------------------
+# Bare pattern predicates (Neo4j idiom: a pattern in expression position is
+# an implicit exists()) and simple-form CASE (both fenced by the reference)
+# ---------------------------------------------------------------------------
+
+
+def test_bare_pattern_predicate_conjunct(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        WHERE (p)-[:DIRECTED]->(:Movie)
+        RETURN p.Name AS name
+        """
+    )
+    assert rows(df) == {("Rob Reiner",), ("Nora Ephron",)}
+
+
+def test_bare_pattern_predicate_negated_and_or(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        WHERE NOT (p)-[:ACTED_IN]->(:Movie)
+        RETURN p.Name AS name
+        """
+    )
+    assert rows(df) == {("Rob Reiner",), ("Nora Ephron",)}
+    df2 = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        WHERE (p)-[:REVIEWED]->(:Movie) OR p.Born = 1956
+        RETURN p.Name AS name
+        """
+    )
+    assert rows(df2) == {("Rob Reiner",), ("Bill Paxton",), ("Tom Hanks",)}
+
+
+def test_bare_pattern_in_return_position(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        RETURN p.Name AS name, (p)-[:FOLLOWS]->(:Person) AS follows_someone
+        """
+    )
+    assert rows(df) == {
+        ("Tom Hanks", False),
+        ("Meg Ryan", True),
+        ("Rob Reiner", True),
+        ("Nora Ephron", True),
+        ("Bill Paxton", True),
+    }
+
+
+def test_parenthesized_arithmetic_still_parses(movie_engine):
+    # the pattern try-parse must backtrack cleanly on plain parens
+    df = movie_engine.cypher(
+        "MATCH (p:Person) WHERE (p.Born + 1) * 2 = 3914 RETURN p.Name AS name"
+    )
+    assert rows(df) == {("Tom Hanks",)}
+
+
+def test_simple_case_form(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)-[r:REVIEWED]->(m:Movie)
+        RETURN m.Title AS title,
+               CASE r.Rating WHEN 9 THEN 'rave' WHEN 7 THEN 'good' ELSE 'meh' END AS verdict
+        """
+    )
+    assert rows(df) == {
+        ("Sleepless in Seattle", "rave"),
+        ("Sleepless in Seattle", "good"),
+        ("You've Got Mail", "meh"),
+    }
+
+
+def test_simple_case_null_subject_falls_to_else(movie_engine):
+    # Nora's Born is null: null = x is never true -> ELSE branch (Cypher
+    # simple-CASE parity with the equality desugaring)
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        RETURN p.Name AS name,
+               CASE p.Born WHEN 1956 THEN 'boomer' ELSE 'unknown' END AS tag
+        """
+    )
+    assert ("Nora Ephron", "unknown") in rows(df)
+    assert ("Tom Hanks", "boomer") in rows(df)

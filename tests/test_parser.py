@@ -98,7 +98,9 @@ NEGATIVES = [
     ("MATCH p = (a:X)--(b) RETURN a.v AS v", TranspilerNotSupportedError),
     ("MATCH (a:X) RETURN sum(count(a.v)) AS v", TranspilerNotSupportedError),
     ("OPTIONAL MATCH (a:X) RETURN a.v AS v", TranspilerNotSupportedError),
-    ("MATCH (a:X) RETURN CASE a.v WHEN 1 THEN 2 END AS v", TranspilerNotSupportedError),
+    # `CASE a.v WHEN 1 THEN 2 END` is now a supported extension (desugars
+    # to searched CASE); malformed CASE stays rejected:
+    ("MATCH (a:X) RETURN CASE a.v THEN 2 END AS v", TranspilerSyntaxError),
     ("MATCH (a:X) RETURN sum(DISTINCT a.v) AS v", TranspilerNotSupportedError),
     ("RETURN 1 AS one", TranspilerNotSupportedError),
     ("MATCH (a:X) OPTIONAL MATCH (a)--(b) MATCH (b)--(c) RETURN a.v AS v",
@@ -135,3 +137,12 @@ def test_parse_rel_type_alternation():
     q2 = parse("MATCH (a)-[:A|B*1..2]->(b) RETURN a.v AS v")
     rel2 = q2.clauses[0].patterns[0].rels[0]
     assert rel2.alt_verbs == ["B"] and (rel2.min_hops, rel2.max_hops) == (1, 2)
+
+
+def test_parse_simple_case_desugars_to_searched():
+    q = parse("MATCH (a:X) RETURN CASE a.v WHEN 1 THEN 'one' WHEN 2 THEN 'two' ELSE 'many' END AS w")
+    case = q.clauses[-1].items[0][1]
+    assert isinstance(case, A.CaseExpr) and len(case.whens) == 2
+    c0 = case.whens[0][0]
+    assert isinstance(c0, A.Binary) and c0.op == A.BinaryOp.EQ
+    assert isinstance(c0.left, A.Property) and c0.left.prop == "v"

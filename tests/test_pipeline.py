@@ -725,3 +725,27 @@ def test_transitive_closure_doubling_equivalence(spark):
         a = {(r["src"], r["dst"]) for r in transitive_closure(e).collect()}
         b = {(r["src"], r["dst"]) for r in transitive_closure_doubling(e).collect()}
         assert a == b, f"{name}: doubling closure diverges from semi-naive"
+
+
+def test_dedup_clusters_end_to_end(spark):
+    from opencyphertranspiler_spark.pipeline.dedup import dedup_clusters
+
+    rows_in = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again!"),  # ~dup of 1
+        (3, "the quick brown fox jumps over the lazy dog again & again"),  # ~dup of 1/2
+        (4, "completely different text about spark dataframes and shuffles"),
+        (5, "totally unrelated content regarding parquet column pruning"),
+    ]
+    df = spark.createDataFrame(rows_in, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup_clusters(df, threshold=0.7).collect()
+    }
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)
+    assert out[3] == (1, False)
+    assert out[4] == (4, True)
+    assert out[5] == (5, True)
+    # canonical filter = deduplicated corpus of 3 docs
+    assert sum(1 for c, canon in out.values() if canon) == 3
