@@ -135,6 +135,85 @@ class Unary(Expr):
 
 
 @dataclass
+class MapLiteral(Expr):
+    """``{k: v, ...}`` in expression position (extension; the reference
+    rejects map literals, CypherVisitor.cs:2040-2044). Compiles to a
+    named STRUCT (not a Spark map) so values keep heterogeneous types."""
+
+    items: list[tuple[str, Expr]]
+
+    def children(self):
+        return [v for _, v in self.items]
+
+
+@dataclass
+class ListIndex(Expr):
+    """``l[i]`` (extension): 0-based; negative counts from the end
+    (Neo4j semantics); out-of-range -> null."""
+
+    base: Expr
+    index: Expr
+
+    def children(self):
+        return [self.base, self.index]
+
+
+@dataclass
+class ListSlice(Expr):
+    """``l[a..b]`` (extension): 0-based, end-exclusive; open ends
+    allowed (``l[..2]``, ``l[1..]``); negative bounds count from the
+    end."""
+
+    base: Expr
+    start: Expr | None
+    stop: Expr | None
+
+    def children(self):
+        out = [self.base]
+        if self.start is not None:
+            out.append(self.start)
+        if self.stop is not None:
+            out.append(self.stop)
+        return out
+
+
+@dataclass
+class ListComprehension(Expr):
+    """``[x IN list WHERE pred | expr]`` (extension; the reference rejects
+    comprehensions, CypherVisitor.cs:1903-1912). Compiles to Spark
+    higher-order functions: F.filter for WHERE, F.transform for the map
+    part — fully JVM-side, no Python UDF. ``var`` is lexically scoped to
+    ``where``/``map_expr``."""
+
+    var: str
+    list_expr: Expr
+    where: Expr | None = None
+    map_expr: Expr | None = None
+
+    def children(self):
+        out = [self.list_expr]
+        if self.where is not None:
+            out.append(self.where)
+        if self.map_expr is not None:
+            out.append(self.map_expr)
+        return out
+
+
+@dataclass
+class Quantified(Expr):
+    """``all/any/none/single(x IN list WHERE pred)`` (extension).
+    F.forall / F.exists / negated exists / size(filter)==1."""
+
+    kind: str  # 'all' | 'any' | 'none' | 'single'
+    var: str
+    list_expr: Expr
+    where: Expr
+
+    def children(self):
+        return [self.list_expr, self.where]
+
+
+@dataclass
 class FuncCall(Expr):
     """Scalar function call (incl. STARTS WITH / IS NULL sugar — the parser
     lowers those postfix operators into named functions, matching the

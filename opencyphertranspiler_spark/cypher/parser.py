@@ -479,7 +479,32 @@ class Parser:
 
     def parse_postfix(self) -> A.Expr:
         e = self.parse_atom()
-        while self.cur.is_punct("."):
+        while self.cur.is_punct(".", "["):
+            if self.cur.is_punct(".") and self.peek().is_punct("."):
+                break  # `..` is the slice separator, not property access
+            if self.cur.is_punct("["):
+                # list index `l[i]` / slice `l[a..b]` (extension; Neo4j
+                # semantics: 0-based, slice end-exclusive, negative index
+                # counts from the end)
+                self.advance()
+                start = None
+                if not self.cur.is_punct("."):
+                    start = self.parse_expr()
+                if self.cur.is_punct("."):
+                    self.expect_punct(".")
+                    self.expect_punct(".")
+                    stop = None
+                    if not self.cur.is_punct("]"):
+                        stop = self.parse_expr()
+                    e = A.ListSlice(e, start, stop)
+                else:
+                    if start is None:
+                        raise TranspilerSyntaxError(
+                            f"Empty list index at position {self.cur.pos}"
+                        )
+                    e = A.ListIndex(e, start)
+                self.expect_punct("]")
+                continue
             self.advance()
             prop = self.expect_name()
             if isinstance(e, A.Variable):
@@ -511,7 +536,9 @@ class Parser:
             self.advance()
             return A.Parameter(self.expect_name())
         if t.is_punct("{"):
-            raise TranspilerNotSupportedError("Map literals are not supported")
+            # map literal in expression position (extension; reference
+            # rejects, CypherVisitor.cs:2040-2044) -> named struct
+            return A.MapLiteral(self.parse_property_map())
         if t.is_punct("("):
             # bare pattern predicate `(a)-[:V]->(b)` in expression position
             # (Neo4j idiom, same lowering as exists(...)): try-parse a
@@ -530,6 +557,20 @@ class Parser:
             return e
         if t.is_punct("["):
             self.advance()
+            # list comprehension `[x IN list WHERE p | e]` (extension;
+            # reference rejects comprehensions, CypherVisitor.cs:1903-1912)
+            if self.cur.kind == "ident" and self.peek().is_kw("IN"):
+                var = self.expect_ident()
+                self.expect_kw("IN")
+                lst = self.parse_expr()
+                where = None
+                if self.accept_kw("WHERE"):
+                    where = self.parse_expr()
+                map_expr = None
+                if self.accept_punct("|"):
+                    map_expr = self.parse_expr()
+                self.expect_punct("]")
+                return A.ListComprehension(var, lst, where, map_expr)
             items: list[A.Expr] = []
             if not self.cur.is_punct("]"):
                 while True:
@@ -551,6 +592,13 @@ class Parser:
             self.advance()
             self.expect_punct("(")
             return self._parse_exists_tail()
+        if t.is_kw("ALL", "ANY", "NONE", "SINGLE") and self.peek().is_punct("("):
+            # ALL is also the UNION ALL keyword, so quantifiers spelled
+            # with keyword tokens land here instead of the ident path
+            name = str(t.value).lower()
+            self.advance()
+            self.expect_punct("(")
+            return self._parse_quantifier_tail(name)
         if t.kind == "ident":
             # function call?
             if self.peek().is_punct("("):
@@ -592,6 +640,18 @@ class Parser:
         self.expect_kw("END")
         return A.CaseExpr(whens, else_)
 
+    def _parse_quantifier_tail(self, name: str) -> A.Expr:
+        """After 'all(' / 'any(' / 'none(' / 'single(': quantified list
+        predicate `x IN list WHERE p` (extension; the reference rejects
+        these, CypherVisitor.cs:1903-1912)."""
+        var = self.expect_ident()
+        self.expect_kw("IN")
+        lst = self.parse_expr()
+        self.expect_kw("WHERE")
+        pred = self.parse_expr()
+        self.expect_punct(")")
+        return A.Quantified(name, var, lst, pred)
+
     def _parse_exists_tail(self) -> A.Expr:
         """After 'exists(': pattern predicate (semi join) or IS-NOT-NULL.
 
@@ -615,6 +675,8 @@ class Parser:
         self.expect_punct("(")
         if name == "exists":
             return self._parse_exists_tail()
+        if name in ("all", "any", "none", "single"):
+            return self._parse_quantifier_tail(name)
         distinct = bool(self.accept_kw("DISTINCT"))
         if name in A.AGG_FUNCTION_NAMES:
             if name == "count" and self.cur.is_punct("*"):

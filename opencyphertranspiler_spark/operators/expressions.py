@@ -53,6 +53,12 @@ class ExprCompiler:
         # ordered_aggregates option is on: the preceding WITH's ORDER BY
         # items (A.SortItem), making collect()/first()/last() order-aware
         self.order_hint: list = []
+        # lexically-scoped lambda variables for comprehensions/quantifiers
+        # (compiled via Spark higher-order functions); nonzero depth also
+        # suspends the Catalyst type probes — a lambda variable cannot be
+        # analyzed outside its enclosing higher-order function
+        self._lambda_scope: dict[str, Column] = {}
+        self._lambda_depth = 0
         # per-AST-node type memo: _types() probes run a full Catalyst
         # analysis of the accumulated plan, and the coercion pre-check plus
         # the PLUS/DIVIDE/avg branches would otherwise probe the same
@@ -84,6 +90,8 @@ class ExprCompiler:
         if isinstance(expr, A.ListLiteral):
             return F.array(*[self.compile(i) for i in expr.items])
         if isinstance(expr, A.Variable):
+            if expr.name in self._lambda_scope:
+                return self._lambda_scope[expr.name]
             ref = self._ref(expr.name)
             if isinstance(ref, EntityRef):
                 raise TranspilerNotSupportedError(
@@ -92,6 +100,13 @@ class ExprCompiler:
                 )
             return qcol(ref.col)
         if isinstance(expr, A.Property):
+            if expr.alias in self._lambda_scope:
+                # struct-field access on a lambda variable (e.g. iterating
+                # properties() structs)
+                col = self._lambda_scope[expr.alias].getField(expr.prop)
+                for fld in expr.path:
+                    col = col.getField(fld)
+                return col
             ref = self._ref(expr.alias)
             if not isinstance(ref, EntityRef):
                 raise TranspilerBindingError(
@@ -124,6 +139,33 @@ class ExprCompiler:
             return self._aggregate(expr)
         if isinstance(expr, A.CaseExpr):
             return self._case(expr)
+        if isinstance(expr, A.ListComprehension):
+            return self._list_comprehension(expr)
+        if isinstance(expr, A.Quantified):
+            return self._quantified(expr)
+        if isinstance(expr, A.MapLiteral):
+            return F.struct(
+                *[self.compile(v).alias(k) for k, v in expr.items]
+            )
+        if isinstance(expr, A.ListIndex):
+            base = self.compile(expr.base)
+            idx = self.compile(expr.index)
+            # Cypher is 0-based with negative-from-end; element_at is
+            # 1-based with the same negative convention
+            return F.when(idx >= 0, F.try_element_at(base, idx + 1)).otherwise(
+                F.try_element_at(base, idx)
+            )
+        if isinstance(expr, A.ListSlice):
+            base = self.compile(expr.base)
+            n = F.size(base)
+            start = (
+                F.lit(0) if expr.start is None else self.compile(expr.start)
+            )
+            stop = n if expr.stop is None else self.compile(expr.stop)
+            # normalize negative bounds, clamp to [0, n], end-exclusive
+            s = F.greatest(F.when(start < 0, start + n).otherwise(start), F.lit(0))
+            t = F.least(F.when(stop < 0, stop + n).otherwise(stop), n)
+            return F.slice(base, s + 1, F.greatest(t - s, F.lit(0)))
         if isinstance(expr, A.PatternPredicate):
             raise TranspilerNotSupportedError(
                 "exists(pattern) is only supported as a top-level AND "
@@ -194,6 +236,45 @@ class ExprCompiler:
         if ref is None:
             raise TranspilerBindingError(f"Alias '{alias}' does not exist")
         return ref
+
+    # -- comprehensions / quantifiers (Spark higher-order functions) -----------
+    def _lambda_body(self, var: str, body: A.Expr):
+        """A Python callable compiling ``body`` with ``var`` bound to the
+        higher-order function's lambda Column."""
+
+        def fn(x: Column) -> Column:
+            outer = self._lambda_scope.get(var)
+            self._lambda_scope[var] = x
+            self._lambda_depth += 1
+            try:
+                return self.compile(body)
+            finally:
+                self._lambda_depth -= 1
+                if outer is None:
+                    del self._lambda_scope[var]
+                else:
+                    self._lambda_scope[var] = outer
+
+        return fn
+
+    def _list_comprehension(self, expr: A.ListComprehension) -> Column:
+        col = self.compile(expr.list_expr)
+        if expr.where is not None:
+            col = F.filter(col, self._lambda_body(expr.var, expr.where))
+        if expr.map_expr is not None:
+            col = F.transform(col, self._lambda_body(expr.var, expr.map_expr))
+        return col
+
+    def _quantified(self, expr: A.Quantified) -> Column:
+        lst = self.compile(expr.list_expr)
+        pred = self._lambda_body(expr.var, expr.where)
+        if expr.kind == "all":
+            return F.forall(lst, pred)
+        if expr.kind == "any":
+            return F.exists(lst, pred)
+        if expr.kind == "none":
+            return ~F.exists(lst, pred)
+        return F.size(F.filter(lst, pred)) == 1  # single
 
     # -- operators ---------------------------------------------------------------
     def _unary(self, expr: A.Unary) -> Column:
@@ -340,6 +421,12 @@ class ExprCompiler:
             if isinstance(v, float):
                 return T.DoubleType()
             return T.StringType()
+        if self._lambda_depth:
+            # a lambda variable cannot be analyzed outside its enclosing
+            # higher-order function; skip the probe (NullType makes every
+            # category check pass-through). Consequence: `+` inside a
+            # lambda is numeric addition — use toString() for concat.
+            return T.NullType()
         key = id(node)
         if key not in self._type_cache:
             self._type_cache[key] = self.dtype(col)

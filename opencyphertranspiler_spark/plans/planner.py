@@ -72,13 +72,26 @@ def plan_query(
 # ---------------------------------------------------------------------------
 
 
-def _expr_alias_refs(expr: A.Expr):
-    """Yield (alias, prop_or_None) for every variable/property reference."""
-    for node in expr.walk():
-        if isinstance(node, A.Variable):
-            yield node.name, None
-        elif isinstance(node, A.Property):
-            yield node.alias, node.prop
+def _expr_alias_refs(expr: A.Expr, bound: frozenset = frozenset()):
+    """Yield (alias, prop_or_None) for every FREE variable/property
+    reference — comprehension/quantifier lambda variables are lexically
+    bound, not references into the plan env."""
+    if isinstance(expr, A.Variable):
+        if expr.name not in bound:
+            yield expr.name, None
+        return
+    if isinstance(expr, A.Property):
+        if expr.alias not in bound:
+            yield expr.alias, expr.prop
+        return
+    if isinstance(expr, (A.ListComprehension, A.Quantified)):
+        yield from _expr_alias_refs(expr.list_expr, bound)
+        inner = bound | {expr.var}
+        for child in expr.children()[1:]:
+            yield from _expr_alias_refs(child, inner)
+        return
+    for child in expr.children():
+        yield from _expr_alias_refs(child, bound)
 
 
 def validate_expr(expr: A.Expr, env: Env) -> None:

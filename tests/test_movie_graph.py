@@ -1128,3 +1128,37 @@ def test_simple_case_null_subject_falls_to_else(movie_engine):
     )
     assert ("Nora Ephron", "unknown") in rows(df)
     assert ("Tom Hanks", "boomer") in rows(df)
+
+
+def test_list_comprehension_over_collected(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)-[r:REVIEWED]->(m:Movie)
+        WITH p.Name AS name, collect(r.Rating) AS ratings
+        RETURN name, [x IN ratings WHERE x >= 7 | x * 10] AS good_x10
+        """
+    )
+    got = {r["name"]: sorted(r["good_x10"]) for r in df.collect()}
+    assert got == {"Rob Reiner": [90], "Bill Paxton": [70]}
+
+
+def test_quantifiers_over_collected(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)-[r:REVIEWED]->(m:Movie)
+        WITH p.Name AS name, collect(r.Rating) AS ratings
+        RETURN name,
+               all(x IN ratings WHERE x > 5) AS all_ok,
+               any(x IN ratings WHERE x = 9) AS any_rave,
+               none(x IN ratings WHERE x < 3) AS none_low,
+               single(x IN ratings WHERE x = 6) AS one_six
+        """
+    )
+    got = {
+        r["name"]: (r["all_ok"], r["any_rave"], r["none_low"], r["one_six"])
+        for r in df.collect()
+    }
+    assert got == {
+        "Rob Reiner": (True, True, True, True),
+        "Bill Paxton": (True, False, True, False),
+    }

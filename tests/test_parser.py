@@ -146,3 +146,33 @@ def test_parse_simple_case_desugars_to_searched():
     c0 = case.whens[0][0]
     assert isinstance(c0, A.Binary) and c0.op == A.BinaryOp.EQ
     assert isinstance(c0.left, A.Property) and c0.left.prop == "v"
+
+
+def test_parse_list_comprehension_and_quantifiers():
+    q = parse("MATCH (a:X) RETURN [x IN a.v WHERE x > 1 | x * 2] AS l")
+    lc = q.clauses[-1].items[0][1]
+    assert isinstance(lc, A.ListComprehension)
+    assert lc.var == "x" and lc.where is not None and lc.map_expr is not None
+    # WHERE-only and map-only forms
+    assert parse("MATCH (a:X) RETURN [x IN a.v WHERE x > 1] AS l")
+    assert parse("MATCH (a:X) RETURN [x IN a.v | x * 2] AS l")
+    # quantifiers, incl. the keyword-token ALL
+    for kind in ("all", "any", "none", "single"):
+        q2 = parse(f"MATCH (a:X) WHERE {kind}(x IN a.v WHERE x > 0) RETURN a.v AS v")
+        w = q2.clauses[0].where
+        assert isinstance(w, A.Quantified) and w.kind == kind
+
+
+def test_parse_list_index_slice_map_literal():
+    q = parse("MATCH (a:X) RETURN a.v[0] AS i, a.v[1..3] AS s, a.v[..2] AS h, {k: 1, n: a.v} AS m")
+    items = dict(q.clauses[-1].items)
+    assert isinstance(items["i"], A.ListIndex)
+    sl = items["s"]
+    assert isinstance(sl, A.ListSlice) and sl.start is not None and sl.stop is not None
+    assert isinstance(items["h"], A.ListSlice) and items["h"].start is None
+    m = items["m"]
+    assert isinstance(m, A.MapLiteral) and [k for k, _ in m.items] == ["k", "n"]
+    # struct path access still parses after the `..` disambiguation
+    q2 = parse("MATCH (a:X) RETURN a.meta.width AS w")
+    p = q2.clauses[-1].items[0][1]
+    assert isinstance(p, A.Property) and p.path == ["width"]

@@ -328,3 +328,49 @@ def test_ordered_aggregates_default_off_keeps_min_max_parity(spark, duck):
         ).fetchall()
     }
     assert got == exp
+
+
+def test_list_index_slice_semantics(spark, duck):
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        tpch_graph_schema,
+        tpch_table_registry,
+    )
+    from .conftest import SF_DIR
+
+    eng = CypherEngine(
+        spark, tpch_graph_schema(), tpch_table_registry(spark, SF_DIR)
+    )
+    row = eng.cypher(
+        """
+        MATCH (n:Nation) WHERE n.n_nationkey = 1
+        WITH range(10, 50, 10) AS l
+        RETURN l[0] AS a, l[-1] AS b, l[1..3] AS c, l[..2] AS d,
+               l[2..] AS e, l[9] AS oob, l[-3..-1] AS f
+        """
+    ).collect()[0]
+    # Neo4j semantics: 0-based, end-exclusive, negative from the end
+    assert (row.a, row.b) == (10, 50)
+    assert row.c == [20, 30] and row.d == [10, 20] and row.e == [30, 40, 50]
+    assert row.oob is None and row.f == [30, 40]
+
+
+def test_map_literal_struct(spark):
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        tpch_graph_schema,
+        tpch_table_registry,
+    )
+    from .conftest import SF_DIR
+
+    eng = CypherEngine(
+        spark, tpch_graph_schema(), tpch_table_registry(spark, SF_DIR)
+    )
+    row = eng.cypher(
+        """
+        MATCH (c:Customer) WHERE c.c_custkey = 1
+        RETURN {name: c.c_name, bal: c.c_acctbal} AS info
+        """
+    ).collect()[0]
+    assert row.info.name == "Customer#000000001"
+    assert abs(row.info.bal - 2229.54) < 1e-6
