@@ -135,6 +135,19 @@ class Unary(Expr):
 
 
 @dataclass
+class FieldAccess(Expr):
+    """``<expr>.field`` on a computed struct value (extension) — e.g.
+    ``relationships(p)[0].type`` or ``{a: 1}.a``. Plain ``alias.prop``
+    stays Property (schema-checked); this node is Catalyst-checked."""
+
+    base: Expr
+    fld: str
+
+    def children(self):
+        return [self.base]
+
+
+@dataclass
 class MapLiteral(Expr):
     """``{k: v, ...}`` in expression position (extension; the reference
     rejects map literals, CypherVisitor.cs:2040-2044). Compiles to a
@@ -328,6 +341,12 @@ class PatternPart:
 
     nodes: list[NodePattern]
     rels: list[RelPattern]
+    # pattern variable `p = (...)` (extension): binds the whole path
+    path_alias: str | None = None
+    # `shortestPath((a)-[:V*]->(b))` (extension): the engine rewrites the
+    # unbounded hop to a virtual edge carrying a __dist property;
+    # length(p) then reads the real hop count
+    shortest: bool = False
 
     def hops(self):
         """Yield (left_node, rel, right_node) triples."""

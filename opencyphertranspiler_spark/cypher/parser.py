@@ -243,16 +243,37 @@ class Parser:
 
     # -- patterns ----------------------------------------------------------------
     def parse_pattern_part(self) -> A.PatternPart:
+        # pattern variable `p = (a)-[]-(b)` (extension; reference rejects,
+        # CypherVisitor.cs:998-1002): binds the path for length()/nodes()/
+        # relationships(); fixed-length patterns only (planner enforces)
+        path_alias = None
         if self.cur.kind == "ident" and self.peek().is_punct("="):
-            raise TranspilerNotSupportedError(
-                "Pattern variables 'p = (a)-[]-(b)' are not supported"
-            )
+            path_alias = self.expect_ident()
+            self.expect_punct("=")
+        # `shortestPath((a)-[:V*]->(b))` wrapper (extension; engine
+        # rewrites the unbounded hop to a distance-carrying virtual edge)
+        shortest = False
+        if (
+            self.cur.kind == "ident"
+            and str(self.cur.value).lower() == "shortestpath"
+            and self.peek().is_punct("(")
+        ):
+            shortest = True
+            self.advance()
+            self.expect_punct("(")
         nodes = [self.parse_node_pattern()]
         rels: list[A.RelPattern] = []
         while self.cur.is_punct("-", "<"):
             rels.append(self.parse_rel_pattern())
             nodes.append(self.parse_node_pattern())
-        return A.PatternPart(nodes, rels)
+        if shortest:
+            self.expect_punct(")")
+            if len(rels) != 1 or rels[0].min_hops is None or rels[0].max_hops is not None:
+                raise TranspilerNotSupportedError(
+                    "shortestPath() requires a single unbounded hop, e.g. "
+                    "shortestPath((a)-[:V*]->(b))"
+                )
+        return A.PatternPart(nodes, rels, path_alias, shortest)
 
     def parse_node_pattern(self) -> A.NodePattern:
         self.expect_punct("(")
@@ -513,9 +534,9 @@ class Parser:
                 # struct-field path (extension): n.meta.width
                 e = A.Property(e.alias, e.prop, e.path + [prop])
             else:
-                raise TranspilerSyntaxError(
-                    f"Property access on a non-variable at position {self.cur.pos}"
-                )
+                # struct-field access on a computed value (extension):
+                # relationships(p)[0].type, {a: 1}.a — Catalyst-checked
+                e = A.FieldAccess(e, prop)
         return e
 
     def parse_atom(self) -> A.Expr:

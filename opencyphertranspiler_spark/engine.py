@@ -22,7 +22,7 @@ from .cypher import parse
 from .exceptions import TranspilerNotSupportedError
 from .operators import Compiler
 from .plans import plan_query
-from .schema import EdgeSchema, GraphSchema
+from .schema import EdgeSchema, EntityProperty, GraphSchema
 from .sources import TableRegistry
 
 
@@ -99,7 +99,7 @@ class CypherEngine:
             for clause in sq.clauses:
                 for part in parts_of(clause):
                     for i, rel in enumerate(part.rels):
-                        yield part.nodes[i], rel, part.nodes[i + 1]
+                        yield part, part.nodes[i], rel, part.nodes[i + 1]
 
     # -- multiple relationship types `[:A|B]` ------------------------------
     # The reference rejects type alternation outright
@@ -121,7 +121,7 @@ class CypherEngine:
     ) -> tuple[GraphSchema, TableRegistry]:
         rewrites = [
             (left, rel, right)
-            for left, rel, right in self._pattern_triples(ast_query)
+            for _part, left, rel, right in self._pattern_triples(ast_query)
             if rel.alt_verbs
         ]
         if not rewrites:
@@ -298,10 +298,10 @@ class CypherEngine:
     def _resolve_unbounded(
         self, ast_query, graph: GraphSchema, tables: TableRegistry
     ) -> tuple[GraphSchema, TableRegistry]:
-        rewrites: list[tuple[A.NodePattern, A.RelPattern, A.NodePattern]] = []
-        for left, rel, right in self._pattern_triples(ast_query):
+        rewrites = []
+        for part, left, rel, right in self._pattern_triples(ast_query):
             if rel.min_hops is not None and rel.max_hops is None:
-                rewrites.append((left, rel, right))
+                rewrites.append((part, left, rel, right))
         if not rewrites:
             return graph, tables
 
@@ -310,7 +310,7 @@ class CypherEngine:
         for name in tables.names():
             overlay.register(name, lambda n=name: tables.get(n))
 
-        for left, rel, right in rewrites:
+        for part, left, rel, right in rewrites:
             if rel.verb is None:
                 raise TranspilerNotSupportedError(
                     "An unbounded variable-length relationship needs an "
@@ -326,13 +326,37 @@ class CypherEngine:
                     f"'{rel.verb}' — label both endpoint nodes"
                 )
             edge = cands[0]
-            reach = self._reachability(edge, rel.min_hops, tables)
-            vname = f"__reach_{rel.min_hops}_{edge.id}"
-            # key the virtual verb by the full edge IDENTITY, not just the
-            # verb: one verb can back several (source, sink) label pairs
-            # (e.g. FROM_NATION on Customer and Supplier), each needing its
-            # own reachability table
-            vverb = f"__REACH{rel.min_hops}_{edge.id}"
+            if getattr(part, "shortest", False):
+                # shortestPath(): the virtual edge carries the true hop
+                # count as __dist; length(p) reads it (PathRef handling)
+                from .pipeline.graph import shortest_path_lengths
+
+                e_df = tables.get(edge.table).select(
+                    F.col(edge.source_id_property).alias("src"),
+                    F.col(edge.sink_id_property).alias("dst"),
+                )
+                sp = shortest_path_lengths(
+                    e_df, max_iters=self.reach_max_iters
+                )
+                if rel.min_hops > 1:
+                    sp = sp.filter(F.col("dist") >= rel.min_hops)
+                reach = sp.select(
+                    F.col("src").alias(edge.source_id_property),
+                    F.col("dst").alias(edge.sink_id_property),
+                    F.col("dist").alias("__dist"),
+                )
+                vname = f"__spath_{rel.min_hops}_{edge.id}"
+                vverb = f"__SPATH{rel.min_hops}_{edge.id}"
+                props = (EntityProperty("__dist", "long"),)
+            else:
+                reach = self._reachability(edge, rel.min_hops, tables)
+                vname = f"__reach_{rel.min_hops}_{edge.id}"
+                # key the virtual verb by the full edge IDENTITY, not just
+                # the verb: one verb can back several (source, sink) label
+                # pairs (e.g. FROM_NATION on Customer and Supplier), each
+                # needing its own reachability table
+                vverb = f"__REACH{rel.min_hops}_{edge.id}"
+                props = ()
             overlay.register_df(vname, reach)
             if not any(e.verb == vverb for e in extra_edges):
                 extra_edges.append(
@@ -343,6 +367,7 @@ class CypherEngine:
                         table=vname,
                         source_id_property=edge.source_id_property,
                         sink_id_property=edge.sink_id_property,
+                        properties=props,
                     )
                 )
             # rewrite the hop: ordinary 1-hop rel over the virtual edge

@@ -23,6 +23,7 @@ from ..plans.logical import (
     ExistsFlagOp,
     JoinOp,
     LogicalOp,
+    PathRef,
     ProjectOp,
     SelectionOp,
     SetOp,
@@ -160,6 +161,13 @@ class Compiler:
                 in_env.get(expr.name), EntityRef
             )
 
+        def is_path_item(expr: A.Expr) -> bool:
+            # path variable passthrough: constituent columns are named by
+            # the inner pattern aliases, so it's an identity selection
+            return isinstance(expr, A.Variable) and isinstance(
+                in_env.get(expr.name), PathRef
+            )
+
         if op.has_agg:
             group_cols: list = []
             agg_cols: list = []
@@ -172,6 +180,10 @@ class Compiler:
                     cols = entity_cols(alias, expr)
                     group_cols.extend(cols)
                     out_cols.extend(op.env[alias].columns())
+                elif is_path_item(expr):
+                    cols = [qcol(c) for c in in_env[expr.name].columns()]
+                    group_cols.extend(cols)
+                    out_cols.extend(in_env[expr.name].columns())
                 else:
                     group_cols.append(ec.compile(expr).alias(alias))
                     out_cols.append(alias)
@@ -191,6 +203,11 @@ class Compiler:
                 for c in entity_cols(alias, expr):
                     select_cols.append(c)
                 seen.update(op.env[alias].columns())
+            elif is_path_item(expr):
+                for c in in_env[expr.name].columns():
+                    if c not in seen:
+                        select_cols.append(qcol(c))
+                        seen.add(c)
             else:
                 select_cols.append(ec.compile(expr).alias(alias))
                 seen.add(alias)

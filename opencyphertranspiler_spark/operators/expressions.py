@@ -30,7 +30,7 @@ from ..exceptions import (
     TranspilerNotSupportedError,
 )
 from ..functions import compile_aggregate, compile_scalar
-from ..plans.logical import ColRef, EntityRef, Env
+from ..plans.logical import ColRef, EntityRef, Env, PathRef
 
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
@@ -98,6 +98,11 @@ class ExprCompiler:
                     f"Entity '{expr.name}' cannot be used as a value; "
                     "reference a property or aggregate it"
                 )
+            if isinstance(ref, PathRef):
+                raise TranspilerNotSupportedError(
+                    f"Path variable '{expr.name}' cannot be used as a "
+                    "value; use length()/nodes()/relationships()"
+                )
             return qcol(ref.col)
         if isinstance(expr, A.Property):
             if expr.alias in self._lambda_scope:
@@ -143,15 +148,29 @@ class ExprCompiler:
             return self._list_comprehension(expr)
         if isinstance(expr, A.Quantified):
             return self._quantified(expr)
+        if isinstance(expr, A.FieldAccess):
+            return self.compile(expr.base).getField(expr.fld)
         if isinstance(expr, A.MapLiteral):
             return F.struct(
                 *[self.compile(v).alias(k) for k, v in expr.items]
             )
         if isinstance(expr, A.ListIndex):
             base = self.compile(expr.base)
-            idx = self.compile(expr.index)
             # Cypher is 0-based with negative-from-end; element_at is
-            # 1-based with the same negative convention
+            # 1-based with the same negative convention. Literal indices
+            # fold to a single try_element_at (the when-branched dynamic
+            # form defeats whole-stage codegen on some Spark builds).
+            if isinstance(expr.index, A.Literal) and isinstance(
+                expr.index.value, int
+            ):
+                v = expr.index.value
+                if v >= 0:
+                    # F.get is 0-based and null-safe, and unlike
+                    # try_element_at its codegen survives struct-field
+                    # extraction on the result (janino rvalue bug)
+                    return F.get(base, v)
+                return F.try_element_at(base, F.lit(v))
+            idx = self.compile(expr.index)
             return F.when(idx >= 0, F.try_element_at(base, idx + 1)).otherwise(
                 F.try_element_at(base, idx)
             )
@@ -179,13 +198,29 @@ class ExprCompiler:
         schema constants here (single-label model), so they fold to
         literals; id(n) is the node's id column, id(r) the edge's
         (source, sink) pair as a struct."""
-        if expr.name not in ("labels", "type", "id", "keys", "properties"):
+        if expr.name not in (
+            "labels",
+            "type",
+            "id",
+            "keys",
+            "properties",
+            "length",
+            "nodes",
+            "relationships",
+        ):
             return None
         if len(expr.args) != 1 or not isinstance(expr.args[0], A.Variable):
             raise TranspilerBindingError(
-                f"{expr.name}() takes a single node/relationship alias"
+                f"{expr.name}() takes a single node/relationship/path alias"
             )
         ref = self._ref(expr.args[0].name)
+        if isinstance(ref, PathRef):
+            return self._path_function(expr.name, ref)
+        if expr.name in ("length", "nodes", "relationships"):
+            raise TranspilerBindingError(
+                f"{expr.name}() requires a path variable, "
+                f"'{expr.args[0].name}' is not one"
+            )
         if not isinstance(ref, EntityRef):
             raise TranspilerBindingError(
                 f"{expr.name}() requires a node/relationship alias, "
@@ -236,6 +271,52 @@ class ExprCompiler:
         if ref is None:
             raise TranspilerBindingError(f"Alias '{alias}' does not exist")
         return ref
+
+    def _path_function(self, name: str, ref: PathRef) -> Column:
+        """length/nodes/relationships over a bound pattern variable.
+        Fixed-length path: length folds to a literal; nodes() is the array
+        of node ids in pattern order; relationships() the array of
+        (src, dst[, type]) structs."""
+        def is_dist_hop(r: EntityRef) -> bool:
+            # shortestPath() virtual hops carry their true hop count
+            return "__dist" in r.edge.property_names
+
+        if name == "length":
+            total = None
+            for r in ref.rel_refs:
+                hop = qcol(r.col("__dist")) if is_dist_hop(r) else F.lit(1)
+                total = hop if total is None else total + hop
+            if total is None:
+                return F.lit(0).cast("long")
+            return total.cast("long")
+        if any(is_dist_hop(r) for r in ref.rel_refs):
+            raise TranspilerNotSupportedError(
+                f"{name}() is not available on a shortestPath() pattern — "
+                "the interior nodes of a reachability path are not "
+                "materialized; use length()"
+            )
+        if name == "nodes":
+            return F.array(
+                *[qcol(r.col(r.node.id_property)) for r in ref.node_refs]
+            )
+        if name == "relationships":
+            structs = []
+            for r in ref.rel_refs:
+                fields = [
+                    qcol(r.col(r.edge.source_id_property)).alias("src"),
+                    qcol(r.col(r.edge.sink_id_property)).alias("dst"),
+                ]
+                if r.edge.type_property is not None:
+                    fields.append(
+                        qcol(r.col(r.edge.type_property)).alias("type")
+                    )
+                else:
+                    fields.append(F.lit(r.edge.verb).alias("type"))
+                structs.append(F.struct(*fields))
+            return F.array(*structs)
+        raise TranspilerBindingError(
+            f"{name}() is not defined on a path variable"
+        )  # pragma: no cover
 
     # -- comprehensions / quantifiers (Spark higher-order functions) -----------
     def _lambda_body(self, var: str, body: A.Expr):

@@ -96,7 +96,40 @@ class ValueRef:
         return [self.alias]
 
 
-Ref = EntityRef | ValueRef
+@dataclass
+class PathRef:
+    """A bound pattern variable ``p = (a)-[r]->(b)`` (extension; the
+    reference rejects pattern variables, CypherVisitor.cs:998-1002).
+
+    Carries the ordered constituent node/edge refs of a FIXED-length
+    pattern; consumed by length(p) / nodes(p) / relationships(p). Not a
+    value: returning ``p`` itself is rejected, like entities."""
+
+    alias: str
+    node_refs: list[EntityRef] = field(default_factory=list)
+    rel_refs: list[EntityRef] = field(default_factory=list)
+
+    @property
+    def label(self) -> str:  # for error messages
+        return "path"
+
+    @property
+    def property_names(self) -> tuple[str, ...]:
+        return ()
+
+    def columns(self) -> list[str]:
+        cols: list[str] = []
+        for r in (*self.node_refs, *self.rel_refs):
+            for c in r.key_cols():
+                if c not in cols:
+                    cols.append(c)
+        return cols
+
+    def renamed(self, new_alias: str) -> "PathRef":
+        return PathRef(new_alias, list(self.node_refs), list(self.rel_refs))
+
+
+Ref = EntityRef | ValueRef | PathRef
 Env = dict[str, Ref]  # alias -> ref, insertion-ordered
 
 

@@ -39,6 +39,7 @@ from .logical import (
     ExistsFlagOp,
     JoinOp,
     LogicalOp,
+    PathRef,
     ProjectOp,
     SelectionOp,
     SetOp,
@@ -443,6 +444,12 @@ class _SingleQueryPlanner:
                     slots.append((pi, ri))
         if not slots:
             return [clause]
+        if any(p.path_alias is not None for p in clause.patterns):
+            raise TranspilerNotSupportedError(
+                "A pattern variable cannot be combined with variable-length "
+                "relationships in the same MATCH (the expanded variants "
+                "have differing path constituents)"
+            )
         ranges = [
             range(
                 clause.patterns[pi].rels[ri].min_hops,
@@ -792,6 +799,28 @@ class _SingleQueryPlanner:
         if uniq_pred is not None:
             op = SelectionOp(op, predicate=uniq_pred, env=dict(op.env))
 
+        # 6b. pattern variables `p = (...)` (extension): bind a PathRef
+        # over the part's constituent refs for length()/nodes()/
+        # relationships(). Fixed-length only — var-length variants have
+        # differing constituents, which cannot union (guarded in
+        # _expand_var_length).
+        for part in clause.patterns:
+            if part.path_alias is None:
+                continue
+            pa = part.path_alias
+            if pa in op.env:
+                raise TranspilerBindingError(
+                    f"Path alias '{pa}' is already bound"
+                )
+            path_ref = PathRef(
+                pa,
+                [refs[n.alias] for n in part.nodes],
+                [refs[r.alias] for r in part.rels],
+            )
+            new_env = dict(op.env)
+            new_env[pa] = path_ref
+            op.env = new_env
+
         # 7. WHERE
         if clause.where is not None:
             validate_expr(clause.where, op.env)
@@ -903,6 +932,13 @@ class _SingleQueryPlanner:
                             "Returning node/relationship entities from RETURN is "
                             "not supported (reference LogicalPlan.cs:324-328); "
                             "return their properties instead"
+                        )
+                    out_env[alias] = ref.renamed(alias)
+                elif isinstance(ref, PathRef):
+                    if clause.is_return:
+                        raise TranspilerNotSupportedError(
+                            "Returning a path variable is not supported; "
+                            "return length()/nodes()/relationships() of it"
                         )
                     out_env[alias] = ref.renamed(alias)
                 else:

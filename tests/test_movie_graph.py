@@ -1162,3 +1162,90 @@ def test_quantifiers_over_collected(movie_engine):
         "Rob Reiner": (True, True, True, True),
         "Bill Paxton": (True, False, True, False),
     }
+
+
+# ---------------------------------------------------------------------------
+# Pattern variables p = (...) with length()/nodes()/relationships()
+# (extension; reference rejects pattern variables, CypherVisitor.cs:998-1002)
+# ---------------------------------------------------------------------------
+
+
+def test_pattern_variable_path_functions(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH p = (a:Person)-[:ACTED_IN]->(m:Movie)<-[:DIRECTED]-(d:Person)
+        WHERE a.Name = 'Tom Hanks' AND m.Title = 'Apollo 13'
+        RETURN length(p) AS len, nodes(p) AS ids,
+               relationships(p)[0].type AS t0, relationships(p)[1].type AS t1
+        """
+    )
+    row = df.collect()[0]
+    assert row.len == 2
+    assert row.ids == ["p1", "m3", "p3"]
+    assert (row.t0, row.t1) == ("ACTED_IN", "DIRECTED")
+
+
+def test_pattern_variable_through_with(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH p = (a:Person)-[:FOLLOWS]->(b:Person)
+        WITH p, a.Name AS name
+        RETURN name, length(p) AS len, nodes(p)[-1] AS target
+        """
+    )
+    got = {(r["name"], r["len"], r["target"]) for r in df.collect()}
+    assert got == {
+        ("Meg Ryan", 1, "p1"),
+        ("Bill Paxton", 1, "p1"),
+        ("Rob Reiner", 1, "p4"),
+        ("Nora Ephron", 1, "p2"),
+    }
+
+
+def test_pattern_variable_rejections(movie_engine):
+    with pytest.raises(TranspilerNotSupportedError, match="path variable"):
+        movie_engine.cypher(
+            "MATCH p = (a:Person)-[:FOLLOWS]->(b:Person) RETURN p"
+        )
+    with pytest.raises(TranspilerNotSupportedError, match="variable-length"):
+        movie_engine.cypher(
+            "MATCH p = (a:Person)-[:FOLLOWS*1..2]->(b:Person) RETURN length(p) AS l"
+        )
+
+
+def test_shortest_path_lengths_via_pattern(movie_engine):
+    # FOLLOWS chains: p3->p4->p2->p1, p5->p1
+    df = movie_engine.cypher(
+        """
+        MATCH p = shortestPath((a:Person)-[:FOLLOWS*]->(b:Person))
+        RETURN a.Name AS a, b.Name AS b, length(p) AS hops
+        """
+    )
+    assert rows(df) == {
+        ("Meg Ryan", "Tom Hanks", 1),
+        ("Bill Paxton", "Tom Hanks", 1),
+        ("Rob Reiner", "Nora Ephron", 1),
+        ("Nora Ephron", "Meg Ryan", 1),
+        ("Rob Reiner", "Meg Ryan", 2),
+        ("Nora Ephron", "Tom Hanks", 2),
+        ("Rob Reiner", "Tom Hanks", 3),
+    }
+
+
+def test_shortest_path_composes_with_where_and_agg(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH p = shortestPath((a:Person)-[:FOLLOWS*]->(b:Person))
+        WHERE b.Name = 'Tom Hanks'
+        RETURN max(length(p)) AS diameter_to_tom
+        """
+    )
+    assert rows(df) == {(3,)}
+
+
+def test_shortest_path_interior_not_materialized(movie_engine):
+    with pytest.raises(TranspilerNotSupportedError, match="length()"):
+        movie_engine.cypher(
+            "MATCH p = shortestPath((a:Person)-[:FOLLOWS*]->(b:Person)) "
+            "RETURN nodes(p) AS ns"
+        )

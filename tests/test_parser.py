@@ -95,7 +95,9 @@ NEGATIVES = [
     ("MATCH (a:X {k: }) RETURN a.v AS v", TranspilerSyntaxError),
     ("MATCH (a:X {k 1}) RETURN a.v AS v", TranspilerSyntaxError),
     ("MATCH (a:X)-[r*1..2]->(b) RETURN a.v AS v", TranspilerNotSupportedError),
-    ("MATCH p = (a:X)--(b) RETURN a.v AS v", TranspilerNotSupportedError),
+    # `p = (a)-[..]-(b)` pattern variables are now a supported extension;
+    # a non-pattern right-hand side stays a syntax error:
+    ("MATCH p = 5 RETURN p AS v", TranspilerSyntaxError),
     ("MATCH (a:X) RETURN sum(count(a.v)) AS v", TranspilerNotSupportedError),
     ("OPTIONAL MATCH (a:X) RETURN a.v AS v", TranspilerNotSupportedError),
     # `CASE a.v WHEN 1 THEN 2 END` is now a supported extension (desugars
