@@ -363,6 +363,18 @@ class PatternPredicate(Expr):
     part: PatternPart
 
 
+@dataclass
+class PatternComprehension(Expr):
+    """``[(a)-[:V]->(b) WHERE pred | expr]`` (extension): per input row,
+    the array of ``expr`` over every match of the pattern that shares
+    ``a``'s binding. Planned as a grouped collect over the pattern fabric
+    LEFT-joined back on the shared node ids ([] when nothing matches)."""
+
+    part: PatternPart
+    where: Expr | None
+    map_expr: Expr
+
+
 # ---------------------------------------------------------------------------
 # Clauses / query structure
 # ---------------------------------------------------------------------------

@@ -578,6 +578,23 @@ class Parser:
             return e
         if t.is_punct("["):
             self.advance()
+            # pattern comprehension `[(a)-[:V]->(b) WHERE p | e]`
+            # (extension): try-parse a >= 1-hop pattern, else backtrack
+            if self.cur.is_punct("("):
+                mark = self.i
+                try:
+                    part = self.parse_pattern_part()
+                    if part.rels:
+                        where = None
+                        if self.accept_kw("WHERE"):
+                            where = self.parse_expr()
+                        self.expect_punct("|")
+                        map_expr = self.parse_expr()
+                        self.expect_punct("]")
+                        return A.PatternComprehension(part, where, map_expr)
+                except (TranspilerSyntaxError, TranspilerNotSupportedError):
+                    pass
+                self.i = mark
             # list comprehension `[x IN list WHERE p | e]` (extension;
             # reference rejects comprehensions, CypherVisitor.cs:1903-1912)
             if self.cur.kind == "ident" and self.peek().is_kw("IN"):

@@ -89,10 +89,19 @@ class CypherEngine:
         def parts_of(clause):
             if isinstance(clause, A.MatchClause):
                 yield from clause.patterns
+            # pattern predicates / comprehensions can sit in any clause's
+            # WHERE and in projection items — their inner patterns need
+            # the same multi-verb / unbounded rewrites
+            exprs = []
             where = getattr(clause, "where", None)
             if where is not None:
-                for n in where.walk():
+                exprs.append(where)
+            exprs.extend(e for _, e in getattr(clause, "items", []))
+            for expr in exprs:
+                for n in expr.walk():
                     if isinstance(n, A.PatternPredicate):
+                        yield n.part
+                    elif isinstance(n, A.PatternComprehension):
                         yield n.part
 
         for sq in single_queries(ast_query):

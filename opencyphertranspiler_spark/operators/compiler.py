@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..cypher import ast as A
 from ..exceptions import TranspilerInternalError
 from ..plans.logical import (
+    CollectPatternOp,
     DataSourceOp,
     EntityRef,
     ExistsFlagOp,
@@ -63,6 +64,8 @@ class Compiler:
             return self._unwind(op)
         if isinstance(op, ExistsFlagOp):
             return self._exists_flag(op)
+        if isinstance(op, CollectPatternOp):
+            return self._collect_pattern(op)
         raise TranspilerInternalError(f"Unknown operator {op!r}")
 
     # -- scan -----------------------------------------------------------------
@@ -96,6 +99,28 @@ class Compiler:
         if op.drop_right:
             df = df.drop(*op.drop_right)
         return df
+
+    # -- pattern comprehension -------------------------------------------------
+    def _collect_pattern(self, op: CollectPatternOp) -> DataFrame:
+        left = self.compile(op.left)
+        right = self.compile(op.right)
+        ec = ExprCompiler(op.right.env, right, self.params)
+        val = ec.compile(op.map_expr)
+        rkeys = [r for _, r in op.pairs]
+        agg = right.groupBy(*[qcol(c) for c in rkeys]).agg(
+            F.collect_list(val).alias(op.out_col)
+        )
+        cond = None
+        for l_col, r_col in op.pairs:
+            eq = F.col(l_col) == F.col(r_col)
+            cond = eq if cond is None else cond & eq
+        joined = left.join(agg, on=cond, how="left").drop(*rkeys)
+        # Neo4j: a non-matching row yields [], not null
+        dtype = agg.schema[op.out_col].dataType
+        return joined.withColumn(
+            op.out_col,
+            F.coalesce(qcol(op.out_col), F.array().cast(dtype)),
+        )
 
     # -- exists() as a boolean column -----------------------------------------
     def _exists_flag(self, op: ExistsFlagOp) -> DataFrame:

@@ -300,6 +300,26 @@ class ExistsFlagOp(LogicalOp):
 
 
 @dataclass
+class CollectPatternOp(LogicalOp):
+    """Pattern comprehension `[(a)-[:V]->(b) WHERE p | e]`: the pattern
+    fabric aggregates map_expr per shared-key group (collect_list), then
+    LEFT-joins back — one array column ``out_col`` per input row, [] when
+    nothing matches. env is the left env plus the physical column."""
+
+    left: LogicalOp
+    right: LogicalOp
+    pairs: list[tuple[str, str]]  # (left id col, right id col)
+    map_expr: object = None  # A.Expr compiled against right.env
+    out_col: str = ""
+
+    def children(self):
+        return [self.left, self.right]
+
+    def __repr__(self):
+        return f"CollectPattern({self.out_col} on {self.pairs})"
+
+
+@dataclass
 class SetOp(LogicalOp):
     """UNION / UNION ALL (reference SetOperator.cs:17-96)."""
 

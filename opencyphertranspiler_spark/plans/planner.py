@@ -36,6 +36,7 @@ from .logical import (
     DataSourceOp,
     EntityRef,
     Env,
+    CollectPatternOp,
     ExistsFlagOp,
     JoinOp,
     LogicalOp,
@@ -170,7 +171,8 @@ class _SingleQueryPlanner:
         # nested predicates (under OR/XOR/CASE/NOT-of-AND/...) need the
         # planned fabric first — they become boolean flag columns below
         has_nested = residual is not None and any(
-            isinstance(n, A.PatternPredicate) for n in residual.walk()
+            isinstance(n, (A.PatternPredicate, A.PatternComprehension))
+            for n in residual.walk()
         )
         if pattern_preds or has_nested:
             clause = A.MatchClause(
@@ -312,6 +314,10 @@ class _SingleQueryPlanner:
                 return A.FuncCall(
                     "coalesce", [ColRef(flag), A.Literal(False)]
                 )
+            if isinstance(e, A.PatternComprehension):
+                col = self._gen_alias("pat_collect")
+                op = self._plan_pattern_comprehension(op, e, col)
+                return ColRef(col)
             if isinstance(e, A.Binary):
                 e.left, e.right = rec(e.left), rec(e.right)
                 return e
@@ -334,6 +340,21 @@ class _SingleQueryPlanner:
             return e
 
         return rec(expr), op
+
+    def _plan_pattern_comprehension(
+        self, op: LogicalOp, pc: A.PatternComprehension, out_col: str
+    ) -> LogicalOp:
+        """`[(a)-[:V]->(b) WHERE p | e]`: plan the pattern standalone
+        (fresh prefixes for shared aliases), filter with the inner WHERE,
+        then grouped-collect the mapped expression and LEFT join back."""
+        right, pairs = self._plan_predicate_pattern_fabric(op, pc.part)
+        if pc.where is not None:
+            validate_expr(pc.where, right.env)
+            right = SelectionOp(right, predicate=pc.where, env=dict(right.env))
+        validate_expr(pc.map_expr, right.env)
+        return CollectPatternOp(
+            op, right, pairs, pc.map_expr, out_col, env=dict(op.env)
+        )
 
     def _plan_predicate_pattern_fabric(
         self, op: LogicalOp, part: A.PatternPart
@@ -908,7 +929,7 @@ class _SingleQueryPlanner:
         # attach flag joins to the piped op and substitute boolean columns
         # before planning the projection itself
         if any(
-            isinstance(n, A.PatternPredicate)
+            isinstance(n, (A.PatternPredicate, A.PatternComprehension))
             for _, e in clause.items
             for n in e.walk()
         ):

@@ -1249,3 +1249,74 @@ def test_shortest_path_interior_not_materialized(movie_engine):
             "MATCH p = shortestPath((a:Person)-[:FOLLOWS*]->(b:Person)) "
             "RETURN nodes(p) AS ns"
         )
+
+
+# ---------------------------------------------------------------------------
+# Pattern comprehensions [(a)-[:V]->(b) WHERE p | e]
+# ---------------------------------------------------------------------------
+
+
+def test_pattern_comprehension_in_return(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        RETURN p.Name AS name,
+               [(p)-[:ACTED_IN]->(m:Movie) | m.Title] AS movies
+        """
+    )
+    got = {r["name"]: sorted(r["movies"]) for r in df.collect()}
+    assert got == {
+        "Tom Hanks": ["Apollo 13", "Sleepless in Seattle", "You've Got Mail"],
+        "Meg Ryan": ["Sleepless in Seattle", "You've Got Mail"],
+        "Bill Paxton": ["Apollo 13"],
+        "Rob Reiner": [],  # non-actors get [], not null
+        "Nora Ephron": [],
+    }
+
+
+def test_pattern_comprehension_with_inner_where(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        RETURN p.Name AS name,
+               size([(p)-[:REVIEWED]->(m:Movie) WHERE m.Released < 1995 | m.Title]) AS n_old_reviews
+        """
+    )
+    got = {r["name"]: r["n_old_reviews"] for r in df.collect()}
+    assert got == {
+        "Rob Reiner": 1,  # reviewed m1 (1993); m2 (1998) filtered out
+        "Bill Paxton": 1,
+        "Tom Hanks": 0,
+        "Meg Ryan": 0,
+        "Nora Ephron": 0,
+    }
+
+
+def test_pattern_comprehension_in_where(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        WHERE size([(p)-[:ACTED_IN]->(m:Movie) | m.Title]) >= 2
+        RETURN p.Name AS name
+        """
+    )
+    assert rows(df) == {("Tom Hanks",), ("Meg Ryan",)}
+
+
+def test_pattern_comprehension_with_multi_rel_types(movie_engine):
+    # inner pattern goes through the engine's union-edge rewrite too
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        RETURN p.Name AS name,
+               size([(p)-[:ACTED_IN|DIRECTED]->(m:Movie) | m.Title]) AS n
+        """
+    )
+    got = {r["name"]: r["n"] for r in df.collect()}
+    assert got == {
+        "Tom Hanks": 3,
+        "Meg Ryan": 2,
+        "Bill Paxton": 1,
+        "Rob Reiner": 1,
+        "Nora Ephron": 2,
+    }
