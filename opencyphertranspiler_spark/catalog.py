@@ -395,24 +395,31 @@ CATALOG: list[CatalogEntry] = [
         # exists() pattern predicates: ANTI (orders with no lineitems — 257
         # such orders exist in the synthetic data) + a stacked SEMI conjunct
         name="q21_exists_pattern",
+        # top-level conjuncts lower to SEMI/ANTI joins; the OR clause (a
+        # bare pattern predicate in boolean-expression position) lowers
+        # to the left-join flag path (ExistsFlagOp) — both gated here
         cypher="""
             MATCH (o:Orders)
-            WHERE NOT exists((o)-[:CONTAINS]->(:Lineitem))
+            WHERE (NOT exists((o)-[:CONTAINS]->(:Lineitem))
+                   OR (o)-[:CONTAINS]->(:Lineitem {l_linenumber: 7}))
               AND exists((o)<-[:PLACED]-(:Customer))
               AND o.o_totalprice > 50000
-            RETURN o.o_orderstatus AS status, count(*) AS empty_orders
+            RETURN o.o_orderstatus AS status, count(*) AS n
         """,
         oracle="""
-            SELECT o.o_orderstatus AS status, count(*) AS empty_orders
+            SELECT o.o_orderstatus AS status, count(*) AS n
             FROM orders o
-            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
-                              WHERE l.l_orderkey = o.o_orderkey)
+            WHERE (NOT EXISTS (SELECT 1 FROM lineitem l
+                               WHERE l.l_orderkey = o.o_orderkey)
+                   OR EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey
+                                AND l.l_linenumber = 7))
               AND EXISTS (SELECT 1 FROM customer c
                           WHERE c.c_custkey = o.o_custkey)
               AND o.o_totalprice > 50000
             GROUP BY o.o_orderstatus
         """,
-        tags=("exists", "semi-join"),
+        tags=("exists", "semi-join", "exists-flag"),
     ),
     CatalogEntry(
         name="q22_count_star_edges",
