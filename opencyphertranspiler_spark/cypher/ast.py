@@ -410,6 +410,9 @@ class ProjectionClause:
     skip: int | None = None
     limit: int | None = None
     is_return: bool = False
+    # `WITH *` / `RETURN *` (extension): expand to every in-scope alias
+    # at plan time, before any explicit items
+    star: bool = False
 
 
 Clause = MatchClause | UnwindClause | ProjectionClause

@@ -180,8 +180,21 @@ class Parser:
         self.advance()  # WITH / RETURN
         distinct = bool(self.accept_kw("DISTINCT"))
         items: list[tuple[str, A.Expr]] = []
+        # `WITH *` / `RETURN *` (extension): expand to every in-scope
+        # alias at PLAN time (the parser has no environment); optional
+        # extra items follow a comma
+        star = False
         if self.cur.is_punct("*"):
-            raise TranspilerNotSupportedError("RETURN * / WITH * is not supported")
+            star = True
+            self.advance()
+            if not self.accept_punct(","):
+                return A.ProjectionClause(
+                    items,
+                    distinct,
+                    *self._parse_projection_tail(is_return),
+                    is_return,
+                    star,
+                )
         while True:
             expr = self.parse_expr()
             if self.accept_kw("AS"):
@@ -196,6 +209,17 @@ class Parser:
             if alias in seen:
                 raise TranspilerSyntaxError(f"Duplicate projection alias '{alias}'")
             seen.add(alias)
+        return A.ProjectionClause(
+            items,
+            distinct,
+            *self._parse_projection_tail(is_return),
+            is_return,
+            star,
+        )
+
+    def _parse_projection_tail(
+        self, is_return: bool
+    ) -> tuple[A.Expr | None, list[A.SortItem], int | None, int | None]:
         order_by: list[A.SortItem] = []
         if self.accept_kw("ORDER"):
             self.expect_kw("BY")
@@ -219,9 +243,7 @@ class Parser:
             if is_return:
                 raise TranspilerSyntaxError("WHERE is not allowed after RETURN")
             where = self.parse_expr()
-        return A.ProjectionClause(
-            items, distinct, where, order_by, skip, limit, is_return
-        )
+        return where, order_by, skip, limit
 
     def _expect_nonneg_int(self, what: str) -> int:
         t = self.cur

@@ -348,3 +348,63 @@ def cosine_lsh_topk(
     )
     # candidates are already bucket-pruned; a single per-query window is fine
     return _global_topk(scored, k, two_phase=False)
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (id_a < id_b, cosine) via
+    multi-table hyperplane-LSH self-bucketing + exact verify.
+
+    The embedding-space analogue of minhash_lsh_pairs: rows sharing any
+    (table, bucket) become candidates (plain equi self-join — candidates
+    scale with bucket occupancy, not corpus²), then the true cosine
+    filters at ``threshold``. Near-identical vectors agree on all sign
+    bits with overwhelming probability, so recall at high thresholds is
+    excellent; tables multiply recall for borderline pairs (miss prob
+    ~(1 - p_table)^L). Feed the pairs to
+    pipeline.graph.connected_components_star for duplicate clusters."""
+    per_table = [
+        _hyperplanes(dim, n_planes, seed=97 + 1000 * t) for t in range(n_tables)
+    ]
+    b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _bucket_expr("v", per_table[t]).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "v", "tb.tbl", "tb.bucket")
+    cands = (
+        b.alias("l")
+        .join(b.alias("r"), ["tbl", "bucket"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.v").alias("va"),
+            F.col("r.v").alias("vb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "cosine",
+            F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -925,6 +925,29 @@ class _SingleQueryPlanner:
     ) -> LogicalOp:
         if piped is None:  # pragma: no cover — parser rejects standalone RETURN
             raise TranspilerNotSupportedError("Projection with no reading clause")
+        # `WITH *` / `RETURN *` (extension): expand to every in-scope
+        # alias (skipping planner-internal __ aliases), before explicit
+        # items. RETURN * rejects entity/path aliases like any explicit
+        # entity return — project properties instead.
+        if clause.star:
+            explicit = {a for a, _ in clause.items}
+            star_items: list[tuple[str, A.Expr]] = []
+            for alias, ref in piped.env.items():
+                if alias in explicit or alias.startswith("__"):
+                    continue
+                if clause.is_return and isinstance(ref, (EntityRef, PathRef)):
+                    raise TranspilerNotSupportedError(
+                        f"RETURN * would return entity/path alias '{alias}' "
+                        "— not supported (reference LogicalPlan.cs:324-328); "
+                        "list properties explicitly"
+                    )
+                star_items.append((alias, A.Variable(alias)))
+            clause.items = star_items + clause.items
+            clause.star = False
+            if not clause.items:
+                raise TranspilerBindingError(
+                    "WITH */RETURN * found nothing in scope to project"
+                )
         # exists() in projection-item position (`RETURN exists(...) AS f`):
         # attach flag joins to the piped op and substitute boolean columns
         # before planning the projection itself

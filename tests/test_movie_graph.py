@@ -1320,3 +1320,47 @@ def test_pattern_comprehension_with_multi_rel_types(movie_engine):
         "Rob Reiner": 1,
         "Nora Ephron": 2,
     }
+
+
+# ---------------------------------------------------------------------------
+# WITH * / RETURN * (extension)
+# ---------------------------------------------------------------------------
+
+
+def test_with_star_carries_all_bindings(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)-[r:REVIEWED]->(m:Movie)
+        WITH * WHERE r.Rating >= 7
+        RETURN p.Name AS name, m.Title AS title
+        """
+    )
+    assert rows(df) == {
+        ("Rob Reiner", "Sleepless in Seattle"),
+        ("Bill Paxton", "Sleepless in Seattle"),
+    }
+
+
+def test_with_star_plus_extra_item(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person) WHERE p.Born IS NOT NULL
+        WITH *, 2026 - p.Born AS age
+        RETURN p.Name AS name, age ORDER BY age DESC LIMIT 1
+        """
+    )
+    assert rows(df) == {("Rob Reiner", 79)}
+
+
+def test_return_star_values_and_entity_rejection(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        WITH p.Name AS name, p.Born AS born
+        WHERE born = 1956
+        RETURN *
+        """
+    )
+    assert rows(df) == {("Tom Hanks", 1956)}
+    with pytest.raises(TranspilerNotSupportedError, match="RETURN [*]"):
+        movie_engine.cypher("MATCH (p:Person) RETURN *")

@@ -749,3 +749,41 @@ def test_dedup_clusters_end_to_end(spark):
     assert out[5] == (5, True)
     # canonical filter = deduplicated corpus of 3 docs
     assert sum(1 for c, canon in out.values() if canon) == 3
+
+
+def test_cosine_near_dup_pairs(spark):
+    import math
+    import random
+
+    from opencyphertranspiler_spark.pipeline.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    random.seed(3)
+    dim = 64
+
+    def unit():
+        v = [random.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    base = [unit() for _ in range(20)]
+    rows_in = []
+    vid = 0
+    expected = set()
+    for i, v in enumerate(base):
+        rows_in.append((vid, v))
+        anchor = vid
+        vid += 1
+        if i < 5:  # five near-duplicate twins (tiny perturbation)
+            w = [x + random.gauss(0, 0.001) for x in v]
+            n = math.sqrt(sum(x * x for x in w))
+            rows_in.append((vid, [x / n for x in w]))
+            expected.add((anchor, vid))
+            vid += 1
+    df = spark.createDataFrame(rows_in, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(df, threshold=0.99, dim=64).collect()
+    }
+    assert got == expected  # all twins found, no random pair at 0.99
