@@ -325,6 +325,16 @@ class CypherEngine:
                     "An unbounded variable-length relationship needs an "
                     "explicit type, e.g. [:FOLLOWS*]"
                 )
+            if rel.props:
+                # the reachability rewrite discards per-hop identity, so a
+                # per-hop property filter cannot be applied (the bounded
+                # *n..m form supports it) — reject rather than leak the
+                # virtual-edge internals in a binding error
+                raise TranspilerNotSupportedError(
+                    "Inline property maps are not supported on UNBOUNDED "
+                    "variable-length relationships (use a bounded *n..m "
+                    "form, which filters every hop)"
+                )
             fwd = rel.direction == A.Direction.FORWARD
             src_label = left.label if fwd else right.label
             snk_label = right.label if fwd else left.label
@@ -337,23 +347,30 @@ class CypherEngine:
             edge = cands[0]
             if getattr(part, "shortest", False):
                 # shortestPath(): the virtual edge carries the true hop
-                # count as __dist; length(p) reads it (PathRef handling)
-                from .pipeline.graph import shortest_path_lengths
+                # count as __dist; length(p) reads it (PathRef handling).
+                # Memoized like plain reachability — the BFS fixpoint runs
+                # once per (edge, min_hops) per engine lifetime.
+                skey = ("shortest", edge.id, rel.min_hops)
+                if skey in self._reach_cache:
+                    reach = self._reach_cache[skey]
+                else:
+                    from .pipeline.graph import shortest_path_lengths
 
-                e_df = tables.get(edge.table).select(
-                    F.col(edge.source_id_property).alias("src"),
-                    F.col(edge.sink_id_property).alias("dst"),
-                )
-                sp = shortest_path_lengths(
-                    e_df, max_iters=self.reach_max_iters
-                )
-                if rel.min_hops > 1:
-                    sp = sp.filter(F.col("dist") >= rel.min_hops)
-                reach = sp.select(
-                    F.col("src").alias(edge.source_id_property),
-                    F.col("dst").alias(edge.sink_id_property),
-                    F.col("dist").alias("__dist"),
-                )
+                    e_df = tables.get(edge.table).select(
+                        F.col(edge.source_id_property).alias("src"),
+                        F.col(edge.sink_id_property).alias("dst"),
+                    )
+                    sp = shortest_path_lengths(
+                        e_df, max_iters=self.reach_max_iters
+                    )
+                    if rel.min_hops > 1:
+                        sp = sp.filter(F.col("dist") >= rel.min_hops)
+                    reach = sp.select(
+                        F.col("src").alias(edge.source_id_property),
+                        F.col("dst").alias(edge.sink_id_property),
+                        F.col("dist").alias("__dist"),
+                    )
+                    self._reach_cache[skey] = reach
                 vname = f"__spath_{rel.min_hops}_{edge.id}"
                 vverb = f"__SPATH{rel.min_hops}_{edge.id}"
                 props = (EntityProperty("__dist", "long"),)

@@ -131,12 +131,16 @@ def compile_scalar(name: str, args: list[Column]) -> Column:
     # the list accessors are head()/tail() only, per openCypher. ---
     if name == "range":
         # range(start, stop[, step]) is INCLUSIVE of stop (openCypher);
-        # F.sequence is inclusive too
+        # F.sequence is inclusive too, but THROWS on empty ranges where
+        # openCypher returns [] — guard on direction vs bounds
         _arity(name, args, 2, 3)
-        step = args[2] if len(args) == 3 else F.lit(1)
-        return F.sequence(
-            args[0].cast("long"), args[1].cast("long"), step.cast("long")
-        )
+        start = args[0].cast("long")
+        stop = args[1].cast("long")
+        step = (args[2] if len(args) == 3 else F.lit(1)).cast("long")
+        empty = ((step > 0) & (stop < start)) | ((step < 0) & (stop > start))
+        return F.when(
+            ~empty, F.sequence(start, stop, step)
+        ).otherwise(F.array().cast("array<long>"))
     if name == "head":
         _arity(name, args, 1)
         return F.try_element_at(args[0], F.lit(1))

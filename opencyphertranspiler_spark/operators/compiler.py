@@ -197,21 +197,30 @@ class Compiler:
             group_cols: list = []
             agg_cols: list = []
             out_cols: list[str] = []
+            grouped: set[str] = set()  # output names; a path variable and
+            # one of its constituent entities may overlap column-for-column
             for alias, expr in op.items:
                 if A.contains_aggregate(expr):
                     agg_cols.append(ec.compile(expr).alias(alias))
                     out_cols.append(alias)
                 elif is_entity_item(expr):
-                    cols = entity_cols(alias, expr)
-                    group_cols.extend(cols)
-                    out_cols.extend(op.env[alias].columns())
+                    for c, name in zip(
+                        entity_cols(alias, expr), op.env[alias].columns()
+                    ):
+                        if name not in grouped:
+                            group_cols.append(c)
+                            out_cols.append(name)
+                            grouped.add(name)
                 elif is_path_item(expr):
-                    cols = [qcol(c) for c in in_env[expr.name].columns()]
-                    group_cols.extend(cols)
-                    out_cols.extend(in_env[expr.name].columns())
+                    for name in in_env[expr.name].columns():
+                        if name not in grouped:
+                            group_cols.append(qcol(name))
+                            out_cols.append(name)
+                            grouped.add(name)
                 else:
                     group_cols.append(ec.compile(expr).alias(alias))
                     out_cols.append(alias)
+                    grouped.add(alias)
             if group_cols:
                 df = in_df.groupBy(*group_cols).agg(*agg_cols)
             else:
@@ -225,9 +234,12 @@ class Compiler:
         seen: set[str] = set()
         for alias, expr in op.items:
             if is_entity_item(expr):
-                for c in entity_cols(alias, expr):
-                    select_cols.append(c)
-                seen.update(op.env[alias].columns())
+                for c, name in zip(
+                    entity_cols(alias, expr), op.env[alias].columns()
+                ):
+                    if name not in seen:
+                        select_cols.append(c)
+                        seen.add(name)
             elif is_path_item(expr):
                 for c in in_env[expr.name].columns():
                     if c not in seen:

@@ -184,7 +184,18 @@ class ExprCompiler:
             # normalize negative bounds, clamp to [0, n], end-exclusive
             s = F.greatest(F.when(start < 0, start + n).otherwise(start), F.lit(0))
             t = F.least(F.when(stop < 0, stop + n).otherwise(stop), n)
-            return F.slice(base, s + 1, F.greatest(t - s, F.lit(0)))
+            sliced = F.slice(base, s + 1, F.greatest(t - s, F.lit(0)))
+            # Cypher 3VL: a null bound nulls the whole slice (the clamps
+            # above would otherwise silently coerce null to 0/n)
+            null_bound = None
+            if expr.start is not None:
+                null_bound = start.isNull()
+            if expr.stop is not None:
+                sn = stop.isNull()
+                null_bound = sn if null_bound is None else (null_bound | sn)
+            if null_bound is not None:
+                return F.when(~null_bound, sliced)
+            return sliced
         if isinstance(expr, A.PatternPredicate):
             raise TranspilerNotSupportedError(
                 "exists(pattern) is only supported as a top-level AND "
@@ -555,9 +566,15 @@ class ExprCompiler:
         One aggregation, no extra shuffle beyond the groupBy itself."""
         keys = [(self.compile(s.expr), s.ascending) for s in self.order_hint]
         val = self.compile(expr.arg)
-        item = F.struct(
-            *[k.alias(f"__k{i}") for i, (k, _) in enumerate(keys)],
-            val.alias("__v"),
+        # collect_list skips null ARGUMENTS — wrap so a null value drops
+        # the whole struct, matching default collect()/MIN/MAX null
+        # exclusion (openCypher collect() never contains nulls)
+        item = F.when(
+            val.isNotNull(),
+            F.struct(
+                *[k.alias(f"__k{i}") for i, (k, _) in enumerate(keys)],
+                val.alias("__v"),
+            ),
         )
 
         def cmp(x: Column, y: Column) -> Column:

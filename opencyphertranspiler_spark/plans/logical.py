@@ -103,7 +103,12 @@ class PathRef:
 
     Carries the ordered constituent node/edge refs of a FIXED-length
     pattern; consumed by length(p) / nodes(p) / relationships(p). Not a
-    value: returning ``p`` itself is rejected, like entities."""
+    value: returning ``p`` itself is rejected, like entities.
+
+    Divergence (documented): under OPTIONAL MATCH a non-matching row
+    yields per-constituent nulls inside nodes()/relationships() (e.g.
+    ['p1', None]) rather than Neo4j's whole-path null — the path is a
+    column group here, not a nullable value."""
 
     alias: str
     node_refs: list[EntityRef] = field(default_factory=list)

@@ -337,6 +337,33 @@ class _SingleQueryPlanner:
                 if e.else_ is not None:
                     e.else_ = rec(e.else_)
                 return e
+            if isinstance(e, A.ListComprehension):
+                e.list_expr = rec(e.list_expr)
+                if e.where is not None:
+                    e.where = rec(e.where)
+                if e.map_expr is not None:
+                    e.map_expr = rec(e.map_expr)
+                return e
+            if isinstance(e, A.Quantified):
+                e.list_expr = rec(e.list_expr)
+                e.where = rec(e.where)
+                return e
+            if isinstance(e, A.ListIndex):
+                e.base, e.index = rec(e.base), rec(e.index)
+                return e
+            if isinstance(e, A.ListSlice):
+                e.base = rec(e.base)
+                if e.start is not None:
+                    e.start = rec(e.start)
+                if e.stop is not None:
+                    e.stop = rec(e.stop)
+                return e
+            if isinstance(e, A.MapLiteral):
+                e.items = [(k, rec(v)) for k, v in e.items]
+                return e
+            if isinstance(e, A.FieldAccess):
+                e.base = rec(e.base)
+                return e
             return e
 
         return rec(expr), op
@@ -897,6 +924,15 @@ class _SingleQueryPlanner:
                 raise TranspilerBindingError(
                     f"Alias '{a}' from OPTIONAL MATCH is already bound"
                 )
+            if isinstance(ref, PathRef):
+                # shared-alias constituents reference the optional side's
+                # fresh-prefixed columns, which drop_right removes — remap
+                # them to the surviving left-side refs
+                ref = PathRef(
+                    ref.alias,
+                    [env.get(r.alias, r) for r in ref.node_refs],
+                    list(ref.rel_refs),
+                )
             new_env[a] = ref
         return JoinOp(piped, right, "left", pairs, drop_right, env=new_env)
 
@@ -911,6 +947,12 @@ class _SingleQueryPlanner:
                 f"UNWIND alias '{clause.alias}' is already bound"
             )
         if piped is not None:
+            # `UNWIND [(a)-->(b) | b.x] AS v` — pattern comprehensions /
+            # predicates in the UNWIND expression lower to flag/collect
+            # joins against the piped op first
+            expr, piped = self._rewrite_pattern_predicates(clause.expr, piped)
+            clause.expr = expr
+            env = dict(piped.env)
             validate_expr(clause.expr, env)
         env[clause.alias] = ValueRef(clause.alias)
         return UnwindOp(piped, clause.expr, clause.alias, env=env)

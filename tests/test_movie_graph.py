@@ -1364,3 +1364,112 @@ def test_return_star_values_and_entity_rejection(movie_engine):
     assert rows(df) == {("Tom Hanks", 1956)}
     with pytest.raises(TranspilerNotSupportedError, match="RETURN [*]"):
         movie_engine.cypher("MATCH (p:Person) RETURN *")
+
+
+# ---------------------------------------------------------------------------
+# Round-4 review-pass regressions
+# ---------------------------------------------------------------------------
+
+
+def test_optional_match_with_path_variable(movie_engine):
+    # PathRef constituents from the optional side must remap shared
+    # aliases to the surviving left columns (review finding 1)
+    df = movie_engine.cypher(
+        """
+        MATCH (a:Person)
+        OPTIONAL MATCH p = (a)-[:DIRECTED]->(m:Movie)
+        RETURN a.Name AS n, nodes(p) AS ns
+        """
+    )
+    got = {r["n"]: r["ns"] for r in df.collect() if r["n"] == "Tom Hanks"}
+    assert got == {"Tom Hanks": ["p1", None]}  # no DIRECTED edge -> null tail
+
+
+def test_path_variable_with_constituent_entity(movie_engine):
+    # projecting p and one of its constituent entities must not emit the
+    # shared id column twice (review finding 2)
+    df = movie_engine.cypher(
+        """
+        MATCH p = (a:Person)-[:DIRECTED]->(m:Movie)
+        WITH a, p, count(*) AS n
+        RETURN a.Name AS nm, length(p) AS l, n
+        """
+    )
+    assert rows(df) == {("Nora Ephron", 1, 1), ("Rob Reiner", 1, 1)}
+
+
+def test_ordered_collect_excludes_nulls(spark):
+    # ordered_aggregates must keep collect()'s null-exclusion (finding 3)
+    import os
+
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        GraphSchema,
+        TableRegistry,
+    )
+
+    persons = spark.createDataFrame(
+        [("p1", "A", 2), ("p2", "B", None), ("p3", "C", 1)],
+        "id string, Name string, Born int",
+    )
+    g = GraphSchema.from_json(
+        os.path.join(os.path.dirname(__file__), "data", "movie_graph.json")
+    )
+    reg = TableRegistry()
+    reg.register_df("person", persons)
+    for t in ("movie", "acted_in", "directed", "reviewed", "follows"):
+        reg.register_df(t, spark.createDataFrame([], "a string"))
+    eng = CypherEngine(spark, g, reg, ordered_aggregates=True)
+    row = eng.cypher(
+        """
+        MATCH (p:Person)
+        WITH p.Born AS b, p.Name AS n ORDER BY n
+        RETURN collect(b) AS cb, first(b) AS fb, last(b) AS lb
+        """
+    ).collect()[0]
+    assert row.cb == [2, 1] and row.fb == 2 and row.lb == 1
+
+
+def test_nested_pattern_comprehension_positions(movie_engine):
+    # pattern comprehensions inside list comprehensions and UNWIND
+    # (review finding 4)
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        RETURN [t IN [(p)-[:ACTED_IN]->(m:Movie) | m.Title] WHERE t STARTS WITH 'A' | t] AS a_titles
+        """
+    )
+    assert df.collect()[0].a_titles == ["Apollo 13"]
+    df2 = movie_engine.cypher(
+        """
+        MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        UNWIND [(p)-[:ACTED_IN]->(m:Movie) | m.Title] AS t
+        RETURN t ORDER BY t
+        """
+    )
+    assert [r.t for r in df2.collect()] == [
+        "Apollo 13",
+        "Sleepless in Seattle",
+        "You've Got Mail",
+    ]
+
+
+def test_range_empty_and_null_slice_bounds(movie_engine):
+    # range() returns [] on empty ranges; null slice bounds null the
+    # slice (review findings 5 and 6)
+    row = movie_engine.cypher(
+        """
+        MATCH (p:Person) WHERE p.Name = 'Nora Ephron'
+        RETURN range(5, 1) AS r, range(5, 1, -2) AS rd,
+               [1,2,3][p.Born..] AS s1, [1,2,3][0..p.Born] AS s2
+        """
+    ).collect()[0]
+    assert row.r == [] and row.rd == [5, 3, 1]
+    assert row.s1 is None and row.s2 is None
+
+
+def test_props_on_unbounded_varlength_rejected(movie_engine):
+    with pytest.raises(TranspilerNotSupportedError, match="UNBOUNDED"):
+        movie_engine.cypher(
+            "MATCH (a:Person)-[:FOLLOWS* {x: 1}]->(b:Person) RETURN a.Name AS n"
+        )
