@@ -678,6 +678,7 @@ CATALOG += [
             WHERE c.c_mktsegment = 'MACHINERY'
             GROUP BY 1
         """,
+        bench=True,
         tags=("match", "multi-rel-types", "union-edge"),
     ),
     # ---- unbounded variable-length [:V*] (extension; reference rejects at

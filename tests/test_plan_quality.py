@@ -204,3 +204,24 @@ def test_exists_flag_under_or_is_single_left_join(spark, engine):
     assert "Cartesian" not in plan
     assert "LeftOuter" in plan
     assert "HashAggregate" in plan  # the distinct on pattern keys
+
+
+def test_pattern_comprehension_aggregates_before_join(spark, engine):
+    # the comprehension must group the pattern fabric per key and LEFT
+    # join ONE array row per key — no cartesian, no row explosion
+    df = engine.cypher(
+        """
+        MATCH (c:Customer)
+        RETURN c.c_custkey AS k,
+               [(c)-[:PLACED]->(o:Orders) | o.o_orderkey] AS orders
+        """
+    )
+    plan = formatted_plan(spark, df)
+    assert "Cartesian" not in plan
+    assert "LeftOuter" in plan
+    assert "collect_list" in plan
+    # row count stays the customer count (one array per customer)
+    n_customers = engine.cypher(
+        "MATCH (c:Customer) RETURN count(*) AS n"
+    ).collect()[0].n
+    assert df.count() == n_customers
