@@ -54,8 +54,29 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             out[col] = t.astype("datetime64[us]")
         else:
             # strings: null ~ '' (reference DataTableComparisonHelper.cs:53-65)
-            out[col] = s.map(lambda v: "" if v is None or v is pd.NA else str(v))
+            out[col] = s.map(_canon_object)
     return pd.DataFrame(out)
+
+
+def _canon_object(v) -> str:
+    """Canonical string for object-typed cells. Sequences normalize
+    through Python lists so Spark's lists and DuckDB's numpy arrays
+    compare equal ('[0, 1]' vs '[0 1]' otherwise); numpy scalars unwrap.
+    Array floats compare exactly (the tolerant path covers scalar
+    columns only)."""
+    import numpy as np
+
+    if v is None or v is pd.NA:
+        return ""
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_canon_object(x) for x in v) + "]"
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, float) and math.isnan(v):
+        return ""
+    return str(v)
 
 
 def assert_frames_match(
@@ -83,6 +104,11 @@ def assert_frames_match(
 
     for col in a.columns:
         av, ev = a[col], e[col]
+        if pd.api.types.is_float_dtype(av) != pd.api.types.is_float_dtype(ev):
+            # one engine typed an all-null/ambiguous column as float, the
+            # other as object (e.g. head([]) -> None vs NaN): compare via
+            # the canonical object form (null ~ '')
+            av, ev = av.map(_canon_object), ev.map(_canon_object)
         if pd.api.types.is_float_dtype(av):
             for i, (x, y) in enumerate(zip(av, ev)):
                 x_nan = x is None or (isinstance(x, float) and math.isnan(x))

@@ -156,3 +156,92 @@ def test_order_by_null_ordering_matches_duckdb(fuzz_env, e, with_nulls, desc, k)
         ).fetchall()
     ]
     assert actual == expected
+
+
+# ---------------------------------------------------------------------------
+# Round-4 extensions: lists, comprehensions, quantifiers — fuzzed vs DuckDB
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def list_expr(draw, depth=0):
+    """Null-free array<long> expression as (cypher, duckdb) text."""
+    choice = draw(st.integers(0, 1)) if depth >= 1 else draw(st.integers(0, 3))
+    if choice == 0:
+        items = draw(st.lists(st.integers(-9, 9), min_size=0, max_size=4))
+        inner = ", ".join(map(str, items))
+        return (f"[{inner}]", f"[{inner}]")
+    if choice == 1:
+        a = draw(st.integers(-3, 3))
+        b = draw(st.integers(-3, 6))
+        # Cypher range is stop-INCLUSIVE (and [] when empty); DuckDB's is
+        # stop-exclusive and [] when empty — shift the bound
+        return (f"range({a}, {b})", f"range({a}, {b} + 1)")
+    if choice == 2:
+        lc, ls = draw(list_expr(depth + 1))
+        a = draw(st.integers(0, 3))
+        b = draw(st.integers(0, 5))
+        # Cypher slice: 0-based end-exclusive; DuckDB: 1-based inclusive
+        return (f"({lc})[{a}..{b}]", f"({ls})[{a + 1}:{b}]")
+    lc, ls = draw(list_expr(depth + 1))
+    m = draw(st.integers(1, 4))
+    return (
+        f"[x IN {lc} WHERE x % {m} = 0 | x * 2]",
+        f"list_transform(list_filter({ls}, x -> x % {m} = 0), x -> x * 2)",
+    )
+
+
+@st.composite
+def list_scalar_expr(draw):
+    """Scalar (int) derived from a list, as (cypher, duckdb) text."""
+    lc, ls = draw(list_expr())
+    choice = draw(st.integers(0, 4))
+    if choice == 0:
+        return (f"size({lc})", f"len({ls})")
+    if choice == 1:
+        i = draw(st.integers(-2, 5))
+        d = i + 1 if i >= 0 else i  # 0-based vs 1-based; negatives align
+        return (f"({lc})[{i}]", f"({ls})[{d}]")
+    if choice == 2:
+        return (f"head({lc})", f"({ls})[1]")
+    m = draw(st.integers(1, 4))
+    kind = draw(st.sampled_from(["all", "any", "none", "single"]))
+    preds = {
+        "all": (
+            f"all(x IN {lc} WHERE x % {m} = 0)",
+            f"len(list_filter({ls}, x -> x % {m} <> 0)) = 0",
+        ),
+        "any": (
+            f"any(x IN {lc} WHERE x % {m} = 0)",
+            f"len(list_filter({ls}, x -> x % {m} = 0)) > 0",
+        ),
+        "none": (
+            f"none(x IN {lc} WHERE x % {m} = 0)",
+            f"len(list_filter({ls}, x -> x % {m} = 0)) = 0",
+        ),
+        "single": (
+            f"single(x IN {lc} WHERE x % {m} = 0)",
+            f"len(list_filter({ls}, x -> x % {m} = 0)) = 1",
+        ),
+    }
+    c, s = preds[kind]
+    return (f"CASE WHEN {c} THEN 1 ELSE 0 END", f"CASE WHEN {s} THEN 1 ELSE 0 END")
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(exprs=st.lists(st.one_of(list_expr(), list_scalar_expr()), min_size=1, max_size=3))
+def test_random_list_expressions_match_duckdb(fuzz_env, exprs):
+    engine, duck = fuzz_env
+    cy_items = ", ".join(f"{c} AS v{i}" for i, (c, _) in enumerate(exprs))
+    sql_items = ", ".join(f"{s} AS v{i}" for i, (_, s) in enumerate(exprs))
+    actual = engine.cypher(
+        f"MATCH (n:Nation) WHERE n.n_nationkey = 0 RETURN {cy_items}"
+    ).toPandas()
+    expected = duck.sql(
+        f"SELECT {sql_items} FROM nation WHERE n_nationkey = 0"
+    ).df()
+    assert_frames_match(actual, expected)
