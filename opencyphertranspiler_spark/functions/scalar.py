@@ -138,9 +138,11 @@ def compile_scalar(name: str, args: list[Column]) -> Column:
         stop = args[1].cast("long")
         step = (args[2] if len(args) == 3 else F.lit(1)).cast("long")
         empty = ((step > 0) & (stop < start)) | ((step < 0) & (stop > start))
-        return F.when(
+        # two-sided when with NO otherwise: a null argument makes `empty`
+        # SQL NULL, so neither branch fires and null propagates (Cypher)
+        return F.when(empty, F.array().cast("array<long>")).when(
             ~empty, F.sequence(start, stop, step)
-        ).otherwise(F.array().cast("array<long>"))
+        )
     if name == "head":
         _arity(name, args, 1)
         return F.try_element_at(args[0], F.lit(1))

@@ -597,9 +597,12 @@ class ExprCompiler:
         )
         if expr.name == "collect":
             return ordered_vals
+        # try_element_at: an all-null group collects an EMPTY array (the
+        # null-dropping wrapper above), and element_at on an empty array
+        # throws under ANSI mode
         if expr.name == "first":
-            return F.element_at(ordered_vals, 1)
-        return F.element_at(ordered_vals, -1)
+            return F.try_element_at(ordered_vals, F.lit(1))
+        return F.try_element_at(ordered_vals, F.lit(-1))
 
     # -- CASE -------------------------------------------------------------------
     def _case(self, expr: A.CaseExpr) -> Column:

@@ -402,9 +402,9 @@ def cosine_near_dup_pairs(
     )
     return (
         cands.withColumn(
-            "cosine",
-            F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), 6),
+            "cosine", _dot("va", "vb") / (_norm("va") * _norm("vb"))
         )
+        # threshold on the UNROUNDED value; round only for output
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )

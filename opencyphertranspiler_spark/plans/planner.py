@@ -364,6 +364,9 @@ class _SingleQueryPlanner:
             if isinstance(e, A.FieldAccess):
                 e.base = rec(e.base)
                 return e
+            if isinstance(e, A.ListLiteral):
+                e.items = [rec(i) for i in e.items]
+                return e
             return e
 
         return rec(expr), op
@@ -954,6 +957,14 @@ class _SingleQueryPlanner:
             clause.expr = expr
             env = dict(piped.env)
             validate_expr(clause.expr, env)
+        elif any(
+            isinstance(n, (A.PatternPredicate, A.PatternComprehension))
+            for n in clause.expr.walk()
+        ):
+            raise TranspilerNotSupportedError(
+                "A pattern inside a standalone UNWIND has nothing to bind "
+                "against — add a preceding MATCH"
+            )
         env[clause.alias] = ValueRef(clause.alias)
         return UnwindOp(piped, clause.expr, clause.alias, env=env)
 
@@ -972,10 +983,15 @@ class _SingleQueryPlanner:
         # items. RETURN * rejects entity/path aliases like any explicit
         # entity return — project properties instead.
         if clause.star:
+            import re
+
             explicit = {a for a, _ in clause.items}
             star_items: list[tuple[str, A.Expr]] = []
+            # skip only planner-GENERATED aliases (`__{base}_{n}` from
+            # _gen_alias) — a user's own `__x` alias must survive *
+            generated = re.compile(r"^__.+_\d+$")
             for alias, ref in piped.env.items():
-                if alias in explicit or alias.startswith("__"):
+                if alias in explicit or generated.match(alias):
                     continue
                 if clause.is_return and isinstance(ref, (EntityRef, PathRef)):
                     raise TranspilerNotSupportedError(

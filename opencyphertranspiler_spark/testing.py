@@ -105,10 +105,25 @@ def assert_frames_match(
     for col in a.columns:
         av, ev = a[col], e[col]
         if pd.api.types.is_float_dtype(av) != pd.api.types.is_float_dtype(ev):
-            # one engine typed an all-null/ambiguous column as float, the
-            # other as object (e.g. head([]) -> None vs NaN): compare via
+            # one engine typed the column float, the other object/Int64
+            # (e.g. head([]) -> None vs NaN, or 2 vs 2.0). If the
+            # non-float side is numeric-coercible, compare through the
+            # TOLERANT float path; only non-numeric content falls back to
             # the canonical object form (null ~ '')
-            av, ev = av.map(_canon_object), ev.map(_canon_object)
+            obj = ev if pd.api.types.is_float_dtype(av) else av
+            conv = pd.to_numeric(obj, errors="coerce")
+            introduced = conv.isna() & obj.map(
+                lambda v: not (
+                    v is None
+                    or v is pd.NA
+                    or (isinstance(v, float) and math.isnan(v))
+                )
+            )
+            if not introduced.any():
+                av = pd.to_numeric(a[col], errors="coerce").astype("float64")
+                ev = pd.to_numeric(e[col], errors="coerce").astype("float64")
+            else:
+                av, ev = av.map(_canon_object), ev.map(_canon_object)
         if pd.api.types.is_float_dtype(av):
             for i, (x, y) in enumerate(zip(av, ev)):
                 x_nan = x is None or (isinstance(x, float) and math.isnan(x))

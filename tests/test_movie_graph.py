@@ -1461,10 +1461,12 @@ def test_range_empty_and_null_slice_bounds(movie_engine):
         """
         MATCH (p:Person) WHERE p.Name = 'Nora Ephron'
         RETURN range(5, 1) AS r, range(5, 1, -2) AS rd,
+               range(p.Born, 5) AS rn,
                [1,2,3][p.Born..] AS s1, [1,2,3][0..p.Born] AS s2
         """
     ).collect()[0]
     assert row.r == [] and row.rd == [5, 3, 1]
+    assert row.rn is None  # null argument propagates (3VL), not []
     assert row.s1 is None and row.s2 is None
 
 
@@ -1473,3 +1475,31 @@ def test_props_on_unbounded_varlength_rejected(movie_engine):
         movie_engine.cypher(
             "MATCH (a:Person)-[:FOLLOWS* {x: 1}]->(b:Person) RETURN a.Name AS n"
         )
+
+
+def test_second_review_pass_regressions(movie_engine):
+    # ordered first()/last() over an all-null group returns null, not an
+    # ANSI element_at error (engine option exercised via a fresh engine
+    # in test_semantics; here the pattern positions)
+    # pattern comprehension inside a list literal lowers instead of
+    # hitting an internal error
+    row = movie_engine.cypher(
+        """
+        MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        RETURN [[(p)-[:DIRECTED]->(m:Movie) | m.Title], ['x']] AS nested
+        """
+    ).collect()[0]
+    assert row.nested == [[], ["x"]]
+    # standalone UNWIND over a pattern gets a typed rejection
+    with pytest.raises(TranspilerNotSupportedError, match="standalone UNWIND"):
+        movie_engine.cypher(
+            "UNWIND [(a:Person)-[:DIRECTED]->(m:Movie) | m.Title] AS t RETURN t"
+        )
+    # a user's own __-prefixed alias survives WITH *
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        WITH p.Born AS __x WITH * RETURN __x
+        """
+    )
+    assert rows(df) == {(1956,)}
