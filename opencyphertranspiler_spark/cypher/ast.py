@@ -213,6 +213,22 @@ class ListComprehension(Expr):
 
 
 @dataclass
+class Reduce(Expr):
+    """``reduce(acc = init, x IN list | expr)`` (extension): openCypher
+    fold, compiled to F.aggregate — both ``acc`` and ``var`` are
+    lexically scoped lambda variables in ``body``."""
+
+    acc: str
+    init: Expr
+    var: str
+    list_expr: Expr
+    body: Expr
+
+    def children(self):
+        return [self.init, self.list_expr, self.body]
+
+
+@dataclass
 class Quantified(Expr):
     """``all/any/none/single(x IN list WHERE pred)`` (extension).
     F.forall / F.exists / negated exists / size(filter)==1."""

@@ -737,6 +737,23 @@ class Parser:
             return self._parse_exists_tail()
         if name in ("all", "any", "none", "single"):
             return self._parse_quantifier_tail(name)
+        if name == "reduce":
+            # reduce(acc = init, x IN list | expr) — openCypher fold
+            acc = self.expect_ident()
+            self.expect_punct("=")
+            init = self.parse_expr()
+            self.expect_punct(",")
+            var = self.expect_ident()
+            self.expect_kw("IN")
+            lst = self.parse_expr()
+            self.expect_punct("|")
+            body = self.parse_expr()
+            self.expect_punct(")")
+            if acc == var:
+                raise TranspilerSyntaxError(
+                    "reduce() accumulator and element variables must differ"
+                )
+            return A.Reduce(acc, init, var, lst, body)
         distinct = bool(self.accept_kw("DISTINCT"))
         if name in A.AGG_FUNCTION_NAMES:
             if name == "count" and self.cur.is_punct("*"):

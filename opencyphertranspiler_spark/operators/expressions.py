@@ -58,6 +58,11 @@ class ExprCompiler:
         # suspends the Catalyst type probes — a lambda variable cannot be
         # analyzed outside its enclosing higher-order function
         self._lambda_scope: dict[str, Column] = {}
+        # static type hints for lambda variables (list element types /
+        # reduce accumulator init type) — the Catalyst probe cannot
+        # analyze a lambda variable, but these keep e.g. string `+`
+        # concat working inside lambda bodies
+        self._lambda_types: dict[str, T.DataType] = {}
         self._lambda_depth = 0
         # per-AST-node type memo: _types() probes run a full Catalyst
         # analysis of the accumulated plan, and the coercion pre-check plus
@@ -148,6 +153,8 @@ class ExprCompiler:
             return self._list_comprehension(expr)
         if isinstance(expr, A.Quantified):
             return self._quantified(expr)
+        if isinstance(expr, A.Reduce):
+            return self._reduce(expr)
         if isinstance(expr, A.FieldAccess):
             return self.compile(expr.base).getField(expr.fld)
         if isinstance(expr, A.MapLiteral):
@@ -330,13 +337,28 @@ class ExprCompiler:
         )  # pragma: no cover
 
     # -- comprehensions / quantifiers (Spark higher-order functions) -----------
-    def _lambda_body(self, var: str, body: A.Expr):
+    def _elem_type(self, lst: Column) -> T.DataType | None:
+        """Element type of a list Column, probed OUTSIDE lambda scope
+        (inside one the probe cannot analyze); None when unknown."""
+        if self._lambda_depth:
+            return None
+        try:
+            t = self.dtype(lst)
+        except Exception:
+            return None
+        return t.elementType if isinstance(t, T.ArrayType) else None
+
+    def _lambda_body(self, var: str, body: A.Expr, var_type=None):
         """A Python callable compiling ``body`` with ``var`` bound to the
-        higher-order function's lambda Column."""
+        higher-order function's lambda Column (typed via ``var_type``
+        when the element type is known)."""
 
         def fn(x: Column) -> Column:
             outer = self._lambda_scope.get(var)
+            outer_t = self._lambda_types.get(var)
             self._lambda_scope[var] = x
+            if var_type is not None:
+                self._lambda_types[var] = var_type
             self._lambda_depth += 1
             try:
                 return self.compile(body)
@@ -346,20 +368,94 @@ class ExprCompiler:
                     del self._lambda_scope[var]
                 else:
                     self._lambda_scope[var] = outer
+                if var_type is not None:
+                    if outer_t is None:
+                        self._lambda_types.pop(var, None)
+                    else:
+                        self._lambda_types[var] = outer_t
 
         return fn
 
     def _list_comprehension(self, expr: A.ListComprehension) -> Column:
         col = self.compile(expr.list_expr)
+        et = self._elem_type(col)
         if expr.where is not None:
-            col = F.filter(col, self._lambda_body(expr.var, expr.where))
+            col = F.filter(col, self._lambda_body(expr.var, expr.where, et))
         if expr.map_expr is not None:
-            col = F.transform(col, self._lambda_body(expr.var, expr.map_expr))
+            col = F.transform(
+                col, self._lambda_body(expr.var, expr.map_expr, et)
+            )
         return col
+
+    def _reduce(self, expr: A.Reduce) -> Column:
+        """reduce(acc = init, x IN list | body) -> F.aggregate: the merge
+        lambda binds BOTH the accumulator and element variables.
+
+        F.aggregate requires merge-result type == init type EXACTLY, so a
+        numeric init is promoted to its widest category (long / double)
+        and the merge result is pinned to it — `reduce(acc = 0, ...)`
+        over bigints then analyzes. Mixed int/float folds follow the
+        INIT's category (documented divergence: Neo4j would widen)."""
+        lst = self.compile(expr.list_expr)
+        init = self.compile(expr.init)
+        target: str | None = None
+        init_t: T.DataType | None = None
+        if not self._lambda_depth:
+            try:
+                init_t = self._types(expr.init, init)
+            except Exception:  # pragma: no cover — unanalyzable init
+                init_t = None
+            if isinstance(
+                init_t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+            ):
+                target = "long"
+            elif isinstance(init_t, (T.FloatType, T.DoubleType)):
+                target = "double"
+        if target is not None:
+            init = init.cast(target)
+        acc_t = (
+            T.LongType()
+            if target == "long"
+            else T.DoubleType()
+            if target == "double"
+            else init_t
+        )
+        elem_t = self._elem_type(lst)
+
+        def merge(acc: Column, x: Column) -> Column:
+            outer_acc = self._lambda_scope.get(expr.acc)
+            outer_x = self._lambda_scope.get(expr.var)
+            outer_ts = {
+                n: self._lambda_types.get(n) for n in (expr.acc, expr.var)
+            }
+            self._lambda_scope[expr.acc] = acc
+            self._lambda_scope[expr.var] = x
+            if acc_t is not None:
+                self._lambda_types[expr.acc] = acc_t
+            if elem_t is not None:
+                self._lambda_types[expr.var] = elem_t
+            self._lambda_depth += 1
+            try:
+                out = self.compile(expr.body)
+                return out.cast(target) if target is not None else out
+            finally:
+                self._lambda_depth -= 1
+                for name, outer in ((expr.acc, outer_acc), (expr.var, outer_x)):
+                    if outer is None:
+                        del self._lambda_scope[name]
+                    else:
+                        self._lambda_scope[name] = outer
+                for n, t in outer_ts.items():
+                    if t is None:
+                        self._lambda_types.pop(n, None)
+                    else:
+                        self._lambda_types[n] = t
+
+        return F.aggregate(lst, init, merge)
 
     def _quantified(self, expr: A.Quantified) -> Column:
         lst = self.compile(expr.list_expr)
-        pred = self._lambda_body(expr.var, expr.where)
+        pred = self._lambda_body(expr.var, expr.where, self._elem_type(lst))
         if expr.kind == "all":
             return F.forall(lst, pred)
         if expr.kind == "any":
@@ -513,11 +609,14 @@ class ExprCompiler:
             if isinstance(v, float):
                 return T.DoubleType()
             return T.StringType()
+        if isinstance(node, A.Variable) and node.name in self._lambda_types:
+            return self._lambda_types[node.name]
         if self._lambda_depth:
             # a lambda variable cannot be analyzed outside its enclosing
-            # higher-order function; skip the probe (NullType makes every
-            # category check pass-through). Consequence: `+` inside a
-            # lambda is numeric addition — use toString() for concat.
+            # higher-order function; without a recorded hint, skip the
+            # probe (NullType makes every category check pass-through).
+            # Consequence: `+` on unhinted lambda values is numeric
+            # addition — use toString() for concat.
             return T.NullType()
         key = id(node)
         if key not in self._type_cache:

@@ -92,6 +92,11 @@ def _expr_alias_refs(expr: A.Expr, bound: frozenset = frozenset()):
         for child in expr.children()[1:]:
             yield from _expr_alias_refs(child, inner)
         return
+    if isinstance(expr, A.Reduce):
+        yield from _expr_alias_refs(expr.init, bound)
+        yield from _expr_alias_refs(expr.list_expr, bound)
+        yield from _expr_alias_refs(expr.body, bound | {expr.acc, expr.var})
+        return
     for child in expr.children():
         yield from _expr_alias_refs(child, bound)
 
@@ -366,6 +371,11 @@ class _SingleQueryPlanner:
                 return e
             if isinstance(e, A.ListLiteral):
                 e.items = [rec(i) for i in e.items]
+                return e
+            if isinstance(e, A.Reduce):
+                e.init = rec(e.init)
+                e.list_expr = rec(e.list_expr)
+                e.body = rec(e.body)
                 return e
             return e
 

@@ -178,3 +178,12 @@ def test_parse_list_index_slice_map_literal():
     q2 = parse("MATCH (a:X) RETURN a.meta.width AS w")
     p = q2.clauses[-1].items[0][1]
     assert isinstance(p, A.Property) and p.path == ["width"]
+
+
+def test_parse_reduce():
+    q = parse("MATCH (a:X) RETURN reduce(acc = 0, x IN a.v | acc + x) AS s")
+    r = q.clauses[-1].items[0][1]
+    assert isinstance(r, A.Reduce)
+    assert r.acc == "acc" and r.var == "x"
+    with pytest.raises(TranspilerSyntaxError, match="must differ"):
+        parse("MATCH (a:X) RETURN reduce(x = 0, x IN a.v | x + x) AS s")

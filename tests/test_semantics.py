@@ -374,3 +374,48 @@ def test_map_literal_struct(spark):
     ).collect()[0]
     assert row.info.name == "Customer#000000001"
     assert abs(row.info.bal - 2229.54) < 1e-6
+
+
+def test_reduce_fold_matches_duckdb(spark, duck):
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        tpch_graph_schema,
+        tpch_table_registry,
+    )
+    from .conftest import SF_DIR
+
+    eng = CypherEngine(
+        spark, tpch_graph_schema(), tpch_table_registry(spark, SF_DIR)
+    )
+    got = {
+        r["k"]: r["total"]
+        for r in eng.cypher(
+            """
+            MATCH (c:Customer)-[:PLACED]->(o:Orders)
+            WHERE c.c_custkey <= 5
+            WITH c.c_custkey AS k, collect(o.o_totalprice) AS prices
+            RETURN k, round(reduce(acc = 0.0, p IN prices | acc + p), 2) AS total
+            """
+        ).collect()
+    }
+    exp = {
+        r[0]: r[1]
+        for r in duck.execute(
+            """
+            SELECT c.c_custkey, round(sum(o.o_totalprice), 2)
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey <= 5 GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert got == exp
+    # integer fold, string fold, lambda string concat via elem-type hints
+    row = eng.cypher(
+        """
+        MATCH (n:Nation) WHERE n.n_nationkey = 1
+        RETURN reduce(acc = 0, x IN range(1, 5) | acc + x) AS s,
+               reduce(s = '', w IN ['a', 'b', 'c'] | s + w) AS cat,
+               [w IN ['a', 'b'] | w + '!'] AS bang
+        """
+    ).collect()[0]
+    assert row.s == 15 and row.cat == "abc" and row.bang == ["a!", "b!"]
