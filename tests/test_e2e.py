@@ -21,11 +21,11 @@ def test_catalog_vs_duckdb(entry, spark, duck):
     assert_frames_match(actual, expected)
 
 
-@pytest.mark.parametrize("entry", ROWS_ONLY, ids=[e.name for e in ROWS_ONLY])
-def test_catalog_rows_only(entry, spark):
-    df = run_entry(entry, spark, SF_DIR)
-    assert df.count() >= 0  # runs, stable schema
-    assert len(df.schema) > 0
+def test_every_catalog_entry_has_an_oracle():
+    # every entry carries a full DuckDB oracle so the driver's gate checks
+    # rows+schema+hash, never the weaker rows-only form; keep it that way
+    # (a genuinely non-SQL-expressible op would relax this deliberately)
+    assert ROWS_ONLY == []
 
 
 def test_catalog_fits_driver_gate():
