@@ -90,13 +90,16 @@ class CypherEngine:
             if isinstance(clause, A.MatchClause):
                 yield from clause.patterns
             # pattern predicates / comprehensions can sit in any clause's
-            # WHERE and in projection items — their inner patterns need
-            # the same multi-verb / unbounded rewrites
+            # WHERE, in projection items, and in an UNWIND's list
+            # expression — their inner patterns need the same
+            # multi-verb / unbounded rewrites
             exprs = []
             where = getattr(clause, "where", None)
             if where is not None:
                 exprs.append(where)
             exprs.extend(e for _, e in getattr(clause, "items", []))
+            if isinstance(clause, A.UnwindClause):
+                exprs.append(clause.expr)
             for expr in exprs:
                 for n in expr.walk():
                     if isinstance(n, A.PatternPredicate):
@@ -345,6 +348,16 @@ class CypherEngine:
                     f"'{rel.verb}' — label both endpoint nodes"
                 )
             edge = cands[0]
+            if getattr(part, "shortest", False) and rel.min_hops > 1:
+                # Neo4j rejects shortestPath with a minimal length other
+                # than 0/1 rather than reinterpreting it — filtering the
+                # shortest distances by dist >= n would silently drop
+                # pairs whose shortest path is shorter than n even when an
+                # n+-hop path exists
+                raise TranspilerNotSupportedError(
+                    "shortestPath() does not support a minimal hop count "
+                    "above 1 (use [:V*] or [:V*1..]), matching Neo4j"
+                )
             if getattr(part, "shortest", False):
                 # shortestPath(): the virtual edge carries the true hop
                 # count as __dist; length(p) reads it (PathRef handling).
@@ -363,8 +376,6 @@ class CypherEngine:
                     sp = shortest_path_lengths(
                         e_df, max_iters=self.reach_max_iters
                     )
-                    if rel.min_hops > 1:
-                        sp = sp.filter(F.col("dist") >= rel.min_hops)
                     reach = sp.select(
                         F.col("src").alias(edge.source_id_property),
                         F.col("dst").alias(edge.sink_id_property),

@@ -462,7 +462,18 @@ class ExprCompiler:
             return F.exists(lst, pred)
         if expr.kind == "none":
             return ~F.exists(lst, pred)
-        return F.size(F.filter(lst, pred)) == 1  # single
+        # single(): openCypher 3VL — false when two+ elements satisfy the
+        # predicate (no null can change that), null when the outcome still
+        # depends on a null predicate result, else true-count == 1.
+        # (all/any/none inherit the same 3VL from forall/exists.)
+        trues = F.size(F.filter(lst, lambda x: pred(x).isNotNull() & pred(x)))
+        has_null = F.exists(lst, lambda x: pred(x).isNull())
+        return (
+            F.when(lst.isNull(), F.lit(None).cast("boolean"))
+            .when(trues >= 2, F.lit(False))
+            .when(has_null, F.lit(None).cast("boolean"))
+            .otherwise(trues == 1)
+        )
 
     # -- operators ---------------------------------------------------------------
     def _unary(self, expr: A.Unary) -> Column:

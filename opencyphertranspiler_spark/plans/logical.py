@@ -124,8 +124,16 @@ class PathRef:
 
     def columns(self) -> list[str]:
         cols: list[str] = []
-        for r in (*self.node_refs, *self.rel_refs):
+        for r in self.node_refs:
             for c in r.key_cols():
+                if c not in cols:
+                    cols.append(c)
+        for r in self.rel_refs:
+            # ALL rel property columns, not just the join keys: a
+            # shortestPath virtual hop carries its hop count (and
+            # optionally its interior nodes) as properties, which
+            # length(p)/nodes(p) must still find after a WITH passthrough
+            for c in r.columns():
                 if c not in cols:
                     cols.append(c)
         return cols

@@ -123,9 +123,14 @@ class _SingleQueryPlanner:
         self.ordered_aggregates = ordered_aggregates
         self.schema = schema
         self.counter = itertools.count()
+        # every alias this planner generated — `WITH */RETURN *` excludes
+        # by membership here, so a user's own `__foo_1` alias survives *
+        self.generated_aliases: set[str] = set()
 
     def _gen_alias(self, base: str) -> str:
-        return f"__{base}_{next(self.counter)}"
+        alias = f"__{base}_{next(self.counter)}"
+        self.generated_aliases.add(alias)
+        return alias
 
     def plan(self, sq: A.SingleQuery) -> LogicalOp:
         cur: LogicalOp | None = None
@@ -993,15 +998,12 @@ class _SingleQueryPlanner:
         # items. RETURN * rejects entity/path aliases like any explicit
         # entity return — project properties instead.
         if clause.star:
-            import re
-
             explicit = {a for a, _ in clause.items}
             star_items: list[tuple[str, A.Expr]] = []
-            # skip only planner-GENERATED aliases (`__{base}_{n}` from
-            # _gen_alias) — a user's own `__x` alias must survive *
-            generated = re.compile(r"^__.+_\d+$")
             for alias, ref in piped.env.items():
-                if alias in explicit or generated.match(alias):
+                # skip only aliases THIS planner generated (tracked by
+                # _gen_alias) — a user's own `__foo_1` alias survives *
+                if alias in explicit or alias in self.generated_aliases:
                     continue
                 if clause.is_return and isinstance(ref, (EntityRef, PathRef)):
                     raise TranspilerNotSupportedError(

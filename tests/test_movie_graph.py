@@ -1503,3 +1503,82 @@ def test_second_review_pass_regressions(movie_engine):
         """
     )
     assert rows(df) == {(1956,)}
+
+
+# ---------------------------------------------------------------------------
+# Round-5 advisor regressions
+# ---------------------------------------------------------------------------
+
+
+def test_single_quantifier_3vl(movie_engine):
+    # openCypher 3VL for single(): false once two elements satisfy the
+    # predicate; null while the outcome still depends on a null predicate
+    # result; otherwise true-count == 1
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        RETURN single(x IN [1, 2] WHERE x > 1) AS t,
+               single(x IN [1, null, 2] WHERE x > 1) AS n1,
+               single(x IN [2, null, 3] WHERE x > 1) AS f2,
+               single(x IN [1] WHERE x > 5) AS f0,
+               single(x IN [] WHERE x > 1) AS fe
+        """
+    )
+    row = df.collect()[0]
+    assert (row.t, row.n1, row.f2, row.f0, row.fe) == (
+        True,
+        None,
+        False,
+        False,
+        False,
+    )
+
+
+def test_shortest_path_min_hops_above_one_rejected(movie_engine):
+    # Neo4j rejects shortestPath with a minimal length other than 0/1;
+    # the previous dist >= n post-filter silently dropped pairs
+    with pytest.raises(TranspilerNotSupportedError, match="minimal hop"):
+        movie_engine.cypher(
+            "MATCH p = shortestPath((a:Person)-[:FOLLOWS*2..]->(b:Person)) "
+            "RETURN length(p) AS hops"
+        )
+
+
+def test_shortest_path_variable_through_with(movie_engine):
+    # PathRef.columns() carries the virtual hop's __dist property, so a
+    # shortestPath path variable survives WITH (advisor item 1)
+    df = movie_engine.cypher(
+        """
+        MATCH p = shortestPath((a:Person)-[:FOLLOWS*]->(b:Person))
+        WITH p, a.Name AS name
+        WHERE name = 'Rob Reiner'
+        RETURN name, max(length(p)) AS hops
+        """
+    )
+    assert rows(df) == {("Rob Reiner", 3)}
+
+
+def test_with_star_keeps_user_generated_looking_alias(movie_engine):
+    # an alias that MATCHES the generated pattern (`__foo_1`) but was
+    # written by the user survives * — exclusion is by membership in the
+    # planner's generated set, not by regex
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        WITH p.Born AS __x_1 WITH * RETURN __x_1
+        """
+    )
+    assert rows(df) == {(1956,)}
+
+
+def test_multi_rel_type_inside_unwind_expr(movie_engine):
+    # [:A|B] inside an UNWIND's pattern comprehension reaches the engine's
+    # union-edge rewrite (advisor item 5: UnwindClause.expr is walked)
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person) WHERE p.Name = 'Nora Ephron'
+        UNWIND [(p)-[:ACTED_IN|DIRECTED]->(m:Movie) | m.Title] AS title
+        RETURN title
+        """
+    )
+    assert rows(df) == {("Sleepless in Seattle",), ("You've Got Mail",)}
