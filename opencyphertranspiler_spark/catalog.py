@@ -198,17 +198,23 @@ CATALOG: list[CatalogEntry] = [
     ),
     # ---- group 5: DISTINCT on a whole entity through WITH ----
     CatalogEntry(
+        # merged former q30: entity DISTINCT (WITH DISTINCT c) and value
+        # DISTINCT (RETURN DISTINCT) in one pipeline, freeing a gate slot
+        # for q39_anchored_reachability
         name="q07_distinct_entity",
         cypher="""
             MATCH (c:Customer)-[:PLACED]->(o:Orders)
             WITH DISTINCT c
-            RETURN c.c_mktsegment AS seg, count(c) AS n
+            WITH c.c_mktsegment AS seg, count(c) AS n
+            RETURN DISTINCT seg, n
         """,
         oracle="""
-            SELECT c_mktsegment AS seg, count(*) AS n
-            FROM (SELECT DISTINCT c.* FROM customer c
-                  JOIN orders o ON o.o_custkey = c.c_custkey)
-            GROUP BY c_mktsegment
+            SELECT DISTINCT c_mktsegment AS seg, n FROM (
+                SELECT c_mktsegment, count(*) AS n
+                FROM (SELECT DISTINCT c.* FROM customer c
+                      JOIN orders o ON o.o_custkey = c.c_custkey)
+                GROUP BY c_mktsegment
+            )
         """,
         tags=("distinct",),
     ),
@@ -550,16 +556,6 @@ CATALOG += [
         """,
         tags=("collect", "unwind"),
     ),
-    # ---- plain DISTINCT on values ----
-    CatalogEntry(
-        name="q30_distinct_values",
-        cypher="""
-            MATCH (c:Customer)
-            RETURN DISTINCT c.c_mktsegment AS seg
-        """,
-        oracle="SELECT DISTINCT c_mktsegment AS seg FROM customer",
-        tags=("distinct",),
-    ),
     # ---- HAVING-style: WHERE on an aggregate alias after WITH ----
     CatalogEntry(
         name="q35_having_on_aggregate",
@@ -688,7 +684,12 @@ CATALOG += [
     # "same customer, strictly later orderkey" — exact, no recursion needed.
     CatalogEntry(
         name="q38_unbounded_varlength",
-        fn=lambda spark, sf_dir: _q38_unbounded(spark, sf_dir),
+        fn=lambda spark, sf_dir: _next_order_engine(spark, sf_dir).cypher(
+            """
+            MATCH (a:Orders)-[:NEXT*]->(b:Orders)
+            RETURN a.o_orderkey AS src_order, b.o_orderkey AS dst_order
+            """
+        ),
         oracle="""
             SELECT a.o_orderkey AS src_order, b.o_orderkey AS dst_order
             FROM orders a
@@ -697,13 +698,36 @@ CATALOG += [
         """,
         tags=("match", "var-length", "unbounded", "reachability"),
     ),
+    # ---- anchored reachability pushdown: a literal equality on the
+    # unbounded hop's endpoint seeds the fixpoint from the anchor set
+    # (single-source BFS proportional to the reachable set) instead of
+    # materializing the closure of the whole edge table
+    # (engine.py:_find_anchor / pipeline/graph.py:reachable_from) ----
+    CatalogEntry(
+        name="q39_anchored_reachability",
+        fn=lambda spark, sf_dir: _next_order_engine(spark, sf_dir).cypher(
+            """
+            MATCH (a:Orders {o_orderkey: 1})-[:NEXT*]->(b:Orders)
+            RETURN b.o_orderkey AS dst_order, b.o_orderstatus AS status
+            """
+        ),
+        oracle="""
+            SELECT b.o_orderkey AS dst_order, b.o_orderstatus AS status
+            FROM orders a
+            JOIN orders b ON b.o_custkey = a.o_custkey
+                         AND b.o_orderkey > a.o_orderkey
+            WHERE a.o_orderkey = 1
+        """,
+        tags=("match", "var-length", "unbounded", "anchored"),
+    ),
 ]
 
 
-def _q38_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _next_order_engine(spark: SparkSession, sf_dir: str):
     """Engine with an extra Orders-[:NEXT]->Orders successor edge (each
     order to the same customer's next order by key); `[:NEXT*]` then
-    reaches every strictly-later order of the same customer."""
+    reaches every strictly-later order of the same customer — the
+    closed-form oracle needs no recursion."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -732,13 +756,7 @@ def _q38_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.edges
         + [EdgeSchema("NEXT", "Orders", "Orders", "orders_next", "src", "dst")],
     )
-    eng = CypherEngine(spark, graph, reg)
-    return eng.cypher(
-        """
-        MATCH (a:Orders)-[:NEXT*]->(b:Orders)
-        RETURN a.o_orderkey AS src_order, b.o_orderkey AS dst_order
-        """
-    )
+    return CypherEngine(spark, graph, reg)
 
 
 # ---------------------------------------------------------------------------

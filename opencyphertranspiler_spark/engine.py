@@ -75,9 +75,14 @@ class CypherEngine:
 
     @staticmethod
     def _pattern_triples(ast_query):
-        """Yield every (left_node, rel, right_node) hop in the query —
-        MATCH patterns plus exists(pattern) predicates in any clause's
-        WHERE (MATCH, WITH and RETURN all accept them)."""
+        """Yield every (single_query, clause, part, left_node, rel,
+        right_node) hop in the query — MATCH patterns plus
+        exists(pattern) predicates / pattern comprehensions embedded in
+        any clause's WHERE, projection items, or UNWIND expression.
+
+        ``clause`` is the enclosing clause for MATCH pattern parts and
+        None for expression-embedded parts (their WHERE scope is their
+        own, so clause-level predicates must not be attributed to them)."""
 
         def single_queries(q):
             if isinstance(q, A.UnionQuery):
@@ -88,7 +93,8 @@ class CypherEngine:
 
         def parts_of(clause):
             if isinstance(clause, A.MatchClause):
-                yield from clause.patterns
+                for p in clause.patterns:
+                    yield p, clause
             # pattern predicates / comprehensions can sit in any clause's
             # WHERE, in projection items, and in an UNWIND's list
             # expression — their inner patterns need the same
@@ -103,15 +109,15 @@ class CypherEngine:
             for expr in exprs:
                 for n in expr.walk():
                     if isinstance(n, A.PatternPredicate):
-                        yield n.part
+                        yield n.part, None
                     elif isinstance(n, A.PatternComprehension):
-                        yield n.part
+                        yield n.part, None
 
         for sq in single_queries(ast_query):
             for clause in sq.clauses:
-                for part in parts_of(clause):
+                for part, owner in parts_of(clause):
                     for i, rel in enumerate(part.rels):
-                        yield part, part.nodes[i], rel, part.nodes[i + 1]
+                        yield sq, owner, part, part.nodes[i], rel, part.nodes[i + 1]
 
     # -- multiple relationship types `[:A|B]` ------------------------------
     # The reference rejects type alternation outright
@@ -133,7 +139,9 @@ class CypherEngine:
     ) -> tuple[GraphSchema, TableRegistry]:
         rewrites = [
             (left, rel, right)
-            for _part, left, rel, right in self._pattern_triples(ast_query)
+            for _sq, _cl, _part, left, rel, right in self._pattern_triples(
+                ast_query
+            )
             if rel.alt_verbs
         ]
         if not rewrites:
@@ -311,9 +319,11 @@ class CypherEngine:
         self, ast_query, graph: GraphSchema, tables: TableRegistry
     ) -> tuple[GraphSchema, TableRegistry]:
         rewrites = []
-        for part, left, rel, right in self._pattern_triples(ast_query):
+        for sq, clause, part, left, rel, right in self._pattern_triples(
+            ast_query
+        ):
             if rel.min_hops is not None and rel.max_hops is None:
-                rewrites.append((part, left, rel, right))
+                rewrites.append((sq, clause, part, left, rel, right))
         if not rewrites:
             return graph, tables
 
@@ -322,7 +332,7 @@ class CypherEngine:
         for name in tables.names():
             overlay.register(name, lambda n=name: tables.get(n))
 
-        for part, left, rel, right in rewrites:
+        for sq, clause, part, left, rel, right in rewrites:
             if rel.verb is None:
                 raise TranspilerNotSupportedError(
                     "An unbounded variable-length relationship needs an "
@@ -348,6 +358,13 @@ class CypherEngine:
                     f"'{rel.verb}' — label both endpoint nodes"
                 )
             edge = cands[0]
+            # anchored pushdown: a literal equality on an endpoint (inline
+            # map or top-level WHERE conjunct) seeds the fixpoint from the
+            # filtered anchor set — single/multi-source BFS proportional
+            # to the reachable set, instead of closure-of-everything
+            src_node, snk_node = (left, right) if fwd else (right, left)
+            anchor = self._find_anchor(sq, clause, src_node, snk_node, edge, graph)
+            asuf = "" if anchor is None else f"_a{anchor[2]}"
             if getattr(part, "shortest", False) and rel.min_hops > 1:
                 # Neo4j rejects shortestPath with a minimal length other
                 # than 0/1 rather than reinterpreting it — filtering the
@@ -362,37 +379,41 @@ class CypherEngine:
                 # shortestPath(): the virtual edge carries the true hop
                 # count as __dist; length(p) reads it (PathRef handling).
                 # Memoized like plain reachability — the BFS fixpoint runs
-                # once per (edge, min_hops) per engine lifetime.
-                skey = ("shortest", edge.id, rel.min_hops)
+                # once per (edge, min_hops, anchor) per engine lifetime.
+                skey = ("shortest", edge.id, rel.min_hops, asuf)
                 if skey in self._reach_cache:
                     reach = self._reach_cache[skey]
                 else:
                     from .pipeline.graph import shortest_path_lengths
 
-                    e_df = tables.get(edge.table).select(
-                        F.col(edge.source_id_property).alias("src"),
-                        F.col(edge.sink_id_property).alias("dst"),
-                    )
+                    e_df, seeds = self._edge_and_seeds(edge, anchor, tables, graph)
                     sp = shortest_path_lengths(
-                        e_df, max_iters=self.reach_max_iters
+                        e_df, max_iters=self.reach_max_iters, sources=seeds
                     )
+                    if anchor is not None and anchor[0] == "dst":
+                        # BFS ran over reversed edges; flip pairs back
+                        sp = sp.select(
+                            F.col("dst").alias("src"),
+                            F.col("src").alias("dst"),
+                            "dist",
+                        )
                     reach = sp.select(
                         F.col("src").alias(edge.source_id_property),
                         F.col("dst").alias(edge.sink_id_property),
                         F.col("dist").alias("__dist"),
                     )
                     self._reach_cache[skey] = reach
-                vname = f"__spath_{rel.min_hops}_{edge.id}"
-                vverb = f"__SPATH{rel.min_hops}_{edge.id}"
+                vname = f"__spath_{rel.min_hops}_{edge.id}{asuf}"
+                vverb = f"__SPATH{rel.min_hops}_{edge.id}{asuf}"
                 props = (EntityProperty("__dist", "long"),)
             else:
-                reach = self._reachability(edge, rel.min_hops, tables)
-                vname = f"__reach_{rel.min_hops}_{edge.id}"
+                reach = self._reachability(edge, rel.min_hops, tables, anchor, graph)
+                vname = f"__reach_{rel.min_hops}_{edge.id}{asuf}"
                 # key the virtual verb by the full edge IDENTITY, not just
                 # the verb: one verb can back several (source, sink) label
                 # pairs (e.g. FROM_NATION on Customer and Supplier), each
                 # needing its own reachability table
-                vverb = f"__REACH{rel.min_hops}_{edge.id}"
+                vverb = f"__REACH{rel.min_hops}_{edge.id}{asuf}"
                 props = ()
             overlay.register_df(vname, reach)
             if not any(e.verb == vverb for e in extra_edges):
@@ -418,27 +439,162 @@ class CypherEngine:
         merged = GraphSchema(graph.nodes, graph.edges + extra_edges)
         return merged, overlay
 
-    def _reachability(
-        self, edge: EdgeSchema, min_hops: int, tables: TableRegistry
-    ) -> DataFrame:
-        key = (edge.id, min_hops)
-        if key in self._reach_cache:
-            return self._reach_cache[key]
-        from .pipeline.graph import transitive_closure_doubling
+    # -- anchored pushdown -------------------------------------------------
+    @staticmethod
+    def _anchor_preds(sq, clause, node) -> list[tuple[str, object]]:
+        """Literal equality predicates pinned to ``node``'s alias that are
+        guaranteed to hold on every surviving row binding it: the node's
+        own inline property map, plus — for hops written directly in a
+        MATCH clause — inline maps and top-level WHERE equality conjuncts
+        on the same alias from the clause itself and from every
+        non-optional MATCH clause in the same projection segment (node
+        aliases are stable between WITH boundaries). Values must be
+        non-null literals; a piped or parameterized anchor is not
+        detected (documented limitation)."""
+        preds = [
+            (k, v.value)
+            for k, v in node.props
+            if isinstance(v, A.Literal) and v.value is not None
+        ]
+        if clause is None or node.alias is None or sq is None:
+            return preds
 
+        def collect_where(where):
+            stack = [where] if where is not None else []
+            while stack:
+                e = stack.pop()
+                if isinstance(e, A.Binary) and e.op == A.BinaryOp.AND:
+                    stack += [e.left, e.right]
+                elif isinstance(e, A.Binary) and e.op == A.BinaryOp.EQ:
+                    for a, b in ((e.left, e.right), (e.right, e.left)):
+                        if (
+                            isinstance(a, A.Property)
+                            and not a.path
+                            and a.alias == node.alias
+                            and isinstance(b, A.Literal)
+                            and b.value is not None
+                        ):
+                            preds.append((a.prop, b.value))
+
+        # the projection segment (clauses between WITH boundaries)
+        # containing the hop's clause — the parser guarantees a trailing
+        # RETURN, so the break always fires
+        segment: list = []
+        for c in sq.clauses:
+            if isinstance(c, A.ProjectionClause):
+                if clause in segment:
+                    break
+                segment = []
+            else:
+                segment.append(c)
+        for c in segment:
+            if not isinstance(c, A.MatchClause):
+                continue
+            if c.optional and c is not clause:
+                # an optional clause's filters only apply inside its own
+                # fork — usable only when it IS the hop's clause
+                continue
+            collect_where(c.where)
+            for p in c.patterns:
+                for n in p.nodes:
+                    if n is not node and n.alias == node.alias:
+                        preds.extend(
+                            (k, v.value)
+                            for k, v in n.props
+                            if isinstance(v, A.Literal) and v.value is not None
+                        )
+        return preds
+
+    def _find_anchor(self, sq, clause, src_node, snk_node, edge, graph):
+        """(side, preds, fingerprint) when an endpoint of an unbounded hop
+        carries literal equality predicates that can seed the fixpoint;
+        None otherwise. The source side is preferred (forward BFS); a
+        sink-side anchor runs the BFS over reversed edges."""
+        import hashlib
+
+        for side, node, label in (
+            ("src", src_node, edge.source_label),
+            ("dst", snk_node, edge.sink_label),
+        ):
+            nsch = graph.get_node(label)
+            preds = [
+                (p, v)
+                for p, v in self._anchor_preds(sq, clause, node)
+                if p in nsch.property_names
+            ]
+            if preds:
+                preds = sorted(set(preds), key=repr)
+                fp = hashlib.md5(
+                    repr((side, [(p, repr(v)) for p, v in preds])).encode()
+                ).hexdigest()[:10]
+                return side, preds, fp
+        return None
+
+    def _edge_and_seeds(self, edge, anchor, tables, graph):
+        """The hop's (src, dst) edge DataFrame — reversed when the anchor
+        sits on the sink side, so the BFS always runs forward from the
+        seeds — plus the seed id set (None when unanchored)."""
         e = tables.get(edge.table).select(
             F.col(edge.source_id_property).alias("src"),
             F.col(edge.sink_id_property).alias("dst"),
         )
-        # path doubling: O(log diameter) rounds — user graphs reached via
-        # `[:V*]` have unbounded diameter, so the semi-naive O(diameter)
-        # loop would mean diameter-many driver round-trips
-        r1 = transitive_closure_doubling(e, max_iters=self.reach_max_iters)
+        if anchor is None:
+            return e, None
+        side, preds, _fp = anchor
+        label = edge.source_label if side == "src" else edge.sink_label
+        nsch = graph.get_node(label)
+        cond = None
+        for prop, value in preds:
+            c = F.col(prop) == F.lit(value)
+            cond = c if cond is None else cond & c
+        seeds = (
+            tables.get(nsch.table)
+            .filter(cond)
+            .select(F.col(nsch.id_property).alias("seed"))
+            .distinct()
+        )
+        if side == "dst":
+            e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        return e, seeds
+
+    def _reachability(
+        self,
+        edge: EdgeSchema,
+        min_hops: int,
+        tables: TableRegistry,
+        anchor=None,
+        graph: GraphSchema | None = None,
+    ) -> DataFrame:
+        key = (edge.id, min_hops, "" if anchor is None else anchor[2])
+        if key in self._reach_cache:
+            return self._reach_cache[key]
+        e, seeds = self._edge_and_seeds(edge, anchor, tables, graph)
+        if seeds is None:
+            # path doubling: O(log diameter) rounds — user graphs reached
+            # via `[:V*]` have unbounded diameter, so the semi-naive
+            # O(diameter) loop would mean diameter-many driver round-trips
+            from .pipeline.graph import transitive_closure_doubling
+
+            r1 = transitive_closure_doubling(e, max_iters=self.reach_max_iters)
+        else:
+            # anchored: multi-source semi-naive BFS — per-round work is
+            # proportional to the anchored frontier, never the full
+            # closure; rounds equal the anchor set's eccentricity
+            from .pipeline.graph import reachable_from
+
+            r1 = reachable_from(e, seeds, max_iters=self.reach_max_iters)
         out = r1
         if min_hops > 1:
             # length >= n decomposes into an exact (n-1)-hop prefix plus a
             # >= 1-hop suffix; pair-distinct composition preserves existence
-            exact = e.distinct()
+            if seeds is None:
+                exact = e.distinct()
+            else:
+                exact = (
+                    seeds.join(e, seeds["seed"] == e["src"])
+                    .select("src", "dst")
+                    .distinct()
+                )
             for _ in range(min_hops - 2):
                 exact = (
                     exact.alias("x")
@@ -448,11 +604,23 @@ class CypherEngine:
                     )
                     .distinct()
                 )
+            if seeds is None:
+                suffix = r1
+            else:
+                from .pipeline.graph import reachable_from
+
+                suffix = reachable_from(
+                    e, exact.select("dst"), max_iters=self.reach_max_iters
+                )
             out = (
                 exact.alias("x")
-                .join(r1.alias("r"), F.col("x.dst") == F.col("r.src"))
+                .join(suffix.alias("r"), F.col("x.dst") == F.col("r.src"))
                 .select(F.col("x.src").alias("src"), F.col("r.dst").alias("dst"))
                 .distinct()
+            )
+        if anchor is not None and anchor[0] == "dst":
+            out = out.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
             )
         out = out.select(
             F.col("src").alias(edge.source_id_property),

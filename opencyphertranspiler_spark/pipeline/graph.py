@@ -19,8 +19,33 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def _no_constraint_propagation(df: DataFrame):
+    """Disable Catalyst constraint propagation for the duration.
+
+    Spark 4.1's union constraint rewrite can fail with an internal
+    `key not found: <attr>` when a localCheckpoint'ed join result is
+    unioned with a plan derived from the same base relation (the
+    checkpointed LogicalRDD keeps constraints referencing pre-checkpoint
+    attribute ids). The fixpoint loops below checkpoint every round, so
+    constraint-derived optimizations buy nothing here anyway."""
+    spark = df.sparkSession
+    key = "spark.sql.constraintPropagation.enabled"
+    try:
+        old = spark.conf.get(key)
+    except Exception:  # pragma: no cover — conf always exists
+        old = "true"
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def transitive_closure(
@@ -93,40 +118,86 @@ def shortest_path_lengths(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 200,
+    sources: DataFrame | None = None,
 ) -> DataFrame:
     """(src, dst, dist) — the length of the shortest directed path.
 
     Same semi-naive loop as transitive_closure: a pair's FIRST appearance
     in the frontier is by construction via a shortest path, so the round
-    number is the distance (unweighted BFS over joins)."""
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .persist()
-    )
-    seen = e.withColumn("dist", F.lit(1)).localCheckpoint(eager=True)
-    frontier = seen
-    for k in range(2, max_iters + 2):
-        nxt = (
-            frontier.alias("f")
-            .join(e.alias("e2"), F.col("f.dst") == F.col("e2.src"))
-            .select(F.col("f.src").alias("src"), F.col("e2.dst").alias("dst"))
+    number is the distance (unweighted BFS over joins).
+
+    ``sources`` (a single-column DataFrame of seed node ids) switches to
+    the ANCHORED single/multi-source form: the BFS starts from the seed
+    set only, so every round's join touches the expanding frontier of the
+    reachable set — never the full edge closure. This is the 100 TB shape
+    for `MATCH (a {key: k})-[:V*]->(b)`: work is proportional to what the
+    anchor can reach, and rounds to its eccentricity."""
+    with _no_constraint_propagation(edges):
+        e = (
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
             .distinct()
-            .join(seen.select("src", "dst"), ["src", "dst"], "left_anti")
-            .withColumn("dist", F.lit(k))
-            .localCheckpoint(eager=True)
+            .persist()
         )
-        if nxt.isEmpty():
-            break
-        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
-    else:
+        if sources is None:
+            seen = e.withColumn("dist", F.lit(1)).localCheckpoint(eager=True)
+        else:
+            seeds = (
+                sources.select(F.col(sources.columns[0]).alias("__seed"))
+                .distinct()
+            )
+            seen = (
+                e.join(seeds, F.col("src") == F.col("__seed"), "left_semi")
+                .withColumn("dist", F.lit(1))
+                .localCheckpoint(eager=True)
+            )
+        frontier = seen
+        for k in range(2, max_iters + 2):
+            nxt = (
+                frontier.alias("f")
+                .join(e.alias("e2"), F.col("f.dst") == F.col("e2.src"))
+                .select(F.col("f.src").alias("src"), F.col("e2.dst").alias("dst"))
+                .distinct()
+                .join(seen.select("src", "dst"), ["src", "dst"], "left_anti")
+                .withColumn("dist", F.lit(k))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        else:
+            e.unpersist()
+            raise RuntimeError(
+                f"shortest_path_lengths did not converge within {max_iters} rounds"
+            )
         e.unpersist()
+        return seen
+
+
+def reachable_from(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 200,
+) -> DataFrame:
+    """All distinct (src, dst) pairs with src IN ``sources`` and a
+    directed path src -> dst: the anchored transitive closure.
+
+    Semi-naive multi-source BFS (``shortest_path_lengths`` with seeds,
+    minus the distance column): per-round work is proportional to the
+    anchored frontier, never the whole-graph closure — the difference
+    between a single-source probe and closure-of-everything at 100 TB.
+    Rounds equal the anchor set's eccentricity; for the long-chain worst
+    case from MANY anchors, prefer ``transitive_closure_doubling`` and
+    filter, which trades full-closure work for O(log diameter) rounds."""
+    try:
+        sp = shortest_path_lengths(edges, src, dst, max_iters, sources=sources)
+    except RuntimeError:
         raise RuntimeError(
-            f"shortest_path_lengths did not converge within {max_iters} rounds"
-        )
-    e.unpersist()
-    return seen
+            f"reachable_from did not converge within {max_iters} rounds"
+        ) from None
+    return sp.select("src", "dst")
 
 
 def connected_components(

@@ -787,3 +787,32 @@ def test_cosine_near_dup_pairs(spark):
         for r in cosine_near_dup_pairs(df, threshold=0.99, dim=64).collect()
     }
     assert got == expected  # all twins found, no random pair at 0.99
+
+
+def test_reachable_from_anchored(spark):
+    from opencyphertranspiler_spark.pipeline.graph import (
+        reachable_from,
+        transitive_closure,
+    )
+
+    # chain 1->2->3->4, branch 2->5, disjoint 10->11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, 5), (10, 11)], "src: long, dst: long"
+    )
+    seeds = spark.createDataFrame([(2,)], "id: long")
+    got = {(r.src, r.dst) for r in reachable_from(edges, seeds).collect()}
+    assert got == {(2, 3), (2, 4), (2, 5)}
+    # multi-source: seeds in both components
+    seeds2 = spark.createDataFrame([(3,), (10,)], "id: long")
+    got2 = {(r.src, r.dst) for r in reachable_from(edges, seeds2).collect()}
+    assert got2 == {(3, 4), (10, 11)}
+    # empty seed set -> empty result, not an error
+    empty = spark.createDataFrame([], "id: long")
+    assert reachable_from(edges, empty).count() == 0
+    # anchored result == full closure filtered to the seed (equivalence)
+    full = {
+        (r.src, r.dst)
+        for r in transitive_closure(edges).collect()
+        if r.src == 2
+    }
+    assert got == full
