@@ -269,6 +269,9 @@ CATALOG: list[CatalogEntry] = [
     ),
     # ---- group 8: aggregation library ----
     CatalogEntry(
+        # merged former q28 (first/last MIN/MAX parity + percentileCont)
+        # into the aggregate-library entry, freeing a gate slot for
+        # q40_temporal
         name="q11_agg_library",
         cypher="""
             MATCH (o:Orders)
@@ -276,14 +279,18 @@ CATALOG: list[CatalogEntry] = [
                    round(avg(o.o_totalprice), 2) AS avg_p,
                    round(stdev(o.o_totalprice), 2) AS sd,
                    round(sum(o.o_totalprice), 1) AS total,
-                   min(o.o_orderdate) AS mn, max(o.o_orderdate) AS mx
+                   min(o.o_orderdate) AS mn, max(o.o_orderdate) AS mx,
+                   first(o.o_orderstatus) AS fs, last(o.o_orderstatus) AS ls,
+                   round(percentileCont(o.o_totalprice, 0.5), 2) AS median_price
         """,
         oracle="""
             SELECT o_orderpriority AS pri, count(*) AS n,
                    round(avg(o_totalprice), 2) AS avg_p,
                    round(stddev_samp(o_totalprice), 2) AS sd,
                    round(sum(o_totalprice), 1) AS total,
-                   min(o_orderdate) AS mn, max(o_orderdate) AS mx
+                   min(o_orderdate) AS mn, max(o_orderdate) AS mx,
+                   min(o_orderstatus) AS fs, max(o_orderstatus) AS ls,
+                   round(quantile_cont(o_totalprice, 0.5), 2) AS median_price
             FROM orders GROUP BY o_orderpriority
         """,
         bench=True,
@@ -521,22 +528,35 @@ CATALOG += [
         """,
         tags=("casts",),
     ),
-    # ---- first/last (reference lowers to MIN/MAX) + percentileCont ----
+    # ---- temporal library (extension; the reference has NO temporal
+    # functions — SURVEY.md §2.4): constructors date()/datetime(),
+    # accessor properties (.year/.quarter/.dayOfWeek), duration() map
+    # form, and timestamp + duration arithmetic ----
     CatalogEntry(
-        name="q28_first_last_percentile",
+        name="q40_temporal",
         cypher="""
             MATCH (o:Orders)
-            RETURN o.o_orderstatus AS st, first(o.o_orderpriority) AS fp,
-                   last(o.o_orderpriority) AS lp,
-                   round(percentileCont(o.o_totalprice, 0.5), 2) AS median_price
+            WHERE o.o_orderdate >= datetime('1995-01-01T00:00:00')
+              AND o.o_orderdate < datetime('1996-01-01')
+            RETURN o.o_orderdate.year AS yr, o.o_orderdate.quarter AS qtr,
+                   count(*) AS n,
+                   toString(min(date(o.o_orderdate))) AS first_day,
+                   max(o.o_orderdate + duration({days: 30, hours: 12})) AS plus30,
+                   min(o.o_orderdate.dayOfWeek) AS dow_min
         """,
         oracle="""
-            SELECT o_orderstatus AS st, min(o_orderpriority) AS fp,
-                   max(o_orderpriority) AS lp,
-                   round(quantile_cont(o_totalprice, 0.5), 2) AS median_price
-            FROM orders GROUP BY o_orderstatus
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                   CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+                   count(*) AS n,
+                   CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS first_day,
+                   max(o_orderdate + INTERVAL 30 DAY + INTERVAL 12 HOUR) AS plus30,
+                   CAST(min(isodow(o_orderdate)) AS INTEGER) AS dow_min
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+            GROUP BY 1, 2
         """,
-        tags=("agg",),
+        tags=("temporal",),
     ),
     # ---- collect() -> list column -> UNWIND round trip ----
     CatalogEntry(

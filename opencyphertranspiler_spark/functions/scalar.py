@@ -143,6 +143,20 @@ def compile_scalar(name: str, args: list[Column]) -> Column:
         return F.when(empty, F.array().cast("array<long>")).when(
             ~empty, F.sequence(start, stop, step)
         )
+    # --- temporal constructors (extensions; the reference has NO temporal
+    # library at all — SURVEY.md §2.4 "no date/math library",
+    # Function.cs:120-348 stops at string/cast functions). duration() and
+    # the accessor properties (x.year, x.epochMillis, ...) live in the
+    # expression compiler (they need map-literal / typed-field context). ---
+    if name == "date":
+        # date('2020-01-05') / date(timestamp) — truncates, Neo4j-style
+        _arity(name, args, 1)
+        return F.to_date(args[0])
+    if name == "datetime":
+        # datetime('2020-01-05T10:00:00') / datetime(date) — ISO strings
+        # with or without 'T' both cast; our tables carry plain TIMESTAMP
+        _arity(name, args, 1)
+        return args[0].cast("timestamp")
     if name == "head":
         _arity(name, args, 1)
         return F.try_element_at(args[0], F.lit(1))

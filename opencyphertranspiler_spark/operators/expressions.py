@@ -34,6 +34,28 @@ from ..plans.logical import ColRef, EntityRef, Env, PathRef
 
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
+_TEMPORAL_TYPES = (T.DateType, T.TimestampType, T.TimestampNTZType)
+
+# temporal accessor properties (extension; Neo4j `x.year` style). Keys are
+# lower-cased — Cypher property access is case-sensitive in Neo4j, but the
+# common spellings (year, dayOfWeek, epochMillis) normalize cleanly.
+# dayOfWeek follows Neo4j/ISO numbering (1 = Monday); Spark's dayofweek is
+# 1 = Sunday, hence the shift.
+_TEMPORAL_ACCESSORS: dict = {
+    "year": F.year,
+    "month": F.month,
+    "day": F.dayofmonth,
+    "hour": F.hour,
+    "minute": F.minute,
+    "second": F.second,
+    "week": F.weekofyear,
+    "quarter": F.quarter,
+    "dayofweek": lambda c: ((F.dayofweek(c) + F.lit(5)) % F.lit(7)) + F.lit(1),
+    "dayofyear": F.dayofyear,
+    "epochseconds": lambda c: F.unix_timestamp(c.cast("timestamp")),
+    "epochmillis": lambda c: F.unix_millis(c.cast("timestamp")),
+}
+
 
 def qcol(name: str) -> Column:
     """Column reference by exact name. Implicit projection aliases can
@@ -111,25 +133,36 @@ class ExprCompiler:
             return qcol(ref.col)
         if isinstance(expr, A.Property):
             if expr.alias in self._lambda_scope:
-                # struct-field access on a lambda variable (e.g. iterating
-                # properties() structs)
-                col = self._lambda_scope[expr.alias].getField(expr.prop)
+                # field access on a lambda variable (e.g. iterating
+                # properties() structs, or temporal accessors on dates)
+                col = self._access_field(
+                    self._lambda_scope[expr.alias],
+                    expr.prop,
+                    known_type=self._lambda_types.get(expr.alias),
+                )
                 for fld in expr.path:
-                    col = col.getField(fld)
+                    col = self._access_field(col, fld)
                 return col
             ref = self._ref(expr.alias)
             if not isinstance(ref, EntityRef):
-                raise TranspilerBindingError(
-                    f"'{expr.alias}' is not an entity; cannot access "
-                    f"property '{expr.prop}'"
-                )
+                if isinstance(ref, PathRef):
+                    raise TranspilerBindingError(
+                        f"'{expr.alias}' is a path variable; cannot access "
+                        f"property '{expr.prop}'"
+                    )
+                # scalar alias: struct-field access (map literals piped
+                # through WITH) or temporal accessor (d.year — extension)
+                col = qcol(ref.col)
+                for fld in [expr.prop, *expr.path]:
+                    col = self._access_field(col, fld)
+                return col
             if expr.prop not in ref.property_names:
                 raise TranspilerBindingError(
                     f"Property '{expr.prop}' is not defined on '{expr.alias}'"
                 )
             col = qcol(ref.col(expr.prop))
-            for fld in expr.path:  # struct-field path: n.meta.width
-                col = col.getField(fld)
+            for fld in expr.path:  # struct field or temporal accessor
+                col = self._access_field(col, fld)
             return col
         if isinstance(expr, A.Unary):
             return self._unary(expr)
@@ -139,6 +172,8 @@ class ExprCompiler:
             entity_fn = self._entity_function(expr)
             if entity_fn is not None:
                 return entity_fn
+            if expr.name == "duration":
+                return self._duration(expr)
             args = [self.compile(a) for a in expr.args]
             if expr.name == "size" and args:
                 # Cypher size() is overloaded: list length vs string length
@@ -156,7 +191,7 @@ class ExprCompiler:
         if isinstance(expr, A.Reduce):
             return self._reduce(expr)
         if isinstance(expr, A.FieldAccess):
-            return self.compile(expr.base).getField(expr.fld)
+            return self._access_field(self.compile(expr.base), expr.fld)
         if isinstance(expr, A.MapLiteral):
             return F.struct(
                 *[self.compile(v).alias(k) for k, v in expr.items]
@@ -209,6 +244,55 @@ class ExprCompiler:
                 "conjunct of a MATCH WHERE"
             )
         raise TranspilerInternalError(f"Unknown expression node {expr!r}")
+
+    def _access_field(
+        self, col: Column, fld: str, known_type: T.DataType | None = None
+    ) -> Column:
+        """Resolve ``.fld`` on a value: struct field when the (probed or
+        hinted) type is a struct, temporal accessor (extension —
+        ``x.year``, ``x.dayOfWeek``, ``x.epochMillis``) on date/timestamp
+        values, else Catalyst-checked getField."""
+        t = known_type
+        if t is None and not self._lambda_depth:
+            try:
+                t = self.dtype(col)
+            except Exception:
+                t = None
+        if isinstance(t, T.StructType):
+            return col.getField(fld)
+        acc = _TEMPORAL_ACCESSORS.get(fld.lower())
+        if acc is not None and (t is None or isinstance(t, _TEMPORAL_TYPES)):
+            return acc(col)
+        return col.getField(fld)
+
+    def _duration(self, expr: A.FuncCall) -> Column:
+        """duration({days: 3, hours: 12}) -> day-time interval (extension;
+        the reference has no temporal library). Month/year components need
+        Spark's separate year-month interval type, which cannot mix with
+        day-time — rejected with a typed error."""
+        if len(expr.args) != 1 or not isinstance(expr.args[0], A.MapLiteral):
+            raise TranspilerNotSupportedError(
+                "duration() takes a single map literal, e.g. "
+                "duration({days: 3, hours: 12})"
+            )
+        parts = {k.lower(): self.compile(v) for k, v in expr.args[0].items}
+        allowed = {"weeks", "days", "hours", "minutes", "seconds", "milliseconds"}
+        bad = set(parts) - allowed
+        if bad:
+            raise TranspilerNotSupportedError(
+                f"duration() components {sorted(bad)} are not supported; "
+                "use weeks/days/hours/minutes/seconds/milliseconds "
+                "(month/year durations would need a year-month interval)"
+            )
+        zero = F.lit(0)
+        days = parts.get("days", zero) + parts.get("weeks", zero) * F.lit(7)
+        secs = (
+            parts.get("seconds", zero).cast("double")
+            + parts.get("milliseconds", zero).cast("double") / F.lit(1000.0)
+        )
+        return F.make_dt_interval(
+            days, parts.get("hours", zero), parts.get("minutes", zero), secs
+        )
 
     def _entity_function(self, expr: A.FuncCall) -> Column | None:
         """labels(n) / type(r) / id(n) — extensions over entity aliases
@@ -576,8 +660,10 @@ class ExprCompiler:
             return "string"
         if isinstance(t, T.NumericType):
             return "numeric"
-        if isinstance(t, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        if isinstance(t, _TEMPORAL_TYPES):
             return "datetime"
+        if isinstance(t, (T.DayTimeIntervalType, T.YearMonthIntervalType)):
+            return "interval"
         return "other"
 
     def _check_binary_types(self, expr: A.Binary, l: Column, r: Column) -> None:
@@ -592,8 +678,23 @@ class ExprCompiler:
         if op in self._ARITH_OPS:
             if "boolean" in (lt, rt):
                 bad = True
-            elif "datetime" in (lt, rt):
-                bad = True
+            elif "datetime" in (lt, rt) or "interval" in (lt, rt):
+                # temporal arithmetic (extension): timestamp/date ± duration,
+                # duration ± duration, timestamp - timestamp -> duration;
+                # everything else stays rejected like the reference
+                ok_pairs = {
+                    A.BinaryOp.PLUS: {
+                        ("datetime", "interval"),
+                        ("interval", "datetime"),
+                        ("interval", "interval"),
+                    },
+                    A.BinaryOp.MINUS: {
+                        ("datetime", "interval"),
+                        ("datetime", "datetime"),
+                        ("interval", "interval"),
+                    },
+                }.get(op, set())
+                bad = (lt, rt) not in ok_pairs
             elif "string" in (lt, rt) and op != A.BinaryOp.PLUS:
                 bad = True  # '+' concatenates; other arithmetic does not coerce
         else:  # < <= > >=

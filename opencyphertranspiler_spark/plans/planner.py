@@ -109,9 +109,10 @@ def validate_expr(expr: A.Expr, env: Env) -> None:
             raise TranspilerBindingError(f"Alias '{alias}' does not exist")
         if prop is not None:
             if isinstance(ref, ValueRef):
-                raise TranspilerBindingError(
-                    f"'{alias}' is not an entity; cannot access property '{prop}'"
-                )
+                # allowed (extension): struct-field access on a piped map
+                # value and temporal accessors (d.year) — resolved by the
+                # expression compiler / Catalyst, not the binder
+                continue
             if prop not in ref.property_names:
                 raise TranspilerBindingError(
                     f"Property '{prop}' is not defined on '{alias}' ({ref.label})"
