@@ -130,11 +130,9 @@ class Parser:
                 raise TranspilerSyntaxError(
                     f"Expected a clause keyword at position {t.pos}, got {t.value!r}"
                 )
-        # validations mirroring the reference
-        if not any(isinstance(c, (A.MatchClause, A.UnwindClause)) for c in clauses):
-            raise TranspilerNotSupportedError(
-                "Standalone WITH/RETURN with no MATCH is not supported"
-            )
+        # standalone WITH/RETURN (no reading clause) is allowed as an
+        # extension — the planner supplies a one-row source (the reference
+        # rejects it, CypherVisitor.cs:447-450,828-831)
         for prev, nxt in zip(clauses, clauses[1:]):
             if (
                 isinstance(prev, A.MatchClause)

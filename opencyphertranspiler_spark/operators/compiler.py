@@ -24,6 +24,7 @@ from ..plans.logical import (
     ExistsFlagOp,
     JoinOp,
     LogicalOp,
+    OneRowOp,
     PathRef,
     ProjectOp,
     SelectionOp,
@@ -66,6 +67,9 @@ class Compiler:
             return self._exists_flag(op)
         if isinstance(op, CollectPatternOp):
             return self._collect_pattern(op)
+        if isinstance(op, OneRowOp):
+            # one row, zero columns — the standalone WITH/RETURN source
+            return self.spark.range(1).select()
         raise TranspilerInternalError(f"Unknown operator {op!r}")
 
     # -- scan -----------------------------------------------------------------

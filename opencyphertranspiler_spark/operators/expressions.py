@@ -263,6 +263,13 @@ class ExprCompiler:
         acc = _TEMPORAL_ACCESSORS.get(fld.lower())
         if acc is not None and (t is None or isinstance(t, _TEMPORAL_TYPES)):
             return acc(col)
+        if t is not None:
+            # known non-struct, non-temporal type: clean error instead of
+            # a raw Catalyst AnalysisException
+            raise TranspilerBindingError(
+                f"Field '{fld}' is not accessible on a value of type "
+                f"{t.simpleString()}"
+            )
         return col.getField(fld)
 
     def _duration(self, expr: A.FuncCall) -> Column:

@@ -200,6 +200,16 @@ class DataSourceOp(LogicalOp):
 
 
 @dataclass
+class OneRowOp(LogicalOp):
+    """Source for standalone WITH/RETURN (extension; the reference rejects
+    projection-only queries, CypherVisitor.cs:447-450): a single row with
+    no columns — `RETURN 1+1 AS x` projects over it."""
+
+    def __repr__(self):
+        return "OneRow()"
+
+
+@dataclass
 class JoinOp(LogicalOp):
     """Equi/cross join (reference JoinOperator.cs:18-241). ``pairs`` are
     (left physical column, right physical column). ``drop_right`` lists right

@@ -40,6 +40,7 @@ from .logical import (
     ExistsFlagOp,
     JoinOp,
     LogicalOp,
+    OneRowOp,
     PathRef,
     ProjectOp,
     SelectionOp,
@@ -992,8 +993,10 @@ class _SingleQueryPlanner:
         clause: A.ProjectionClause,
         order_hint: list[A.SortItem] | None = None,
     ) -> LogicalOp:
-        if piped is None:  # pragma: no cover — parser rejects standalone RETURN
-            raise TranspilerNotSupportedError("Projection with no reading clause")
+        if piped is None:
+            # standalone WITH/RETURN (extension): project over a one-row,
+            # zero-column source — `RETURN 1+1 AS x`, `WITH $p AS x ...`
+            piped = OneRowOp(env={})
         # `WITH *` / `RETURN *` (extension): expand to every in-scope
         # alias (skipping planner-internal __ aliases), before explicit
         # items. RETURN * rejects entity/path aliases like any explicit

@@ -104,7 +104,9 @@ NEGATIVES = [
     # to searched CASE); malformed CASE stays rejected:
     ("MATCH (a:X) RETURN CASE a.v THEN 2 END AS v", TranspilerSyntaxError),
     ("MATCH (a:X) RETURN sum(DISTINCT a.v) AS v", TranspilerNotSupportedError),
-    ("RETURN 1 AS one", TranspilerNotSupportedError),
+    # standalone `RETURN 1 AS one` is now a supported extension (one-row
+    # source); a bare projection with trailing garbage stays a syntax error
+    ("RETURN 1 AS one MATCH (a:X)", TranspilerSyntaxError),
     ("MATCH (a:X) OPTIONAL MATCH (a)--(b) MATCH (b)--(c) RETURN a.v AS v",
      TranspilerNotSupportedError),
     ("MATCH (a:X) RETURN a.v AS v, a.w AS v", TranspilerSyntaxError),

@@ -109,7 +109,9 @@ BINDING_NEGATIVES = [
     "MATCH (c:Customer)-[:PLACED]->(o:Supplier) RETURN o.s_name AS x",
     "MATCH (a)-[r]->(b) RETURN a.c_name AS x",  # untyped rel, no unique edge
     "MATCH (c:Customer) RETURN q.c_name AS x",
-    "MATCH (c:Customer) WITH c.c_name AS n RETURN n.foo AS x",
+    # `n.foo` on a scalar alias now binds at PLAN time (struct-field /
+    # temporal accessors are an extension) and rejects at COMPILE time —
+    # covered by test_temporal.py::test_bad_field_on_scalar_value
     # implicit field after aggregation is rejected
     "MATCH (c:Customer) WITH c.c_mktsegment AS s, count(*) AS n "
     "ORDER BY c.c_acctbal RETURN s AS s",

@@ -143,3 +143,14 @@ def test_struct_field_access_still_works(engine):
         """
     ).collect()[0]
     assert (row.y, row.l) == (1999, "x")
+
+
+def test_bad_field_on_scalar_value(engine):
+    # field access on a non-struct, non-temporal scalar rejects cleanly
+    # at compile time (previously a plan-time binding error)
+    from opencyphertranspiler_spark import TranspilerBindingError
+
+    with pytest.raises(TranspilerBindingError, match="not accessible"):
+        engine.cypher(
+            "MATCH (c:Customer) WITH c.c_name AS n RETURN n.foo AS x"
+        )
