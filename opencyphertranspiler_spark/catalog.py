@@ -246,10 +246,15 @@ CATALOG: list[CatalogEntry] = [
     ),
     # ---- group 7: string functions (merged former q27 string library) ----
     CatalogEntry(
+        # merged former q23 (XOR + full-string `=~` regex) into the
+        # string-function entry's WHERE, freeing a gate slot for
+        # q42_undirected_varlength
         name="q10_string_funcs",
         cypher="""
             MATCH (c:Customer)
             WHERE c.c_name ENDS WITH '1'
+              AND ((c.c_mktsegment = 'BUILDING') XOR (c.c_acctbal > 500))
+              AND c.c_name =~ '.*[0-9]+'
             RETURN toUpper(c.c_name) AS up, left(c.c_name, 8) AS l8,
                    size(c.c_name) AS len,
                    CASE WHEN c.c_name CONTAINS '00' THEN 1 ELSE 0 END AS has00,
@@ -263,7 +268,11 @@ CATALOG: list[CatalogEntry] = [
                    CASE WHEN position('00' IN c_name) > 0 THEN 1 ELSE 0 END AS has00,
                    lower(c_name) AS lo, right(c_name, 3) AS r3,
                    trim(c_name) AS t, ltrim(c_name) AS lt, rtrim(c_name) AS rt
-            FROM customer WHERE c_name LIKE '%1'
+            FROM customer
+            WHERE c_name LIKE '%1'
+              AND (((c_mktsegment = 'BUILDING') AND NOT (c_acctbal > 500))
+                   OR (NOT (c_mktsegment = 'BUILDING') AND (c_acctbal > 500)))
+              AND regexp_full_match(c_name, '.*[0-9]+')
         """,
         tags=("strings",),
     ),
@@ -297,15 +306,17 @@ CATALOG: list[CatalogEntry] = [
         tags=("agg",),
     ),
     CatalogEntry(
+        # merged former q22 (count(DISTINCT edge) composite key) into the
+        # count-distinct entry, freeing a gate slot for q41
         name="q12_count_distinct_entity",
         cypher="""
-            MATCH (c:Customer)-[:PLACED]->(o:Orders)-[:CONTAINS]->(l:Lineitem)
+            MATCH (c:Customer)-[:PLACED]->(o:Orders)-[r:CONTAINS]->(l:Lineitem)
             RETURN c.c_mktsegment AS seg, count(DISTINCT o) AS orders,
-                   count(l) AS items
+                   count(l) AS items, count(DISTINCT r) AS edges
         """,
         oracle=f"""
             SELECT c.c_mktsegment AS seg, count(DISTINCT o.o_orderkey) AS orders,
-                   count(*) AS items
+                   count(*) AS items, count(DISTINCT l.l_id) AS edges
             FROM customer c
             JOIN orders o ON o.o_custkey = c.c_custkey
             JOIN {_LN} l ON l.l_orderkey = o.o_orderkey
@@ -433,35 +444,6 @@ CATALOG: list[CatalogEntry] = [
             GROUP BY o.o_orderstatus
         """,
         tags=("exists", "semi-join", "exists-flag"),
-    ),
-    CatalogEntry(
-        name="q22_count_star_edges",
-        cypher="""
-            MATCH (o:Orders)-[r:CONTAINS]->(l:Lineitem)
-            RETURN count(*) AS all_pairs, count(DISTINCT r) AS distinct_edges
-        """,
-        oracle=f"""
-            SELECT count(*) AS all_pairs,
-                   count(DISTINCT l_id) AS distinct_edges
-            FROM {_LN}
-        """,
-        tags=("count-star",),
-    ),
-    CatalogEntry(
-        name="q23_xor_regex",
-        cypher="""
-            MATCH (c:Customer)
-            WHERE ((c.c_mktsegment = 'BUILDING') XOR (c.c_acctbal > 5000))
-              AND c.c_name =~ '.*[13579]$'
-            RETURN count(*) AS n
-        """,
-        oracle="""
-            SELECT count(*) AS n FROM customer
-            WHERE (((c_mktsegment = 'BUILDING') AND NOT (c_acctbal > 5000))
-                   OR (NOT (c_mktsegment = 'BUILDING') AND (c_acctbal > 5000)))
-              AND regexp_full_match(c_name, '.*[13579]$')
-        """,
-        tags=("operators", "regex"),
     ),
     # ---- 3+ hop with cross-pattern comma and timestamps ----
     CatalogEntry(
@@ -739,6 +721,35 @@ CATALOG += [
             WHERE a.o_orderkey = 1
         """,
         tags=("match", "var-length", "unbounded", "anchored"),
+    ),
+    # ---- undirected variable-length (extension): per-hop undirection ==
+    # direction over the symmetrized edge set, with the original (src,
+    # dst) pair as edge IDENTITY so a path cannot backtrack over the
+    # relationship it just traversed (engine.py:_resolve_undirected_varlength) ----
+    CatalogEntry(
+        name="q42_undirected_varlength",
+        fn=lambda spark, sf_dir: _next_order_engine(spark, sf_dir).cypher(
+            """
+            MATCH (a:Orders)-[:NEXT*1..2]-(b:Orders)
+            RETURN a.o_orderkey AS src_order, b.o_orderkey AS dst_order
+            """
+        ),
+        # NEXT chains each customer's orders by key, so undirected 1..2-hop
+        # trails reach exactly the orders 1 or 2 chain positions away (the
+        # go-and-return trail is excluded by relationship uniqueness)
+        oracle="""
+            WITH r AS (
+                SELECT o_orderkey, o_custkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderkey) AS rn
+                FROM orders
+            )
+            SELECT a.o_orderkey AS src_order, b.o_orderkey AS dst_order
+            FROM r a
+            JOIN r b ON b.o_custkey = a.o_custkey
+                    AND abs(b.rn - a.rn) IN (1, 2)
+        """,
+        tags=("match", "var-length", "undirected"),
     ),
 ]
 

@@ -404,10 +404,8 @@ class Parser:
             direction = A.Direction.FORWARD
         else:
             direction = A.Direction.EITHER
-        if min_hops is not None and direction == A.Direction.EITHER:
-            raise TranspilerNotSupportedError(
-                "Variable-length relationships must be directed"
-            )
+        # undirected variable-length `-[:V*n..m]-` / `-[:V*]-` is allowed
+        # (extension): the engine symmetrizes the edge set per hop
         return A.RelPattern(
             alias, verb, direction, min_hops, max_hops, alt_verbs, rel_props
         )

@@ -56,6 +56,7 @@ class CypherEngine:
         reference rejects parameters)."""
         ast_query = parse(query)
         graph, tables = self._resolve_multi_verb(ast_query, self.graph, self.tables)
+        graph, tables = self._resolve_undirected_varlength(ast_query, graph, tables)
         graph, tables = self._resolve_unbounded(ast_query, graph, tables)
         plan = plan_query(
             ast_query, graph, ordered_aggregates=self.ordered_aggregates
@@ -315,6 +316,132 @@ class CypherEngine:
             type_property="__type",
         )
 
+    # -- undirected variable-length `-[:V*n..m]-` / `-[:V*]-` --------------
+    # Per-hop undirection == direction over the SYMMETRIZED edge set, so
+    # each undirected hop is rewritten to a FORWARD hop over a virtual
+    # edge holding both orientations of every row. The original (src, dst)
+    # pair rides along as the edge IDENTITY (EdgeSchema.identity_properties)
+    # so Cypher's relationship uniqueness treats both orientations of one
+    # relationship as the same edge — a bounded `*n..m` path may not
+    # backtrack over the relationship it just traversed. Self-loops are
+    # symmetrized once (forward only), matching Neo4j's single match for
+    # `(a)-[r]-(a)`. Restricted to edges whose endpoints share one label:
+    # a bipartite undirected closure would alternate labels per parity,
+    # which a single-label column model cannot express.
+
+    def _resolve_undirected_varlength(
+        self, ast_query, graph: GraphSchema, tables: TableRegistry
+    ) -> tuple[GraphSchema, TableRegistry]:
+        rewrites = [
+            (left, rel, right)
+            for _sq, _cl, _part, left, rel, right in self._pattern_triples(
+                ast_query
+            )
+            if rel.min_hops is not None
+            and rel.direction == A.Direction.EITHER
+        ]
+        if not rewrites:
+            return graph, tables
+
+        extra_edges: list[EdgeSchema] = []
+        overlay = TableRegistry()
+        for name in tables.names():
+            overlay.register(name, lambda n=name: tables.get(n))
+
+        for left, rel, right in rewrites:
+            if rel.verb is None:
+                raise TranspilerNotSupportedError(
+                    "An undirected variable-length relationship needs an "
+                    "explicit type, e.g. -[:KNOWS*1..2]-"
+                )
+            if rel.alt_verbs:
+                raise TranspilerNotSupportedError(
+                    "Multiple relationship types cannot combine with an "
+                    "undirected variable-length relationship"
+                )
+            cands = [
+                e
+                for e in graph.edges_by_verb(rel.verb)
+                if e.source_label == e.sink_label
+            ]
+            for lbl in (left.label, right.label):
+                if lbl is not None:
+                    cands = [e for e in cands if e.source_label == lbl]
+            if len(cands) != 1:
+                raise TranspilerNotSupportedError(
+                    f"Undirected variable-length '-[:{rel.verb}*]-' needs "
+                    "exactly one edge whose endpoints share a single label "
+                    f"({len(cands)} candidates); label the endpoints, and "
+                    "note cross-label edges are unsupported here (the "
+                    "undirected closure would alternate labels)"
+                )
+            edge = cands[0]
+            vverb = f"__UVL_{edge.id}"
+            if not any(e.verb == vverb for e in extra_edges):
+                extra_edges.append(
+                    self._build_symmetric_edge(edge, vverb, tables, overlay)
+                )
+            rel.verb = vverb
+            rel.direction = A.Direction.FORWARD
+            left.label = right.label = edge.source_label
+
+        merged = GraphSchema(graph.nodes, graph.edges + extra_edges)
+        return merged, overlay
+
+    def _build_symmetric_edge(
+        self,
+        edge: EdgeSchema,
+        vverb: str,
+        tables: TableRegistry,
+        overlay: TableRegistry,
+    ) -> EdgeSchema:
+        df = tables.get(edge.table)
+        src_c, dst_c = edge.source_id_property, edge.sink_id_property
+        own = [
+            p
+            for p in edge.properties
+            if p.name not in (src_c, dst_c)
+        ]
+        for p in own:
+            if p.name in ("__src", "__dst", "__osrc", "__odst"):
+                raise TranspilerNotSupportedError(
+                    f"Edge '{edge.verb}' property '{p.name}' collides with "
+                    "symmetric-edge internals"
+                )
+        prop_cols = [F.col(p.name) for p in own]
+        fwd = df.select(
+            F.col(src_c).alias("__src"),
+            F.col(dst_c).alias("__dst"),
+            F.col(src_c).alias("__osrc"),
+            F.col(dst_c).alias("__odst"),
+            *prop_cols,
+        )
+        bwd = df.filter(F.col(src_c) != F.col(dst_c)).select(
+            F.col(dst_c).alias("__src"),
+            F.col(src_c).alias("__dst"),
+            F.col(src_c).alias("__osrc"),
+            F.col(dst_c).alias("__odst"),
+            *prop_cols,
+        )
+        vname = f"__uvl_{edge.id}"
+        overlay.register_df(vname, fwd.unionByName(bwd))
+        return EdgeSchema(
+            verb=vverb,
+            source_label=edge.source_label,
+            sink_label=edge.sink_label,
+            table=vname,
+            source_id_property="__src",
+            sink_id_property="__dst",
+            properties=(
+                EntityProperty("__osrc", edge.source_id_property_type),
+                EntityProperty("__odst", edge.sink_id_property_type),
+                *own,
+            ),
+            source_id_property_type=edge.source_id_property_type,
+            sink_id_property_type=edge.sink_id_property_type,
+            identity_properties=("__osrc", "__odst"),
+        )
+
     def _resolve_unbounded(
         self, ast_query, graph: GraphSchema, tables: TableRegistry
     ) -> tuple[GraphSchema, TableRegistry]:
@@ -397,6 +524,12 @@ class CypherEngine:
                             F.col("src").alias("dst"),
                             "dist",
                         )
+                    if edge.identity_properties:
+                        # symmetrized (undirected) edge: the go-and-return
+                        # walk is not a path (reuses the relationship) —
+                        # drop self-pairs (documented divergence: a true
+                        # cycle through a node is not reported either)
+                        sp = sp.filter(F.col("src") != F.col("dst"))
                     reach = sp.select(
                         F.col("src").alias(edge.source_id_property),
                         F.col("dst").alias(edge.sink_id_property),
@@ -622,6 +755,12 @@ class CypherEngine:
             out = out.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst")
             )
+        if edge.identity_properties:
+            # symmetrized (undirected) edge: exclude self-pairs — the
+            # 2-cycle go-and-return reuses its relationship, so it is not
+            # a valid Cypher path (documented: genuine cycles through a
+            # node are not reported either)
+            out = out.filter(F.col("src") != F.col("dst"))
         out = out.select(
             F.col("src").alias(edge.source_id_property),
             F.col("dst").alias(edge.sink_id_property),

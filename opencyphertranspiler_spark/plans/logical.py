@@ -69,6 +69,8 @@ class EntityRef:
         ]
         if self.edge.type_property is not None:
             cols.append(self.col(self.edge.type_property))
+        for p in self.edge.identity_properties:
+            cols.append(self.col(p))
         return cols
 
     def renamed(self, new_alias: str) -> "EntityRef":

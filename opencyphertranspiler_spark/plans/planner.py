@@ -842,11 +842,18 @@ class _SingleQueryPlanner:
                 for j in range(i + 1, len(aliases)):
                     r1, r2 = refs[aliases[i]], refs[aliases[j]]
                     e = rels[aliases[i]][0]
-                    key_props = [e.source_id_property, e.sink_id_property]
-                    if e.type_property is not None:
-                        # `[:A|B]` union edge: parallel edges of different
-                        # types between the same nodes are distinct
-                        key_props.append(e.type_property)
+                    if e.identity_properties:
+                        # symmetrized undirected edge: identity is the
+                        # ORIGINAL (src, dst) pair, so both orientations
+                        # of one relationship compare equal
+                        key_props = list(e.identity_properties)
+                    else:
+                        key_props = [e.source_id_property, e.sink_id_property]
+                        if e.type_property is not None:
+                            # `[:A|B]` union edge: parallel edges of
+                            # different types between the same nodes are
+                            # distinct
+                            key_props.append(e.type_property)
                     cond = None
                     for kp in key_props:
                         neq = A.Binary(

@@ -114,6 +114,12 @@ class EdgeSchema:
     # the concrete relationship type of each row. None for ordinary edges
     # (type folds to the verb literal). Part of edge identity when set.
     type_property: str | None = None
+    # extra identity columns beyond (source, sink): the symmetrized edge
+    # of an undirected variable-length rewrite carries the ORIGINAL
+    # (src, dst) pair here, so traversing the same relationship in both
+    # directions still counts as one edge for Cypher's relationship
+    # uniqueness and for DISTINCT/count(DISTINCT r)
+    identity_properties: tuple[str, ...] = ()
 
     @property
     def id(self) -> str:

@@ -1707,3 +1707,84 @@ def test_anchor_not_taken_from_optional_or_other_segment(movie_engine):
     )
     got = {r.n for r in df.collect()}
     assert got == {"Nora Ephron", "Meg Ryan", "Tom Hanks"}
+
+
+# ---------------------------------------------------------------------------
+# Undirected variable-length -[:V*n..m]- / -[:V*]- (round-5 verdict item 4)
+# ---------------------------------------------------------------------------
+# FOLLOWS tree (undirected): p3 - p4 - p2 - p1 - p5
+
+
+def test_undirected_bounded_varlength(movie_engine):
+    # 1..2 undirected hops from Tom Hanks: Meg(1), Bill(1), Nora(2);
+    # the go-and-return trail (p1-p2-p1) reuses its relationship and is
+    # excluded by identity-based uniqueness
+    df = movie_engine.cypher(
+        "MATCH (a:Person {Name: 'Tom Hanks'})-[:FOLLOWS*1..2]-(b:Person) "
+        "RETURN b.Name AS n"
+    )
+    assert sorted(r.n for r in df.collect()) == [
+        "Bill Paxton",
+        "Meg Ryan",
+        "Nora Ephron",
+    ]
+    # exact *2: only Nora (one row per path)
+    df = movie_engine.cypher(
+        "MATCH (a:Person {Name: 'Tom Hanks'})-[:FOLLOWS*2]-(b:Person) "
+        "RETURN b.Name AS n"
+    )
+    assert [r.n for r in df.collect()] == ["Nora Ephron"]
+
+
+def test_undirected_unbounded_varlength(movie_engine):
+    # the FOLLOWS tree is connected: every ordered pair of distinct
+    # persons is reachable; self-pairs are excluded (documented)
+    df = movie_engine.cypher(
+        "MATCH (a:Person)-[:FOLLOWS*]-(b:Person) "
+        "RETURN a.Name AS a, b.Name AS b"
+    )
+    rows_ = df.collect()
+    assert len(rows_) == 20
+    assert all(r.a != r.b for r in rows_)
+    # anchored undirected: seeds the BFS from the filtered endpoint
+    df = movie_engine.cypher(
+        "MATCH (a:Person {Name: 'Rob Reiner'})-[:FOLLOWS*]-(b:Person) "
+        "RETURN b.Name AS n"
+    )
+    assert sorted(r.n for r in df.collect()) == [
+        "Bill Paxton",
+        "Meg Ryan",
+        "Nora Ephron",
+        "Tom Hanks",
+    ]
+
+
+def test_undirected_shortest_path(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH p = shortestPath((a:Person {Name: 'Bill Paxton'})
+                               -[:FOLLOWS*]-(b:Person))
+        RETURN b.Name AS n, length(p) AS d
+        """
+    )
+    assert {(r.n, r.d) for r in df.collect()} == {
+        ("Tom Hanks", 1),
+        ("Meg Ryan", 2),
+        ("Nora Ephron", 3),
+        ("Rob Reiner", 4),
+    }
+
+
+def test_undirected_varlength_rejections(movie_engine):
+    # cross-label edges stay rejected (the undirected closure would
+    # alternate labels per parity)
+    with pytest.raises(TranspilerNotSupportedError, match="share a single"):
+        movie_engine.cypher(
+            "MATCH (a:Person)-[:ACTED_IN*1..2]-(b:Movie) RETURN a.Name AS n"
+        )
+    # plain single-hop undirected same-label is still the reference's
+    # rejection (LogicalPlan.cs:603-612) — only var-length lifts it
+    with pytest.raises(TranspilerNotSupportedError):
+        movie_engine.cypher(
+            "MATCH (a:Person)-[:FOLLOWS]-(b:Person) RETURN a.Name AS n"
+        )
