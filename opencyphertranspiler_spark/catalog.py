@@ -751,6 +751,32 @@ CATALOG += [
         """,
         tags=("match", "var-length", "undirected"),
     ),
+    # ---- EXISTS { } / COUNT { } subqueries (modern openCypher syntax,
+    # extension): EXISTS {} lowers to the semi/anti/flag pattern-predicate
+    # machinery, COUNT {} to size(pattern comprehension) — correlated
+    # subqueries with zero new join machinery (cypher/parser.py:
+    # _parse_subquery_tail) ----
+    CatalogEntry(
+        name="q41_count_subquery",
+        cypher="""
+            MATCH (c:Customer)
+            WHERE COUNT { (c)-[:PLACED]->(:Orders) } > 8
+              AND EXISTS { MATCH (c)-[:PLACED]->(o:Orders)
+                           WHERE o.o_orderpriority = '1-URGENT' }
+            RETURN c.c_mktsegment AS seg, count(*) AS n
+        """,
+        oracle="""
+            SELECT c.c_mktsegment AS seg, count(*) AS n
+            FROM customer c
+            WHERE (SELECT count(*) FROM orders o
+                   WHERE o.o_custkey = c.c_custkey) > 8
+              AND EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+            GROUP BY c.c_mktsegment
+        """,
+        tags=("subquery", "exists", "count"),
+    ),
 ]
 
 

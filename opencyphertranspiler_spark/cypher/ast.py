@@ -372,11 +372,15 @@ class PatternPart:
 
 @dataclass
 class PatternPredicate(Expr):
-    """``exists((a)-[:V]->(b))`` — a pattern used as a WHERE predicate
-    (extension; the reference has no pattern predicates). Planned as a
-    LEFT SEMI join (ANTI under NOT), never as a Column expression."""
+    """``exists((a)-[:V]->(b))`` / ``EXISTS { (a)-[:V]->(b) WHERE p }`` —
+    a pattern used as a WHERE predicate (extension; the reference has no
+    pattern predicates). Planned as a LEFT SEMI join (ANTI under NOT),
+    never as a Column expression. ``where`` is the subquery form's inner
+    filter, applied inside the pattern fabric (its aliases are the
+    pattern's own scope, so it is not part of children())."""
 
     part: PatternPart
+    where: "Expr | None" = None
 
 
 @dataclass

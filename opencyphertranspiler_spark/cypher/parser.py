@@ -646,6 +646,8 @@ class Parser:
             return A.Unary("NOT", self.parse_not())
         if t.is_kw("EXISTS"):
             self.advance()
+            if self.cur.is_punct("{"):
+                return self._parse_subquery_tail("exists")
             self.expect_punct("(")
             return self._parse_exists_tail()
         if t.is_kw("ALL", "ANY", "NONE", "SINGLE") and self.peek().is_punct("("):
@@ -656,6 +658,11 @@ class Parser:
             self.expect_punct("(")
             return self._parse_quantifier_tail(name)
         if t.kind == "ident":
+            # COUNT { (a)-[:V]->(b) [WHERE p] } subquery (modern
+            # openCypher, extension)
+            if str(t.value).lower() == "count" and self.peek().is_punct("{"):
+                self.advance()
+                return self._parse_subquery_tail("count")
             # function call?
             if self.peek().is_punct("("):
                 return self.parse_func_call()
@@ -707,6 +714,38 @@ class Parser:
         pred = self.parse_expr()
         self.expect_punct(")")
         return A.Quantified(name, var, lst, pred)
+
+    def _parse_subquery_tail(self, kind: str) -> A.Expr:
+        """`EXISTS { (a)-[:V]->(b) [WHERE p] }` / `COUNT { ... }` (modern
+        openCypher subquery syntax, extension): lowered onto the existing
+        pattern-predicate (semi/anti/flag joins) and pattern-comprehension
+        (grouped collect) machinery — COUNT {} is exactly
+        size([pattern WHERE p | 1]). An optional leading MATCH keyword is
+        accepted; multi-clause subqueries are rejected with a typed
+        error."""
+        self.expect_punct("{")
+        self.accept_kw("MATCH")
+        part = self.parse_pattern_part()
+        if not part.rels:
+            raise TranspilerNotSupportedError(
+                f"{kind.upper()} {{ }} needs a relationship pattern "
+                "(a bare node subquery is not supported)"
+            )
+        where = None
+        if self.accept_kw("WHERE"):
+            where = self.parse_expr()
+        if not self.cur.is_punct("}"):
+            raise TranspilerNotSupportedError(
+                f"{kind.upper()} {{ }} supports a single MATCH pattern "
+                "with an optional WHERE — multi-clause subqueries are not "
+                "supported"
+            )
+        self.expect_punct("}")
+        if kind == "exists":
+            return A.PatternPredicate(part, where)
+        return A.FuncCall(
+            "size", [A.PatternComprehension(part, where, A.Literal(1))]
+        )
 
     def _parse_exists_tail(self) -> A.Expr:
         """After 'exists(': pattern predicate (semi join) or IS-NOT-NULL.

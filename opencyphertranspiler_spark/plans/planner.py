@@ -202,8 +202,8 @@ class _SingleQueryPlanner:
             residual, op = self._rewrite_pattern_predicates(residual, op)
             validate_expr(residual, op.env)
             op = SelectionOp(op, predicate=residual, env=dict(op.env))
-        for part, negated in pattern_preds:
-            op = self._plan_pattern_predicate(op, part, negated)
+        for part, where, negated in pattern_preds:
+            op = self._plan_pattern_predicate(op, part, negated, where)
         op = self._apply_extra_labels(op, clause.patterns)
         return op
 
@@ -253,26 +253,26 @@ class _SingleQueryPlanner:
 
     def _split_pattern_predicates(
         self, where: A.Expr | None
-    ) -> tuple[A.Expr | None, list[tuple[A.PatternPart, bool]]]:
+    ) -> tuple[A.Expr | None, list[tuple[A.PatternPart, A.Expr | None, bool]]]:
         """Extract top-level AND conjuncts that are [NOT] exists(pattern).
 
-        Returns (residual where, [(pattern part, negated), ...]). Pattern
-        predicates anywhere else (under OR/XOR/CASE/...) stay in the
-        residual; the caller lowers them to boolean flag columns via
-        ``_rewrite_pattern_predicates`` (left join + coalesce) — the
-        top-level conjuncts here keep the cheaper semi/anti joins."""
-        preds: list[tuple[A.PatternPart, bool]] = []
+        Returns (residual where, [(pattern part, inner where, negated),
+        ...]). Pattern predicates anywhere else (under OR/XOR/CASE/...)
+        stay in the residual; the caller lowers them to boolean flag
+        columns via ``_rewrite_pattern_predicates`` (left join + coalesce)
+        — the top-level conjuncts here keep the cheaper semi/anti joins."""
+        preds: list[tuple[A.PatternPart, A.Expr | None, bool]] = []
 
         def split(e: A.Expr) -> A.Expr | None:
             if isinstance(e, A.PatternPredicate):
-                preds.append((e.part, False))
+                preds.append((e.part, e.where, False))
                 return None
             if (
                 isinstance(e, A.Unary)
                 and e.op == "NOT"
                 and isinstance(e.operand, A.PatternPredicate)
             ):
-                preds.append((e.operand.part, True))
+                preds.append((e.operand.part, e.operand.where, True))
                 return None
             if isinstance(e, A.Binary) and e.op == A.BinaryOp.AND:
                 left, right = split(e.left), split(e.right)
@@ -289,24 +289,33 @@ class _SingleQueryPlanner:
         return split(where), preds
 
     def _plan_pattern_predicate(
-        self, op: LogicalOp, part: A.PatternPart, negated: bool
+        self,
+        op: LogicalOp,
+        part: A.PatternPart,
+        negated: bool,
+        where: A.Expr | None = None,
     ) -> LogicalOp:
-        """[NOT] exists(pattern) as a top-level AND conjunct: LEFT SEMI
-        (or LEFT ANTI) join back on the shared node ids. The output env is
-        unchanged — a semi join adds no columns."""
-        right, pairs = self._plan_predicate_pattern_fabric(op, part)
+        """[NOT] exists(pattern) / EXISTS { pattern WHERE p } as a
+        top-level AND conjunct: LEFT SEMI (or LEFT ANTI) join back on the
+        shared node ids. The output env is unchanged — a semi join adds
+        no columns."""
+        right, pairs = self._plan_predicate_pattern_fabric(op, part, where)
         return JoinOp(
             op, right, "anti" if negated else "semi", pairs, [], env=dict(op.env)
         )
 
     def _plan_exists_flag(
-        self, op: LogicalOp, part: A.PatternPart, flag_col: str
+        self,
+        op: LogicalOp,
+        part: A.PatternPart,
+        flag_col: str,
+        where: A.Expr | None = None,
     ) -> LogicalOp:
         """exists(pattern) in boolean-expression position (under OR / in a
         projection item): LEFT join against the distinct shared keys,
         materializing ``flag_col`` (true/null; consumers coalesce to
         false). Same pattern fabric as the semi/anti path."""
-        right, pairs = self._plan_predicate_pattern_fabric(op, part)
+        right, pairs = self._plan_predicate_pattern_fabric(op, part, where)
         return ExistsFlagOp(op, right, pairs, flag_col, env=dict(op.env))
 
     def _rewrite_pattern_predicates(
@@ -322,7 +331,7 @@ class _SingleQueryPlanner:
             nonlocal op
             if isinstance(e, A.PatternPredicate):
                 flag = self._gen_alias("exists_flag")
-                op = self._plan_exists_flag(op, e.part, flag)
+                op = self._plan_exists_flag(op, e.part, flag, e.where)
                 return A.FuncCall(
                     "coalesce", [ColRef(flag), A.Literal(False)]
                 )
@@ -404,7 +413,7 @@ class _SingleQueryPlanner:
         )
 
     def _plan_predicate_pattern_fabric(
-        self, op: LogicalOp, part: A.PatternPart
+        self, op: LogicalOp, part: A.PatternPart, where: A.Expr | None = None
     ) -> tuple[LogicalOp, list[tuple[str, str]]]:
         """Plan an exists() pattern standalone with fresh column prefixes
         for the shared node aliases (the OPTIONAL MATCH fork mechanics);
@@ -442,6 +451,11 @@ class _SingleQueryPlanner:
         # extra labels on predicate-pattern nodes (shared or fresh) apply
         # to the pattern's own plan before the semi join
         right = self._apply_extra_labels(right, [part])
+        if where is not None:
+            # EXISTS { ... WHERE p } subquery form: the inner filter sees
+            # the pattern's own scope (plus shared aliases)
+            validate_expr(where, right.env)
+            right = SelectionOp(right, predicate=where, env=dict(right.env))
         pairs = []
         for a in shared:
             left_ref, right_ref = env[a], right.env[a]
@@ -1159,8 +1173,8 @@ class _SingleQueryPlanner:
                 residual, op = self._rewrite_pattern_predicates(residual, op)
                 validate_expr(residual, op.env)
                 op = SelectionOp(op, predicate=residual, env=dict(op.env))
-            for part, negated in pattern_preds:
-                op = self._plan_pattern_predicate(op, part, negated)
+            for part, where, negated in pattern_preds:
+                op = self._plan_pattern_predicate(op, part, negated, where)
         if carry:
             op = TrimOp(op, [a for a, _ in clause.items], env=out_env)
         return op

@@ -1788,3 +1788,75 @@ def test_undirected_varlength_rejections(movie_engine):
         movie_engine.cypher(
             "MATCH (a:Person)-[:FOLLOWS]-(b:Person) RETURN a.Name AS n"
         )
+
+
+# ---------------------------------------------------------------------------
+# EXISTS { } / COUNT { } subqueries (round-5 verdict item 6)
+# ---------------------------------------------------------------------------
+
+
+def test_exists_subquery_with_inner_where(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        WHERE EXISTS { MATCH (p)-[r:REVIEWED]->(m:Movie) WHERE r.Rating > 8 }
+        RETURN p.Name AS n
+        """
+    )
+    assert [r.n for r in df.collect()] == ["Rob Reiner"]
+
+
+def test_count_subquery_forms(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        RETURN p.Name AS n,
+               COUNT { (p)-[:ACTED_IN]->(:Movie) } AS acted,
+               COUNT { (p)-[:DIRECTED]->(:Movie) } AS directed
+        """
+    )
+    got = {(r.n, r.acted, r.directed) for r in df.collect()}
+    assert got == {
+        ("Tom Hanks", 3, 0),
+        ("Meg Ryan", 2, 0),
+        ("Rob Reiner", 0, 1),
+        ("Nora Ephron", 0, 2),
+        ("Bill Paxton", 1, 0),
+    }
+
+
+def test_count_subquery_in_where_and_not_exists(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        WHERE COUNT { (p)-[:ACTED_IN]->(:Movie) } >= 2
+          AND NOT EXISTS { (p)-[:REVIEWED]->(:Movie) }
+        RETURN p.Name AS n
+        """
+    )
+    assert sorted(r.n for r in df.collect()) == ["Meg Ryan", "Tom Hanks"]
+
+
+def test_exists_subquery_under_or(movie_engine):
+    # flag lowering: EXISTS {} composes under OR like exists()
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        WHERE p.Born < 1950
+           OR EXISTS { (p)-[r:REVIEWED]->(:Movie) WHERE r.Rating = 7 }
+        RETURN p.Name AS n
+        """
+    )
+    assert sorted(r.n for r in df.collect()) == ["Bill Paxton", "Rob Reiner"]
+
+
+def test_subquery_rejections(movie_engine):
+    with pytest.raises(TranspilerNotSupportedError, match="single MATCH"):
+        movie_engine.cypher(
+            "MATCH (p:Person) WHERE EXISTS { MATCH (p)-[:ACTED_IN]->(m:Movie) "
+            "RETURN m } RETURN p.Name AS n"
+        )
+    with pytest.raises(TranspilerNotSupportedError, match="relationship pattern"):
+        movie_engine.cypher(
+            "MATCH (p:Person) WHERE COUNT { (m:Movie) } > 1 RETURN p.Name AS n"
+        )
