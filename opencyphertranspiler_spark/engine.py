@@ -439,6 +439,7 @@ class CypherEngine:
             ),
             source_id_property_type=edge.source_id_property_type,
             sink_id_property_type=edge.sink_id_property_type,
+            display_verb=edge.verb,
             identity_properties=("__osrc", "__odst"),
         )
 
@@ -505,41 +506,77 @@ class CypherEngine:
             if getattr(part, "shortest", False):
                 # shortestPath(): the virtual edge carries the true hop
                 # count as __dist; length(p) reads it (PathRef handling).
+                # When the query reads nodes()/relationships() of the path
+                # variable, the BFS additionally materializes one witness
+                # path's node array per pair as __nodes — requested lazily
+                # because the array state is materially heavier.
                 # Memoized like plain reachability — the BFS fixpoint runs
-                # once per (edge, min_hops, anchor) per engine lifetime.
-                skey = ("shortest", edge.id, rel.min_hops, asuf)
+                # once per (edge, min_hops, anchor, nodes?) per lifetime.
+                need_nodes = self._reads_path_nodes(ast_query, part.path_alias)
+                nsuf = "_n" if need_nodes else ""
+                skey = ("shortest", edge.id, rel.min_hops, asuf, need_nodes)
                 if skey in self._reach_cache:
                     reach = self._reach_cache[skey]
                 else:
-                    from .pipeline.graph import shortest_path_lengths
+                    from .pipeline.graph import (
+                        shortest_path_lengths,
+                        shortest_path_nodes,
+                    )
 
                     e_df, seeds = self._edge_and_seeds(edge, anchor, tables, graph)
-                    sp = shortest_path_lengths(
-                        e_df, max_iters=self.reach_max_iters, sources=seeds
-                    )
+                    if need_nodes:
+                        sp = shortest_path_nodes(
+                            e_df, max_iters=self.reach_max_iters, sources=seeds
+                        )
+                    else:
+                        sp = shortest_path_lengths(
+                            e_df, max_iters=self.reach_max_iters, sources=seeds
+                        )
                     if anchor is not None and anchor[0] == "dst":
                         # BFS ran over reversed edges; flip pairs back
-                        sp = sp.select(
+                        # (and the witness path's node order with them)
+                        cols = [
                             F.col("dst").alias("src"),
                             F.col("src").alias("dst"),
-                            "dist",
-                        )
+                            F.col("dist"),
+                        ]
+                        if need_nodes:
+                            cols.append(F.reverse(F.col("nodes")).alias("nodes"))
+                        sp = sp.select(cols)
                     if edge.identity_properties:
                         # symmetrized (undirected) edge: the go-and-return
                         # walk is not a path (reuses the relationship) —
                         # drop self-pairs (documented divergence: a true
                         # cycle through a node is not reported either)
                         sp = sp.filter(F.col("src") != F.col("dst"))
-                    reach = sp.select(
+                    out_cols = [
                         F.col("src").alias(edge.source_id_property),
                         F.col("dst").alias(edge.sink_id_property),
                         F.col("dist").alias("__dist"),
-                    )
+                    ]
+                    if need_nodes:
+                        out_cols.append(F.col("nodes").alias("__nodes"))
+                    reach = sp.select(out_cols)
                     self._reach_cache[skey] = reach
-                vname = f"__spath_{rel.min_hops}_{edge.id}{asuf}"
-                vverb = f"__SPATH{rel.min_hops}_{edge.id}{asuf}"
+                vname = f"__spath_{rel.min_hops}_{edge.id}{asuf}{nsuf}"
+                vverb = f"__SPATH{rel.min_hops}_{edge.id}{asuf}{nsuf}"
                 props = (EntityProperty("__dist", "long"),)
+                if need_nodes:
+                    props += (
+                        EntityProperty(
+                            "__nodes",
+                            f"array<{edge.source_id_property_type}>",
+                        ),
+                    )
             else:
+                if part.path_alias is not None:
+                    raise TranspilerNotSupportedError(
+                        "A pattern variable over an unbounded "
+                        "variable-length pattern is only supported with "
+                        "shortestPath() — plain [:V*] computes DISTINCT "
+                        "endpoint-pair reachability, which has no single "
+                        "path to bind"
+                    )
                 reach = self._reachability(edge, rel.min_hops, tables, anchor, graph)
                 vname = f"__reach_{rel.min_hops}_{edge.id}{asuf}"
                 # key the virtual verb by the full edge IDENTITY, not just
@@ -559,6 +596,9 @@ class CypherEngine:
                         source_id_property=edge.source_id_property,
                         sink_id_property=edge.sink_id_property,
                         properties=props,
+                        source_id_property_type=edge.source_id_property_type,
+                        sink_id_property_type=edge.sink_id_property_type,
+                        display_verb=edge.display_verb or edge.verb,
                     )
                 )
             # rewrite the hop: ordinary 1-hop rel over the virtual edge
@@ -571,6 +611,45 @@ class CypherEngine:
 
         merged = GraphSchema(graph.nodes, graph.edges + extra_edges)
         return merged, overlay
+
+    @staticmethod
+    def _reads_path_nodes(ast_query, path_alias: str | None) -> bool:
+        """True when any expression in the query calls nodes()/
+        relationships() on the given path variable — gates the heavier
+        witness-path materialization of the shortestPath BFS."""
+        if path_alias is None:
+            return False
+
+        def single_queries(q):
+            if isinstance(q, A.UnionQuery):
+                yield from single_queries(q.left)
+                yield from single_queries(q.right)
+            else:
+                yield q
+
+        for sq in single_queries(ast_query):
+            for clause in sq.clauses:
+                exprs = []
+                where = getattr(clause, "where", None)
+                if where is not None:
+                    exprs.append(where)
+                exprs.extend(e for _, e in getattr(clause, "items", []))
+                exprs.extend(
+                    s.expr for s in getattr(clause, "order_by", []) or []
+                )
+                if isinstance(clause, A.UnwindClause):
+                    exprs.append(clause.expr)
+                for expr in exprs:
+                    for n in expr.walk():
+                        if (
+                            isinstance(n, A.FuncCall)
+                            and n.name in ("nodes", "relationships")
+                            and n.args
+                            and isinstance(n.args[0], A.Variable)
+                            and n.args[0].name == path_alias
+                        ):
+                            return True
+        return False
 
     # -- anchored pushdown -------------------------------------------------
     @staticmethod

@@ -18,12 +18,14 @@ from pyspark.sql import functions as F
 from ..cypher import ast as A
 from ..exceptions import TranspilerInternalError
 from ..plans.logical import (
+    AddColsOp,
     CollectPatternOp,
     DataSourceOp,
     EntityRef,
     ExistsFlagOp,
     JoinOp,
     LogicalOp,
+    MaterializedPathRef,
     OneRowOp,
     PathRef,
     ProjectOp,
@@ -70,6 +72,12 @@ class Compiler:
         if isinstance(op, OneRowOp):
             # one row, zero columns — the standalone WITH/RETURN source
             return self.spark.range(1).select()
+        if isinstance(op, AddColsOp):
+            df = self.compile(op.input)
+            ec = ExprCompiler(op.compile_env, df, self.params)
+            return df.select(
+                "*", *[ec.compile(e).alias(name) for name, e in op.items]
+            )
         raise TranspilerInternalError(f"Unknown operator {op!r}")
 
     # -- scan -----------------------------------------------------------------
@@ -191,10 +199,10 @@ class Compiler:
             )
 
         def is_path_item(expr: A.Expr) -> bool:
-            # path variable passthrough: constituent columns are named by
-            # the inner pattern aliases, so it's an identity selection
+            # path variable passthrough: constituent (or materialized)
+            # columns keep their physical names — an identity selection
             return isinstance(expr, A.Variable) and isinstance(
-                in_env.get(expr.name), PathRef
+                in_env.get(expr.name), (PathRef, MaterializedPathRef)
             )
 
         if op.has_agg:

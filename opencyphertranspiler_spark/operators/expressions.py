@@ -30,7 +30,13 @@ from ..exceptions import (
     TranspilerNotSupportedError,
 )
 from ..functions import compile_aggregate, compile_scalar
-from ..plans.logical import ColRef, EntityRef, Env, PathRef
+from ..plans.logical import (
+    ColRef,
+    EntityRef,
+    Env,
+    MaterializedPathRef,
+    PathRef,
+)
 
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
@@ -125,7 +131,7 @@ class ExprCompiler:
                     f"Entity '{expr.name}' cannot be used as a value; "
                     "reference a property or aggregate it"
                 )
-            if isinstance(ref, PathRef):
+            if isinstance(ref, (PathRef, MaterializedPathRef)):
                 raise TranspilerNotSupportedError(
                     f"Path variable '{expr.name}' cannot be used as a "
                     "value; use length()/nodes()/relationships()"
@@ -145,7 +151,7 @@ class ExprCompiler:
                 return col
             ref = self._ref(expr.alias)
             if not isinstance(ref, EntityRef):
-                if isinstance(ref, PathRef):
+                if isinstance(ref, (PathRef, MaterializedPathRef)):
                     raise TranspilerBindingError(
                         f"'{expr.alias}' is a path variable; cannot access "
                         f"property '{expr.prop}'"
@@ -323,6 +329,19 @@ class ExprCompiler:
                 f"{expr.name}() takes a single node/relationship/path alias"
             )
         ref = self._ref(expr.args[0].name)
+        if isinstance(ref, MaterializedPathRef):
+            # multi-variant bounded path: the functions were materialized
+            # as columns before the variant union
+            col = {
+                "length": ref.len_col,
+                "nodes": ref.nodes_col,
+                "relationships": ref.rels_col,
+            }.get(expr.name)
+            if col is None:
+                raise TranspilerBindingError(
+                    f"{expr.name}() is not defined on a path variable"
+                )
+            return qcol(col)
         if isinstance(ref, PathRef):
             return self._path_function(expr.name, ref)
         if expr.name in ("length", "nodes", "relationships"):
@@ -347,7 +366,7 @@ class ExprCompiler:
             if ref.edge.type_property is not None:
                 # `[:A|B]` union edge: per-row discriminator column
                 return qcol(ref.col(ref.edge.type_property))
-            return F.lit(ref.edge.verb)
+            return F.lit(ref.edge.display_verb or ref.edge.verb)
         if expr.name == "keys":
             # schema constant (single-label model): the declared property
             # names, internal columns excluded
@@ -399,6 +418,24 @@ class ExprCompiler:
                 return F.lit(0).cast("long")
             return total.cast("long")
         if any(is_dist_hop(r) for r in ref.rel_refs):
+            # shortestPath: a single-hop pattern (parser invariant). The
+            # engine materializes the path's node array as __nodes when
+            # the query asks for nodes()/relationships().
+            r = ref.rel_refs[0]
+            if len(ref.rel_refs) == 1 and "__nodes" in r.edge.property_names:
+                nodes = qcol(r.col("__nodes"))
+                if name == "nodes":
+                    return nodes
+                if name == "relationships":
+                    verb = r.edge.display_verb or r.edge.verb
+                    return F.transform(
+                        F.slice(nodes, F.lit(1), F.size(nodes) - 1),
+                        lambda x, i: F.struct(
+                            x.alias("src"),
+                            F.get(nodes, i + 1).alias("dst"),
+                            F.lit(verb).alias("type"),
+                        ),
+                    )
             raise TranspilerNotSupportedError(
                 f"{name}() is not available on a shortestPath() pattern — "
                 "the interior nodes of a reachability path are not "
@@ -420,7 +457,9 @@ class ExprCompiler:
                         qcol(r.col(r.edge.type_property)).alias("type")
                     )
                 else:
-                    fields.append(F.lit(r.edge.verb).alias("type"))
+                    fields.append(
+                        F.lit(r.edge.display_verb or r.edge.verb).alias("type")
+                    )
                 structs.append(F.struct(*fields))
             return F.array(*structs)
         raise TranspilerBindingError(

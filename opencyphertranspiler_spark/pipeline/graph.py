@@ -174,6 +174,79 @@ def shortest_path_lengths(
         return seen
 
 
+def shortest_path_nodes(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 200,
+    sources: DataFrame | None = None,
+) -> DataFrame:
+    """(src, dst, dist, nodes) — ONE shortest path per reachable pair,
+    ``nodes`` = [src, ..., dst] in traversal order.
+
+    Same semi-naive BFS as ``shortest_path_lengths`` with the frontier
+    carrying each pair's path array; the first arrival is by construction
+    via a shortest path, and ties pick an arbitrary witness (Neo4j's
+    shortestPath also returns a single arbitrary shortest path). State is
+    one array per REACHABLE PAIR — materially heavier than the
+    lengths-only loop, so callers request it only when the query actually
+    reads nodes()/relationships(). ``sources`` anchors the BFS like
+    ``shortest_path_lengths``."""
+    with _no_constraint_propagation(edges):
+        e = (
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .distinct()
+            .persist()
+        )
+        base = e
+        if sources is not None:
+            seeds = (
+                sources.select(F.col(sources.columns[0]).alias("__seed"))
+                .distinct()
+            )
+            base = e.join(
+                seeds, F.col("src") == F.col("__seed"), "left_semi"
+            )
+        seen = (
+            base.withColumn("dist", F.lit(1))
+            .withColumn("nodes", F.array(F.col("src"), F.col("dst")))
+            .localCheckpoint(eager=True)
+        )
+        frontier = seen
+        for k in range(2, max_iters + 2):
+            ext = (
+                frontier.alias("f")
+                .join(e.alias("e2"), F.col("f.dst") == F.col("e2.src"))
+                .select(
+                    F.col("f.src").alias("src"),
+                    F.col("e2.dst").alias("dst"),
+                    F.concat(
+                        F.col("f.nodes"), F.array(F.col("e2.dst"))
+                    ).alias("nodes"),
+                )
+                .join(
+                    seen.select("src", "dst"), ["src", "dst"], "left_anti"
+                )
+            )
+            nxt = (
+                ext.groupBy("src", "dst")
+                .agg(F.any_value(F.col("nodes")).alias("nodes"))
+                .withColumn("dist", F.lit(k))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        else:
+            e.unpersist()
+            raise RuntimeError(
+                f"shortest_path_nodes did not converge within {max_iters} rounds"
+            )
+        e.unpersist()
+        return seen.select("src", "dst", "dist", "nodes")
+
+
 def reachable_from(
     edges: DataFrame,
     sources: DataFrame,

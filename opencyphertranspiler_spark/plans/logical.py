@@ -144,7 +144,37 @@ class PathRef:
         return PathRef(new_alias, list(self.node_refs), list(self.rel_refs))
 
 
-Ref = EntityRef | ValueRef | PathRef
+@dataclass
+class MaterializedPathRef:
+    """A path variable whose length/nodes/relationships were materialized
+    as physical columns. Used for multi-variant bounded ``*n..m`` paths:
+    the expanded variants have DIFFERENT constituents (1-hop, 2-hop, ...),
+    so the per-variant arrays are computed before the variant union and
+    the path functions read the columns instead of the constituents."""
+
+    alias: str
+    len_col: str
+    nodes_col: str
+    rels_col: str
+
+    @property
+    def label(self) -> str:  # for error messages
+        return "path"
+
+    @property
+    def property_names(self) -> tuple[str, ...]:
+        return ()
+
+    def columns(self) -> list[str]:
+        return [self.len_col, self.nodes_col, self.rels_col]
+
+    def renamed(self, new_alias: str) -> "MaterializedPathRef":
+        return MaterializedPathRef(
+            new_alias, self.len_col, self.nodes_col, self.rels_col
+        )
+
+
+Ref = EntityRef | ValueRef | PathRef | MaterializedPathRef
 Env = dict[str, Ref]  # alias -> ref, insertion-ordered
 
 
@@ -285,6 +315,24 @@ class ProjectOp(LogicalOp):
         if self.carry:
             flags.append("carry")
         return f"Projection({[a for a, _ in self.items]}{' ' + ','.join(flags) if flags else ''})"
+
+
+@dataclass
+class AddColsOp(LogicalOp):
+    """Append computed value columns (``df.select("*", ...)``) — carries
+    the per-variant path materialization before a variant union."""
+
+    input: LogicalOp
+    items: list[tuple[str, A.Expr]]  # (physical column name, expression)
+    # expressions compile against THIS env (the input's env, which may
+    # contain refs — e.g. a PathRef — that the output env replaces)
+    compile_env: Env = field(default_factory=dict)
+
+    def children(self):
+        return [self.input]
+
+    def __repr__(self):
+        return f"AddCols({[n for n, _ in self.items]})"
 
 
 @dataclass

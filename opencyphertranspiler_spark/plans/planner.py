@@ -40,6 +40,7 @@ from .logical import (
     ExistsFlagOp,
     JoinOp,
     LogicalOp,
+    MaterializedPathRef,
     OneRowOp,
     PathRef,
     ProjectOp,
@@ -487,9 +488,9 @@ class _SingleQueryPlanner:
         ops = []
         for vc in variants:
             vc.where = None
-            ops.append(
-                self._plan_match_single(piped, vc, known_labels, prefix_overrides)
-            )
+            o = self._plan_match_single(piped, vc, known_labels, prefix_overrides)
+            o = self._materialize_paths(o, vc)
+            ops.append(o)
         common: Env = {
             a: r for a, r in ops[0].env.items() if not a.startswith("__unnamed_")
         }
@@ -506,6 +507,38 @@ class _SingleQueryPlanner:
             validate_expr(clause.where, op.env)
             op = SelectionOp(op, predicate=clause.where, env=dict(op.env))
         return op
+
+    def _materialize_paths(
+        self, op: LogicalOp, clause: A.MatchClause
+    ) -> LogicalOp:
+        """Turn every PathRef bound by this variant into physical
+        length/nodes/relationships columns (AddColsOp) and swap the env
+        entry to a MaterializedPathRef. Per-variant constituents differ
+        across a bounded ``*n..m`` expansion, but the three computed
+        columns are union-compatible — that is what makes nodes(p) work
+        on variable-length paths."""
+        from .logical import AddColsOp, MaterializedPathRef
+
+        path_aliases = [
+            a for a, r in op.env.items() if isinstance(r, PathRef)
+        ]
+        if not path_aliases:
+            return op
+        items: list[tuple[str, A.Expr]] = []
+        new_env: Env = dict(op.env)
+        for pa in path_aliases:
+            mref = MaterializedPathRef(
+                pa, f"__path_{pa}_len", f"__path_{pa}_nodes", f"__path_{pa}_rels"
+            )
+            items.extend(
+                [
+                    (mref.len_col, A.FuncCall("length", [A.Variable(pa)])),
+                    (mref.nodes_col, A.FuncCall("nodes", [A.Variable(pa)])),
+                    (mref.rels_col, A.FuncCall("relationships", [A.Variable(pa)])),
+                ]
+            )
+            new_env[pa] = mref
+        return AddColsOp(op, items, compile_env=dict(op.env), env=new_env)
 
     def _expand_var_length(self, clause: A.MatchClause) -> list[A.MatchClause]:
         """Expand *n..m relationships into every fixed-length combination."""
@@ -526,12 +559,6 @@ class _SingleQueryPlanner:
                     slots.append((pi, ri))
         if not slots:
             return [clause]
-        if any(p.path_alias is not None for p in clause.patterns):
-            raise TranspilerNotSupportedError(
-                "A pattern variable cannot be combined with variable-length "
-                "relationships in the same MATCH (the expanded variants "
-                "have differing path constituents)"
-            )
         ranges = [
             range(
                 clause.patterns[pi].rels[ri].min_hops,
@@ -1030,7 +1057,9 @@ class _SingleQueryPlanner:
                 # _gen_alias) — a user's own `__foo_1` alias survives *
                 if alias in explicit or alias in self.generated_aliases:
                     continue
-                if clause.is_return and isinstance(ref, (EntityRef, PathRef)):
+                if clause.is_return and isinstance(
+                    ref, (EntityRef, PathRef, MaterializedPathRef)
+                ):
                     raise TranspilerNotSupportedError(
                         f"RETURN * would return entity/path alias '{alias}' "
                         "— not supported (reference LogicalPlan.cs:324-328); "
@@ -1073,7 +1102,7 @@ class _SingleQueryPlanner:
                             "return their properties instead"
                         )
                     out_env[alias] = ref.renamed(alias)
-                elif isinstance(ref, PathRef):
+                elif isinstance(ref, (PathRef, MaterializedPathRef)):
                     if clause.is_return:
                         raise TranspilerNotSupportedError(
                             "Returning a path variable is not supported; "

@@ -114,6 +114,10 @@ class EdgeSchema:
     # the concrete relationship type of each row. None for ordinary edges
     # (type folds to the verb literal). Part of edge identity when set.
     type_property: str | None = None
+    # user-facing relationship-type name for VIRTUAL edges (symmetrized /
+    # shortest-path rewrites) whose verb is an internal discriminator —
+    # type(r) and relationships(p)[i].type display this instead
+    display_verb: str | None = None
     # extra identity columns beyond (source, sink): the symmetrized edge
     # of an undirected variable-length rewrite carries the ORIGINAL
     # (src, dst) pair here, so traversing the same relationship in both

@@ -256,10 +256,8 @@ def test_variable_length_negatives(movie_engine):
         movie_engine.cypher(
             "MATCH (a:Person)-[r:FOLLOWS*1..2]->(b:Person) RETURN a.Name AS n"
         )
-    with pytest.raises(TranspilerNotSupportedError):
-        movie_engine.cypher(
-            "MATCH (a:Person)-[:FOLLOWS*1..2]-(b:Person) RETURN a.Name AS n"
-        )
+    # undirected var-length is supported since round 5 (symmetrized edge)
+    # — see test_undirected_bounded_varlength
 
 
 def test_size_on_collected_list(movie_engine):
@@ -606,11 +604,13 @@ def test_exists_in_with_where(movie_engine):
     assert rows(df2) == {("Apollo 13",)}
 
 
-def test_unbounded_either_direction_rejected(movie_engine):
-    # var-length must be directed — unbounded either-direction included
+def test_unbounded_undirected_without_type_rejected(movie_engine):
+    # undirected unbounded is supported since round 5 (symmetrized edge,
+    # test_undirected_unbounded_varlength); the untyped form still cannot
+    # resolve an edge table and stays a typed error
     with pytest.raises(TranspilerNotSupportedError):
         movie_engine.cypher(
-            "MATCH (a:Person)-[:FOLLOWS*]-(b:Person) RETURN a.Name AS n"
+            "MATCH (a:Person)-[*]-(b:Person) RETURN a.Name AS n"
         )
 
 
@@ -1207,9 +1207,12 @@ def test_pattern_variable_rejections(movie_engine):
         movie_engine.cypher(
             "MATCH p = (a:Person)-[:FOLLOWS]->(b:Person) RETURN p"
         )
-    with pytest.raises(TranspilerNotSupportedError, match="variable-length"):
+    # plain unbounded reachability binds no single path — only
+    # shortestPath() supports a pattern variable there (round 5 also
+    # fixed the silent length(p)=1 this used to produce)
+    with pytest.raises(TranspilerNotSupportedError, match="shortestPath"):
         movie_engine.cypher(
-            "MATCH p = (a:Person)-[:FOLLOWS*1..2]->(b:Person) RETURN length(p) AS l"
+            "MATCH p = (a:Person)-[:FOLLOWS*]->(b:Person) RETURN length(p) AS l"
         )
 
 
@@ -1243,12 +1246,22 @@ def test_shortest_path_composes_with_where_and_agg(movie_engine):
     assert rows(df) == {(3,)}
 
 
-def test_shortest_path_interior_not_materialized(movie_engine):
-    with pytest.raises(TranspilerNotSupportedError, match="length()"):
-        movie_engine.cypher(
-            "MATCH p = shortestPath((a:Person)-[:FOLLOWS*]->(b:Person)) "
-            "RETURN nodes(p) AS ns"
-        )
+def test_shortest_path_interior_materialized(movie_engine):
+    # round 5: the BFS materializes one witness path's node array when
+    # the query reads nodes()/relationships() (engine._reads_path_nodes)
+    df = movie_engine.cypher(
+        "MATCH p = shortestPath((a:Person {Name: 'Rob Reiner'})"
+        "-[:FOLLOWS*]->(b:Person)) "
+        "WHERE b.Name = 'Tom Hanks' "
+        "RETURN nodes(p) AS ns, relationships(p) AS rs"
+    )
+    row = df.collect()[0]
+    assert row.ns == ["p3", "p4", "p2", "p1"]
+    assert [(r.src, r.dst, r.type) for r in row.rs] == [
+        ("p3", "p4", "FOLLOWS"),
+        ("p4", "p2", "FOLLOWS"),
+        ("p2", "p1", "FOLLOWS"),
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -1860,3 +1873,65 @@ def test_subquery_rejections(movie_engine):
         movie_engine.cypher(
             "MATCH (p:Person) WHERE COUNT { (m:Movie) } > 1 RETURN p.Name AS n"
         )
+
+
+# ---------------------------------------------------------------------------
+# Path interior materialization for bounded *n..m (round-5 verdict item 5)
+# ---------------------------------------------------------------------------
+
+
+def test_bounded_varlength_path_functions(movie_engine):
+    # FOLLOWS chains: p3->p4->p2->p1, p5->p1
+    df = movie_engine.cypher(
+        """
+        MATCH p = (a:Person {Name: 'Rob Reiner'})-[:FOLLOWS*1..3]->(b:Person)
+        RETURN b.Name AS n, length(p) AS l, nodes(p) AS ns,
+               relationships(p)[0].type AS t0
+        """
+    )
+    got = {(r.n, r.l, tuple(r.ns), r.t0) for r in df.collect()}
+    assert got == {
+        ("Nora Ephron", 1, ("p3", "p4"), "FOLLOWS"),
+        ("Meg Ryan", 2, ("p3", "p4", "p2"), "FOLLOWS"),
+        ("Tom Hanks", 3, ("p3", "p4", "p2", "p1"), "FOLLOWS"),
+    }
+
+
+def test_bounded_varlength_path_through_with_and_where(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH p = (a:Person {Name: 'Rob Reiner'})-[:FOLLOWS*1..3]->(b:Person)
+        WHERE length(p) >= 2
+        WITH p, b.Name AS n
+        RETURN n, nodes(p)[-1] AS last, size(relationships(p)) AS m
+        """
+    )
+    got = {(r.n, r.last, r.m) for r in df.collect()}
+    assert got == {("Meg Ryan", "p2", 2), ("Tom Hanks", "p1", 3)}
+
+
+def test_exact_varlength_single_variant_path(movie_engine):
+    # a single-variant expansion (*2) binds a plain PathRef over the
+    # expanded constituents — interior anonymous nodes included
+    df = movie_engine.cypher(
+        """
+        MATCH p = (a:Person {Name: 'Rob Reiner'})-[:FOLLOWS*2]->(b:Person)
+        RETURN b.Name AS n, nodes(p) AS ns
+        """
+    )
+    got = {(r.n, tuple(r.ns)) for r in df.collect()}
+    assert got == {("Meg Ryan", ("p3", "p4", "p2"))}
+
+
+def test_undirected_shortest_path_nodes(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH p = shortestPath((a:Person {Name: 'Bill Paxton'})
+                               -[:FOLLOWS*]-(b:Person))
+        WHERE b.Name = 'Rob Reiner'
+        RETURN nodes(p) AS ns, relationships(p)[0].type AS t
+        """
+    )
+    row = df.collect()[0]
+    assert row.ns == ["p5", "p1", "p2", "p4", "p3"]
+    assert row.t == "FOLLOWS"  # display verb, not the internal __UVL name
