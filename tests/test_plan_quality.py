@@ -225,3 +225,37 @@ def test_pattern_comprehension_aggregates_before_join(spark, engine):
         "MATCH (c:Customer) RETURN count(*) AS n"
     ).collect()[0].n
     assert df.count() == n_customers
+
+
+def test_temporal_literal_filter_pushed_to_scan(spark, engine):
+    # datetime('...') on a literal constant-folds, so temporal range
+    # predicates reach the parquet scan as min/max-prunable pushed filters
+    df = engine.cypher(
+        """
+        MATCH (o:Orders)
+        WHERE o.o_orderdate >= datetime('1995-01-01T00:00:00')
+          AND o.o_orderdate < datetime('1996-01-01')
+        RETURN o.o_orderdate.year AS yr, count(*) AS n
+        """
+    )
+    plan = formatted_plan(spark, df)
+    assert "GreaterThanOrEqual(o_orderdate,1995-01-01" in plan
+    assert "LessThan(o_orderdate,1996-01-01" in plan
+
+
+def test_count_subquery_lowers_to_aggregate_before_join(spark, engine):
+    # COUNT { } compiles to the pattern-comprehension path: the pattern
+    # side aggregates per key BEFORE the left join back (no row explosion)
+    df = engine.cypher(
+        """
+        MATCH (c:Customer)
+        WHERE COUNT { (c)-[:PLACED]->(:Orders) } > 8
+        RETURN c.c_name AS name
+        """
+    )
+    plan = formatted_plan(spark, df)
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("SortMergeJoin")
+    if join_pos == -1:
+        join_pos = plan.find("BroadcastHashJoin")
+    assert agg_pos != -1 and join_pos != -1
