@@ -12,6 +12,8 @@ semantics), unlike the reference's PATINDEX substring hack
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -30,26 +32,28 @@ def _arity(name: str, args: list, n: int, m: int | None = None):
 def compile_scalar(name: str, args: list[Column]) -> Column:
     """Lower a scalar function call to a Column expression."""
     # --- casts (reference SQLRenderer.cs:568-585) ---
+    # try_cast, not cast: openCypher toInteger('abc') yields NULL; under
+    # Spark 4's default ANSI mode a plain cast would throw at runtime
     if name == "tofloat":
         _arity(name, args, 1)
-        return args[0].cast("float")
+        return args[0].try_cast("float")
     if name == "todouble":
         _arity(name, args, 1)
-        return args[0].cast("double")
+        return args[0].try_cast("double")
     if name == "tostring":
         _arity(name, args, 1)
         return args[0].cast("string")
     if name == "toboolean":
         _arity(name, args, 1)
-        return args[0].cast("boolean")
+        return args[0].try_cast("boolean")
     if name == "tointeger":
         _arity(name, args, 1)
-        # openCypher integers are 64-bit; a 32-bit cast would overflow-throw
-        # under Spark 4 ANSI mode on long surrogate keys (e.g. l_id)
-        return args[0].cast("long")
+        # openCypher integers are 64-bit; a 32-bit cast would overflow on
+        # long surrogate keys (e.g. l_id)
+        return args[0].try_cast("long")
     if name == "tolong":
         _arity(name, args, 1)
-        return args[0].cast("long")
+        return args[0].try_cast("long")
     # --- strings (reference SQLRenderer.cs:589-621) ---
     if name == "startswith":
         _arity(name, args, 2)
@@ -126,6 +130,57 @@ def compile_scalar(name: str, args: list[Column]) -> Column:
     if name == "sign":
         _arity(name, args, 1)
         return F.signum(args[0]).cast("int")
+    # --- math library (extensions; Neo4j function set, all deterministic
+    # JVM built-ins — rand()/randomUUID() are deliberately absent) ---
+    if name == "exp":
+        _arity(name, args, 1)
+        return F.exp(args[0])
+    if name == "log":
+        _arity(name, args, 1)
+        return F.log(args[0])  # natural log, like Neo4j
+    if name == "log10":
+        _arity(name, args, 1)
+        return F.log10(args[0])
+    if name == "sin":
+        _arity(name, args, 1)
+        return F.sin(args[0])
+    if name == "cos":
+        _arity(name, args, 1)
+        return F.cos(args[0])
+    if name == "tan":
+        _arity(name, args, 1)
+        return F.tan(args[0])
+    if name == "asin":
+        _arity(name, args, 1)
+        return F.asin(args[0])
+    if name == "acos":
+        _arity(name, args, 1)
+        return F.acos(args[0])
+    if name == "atan":
+        _arity(name, args, 1)
+        return F.atan(args[0])
+    if name == "atan2":
+        _arity(name, args, 2)
+        return F.atan2(args[0], args[1])
+    if name == "cot":
+        _arity(name, args, 1)
+        return F.cot(args[0])
+    if name == "degrees":
+        _arity(name, args, 1)
+        return F.degrees(args[0])
+    if name == "radians":
+        _arity(name, args, 1)
+        return F.radians(args[0])
+    if name == "pi":
+        _arity(name, args, 0)
+        return F.lit(math.pi)
+    if name == "e":
+        _arity(name, args, 0)
+        return F.lit(math.e)
+    if name == "haversin":
+        _arity(name, args, 1)
+        # haversin(x) = sin^2(x/2), Neo4j's spherical-distance helper
+        return F.pow(F.sin(args[0] / F.lit(2.0)), F.lit(2.0))
     # --- lists (extensions; openCypher staples the reference lacks).
     # first()/last() stay aggregates (parser routes them to AggCall), so
     # the list accessors are head()/tail() only, per openCypher. ---

@@ -508,6 +508,31 @@ class _SingleQueryPlanner:
             op = SelectionOp(op, predicate=clause.where, env=dict(op.env))
         return op
 
+    @staticmethod
+    def _substitute_projected_aggregates(
+        expr: A.Expr, items: list[tuple[str, A.Expr]]
+    ) -> A.Expr:
+        """Replace subtrees of ``expr`` that are structurally equal to an
+        aggregate-containing projection item with that item's alias."""
+
+        def rec(e: A.Expr) -> A.Expr:
+            for alias, iexpr in items:
+                if e == iexpr and A.contains_aggregate(iexpr):
+                    return A.Variable(alias)
+            if isinstance(e, A.Binary):
+                e.left, e.right = rec(e.left), rec(e.right)
+            elif isinstance(e, A.Unary):
+                e.operand = rec(e.operand)
+            elif isinstance(e, A.FuncCall):
+                e.args = [rec(a) for a in e.args]
+            elif isinstance(e, A.CaseExpr):
+                e.whens = [(rec(c), rec(v)) for c, v in e.whens]
+                if e.else_ is not None:
+                    e.else_ = rec(e.else_)
+            return e
+
+        return rec(expr)
+
     def _materialize_paths(
         self, op: LogicalOp, clause: A.MatchClause
     ) -> LogicalOp:
@@ -1087,6 +1112,15 @@ class _SingleQueryPlanner:
             clause.items = new_items
         in_env = piped.env
         has_agg = any(A.contains_aggregate(e) for _, e in clause.items)
+        # `ORDER BY <aggregate expr>` (extension; Neo4j idiom): rewrite
+        # subtrees structurally equal to a projected aggregate item to the
+        # item's alias BEFORE the implicit-field scoping check — the
+        # aggregate's inner references live in the pre-projection scope
+        for s in clause.order_by:
+            if A.contains_aggregate(s.expr):
+                s.expr = self._substitute_projected_aggregates(
+                    s.expr, clause.items
+                )
 
         out_env: Env = {}
         for alias, expr in clause.items:
@@ -1178,12 +1212,14 @@ class _SingleQueryPlanner:
         # on top — so `WITH x ORDER BY x LIMIT 5 WHERE x > 2` limits then filters
         if clause.order_by or clause.skip is not None or clause.limit is not None:
             for s in clause.order_by:
-                validate_expr(s.expr, op.env)
                 if A.contains_aggregate(s.expr):
+                    # substitution above found no matching projection item
                     raise TranspilerNotSupportedError(
-                        "Aggregate expressions in ORDER BY are not supported; "
-                        "alias the aggregate in the projection first"
+                        "ORDER BY may only use aggregate expressions that "
+                        "also appear as projection items; alias the "
+                        "aggregate in the projection first"
                     )
+                validate_expr(s.expr, op.env)
             op = SelectionOp(
                 op,
                 order_by=list(clause.order_by),

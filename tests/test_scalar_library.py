@@ -1,0 +1,111 @@
+"""Round-5 scalar-library extensions: math functions (differential vs
+DuckDB), null-on-failure casts (openCypher semantics vs Spark ANSI), and
+ORDER BY on aggregate expressions."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from opencyphertranspiler_spark import TranspilerNotSupportedError
+
+
+def test_math_functions_vs_duckdb(engine, duck):
+    got = {
+        r.k: tuple(r)[1:]
+        for r in engine.cypher(
+            """
+            MATCH (p:Part) WHERE p.p_partkey <= 20
+            RETURN p.p_partkey AS k,
+                   round(exp(p.p_size / 10.0), 6) AS ex,
+                   round(log(p.p_size + 1), 6) AS ln,
+                   round(log10(p.p_size + 1), 6) AS l10,
+                   round(sin(p.p_size), 6) AS s,
+                   round(cos(p.p_size), 6) AS c,
+                   round(atan2(p.p_size, 3), 6) AS a2,
+                   round(degrees(p.p_size), 4) AS dg
+            """
+        ).collect()
+    }
+    exp = {
+        r[0]: r[1:]
+        for r in duck.sql(
+            """
+            SELECT p_partkey AS k,
+                   round(exp(p_size / 10.0), 6) AS ex,
+                   round(ln(p_size + 1), 6) AS ln,
+                   round(log10(p_size + 1), 6) AS l10,
+                   round(sin(p_size), 6) AS s,
+                   round(cos(p_size), 6) AS c,
+                   round(atan2(p_size, 3), 6) AS a2,
+                   round(degrees(p_size), 4) AS dg
+            FROM part WHERE p_partkey <= 20
+            """
+        ).fetchall()
+    }
+    assert got.keys() == exp.keys()
+    for k in got:
+        for a, b in zip(got[k], exp[k]):
+            assert abs(a - b) < 1e-6, (k, got[k], exp[k])
+
+
+def test_math_constants_and_haversin(engine):
+    row = engine.cypher(
+        "RETURN pi() AS p, e() AS e, round(haversin(pi() / 2), 6) AS h"
+    ).collect()[0]
+    assert abs(row.p - math.pi) < 1e-12
+    assert abs(row.e - math.e) < 1e-12
+    assert abs(row.h - 0.5) < 1e-6  # sin^2(pi/4) = 0.5
+
+
+def test_casts_null_on_malformed_input(engine):
+    # openCypher: toInteger('abc') IS NULL; Spark ANSI would throw
+    row = engine.cypher(
+        """
+        RETURN toInteger('abc') AS i, toFloat('x') AS f,
+               toBoolean('nope') AS b, toInteger('42') AS ok
+        """
+    ).collect()[0]
+    assert (row.i, row.f, row.b, row.ok) == (None, None, None, 42)
+
+
+def test_order_by_aggregate_expression(engine, duck):
+    got = [
+        (r.seg, r.n)
+        for r in engine.cypher(
+            """
+            MATCH (c:Customer)-[:PLACED]->(o:Orders)
+            RETURN c.c_mktsegment AS seg, count(*) AS n
+            ORDER BY count(*) DESC, seg ASC
+            """
+        ).collect()
+    ]
+    exp = duck.sql(
+        """
+        SELECT c.c_mktsegment AS seg, count(*) AS n
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1 ORDER BY 2 DESC, 1 ASC
+        """
+    ).fetchall()
+    assert got == [tuple(r) for r in exp]
+
+
+def test_order_by_aggregate_inside_expression(engine):
+    rows = engine.cypher(
+        """
+        MATCH (o:Orders)
+        RETURN o.o_orderpriority AS pri, round(sum(o.o_totalprice), 2) AS total
+        ORDER BY round(sum(o.o_totalprice), 2) DESC
+        """
+    ).collect()
+    totals = [r.total for r in rows]
+    assert totals == sorted(totals, reverse=True)
+
+
+def test_order_by_unprojected_aggregate_rejected(engine):
+    with pytest.raises(TranspilerNotSupportedError, match="projection items"):
+        engine.cypher(
+            "MATCH (o:Orders) RETURN o.o_orderpriority AS pri "
+            "ORDER BY count(*) DESC"
+        )
