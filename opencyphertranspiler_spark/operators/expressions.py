@@ -185,6 +185,11 @@ class ExprCompiler:
                 # Cypher size() is overloaded: list length vs string length
                 if isinstance(self._types(expr.args[0], args[0]), T.ArrayType):
                     return F.size(args[0])
+            if expr.name == "isempty" and args:
+                # isEmpty() (extension): list / string, null stays null
+                if isinstance(self._types(expr.args[0], args[0]), T.ArrayType):
+                    return F.size(args[0]) == 0
+                return F.length(args[0]) == 0
             return compile_scalar(expr.name, args)
         if isinstance(expr, A.AggCall):
             return self._aggregate(expr)
@@ -317,6 +322,7 @@ class ExprCompiler:
             "labels",
             "type",
             "id",
+            "elementid",  # Neo4j 5 spelling; same surrogate as id()
             "keys",
             "properties",
             "length",

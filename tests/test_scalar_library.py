@@ -109,3 +109,22 @@ def test_order_by_unprojected_aggregate_rejected(engine):
             "MATCH (o:Orders) RETURN o.o_orderpriority AS pri "
             "ORDER BY count(*) DESC"
         )
+
+
+def test_isempty_and_elementid(engine):
+    row = engine.cypher(
+        """
+        MATCH (r:Region) WHERE r.r_name = 'ASIA'
+        RETURN isEmpty([]) AS e1, isEmpty([1]) AS e2, isEmpty('') AS e3,
+               isEmpty('x') AS e4, isEmpty(null) AS e5,
+               elementId(r) AS eid, id(r) AS rid
+        """
+    ).collect()[0]
+    assert (row.e1, row.e2, row.e3, row.e4, row.e5) == (
+        True,
+        False,
+        True,
+        False,
+        None,
+    )
+    assert row.eid == row.rid
