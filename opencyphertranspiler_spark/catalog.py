@@ -151,10 +151,14 @@ CATALOG: list[CatalogEntry] = [
     ),
     # ---- group 3b: entity alias swap through WITH (reference 405-427) ----
     CatalogEntry(
+        # merged former q18 (WHERE on a WITH value) into the alias-swap
+        # pipeline, freeing a gate slot for q43_call_subquery
         name="q05_alias_swap",
         cypher="""
             MATCH (c:Customer)-[:PLACED]->(o:Orders)
             WITH c AS o2, o AS c2
+            WITH o2, c2, c2.o_totalprice AS price
+            WHERE price > 150000
             RETURN c2.o_orderpriority AS pri, count(c2) AS n,
                    round(avg(o2.c_acctbal), 2) AS ab
         """,
@@ -162,9 +166,10 @@ CATALOG: list[CatalogEntry] = [
             SELECT o.o_orderpriority AS pri, count(o.o_orderkey) AS n,
                    round(avg(c.c_acctbal), 2) AS ab
             FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+            WHERE o.o_totalprice > 150000
             GROUP BY o.o_orderpriority
         """,
-        tags=("with", "alias-swap"),
+        tags=("with", "alias-swap", "where"),
     ),
     # ---- group 4: OPTIONAL MATCH with WHERE inside + count(o)>0 flag ----
     CatalogEntry(
@@ -371,22 +376,6 @@ CATALOG: list[CatalogEntry] = [
         tags=("orderby", "skip", "scoping"),
     ),
     # ---- group 11: WHERE placements (on WITH) ----
-    CatalogEntry(
-        name="q18_where_on_with",
-        cypher="""
-            MATCH (c:Customer)-[:PLACED]->(o:Orders)
-            WITH c.c_name AS name, o.o_totalprice AS price
-            WHERE price > 150000
-            RETURN name, count(*) AS n
-        """,
-        oracle="""
-            SELECT c.c_name AS name, count(*) AS n
-            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
-            WHERE o.o_totalprice > 150000
-            GROUP BY c.c_name
-        """,
-        tags=("where",),
-    ),
     # ---- group 12: UNION / UNION ALL (working, unlike the reference bug) ----
     # merged q19+q20 (driver gate caps at 50 entries): one chained query
     # mixing UNION (distinct) and UNION ALL, left-associative like SQL
@@ -776,6 +765,37 @@ CATALOG += [
             GROUP BY c.c_mktsegment
         """,
         tags=("subquery", "exists", "count"),
+    ),
+    # ---- CALL { } subqueries (extension; the reference rejects CALL):
+    # correlated form decorrelated by threading the imported node through
+    # the inner projections (per-outer-row aggregation), LEFT join +
+    # count/sum->0 defaults for all-aggregate returns
+    # (plans/planner.py:plan_call) ----
+    CatalogEntry(
+        name="q43_call_subquery",
+        cypher="""
+            MATCH (c:Customer)
+            CALL { WITH c MATCH (c)-[:PLACED]->(o:Orders)
+                   WHERE o.o_totalprice > 150000
+                   RETURN count(o) AS big_orders,
+                          round(sum(o.o_totalprice), 2) AS big_total }
+            RETURN c.c_mktsegment AS seg, sum(big_orders) AS n,
+                   round(sum(big_total), 2) AS total, count(*) AS customers
+        """,
+        oracle="""
+            SELECT c.c_mktsegment AS seg,
+                   CAST(sum(s.n) AS BIGINT) AS n,
+                   round(sum(s.t), 2) AS total,
+                   count(*) AS customers
+            FROM customer c,
+                 LATERAL (SELECT count(*) AS n,
+                                 round(sum(o.o_totalprice), 2) AS t
+                          FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 150000) s
+            GROUP BY 1
+        """,
+        tags=("call", "subquery"),
     ),
 ]
 

@@ -414,6 +414,16 @@ class UnwindClause:
 
 
 @dataclass
+class CallSubqueryClause:
+    """``CALL { <single query> }`` (modern openCypher, extension; the
+    reference rejects CALL outright). The inner query's clause list ends
+    with a RETURN; an optional leading ``WITH a, b`` of bare variables is
+    the IMPORT clause (correlated form)."""
+
+    query: "SingleQuery"
+
+
+@dataclass
 class SortItem:
     expr: Expr
     ascending: bool = True
@@ -435,7 +445,7 @@ class ProjectionClause:
     star: bool = False
 
 
-Clause = MatchClause | UnwindClause | ProjectionClause
+Clause = MatchClause | UnwindClause | ProjectionClause | CallSubqueryClause
 
 
 @dataclass

@@ -125,7 +125,7 @@ class Parser:
                     f"Write clause {t.value} is not supported (read-only engine)"
                 )
             elif t.is_kw("CALL"):
-                raise TranspilerNotSupportedError("CALL is not supported")
+                clauses.append(self.parse_call_subquery())
             else:
                 raise TranspilerSyntaxError(
                     f"Expected a clause keyword at position {t.pos}, got {t.value!r}"
@@ -149,7 +149,12 @@ class Parser:
         )
         if first_match is not None and first_match.optional:
             prior = clauses[: clauses.index(first_match)]
-            if not any(isinstance(c, (A.MatchClause, A.UnwindClause)) for c in prior):
+            if not any(
+                isinstance(
+                    c, (A.MatchClause, A.UnwindClause, A.CallSubqueryClause)
+                )
+                for c in prior
+            ):
                 raise TranspilerNotSupportedError(
                     "OPTIONAL MATCH cannot be the first reading clause"
                 )
@@ -166,6 +171,24 @@ class Parser:
         if self.accept_kw("WHERE"):
             where = self.parse_expr()
         return A.MatchClause(patterns, optional, where)
+
+    def parse_call_subquery(self) -> A.CallSubqueryClause:
+        """``CALL { <single query> }`` (extension). CALL procedures
+        (``CALL db.labels()``) keep the reference's typed rejection; UNION
+        inside the braces is not supported."""
+        self.expect_kw("CALL")
+        if not self.cur.is_punct("{"):
+            raise TranspilerNotSupportedError(
+                "CALL procedures are not supported; only CALL { subquery }"
+            )
+        self.expect_punct("{")
+        inner = self.parse_single_query()
+        if self.cur.is_kw("UNION"):
+            raise TranspilerNotSupportedError(
+                "UNION inside CALL { } is not supported"
+            )
+        self.expect_punct("}")
+        return A.CallSubqueryClause(inner)
 
     def parse_unwind(self) -> A.UnwindClause:
         self.expect_kw("UNWIND")

@@ -114,11 +114,26 @@ class CypherEngine:
                     elif isinstance(n, A.PatternComprehension):
                         yield n.part, None
 
-        for sq in single_queries(ast_query):
-            for clause in sq.clauses:
-                for part, owner in parts_of(clause):
-                    for i, rel in enumerate(part.rels):
-                        yield sq, owner, part, part.nodes[i], rel, part.nodes[i + 1]
+        for top in single_queries(ast_query):
+            # CALL { } subqueries nest single queries: each inner query is
+            # its own anchor/segment scope
+            stack = [top]
+            while stack:
+                sq = stack.pop()
+                for clause in sq.clauses:
+                    if isinstance(clause, A.CallSubqueryClause):
+                        stack.append(clause.query)
+                        continue
+                    for part, owner in parts_of(clause):
+                        for i, rel in enumerate(part.rels):
+                            yield (
+                                sq,
+                                owner,
+                                part,
+                                part.nodes[i],
+                                rel,
+                                part.nodes[i + 1],
+                            )
 
     # -- multiple relationship types `[:A|B]` ------------------------------
     # The reference rejects type alternation outright
@@ -627,8 +642,13 @@ class CypherEngine:
             else:
                 yield q
 
-        for sq in single_queries(ast_query):
+        stack = list(single_queries(ast_query))
+        while stack:
+            sq = stack.pop()
             for clause in sq.clauses:
+                if isinstance(clause, A.CallSubqueryClause):
+                    stack.append(clause.query)
+                    continue
                 exprs = []
                 where = getattr(clause, "where", None)
                 if where is not None:

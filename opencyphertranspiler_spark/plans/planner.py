@@ -136,9 +136,16 @@ class _SingleQueryPlanner:
         return alias
 
     def plan(self, sq: A.SingleQuery) -> LogicalOp:
-        cur: LogicalOp | None = None
+        cur = self._plan_clauses(None, sq.clauses)
+        if cur is None:  # pragma: no cover — parser guarantees a RETURN
+            raise TranspilerInternalError("Empty query plan")
+        return cur
+
+    def _plan_clauses(
+        self, cur: LogicalOp | None, clauses: list[A.Clause]
+    ) -> LogicalOp | None:
         prev_clause: A.Clause | None = None
-        for clause in sq.clauses:
+        for clause in clauses:
             if isinstance(clause, A.MatchClause):
                 if clause.optional:
                     cur = self.plan_optional_match(cur, clause)
@@ -146,6 +153,8 @@ class _SingleQueryPlanner:
                     cur = self.plan_match(cur, clause)
             elif isinstance(clause, A.UnwindClause):
                 cur = self.plan_unwind(cur, clause)
+            elif isinstance(clause, A.CallSubqueryClause):
+                cur = self.plan_call(cur, clause)
             elif isinstance(clause, A.ProjectionClause):
                 # order-sensitive aggregates: an aggregating projection
                 # directly after `WITH ... ORDER BY` inherits that order
@@ -164,8 +173,6 @@ class _SingleQueryPlanner:
             else:  # pragma: no cover
                 raise TranspilerInternalError(f"Unknown clause {clause!r}")
             prev_clause = clause
-        if cur is None:  # pragma: no cover — parser guarantees a RETURN
-            raise TranspilerInternalError("Empty query plan")
         return cur
 
     # -- MATCH ---------------------------------------------------------------
@@ -1028,6 +1035,218 @@ class _SingleQueryPlanner:
                 )
             new_env[a] = ref
         return JoinOp(piped, right, "left", pairs, drop_right, env=new_env)
+
+    # -- CALL { subquery } -------------------------------------------------------
+
+    def plan_call(
+        self, piped: LogicalOp | None, clause: A.CallSubqueryClause
+    ) -> LogicalOp:
+        """``CALL { <query> }`` (extension; the reference rejects CALL).
+
+        Uncorrelated form: the inner query plans standalone and CROSS
+        joins into the outer row stream (Neo4j row semantics: outer rows
+        x subquery rows).
+
+        Correlated form (`CALL { WITH a ... RETURN ... }`): decorrelated
+        by THREADING the imported node aliases through every inner
+        projection — an aggregating inner WITH/RETURN then implicitly
+        groups per imported entity, and an inner DISTINCT dedups per
+        outer row, exactly Neo4j's per-invocation semantics. The inner
+        plan joins back on the imported node ids. When the final RETURN
+        is all-aggregates, the join is LEFT and count()/sum() coalesce to
+        0 and collect() to [] (aggregate-over-empty yields one row in
+        Neo4j); any non-aggregate output item makes it an INNER join
+        (zero subquery rows drop the outer row, also Neo4j).
+
+        Fenced (typed errors): scalar/path imports, ORDER BY / SKIP /
+        LIMIT inside a correlated subquery (per-outer-row windows), UNION
+        inside the braces, rebinding an import alias."""
+        inner = clause.query
+        body = list(inner.clauses)
+        imports: list[str] = []
+        first = body[0] if body else None
+        if (
+            isinstance(first, A.ProjectionClause)
+            and not first.is_return
+            and not first.distinct
+            and not first.star
+            and first.where is None
+            and not first.order_by
+            and first.skip is None
+            and first.limit is None
+            and first.items
+            and all(
+                isinstance(e, A.Variable) and a == e.name
+                for a, e in first.items
+            )
+        ):
+            imports = [a for a, _ in first.items]
+            body = body[1:]
+
+        if not imports:
+            sub = self.plan(A.SingleQuery(body))
+            outer_env = piped.env if piped is not None else {}
+            collide = set(sub.env) & set(outer_env)
+            if collide:
+                raise TranspilerBindingError(
+                    f"CALL {{ }} returns aliases already bound outside: "
+                    f"{sorted(collide)}"
+                )
+            if piped is None:
+                return sub
+            return JoinOp(
+                piped, sub, "cross", [], env={**piped.env, **sub.env}
+            )
+
+        if piped is None:
+            raise TranspilerBindingError(
+                "CALL { WITH ... } imports need an outer scope to import "
+                "from"
+            )
+        env = piped.env
+        for a in imports:
+            ref = env.get(a)
+            if ref is None:
+                raise TranspilerBindingError(f"Alias '{a}' does not exist")
+            if not isinstance(ref, EntityRef) or ref.kind != "node":
+                raise TranspilerNotSupportedError(
+                    f"CALL {{ WITH {a} }}: only node-entity imports are "
+                    "supported (scalar and path imports are not)"
+                )
+        for c in body:
+            if isinstance(c, A.ProjectionClause) and (
+                c.order_by or c.skip is not None or c.limit is not None
+            ):
+                raise TranspilerNotSupportedError(
+                    "ORDER BY / SKIP / LIMIT inside a correlated CALL { } "
+                    "is not supported (needs per-outer-row windows)"
+                )
+        final = body[-1]  # parser guarantees a trailing RETURN
+        out_aliases = [a for a, _ in final.items]
+        collide = (set(out_aliases) - set(imports)) & set(env)
+        if collide:
+            raise TranspilerBindingError(
+                f"CALL {{ }} returns aliases already bound outside: "
+                f"{sorted(collide)}"
+            )
+        # a projection where EVERY item contains an aggregate yields
+        # exactly one row per outer row (per-import grouping), including
+        # over an empty match set — LEFT join + defaults. Top-level
+        # count/sum coalesce to 0 and collect to [] (Neo4j aggregate-over-
+        # empty values); aggregates WRAPPED in expressions (round(sum(x)))
+        # stay null over an empty set (documented divergence: Neo4j would
+        # evaluate the wrapper over the default, e.g. round(0) = 0.0)
+        all_agg = bool(final.items) and all(
+            A.contains_aggregate(e) for _, e in final.items
+        )
+        agg_kind = {
+            a: e.name for a, e in final.items if isinstance(e, A.AggCall)
+        }
+
+        # thread the imports: intermediate projections keep the alias
+        # alive under its own name; the FINAL projection re-exports each
+        # import under a fresh alias (fresh column prefix) so the
+        # join-back keys cannot collide with the outer side's columns
+        import_out = {a: self._gen_alias(f"callimp_{a}") for a in imports}
+        new_body: list[A.Clause] = []
+        for c in body:
+            if isinstance(c, A.ProjectionClause):
+                have = {al for al, _ in c.items}
+                if c is final:
+                    extra = [
+                        (import_out[a], A.Variable(a)) for a in imports
+                    ]
+                else:
+                    extra = [
+                        (a, A.Variable(a))
+                        for a in imports
+                        if a not in have
+                    ]
+                c = A.ProjectionClause(
+                    extra + list(c.items),
+                    distinct=c.distinct,
+                    where=c.where,
+                    order_by=list(c.order_by),
+                    skip=c.skip,
+                    limit=c.limit,
+                    is_return=False,  # entity items allowed; this is not
+                    # the query's final projection
+                    star=c.star,
+                )
+            new_body.append(c)
+
+        # correlated seed: one fresh-prefixed scan per imported node (the
+        # exists-fabric mechanics) — body clauses bind against it
+        seed: LogicalOp | None = None
+        for a in imports:
+            nsch = self.schema.get_node(env[a].node.label)
+            ref = EntityRef(
+                a, "node", node=nsch, col_prefix=self._gen_alias(f"call_{a}")
+            )
+            scan = DataSourceOp([ref], env={a: ref})
+            seed = (
+                scan
+                if seed is None
+                else JoinOp(
+                    seed, scan, "cross", [], env={**seed.env, **scan.env}
+                )
+            )
+        sub = self._plan_clauses(seed, new_body)
+
+        pairs: list[tuple[str, str]] = []
+        drop_right: list[str] = []
+        for a in imports:
+            sub_ref = sub.env.get(import_out[a])
+            if not isinstance(sub_ref, EntityRef) or sub_ref.kind != "node":
+                raise TranspilerBindingError(
+                    f"CALL {{ }} import alias '{a}' was rebound to a "
+                    "non-entity inside the subquery"
+                )
+            outer_ref = env[a]
+            pairs.append(
+                (
+                    outer_ref.col(outer_ref.node.id_property),
+                    sub_ref.col(sub_ref.node.id_property),
+                )
+            )
+            drop_right.extend(sub_ref.columns())
+
+        new_env: Env = dict(env)
+        for a in out_aliases:
+            new_env[a] = ValueRef(a)
+        joined = JoinOp(
+            piped,
+            sub,
+            "left" if all_agg else "inner",
+            pairs,
+            drop_right,
+            env=new_env,
+        )
+        if not all_agg:
+            return joined
+        # aggregate-over-empty: one row per outer row with count/sum = 0
+        # and collect = [] (others null) — re-project with coalesce
+        items: list[tuple[str, A.Expr]] = []
+        for alias in env:
+            items.append((alias, A.Variable(alias)))
+        for a in out_aliases:
+            kind = agg_kind.get(a)
+            if kind in ("count", "sum"):
+                items.append(
+                    (a, A.FuncCall("coalesce", [ColRef(a), A.Literal(0)]))
+                )
+            elif kind == "collect":
+                items.append(
+                    (a, A.FuncCall("coalesce", [ColRef(a), A.ListLiteral([])]))
+                )
+            else:
+                items.append((a, A.Variable(a)))
+        return ProjectOp(
+            joined,
+            items,
+            output_aliases=[a for a, _ in items],
+            env=new_env,
+        )
 
     # -- UNWIND ------------------------------------------------------------------
 

@@ -1,0 +1,105 @@
+"""CALL { } subqueries (round-5 extension): DuckDB differentials on the
+TPC-H overlay at sf0.001, covering correlated aggregation (incl. the
+aggregate-over-empty LEFT-join defaults), intermediate WITH + DISTINCT,
+and uncorrelated cross-join semantics."""
+
+from __future__ import annotations
+
+
+def test_call_correlated_aggregates_vs_duckdb(engine, duck):
+    got = sorted(
+        map(
+            tuple,
+            engine.cypher(
+                """
+                MATCH (c:Customer) WHERE c.c_custkey <= 100
+                CALL { WITH c MATCH (c)-[:PLACED]->(o:Orders)
+                       WHERE o.o_totalprice > 100000
+                       RETURN count(o) AS n,
+                              round(sum(o.o_totalprice), 2) AS tot }
+                RETURN c.c_custkey AS k, n, tot
+                """
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                """
+                SELECT c.c_custkey AS k, s.n, s.tot
+                FROM customer c,
+                     LATERAL (SELECT count(*) AS n,
+                                     round(sum(o.o_totalprice), 2) AS tot
+                              FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 100000) s
+                WHERE c.c_custkey <= 100
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+    # aggregate-over-empty keeps the outer row: every customer appears
+    assert len(got) == duck.sql(
+        "SELECT count(*) FROM customer WHERE c_custkey <= 100"
+    ).fetchone()[0]
+
+
+def test_call_distinct_through_intermediate_with(engine, duck):
+    got = sorted(
+        map(
+            tuple,
+            engine.cypher(
+                """
+                MATCH (c:Customer) WHERE c.c_custkey <= 50
+                CALL { WITH c MATCH (c)-[:PLACED]->(o:Orders)
+                       WITH DISTINCT o.o_orderstatus AS st
+                       RETURN count(st) AS stn }
+                RETURN c.c_custkey AS k, stn
+                """
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                """
+                SELECT c.c_custkey AS k,
+                       (SELECT count(DISTINCT o.o_orderstatus) FROM orders o
+                        WHERE o.o_custkey = c.c_custkey) AS stn
+                FROM customer c WHERE c.c_custkey <= 50
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+
+
+def test_call_uncorrelated_vs_duckdb(engine, duck):
+    got = sorted(
+        map(
+            tuple,
+            engine.cypher(
+                """
+                MATCH (r:Region)
+                CALL { MATCH (n:Nation) RETURN count(n) AS nations }
+                RETURN r.r_name AS name, nations
+                """
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                """
+                SELECT r.r_name AS name,
+                       (SELECT count(*) FROM nation) AS nations
+                FROM region r
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == exp

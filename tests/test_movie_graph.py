@@ -1935,3 +1935,112 @@ def test_undirected_shortest_path_nodes(movie_engine):
     row = df.collect()[0]
     assert row.ns == ["p5", "p1", "p2", "p4", "p3"]
     assert row.t == "FOLLOWS"  # display verb, not the internal __UVL name
+
+
+# ---------------------------------------------------------------------------
+# CALL { } subqueries (round-5 extension; the reference rejects CALL)
+# ---------------------------------------------------------------------------
+
+
+def test_call_correlated_aggregate_defaults(movie_engine):
+    # LEFT join + count->0 for persons with no reviews
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        CALL { WITH p MATCH (p)-[r:REVIEWED]->(:Movie)
+               RETURN count(r) AS reviews, collect(r.Rating) AS ratings }
+        RETURN p.Name AS n, reviews, ratings
+        """
+    )
+    got = {(r.n, r.reviews, tuple(sorted(r.ratings))) for r in df.collect()}
+    assert got == {
+        ("Tom Hanks", 0, ()),
+        ("Meg Ryan", 0, ()),
+        ("Rob Reiner", 2, (6, 9)),
+        ("Bill Paxton", 1, (7,)),
+        ("Nora Ephron", 0, ()),
+    }
+
+
+def test_call_correlated_non_aggregate_inner_join(movie_engine):
+    # non-aggregate output: zero subquery rows drop the outer row
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        CALL { WITH p MATCH (p)-[:DIRECTED]->(m:Movie) RETURN m.Title AS t }
+        RETURN p.Name AS n, t
+        """
+    )
+    got = {(r.n, r.t) for r in df.collect()}
+    assert got == {
+        ("Nora Ephron", "Sleepless in Seattle"),
+        ("Nora Ephron", "You've Got Mail"),
+        ("Rob Reiner", "Apollo 13"),
+    }
+
+
+def test_call_uncorrelated_cross_join(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (r:Person) WHERE r.Name = 'Tom Hanks'
+        CALL { MATCH (m:Movie) RETURN count(m) AS movies }
+        RETURN r.Name AS n, movies
+        """
+    )
+    assert rows(df) == {("Tom Hanks", 3)}
+
+
+def test_call_with_intermediate_with_and_distinct(movie_engine):
+    # per-outer-row DISTINCT through an intermediate WITH
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        CALL { WITH p MATCH (p)-[:ACTED_IN]->(m:Movie)<-[:ACTED_IN]-(co:Person)
+               WITH DISTINCT co
+               RETURN count(co) AS costars }
+        RETURN p.Name AS n, costars
+        """
+    )
+    got = {(r.n, r.costars) for r in df.collect()}
+    # Tom: Meg (two shared movies, deduped by the DISTINCT) + Bill = 2;
+    # relationship uniqueness keeps co != p per movie
+    assert got == {
+        ("Tom Hanks", 2),
+        ("Meg Ryan", 1),
+        ("Bill Paxton", 1),
+        ("Rob Reiner", 0),
+        ("Nora Ephron", 0),
+    }
+
+
+def test_call_rejections(movie_engine):
+    with pytest.raises(TranspilerNotSupportedError, match="ORDER BY"):
+        movie_engine.cypher(
+            "MATCH (p:Person) CALL { WITH p MATCH (p)-[r:REVIEWED]->(m:Movie) "
+            "RETURN m.Title AS t ORDER BY r.Rating DESC LIMIT 1 } "
+            "RETURN p.Name AS n, t"
+        )
+    with pytest.raises(TranspilerNotSupportedError, match="node-entity"):
+        movie_engine.cypher(
+            "MATCH (p:Person) WITH p.Name AS nm "
+            "CALL { WITH nm MATCH (q:Person) WHERE q.Name = nm "
+            "RETURN q.Born AS b } RETURN nm, b"
+        )
+    with pytest.raises(TranspilerNotSupportedError, match="procedures"):
+        movie_engine.cypher("CALL db.labels() RETURN x")
+    with pytest.raises(TranspilerNotSupportedError, match="UNION inside"):
+        movie_engine.cypher(
+            "MATCH (p:Person) CALL { MATCH (m:Movie) RETURN m.Title AS t "
+            "UNION MATCH (m:Movie) RETURN m.Title AS t } RETURN t"
+        )
+
+
+def test_call_standalone_first_clause(movie_engine):
+    df = movie_engine.cypher(
+        "CALL { MATCH (m:Movie) RETURN m.Title AS t } RETURN t"
+    )
+    assert {r.t for r in df.collect()} == {
+        "Sleepless in Seattle",
+        "You've Got Mail",
+        "Apollo 13",
+    }
