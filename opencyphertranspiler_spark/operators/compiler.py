@@ -34,6 +34,7 @@ from ..plans.logical import (
     TrimOp,
     UnwindOp,
     ValueRef,
+    WindowLimitOp,
 )
 from ..sources.registry import TableRegistry
 from .expressions import ExprCompiler, qcol
@@ -78,6 +79,8 @@ class Compiler:
             return df.select(
                 "*", *[ec.compile(e).alias(name) for name, e in op.items]
             )
+        if isinstance(op, WindowLimitOp):
+            return self._window_limit(op)
         raise TranspilerInternalError(f"Unknown operator {op!r}")
 
     # -- scan -----------------------------------------------------------------
@@ -152,6 +155,34 @@ class Compiler:
             eq = F.col(l_col) == F.col(r_col)
             cond = eq if cond is None else cond & eq
         return left.join(rdf, on=cond, how="left").drop(*rkeys)
+
+    # -- per-group order/limit (correlated CALL subqueries) --------------------
+    def _window_limit(self, op: WindowLimitOp) -> DataFrame:
+        from pyspark.sql import Window
+
+        df = self.compile(op.input)
+        ec = ExprCompiler(op.env, df, self.params)
+        sort_cols = []
+        for s in op.order_by:
+            c = ec.compile(s.expr)
+            # openCypher null ordering, same as the global SelectionOp path
+            sort_cols.append(
+                c.asc_nulls_last() if s.ascending else c.desc_nulls_first()
+            )
+        if not sort_cols:
+            # SKIP/LIMIT without ORDER BY: per-group arbitrary order
+            sort_cols = [F.lit(1)]
+        w = Window.partitionBy(
+            *[qcol(c) for c in op.partition_cols]
+        ).orderBy(*sort_cols)
+        df = df.withColumn(op.rn_col, F.row_number().over(w))
+        rn = qcol(op.rn_col)  # filter on the materialized column — a
+        # window expression is not allowed inside a WHERE clause
+        lo = op.skip or 0
+        cond = rn > F.lit(lo)
+        if op.limit is not None:
+            cond = cond & (rn <= F.lit(lo + op.limit))
+        return df.filter(cond).drop(op.rn_col)
 
     # -- filter / order / limit -------------------------------------------------
     def _selection(self, op: SelectionOp) -> DataFrame:

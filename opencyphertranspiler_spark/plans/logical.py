@@ -318,6 +318,30 @@ class ProjectOp(LogicalOp):
 
 
 @dataclass
+class WindowLimitOp(LogicalOp):
+    """Per-group ORDER BY / SKIP / LIMIT: row_number over a window
+    partitioned by ``partition_cols`` (the imported node ids of a
+    correlated CALL {{ }} subquery) — the top-k-per-entity idiom without
+    a global sort."""
+
+    input: LogicalOp
+    partition_cols: list[str]
+    order_by: list[A.SortItem] = field(default_factory=list)
+    skip: int | None = None
+    limit: int | None = None
+    rn_col: str = "__rn"
+
+    def children(self):
+        return [self.input]
+
+    def __repr__(self):
+        return (
+            f"WindowLimit(part={self.partition_cols}, "
+            f"skip={self.skip}, limit={self.limit})"
+        )
+
+
+@dataclass
 class AddColsOp(LogicalOp):
     """Append computed value columns (``df.select("*", ...)``) — carries
     the per-variant path materialization before a variant union."""

@@ -49,6 +49,7 @@ from .logical import (
     TrimOp,
     UnwindOp,
     ValueRef,
+    WindowLimitOp,
 )
 
 
@@ -1113,14 +1114,6 @@ class _SingleQueryPlanner:
                     f"CALL {{ WITH {a} }}: only node-entity imports are "
                     "supported (scalar and path imports are not)"
                 )
-        for c in body:
-            if isinstance(c, A.ProjectionClause) and (
-                c.order_by or c.skip is not None or c.limit is not None
-            ):
-                raise TranspilerNotSupportedError(
-                    "ORDER BY / SKIP / LIMIT inside a correlated CALL { } "
-                    "is not supported (needs per-outer-row windows)"
-                )
         final = body[-1]  # parser guarantees a trailing RETURN
         out_aliases = [a for a, _ in final.items]
         collide = (set(out_aliases) - set(imports)) & set(env)
@@ -1191,7 +1184,48 @@ class _SingleQueryPlanner:
                     seed, scan, "cross", [], env={**seed.env, **scan.env}
                 )
             )
-        sub = self._plan_clauses(seed, new_body)
+        # plan clause-by-clause: a projection's ORDER BY / SKIP / LIMIT
+        # inside a correlated subquery is PER OUTER ROW (Neo4j invocation
+        # semantics) — plan_projection's order/limit stage is overridden
+        # with a row_number window partitioned by the imported node ids
+        # (the top-k-per-entity idiom, no global sort); carry/trim and the
+        # reference's ORDER-then-WHERE subclause ordering stay intact
+
+        def window_override(
+            op: LogicalOp,
+            order_by: list[A.SortItem],
+            skip: int | None,
+            limit: int | None,
+        ) -> LogicalOp:
+            part_cols: list[str] = []
+            for a in imports:
+                key = import_out[a] if import_out[a] in op.env else a
+                ref = op.env.get(key)
+                if not isinstance(ref, EntityRef) or ref.kind != "node":
+                    raise TranspilerBindingError(
+                        f"CALL {{ }} import alias '{a}' was rebound "
+                        "before its ORDER BY/LIMIT could partition on it"
+                    )
+                part_cols.append(ref.col(ref.node.id_property))
+            return WindowLimitOp(
+                op,
+                part_cols,
+                order_by,
+                skip,
+                limit,
+                rn_col=self._gen_alias("rn"),
+                env=dict(op.env),
+            )
+
+        cur: LogicalOp | None = seed
+        for c in new_body:
+            if isinstance(c, A.ProjectionClause):
+                cur = self.plan_projection(
+                    cur, c, order_limit_override=window_override
+                )
+            else:
+                cur = self._plan_clauses(cur, [c])
+        sub = cur
 
         pairs: list[tuple[str, str]] = []
         drop_right: list[str] = []
@@ -1284,7 +1318,12 @@ class _SingleQueryPlanner:
         piped: LogicalOp | None,
         clause: A.ProjectionClause,
         order_hint: list[A.SortItem] | None = None,
+        order_limit_override=None,
     ) -> LogicalOp:
+        # ``order_limit_override(op, order_by, skip, limit)`` replaces the
+        # global ORDER BY/SKIP/LIMIT SelectionOp — correlated CALL { }
+        # subqueries use it to apply a per-outer-row window instead, with
+        # carry/validation/trim behavior unchanged
         if piped is None:
             # standalone WITH/RETURN (extension): project over a one-row,
             # zero-column source — `RETURN 1+1 AS x`, `WITH $p AS x ...`
@@ -1439,13 +1478,18 @@ class _SingleQueryPlanner:
                         "aggregate in the projection first"
                     )
                 validate_expr(s.expr, op.env)
-            op = SelectionOp(
-                op,
-                order_by=list(clause.order_by),
-                skip=clause.skip,
-                limit=clause.limit,
-                env=dict(op.env),
-            )
+            if order_limit_override is not None:
+                op = order_limit_override(
+                    op, list(clause.order_by), clause.skip, clause.limit
+                )
+            else:
+                op = SelectionOp(
+                    op,
+                    order_by=list(clause.order_by),
+                    skip=clause.skip,
+                    limit=clause.limit,
+                    env=dict(op.env),
+                )
         if clause.where is not None:
             # WITH ... WHERE also accepts exists() pattern predicates over
             # entity aliases still in scope — same semi/anti join lowering

@@ -103,3 +103,73 @@ def test_call_uncorrelated_vs_duckdb(engine, duck):
         )
     )
     assert got == exp
+
+
+def test_call_per_row_top1_vs_duckdb(engine, duck):
+    got = sorted(
+        map(
+            tuple,
+            engine.cypher(
+                """
+                MATCH (c:Customer) WHERE c.c_custkey <= 100
+                CALL { WITH c MATCH (c)-[:PLACED]->(o:Orders)
+                       RETURN o.o_orderkey AS latest
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                       LIMIT 1 }
+                RETURN c.c_custkey AS k, latest
+                """
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                """
+                SELECT c.c_custkey AS k, s.latest
+                FROM customer c,
+                     LATERAL (SELECT o.o_orderkey AS latest FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                              ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                              LIMIT 1) s
+                WHERE c.c_custkey <= 100
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+
+
+def test_call_intermediate_topk_then_aggregate(engine, duck):
+    # LIMIT inside an intermediate WITH is per outer row, and the final
+    # aggregate groups per outer row — top-3 prices summed per customer
+    got = sorted(
+        map(
+            tuple,
+            engine.cypher(
+                """
+                MATCH (c:Customer) WHERE c.c_custkey <= 50
+                CALL { WITH c MATCH (c)-[:PLACED]->(o:Orders)
+                       WITH o.o_totalprice AS p ORDER BY p DESC LIMIT 3
+                       RETURN round(sum(p), 2) AS top3 }
+                RETURN c.c_custkey AS k, top3
+                """
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                """
+                SELECT c.c_custkey AS k,
+                       (SELECT round(sum(p), 2) FROM
+                         (SELECT o.o_totalprice AS p FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                          ORDER BY p DESC LIMIT 3)) AS top3
+                FROM customer c WHERE c.c_custkey <= 50
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == exp

@@ -2013,13 +2013,25 @@ def test_call_with_intermediate_with_and_distinct(movie_engine):
     }
 
 
+def test_call_per_row_order_limit(movie_engine):
+    # ORDER BY/LIMIT inside a correlated CALL applies PER OUTER ROW
+    # (row_number window over the import ids): top-rated review per person
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        CALL { WITH p MATCH (p)-[r:REVIEWED]->(m:Movie)
+               RETURN m.Title AS t, r.Rating AS rating
+               ORDER BY r.Rating DESC LIMIT 1 }
+        RETURN p.Name AS n, t, rating
+        """
+    )
+    assert {(r.n, r.t, r.rating) for r in df.collect()} == {
+        ("Rob Reiner", "Sleepless in Seattle", 9),
+        ("Bill Paxton", "Sleepless in Seattle", 7),
+    }
+
+
 def test_call_rejections(movie_engine):
-    with pytest.raises(TranspilerNotSupportedError, match="ORDER BY"):
-        movie_engine.cypher(
-            "MATCH (p:Person) CALL { WITH p MATCH (p)-[r:REVIEWED]->(m:Movie) "
-            "RETURN m.Title AS t ORDER BY r.Rating DESC LIMIT 1 } "
-            "RETURN p.Name AS n, t"
-        )
     with pytest.raises(TranspilerNotSupportedError, match="node-entity"):
         movie_engine.cypher(
             "MATCH (p:Person) WITH p.Name AS nm "
