@@ -686,6 +686,28 @@ class Parser:
             if str(t.value).lower() == "count" and self.peek().is_punct("{"):
                 self.advance()
                 return self._parse_subquery_tail("count")
+            # namespaced temporal functions `datetime.truncate('month', x)`,
+            # `date.truncate(...)`, `duration.between(a, b)` (extension;
+            # these namespace names shadow same-named user aliases only in
+            # the `name.fn(...)` call position)
+            if (
+                str(t.value).lower() in ("date", "datetime", "duration")
+                and self.peek().is_punct(".")
+                and self.peek(2).kind == "ident"
+                and self.peek(3).is_punct("(")
+            ):
+                ns = str(self.advance().value).lower()
+                self.advance()  # the dot
+                fn = self.expect_ident().lower()
+                self.expect_punct("(")
+                args: list[A.Expr] = []
+                if not self.cur.is_punct(")"):
+                    while True:
+                        args.append(self.parse_expr())
+                        if not self.accept_punct(","):
+                            break
+                self.expect_punct(")")
+                return A.FuncCall(f"{ns}.{fn}", args)
             # function call?
             if self.peek().is_punct("("):
                 return self.parse_func_call()

@@ -180,6 +180,16 @@ class ExprCompiler:
                 return entity_fn
             if expr.name == "duration":
                 return self._duration(expr)
+            if expr.name in ("datetime.truncate", "date.truncate"):
+                return self._truncate(expr)
+            if expr.name == "duration.between":
+                if len(expr.args) != 2:
+                    raise TranspilerBindingError(
+                        "duration.between() takes two temporal arguments"
+                    )
+                a = self.compile(expr.args[0]).cast("timestamp")
+                b = self.compile(expr.args[1]).cast("timestamp")
+                return b - a  # day-time interval
             args = [self.compile(a) for a in expr.args]
             if expr.name == "size" and args:
                 # Cypher size() is overloaded: list length vs string length
@@ -311,6 +321,33 @@ class ExprCompiler:
         return F.make_dt_interval(
             days, parts.get("hours", zero), parts.get("minutes", zero), secs
         )
+
+    _TRUNC_UNITS = frozenset(
+        {"year", "quarter", "month", "week", "day", "hour", "minute", "second"}
+    )
+
+    def _truncate(self, expr: A.FuncCall) -> Column:
+        """datetime.truncate('month', x) / date.truncate('month', x)
+        (extension) — Spark date_trunc; the date form casts back to DATE."""
+        if (
+            len(expr.args) != 2
+            or not isinstance(expr.args[0], A.Literal)
+            or not isinstance(expr.args[0].value, str)
+        ):
+            raise TranspilerNotSupportedError(
+                f"{expr.name}() takes a literal unit string and a temporal "
+                "value, e.g. datetime.truncate('month', x)"
+            )
+        unit = expr.args[0].value.lower()
+        if unit not in self._TRUNC_UNITS:
+            raise TranspilerNotSupportedError(
+                f"{expr.name}() unit '{unit}' is not supported; use one of "
+                f"{sorted(self._TRUNC_UNITS)}"
+            )
+        out = F.date_trunc(unit, self.compile(expr.args[1]))
+        if expr.name.startswith("date."):
+            out = out.cast("date")
+        return out
 
     def _entity_function(self, expr: A.FuncCall) -> Column | None:
         """labels(n) / type(r) / id(n) — extensions over entity aliases

@@ -154,3 +154,50 @@ def test_bad_field_on_scalar_value(engine):
         engine.cypher(
             "MATCH (c:Customer) WITH c.c_name AS n RETURN n.foo AS x"
         )
+
+
+def test_truncate_and_duration_between_vs_duckdb(engine, duck):
+    got = sorted(
+        map(
+            lambda r: tuple(map(str, r)),
+            engine.cypher(
+                """
+                MATCH (o:Orders) WHERE o.o_orderkey <= 50
+                RETURN o.o_orderkey AS k,
+                       datetime.truncate('month', o.o_orderdate) AS m,
+                       toString(date.truncate('week', o.o_orderdate)) AS w,
+                       duration.between(datetime('1995-01-01'),
+                                        o.o_orderdate) AS lag
+                """
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            lambda r: tuple(map(str, r)),
+            duck.sql(
+                """
+                SELECT o_orderkey AS k,
+                       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+                       CAST(CAST(date_trunc('week', o_orderdate) AS DATE)
+                            AS VARCHAR) AS w,
+                       o_orderdate - TIMESTAMP '1995-01-01' AS lag
+                FROM orders WHERE o_orderkey <= 50
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+
+
+def test_truncate_rejections(engine):
+    with pytest.raises(TranspilerNotSupportedError, match="unit"):
+        engine.cypher(
+            "MATCH (o:Orders) RETURN datetime.truncate('fortnight', "
+            "o.o_orderdate) AS x"
+        )
+    with pytest.raises(TranspilerNotSupportedError, match="literal unit"):
+        engine.cypher(
+            "MATCH (o:Orders) RETURN datetime.truncate(o.o_orderpriority, "
+            "o.o_orderdate) AS x"
+        )
