@@ -259,3 +259,20 @@ def test_count_subquery_lowers_to_aggregate_before_join(spark, engine):
     if join_pos == -1:
         join_pos = plan.find("BroadcastHashJoin")
     assert agg_pos != -1 and join_pos != -1
+
+
+def test_call_per_row_limit_avoids_global_sort(spark, engine):
+    # the per-outer-row LIMIT is a hash-partitioned row_number window —
+    # no rangepartitioning exchange (a global ORDER BY would add one)
+    df = engine.cypher(
+        """
+        MATCH (c:Customer)
+        CALL { WITH c MATCH (c)-[:PLACED]->(o:Orders)
+               RETURN o.o_orderkey AS latest
+               ORDER BY o.o_orderdate DESC LIMIT 1 }
+        RETURN c.c_custkey AS k, latest
+        """
+    )
+    plan = formatted_plan(spark, df)
+    assert "Window" in plan
+    assert "rangepartitioning" not in plan
