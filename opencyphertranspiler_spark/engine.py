@@ -57,7 +57,7 @@ class CypherEngine:
         ast_query = parse(query)
         graph, tables = self._resolve_multi_verb(ast_query, self.graph, self.tables)
         graph, tables = self._resolve_undirected_varlength(ast_query, graph, tables)
-        graph, tables = self._resolve_unbounded(ast_query, graph, tables)
+        graph, tables = self._resolve_unbounded(ast_query, graph, tables, params)
         plan = plan_query(
             ast_query, graph, ordered_aggregates=self.ordered_aggregates
         )
@@ -459,7 +459,11 @@ class CypherEngine:
         )
 
     def _resolve_unbounded(
-        self, ast_query, graph: GraphSchema, tables: TableRegistry
+        self,
+        ast_query,
+        graph: GraphSchema,
+        tables: TableRegistry,
+        params: dict | None = None,
     ) -> tuple[GraphSchema, TableRegistry]:
         rewrites = []
         for sq, clause, part, left, rel, right in self._pattern_triples(
@@ -506,7 +510,9 @@ class CypherEngine:
             # filtered anchor set — single/multi-source BFS proportional
             # to the reachable set, instead of closure-of-everything
             src_node, snk_node = (left, right) if fwd else (right, left)
-            anchor = self._find_anchor(sq, clause, src_node, snk_node, edge, graph)
+            anchor = self._find_anchor(
+                sq, clause, src_node, snk_node, edge, graph, params
+            )
             asuf = "" if anchor is None else f"_a{anchor[2]}"
             if getattr(part, "shortest", False) and rel.min_hops > 1:
                 # Neo4j rejects shortestPath with a minimal length other
@@ -672,22 +678,95 @@ class CypherEngine:
         return False
 
     # -- anchored pushdown -------------------------------------------------
-    @staticmethod
-    def _anchor_preds(sq, clause, node) -> list[tuple[str, object]]:
-        """Literal equality predicates pinned to ``node``'s alias that are
-        guaranteed to hold on every surviving row binding it: the node's
-        own inline property map, plus — for hops written directly in a
-        MATCH clause — inline maps and top-level WHERE equality conjuncts
-        on the same alias from the clause itself and from every
+    _NOT_CONST = object()
+
+    @classmethod
+    def _const_value(cls, expr, consts, params):
+        """The compile-time-known scalar value of ``expr``, or the
+        ``_NOT_CONST`` sentinel. Resolves literals, ``$param`` references
+        (from the ``params`` dict passed to ``cypher()``), and variables
+        piped as constants through preceding WITH clauses. Null values
+        resolve to NOT_CONST — ``= null`` never matches, so seeding from
+        it would be wrong (3VL)."""
+        if isinstance(expr, A.Literal):
+            v = expr.value
+        elif isinstance(expr, A.Parameter):
+            if params is None or expr.name not in params:
+                return cls._NOT_CONST
+            v = params[expr.name]
+        elif isinstance(expr, A.Variable):
+            if not consts or expr.name not in consts:
+                return cls._NOT_CONST
+            v = consts[expr.name]
+        else:
+            return cls._NOT_CONST
+        if v is None or not isinstance(v, (bool, int, float, str)):
+            return cls._NOT_CONST
+        return v
+
+    @classmethod
+    def _piped_consts(cls, sq, clause, params) -> dict:
+        """alias -> constant value bindings in scope at ``clause``: built
+        by walking the WITH clauses preceding the clause's projection
+        segment. A ``WITH ... AS k`` whose expression is a literal,
+        resolvable ``$param``, or an already-constant variable binds k;
+        ``WITH *`` carries prior bindings forward; any non-constant
+        rebinding shadows (drops) the alias."""
+        consts: dict = {}
+        for c in sq.clauses:
+            if c is clause:
+                break
+            if isinstance(c, A.ProjectionClause):
+                nxt = dict(consts) if c.star else {}
+                for alias, expr in c.items:
+                    v = cls._const_value(expr, consts, params)
+                    if v is cls._NOT_CONST:
+                        nxt.pop(alias, None)
+                    else:
+                        nxt[alias] = v
+                consts = nxt
+                continue
+            # a MATCH/UNWIND alias shadows a piped constant of the same name
+            if isinstance(c, A.UnwindClause):
+                consts.pop(c.alias, None)
+            elif isinstance(c, A.MatchClause):
+                for p in c.patterns:
+                    for n in p.nodes:
+                        if n.alias is not None:
+                            consts.pop(n.alias, None)
+                    for r in p.rels:
+                        if getattr(r, "alias", None):
+                            consts.pop(r.alias, None)
+        return consts
+
+    @classmethod
+    def _anchor_preds(
+        cls, sq, clause, node, params=None
+    ) -> list[tuple[str, object]]:
+        """Constant equality predicates pinned to ``node``'s alias that
+        are guaranteed to hold on every surviving row binding it: the
+        node's own inline property map, plus — for hops written directly
+        in a MATCH clause — inline maps and top-level WHERE equality
+        conjuncts on the same alias from the clause itself and from every
         non-optional MATCH clause in the same projection segment (node
-        aliases are stable between WITH boundaries). Values must be
-        non-null literals; a piped or parameterized anchor is not
-        detected (documented limitation)."""
-        preds = [
-            (k, v.value)
-            for k, v in node.props
-            if isinstance(v, A.Literal) and v.value is not None
-        ]
+        aliases are stable between WITH boundaries). Values may be
+        non-null literals, ``$param`` references resolved from the
+        ``params`` dict, or variables piped as constants through
+        preceding WITH clauses (``WITH 1 AS k MATCH (a {id: k})...``)."""
+        consts = (
+            cls._piped_consts(sq, clause, params)
+            if sq is not None and clause is not None
+            else {}
+        )
+
+        def const(expr):
+            return cls._const_value(expr, consts, params)
+
+        preds = []
+        for k, v in node.props:
+            val = const(v)
+            if val is not cls._NOT_CONST:
+                preds.append((k, val))
         if clause is None or node.alias is None or sq is None:
             return preds
 
@@ -703,10 +782,10 @@ class CypherEngine:
                             isinstance(a, A.Property)
                             and not a.path
                             and a.alias == node.alias
-                            and isinstance(b, A.Literal)
-                            and b.value is not None
                         ):
-                            preds.append((a.prop, b.value))
+                            val = const(b)
+                            if val is not cls._NOT_CONST:
+                                preds.append((a.prop, val))
 
         # the projection segment (clauses between WITH boundaries)
         # containing the hop's clause — the parser guarantees a trailing
@@ -730,18 +809,20 @@ class CypherEngine:
             for p in c.patterns:
                 for n in p.nodes:
                     if n is not node and n.alias == node.alias:
-                        preds.extend(
-                            (k, v.value)
-                            for k, v in n.props
-                            if isinstance(v, A.Literal) and v.value is not None
-                        )
+                        for k, v in n.props:
+                            val = const(v)
+                            if val is not cls._NOT_CONST:
+                                preds.append((k, val))
         return preds
 
-    def _find_anchor(self, sq, clause, src_node, snk_node, edge, graph):
+    def _find_anchor(
+        self, sq, clause, src_node, snk_node, edge, graph, params=None
+    ):
         """(side, preds, fingerprint) when an endpoint of an unbounded hop
-        carries literal equality predicates that can seed the fixpoint;
-        None otherwise. The source side is preferred (forward BFS); a
-        sink-side anchor runs the BFS over reversed edges."""
+        carries constant equality predicates (literal, ``$param``, or
+        piped-WITH constant) that can seed the fixpoint; None otherwise.
+        The source side is preferred (forward BFS); a sink-side anchor
+        runs the BFS over reversed edges."""
         import hashlib
 
         for side, node, label in (
@@ -751,7 +832,7 @@ class CypherEngine:
             nsch = graph.get_node(label)
             preds = [
                 (p, v)
-                for p, v in self._anchor_preds(sq, clause, node)
+                for p, v in self._anchor_preds(sq, clause, node, params)
                 if p in nsch.property_names
             ]
             if preds:

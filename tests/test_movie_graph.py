@@ -1722,6 +1722,111 @@ def test_anchor_not_taken_from_optional_or_other_segment(movie_engine):
     assert got == {"Nora Ephron", "Meg Ryan", "Tom Hanks"}
 
 
+def test_anchored_reachability_from_parameter(movie_engine):
+    # $param equality seeds the fixpoint like a literal; distinct param
+    # values get distinct memoized reach tables (value in the fingerprint)
+    q = (
+        "MATCH (a:Person {Name: $who})-[:FOLLOWS*]->(b:Person) "
+        "RETURN b.Name AS n"
+    )
+    got = {r.n for r in movie_engine.cypher(q, {"who": "Rob Reiner"}).collect()}
+    assert got == {"Nora Ephron", "Meg Ryan", "Tom Hanks"}
+    got = {r.n for r in movie_engine.cypher(q, {"who": "Nora Ephron"}).collect()}
+    assert got == {"Meg Ryan", "Tom Hanks"}
+    # WHERE-conjunct param form
+    got = {
+        r.n
+        for r in movie_engine.cypher(
+            "MATCH (a:Person)-[:FOLLOWS*]->(b:Person) WHERE a.Name = $who "
+            "RETURN b.Name AS n",
+            {"who": "Meg Ryan"},
+        ).collect()
+    }
+    assert got == {"Tom Hanks"}
+
+
+def test_anchored_reachability_from_piped_constant(movie_engine):
+    # a constant piped through WITH is resolved as an anchor value
+    got = {
+        r.n
+        for r in movie_engine.cypher(
+            "WITH 'Nora Ephron' AS who "
+            "MATCH (a:Person) WHERE a.Name = who "
+            "MATCH (a)-[:FOLLOWS*]->(b:Person) RETURN b.Name AS n"
+        ).collect()
+    }
+    assert got == {"Meg Ryan", "Tom Hanks"}
+    # constant-through-param, renamed across two WITHes, still resolves
+    got = {
+        r.n
+        for r in movie_engine.cypher(
+            "WITH $w AS x WITH x AS who "
+            "MATCH (a:Person {Name: who})-[:FOLLOWS*]->(b:Person) "
+            "RETURN b.Name AS n",
+            {"w": "Rob Reiner"},
+        ).collect()
+    }
+    assert got == {"Nora Ephron", "Meg Ryan", "Tom Hanks"}
+
+
+def test_non_constant_piped_value_still_correct_unanchored(movie_engine):
+    # a piped NON-constant (per-row value) must not be mistaken for an
+    # anchor; the query falls back to the full closure and stays correct
+    got = {
+        (r.w, r.n)
+        for r in movie_engine.cypher(
+            "MATCH (x:Person) WITH x.Name AS who "
+            "MATCH (a:Person {Name: who})-[:FOLLOWS*]->(b:Person) "
+            "RETURN who AS w, b.Name AS n"
+        ).collect()
+    }
+    assert ("Rob Reiner", "Tom Hanks") in got
+    assert ("Nora Ephron", "Meg Ryan") in got
+    assert all(w != n for w, n in got)
+
+
+def test_param_anchor_work_proportional_to_reachable_set(spark):
+    # same proportionality property as the literal-anchor test, but the
+    # anchor value arrives via $param
+    import os
+
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        GraphSchema,
+        TableRegistry,
+    )
+
+    graph = GraphSchema.from_json(
+        os.path.join(os.path.dirname(__file__), "data", "movie_graph.json")
+    )
+    reg = TableRegistry()
+    persons = spark.createDataFrame(
+        [("p1", "Tom", 1), ("p2", "Meg", 2), ("p3", "Rob", 3),
+         ("p4", "Nora", 4), ("p5", "Bill", 5)],
+        "id string, Name string, Born int",
+    )
+    follows = spark.createDataFrame(
+        [("p2", "p1"), ("p5", "p1"), ("p3", "p4"), ("p4", "p2")],
+        "_vertexId string, _sink string",
+    )
+    reg.register_df("person", persons)
+    reg.register_df("follows", follows)
+    eng = CypherEngine(spark, graph, reg)
+    got = {
+        r.n
+        for r in eng.cypher(
+            "MATCH (a:Person {Name: $who})-[:FOLLOWS*]->(b:Person) "
+            "RETURN b.Name AS n",
+            {"who": "Nora"},
+        ).collect()
+    }
+    assert got == {"Meg", "Tom"}
+    anchored = [k for k in eng._reach_cache if k[2] != ""]
+    assert len(anchored) == 1
+    # Nora reaches exactly 2 nodes; the full FOLLOWS closure has 7 pairs
+    assert eng._reach_cache[anchored[0]].count() == 2
+
+
 # ---------------------------------------------------------------------------
 # Undirected variable-length -[:V*n..m]- / -[:V*]- (round-5 verdict item 4)
 # ---------------------------------------------------------------------------
