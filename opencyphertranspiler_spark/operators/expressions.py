@@ -294,25 +294,44 @@ class ExprCompiler:
         return col.getField(fld)
 
     def _duration(self, expr: A.FuncCall) -> Column:
-        """duration({days: 3, hours: 12}) -> day-time interval (extension;
-        the reference has no temporal library). Month/year components need
-        Spark's separate year-month interval type, which cannot mix with
-        day-time — rejected with a typed error."""
+        """duration({days: 3, hours: 12}) -> day-time interval;
+        duration({years: 1, months: 2}) -> year-month interval
+        (extension; the reference has no temporal library). Spark keeps
+        the two interval families as distinct types that cannot mix in
+        one value, so a map combining month-or-coarser with day-or-finer
+        components is rejected with a typed error (Neo4j's mixed
+        durations have no single-valued Spark representation)."""
         if len(expr.args) != 1 or not isinstance(expr.args[0], A.MapLiteral):
             raise TranspilerNotSupportedError(
                 "duration() takes a single map literal, e.g. "
-                "duration({days: 3, hours: 12})"
+                "duration({days: 3, hours: 12}) or duration({years: 1})"
             )
         parts = {k.lower(): self.compile(v) for k, v in expr.args[0].items}
-        allowed = {"weeks", "days", "hours", "minutes", "seconds", "milliseconds"}
-        bad = set(parts) - allowed
+        dt_keys = {"weeks", "days", "hours", "minutes", "seconds", "milliseconds"}
+        ym_keys = {"years", "quarters", "months"}
+        bad = set(parts) - dt_keys - ym_keys
         if bad:
             raise TranspilerNotSupportedError(
                 f"duration() components {sorted(bad)} are not supported; "
-                "use weeks/days/hours/minutes/seconds/milliseconds "
-                "(month/year durations would need a year-month interval)"
+                "use years/quarters/months or "
+                "weeks/days/hours/minutes/seconds/milliseconds"
             )
         zero = F.lit(0)
+        if parts.keys() & ym_keys:
+            if parts.keys() & dt_keys:
+                raise TranspilerNotSupportedError(
+                    "duration() cannot mix month-or-coarser components "
+                    f"({sorted(parts.keys() & ym_keys)}) with day-or-finer "
+                    f"({sorted(parts.keys() & dt_keys)}): Spark's "
+                    "year-month and day-time interval types cannot combine "
+                    "into one value — build two durations and add them to "
+                    "the temporal value separately"
+                )
+            months = (
+                parts.get("months", zero)
+                + parts.get("quarters", zero) * F.lit(3)
+            )
+            return F.make_ym_interval(parts.get("years", zero), months)
         days = parts.get("days", zero) + parts.get("weeks", zero) * F.lit(7)
         secs = (
             parts.get("seconds", zero).cast("double")

@@ -116,10 +116,45 @@ def test_timestamp_difference_yields_interval(engine, duck):
     assert row.lag == exp
 
 
+def test_year_month_durations_vs_duckdb(engine, duck):
+    # month-or-coarser components compile to Spark's year-month interval;
+    # calendar-aware addition (Jan 31 + 1 month = Feb 28) matches DuckDB
+    got = {
+        tuple(map(str, r))
+        for r in engine.cypher(
+            """
+            MATCH (o:Orders) WHERE o.o_orderkey <= 50
+            RETURN o.o_orderkey AS k,
+                   date(o.o_orderdate) + duration({months: 1}) AS m1,
+                   o.o_orderdate + duration({years: 1, months: 2}) AS ym,
+                   date(o.o_orderdate) - duration({quarters: 1}) AS qm
+            """
+        ).collect()
+    }
+    exp = {
+        tuple(map(str, r))
+        for r in duck.sql(
+            """
+            SELECT o_orderkey AS k,
+                   CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH
+                        AS DATE) AS m1,
+                   o_orderdate + INTERVAL 14 MONTH AS ym,
+                   CAST(CAST(o_orderdate AS DATE) - INTERVAL 3 MONTH
+                        AS DATE) AS qm
+            FROM orders WHERE o_orderkey <= 50
+            """
+        ).fetchall()
+    }
+    assert got == exp
+
+
 def test_duration_rejections(engine):
-    with pytest.raises(TranspilerNotSupportedError, match="components"):
+    # mixing the two interval families stays a typed error (Spark has no
+    # single mixed-interval value)
+    with pytest.raises(TranspilerNotSupportedError, match="cannot mix"):
         engine.cypher(
-            "MATCH (o:Orders) RETURN o.o_orderdate + duration({months: 1}) AS x"
+            "MATCH (o:Orders) "
+            "RETURN o.o_orderdate + duration({months: 1, days: 2}) AS x"
         )
     with pytest.raises(TranspilerNotSupportedError, match="map literal"):
         engine.cypher("MATCH (o:Orders) RETURN duration(3) AS x")
