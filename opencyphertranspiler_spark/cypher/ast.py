@@ -415,12 +415,13 @@ class UnwindClause:
 
 @dataclass
 class CallSubqueryClause:
-    """``CALL { <single query> }`` (modern openCypher, extension; the
+    """``CALL { <query> }`` (modern openCypher, extension; the
     reference rejects CALL outright). The inner query's clause list ends
     with a RETURN; an optional leading ``WITH a, b`` of bare variables is
-    the IMPORT clause (correlated form)."""
+    the IMPORT clause (correlated form). The inner query may be a
+    UnionQuery (uncorrelated form only)."""
 
-    query: "SingleQuery"
+    query: "SingleQuery | UnionQuery"
 
 
 @dataclass

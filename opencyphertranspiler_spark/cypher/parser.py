@@ -173,20 +173,21 @@ class Parser:
         return A.MatchClause(patterns, optional, where)
 
     def parse_call_subquery(self) -> A.CallSubqueryClause:
-        """``CALL { <single query> }`` (extension). CALL procedures
-        (``CALL db.labels()``) keep the reference's typed rejection; UNION
-        inside the braces is not supported."""
+        """``CALL { <query> [UNION [ALL] <query>]* }`` (extension). CALL
+        procedures (``CALL db.labels()``) keep the reference's typed
+        rejection. A UNION inside the braces is supported in the
+        uncorrelated form only (the planner fences correlated UNION)."""
         self.expect_kw("CALL")
         if not self.cur.is_punct("{"):
             raise TranspilerNotSupportedError(
                 "CALL procedures are not supported; only CALL { subquery }"
             )
         self.expect_punct("{")
-        inner = self.parse_single_query()
-        if self.cur.is_kw("UNION"):
-            raise TranspilerNotSupportedError(
-                "UNION inside CALL { } is not supported"
-            )
+        inner: A.Query = self.parse_single_query()
+        while self.accept_kw("UNION"):
+            all_ = bool(self.accept_kw("ALL"))
+            right = self.parse_single_query()
+            inner = A.UnionQuery(inner, right, all_)
         self.expect_punct("}")
         return A.CallSubqueryClause(inner)
 

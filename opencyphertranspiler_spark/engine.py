@@ -122,7 +122,7 @@ class CypherEngine:
                 sq = stack.pop()
                 for clause in sq.clauses:
                     if isinstance(clause, A.CallSubqueryClause):
-                        stack.append(clause.query)
+                        stack.extend(single_queries(clause.query))
                         continue
                     for part, owner in parts_of(clause):
                         for i, rel in enumerate(part.rels):
@@ -653,7 +653,7 @@ class CypherEngine:
             sq = stack.pop()
             for clause in sq.clauses:
                 if isinstance(clause, A.CallSubqueryClause):
-                    stack.append(clause.query)
+                    stack.extend(single_queries(clause.query))
                     continue
                 exprs = []
                 where = getattr(clause, "where", None)

@@ -1059,9 +1059,53 @@ class _SingleQueryPlanner:
         Neo4j); any non-aggregate output item makes it an INNER join
         (zero subquery rows drop the outer row, also Neo4j).
 
+        Uncorrelated UNION (`CALL { q1 UNION q2 }`): each branch plans
+        standalone, SetOp combines them, and the union CROSS joins into
+        the outer row stream like any uncorrelated subquery.
+
         Fenced (typed errors): scalar/path imports, ORDER BY / SKIP /
-        LIMIT inside a correlated subquery (per-outer-row windows), UNION
-        inside the braces, rebinding an import alias."""
+        LIMIT inside a correlated subquery (per-outer-row windows),
+        correlated UNION (an import WITH in any branch), rebinding an
+        import alias."""
+        if isinstance(clause.query, A.UnionQuery):
+            def branches(q):
+                if isinstance(q, A.UnionQuery):
+                    yield from branches(q.left)
+                    yield from branches(q.right)
+                else:
+                    yield q
+
+            for br in branches(clause.query):
+                first = br.clauses[0] if br.clauses else None
+                if (
+                    isinstance(first, A.ProjectionClause)
+                    and not first.is_return
+                    and first.items
+                    and all(
+                        isinstance(e, A.Variable) and a == e.name
+                        for a, e in first.items
+                    )
+                ):
+                    raise TranspilerNotSupportedError(
+                        "UNION inside CALL { } is supported in the "
+                        "uncorrelated form only (no import WITH in a "
+                        "union branch)"
+                    )
+            sub = plan_query(
+                clause.query, self.schema, self.ordered_aggregates
+            )
+            outer_env = piped.env if piped is not None else {}
+            collide = set(sub.env) & set(outer_env)
+            if collide:
+                raise TranspilerBindingError(
+                    f"CALL {{ }} returns aliases already bound outside: "
+                    f"{sorted(collide)}"
+                )
+            if piped is None:
+                return sub
+            return JoinOp(
+                piped, sub, "cross", [], env={**piped.env, **sub.env}
+            )
         inner = clause.query
         body = list(inner.clauses)
         imports: list[str] = []

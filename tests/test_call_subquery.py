@@ -105,6 +105,43 @@ def test_call_uncorrelated_vs_duckdb(engine, duck):
     assert got == exp
 
 
+def test_call_uncorrelated_union_vs_duckdb(engine, duck):
+    got = sorted(
+        map(
+            tuple,
+            engine.cypher(
+                """
+                MATCH (r:Region) WHERE r.r_regionkey <= 1
+                CALL { MATCH (n:Nation) WHERE n.n_nationkey < 5
+                       RETURN n.n_name AS nm
+                       UNION
+                       MATCH (n:Nation) WHERE n.n_nationkey >= 20
+                       RETURN n.n_name AS nm }
+                RETURN r.r_name AS name, nm
+                """
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                """
+                SELECT r.r_name AS name, u.nm
+                FROM region r
+                CROSS JOIN (
+                    SELECT n_name AS nm FROM nation WHERE n_nationkey < 5
+                    UNION
+                    SELECT n_name AS nm FROM nation WHERE n_nationkey >= 20
+                ) u
+                WHERE r.r_regionkey <= 1
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+
+
 def test_call_per_row_top1_vs_duckdb(engine, duck):
     got = sorted(
         map(

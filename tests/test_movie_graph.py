@@ -2145,11 +2145,35 @@ def test_call_rejections(movie_engine):
         )
     with pytest.raises(TranspilerNotSupportedError, match="procedures"):
         movie_engine.cypher("CALL db.labels() RETURN x")
-    with pytest.raises(TranspilerNotSupportedError, match="UNION inside"):
+    # correlated UNION (an import WITH in a branch) stays fenced
+    with pytest.raises(TranspilerNotSupportedError, match="uncorrelated"):
         movie_engine.cypher(
-            "MATCH (p:Person) CALL { MATCH (m:Movie) RETURN m.Title AS t "
+            "MATCH (p:Person) CALL { WITH p MATCH (p)-[:ACTED_IN]->(m) "
+            "RETURN m.Title AS t "
             "UNION MATCH (m:Movie) RETURN m.Title AS t } RETURN t"
         )
+
+
+def test_call_uncorrelated_union(movie_engine):
+    # UNION dedups across branches; the union cross joins into outer rows
+    df = movie_engine.cypher(
+        "MATCH (p:Person {Name: 'Tom Hanks'}) "
+        "CALL { MATCH (m:Movie) WHERE m.Released < 1995 RETURN m.Title AS t "
+        "UNION MATCH (m:Movie) WHERE m.Released >= 1995 RETURN m.Title AS t } "
+        "RETURN p.Name AS n, t"
+    )
+    assert {(r.n, r.t) for r in df.collect()} == {
+        ("Tom Hanks", "Sleepless in Seattle"),
+        ("Tom Hanks", "You've Got Mail"),
+        ("Tom Hanks", "Apollo 13"),
+    }
+    # UNION ALL keeps duplicates
+    df = movie_engine.cypher(
+        "CALL { MATCH (m:Movie) RETURN m.Title AS t "
+        "UNION ALL MATCH (m:Movie) RETURN m.Title AS t } "
+        "RETURN count(t) AS c"
+    )
+    assert df.collect()[0].c == 6
 
 
 def test_call_standalone_first_clause(movie_engine):
