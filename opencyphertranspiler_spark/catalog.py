@@ -124,31 +124,9 @@ CATALOG: list[CatalogEntry] = [
         bench=True,
         tags=("rel-uniqueness",),
     ),
-    # ---- group 3: CASE WHEN incl. mixed-type branches ----
-    CatalogEntry(
-        name="q04_case_when",
-        # merged with former q31: one searched CASE plus one mixed-type
-        # CASE (string branch unifies the numeric branch to string)
-        cypher="""
-            MATCH (c:Customer)
-            RETURN c.c_name AS name,
-                   CASE WHEN c.c_acctbal > 5000 THEN 'high'
-                        WHEN c.c_acctbal > 0 THEN 'mid'
-                        ELSE 'low' END AS bucket,
-                   CASE WHEN c.c_acctbal > 5000 THEN 'jumbo'
-                        ELSE c.c_custkey END AS mixed
-        """,
-        oracle="""
-            SELECT c_name AS name,
-                   CASE WHEN c_acctbal > 5000 THEN 'high'
-                        WHEN c_acctbal > 0 THEN 'mid'
-                        ELSE 'low' END AS bucket,
-                   CASE WHEN c_acctbal > 5000 THEN 'jumbo'
-                        ELSE CAST(c_custkey AS VARCHAR) END AS mixed
-            FROM customer
-        """,
-        tags=("case", "coercion"),
-    ),
+    # ---- group 3 (CASE WHEN incl. mixed-type branches) merged into
+    # q10_string_funcs: same Customer scan, pure per-row expressions —
+    # freed a gate slot for p17_triangle_count ----
     # ---- group 3b: entity alias swap through WITH (reference 405-427) ----
     CatalogEntry(
         # merged former q18 (WHERE on a WITH value) into the alias-swap
@@ -254,6 +232,9 @@ CATALOG: list[CatalogEntry] = [
         # merged former q23 (XOR + full-string `=~` regex) into the
         # string-function entry's WHERE, freeing a gate slot for
         # q42_undirected_varlength
+        # merged former q04 (searched CASE + mixed-type CASE, ex-q31) into
+        # the string-function entry: same Customer scan, pure per-row
+        # expressions — freed a gate slot for p17_triangle_count
         name="q10_string_funcs",
         cypher="""
             MATCH (c:Customer)
@@ -265,21 +246,31 @@ CATALOG: list[CatalogEntry] = [
                    CASE WHEN c.c_name CONTAINS '00' THEN 1 ELSE 0 END AS has00,
                    toLower(c.c_name) AS lo, right(c.c_name, 3) AS r3,
                    trim(c.c_name) AS t, ltrim(c.c_name) AS lt,
-                   rtrim(c.c_name) AS rt
+                   rtrim(c.c_name) AS rt,
+                   CASE WHEN c.c_acctbal > 5000 THEN 'high'
+                        WHEN c.c_acctbal > 0 THEN 'mid'
+                        ELSE 'low' END AS bucket,
+                   CASE WHEN c.c_acctbal > 5000 THEN 'jumbo'
+                        ELSE c.c_custkey END AS mixed
         """,
         oracle="""
             SELECT upper(c_name) AS up, left(c_name, 8) AS l8,
                    CAST(length(c_name) AS INTEGER) AS len,
                    CASE WHEN position('00' IN c_name) > 0 THEN 1 ELSE 0 END AS has00,
                    lower(c_name) AS lo, right(c_name, 3) AS r3,
-                   trim(c_name) AS t, ltrim(c_name) AS lt, rtrim(c_name) AS rt
+                   trim(c_name) AS t, ltrim(c_name) AS lt, rtrim(c_name) AS rt,
+                   CASE WHEN c_acctbal > 5000 THEN 'high'
+                        WHEN c_acctbal > 0 THEN 'mid'
+                        ELSE 'low' END AS bucket,
+                   CASE WHEN c_acctbal > 5000 THEN 'jumbo'
+                        ELSE CAST(c_custkey AS VARCHAR) END AS mixed
             FROM customer
             WHERE c_name LIKE '%1'
               AND (((c_mktsegment = 'BUILDING') AND NOT (c_acctbal > 500))
                    OR (NOT (c_mktsegment = 'BUILDING') AND (c_acctbal > 500)))
               AND regexp_full_match(c_name, '.*[0-9]+')
         """,
-        tags=("strings",),
+        tags=("strings", "case", "coercion"),
     ),
     # ---- group 8: aggregation library ----
     CatalogEntry(
@@ -861,6 +852,43 @@ def _p_exact_dedup(spark, sf_dir):
     return exact_duplicates(_docs(spark, sf_dir))
 
 
+def _p_triangle_count(spark, sf_dir):
+    """Triangles of the co-ordered-parts graph (parts sharing an order)."""
+    from pyspark.sql import functions as F
+
+    from .pipeline.graph import triangle_count
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+def _p_ngram_overlap(spark, sf_dir):
+    """Benchmark-contamination: overlap of every document's word 5-grams
+    against the 'benchmark' slice (doc_id % 10 = 0)."""
+    from pyspark.sql import functions as F
+
+    from .pipeline.text import ngram_overlap
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    return ngram_overlap(docs, bench, n=5)
+
+
 def _p_ngram_jaccard(spark, sf_dir):
     from .pipeline.dedup import ngram_jaccard_pairs
 
@@ -1184,9 +1212,18 @@ _MM_FEATURES_SQL = ",\n                   ".join(
 
 
 def _s_event_windows(spark, sf_dir):
-    from .streaming.windows import windowed_event_stats
+    from pyspark.sql import functions as F
 
-    return windowed_event_stats(_events(spark, sf_dir), "1 hour")
+    from .streaming.windows import sliding_event_stats, windowed_event_stats
+
+    ev = _events(spark, sf_dir)
+    tumb = windowed_event_stats(ev, "1 hour").select(
+        F.lit("tumbling").alias("kind"), "*"
+    )
+    slide = sliding_event_stats(ev, "2 hours", "1 hour").select(
+        F.lit("sliding").alias("kind"), "*"
+    )
+    return tumb.unionByName(slide)
 
 
 def _s_sessionize(spark, sf_dir):
@@ -1471,35 +1508,88 @@ PIPELINE_CATALOG: list[CatalogEntry] = [
         tags=("graph", "iterative", "dedup-clusters"),
     ),
     CatalogEntry(
+        # triangle count over the co-ordered-parts graph via degree
+        # orientation (pipeline/graph.py:triangle_count — wedge join
+        # bounded by out-degree, closing step a pure equi-join); the
+        # oracle counts the same triangles with the id-ordered 3-way
+        # self-join (identical total, skew-prone join order)
+        name="p17_triangle_count",
+        fn=_p_triangle_count,
+        oracle="""
+            WITH ce AS (
+                SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                                greatest(a.l_partkey, b.l_partkey) AS v
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM ce e1
+            JOIN ce e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN ce e3 ON e3.u = e1.v AND e3.v = e2.v
+        """,
+        tags=("graph", "triangles"),
+    ),
+    CatalogEntry(
+        # benchmark-contamination check: fraction of each document's word
+        # 5-grams that appear in the benchmark slice (doc_id % 10 = 0) —
+        # broadcast semi-join of the corpus grams against the DISTINCT
+        # benchmark gram set (pipeline/text.py:ngram_overlap)
+        name="p18_ngram_overlap",
+        fn=_p_ngram_overlap,
+        oracle="""
+            WITH tk AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   t -> t <> '') AS t
+                FROM documents
+            ), g AS (
+                SELECT doc_id, list_distinct(CASE WHEN len(t) >= 5
+                    THEN [array_to_string(t[i:i+4], ' ')
+                          FOR i IN range(1, len(t) - 3)]
+                    ELSE [] END) AS grams
+                FROM tk
+            ), bg AS (
+                SELECT DISTINCT unnest(grams) AS gr FROM g
+                WHERE doc_id % 10 = 0
+            ), cg AS (
+                SELECT doc_id, unnest(grams) AS gr FROM g
+            ), m AS (
+                SELECT doc_id, count(*) AS n_matched FROM cg
+                WHERE gr IN (SELECT gr FROM bg) GROUP BY doc_id
+            )
+            SELECT g.doc_id, CAST(len(g.grams) AS BIGINT) AS n_ngrams,
+                   CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+                   round(coalesce(m.n_matched, 0)::DOUBLE / len(g.grams), 6)
+                       AS overlap_frac
+            FROM g LEFT JOIN m USING (doc_id) WHERE len(g.grams) > 0
+        """,
+        tags=("contamination", "ngram", "text"),
+    ),
+    CatalogEntry(
+        # merged former s03 (2h/1h sliding windows) into the tumbling-
+        # window entry as a kind-tagged union — freed a gate slot for
+        # p18_ngram_overlap; both window shapes stay fully hash-checked
         name="s01_event_windows",
         fn=_s_event_windows,
         oracle="""
-            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+            SELECT 'tumbling' AS kind,
+                   time_bucket(INTERVAL '1 hour', ts) AS window_start,
                    event_type, count(*) AS n, round(sum(value), 4) AS sum_value
-            FROM events GROUP BY 1, 2
-        """,
-        bench=True,
-        tags=("streaming", "window"),
-    ),
-    CatalogEntry(
-        name="s03_sliding_windows",
-        fn=lambda spark, sf_dir: __import__(
-            "opencyphertranspiler_spark.streaming.windows",
-            fromlist=["sliding_event_stats"],
-        ).sliding_event_stats(_events(spark, sf_dir), "2 hours", "1 hour"),
-        oracle="""
+            FROM events GROUP BY 2, 3
+            UNION ALL
             -- a 2h window sliding by 1h: each event lands in the buckets
             -- starting at tb(ts) and tb(ts) - 1h
-            WITH b AS (
+            SELECT 'sliding' AS kind, window_start, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM (
                 SELECT time_bucket(INTERVAL '1 hour', ts) - k * INTERVAL '1 hour'
                            AS window_start,
                        event_type, value
                 FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
-            )
-            SELECT window_start, event_type, count(*) AS n,
-                   round(sum(value), 4) AS sum_value
-            FROM b GROUP BY window_start, event_type
+            ) b GROUP BY window_start, event_type
         """,
+        bench=True,
         tags=("streaming", "window", "sliding"),
     ),
     CatalogEntry(

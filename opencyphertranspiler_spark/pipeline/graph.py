@@ -428,3 +428,171 @@ def connected_components_star(
     if return_rounds:
         return labels, rounds
     return labels
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Total triangle count of the UNDIRECTED simple graph induced by
+    ``edges`` — one row, column ``n_triangles``.
+
+    100 TB design — degree orientation (Suri & Vassilvitskii, "Counting
+    Triangles and the Curse of the Last Reducer", WWW'11): every edge is
+    directed from its lower-(degree, id) endpoint to its higher one, so
+    a node's out-degree is bounded by O(sqrt(|E|)) on any graph. The
+    wedge self-join — the quadratic step — then explodes per OUT-degree,
+    never per raw degree: a 100M-degree celebrity hub contributes
+    O(sqrt(E)) wedges instead of 10^16. The closing step is a plain
+    equi-join of wedges against the oriented edge set. Each triangle is
+    produced exactly once (its vertices are totally ordered by
+    (degree, id)).
+
+    Equivalent (oracle) SQL: canonicalize u < v by id and 3-way
+    self-join — same total, different (skew-prone) join order.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionByName(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient by (degree, id): a -> b iff (d_a, a) < (d_b, b); carry the
+    # head's degree so wedge pairs can be ordered by the SAME precedence,
+    # keeping the closing step a pure equi-join (no OR predicate — an OR
+    # would fall off the equi-join path into a nested-loop join)
+    o = (
+        e.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(
+                    F.col("u").alias("a"),
+                    F.col("v").alias("b"),
+                    F.col("dv").alias("db"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("v").alias("a"),
+                    F.col("u").alias("b"),
+                    F.col("du").alias("db"),
+                )
+            )
+            .alias("s")
+        )
+        .select("s.a", "s.b", "s.db")
+    )
+    # wedges at the low-precedence apex: precedence-ordered pairs of
+    # out-neighbors, so for a triangle a < b < c the wedge is always
+    # (b, c) and the closing oriented edge is exactly (b, c)
+    w = o.alias("x").join(
+        o.alias("y"),
+        (F.col("x.a") == F.col("y.a"))
+        & (
+            (F.col("x.db") < F.col("y.db"))
+            | (
+                (F.col("x.db") == F.col("y.db"))
+                & (F.col("x.b") < F.col("y.b"))
+            )
+        ),
+    )
+    tri = w.join(
+        o.alias("z"),
+        (F.col("x.b") == F.col("z.a")) & (F.col("y.b") == F.col("z.b")),
+    )
+    return tri.agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, rank) after ``iters`` power-method rounds on the DISTINCT
+    directed edge set; ranks sum to 1. Dangling nodes (no out-edges)
+    redistribute their mass uniformly each round, the standard
+    stochastic-matrix completion.
+
+    100 TB design: per round one equi-join (ranks x out-edges, shuffled
+    on the join key) + one groupBy(dst) with map-side partial sums; the
+    rank vector is localCheckpoint'ed so lineage stays O(1) deep across
+    rounds. The dangling mass is a single aggregated scalar per round —
+    bounded driver state like the IVF centroids (similarity.py), not a
+    per-row collect. The node set and out-degrees are computed once and
+    persisted; iteration count is fixed (power method), so there is no
+    per-round convergence check shuffle.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
+    with_deg = nodes.join(
+        outdeg, nodes.node == outdeg.src, "left"
+    ).select("node", "outdeg")
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
+        eager=True
+    )
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        rd = ranks.join(with_deg, "node")
+        # bounded scalar: total rank mass sitting on dangling nodes
+        dangling = (
+            rd.filter(F.col("outdeg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contribs = (
+            e.join(rd, e.src == rd.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.lit(dangling / n)
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    nodes.unpersist()
+    outdeg.unpersist()
+    return ranks

@@ -217,3 +217,70 @@ def repetition_stats(
             "dup_bigram_frac",
         )
     )
+
+
+def word_ngrams(text_col: str, n: int = 5):
+    """Column of space-joined word ``n``-grams of the whitespace tokens of
+    ``text_col`` (duplicates removed). Pure codegen expression — the
+    shape DuckDB can replicate for the oracle gate."""
+    toks = f"filter(split({text_col}, '\\\\s+'), t -> t <> '')"
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {n} THEN array_distinct(transform("
+        f"sequence(1, size({toks}) - {n} + 1), "
+        f"i -> array_join(slice({toks}, i, {n}), ' '))) "
+        "ELSE array() END"
+    )
+
+
+def ngram_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination check: per corpus document, the fraction
+    of its distinct word ``n``-grams that also appear anywhere in
+    ``benchmark`` — (id_col, n_ngrams, n_matched, overlap_frac), one row
+    per corpus document with at least ``n`` tokens.
+
+    A training-data pipeline runs this before every release: documents
+    with high overlap against an evaluation benchmark are leakage and
+    must be dropped (n in the 8-13 range and a threshold near 0.3 are
+    typical; both are caller-tunable).
+
+    100 TB design: the benchmark side (eval sets — thousands of
+    documents, not billions) collapses to a DISTINCT n-gram set that is
+    BROADCAST; the corpus side then needs one scan + explode + broadcast
+    semi/left join + per-doc groupBy — the corpus is never shuffled by
+    n-gram, and no corpus x corpus pair ever forms. Hashing the grams
+    (xxhash64) would shrink the broadcast further; kept as strings here
+    so the DuckDB oracle replays exactly.
+    """
+    from pyspark.sql.functions import broadcast
+
+    grams = word_ngrams(text_col, n)
+    corpus_g = corpus.select(
+        F.col(id_col), F.explode(grams).alias("g")
+    )
+    bench_g = (
+        benchmark.select(F.explode(grams).alias("g")).distinct()
+    )
+    matched = (
+        corpus_g.join(broadcast(bench_g), "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_matched"))
+    )
+    totals = corpus.select(
+        F.col(id_col), F.size(grams).cast("long").alias("n_ngrams")
+    ).filter(F.col("n_ngrams") > 0)
+    return totals.join(matched, id_col, "left").select(
+        id_col,
+        "n_ngrams",
+        F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
+        F.round(
+            F.coalesce(F.col("n_matched"), F.lit(0))
+            / F.col("n_ngrams"),
+            6,
+        ).alias("overlap_frac"),
+    )

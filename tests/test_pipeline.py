@@ -816,3 +816,154 @@ def test_reachable_from_anchored(spark):
         if r.src == 2
     }
     assert got == full
+
+
+# ---------------------------------------------------------------------------
+# triangle_count / pagerank (round-5 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_count_vs_bruteforce(spark):
+    import itertools
+    import random
+
+    from opencyphertranspiler_spark.pipeline.graph import triangle_count
+
+    # K4 + pendant edge: exactly C(4,3) = 4 triangles
+    k4 = [(a, b) for a, b in itertools.combinations([1, 2, 3, 4], 2)]
+    e = spark.createDataFrame(k4 + [(4, 5)], "src int, dst int")
+    assert triangle_count(e).collect()[0].n_triangles == 4
+
+    # random graph vs brute force; input has mixed edge directions,
+    # duplicates, and a self-loop — all normalized away
+    random.seed(7)
+    pairs = {
+        (a, b)
+        for a in range(30)
+        for b in range(30)
+        if a < b and random.random() < 0.2
+    }
+    adj = {i: set() for i in range(30)}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = sum(
+        1
+        for a, b, c in itertools.combinations(range(30), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    some = next(iter(pairs))
+    rows = [
+        (b, a) if random.random() < 0.5 else (a, b) for a, b in pairs
+    ] + [(3, 3), (some[1], some[0])]
+    e2 = spark.createDataFrame(rows, "src int, dst int")
+    assert triangle_count(e2).collect()[0].n_triangles == expected
+
+
+def test_triangle_count_empty_and_triangle_free(spark):
+    from opencyphertranspiler_spark.pipeline.graph import triangle_count
+
+    empty = spark.createDataFrame([], "src int, dst int")
+    assert triangle_count(empty).collect()[0].n_triangles == 0
+    # a path graph has no triangles
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src int, dst int"
+    )
+    assert triangle_count(path).collect()[0].n_triangles == 0
+
+
+def test_pagerank_vs_numpy(spark):
+    import random
+
+    import numpy as np
+
+    from opencyphertranspiler_spark.pipeline.graph import pagerank
+
+    random.seed(11)
+    edges = sorted(
+        {
+            (a, b)
+            for a in range(25)
+            for b in range(25)
+            if a != b and random.random() < 0.15
+        }
+    )
+    nodes = sorted({x for p in edges for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out: dict[int, list[int]] = {}
+    for a, b in edges:
+        out.setdefault(a, []).append(b)
+    d = 0.85
+    r = np.full(n, 1.0 / n)
+    for _ in range(6):
+        nr = np.full(n, (1 - d) / n)
+        dangling = sum(r[idx[v]] for v in nodes if v not in out)
+        nr += d * dangling / n
+        for a, targets in out.items():
+            for b in targets:
+                nr[idx[b]] += d * r[idx[a]] / len(targets)
+        r = nr
+    got = {
+        row.node: row.rank
+        for row in pagerank(
+            spark.createDataFrame(edges, "src int, dst int"), iters=6
+        ).collect()
+    }
+    assert set(got) == set(nodes)
+    assert max(abs(got[v] - r[idx[v]]) for v in nodes) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    from opencyphertranspiler_spark.pipeline.graph import pagerank
+
+    # star: everyone points at 0
+    e = spark.createDataFrame(
+        [(i, 0) for i in range(1, 8)], "src int, dst int"
+    )
+    ranks = {r.node: r.rank for r in pagerank(e, iters=8).collect()}
+    assert ranks[0] == max(ranks.values())
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# ngram_overlap (benchmark contamination)
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_overlap_basic(spark):
+    from opencyphertranspiler_spark.pipeline.text import ngram_overlap
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),       # grams: abcde, bcdef
+            (2, "a b c d e"),         # gram: abcde (fully contained)
+            (3, "x y z w q"),         # gram: xyzwq (no overlap)
+            (4, "too short"),         # < 5 tokens -> excluded
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c d e")], "doc_id int, text string"
+    )
+    got = {
+        r.doc_id: (r.n_ngrams, r.n_matched, r.overlap_frac)
+        for r in ngram_overlap(corpus, bench, n=5).collect()
+    }
+    assert got == {
+        1: (2, 1, 0.5),
+        2: (1, 1, 1.0),
+        3: (1, 0, 0.0),
+    }
+
+
+def test_ngram_overlap_self_benchmark_is_total(spark):
+    from pyspark.sql import functions as F
+
+    from opencyphertranspiler_spark.pipeline.text import ngram_overlap
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    out = ngram_overlap(docs, docs, n=5)
+    # overlap against yourself is always 1
+    assert out.filter(F.col("overlap_frac") < 1.0).count() == 0
