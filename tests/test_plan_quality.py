@@ -276,3 +276,30 @@ def test_call_per_row_limit_avoids_global_sort(spark, engine):
     plan = formatted_plan(spark, df)
     assert "Window" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_ngram_overlap_broadcasts_benchmark_grams(spark):
+    # the benchmark gram set must be broadcast so the corpus is never
+    # shuffled by n-gram (the property that holds at 100 TB corpus scale)
+    from opencyphertranspiler_spark.pipeline.text import ngram_overlap
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter("doc_id % 10 = 0")
+    plan = formatted_plan(spark, ngram_overlap(docs, bench, n=5))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # and the semi-join side is a semi join, not an inner materialization
+    assert "LeftSemi" in plan
+
+
+def test_triangle_count_has_no_nested_loop_join(spark):
+    # every join in the triangle plan must be an equi-join — an OR-closing
+    # predicate would silently fall back to BroadcastNestedLoopJoin and
+    # blow up quadratically at scale
+    from opencyphertranspiler_spark.pipeline.graph import triangle_count
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src int, dst int"
+    )
+    plan = formatted_plan(spark, triangle_count(e))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
