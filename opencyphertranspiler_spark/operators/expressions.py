@@ -180,6 +180,10 @@ class ExprCompiler:
                 return entity_fn
             if expr.name == "duration":
                 return self._duration(expr)
+            if expr.name == "point":
+                return self._point(expr)
+            if expr.name in ("distance", "point.distance"):
+                return self._point_distance(expr)
             if expr.name in ("datetime.truncate", "date.truncate"):
                 return self._truncate(expr)
             if expr.name == "duration.between":
@@ -280,6 +284,16 @@ class ExprCompiler:
             except Exception:
                 t = None
         if isinstance(t, T.StructType):
+            # point accessors (extension): latitude/longitude read the
+            # y/x fields of a point struct (x = longitude, Neo4j order)
+            if (
+                fld.lower() in ("latitude", "longitude")
+                and fld not in t.names
+                and {"x", "y", "crs"} <= set(t.names)
+            ):
+                return col.getField(
+                    "y" if fld.lower() == "latitude" else "x"
+                )
             return col.getField(fld)
         acc = _TEMPORAL_ACCESSORS.get(fld.lower())
         if acc is not None and (t is None or isinstance(t, _TEMPORAL_TYPES)):
@@ -340,6 +354,64 @@ class ExprCompiler:
         return F.make_dt_interval(
             days, parts.get("hours", zero), parts.get("minutes", zero), secs
         )
+
+    # spatial points (extension; the reference has no spatial library) are
+    # plain structs (x double, y double, crs string) — for geographic
+    # points x = longitude, y = latitude, mirroring Neo4j's storage order
+    _EARTH_RADIUS_M = 6_371_008.8  # IUGG mean Earth radius (spherical model)
+
+    def _point(self, expr: A.FuncCall) -> Column:
+        """point({x, y}) -> cartesian point; point({latitude, longitude})
+        -> geographic ('wgs-84') point. Compiles to a struct column —
+        accessors p.x / p.y / p.crs are plain field reads and
+        p.latitude / p.longitude map onto y / x."""
+        if len(expr.args) != 1 or not isinstance(expr.args[0], A.MapLiteral):
+            raise TranspilerNotSupportedError(
+                "point() takes a single map literal, e.g. point({x: 1.0, "
+                "y: 2.0}) or point({latitude: 48.8, longitude: 2.3})"
+            )
+        parts = {k.lower(): self.compile(v) for k, v in expr.args[0].items}
+        if set(parts) == {"x", "y"}:
+            x, y, crs = parts["x"], parts["y"], "cartesian"
+        elif set(parts) == {"latitude", "longitude"}:
+            x, y, crs = parts["longitude"], parts["latitude"], "wgs-84"
+        else:
+            raise TranspilerNotSupportedError(
+                "point() needs exactly the keys {x, y} (cartesian) or "
+                "{latitude, longitude} (geographic); got "
+                f"{sorted(parts) or '{}'}"
+            )
+        return F.struct(
+            x.cast("double").alias("x"),
+            y.cast("double").alias("y"),
+            F.lit(crs).alias("crs"),
+        )
+
+    def _point_distance(self, expr: A.FuncCall) -> Column:
+        """distance(p1, p2) / point.distance(p1, p2): Euclidean for
+        cartesian pairs; haversine great-circle metres (spherical Earth,
+        IUGG mean radius 6371008.8 m) for geographic pairs; null for
+        mismatched or unknown CRS (Neo4j's mixed-CRS behavior)."""
+        if len(expr.args) != 2:
+            raise TranspilerBindingError(
+                "distance() takes two point arguments"
+            )
+        p1 = self.compile(expr.args[0])
+        p2 = self.compile(expr.args[1])
+        x1, y1 = p1.getField("x"), p1.getField("y")
+        x2, y2 = p2.getField("x"), p2.getField("y")
+        eucl = F.sqrt((x1 - x2) ** 2 + (y1 - y2) ** 2)
+        lat1, lat2 = F.radians(y1), F.radians(y2)
+        dlat, dlon = lat2 - lat1, F.radians(x2) - F.radians(x1)
+        h = (
+            F.sin(dlat / 2) ** 2
+            + F.cos(lat1) * F.cos(lat2) * F.sin(dlon / 2) ** 2
+        )
+        hav = F.lit(2.0 * self._EARTH_RADIUS_M) * F.asin(F.sqrt(h))
+        c1, c2 = p1.getField("crs"), p2.getField("crs")
+        return F.when(
+            (c1 == "cartesian") & (c2 == "cartesian"), eucl
+        ).when((c1 == "wgs-84") & (c2 == "wgs-84"), hav)
 
     _TRUNC_UNITS = frozenset(
         {"year", "quarter", "month", "week", "day", "hour", "minute", "second"}
