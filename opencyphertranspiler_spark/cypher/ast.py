@@ -446,7 +446,64 @@ class ProjectionClause:
     star: bool = False
 
 
-Clause = MatchClause | UnwindClause | ProjectionClause | CallSubqueryClause
+# ---------------------------------------------------------------------------
+# Write clauses (extension — the reference is a read-only transpiler and
+# rejects every one of these, CypherVisitor.cs scope fence / SURVEY.md §2.7;
+# here they compile to FUNCTIONAL table updates: the engine never mutates a
+# registered DataFrame, it derives new ones — see writes.py)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SetItem:
+    """``SET alias.prop = expr`` — one property assignment."""
+
+    alias: str
+    prop: str
+    expr: Expr
+
+
+@dataclass
+class SetClause:
+    items: list[SetItem]
+
+
+@dataclass
+class RemoveClause:
+    """``REMOVE alias.prop`` — sugar for ``SET alias.prop = null``."""
+
+    items: list[tuple[str, str]]  # (alias, prop)
+
+
+@dataclass
+class CreateClause:
+    patterns: list[PatternPart]
+
+
+@dataclass
+class MergeClause:
+    """``MERGE (n:L {props}) [ON CREATE SET ...] [ON MATCH SET ...]``."""
+
+    pattern: PatternPart
+    on_create: list[SetItem] = field(default_factory=list)
+    on_match: list[SetItem] = field(default_factory=list)
+
+
+@dataclass
+class DeleteClause:
+    aliases: list[str]
+    detach: bool = False
+
+
+WriteClause = SetClause | RemoveClause | CreateClause | MergeClause | DeleteClause
+
+Clause = (
+    MatchClause
+    | UnwindClause
+    | ProjectionClause
+    | CallSubqueryClause
+    | WriteClause
+)
 
 
 @dataclass

@@ -29,10 +29,14 @@ COMPARISON_TOKENS = {
 
 
 class Parser:
-    def __init__(self, text: str):
+    def __init__(self, text: str, allow_writes: bool = False):
         self.text = text
         self.toks = tokenize(text)
         self.i = 0
+        # write clauses (CREATE/MERGE/SET/REMOVE/DELETE) parse only when
+        # requested via engine.cypher_write(); the read entry point keeps
+        # the reference's typed rejection (SURVEY.md §2.7)
+        self.allow_writes = allow_writes
 
     # -- token helpers ------------------------------------------------------
     @property
@@ -99,6 +103,10 @@ class Parser:
         while self.accept_kw("UNION"):
             all_ = bool(self.accept_kw("ALL"))
             right = self.parse_single_query()
+            if any(isinstance(c, A.WriteClause) for c in right.clauses):
+                raise TranspilerNotSupportedError(
+                    "UNION over a write query is not supported"
+                )
             q = A.UnionQuery(q, right, all_)
         self.accept_punct(";")
         if self.cur.kind != "eof":
@@ -109,8 +117,34 @@ class Parser:
 
     def parse_single_query(self) -> A.SingleQuery:
         clauses: list[A.Clause] = []
+        WRITE_KWS = ("CREATE", "MERGE", "SET", "DELETE", "DETACH", "REMOVE")
+
+        def has_write() -> bool:
+            return any(isinstance(c, A.WriteClause) for c in clauses)
+
         while True:
             t = self.cur
+            if t.is_kw(*WRITE_KWS) and not self.allow_writes:
+                raise TranspilerNotSupportedError(
+                    f"Write clause {t.value} is not supported (read-only engine; "
+                    "use engine.cypher_write() for the functional write extension)"
+                )
+            if t.is_kw(*WRITE_KWS):
+                clauses.append(self.parse_write_clause())
+                continue
+            if has_write():
+                # after the first write clause only further writes may
+                # follow; the statement's result is the WriteResult, not a
+                # relation (Neo4j's write-then-RETURN reads post-write
+                # state, which a functional snapshot engine cannot honor
+                # without re-planning — typed fence)
+                if t.kind == "eof":
+                    break
+                raise TranspilerNotSupportedError(
+                    f"{t.value} after a write clause is not supported; "
+                    "only further write clauses may follow (read the "
+                    "WriteResult tables instead of RETURN)"
+                )
             if t.is_kw("MATCH") or t.is_kw("OPTIONAL"):
                 clauses.append(self.parse_match())
             elif t.is_kw("UNWIND"):
@@ -120,10 +154,6 @@ class Parser:
             elif t.is_kw("RETURN"):
                 clauses.append(self.parse_projection(is_return=True))
                 break
-            elif t.is_kw("CREATE", "MERGE", "SET", "DELETE", "DETACH", "REMOVE"):
-                raise TranspilerNotSupportedError(
-                    f"Write clause {t.value} is not supported (read-only engine)"
-                )
             elif t.is_kw("CALL"):
                 clauses.append(self.parse_call_subquery())
             else:
@@ -197,6 +227,104 @@ class Parser:
         self.expect_kw("AS")
         alias = self.expect_ident()
         return A.UnwindClause(expr, alias)
+
+    # -- write clauses (extension; reference rejects all of them) ----------
+    def accept_soft_kw(self, name: str) -> bool:
+        """Non-reserved keyword (``ON``): matched as a bare identifier so
+        it stays usable as a property/alias name everywhere else."""
+        if self.cur.kind == "ident" and str(self.cur.value).upper() == name:
+            self.advance()
+            return True
+        return False
+
+    def parse_write_clause(self) -> A.WriteClause:
+        t = self.cur
+        if t.is_kw("SET"):
+            return self.parse_set()
+        if t.is_kw("REMOVE"):
+            return self.parse_remove()
+        if t.is_kw("CREATE"):
+            return self.parse_create()
+        if t.is_kw("MERGE"):
+            return self.parse_merge()
+        # DELETE / DETACH DELETE
+        detach = bool(self.accept_kw("DETACH"))
+        self.expect_kw("DELETE")
+        aliases = [self.expect_ident()]
+        while self.accept_punct(","):
+            aliases.append(self.expect_ident())
+        return A.DeleteClause(aliases, detach)
+
+    def parse_set_item(self) -> A.SetItem:
+        alias = self.expect_ident()
+        if self.cur.is_punct(":"):
+            raise TranspilerNotSupportedError(
+                "SET on a label (SET n:Label) is not supported; the node's "
+                "label is its table binding in this engine"
+            )
+        if self.cur.is_punct("+") and self.peek().is_punct("="):
+            raise TranspilerNotSupportedError(
+                "SET n += {map} is not supported; list the properties "
+                "explicitly (SET n.p1 = v1, n.p2 = v2)"
+            )
+        self.expect_punct(".")
+        prop = self.expect_name()
+        if self.cur.is_punct("."):
+            raise TranspilerNotSupportedError(
+                "SET on a nested property path is not supported"
+            )
+        self.expect_punct("=")
+        return A.SetItem(alias, prop, self.parse_expr())
+
+    def parse_set(self) -> A.SetClause:
+        self.expect_kw("SET")
+        items = [self.parse_set_item()]
+        while self.accept_punct(","):
+            items.append(self.parse_set_item())
+        return A.SetClause(items)
+
+    def parse_remove(self) -> A.RemoveClause:
+        self.expect_kw("REMOVE")
+        items = []
+        while True:
+            alias = self.expect_ident()
+            if self.cur.is_punct(":"):
+                raise TranspilerNotSupportedError(
+                    "REMOVE of a label (REMOVE n:Label) is not supported"
+                )
+            self.expect_punct(".")
+            items.append((alias, self.expect_name()))
+            if not self.accept_punct(","):
+                break
+        return A.RemoveClause(items)
+
+    def parse_create(self) -> A.CreateClause:
+        self.expect_kw("CREATE")
+        patterns = [self.parse_pattern_part()]
+        while self.accept_punct(","):
+            patterns.append(self.parse_pattern_part())
+        return A.CreateClause(patterns)
+
+    def parse_merge(self) -> A.MergeClause:
+        self.expect_kw("MERGE")
+        pattern = self.parse_pattern_part()
+        on_create: list[A.SetItem] = []
+        on_match: list[A.SetItem] = []
+        while self.accept_soft_kw("ON"):
+            if self.accept_kw("CREATE"):
+                target = on_create
+            elif self.accept_kw("MATCH"):
+                target = on_match
+            else:
+                raise TranspilerSyntaxError(
+                    f"Expected CREATE or MATCH after ON at position "
+                    f"{self.cur.pos}"
+                )
+            self.expect_kw("SET")
+            target.append(self.parse_set_item())
+            while self.accept_punct(","):
+                target.append(self.parse_set_item())
+        return A.MergeClause(pattern, on_create, on_match)
 
     def parse_projection(self, is_return: bool) -> A.ProjectionClause:
         self.advance()  # WITH / RETURN
@@ -869,6 +997,10 @@ class Parser:
         return A.FuncCall(name, args)
 
 
-def parse(text: str) -> A.Query:
-    """Parse a Cypher query string into the AST (IR #1)."""
-    return Parser(text).parse_query()
+def parse(text: str, allow_writes: bool = False) -> A.Query:
+    """Parse a Cypher query string into the AST (IR #1).
+
+    ``allow_writes=True`` (used by ``engine.cypher_write``) accepts the
+    functional write extension (CREATE/MERGE/SET/REMOVE/DELETE); the
+    default keeps the reference's read-only scope fence."""
+    return Parser(text, allow_writes=allow_writes).parse_query()

@@ -54,7 +54,11 @@ class CypherEngine:
 
         ``params`` binds ``$name`` query parameters (extension — the
         reference rejects parameters)."""
-        ast_query = parse(query)
+        return self._run_ast(parse(query), params)
+
+    def _run_ast(self, ast_query, params: dict | None = None) -> DataFrame:
+        """Rewrite, plan and compile an already-parsed read query (shared
+        by cypher() and the write executor's binding compilation)."""
         graph, tables = self._resolve_multi_verb(ast_query, self.graph, self.tables)
         graph, tables = self._resolve_undirected_varlength(ast_query, graph, tables)
         graph, tables = self._resolve_unbounded(ast_query, graph, tables, params)
@@ -62,6 +66,23 @@ class CypherEngine:
             ast_query, graph, ordered_aggregates=self.ordered_aggregates
         )
         return Compiler(self.spark, tables, params=params).compile(plan)
+
+    def cypher_write(
+        self, query: str, params: dict | None = None, validate: bool = True
+    ):
+        """Execute a write query (CREATE / MERGE / SET / REMOVE / DELETE —
+        extension; the reference rejects every write clause) FUNCTIONALLY:
+        no registered DataFrame is mutated; the returned
+        :class:`~.writes.WriteResult` holds the derived post-write tables,
+        and ``result.engine()`` builds a new engine over them.
+
+        ``validate=True`` adds Neo4j-style eager checks (duplicate CREATE
+        ids, dangling plain DELETE, MERGE id collisions) at the cost of a
+        few count jobs on the diff tables — disable for production-sized
+        batch writes."""
+        from .writes import execute_write
+
+        return execute_write(self, query, params=params, validate=validate)
 
     # -- unbounded variable-length rewrite ---------------------------------
     # `(a:L1)-[:V*]->(b:L2)` (and `*n..`) compiles to REACHABILITY: the

@@ -1,0 +1,864 @@
+"""Functional write clauses: CREATE / MERGE / SET / REMOVE / DELETE.
+
+The reference is a read-only transpiler and rejects every write clause
+(CypherVisitor.cs scope fence; SURVEY.md §2.7). This module is a documented
+extension that keeps the engine immutable: a write query NEVER mutates a
+registered DataFrame — it derives NEW DataFrames (copy-on-write snapshot)
+and returns them in a :class:`WriteResult`, whose ``.engine()`` builds a
+CypherEngine over the post-write graph.
+
+Execution model (bulk-relational, no driver-side row loops):
+
+1. The reading prefix (MATCH / WHERE / WITH / UNWIND / CALL {}) is compiled
+   by the ORDINARY read planner into one "binding" DataFrame: one row per
+   match, one column per needed value (entity keys plus every SET / CREATE /
+   MERGE expression result). All Cypher expressions are therefore evaluated
+   by Catalyst inside the read plan — this module never interprets an
+   expression itself.
+2. Each write clause is then a bulk relational transformation over the
+   pre-write snapshot:
+
+   ======  ==========================================================
+   SET     per-key update table + ONE equi-join against the target
+           table (AQE broadcasts small update sets); conflicting
+           values for the same (entity, property) resolve to
+           ``max(value)`` per key — a documented, deterministic
+           divergence from Neo4j's undefined last-writer order
+   CREATE  ``unionByName`` of projected new rows (no shuffle)
+   DELETE  ``left_anti`` join on the key set (+ FK hygiene for
+           DETACH, see below)
+   MERGE   distinct candidate tuples + ``left_anti`` existence check
+   ======  ==========================================================
+
+   Every write clause reads the same PRE-write snapshot (SQL statement
+   semantics; documented divergence from Neo4j's clause-sequential
+   visibility).
+
+Identity model: nodes are keyed by their declared id property, so CREATE
+and MERGE require the id property in the inline map (there is no hidden
+auto-id in a table-backed graph). Edges follow the schema's storage:
+a standalone edge table gets appended rows; an FK-embedded edge (the edge
+table IS one endpoint's node table, e.g. TPC-H ``PLACED`` living in
+``orders``) is created by setting the FK column on the owning row and
+detach-deleted by nulling it.
+
+At 100 TB: the binding is one ordinary Catalyst plan (pushdown, pruning and
+join strategy all apply); each write clause costs at most one shuffle.
+Nothing collects to the driver except the optional validation counts
+(``validate=True``; turn off for production-sized runs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .cypher import ast as A
+from .exceptions import (
+    TranspilerBindingError,
+    TranspilerNotSupportedError,
+    TranspilerSyntaxError,
+)
+from .schema import EdgeSchema, EntityProperty, GraphSchema, NodeSchema
+from .sources import TableRegistry
+
+
+# ---------------------------------------------------------------------------
+# result types
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class WriteResult:
+    """Post-write snapshot. ``tables`` maps ONLY the tables a write touched;
+    :meth:`table` / :meth:`registry` overlay them on the engine's originals.
+    ``counts()`` runs the (lazy) counter jobs and returns Neo4j-style
+    statistics."""
+
+    spark: SparkSession
+    graph: GraphSchema
+    tables: dict[str, DataFrame]
+    base: "TableRegistry"
+    _counters: dict[str, object] = field(default_factory=dict)
+
+    def table(self, name: str) -> DataFrame:
+        if name in self.tables:
+            return self.tables[name]
+        return self.base.get(name)
+
+    def registry(self) -> TableRegistry:
+        reg = TableRegistry()
+        for name in self.base.names():
+            if name in self.tables:
+                reg.register_df(name, self.tables[name])
+            else:
+                reg.register(name, lambda n=name: self.base.get(n))
+        for name, df in self.tables.items():
+            if name not in self.base.names():
+                reg.register_df(name, df)
+        return reg
+
+    def engine(self, **kwargs):
+        from .engine import CypherEngine
+
+        return CypherEngine(self.spark, self.graph, self.registry(), **kwargs)
+
+    def counts(self) -> dict[str, int]:
+        """Materialize the write statistics (runs one count job per
+        counter — cheap on the small diff tables, but a real action)."""
+        return {k: int(v()) for k, v in self._counters.items()}
+
+
+# ---------------------------------------------------------------------------
+# alias resolution over the reading prefix
+# ---------------------------------------------------------------------------
+
+
+def _infer_match_scope(clause: A.MatchClause, scope: dict, graph: GraphSchema):
+    """Record node/rel bindings of one MATCH, inferring missing labels from
+    the edge schema to a (per-clause) fixpoint — the light counterpart of
+    the planner's step-2 inference, enough to type write targets."""
+    hops = []
+    for part in clause.patterns:
+        if part.shortest:
+            raise TranspilerNotSupportedError(
+                "write clauses over shortestPath patterns are not supported"
+            )
+        for node in part.nodes:
+            if node.alias and node.label:
+                scope[node.alias] = ("node", node.label)
+            elif node.alias and node.alias not in scope:
+                scope[node.alias] = ("node", None)
+        hops.extend(part.hops())
+
+    def node_label(n: A.NodePattern) -> str | None:
+        if n.label:
+            return n.label
+        if n.alias and scope.get(n.alias, ("",))[0] == "node":
+            return scope[n.alias][1]
+        return None
+
+    changed = True
+    while changed:
+        changed = False
+        for left, rel, right in hops:
+            if rel.min_hops is not None or rel.alt_verbs:
+                continue  # var-length / multi-verb rels are not write targets
+            if rel.direction == A.Direction.BACKWARD:
+                src, snk = right, left
+            else:
+                src, snk = left, right
+            cands = graph.candidate_edges(rel.verb, node_label(src), node_label(snk))
+            if rel.direction == A.Direction.EITHER:
+                cands += graph.candidate_edges(
+                    rel.verb, node_label(snk), node_label(src)
+                )
+            if len(cands) == 1:
+                e = cands[0]
+                flipped = node_label(src) not in (None, e.source_label)
+                s_lab, k_lab = (
+                    (e.sink_label, e.source_label)
+                    if flipped
+                    else (e.source_label, e.sink_label)
+                )
+                for n, lab in ((src, s_lab), (snk, k_lab)):
+                    if n.alias and scope.get(n.alias) != ("node", lab):
+                        if node_label(n) is None:
+                            scope[n.alias] = ("node", lab)
+                            changed = True
+                if rel.alias and scope.get(rel.alias) != ("rel", e):
+                    scope[rel.alias] = ("rel", e)
+                    changed = True
+            elif rel.alias and rel.alias not in scope:
+                scope[rel.alias] = ("rel", None)
+
+
+def _resolve_scope(reading: list, graph: GraphSchema) -> dict:
+    """alias -> ("node", label) | ("rel", EdgeSchema|None) | ("value",)."""
+    scope: dict[str, tuple] = {}
+    for clause in reading:
+        if isinstance(clause, A.MatchClause):
+            _infer_match_scope(clause, scope, graph)
+        elif isinstance(clause, A.UnwindClause):
+            scope[clause.alias] = ("value",)
+        elif isinstance(clause, A.CallSubqueryClause):
+            inner = clause.query
+            while isinstance(inner, A.UnionQuery):
+                inner = inner.left
+            last = inner.clauses[-1]
+            if isinstance(last, A.ProjectionClause):
+                for alias, _ in last.items:
+                    scope[alias] = ("value",)
+        elif isinstance(clause, A.ProjectionClause):
+            new: dict[str, tuple] = {}
+            if clause.star:
+                new.update(scope)
+            for alias, expr in clause.items:
+                if isinstance(expr, A.Variable) and expr.name in scope:
+                    new[alias] = scope[expr.name]
+                else:
+                    new[alias] = ("value",)
+            scope = new
+    return scope
+
+
+def _node_schema(graph: GraphSchema, scope: dict, alias: str) -> NodeSchema:
+    kind = scope.get(alias)
+    if kind is None:
+        raise TranspilerBindingError(f"Write target '{alias}' is not bound")
+    if kind[0] == "value":
+        raise TranspilerNotSupportedError(
+            f"Write target '{alias}' is a value, not a node or relationship"
+        )
+    if kind[0] == "rel":
+        raise TranspilerBindingError(f"'{alias}' is a relationship, not a node")
+    if kind[1] is None:
+        raise TranspilerBindingError(
+            f"Could not infer a label for write target '{alias}'; "
+            "add an explicit label to its pattern"
+        )
+    return graph.get_node(kind[1])
+
+
+def _no_aggregates(exprs):
+    for expr in exprs:
+        for n in expr.walk():
+            if isinstance(n, A.AggCall):
+                raise TranspilerNotSupportedError(
+                    "Aggregate functions are not allowed in write expressions"
+                )
+
+
+def _owner_of_edge(graph: GraphSchema, e: EdgeSchema) -> str | None:
+    """'source' / 'sink' if the edge is FK-embedded in that endpoint's node
+    table (the edge row IS the node row), else None (standalone table)."""
+    if graph.has_node(e.source_label):
+        src = graph.get_node(e.source_label)
+        if src.table == e.table and src.id_property == e.source_id_property:
+            return "source"
+    if graph.has_node(e.sink_label):
+        snk = graph.get_node(e.sink_label)
+        if snk.table == e.table and snk.id_property == e.sink_id_property:
+            return "sink"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# the executor
+# ---------------------------------------------------------------------------
+
+
+class WriteExecutor:
+    def __init__(self, engine, ast_query: A.SingleQuery, params, validate: bool):
+        self.engine = engine
+        self.spark = engine.spark
+        self.graph: GraphSchema = engine.graph
+        self.params = params
+        self.validate = validate
+        self.reading = [
+            c for c in ast_query.clauses if not isinstance(c, A.WriteClause)
+        ]
+        self.writes = [c for c in ast_query.clauses if isinstance(c, A.WriteClause)]
+        if not self.writes:
+            raise TranspilerSyntaxError("cypher_write() requires a write clause")
+        self.scope = _resolve_scope(self.reading, self.graph)
+        # synthesized projection items for the binding DataFrame
+        self._items: list[tuple[str, A.Expr]] = []
+        self._item_names: set[str] = set()
+        # copy-on-write snapshot + schema growth
+        self.tables: dict[str, DataFrame] = {}
+        self._new_props: dict[str, list[EntityProperty]] = {}
+        self._counters: dict[str, object] = {}
+
+    # -- binding construction ---------------------------------------------
+    def _add_item(self, name: str, expr: A.Expr) -> str:
+        if name not in self._item_names:
+            self._item_names.add(name)
+            self._items.append((name, expr))
+        return name
+
+    def _key_col(self, alias: str) -> str:
+        node = _node_schema(self.graph, self.scope, alias)
+        return self._add_item(
+            f"__k_{alias}", A.Property(alias, node.id_property)
+        )
+
+    def _val_col(self, expr: A.Expr) -> str:
+        name = f"__v{len(self._items)}"
+        return self._add_item(name, expr)
+
+    def _get_table(self, name: str) -> DataFrame:
+        if name in self.tables:
+            return self.tables[name]
+        return self.engine.tables.get(name)
+
+    def _record_new_prop(self, table: str, prop: str, df: DataFrame, col: str):
+        dtype = dict(df.dtypes).get(col, "string")
+        props = self._new_props.setdefault(table, [])
+        if not any(p.name == prop for p in props):
+            props.append(EntityProperty(prop, dtype))
+
+    def _count_into(self, key: str, df: DataFrame, n: int = 1):
+        prev = self._counters.get(key)
+        if prev is None:
+            self._counters[key] = lambda d=df, k=n: d.count() * k
+        else:
+            self._counters[key] = lambda p=prev, d=df, k=n: p() + d.count() * k
+
+    # -- main --------------------------------------------------------------
+    def run(self) -> WriteResult:
+        plans = [self._plan_write(w) for w in self.writes]
+        binding = self._compile_binding()
+        for apply_fn in plans:
+            apply_fn(binding)
+        graph = self._extended_graph()
+        return WriteResult(
+            self.spark, graph, self.tables, self.engine.tables, self._counters
+        )
+
+    def _compile_binding(self) -> DataFrame:
+        if not self._items:
+            # e.g. pure CREATE with literal props still registers items;
+            # this only triggers for degenerate DELETE-nothing cases
+            self._add_item("__one", A.Literal(1))
+        proj = A.ProjectionClause(items=list(self._items), is_return=True)
+        read_q = A.SingleQuery(list(self.reading) + [proj])
+        return self.engine._run_ast(read_q, self.params)
+
+    def _extended_graph(self) -> GraphSchema:
+        if not self._new_props:
+            return self.graph
+        nodes = []
+        for n in self.graph.nodes:
+            extra = [
+                p
+                for p in self._new_props.get(n.table, [])
+                if p.name not in n.property_names
+            ]
+            if extra:
+                n = NodeSchema(
+                    n.label,
+                    n.table,
+                    n.id_property,
+                    tuple(n.properties) + tuple(extra),
+                    n.id_property_type,
+                )
+            nodes.append(n)
+        return GraphSchema(nodes, list(self.graph.edges))
+
+    # -- planners (run before the binding compiles so they can register
+    #    projection items; they return the apply function) -----------------
+    def _plan_write(self, clause: A.WriteClause):
+        if isinstance(clause, A.SetClause):
+            return self._plan_set(clause.items)
+        if isinstance(clause, A.RemoveClause):
+            items = [
+                A.SetItem(alias, prop, A.Literal(None))
+                for alias, prop in clause.items
+            ]
+            return self._plan_set(items)
+        if isinstance(clause, A.DeleteClause):
+            return self._plan_delete(clause)
+        if isinstance(clause, A.CreateClause):
+            return self._plan_create(clause)
+        if isinstance(clause, A.MergeClause):
+            return self._plan_merge(clause)
+        raise TranspilerNotSupportedError(f"Unsupported write clause: {clause}")
+
+    # -- SET ---------------------------------------------------------------
+    def _plan_set(self, items: list[A.SetItem]):
+        _no_aggregates([i.expr for i in items])
+        by_alias: dict[str, list[tuple[str, str]]] = {}
+        for item in items:
+            kind = self.scope.get(item.alias)
+            if kind is not None and kind[0] == "rel":
+                return self._plan_set_rel(items)
+            node = _node_schema(self.graph, self.scope, item.alias)
+            if item.prop == node.id_property:
+                raise TranspilerNotSupportedError(
+                    f"SET on the id property '{item.prop}' is not supported "
+                    "(node identity is immutable)"
+                )
+            self._key_col(item.alias)
+            vcol = self._val_col(item.expr)
+            by_alias.setdefault(item.alias, []).append((item.prop, vcol))
+
+        def apply(binding: DataFrame):
+            for alias, pairs in by_alias.items():
+                node = _node_schema(self.graph, self.scope, alias)
+                self._apply_update(
+                    node.table, node.id_property, f"__k_{alias}", pairs, binding
+                )
+
+        return apply
+
+    def _plan_set_rel(self, items: list[A.SetItem]):
+        """SET on a relationship alias: the update key is the (source,
+        sink) id pair of the edge's backing table."""
+        by_alias: dict[str, list[tuple[str, str]]] = {}
+        edges: dict[str, EdgeSchema] = {}
+        for item in items:
+            kind = self.scope.get(item.alias)
+            if kind is None or kind[0] != "rel":
+                raise TranspilerBindingError(
+                    f"SET items must target a single kind; '{item.alias}' "
+                    "is not a relationship"
+                )
+            e = kind[1]
+            if e is None:
+                raise TranspilerBindingError(
+                    f"Could not resolve the relationship type of '{item.alias}'"
+                )
+            if e.type_property is not None or e.identity_properties:
+                raise TranspilerNotSupportedError(
+                    "SET on a virtual (multi-type / symmetrized) relationship "
+                    "is not supported"
+                )
+            if item.prop in (e.source_id_property, e.sink_id_property):
+                raise TranspilerNotSupportedError(
+                    "SET on a relationship key column is not supported"
+                )
+            edges[item.alias] = e
+            self._add_item(
+                f"__k1_{item.alias}", A.Property(item.alias, e.source_id_property)
+            )
+            self._add_item(
+                f"__k2_{item.alias}", A.Property(item.alias, e.sink_id_property)
+            )
+            vcol = self._val_col(item.expr)
+            by_alias.setdefault(item.alias, []).append((item.prop, vcol))
+
+        def apply(binding: DataFrame):
+            for alias, pairs in by_alias.items():
+                e = edges[alias]
+                self._apply_update(
+                    e.table,
+                    (e.source_id_property, e.sink_id_property),
+                    (f"__k1_{alias}", f"__k2_{alias}"),
+                    pairs,
+                    binding,
+                )
+
+        return apply
+
+    def _apply_update(self, table, id_cols, key_cols, pairs, binding):
+        """One grouped update table + one equi-join; AQE broadcasts small
+        update sets. Conflicting per-key values resolve to max()."""
+        if isinstance(id_cols, str):
+            id_cols, key_cols = (id_cols,), (key_cols,)
+        vcols = [v for _, v in pairs]
+        upd = binding.select(
+            *[F.col(k).alias(f"__uk{i}") for i, k in enumerate(key_cols)],
+            *[F.col(v) for v in vcols],
+        )
+        cond = F.lit(True)
+        for i in range(len(key_cols)):
+            cond = cond & F.col(f"__uk{i}").isNotNull()
+        upd = (
+            upd.where(cond)
+            .groupBy(*[f"__uk{i}" for i in range(len(key_cols))])
+            .agg(*[F.max(v).alias(v) for v in vcols])
+            .withColumn("__m", F.lit(True))
+        )
+        tbl = self._get_table(table)
+        join_cond = F.lit(True)
+        for i, idc in enumerate(id_cols):
+            join_cond = join_cond & (tbl[idc] == upd[f"__uk{i}"])
+        out = tbl.join(upd, join_cond, "left")
+        dtypes = dict(tbl.dtypes)
+        for prop, vcol in pairs:
+            if prop in dtypes:
+                new_val = F.col(vcol).cast(dtypes[prop])
+                out = out.withColumn(
+                    prop, F.when(F.col("__m"), new_val).otherwise(F.col(prop))
+                )
+            else:
+                out = out.withColumn(prop, F.when(F.col("__m"), F.col(vcol)))
+                self._record_new_prop(table, prop, binding, vcol)
+        out = out.drop("__m", *vcols, *[f"__uk{i}" for i in range(len(key_cols))])
+        self.tables[table] = out
+        self._count_into("properties_set", upd, len(pairs))
+
+    # -- DELETE ------------------------------------------------------------
+    def _plan_delete(self, clause: A.DeleteClause):
+        nodes: list[tuple[str, NodeSchema]] = []
+        for alias in clause.aliases:
+            kind = self.scope.get(alias)
+            if kind is not None and kind[0] == "rel":
+                raise TranspilerNotSupportedError(
+                    "DELETE of a relationship alias is not supported yet; "
+                    "delete the owning node or model the edge in a "
+                    "standalone table"
+                )
+            node = _node_schema(self.graph, self.scope, alias)
+            self._key_col(alias)
+            nodes.append((alias, node))
+
+        def apply(binding: DataFrame):
+            for alias, node in nodes:
+                keys = (
+                    binding.select(F.col(f"__k_{alias}").alias("__dk"))
+                    .where(F.col("__dk").isNotNull())
+                    .distinct()
+                )
+                self._apply_delete_node(node, keys, clause.detach)
+
+        return apply
+
+    def _apply_delete_node(self, node: NodeSchema, keys: DataFrame, detach: bool):
+        for e in self.graph.edges:
+            if node.label not in (e.source_label, e.sink_label):
+                continue
+            owner = _owner_of_edge(self.graph, e)
+            sides = []
+            if e.source_label == node.label:
+                sides.append(("source", e.source_id_property))
+            if e.sink_label == node.label:
+                sides.append(("sink", e.sink_id_property))
+            for side, fk_col in sides:
+                if owner == side:
+                    continue  # edge row IS the deleted node row: removed below
+                tbl = self._get_table(e.table)
+                if detach:
+                    if owner is None:
+                        # standalone edge table: drop the edge rows
+                        self.tables[e.table] = tbl.join(
+                            keys, tbl[fk_col] == keys["__dk"], "left_anti"
+                        )
+                    else:
+                        # FK-embedded on the OTHER endpoint's node table:
+                        # null the FK column (edge disappears; node stays)
+                        dtype = dict(tbl.dtypes)[fk_col]
+                        joined = tbl.join(
+                            keys, tbl[fk_col] == keys["__dk"], "left"
+                        )
+                        self.tables[e.table] = joined.withColumn(
+                            fk_col,
+                            F.when(
+                                keys["__dk"].isNotNull(),
+                                F.lit(None).cast(dtype),
+                            ).otherwise(F.col(fk_col)),
+                        ).drop("__dk")
+                elif self.validate:
+                    # Neo4j: plain DELETE fails while relationships remain
+                    n = (
+                        self._get_table(e.table)
+                        .join(keys, F.col(fk_col) == keys["__dk"], "left_semi")
+                        .count()
+                    )
+                    if n:
+                        raise TranspilerBindingError(
+                            f"Cannot DELETE {node.label} nodes: {n} "
+                            f"{e.verb} relationship(s) still reference them "
+                            "(use DETACH DELETE)"
+                        )
+        tbl = self._get_table(node.table)
+        self.tables[node.table] = tbl.join(
+            keys, tbl[node.id_property] == keys["__dk"], "left_anti"
+        )
+        self._count_into("nodes_deleted", keys)
+
+    # -- CREATE ------------------------------------------------------------
+    def _plan_create(self, clause: A.CreateClause):
+        part_plans = [self._plan_create_part(p) for p in clause.patterns]
+
+        def apply(binding: DataFrame):
+            for p in part_plans:
+                p(binding)
+
+        return apply
+
+    def _plan_create_part(self, part: A.PatternPart):
+        # classify nodes: bound references vs creations
+        created: dict[int, dict] = {}  # node index -> spec
+        for i, n in enumerate(part.nodes):
+            if n.alias and n.alias in self.scope and not n.props:
+                continue  # bound reference
+            if n.alias and n.alias in self.scope and n.props:
+                raise TranspilerSyntaxError(
+                    f"CREATE cannot re-create bound alias '{n.alias}'"
+                )
+            if not n.label:
+                raise TranspilerBindingError(
+                    "CREATE node requires an explicit label"
+                )
+            node = self.graph.get_node(n.label)
+            props = dict(n.props)
+            if node.id_property not in props:
+                raise TranspilerBindingError(
+                    f"CREATE (:{n.label}) requires the id property "
+                    f"'{node.id_property}' in the property map (table-backed "
+                    "nodes have no auto-generated ids)"
+                )
+            _no_aggregates(list(props.values()))
+            cols = {p: self._val_col(e) for p, e in props.items()}
+            created[i] = {"schema": node, "cols": cols, "pattern": n}
+
+        # relationship storage plans
+        rel_plans = []
+        for hop_idx, (left, rel, right) in enumerate(part.hops()):
+            li, ri = hop_idx, hop_idx + 1
+            if rel.direction == A.Direction.EITHER:
+                raise TranspilerSyntaxError(
+                    "CREATE relationships require a direction"
+                )
+            if rel.min_hops is not None or rel.alt_verbs:
+                raise TranspilerSyntaxError(
+                    "CREATE supports single-hop, single-type relationships"
+                )
+            if rel.verb is None:
+                raise TranspilerSyntaxError(
+                    "CREATE relationship requires a type"
+                )
+            if rel.direction == A.Direction.BACKWARD:
+                src_i, snk_i, src_n, snk_n = ri, li, right, left
+            else:
+                src_i, snk_i, src_n, snk_n = li, ri, left, right
+
+            def label_of(idx, npat):
+                if idx in created:
+                    return created[idx]["schema"].label
+                return _node_schema(self.graph, self.scope, npat.alias).label
+
+            src_label = label_of(src_i, src_n)
+            snk_label = label_of(snk_i, snk_n)
+            e = self.graph.try_get_edge(rel.verb, src_label, snk_label)
+            if e is None:
+                raise TranspilerBindingError(
+                    f"CREATE relationship [:{rel.verb}] between "
+                    f"{src_label} and {snk_label} has no edge schema; "
+                    "declare it (and its backing table) first"
+                )
+            _no_aggregates([x for _, x in rel.props])
+            rprop_cols = {p: self._val_col(x) for p, x in rel.props}
+
+            def key_col_of(idx, npat):
+                if idx in created:
+                    spec = created[idx]
+                    return spec["cols"][spec["schema"].id_property]
+                return self._key_col(npat.alias)
+
+            src_key = key_col_of(src_i, src_n)
+            snk_key = key_col_of(snk_i, snk_n)
+            owner = _owner_of_edge(self.graph, e)
+            if owner == "sink":
+                # FK-embedded on the sink's node row: the edge is the
+                # source-id FK column of that row
+                if snk_i in created:
+                    created[snk_i]["cols"][e.source_id_property] = src_key
+                    created[snk_i]["cols"].update(rprop_cols)
+                    rel_plans.append(("folded", src_key, snk_key))
+                else:
+                    rel_plans.append(
+                        ("fk", e, snk_key, e.source_id_property, src_key, rprop_cols)
+                    )
+            elif owner == "source":
+                if src_i in created:
+                    created[src_i]["cols"][e.sink_id_property] = snk_key
+                    created[src_i]["cols"].update(rprop_cols)
+                    rel_plans.append(("folded", src_key, snk_key))
+                else:
+                    rel_plans.append(
+                        ("fk", e, src_key, e.sink_id_property, snk_key, rprop_cols)
+                    )
+            else:
+                rel_plans.append(("append", e, src_key, snk_key, rprop_cols))
+
+        def apply(binding: DataFrame):
+            for spec in created.values():
+                self._apply_create_nodes(spec["schema"], spec["cols"], binding)
+            for plan in rel_plans:
+                if plan[0] == "folded":
+                    _, src_key, snk_key = plan
+                    self._count_into(
+                        "relationships_created",
+                        binding.where(
+                            F.col(src_key).isNotNull()
+                            & F.col(snk_key).isNotNull()
+                        ),
+                    )
+                elif plan[0] == "fk":
+                    _, e, row_key, fk_col, fk_val, rprops = plan
+                    node = self.graph.get_node(
+                        e.sink_label
+                        if _owner_of_edge(self.graph, e) == "sink"
+                        else e.source_label
+                    )
+                    pairs = [(fk_col, fk_val)] + list(rprops.items())
+                    self._apply_update(
+                        e.table, node.id_property, row_key, pairs, binding
+                    )
+                    self._count_into(
+                        "relationships_created",
+                        binding.select(row_key).where(
+                            F.col(row_key).isNotNull()
+                        ),
+                    )
+                else:
+                    _, e, src_key, snk_key, rprops = plan
+                    self._apply_append_edge(e, src_key, snk_key, rprops, binding)
+
+        return apply
+
+    def _align_new_rows(self, tbl: DataFrame, new_rows: DataFrame) -> DataFrame:
+        """Union new rows under the target table's schema; genuinely new
+        property columns extend the table (null for pre-existing rows)."""
+        dtypes = dict(tbl.dtypes)
+        extra = [c for c in new_rows.columns if c not in dtypes]
+        for c in extra:
+            tbl = tbl.withColumn(c, F.lit(None).cast(dict(new_rows.dtypes)[c]))
+        aligned = new_rows.select(
+            *[
+                F.col(c).cast(dtypes[c]).alias(c)
+                if c in dtypes and c in new_rows.columns
+                else (
+                    F.col(c).alias(c)
+                    if c in new_rows.columns
+                    else F.lit(None).cast(dtypes[c]).alias(c)
+                )
+                for c in tbl.columns
+            ]
+        )
+        return tbl.unionByName(aligned)
+
+    def _apply_create_nodes(self, node: NodeSchema, cols: dict, binding: DataFrame):
+        new_rows = binding.select(
+            *[F.col(v).alias(p) for p, v in cols.items()]
+        ).where(F.col(node.id_property).isNotNull())
+        tbl = self._get_table(node.table)
+        if self.validate:
+            dup = (
+                new_rows.groupBy(node.id_property).count().where(F.col("count") > 1)
+            ).count()
+            clash = new_rows.join(
+                tbl, new_rows[node.id_property] == tbl[node.id_property], "left_semi"
+            ).count()
+            if dup or clash:
+                raise TranspilerBindingError(
+                    f"CREATE (:{node.label}) would duplicate id values "
+                    f"({dup} repeated in the new rows, {clash} already "
+                    "present); use MERGE for upsert semantics"
+                )
+        for p, v in cols.items():
+            if p not in tbl.columns:
+                self._record_new_prop(node.table, p, binding, v)
+        self.tables[node.table] = self._align_new_rows(tbl, new_rows)
+        self._count_into("nodes_created", new_rows)
+
+    def _apply_append_edge(self, e: EdgeSchema, src_key, snk_key, rprops, binding):
+        cols = {e.source_id_property: src_key, e.sink_id_property: snk_key}
+        cols.update(rprops)
+        new_rows = binding.select(
+            *[F.col(v).alias(p) for p, v in cols.items()]
+        ).where(
+            F.col(e.source_id_property).isNotNull()
+            & F.col(e.sink_id_property).isNotNull()
+        )
+        tbl = self._get_table(e.table)
+        self.tables[e.table] = self._align_new_rows(tbl, new_rows)
+        self._count_into("relationships_created", new_rows)
+
+    # -- MERGE -------------------------------------------------------------
+    def _plan_merge(self, clause: A.MergeClause):
+        part = clause.pattern
+        if part.rels:
+            raise TranspilerNotSupportedError(
+                "MERGE on a relationship pattern is not supported; MERGE "
+                "nodes, then CREATE the relationship"
+            )
+        n = part.nodes[0]
+        if not n.label:
+            raise TranspilerBindingError("MERGE requires an explicit label")
+        node = self.graph.get_node(n.label)
+        props = dict(n.props)
+        if node.id_property not in props:
+            raise TranspilerBindingError(
+                f"MERGE (:{n.label}) requires the id property "
+                f"'{node.id_property}' in the property map"
+            )
+        _no_aggregates(list(props.values()))
+        _no_aggregates([i.expr for i in clause.on_create + clause.on_match])
+        for item in clause.on_create + clause.on_match:
+            if n.alias is None or item.alias != n.alias:
+                raise TranspilerBindingError(
+                    "ON CREATE/ON MATCH SET must target the MERGE alias"
+                )
+            if item.prop == node.id_property:
+                raise TranspilerNotSupportedError(
+                    "SET on the id property is not supported"
+                )
+        pcols = {p: self._val_col(e) for p, e in props.items()}
+        oc_cols = [(i.prop, self._val_col(i.expr)) for i in clause.on_create]
+        om_cols = [(i.prop, self._val_col(i.expr)) for i in clause.on_match]
+
+        def apply(binding: DataFrame):
+            self._apply_merge(node, pcols, oc_cols, om_cols, binding)
+
+        return apply
+
+    def _apply_merge(self, node, pcols, oc_cols, om_cols, binding):
+        id_v = pcols[node.id_property]
+        extra = [(p, v) for p, v in pcols.items() if p != node.id_property]
+        vcols = [v for _, v in extra] + [v for _, v in oc_cols + om_cols]
+        # one candidate row per id; conflicting non-id values -> max()
+        cand = (
+            binding.select(F.col(id_v).alias("__mk"), *[F.col(v) for v in vcols])
+            .where(F.col("__mk").isNotNull())
+            .groupBy("__mk")
+            .agg(*[F.max(v).alias(v) for v in vcols])
+        )
+        tbl = self._get_table(node.table)
+        dtypes = dict(tbl.dtypes)
+        # a candidate matches only if EVERY merge property agrees
+        match_cond = tbl[node.id_property] == cand["__mk"]
+        for p, v in extra:
+            match_cond = match_cond & (
+                tbl[p].eqNullSafe(F.col(v).cast(dtypes.get(p, "string")))
+            )
+        matched = cand.join(tbl, match_cond, "left_semi")
+        to_create = cand.join(tbl, match_cond, "left_anti")
+        if self.validate:
+            # a candidate whose id exists with DIFFERENT merge props can
+            # neither match nor create (id collision)
+            clash = to_create.join(
+                tbl, to_create["__mk"] == tbl[node.id_property], "left_semi"
+            ).count()
+            if clash:
+                raise TranspilerBindingError(
+                    f"MERGE (:{node.label}) found {clash} id(s) whose "
+                    "existing rows differ on the merge properties"
+                )
+        # ON MATCH SET via the shared update machinery
+        if om_cols:
+            upd_binding = matched.select(
+                F.col("__mk").alias("__k_m"), *[F.col(v) for _, v in om_cols]
+            )
+            self._apply_update(
+                node.table, node.id_property, "__k_m", om_cols, upd_binding
+            )
+        # created rows: merge props + ON CREATE SET values
+        new_cols = {node.id_property: "__mk"}
+        new_cols.update({p: v for p, v in extra})
+        for p, v in oc_cols:
+            new_cols[p] = v
+        new_rows = to_create.select(
+            *[F.col(v).alias(p) for p, v in new_cols.items()]
+        )
+        tbl2 = self._get_table(node.table)
+        for p, v in new_cols.items():
+            if p not in tbl2.columns:
+                self._record_new_prop(node.table, p, to_create, v)
+        self.tables[node.table] = self._align_new_rows(tbl2, new_rows)
+        self._count_into("nodes_created", new_rows)
+        self._count_into("nodes_matched", matched)
+
+
+def execute_write(engine, query: str, params=None, validate: bool = True) -> WriteResult:
+    from .cypher import parse
+
+    ast_query = parse(query, allow_writes=True)
+    if isinstance(ast_query, A.UnionQuery):
+        raise TranspilerNotSupportedError("UNION over a write query is not supported")
+    return WriteExecutor(engine, ast_query, params, validate).run()

@@ -1,0 +1,467 @@
+"""Functional write clauses (CREATE / MERGE / SET / REMOVE / DELETE).
+
+The reference rejects every write clause (SURVEY.md §2.7); this is the
+documented extension in writes.py. Tests cover the parser fences, every
+write path against both graph storage layouts (FK-embedded TPC-H edges and
+the movie graph's standalone edge tables), Neo4j-style eager validation,
+and — the core architecture invariant — functional immutability: no write
+ever changes a registered DataFrame.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from opencyphertranspiler_spark.cypher import parse
+from opencyphertranspiler_spark.exceptions import (
+    TranspilerBindingError,
+    TranspilerNotSupportedError,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def weng(spark):
+    """Fresh engine per module: write tests derive tables from it."""
+    from opencyphertranspiler_spark.catalog import get_engine
+
+    return get_engine(spark, SF_DIR)
+
+
+def rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+# ---------------------------------------------------------------------------
+# parser fences
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        "MATCH (c:Customer) SET c.x = 1",
+        "MATCH (c:Customer) DELETE c",
+        "CREATE (n:Tag {id: 1})",
+        "MATCH (c:Customer) MERGE (t:Tag {id: c.c_custkey})",
+        "MATCH (c:Customer) REMOVE c.c_name",
+    ],
+)
+def test_read_parse_keeps_write_fence(q):
+    with pytest.raises(TranspilerNotSupportedError, match="cypher_write"):
+        parse(q)
+
+
+@pytest.mark.parametrize(
+    "q,msg",
+    [
+        ("MATCH (c:Customer) SET c.x = 1 RETURN c.x", "after a write clause"),
+        ("MATCH (c:Customer) SET c.x = 1 WITH c RETURN 1 AS o", "after a write"),
+        ("SET c:Gold", "label"),
+        ("MATCH (c:Customer) SET c += {x: 1}", "explicitly"),
+        ("MATCH (c:Customer) REMOVE c:Gold", "label"),
+        (
+            "CREATE (n:Tag {id: 1}) UNION CREATE (n:Tag {id: 2})",
+            "UNION after a write",
+        ),
+        (
+            "MATCH (c:Customer) RETURN c.c_custkey AS k UNION CREATE (n:Tag {id: 1})",
+            "UNION over a write",
+        ),
+    ],
+)
+def test_write_parse_fences(q, msg):
+    with pytest.raises(TranspilerNotSupportedError, match=msg):
+        parse(q, allow_writes=True)
+
+
+def test_write_clauses_parse_in_write_mode():
+    q = parse(
+        "MATCH (c:Customer) WHERE c.c_acctbal < 0 "
+        "SET c.tier = 'debit' "
+        "CREATE (t:Tag {id: c.c_custkey}) "
+        "DETACH DELETE c",
+        allow_writes=True,
+    )
+    from opencyphertranspiler_spark.cypher import ast as A
+
+    kinds = [type(c).__name__ for c in q.clauses]
+    assert kinds == ["MatchClause", "SetClause", "CreateClause", "DeleteClause"]
+    assert isinstance(q.clauses[-1], A.DeleteClause) and q.clauses[-1].detach
+
+
+# ---------------------------------------------------------------------------
+# SET / REMOVE
+# ---------------------------------------------------------------------------
+
+
+def test_set_existing_and_new_property(weng):
+    res = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_acctbal < 0 "
+        "SET c.c_mktsegment = 'NEGATIVE', c.flagged = true"
+    )
+    t = res.table("customer")
+    neg = t.filter("c_acctbal < 0")
+    assert neg.filter("c_mktsegment <> 'NEGATIVE'").count() == 0
+    assert neg.filter("NOT flagged").count() == 0
+    # untouched rows keep their segment and get NULL for the new column
+    pos = t.filter("c_acctbal >= 0")
+    assert pos.filter("c_mktsegment = 'NEGATIVE'").count() == 0
+    assert pos.filter("flagged IS NOT NULL").count() == 0
+    n_neg = neg.count()
+    assert res.counts() == {"properties_set": 2 * n_neg}
+    # functional: the registered table is untouched
+    orig = weng.tables.get("customer")
+    assert "flagged" not in orig.columns
+    assert orig.filter("c_mktsegment = 'NEGATIVE'").count() == 0
+
+
+def test_set_value_cast_to_existing_column_type(weng):
+    # int literal into a double column keeps the column's type
+    res = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_custkey = 1 SET c.c_acctbal = 0"
+    )
+    t = res.table("customer")
+    assert dict(t.dtypes)["c_acctbal"] == "double"
+    assert t.filter("c_custkey = 1").collect()[0]["c_acctbal"] == 0.0
+
+
+def test_set_through_with_pipeline(weng):
+    res = weng.cypher_write(
+        "MATCH (c:Customer)-[:PLACED]->(o:Orders) "
+        "WITH c, count(o) AS n WHERE n >= 12 SET c.big = n"
+    )
+    t = res.table("customer")
+    duck_df = weng.cypher(
+        "MATCH (c:Customer)-[:PLACED]->(o:Orders) "
+        "WITH c, count(o) AS n WHERE n >= 12 RETURN c.c_custkey AS k, n"
+    )
+    expected = {(r["k"], r["n"]) for r in duck_df.collect()}
+    got = {
+        (r["c_custkey"], r["big"])
+        for r in t.filter("big IS NOT NULL").collect()
+    }
+    assert got == expected and expected
+
+
+def test_set_aggregate_in_write_expr_is_rejected(weng):
+    with pytest.raises(TranspilerNotSupportedError, match="Aggregate"):
+        weng.cypher_write("MATCH (c:Customer) SET c.n = count(*)")
+
+
+def test_set_id_property_rejected(weng):
+    with pytest.raises(TranspilerNotSupportedError, match="id property"):
+        weng.cypher_write("MATCH (c:Customer) SET c.c_custkey = 1")
+
+
+def test_remove_is_set_null(weng):
+    res = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_custkey <= 3 REMOVE c.c_mktsegment"
+    )
+    t = res.table("customer")
+    assert t.filter("c_custkey <= 3 AND c_mktsegment IS NOT NULL").count() == 0
+    assert t.filter("c_custkey > 3 AND c_mktsegment IS NULL").count() == 0
+
+
+def test_set_relationship_property(weng):
+    # CONTAINS (Orders->Lineitem) carries l_linenumber in lineitem_node;
+    # set a NEW edge property through the rel alias (composite key update)
+    res = weng.cypher_write(
+        "MATCH (o:Orders)-[r:CONTAINS]->(l:Lineitem) "
+        "WHERE o.o_orderkey = 1 SET r.audited = true"
+    )
+    t = res.table("lineitem_node")
+    assert (
+        t.filter("l_orderkey = 1 AND NOT audited").count() == 0
+        and t.filter("l_orderkey = 1").count() > 0
+    )
+    assert t.filter("l_orderkey <> 1 AND audited IS NOT NULL").count() == 0
+
+
+def test_set_conflicting_values_resolve_to_max(weng):
+    # two orders rows per customer produce conflicting SET values; the
+    # documented determinism rule picks max()
+    res = weng.cypher_write(
+        "MATCH (c:Customer)-[:PLACED]->(o:Orders) "
+        "WHERE c.c_custkey = 4 SET c.last_price = o.o_totalprice"
+    )
+    got = res.table("customer").filter("c_custkey = 4").collect()[0]["last_price"]
+    mx = (
+        weng.cypher(
+            "MATCH (c:Customer)-[:PLACED]->(o:Orders) WHERE c.c_custkey = 4 "
+            "RETURN max(o.o_totalprice) AS m"
+        ).collect()[0]["m"]
+    )
+    assert got == mx
+
+
+# ---------------------------------------------------------------------------
+# CREATE
+# ---------------------------------------------------------------------------
+
+
+def test_create_standalone_node(weng):
+    res = weng.cypher_write(
+        "CREATE (r:Region {r_regionkey: 77, r_name: 'ATLANTIS'})"
+    )
+    t = res.table("region")
+    assert t.filter("r_regionkey = 77").collect()[0]["r_name"] == "ATLANTIS"
+    assert res.counts() == {"nodes_created": 1}
+    assert weng.tables.get("region").filter("r_regionkey = 77").count() == 0
+
+
+def test_create_per_match_row_with_fk_edge(weng):
+    # new Orders node + FK-embedded PLACED edge folded into the new row
+    res = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_custkey >= 1 AND c.c_custkey <= 2 "
+        "CREATE (c)-[:PLACED]->(o:Orders {o_orderkey: 900000 + c.c_custkey, "
+        "o_totalprice: c.c_acctbal, o_orderstatus: 'N'})"
+    )
+    t = res.table("orders").filter("o_orderkey >= 900000")
+    assert rows(t.select("o_orderkey", "o_custkey")) == {
+        (900001, 1),
+        (900002, 2),
+    }
+    c = res.counts()
+    assert c["nodes_created"] == 2 and c["relationships_created"] == 2
+    # round-trip through the post-write engine
+    out = (
+        res.engine()
+        .cypher(
+            "MATCH (c:Customer)-[:PLACED]->(o:Orders) "
+            "WHERE o.o_orderkey >= 900000 "
+            "RETURN c.c_custkey AS k, o.o_totalprice AS p"
+        )
+        .collect()
+    )
+    assert len(out) == 2
+
+
+def test_create_fk_edge_between_bound_nodes(weng):
+    # re-parent an existing order: CREATE (c)-[:PLACED]->(o) with both
+    # endpoints bound updates the FK column on the order's row
+    res = weng.cypher_write(
+        "MATCH (c:Customer), (o:Orders) "
+        "WHERE c.c_custkey = 7 AND o.o_orderkey = 1 "
+        "CREATE (c)-[:PLACED]->(o)"
+    )
+    assert (
+        res.table("orders").filter("o_orderkey = 1").collect()[0]["o_custkey"]
+        == 7
+    )
+
+
+def test_create_requires_id_property(weng):
+    with pytest.raises(TranspilerBindingError, match="id property"):
+        weng.cypher_write("CREATE (r:Region {r_name: 'NO_ID'})")
+
+
+def test_create_duplicate_id_validation(weng):
+    with pytest.raises(TranspilerBindingError, match="duplicate"):
+        weng.cypher_write("CREATE (r:Region {r_regionkey: 0, r_name: 'DUP'})")
+    # validate=False skips the eager check (documented production mode)
+    res = weng.cypher_write(
+        "CREATE (r:Region {r_regionkey: 0, r_name: 'DUP'})", validate=False
+    )
+    assert res.table("region").filter("r_regionkey = 0").count() == 2
+
+
+def test_create_unknown_edge_schema_rejected(weng):
+    with pytest.raises(TranspilerBindingError, match="edge schema"):
+        weng.cypher_write(
+            "MATCH (c:Customer), (r:Region) "
+            "WHERE c.c_custkey = 1 AND r.r_regionkey = 0 "
+            "CREATE (c)-[:LIVES_IN]->(r)"
+        )
+
+
+# ---------------------------------------------------------------------------
+# MERGE
+# ---------------------------------------------------------------------------
+
+
+def test_merge_create_then_match(weng):
+    q = (
+        "MERGE (r:Region {r_regionkey: 88, r_name: 'LEMURIA'}) "
+        "ON CREATE SET r.src = 'created' ON MATCH SET r.src = 'matched'"
+    )
+    r1 = weng.cypher_write(q)
+    assert r1.table("region").filter("r_regionkey = 88").collect()[0]["src"] == "created"
+    c1 = r1.counts()
+    assert c1["nodes_created"] == 1 and c1["nodes_matched"] == 0
+    r2 = r1.engine().cypher_write(q)
+    assert r2.table("region").filter("r_regionkey = 88").collect()[0]["src"] == "matched"
+    c2 = r2.counts()
+    assert c2["nodes_created"] == 0 and c2["nodes_matched"] == 1
+    # still exactly one row
+    assert r2.table("region").filter("r_regionkey = 88").count() == 1
+
+
+def test_merge_correlated_dedupes_candidates(weng):
+    # one Tag-like Region per distinct nation region — candidates dedupe
+    res = weng.cypher_write(
+        "MATCH (n:Nation)-[:IN_REGION]->(r:Region) "
+        "MERGE (x:Region {r_regionkey: 100 + r.r_regionkey, "
+        "r_name: 'SHADOW'})"
+    )
+    t = res.table("region").filter("r_regionkey >= 100")
+    assert t.count() == weng.tables.get("region").count()
+    assert res.counts()["nodes_created"] == t.count()
+
+
+def test_merge_id_collision_validated(weng):
+    # region 0 exists with a different name -> can neither match nor create
+    with pytest.raises(TranspilerBindingError, match="differ on the merge"):
+        weng.cypher_write("MERGE (r:Region {r_regionkey: 0, r_name: 'WRONG'})")
+
+
+def test_merge_relationship_fenced(weng):
+    with pytest.raises(TranspilerNotSupportedError, match="MERGE on a relationship"):
+        weng.cypher_write(
+            "MATCH (c:Customer), (o:Orders) MERGE (c)-[:PLACED]->(o)"
+        )
+
+
+# ---------------------------------------------------------------------------
+# DELETE
+# ---------------------------------------------------------------------------
+
+
+def test_plain_delete_guards_dangling_edges(weng):
+    with pytest.raises(TranspilerBindingError, match="DETACH DELETE"):
+        weng.cypher_write("MATCH (c:Customer) WHERE c.c_custkey = 1 DELETE c")
+
+
+def test_detach_delete_nulls_fk_embedded_edges(weng):
+    orig_orders = weng.tables.get("orders").filter("o_custkey = 1").count()
+    assert orig_orders > 0
+    res = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_custkey = 1 DETACH DELETE c"
+    )
+    assert res.table("customer").filter("c_custkey = 1").count() == 0
+    # orders survive as nodes, their PLACED FK is nulled
+    assert res.table("orders").filter("o_custkey = 1").count() == 0
+    assert res.counts()["nodes_deleted"] == 1
+    # post-write engine: no PLACED edges from the ghost
+    n = (
+        res.engine()
+        .cypher(
+            "MATCH (c:Customer)-[:PLACED]->(o:Orders) "
+            "WHERE c.c_custkey = 1 RETURN count(*) AS n"
+        )
+        .collect()[0]["n"]
+    )
+    assert n == 0
+
+
+def test_delete_leaf_without_edges_is_allowed(weng):
+    res = weng.cypher_write(
+        "CREATE (r:Region {r_regionkey: 55, r_name: 'TEMP'})"
+    )
+    res2 = res.engine().cypher_write(
+        "MATCH (r:Region) WHERE r.r_regionkey = 55 DELETE r"
+    )
+    assert res2.table("region").filter("r_regionkey = 55").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# standalone edge tables (movie graph layout)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def movie_weng(spark):
+    from tests.test_movie_graph import movie_engine
+
+    return movie_engine.__wrapped__(spark)
+
+
+def test_create_edge_appends_standalone_table(movie_weng):
+    res = movie_weng.cypher_write(
+        "MATCH (p:Person), (m:Movie) "
+        "WHERE p.Name = 'Bill Paxton' AND m.id = 'm2' "
+        "CREATE (p)-[:ACTED_IN {Roles: 'Cameo'}]->(m)"
+    )
+    t = res.table("acted_in")
+    assert rows(t.filter("Roles = 'Cameo'").select("_vertexId", "_sink")) == {
+        ("p5", "m2")
+    }
+    assert t.count() == movie_weng.tables.get("acted_in").count() + 1
+    assert res.counts()["relationships_created"] == 1
+    # round-trip
+    out = res.engine().cypher(
+        "MATCH (p:Person)-[r:ACTED_IN]->(m:Movie) "
+        "WHERE r.Roles = 'Cameo' RETURN p.Name AS n, m.Title AS t"
+    )
+    assert rows(out) == {("Bill Paxton", "You've Got Mail")}
+
+
+def test_detach_delete_drops_standalone_edge_rows(movie_weng):
+    res = movie_weng.cypher_write(
+        "MATCH (p:Person) WHERE p.Name = 'Tom Hanks' DETACH DELETE p"
+    )
+    assert res.table("person").filter("id = 'p1'").count() == 0
+    assert res.table("acted_in").filter("_vertexId = 'p1'").count() == 0
+    assert res.table("follows").filter("_sink = 'p1'").count() == 0
+    # unrelated edges survive
+    assert res.table("acted_in").count() == 3
+    # originals untouched
+    assert movie_weng.tables.get("acted_in").filter("_vertexId = 'p1'").count() == 3
+
+
+def test_merge_new_node_then_create_edge_chain(movie_weng):
+    r1 = movie_weng.cypher_write(
+        "MERGE (p:Person {id: 'p9', Name: 'New Actor'})"
+    )
+    r2 = r1.engine().cypher_write(
+        "MATCH (p:Person), (m:Movie) "
+        "WHERE p.id = 'p9' AND m.id = 'm3' "
+        "CREATE (p)-[:ACTED_IN {Roles: 'Extra'}]->(m)"
+    )
+    out = r2.engine().cypher(
+        "MATCH (p:Person)-[:ACTED_IN]->(m:Movie) WHERE p.id = 'p9' "
+        "RETURN m.Title AS t"
+    )
+    assert rows(out) == {("Apollo 13",)}
+
+
+def test_label_inference_for_unlabeled_write_target(movie_weng):
+    # d has no label; DIRECTED's schema pins it to Person
+    res = movie_weng.cypher_write(
+        "MATCH (d)-[:DIRECTED]->(m:Movie) SET d.IsDirector = true"
+    )
+    t = res.table("person")
+    assert rows(
+        t.filter("IsDirector").select("id")
+    ) == {("p3",), ("p4",)}
+
+
+def test_write_requires_resolvable_target(movie_weng):
+    with pytest.raises(TranspilerBindingError, match="infer a label"):
+        movie_weng.cypher_write("MATCH (x) SET x.flag = true")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB differential for the gate-entry shape
+# ---------------------------------------------------------------------------
+
+
+def test_set_matches_duckdb_update(weng, duck):
+    res = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_acctbal < 0 SET c.c_mktsegment = 'NEG'"
+    )
+    got = {
+        (r["c_custkey"], r["c_mktsegment"])
+        for r in res.table("customer").select("c_custkey", "c_mktsegment").collect()
+    }
+    exp = {
+        tuple(r)
+        for r in duck.execute(
+            "SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN 'NEG' "
+            "ELSE c_mktsegment END FROM customer"
+        ).fetchall()
+    }
+    assert got == exp
