@@ -60,6 +60,25 @@ def run_entry(entry: CatalogEntry, spark: SparkSession, sf_dir: str) -> DataFram
     return get_engine(spark, sf_dir).cypher(entry.cypher)
 
 
+def _q_write_set(spark: SparkSession, sf_dir: str):
+    """Gate q44: SET over negative-balance customers (existing + NEW
+    property) via the functional write path (writes.py), then an
+    aggregate read through the derived post-write engine."""
+    eng = get_engine(spark, sf_dir)
+    res = eng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_acctbal < 0 "
+        "SET c.c_mktsegment = 'NEGATIVE', c.risk_flag = true"
+    )
+    return res.engine().cypher(
+        """
+        MATCH (c:Customer)-[:PLACED]->(o:Orders)
+        RETURN c.c_mktsegment AS seg,
+               sum(CASE WHEN c.risk_flag THEN 1 ELSE 0 END) AS flagged,
+               count(*) AS n, round(sum(o.o_totalprice), 1) AS total
+        """
+    )
+
+
 CATALOG: list[CatalogEntry] = [
     # ---- group 1: sanity MATCH + WHERE + implicit GROUP BY (flagship) ----
     CatalogEntry(
@@ -235,6 +254,9 @@ CATALOG: list[CatalogEntry] = [
         # merged former q04 (searched CASE + mixed-type CASE, ex-q31) into
         # the string-function entry: same Customer scan, pure per-row
         # expressions — freed a gate slot for p17_triangle_count
+        # merged former q26 (full cast library: all six casts, reference
+        # SQLRendererTest.cs:616-640) into the same scan, freeing a gate
+        # slot for q44_write_set
         name="q10_string_funcs",
         cypher="""
             MATCH (c:Customer)
@@ -251,7 +273,13 @@ CATALOG: list[CatalogEntry] = [
                         WHEN c.c_acctbal > 0 THEN 'mid'
                         ELSE 'low' END AS bucket,
                    CASE WHEN c.c_acctbal > 5000 THEN 'jumbo'
-                        ELSE c.c_custkey END AS mixed
+                        ELSE c.c_custkey END AS mixed,
+                   toString(c.c_custkey) AS cast_s,
+                   toFloat(c.c_custkey) / 2 AS cast_f,
+                   toInteger(c.c_acctbal) AS cast_i,
+                   toLong(c.c_custkey) AS cast_l,
+                   toDouble(c.c_acctbal) AS cast_d,
+                   toBoolean(toString(c.c_acctbal > 0)) AS cast_b
         """,
         oracle="""
             SELECT upper(c_name) AS up, left(c_name, 8) AS l8,
@@ -263,14 +291,20 @@ CATALOG: list[CatalogEntry] = [
                         WHEN c_acctbal > 0 THEN 'mid'
                         ELSE 'low' END AS bucket,
                    CASE WHEN c_acctbal > 5000 THEN 'jumbo'
-                        ELSE CAST(c_custkey AS VARCHAR) END AS mixed
+                        ELSE CAST(c_custkey AS VARCHAR) END AS mixed,
+                   CAST(c_custkey AS VARCHAR) AS cast_s,
+                   CAST(CAST(c_custkey AS FLOAT) / 2 AS DOUBLE) AS cast_f,
+                   CAST(trunc(c_acctbal) AS BIGINT) AS cast_i,
+                   CAST(c_custkey AS BIGINT) AS cast_l,
+                   CAST(c_acctbal AS DOUBLE) AS cast_d,
+                   CAST(CAST(c_acctbal > 0 AS VARCHAR) AS BOOLEAN) AS cast_b
             FROM customer
             WHERE c_name LIKE '%1'
               AND (((c_mktsegment = 'BUILDING') AND NOT (c_acctbal > 500))
                    OR (NOT (c_mktsegment = 'BUILDING') AND (c_acctbal > 500)))
               AND regexp_full_match(c_name, '.*[0-9]+')
         """,
-        tags=("strings", "case", "coercion"),
+        tags=("strings", "case", "coercion", "casts"),
     ),
     # ---- group 8: aggregation library ----
     CatalogEntry(
@@ -469,26 +503,23 @@ CATALOG += [
         """,
         tags=("with", "chained-match"),
     ),
-    # ---- full cast library (all six casts, reference SQLRendererTest.cs:616-640) ----
+    # ---- functional write clauses (extension; reference rejects all
+    # writes — SURVEY.md §2.7): SET derives a new customer table
+    # (copy-on-write, writes.py), then the POST-write engine answers an
+    # ordinary read over the extended schema (new risk_flag property) ----
     CatalogEntry(
-        name="q26_casts",
-        cypher="""
-            MATCH (p:Part)
-            WHERE p.p_size < 6
-            RETURN toString(p.p_size) AS s, toFloat(p.p_size) / 2 AS f,
-                   toInteger(p.p_retailprice) AS i, toLong(p.p_size) AS l,
-                   toDouble(p.p_retailprice) AS d,
-                   toBoolean(toString(p.p_size > 3)) AS b
-        """,
+        name="q44_write_set",
+        fn=_q_write_set,
         oracle="""
-            SELECT CAST(p_size AS VARCHAR) AS s, CAST(CAST(p_size AS FLOAT) / 2 AS DOUBLE) AS f,
-                   CAST(trunc(p_retailprice) AS BIGINT) AS i,
-                   CAST(p_size AS BIGINT) AS l,
-                   CAST(p_retailprice AS DOUBLE) AS d,
-                   CAST(CAST(p_size > 3 AS VARCHAR) AS BOOLEAN) AS b
-            FROM part WHERE p_size < 6
+            SELECT CASE WHEN c.c_acctbal < 0 THEN 'NEGATIVE'
+                        ELSE c.c_mktsegment END AS seg,
+                   CAST(sum(CASE WHEN c.c_acctbal < 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS flagged,
+                   count(*) AS n, round(sum(o.o_totalprice), 1) AS total
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY 1
         """,
-        tags=("casts",),
+        tags=("writes",),
     ),
     # ---- temporal library (extension; the reference has NO temporal
     # functions — SURVEY.md §2.4): constructors date()/datetime(),
@@ -984,15 +1015,13 @@ def _p_quality(spark, sf_dir):
 
 
 def _p_langid(spark, sf_dir):
-    from .pipeline.text import language_id
+    # merged former p08: language-ID and document fingerprint are both
+    # pure per-doc projections over the same scan; joining them in one
+    # entry freed a gate slot for p19_semantic_dedup
+    from .pipeline.text import fingerprint, language_id
 
-    return language_id(_docs(spark, sf_dir))
-
-
-def _p_fingerprint(spark, sf_dir):
-    from .pipeline.text import fingerprint
-
-    return fingerprint(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    return language_id(docs).join(fingerprint(docs), "doc_id")
 
 
 def _p_cosine_topk(spark, sf_dir):
@@ -1071,6 +1100,53 @@ def _p11_oracle() -> str:
                   ORDER BY cosine DESC, match_id) AS rank
               FROM scored)
         WHERE rank <= 5
+    """
+
+
+def _p_semantic_dedup(spark, sf_dir):
+    from .pipeline.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _embs(spark, sf_dir), threshold=0.4, n_cells=16, train_iters=0
+    )
+
+
+def _p19_oracle() -> str:
+    """DuckDB recomputation of SemDeDup with the deterministic seed
+    quantizer: cell assignment exactly as _p13_oracle, then intra-cell
+    keep-lowest-id pruning at cosine >= 0.4 (same left-to-right fold)."""
+    dot_c = "list_sum([s.embedding[i]::DOUBLE * c.cv[i] FOR i IN range(1, 65)])"
+    norm2 = "list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE FOR i IN range(1, 65)])"
+    cos_ab = (
+        "list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE FOR i IN range(1, 65)])"
+        " / (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE FOR i IN range(1, 65)]))"
+        " * sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE FOR i IN range(1, 65)])))"
+    )
+    return f"""
+        WITH cents AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                   [embedding[i]::DOUBLE / sqrt({norm2})
+                    FOR i IN range(1, 65)] AS cv
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id LIMIT 16)
+        ), scores AS (
+            SELECT s.vec_id, s.embedding, c.cell, {dot_c} AS s
+            FROM embeddings s CROSS JOIN cents c
+        ), assigned AS (
+            SELECT vec_id, embedding, cell
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+                  FROM scores)
+            WHERE rn = 1
+        ), dups AS (
+            SELECT DISTINCT a.vec_id
+            FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND b.vec_id < a.vec_id
+            WHERE {cos_ab} >= 0.4
+        )
+        SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+               (d.vec_id IS NULL) AS kept
+        FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
     """
 
 
@@ -1366,20 +1442,11 @@ PIPELINE_CATALOG: list[CatalogEntry] = [
                         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
                         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
                         WHEN s_fr >= s_es THEN 'fr'
-                        ELSE 'es' END AS pred_lang
+                        ELSE 'es' END AS pred_lang,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
             FROM sc
         """,
-        tags=("text", "langid"),
-    ),
-    CatalogEntry(
-        name="p08_fingerprint",
-        fn=_p_fingerprint,
-        oracle="""
-            SELECT doc_id,
-                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
-            FROM documents
-        """,
-        tags=("text", "fingerprint"),
+        tags=("text", "langid", "fingerprint"),
     ),
     CatalogEntry(
         name="p09_cosine_topk",
@@ -1565,6 +1632,16 @@ PIPELINE_CATALOG: list[CatalogEntry] = [
             FROM g LEFT JOIN m USING (doc_id) WHERE len(g.grams) > 0
         """,
         tags=("contamination", "ngram", "text"),
+    ),
+    CatalogEntry(
+        # SemDeDup-style embedding dedup: seed-quantizer cells (the
+        # deterministic train_iters=0 path, like p13's oracle), intra-cell
+        # pairwise cosine, drop-if-similar-to-lower-id. The trained
+        # k-means path is covered by the clustered-recall pipeline tests.
+        name="p19_semantic_dedup",
+        fn=_p_semantic_dedup,
+        oracle=_p19_oracle(),
+        tags=("dedup", "semantic", "embedding"),
     ),
     CatalogEntry(
         # merged former s03 (2h/1h sliding windows) into the tumbling-

@@ -408,3 +408,64 @@ def cosine_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.7,
+    n_cells: int = 16,
+    train_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style embedding-space deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster with the spherical k-means coarse quantizer
+    (train_ivf_centroids; ``train_iters=0`` = the deterministic lowest-id
+    seed quantizer), then within each cluster DROP any item whose cosine to
+    a lower-id cluster member is >= threshold. Keep-lowest-id is the
+    deterministic stand-in for the paper's one-representative-per-group
+    rule, and makes the whole operator SQL-oracle-able.
+
+    Returns (id, cell, kept) for every corpus row — filter ``kept`` for the
+    surviving set.
+
+    Scale shape: pairwise cosines are computed ONLY inside a cell (the
+    candidate count is sum of squared cell sizes, not corpus**2) and the
+    cell join is a plain equi-join, so cost is bounded by the largest
+    cluster — raise n_cells to cap it (SemDeDup uses ~0.1% of corpus size).
+    Dot products use the left-to-right SQL fold (bit-reproducible against
+    a DuckDB oracle doing the same).
+    """
+    cents = train_ivf_centroids(corpus, n_cells, train_iters, id_col, vec_col)
+    assign_cell = _assign_cell_udf(cents)
+    assigned = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        assign_cell(F.col(vec_col)).alias("cell"),
+    )
+    pairs = (
+        assigned.alias("a")
+        .join(
+            assigned.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.id") < F.col("a.id")),
+        )
+        .withColumn(
+            "cosine", _dot("a.v", "b.v") / (_norm("a.v") * _norm("b.v"))
+        )
+    )
+    dups = (
+        pairs.filter(F.col("cosine") >= threshold)
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        assigned.select("id", "cell")
+        .join(dups, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cell",
+            F.col("__dup").isNull().alias("kept"),
+        )
+    )
