@@ -1003,15 +1003,22 @@ def _p04_oracle() -> str:
 
 
 def _p_token_stats(spark, sf_dir):
+    # merged former p06: quality is a pure function of the stats row
+    from .pipeline.text import quality_score, token_stats
+
+    docs = _docs(spark, sf_dir)
+    return token_stats(docs).join(quality_score(docs), "doc_id")
+
+
+def _p_sequence_packing(spark, sf_dir):
+    """Gate p20: concat-and-chunk sequence packing of the documents table
+    at a 512-token budget over whitespace token counts (packing.py —
+    distributed prefix sum + sequence/explode chunk assignment)."""
+    from .pipeline.packing import chunk_spans
     from .pipeline.text import token_stats
 
-    return token_stats(_docs(spark, sf_dir))
-
-
-def _p_quality(spark, sf_dir):
-    from .pipeline.text import quality_score
-
-    return quality_score(_docs(spark, sf_dir))
+    ts = token_stats(_docs(spark, sf_dir)).select("doc_id", "n_tokens")
+    return chunk_spans(ts, budget=512)
 
 
 def _p_langid(spark, sf_dir):
@@ -1381,39 +1388,27 @@ PIPELINE_CATALOG: list[CatalogEntry] = [
         tags=("dedup", "simhash"),
     ),
     CatalogEntry(
+        # merged former p06: the quality score is a pure function of the
+        # token stats, so one entry carries both projections — freed a
+        # gate slot for p20_sequence_packing
         name="p05_token_stats",
         fn=_p_token_stats,
         oracle=f"""
-            SELECT doc_id,
-                   len({_TOKS})::BIGINT AS n_tokens,
-                   len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT
-                       AS n_subtokens,
-                   length(text)::BIGINT AS n_chars,
-                   len(regexp_extract_all(text, '[.,;:!?]'))::BIGINT AS n_punct,
-                   round(CASE WHEN len({_TOKS}) > 0
-                         THEN list_sum(list_transform({_TOKS}, t -> length(t)))::DOUBLE
-                              / len({_TOKS})
-                         ELSE 0.0 END, 4) AS mean_token_len
-            FROM documents
-        """,
-        tags=("text",),
-    ),
-    CatalogEntry(
-        name="p06_quality_score",
-        fn=_p_quality,
-        oracle=f"""
             WITH t AS (
                 SELECT doc_id,
-                       len({_TOKS}) AS n_tokens,
-                       length(text) AS n_chars,
-                       len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
-                       CASE WHEN len({_TOKS}) > 0
-                            THEN list_sum(list_transform({_TOKS}, t -> length(t)))::DOUBLE
-                                 / len({_TOKS})
-                            ELSE 0.0 END AS mean_token_len
+                       len({_TOKS})::BIGINT AS n_tokens,
+                       len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT
+                           AS n_subtokens,
+                       length(text)::BIGINT AS n_chars,
+                       len(regexp_extract_all(text, '[.,;:!?]'))::BIGINT AS n_punct,
+                       round(CASE WHEN len({_TOKS}) > 0
+                             THEN list_sum(list_transform({_TOKS}, t -> length(t)))::DOUBLE
+                                  / len({_TOKS})
+                             ELSE 0.0 END, 4) AS mean_token_len
                 FROM documents
             )
-            SELECT doc_id,
+            SELECT doc_id, n_tokens, n_subtokens, n_chars, n_punct,
+                   mean_token_len,
                    round(0.4 * least(CASE WHEN n_chars BETWEEN 100 AND 10000
                                      THEN 1.0 ELSE n_chars / 100.0 END, 1.0)
                        + 0.3 * (1.0 - least(n_punct::DOUBLE
@@ -1422,7 +1417,7 @@ PIPELINE_CATALOG: list[CatalogEntry] = [
                                      THEN 1.0 ELSE 0.5 END), 4) AS quality
             FROM t
         """,
-        tags=("text",),
+        tags=("text", "quality"),
     ),
     CatalogEntry(
         name="p07_language_id",
@@ -1642,6 +1637,36 @@ PIPELINE_CATALOG: list[CatalogEntry] = [
         fn=_p_semantic_dedup,
         oracle=_p19_oracle(),
         tags=("dedup", "semantic", "embedding"),
+    ),
+    CatalogEntry(
+        # GPT-style sequence packing: documents laid out in doc_id order as
+        # one token stream, cut every 512 tokens; one row per (doc, chunk)
+        # overlap with the doc-relative token slice. The Spark side's
+        # bucketed prefix sum (packing.token_offsets) must agree exactly
+        # with DuckDB's single-node window cumsum.
+        name="p20_sequence_packing",
+        fn=_p_sequence_packing,
+        oracle=f"""
+            WITH tk AS (
+                SELECT doc_id, len({_TOKS})::BIGINT AS n FROM documents
+            ), o AS (
+                SELECT doc_id, n,
+                       CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS BIGINT) AS start
+                FROM tk
+            ), c AS (
+                SELECT doc_id, n, start,
+                       unnest(range(start // 512, (start + n - 1) // 512 + 1))
+                           AS chunk_id
+                FROM o WHERE n > 0
+            )
+            SELECT doc_id, chunk_id,
+                   greatest(0, chunk_id * 512 - start) AS doc_begin,
+                   least(n, (chunk_id + 1) * 512 - start) AS doc_end
+            FROM c
+        """,
+        tags=("packing", "training"),
     ),
     CatalogEntry(
         # merged former s03 (2h/1h sliding windows) into the tumbling-

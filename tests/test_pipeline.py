@@ -1025,3 +1025,111 @@ def test_semantic_dedup_keeps_cell_minima_and_is_deterministic(spark, embs):
     assert rows_a == {tuple(r) for r in b.collect()}
     # output covers every corpus row exactly once
     assert len(rows_a) == embs.count()
+
+
+# ---------------------------------------------------------------------------
+# sequence packing + dataset mixing (pipeline/packing.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def doc_tokens(spark, docs):
+    from opencyphertranspiler_spark.pipeline.text import token_stats
+
+    return token_stats(docs).select("doc_id", "n_tokens")
+
+
+def test_token_offsets_is_exact_prefix_sum(spark, doc_tokens):
+    from opencyphertranspiler_spark.pipeline.packing import token_offsets
+
+    out = sorted(
+        (r["doc_id"], r["n_tokens"], r["start"])
+        for r in token_offsets(doc_tokens, num_buckets=7).collect()
+    )
+    acc = 0
+    for _, n, start in out:
+        assert start == acc
+        acc += n
+    # bucket count must not change the answer (pure repartitioning knob)
+    out2 = sorted(
+        (r["doc_id"], r["n_tokens"], r["start"])
+        for r in token_offsets(doc_tokens, num_buckets=3).collect()
+    )
+    assert out == out2
+
+
+def test_chunk_spans_exact_cover(spark, doc_tokens):
+    import collections
+
+    from opencyphertranspiler_spark.pipeline.packing import chunk_spans
+
+    budget = 512
+    out = chunk_spans(doc_tokens, budget=budget).collect()
+    # every chunk except the last is exactly full; slices tile each doc
+    per_chunk: dict[int, int] = collections.defaultdict(int)
+    per_doc: dict[int, list] = collections.defaultdict(list)
+    for r in out:
+        assert 0 <= r["doc_begin"] < r["doc_end"]
+        per_chunk[r["chunk_id"]] += r["doc_end"] - r["doc_begin"]
+        per_doc[r["doc_id"]].append((r["chunk_id"], r["doc_begin"], r["doc_end"]))
+    last = max(per_chunk)
+    for cid, tok in per_chunk.items():
+        assert tok == budget or cid == last
+    n_by_doc = {r["doc_id"]: r["n_tokens"] for r in doc_tokens.collect()}
+    for did, spans in per_doc.items():
+        spans.sort()
+        # contiguous chunk ids, contiguous doc-relative slices
+        cids = [c for c, _, _ in spans]
+        assert cids == list(range(cids[0], cids[-1] + 1))
+        assert spans[0][1] == 0 and spans[-1][2] == n_by_doc[did]
+        for (_, _, e0), (_, b1, _) in zip(spans, spans[1:]):
+            assert e0 == b1
+
+
+def test_pack_first_fit_respects_budget(spark, doc_tokens):
+    from pyspark.sql import functions as F
+
+    from opencyphertranspiler_spark.pipeline.packing import pack_first_fit
+
+    budget = 2048
+    out = pack_first_fit(doc_tokens, budget=budget)
+    sums = out.groupBy("pack_id").agg(F.sum("n_tokens").alias("s")).collect()
+    oversize_docs = {
+        r["n_tokens"] for r in doc_tokens.filter(f"n_tokens > {budget}").collect()
+    }
+    for r in sums:
+        # a pack exceeds the budget only as the singleton of an oversize doc
+        assert r["s"] <= budget or r["s"] in oversize_docs
+    # every document packed exactly once
+    assert out.count() == doc_tokens.count()
+    assert out.select("doc_id").distinct().count() == doc_tokens.count()
+
+
+def test_domain_mixture_hits_target_and_is_deterministic(spark, docs):
+    from opencyphertranspiler_spark.pipeline.packing import domain_mixture
+
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    mix = domain_mixture(docs, weights=weights, n_total=200, seed=7)
+    got = {r["source"]: r["count"] for r in mix.groupBy("source").count().collect()}
+    assert set(got) == set(weights)
+    total = sum(got.values())
+    for d, w in weights.items():
+        # hashed fractional-epoch draw: within ~25% of each target share
+        assert abs(got[d] - 200 * w) <= 0.25 * 200 * w + 5
+    assert abs(total - 200) <= 20
+    # upsampling produced full certain epochs for the over-drawn domain
+    ep = {
+        (r["source"], r["epoch"]): r["count"]
+        for r in mix.groupBy("source", "epoch").count().collect()
+    }
+    n_src0 = docs.filter("source = 'src0'").count()
+    assert ep[("src0", 0)] == n_src0  # epoch 0 of an upsampled domain is full
+    # determinism across runs
+    again = domain_mixture(docs, weights=weights, n_total=200, seed=7)
+    a = {(r["doc_id"], r["epoch"]) for r in mix.select("doc_id", "epoch").collect()}
+    b = {(r["doc_id"], r["epoch"]) for r in again.select("doc_id", "epoch").collect()}
+    assert a == b
+    # a different seed draws a different fractional tail
+    other = domain_mixture(docs, weights=weights, n_total=200, seed=8)
+    c = {(r["doc_id"], r["epoch"]) for r in other.select("doc_id", "epoch").collect()}
+    assert a != c
