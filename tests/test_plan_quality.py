@@ -303,3 +303,55 @@ def test_triangle_count_has_no_nested_loop_join(spark):
     plan = formatted_plan(spark, triangle_count(e))
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_token_offsets_has_no_global_sort_window(spark):
+    """The prefix sum must never compile to a single-partition global
+    Window (Window.orderBy with no partitionBy prints 'Window ... ORDER BY
+    ... [partition spec empty]' and executes as ONE task). The bucketed
+    implementation windows WITHIN __bkt partitions only."""
+    from pyspark.sql import functions as F
+
+    from opencyphertranspiler_spark.pipeline.packing import token_offsets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ts = docs.select("doc_id", F.length("text").cast("long").alias("n_tokens"))
+    df = token_offsets(ts, num_buckets=8)
+    plan = formatted_plan(spark, df)
+    # every Window node must carry a partition spec (our bucket column)
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "__bkt" in m.group(1), plan
+    assert "windowspecdefinition" in plan
+
+
+def test_semantic_dedup_candidates_join_on_cell(spark):
+    """Intra-cell pairing must be an equi-join on the cell id (candidate
+    count ~ sum of squared cell sizes), never a cartesian product."""
+    from opencyphertranspiler_spark.pipeline.similarity import semantic_dedup
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = semantic_dedup(embs, threshold=0.4, n_cells=8, train_iters=0)
+    plan = formatted_plan(spark, df)
+    assert "CartesianProduct" not in plan
+    assert "cell" in plan
+
+
+def test_write_set_is_single_join_update(spark):
+    """SET compiles to exactly one join of the target table against the
+    grouped update set — no per-row machinery, no extra shuffles of the
+    base table beyond that join."""
+    from opencyphertranspiler_spark.catalog import get_engine
+
+    eng = get_engine(spark, "/root/testdata/sf0.001")
+    res = eng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_acctbal < 0 SET c.c_mktsegment = 'NEG'"
+    )
+    plan = formatted_plan(spark, res.table("customer"))
+    # the customer parquet is scanned twice (base + update source) and
+    # joined once; the filter reaches the update-side scan
+    assert plan.count("Location: InMemoryFileIndex") == 2
+    assert "LessThan(c_acctbal,0" in plan or "LessThan(c_acctbal, 0" in plan
+    n_joins = len(
+        re.findall(r"\(\d+\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
+    )
+    assert n_joins == 1, plan
