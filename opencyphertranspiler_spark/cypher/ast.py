@@ -425,6 +425,24 @@ class CallSubqueryClause:
 
 
 @dataclass
+class CallProcedureClause:
+    """``CALL db.labels() [YIELD label [AS alias]]`` (extension; the
+    reference rejects CALL outright). Only the schema-introspection
+    procedures are supported — their result is KNOWN at plan time from the
+    graph schema, so the engine desugars this clause to
+    ``UNWIND [..constants..] AS alias`` (engine._resolve_procedures),
+    composing with every other clause through the ordinary planner.
+    ``yield_name`` is the procedure's declared output column (validated),
+    ``out_alias`` the binding name (defaults to the column name)."""
+
+    name: str  # lower-cased qualified name, e.g. "db.labels"
+    yield_name: str | None = None
+    out_alias: str | None = None
+    standalone: bool = False  # no following clauses: implicit RETURN
+    where: "Expr | None" = None  # `YIELD x WHERE p` filter (desugars to WITH)
+
+
+@dataclass
 class SortItem:
     expr: Expr
     ascending: bool = True
@@ -502,6 +520,7 @@ Clause = (
     | UnwindClause
     | ProjectionClause
     | CallSubqueryClause
+    | CallProcedureClause
     | WriteClause
 )
 

@@ -1,11 +1,13 @@
-"""Recursive-descent parser for the supported openCypher subset.
+"""Recursive-descent parser for the supported openCypher surface.
 
 Covers the reference's accepted grammar (SURVEY.md §2.6) plus the declared
-extensions (COUNT(*), SKIP, UNWIND, working UNION — SURVEY.md §7.2.8), and
-raises TranspilerNotSupportedError for the reference's scope fence
-(SURVEY.md §2.7): write clauses, CALL, inline property maps, multiple
-labels/verbs, variable-length relationships, pattern variables, parameters,
-nested property lookup, ``CASE <expr> WHEN`` form.
+extensions (SURVEY.md §2.7b: COUNT(*), SKIP, UNWIND, working UNION,
+property maps, multi-label/-verb patterns, variable-length relationships,
+pattern variables, parameters, comprehensions, CALL subqueries and the
+schema-introspection CALL procedures, ...). Write clauses parse only in
+``allow_writes`` mode (engine.cypher_write); the read entry point keeps
+the reference's typed rejection for them, as it does for the handful of
+constructs that remain out of scope (procedure arguments, FOREACH).
 
 Expression precedence mirrors the openCypher grammar chain used by the
 reference visitor (/root/reference/src/openCypherParser/AST/CypherVisitor.cs:1348-1558):
@@ -155,7 +157,10 @@ class Parser:
                 clauses.append(self.parse_projection(is_return=True))
                 break
             elif t.is_kw("CALL"):
-                clauses.append(self.parse_call_subquery())
+                call = self.parse_call_subquery()
+                clauses.append(call)
+                if isinstance(call, A.CallProcedureClause) and call.standalone:
+                    break  # implicit RETURN of the procedure's column
             else:
                 raise TranspilerSyntaxError(
                     f"Expected a clause keyword at position {t.pos}, got {t.value!r}"
@@ -202,16 +207,16 @@ class Parser:
             where = self.parse_expr()
         return A.MatchClause(patterns, optional, where)
 
-    def parse_call_subquery(self) -> A.CallSubqueryClause:
-        """``CALL { <query> [UNION [ALL] <query>]* }`` (extension). CALL
-        procedures (``CALL db.labels()``) keep the reference's typed
-        rejection. A UNION inside the braces is supported in the
-        uncorrelated form only (the planner fences correlated UNION)."""
+    def parse_call_subquery(self):
+        """``CALL { <query> [UNION [ALL] <query>]* }`` (extension), or a
+        schema-introspection procedure ``CALL db.labels() [YIELD col [AS
+        alias]]`` (extension; the engine desugars it to an UNWIND over
+        plan-time schema constants — see engine._resolve_procedures). A
+        UNION inside the braces is supported in the uncorrelated form only
+        (the planner fences correlated UNION)."""
         self.expect_kw("CALL")
         if not self.cur.is_punct("{"):
-            raise TranspilerNotSupportedError(
-                "CALL procedures are not supported; only CALL { subquery }"
-            )
+            return self.parse_call_procedure()
         self.expect_punct("{")
         inner: A.Query = self.parse_single_query()
         while self.accept_kw("UNION"):
@@ -227,6 +232,40 @@ class Parser:
         self.expect_kw("AS")
         alias = self.expect_ident()
         return A.UnwindClause(expr, alias)
+
+    def parse_call_procedure(self) -> A.CallProcedureClause:
+        """Qualified procedure name + ``()`` + optional YIELD. Name
+        validity (and the single-output-column restriction) is checked by
+        the engine, which owns the schema."""
+        parts = [self.expect_ident()]
+        while self.accept_punct("."):
+            parts.append(self.expect_name())
+        name = ".".join(parts).lower()
+        if not self.cur.is_punct("("):
+            raise TranspilerSyntaxError(
+                f"Expected ( after CALL {name} at position {self.cur.pos}"
+            )
+        self.expect_punct("(")
+        if not self.cur.is_punct(")"):
+            raise TranspilerNotSupportedError(
+                f"CALL {name}: procedure arguments are not supported "
+                "(only the no-arg schema-introspection procedures)"
+            )
+        self.expect_punct(")")
+        yield_name = out_alias = where = None
+        if self.accept_soft_kw("YIELD"):
+            yield_name = self.expect_name()
+            out_alias = self.expect_ident() if self.accept_kw("AS") else yield_name
+            if self.accept_kw("WHERE"):
+                where = self.parse_expr()
+        standalone = self.cur.kind == "eof" or self.cur.is_punct(";")
+        if yield_name is None and not standalone:
+            # Neo4j parity: an in-query procedure call must name its output
+            raise TranspilerSyntaxError(
+                f"CALL {name} must YIELD its output column when followed "
+                "by other clauses"
+            )
+        return A.CallProcedureClause(name, yield_name, out_alias, standalone, where)
 
     # -- write clauses (extension; reference rejects all of them) ----------
     def accept_soft_kw(self, name: str) -> bool:

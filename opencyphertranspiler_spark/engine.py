@@ -59,6 +59,7 @@ class CypherEngine:
     def _run_ast(self, ast_query, params: dict | None = None) -> DataFrame:
         """Rewrite, plan and compile an already-parsed read query (shared
         by cypher() and the write executor's binding compilation)."""
+        self._resolve_procedures(ast_query)
         graph, tables = self._resolve_multi_verb(ast_query, self.graph, self.tables)
         graph, tables = self._resolve_undirected_varlength(ast_query, graph, tables)
         graph, tables = self._resolve_unbounded(ast_query, graph, tables, params)
@@ -83,6 +84,78 @@ class CypherEngine:
         from .writes import execute_write
 
         return execute_write(self, query, params=params, validate=validate)
+
+    # -- CALL procedure desugar --------------------------------------------
+    # The schema-introspection procedures' results are plan-time constants
+    # (the graph schema lives on the driver), so `CALL db.labels() YIELD
+    # label` rewrites to `UNWIND [...] AS label` — zero new operators, and
+    # the call composes with MATCH/WHERE/aggregation through the ordinary
+    # planner. Neo4j procedure parity: db.labels, db.relationshipTypes,
+    # db.propertyKeys (the reference rejects CALL outright).
+
+    def _procedure_rows(self, name: str) -> tuple[str, list[str]]:
+        if name == "db.labels":
+            return "label", sorted(n.label for n in self.graph.nodes)
+        if name == "db.relationshiptypes":
+            verbs = {e.display_verb or e.verb for e in self.graph.edges}
+            return "relationshipType", sorted(verbs)
+        if name == "db.propertykeys":
+            keys: set[str] = set()
+            for n in self.graph.nodes:
+                keys.update(n.property_names)
+            for e in self.graph.edges:
+                keys.update(e.property_names)
+            return "propertyKey", sorted(keys)
+        raise TranspilerNotSupportedError(
+            f"Unknown procedure '{name}'; supported: db.labels, "
+            "db.relationshipTypes, db.propertyKeys"
+        )
+
+    def _resolve_procedures(self, ast_query) -> None:
+        def rewrite_single(sq) -> None:
+            new_clauses = []
+            for clause in sq.clauses:
+                if isinstance(clause, A.CallSubqueryClause):
+                    rewrite_query(clause.query)
+                if not isinstance(clause, A.CallProcedureClause):
+                    new_clauses.append(clause)
+                    continue
+                col, values = self._procedure_rows(clause.name)
+                if clause.yield_name is not None and clause.yield_name != col:
+                    raise TranspilerNotSupportedError(
+                        f"CALL {clause.name} yields '{col}', "
+                        f"not '{clause.yield_name}'"
+                    )
+                alias = clause.out_alias or col
+                new_clauses.append(
+                    A.UnwindClause(
+                        A.ListLiteral([A.Literal(v) for v in values]), alias
+                    )
+                )
+                if clause.where is not None:
+                    # `YIELD x WHERE p` -> a filtering `WITH * WHERE p`
+                    # (star keeps every other in-scope alias visible)
+                    new_clauses.append(
+                        A.ProjectionClause(
+                            items=[], star=True, where=clause.where
+                        )
+                    )
+                if clause.standalone:
+                    new_clauses.append(
+                        A.ProjectionClause(
+                            items=[(alias, A.Variable(alias))], is_return=True
+                        )
+                    )
+            sq.clauses = new_clauses
+
+        def rewrite_query(q) -> None:
+            if isinstance(q, A.UnionQuery):
+                rewrite_query(q.left)
+                rewrite_query(q.right)
+            else:
+                rewrite_single(q)
+
+        rewrite_query(ast_query)
 
     # -- unbounded variable-length rewrite ---------------------------------
     # `(a:L1)-[:V*]->(b:L2)` (and `*n..`) compiles to REACHABILITY: the

@@ -764,10 +764,7 @@ class WriteExecutor:
     def _plan_merge(self, clause: A.MergeClause):
         part = clause.pattern
         if part.rels:
-            raise TranspilerNotSupportedError(
-                "MERGE on a relationship pattern is not supported; MERGE "
-                "nodes, then CREATE the relationship"
-            )
+            return self._plan_merge_rel(clause)
         n = part.nodes[0]
         if not n.label:
             raise TranspilerBindingError("MERGE requires an explicit label")
@@ -853,6 +850,136 @@ class WriteExecutor:
         self.tables[node.table] = self._align_new_rows(tbl2, new_rows)
         self._count_into("nodes_created", new_rows)
         self._count_into("nodes_matched", matched)
+
+
+    def _plan_merge_rel(self, clause: A.MergeClause):
+        """``MERGE (a)-[:V {props?}]->(b)`` with BOTH endpoints bound:
+        create the relationship only where the full pattern (keys + any
+        inline props) does not already exist. Standalone edge tables get
+        an anti-join + append; FK-embedded edges set the FK column where
+        it is currently NULL (a row already pointing at a DIFFERENT node
+        cannot hold a second edge — validate=True raises, else skipped)."""
+        part = clause.pattern
+        if len(part.rels) != 1 or clause.on_create or clause.on_match:
+            raise TranspilerNotSupportedError(
+                "MERGE supports a single relationship hop without "
+                "ON CREATE/ON MATCH SET"
+            )
+        left, rel, right = next(part.hops())
+        if rel.direction == A.Direction.EITHER:
+            raise TranspilerSyntaxError("MERGE relationships require a direction")
+        if rel.verb is None or rel.min_hops is not None or rel.alt_verbs:
+            raise TranspilerSyntaxError(
+                "MERGE supports single-hop, single-type relationships"
+            )
+        if rel.direction == A.Direction.BACKWARD:
+            src_n, snk_n = right, left
+        else:
+            src_n, snk_n = left, right
+        for n in (src_n, snk_n):
+            if not n.alias or n.alias not in self.scope:
+                raise TranspilerBindingError(
+                    "MERGE relationship endpoints must be bound by a "
+                    "preceding MATCH (MERGE the nodes first)"
+                )
+            if n.props:
+                raise TranspilerSyntaxError(
+                    "property maps on MERGE relationship endpoints are not "
+                    "supported; bind the nodes with MATCH/WHERE instead"
+                )
+        src_label = _node_schema(self.graph, self.scope, src_n.alias).label
+        snk_label = _node_schema(self.graph, self.scope, snk_n.alias).label
+        e = self.graph.try_get_edge(rel.verb, src_label, snk_label)
+        if e is None:
+            raise TranspilerBindingError(
+                f"MERGE relationship [:{rel.verb}] between {src_label} and "
+                f"{snk_label} has no edge schema; declare it first"
+            )
+        _no_aggregates([x for _, x in rel.props])
+        src_key = self._key_col(src_n.alias)
+        snk_key = self._key_col(snk_n.alias)
+        rprop_cols = {p: self._val_col(x) for p, x in rel.props}
+        owner = _owner_of_edge(self.graph, e)
+
+        def apply(binding: DataFrame):
+            cand = binding.select(
+                F.col(src_key).alias("__ms"),
+                F.col(snk_key).alias("__mk"),
+                *[F.col(v) for v in rprop_cols.values()],
+            ).where(F.col("__ms").isNotNull() & F.col("__mk").isNotNull())
+            if rprop_cols:
+                cand = cand.groupBy("__ms", "__mk").agg(
+                    *[F.max(v).alias(v) for v in rprop_cols.values()]
+                )
+            else:
+                cand = cand.distinct()
+            tbl = self._get_table(e.table)
+            dtypes = dict(tbl.dtypes)
+            if owner is None:
+                # standalone edge table: append the missing pairs
+                cond = (tbl[e.source_id_property] == cand["__ms"]) & (
+                    tbl[e.sink_id_property] == cand["__mk"]
+                )
+                for p, v in rprop_cols.items():
+                    cond = cond & tbl[p].eqNullSafe(
+                        F.col(v).cast(dtypes.get(p, "string"))
+                    )
+                to_create = cand.join(tbl, cond, "left_anti")
+                cols = {e.source_id_property: "__ms", e.sink_id_property: "__mk"}
+                cols.update(rprop_cols)
+                new_rows = to_create.select(
+                    *[F.col(v).alias(p) for p, v in cols.items()]
+                )
+                self.tables[e.table] = self._align_new_rows(tbl, new_rows)
+                self._count_into("relationships_created", new_rows)
+                return
+            # FK-embedded: the edge is a column of the owning row
+            if rprop_cols:
+                raise TranspilerNotSupportedError(
+                    "MERGE with relationship properties is not supported on "
+                    "FK-embedded edges (the properties live on the owning "
+                    "row; SET them after the MERGE)"
+                )
+            if owner == "sink":
+                row_key, fk_col, fk_val = "__mk", e.source_id_property, "__ms"
+                own_node = self.graph.get_node(e.sink_label)
+            else:
+                row_key, fk_col, fk_val = "__ms", e.sink_id_property, "__mk"
+                own_node = self.graph.get_node(e.source_label)
+            upd = cand.select(
+                F.col(row_key).alias("__rk"), F.col(fk_val).alias("__fv")
+            )
+            joined = tbl.join(upd, tbl[own_node.id_property] == upd["__rk"], "left")
+            if self.validate:
+                n_conflict = (
+                    joined.where(
+                        upd["__fv"].isNotNull()
+                        & F.col(fk_col).isNotNull()
+                        & (F.col(fk_col) != upd["__fv"])
+                    ).count()
+                )
+                if n_conflict:
+                    raise TranspilerBindingError(
+                        f"MERGE [:{e.verb}]: {n_conflict} {own_node.label} "
+                        "row(s) already hold a DIFFERENT relationship in the "
+                        f"FK-embedded column '{fk_col}' (one edge per row in "
+                        "this storage layout)"
+                    )
+            created = joined.where(
+                upd["__fv"].isNotNull() & F.col(fk_col).isNull()
+            ).select("__rk")
+            self.tables[e.table] = (
+                joined.withColumn(
+                    fk_col,
+                    F.when(
+                        upd["__fv"].isNotNull() & F.col(fk_col).isNull(),
+                        upd["__fv"].cast(dtypes[fk_col]),
+                    ).otherwise(F.col(fk_col)),
+                ).drop("__rk", "__fv")
+            )
+            self._count_into("relationships_created", created)
+
+        return apply
 
 
 def execute_write(engine, query: str, params=None, validate: bool = True) -> WriteResult:

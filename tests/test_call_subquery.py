@@ -5,6 +5,8 @@ and uncorrelated cross-join semantics."""
 
 from __future__ import annotations
 
+import pytest
+
 
 def test_call_correlated_aggregates_vs_duckdb(engine, duck):
     got = sorted(
@@ -210,3 +212,61 @@ def test_call_intermediate_topk_then_aggregate(engine, duck):
         )
     )
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# CALL procedures (schema introspection; desugared to plan-time UNWIND)
+# ---------------------------------------------------------------------------
+
+
+def test_call_db_labels_standalone(engine):
+    got = [r["label"] for r in engine.cypher("CALL db.labels()").collect()]
+    assert got == sorted(got)
+    assert "Customer" in got and "Orders" in got and "Region" in got
+
+
+def test_call_db_relationship_types(engine):
+    got = {
+        r["relationshipType"]
+        for r in engine.cypher("CALL db.relationshipTypes()").collect()
+    }
+    assert {"PLACED", "CONTAINS", "IN_REGION", "FROM_NATION"} <= got
+
+
+def test_call_db_property_keys(engine):
+    got = {
+        r["propertyKey"]
+        for r in engine.cypher("CALL db.propertyKeys()").collect()
+    }
+    assert {"c_custkey", "c_acctbal", "o_orderdate", "r_name"} <= got
+
+
+def test_call_procedure_yield_where_and_composition(engine):
+    # YIELD ... WHERE filter, then composition with MATCH + aggregation
+    out = engine.cypher(
+        "CALL db.labels() YIELD label WHERE label STARTS WITH 'C' "
+        "MATCH (r:Region) RETURN label, count(r) AS n"
+    ).collect()
+    assert [(r["label"], r["n"]) for r in out] == [("Customer", 5)]
+    # alias via AS
+    out2 = engine.cypher(
+        "CALL db.relationshipTypes() YIELD relationshipType AS t "
+        "RETURN t ORDER BY t LIMIT 2"
+    ).collect()
+    assert [r["t"] for r in out2] == ["CONTAINS", "FROM_NATION"]
+
+
+def test_call_procedure_fences(engine):
+    from opencyphertranspiler_spark.exceptions import (
+        TranspilerNotSupportedError,
+        TranspilerSyntaxError,
+    )
+
+    with pytest.raises(TranspilerNotSupportedError, match="db.labels"):
+        engine.cypher("CALL apoc.help()")
+    with pytest.raises(TranspilerNotSupportedError, match="yields"):
+        engine.cypher("CALL db.labels() YIELD nope RETURN nope")
+    with pytest.raises(TranspilerNotSupportedError, match="arguments"):
+        engine.cypher("CALL db.labels('x')")
+    with pytest.raises(TranspilerSyntaxError, match="YIELD"):
+        engine.cypher("CALL db.labels() MATCH (r:Region) RETURN r.r_name AS n")

@@ -2143,8 +2143,15 @@ def test_call_rejections(movie_engine):
             "CALL { WITH nm MATCH (q:Person) WHERE q.Name = nm "
             "RETURN q.Born AS b } RETURN nm, b"
         )
-    with pytest.raises(TranspilerNotSupportedError, match="procedures"):
+    # procedure calls are now an extension (engine._resolve_procedures)
+    # but an in-query call still must YIELD, and only the three schema
+    # procedures exist
+    from opencyphertranspiler_spark.exceptions import TranspilerSyntaxError
+
+    with pytest.raises(TranspilerSyntaxError, match="YIELD"):
         movie_engine.cypher("CALL db.labels() RETURN x")
+    with pytest.raises(TranspilerNotSupportedError, match="db.labels"):
+        movie_engine.cypher("CALL dbms.components()")
     # correlated UNION (an import WITH in a branch) stays fenced
     with pytest.raises(TranspilerNotSupportedError, match="uncorrelated"):
         movie_engine.cypher(

@@ -318,11 +318,51 @@ def test_merge_id_collision_validated(weng):
         weng.cypher_write("MERGE (r:Region {r_regionkey: 0, r_name: 'WRONG'})")
 
 
-def test_merge_relationship_fenced(weng):
-    with pytest.raises(TranspilerNotSupportedError, match="MERGE on a relationship"):
+def test_merge_relationship_fk_conflict_validated(weng):
+    # order 1 already belongs to a different customer: FK-embedded storage
+    # can hold only one PLACED edge per order row
+    with pytest.raises(TranspilerBindingError, match="DIFFERENT relationship"):
         weng.cypher_write(
-            "MATCH (c:Customer), (o:Orders) MERGE (c)-[:PLACED]->(o)"
+            "MATCH (c:Customer), (o:Orders) "
+            "WHERE c.c_custkey = 7 AND o.o_orderkey = 1 "
+            "MERGE (c)-[:PLACED]->(o)"
         )
+
+
+def test_merge_relationship_fills_null_fk(weng):
+    # detach-deleting the owner nulls the FK; MERGE can then re-attach
+    r1 = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_custkey = 4 DETACH DELETE c"
+    )
+    orphans = [
+        r["o_orderkey"]
+        for r in r1.table("orders").filter("o_custkey IS NULL").collect()
+    ]
+    assert orphans
+    r2 = r1.engine().cypher_write(
+        "MATCH (c:Customer), (o:Orders) "
+        f"WHERE c.c_custkey = 7 AND o.o_orderkey = {orphans[0]} "
+        "MERGE (c)-[:PLACED]->(o)"
+    )
+    assert (
+        r2.table("orders")
+        .filter(f"o_orderkey = {orphans[0]}")
+        .collect()[0]["o_custkey"]
+        == 7
+    )
+    assert r2.counts()["relationships_created"] == 1
+    # merging the SAME edge again is a no-op
+    r3 = r2.engine().cypher_write(
+        "MATCH (c:Customer), (o:Orders) "
+        f"WHERE c.c_custkey = 7 AND o.o_orderkey = {orphans[0]} "
+        "MERGE (c)-[:PLACED]->(o)"
+    )
+    assert r3.counts()["relationships_created"] == 0
+
+
+def test_merge_relationship_endpoints_must_be_bound(weng):
+    with pytest.raises(TranspilerBindingError, match="bound"):
+        weng.cypher_write("MERGE (c:Customer)-[:PLACED]->(o:Orders)")
 
 
 # ---------------------------------------------------------------------------
@@ -465,3 +505,37 @@ def test_set_matches_duckdb_update(weng, duck):
         ).fetchall()
     }
     assert got == exp
+
+
+def test_merge_relationship_standalone_table(movie_weng):
+    # p5 already ACTED_IN m3 -> no-op; p5 -> m1 is new -> appended
+    q = (
+        "MATCH (p:Person), (m:Movie) WHERE p.id = 'p5' AND m.id = '{mid}' "
+        "MERGE (p)-[:ACTED_IN]->(m)"
+    )
+    r1 = movie_weng.cypher_write(q.format(mid="m3"))
+    assert r1.counts()["relationships_created"] == 0
+    assert r1.table("acted_in").count() == movie_weng.tables.get("acted_in").count()
+    r2 = movie_weng.cypher_write(q.format(mid="m1"))
+    assert r2.counts()["relationships_created"] == 1
+    assert rows(
+        r2.table("acted_in").filter("_vertexId = 'p5' AND _sink = 'm1'")
+        .select("_vertexId", "_sink", "Roles")
+    ) == {("p5", "m1", None)}
+
+
+def test_merge_relationship_with_props_matches_whole_pattern(movie_weng):
+    # (p1)-[:ACTED_IN {Roles: 'Sam'}]->(m1) exists -> no-op; a different
+    # Roles value is a different pattern -> new edge row
+    q = (
+        "MATCH (p:Person), (m:Movie) WHERE p.id = 'p1' AND m.id = 'm1' "
+        "MERGE (p)-[:ACTED_IN {{Roles: '{role}'}}]->(m)"
+    )
+    r1 = movie_weng.cypher_write(q.format(role="Sam"))
+    assert r1.counts()["relationships_created"] == 0
+    r2 = movie_weng.cypher_write(q.format(role="Understudy"))
+    assert r2.counts()["relationships_created"] == 1
+    assert (
+        r2.table("acted_in").filter("_vertexId = 'p1' AND _sink = 'm1'").count()
+        == 2
+    )
