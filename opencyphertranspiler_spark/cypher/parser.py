@@ -135,17 +135,19 @@ class Parser:
                 clauses.append(self.parse_write_clause())
                 continue
             if has_write():
-                # after the first write clause only further writes may
-                # follow; the statement's result is the WriteResult, not a
-                # relation (Neo4j's write-then-RETURN reads post-write
-                # state, which a functional snapshot engine cannot honor
-                # without re-planning — typed fence)
+                # after the first write clause only further writes or a
+                # final RETURN may follow (the RETURN reads post-write
+                # values via substitution — writes.py); WITH/MATCH after a
+                # write would need Neo4j's clause-sequential visibility,
+                # which a functional snapshot engine does not honor
                 if t.kind == "eof":
+                    break
+                if t.is_kw("RETURN"):
+                    clauses.append(self.parse_projection(is_return=True))
                     break
                 raise TranspilerNotSupportedError(
                     f"{t.value} after a write clause is not supported; "
-                    "only further write clauses may follow (read the "
-                    "WriteResult tables instead of RETURN)"
+                    "only further write clauses or a final RETURN may follow"
                 )
             if t.is_kw("MATCH") or t.is_kw("OPTIONAL"):
                 clauses.append(self.parse_match())

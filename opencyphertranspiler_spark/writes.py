@@ -83,6 +83,11 @@ class WriteResult:
     base: "TableRegistry"
     _counters: dict[str, object] = field(default_factory=dict)
 
+    #: result of a trailing ``RETURN`` after the write clauses (post-write
+    #: values via substitution — see WriteExecutor._compile_returned), or
+    #: None when the query had no RETURN
+    returned: DataFrame | None = None
+
     def table(self, name: str) -> DataFrame:
         if name in self.tables:
             return self.tables[name]
@@ -231,6 +236,51 @@ def _no_aggregates(exprs):
                 )
 
 
+def _substitute(value, mapping, created, fenced):
+    """Rebuild an AST value with every ``alias.prop`` reference that a
+    write clause assigned replaced by the ASSIGNED expression — how a
+    trailing RETURN observes post-write values without re-reading the
+    derived tables. Properties of a CREATE'd alias that were never
+    assigned read as null (new row); unmapped properties of a ``fenced``
+    alias (MERGE targets: per-row conditional values) raise. Substitution
+    is name-based, so a pattern-local alias inside a comprehension that
+    shadows a write target is substituted too (documented limitation)."""
+    import dataclasses
+
+    def sub(v):
+        return _substitute(v, mapping, created, fenced)
+
+    if isinstance(value, A.Property):
+        key = (value.alias, value.prop)
+        if key in mapping:
+            base = mapping[key]
+            for fld in value.path:
+                base = A.FieldAccess(base, fld)
+            return base
+        if value.alias in fenced:
+            raise TranspilerNotSupportedError(
+                f"RETURN of '{value.alias}.{value.prop}' is not supported: "
+                "its post-write value is conditional (MERGE row existence / "
+                "ON CREATE/ON MATCH SET); read the WriteResult tables instead"
+            )
+        if value.alias in created:
+            return A.Literal(None)  # unassigned property of a new node
+        return value
+    if isinstance(value, list):
+        return [sub(v) for v in value]
+    if isinstance(value, tuple):
+        return tuple(sub(v) for v in value)
+    if dataclasses.is_dataclass(value) and not isinstance(value, type):
+        changes = {}
+        for f in dataclasses.fields(value):
+            old = getattr(value, f.name)
+            new = sub(old)
+            if new is not old:
+                changes[f.name] = new
+        return dataclasses.replace(value, **changes) if changes else value
+    return value
+
+
 def _owner_of_edge(graph: GraphSchema, e: EdgeSchema) -> str | None:
     """'source' / 'sink' if the edge is FK-embedded in that endpoint's node
     table (the edge row IS the node row), else None (standalone table)."""
@@ -257,12 +307,31 @@ class WriteExecutor:
         self.graph: GraphSchema = engine.graph
         self.params = params
         self.validate = validate
-        self.reading = [
-            c for c in ast_query.clauses if not isinstance(c, A.WriteClause)
-        ]
-        self.writes = [c for c in ast_query.clauses if isinstance(c, A.WriteClause)]
-        if not self.writes:
+        first_write = next(
+            (
+                i
+                for i, c in enumerate(ast_query.clauses)
+                if isinstance(c, A.WriteClause)
+            ),
+            None,
+        )
+        if first_write is None:
             raise TranspilerSyntaxError("cypher_write() requires a write clause")
+        self.reading = list(ast_query.clauses[:first_write])
+        tail = list(ast_query.clauses[first_write:])
+        # optional trailing RETURN (parser guarantees the shape)
+        self.returning: A.ProjectionClause | None = None
+        if tail and isinstance(tail[-1], A.ProjectionClause):
+            self.returning = tail.pop()
+        self.writes = tail
+        # (alias, prop) -> the written expression, for post-write RETURN
+        # substitution; later clauses override earlier ones
+        self._written: dict[tuple[str, str], A.Expr] = {}
+        # aliases CREATE introduced (unassigned props read as null in a
+        # trailing RETURN) and aliases whose post-write values are
+        # per-row conditional (MERGE targets) — RETURN on those raises
+        self._created_aliases: set[str] = set()
+        self._fenced_aliases: set[str] = set()
         self.scope = _resolve_scope(self.reading, self.graph)
         # synthesized projection items for the binding DataFrame
         self._items: list[tuple[str, A.Expr]] = []
@@ -315,8 +384,32 @@ class WriteExecutor:
             apply_fn(binding)
         graph = self._extended_graph()
         return WriteResult(
-            self.spark, graph, self.tables, self.engine.tables, self._counters
+            self.spark,
+            graph,
+            self.tables,
+            self.engine.tables,
+            self._counters,
+            returned=self._compile_returned(),
         )
+
+    def _compile_returned(self) -> DataFrame | None:
+        """Trailing ``RETURN`` after the writes: every ``alias.prop`` a
+        write assigned is substituted with the assigned EXPRESSION, then
+        the projection compiles over the ordinary reading plan — so the
+        RETURN observes post-write values per matched row (Neo4j
+        semantics) without re-reading the derived tables. Divergence:
+        properties of a DELETE'd alias read their pre-delete values
+        (Neo4j raises on deleted-entity access)."""
+        if self.returning is None:
+            return None
+        proj = _substitute(
+            self.returning,
+            self._written,
+            self._created_aliases,
+            self._fenced_aliases,
+        )
+        read_q = A.SingleQuery(list(self.reading) + [proj])
+        return self.engine._run_ast(read_q, self.params)
 
     def _compile_binding(self) -> DataFrame:
         if not self._items:
@@ -384,6 +477,7 @@ class WriteExecutor:
             self._key_col(item.alias)
             vcol = self._val_col(item.expr)
             by_alias.setdefault(item.alias, []).append((item.prop, vcol))
+            self._written[(item.alias, item.prop)] = item.expr
 
         def apply(binding: DataFrame):
             for alias, pairs in by_alias.items():
@@ -429,6 +523,7 @@ class WriteExecutor:
             )
             vcol = self._val_col(item.expr)
             by_alias.setdefault(item.alias, []).append((item.prop, vcol))
+            self._written[(item.alias, item.prop)] = item.expr
 
         def apply(binding: DataFrame):
             for alias, pairs in by_alias.items():
@@ -595,6 +690,10 @@ class WriteExecutor:
             _no_aggregates(list(props.values()))
             cols = {p: self._val_col(e) for p, e in props.items()}
             created[i] = {"schema": node, "cols": cols, "pattern": n}
+            if n.alias:
+                self._created_aliases.add(n.alias)
+                for p, e in props.items():
+                    self._written[(n.alias, p)] = e
 
         # relationship storage plans
         rel_plans = []
@@ -643,12 +742,34 @@ class WriteExecutor:
             src_key = key_col_of(src_i, src_n)
             snk_key = key_col_of(snk_i, snk_n)
             owner = _owner_of_edge(self.graph, e)
+
+            def key_expr_of(idx, npat):
+                """AST form of the endpoint's id — for RETURN substitution."""
+                if idx in created:
+                    spec = created[idx]
+                    return dict(spec["pattern"].props)[spec["schema"].id_property]
+                node = _node_schema(self.graph, self.scope, npat.alias)
+                return A.Property(npat.alias, node.id_property)
+
+            if rel.alias:
+                for p, x in rel.props:
+                    self._written[(rel.alias, p)] = x
+                self._written[(rel.alias, e.source_id_property)] = key_expr_of(
+                    src_i, src_n
+                )
+                self._written[(rel.alias, e.sink_id_property)] = key_expr_of(
+                    snk_i, snk_n
+                )
             if owner == "sink":
                 # FK-embedded on the sink's node row: the edge is the
                 # source-id FK column of that row
                 if snk_i in created:
                     created[snk_i]["cols"][e.source_id_property] = src_key
                     created[snk_i]["cols"].update(rprop_cols)
+                    if snk_n.alias:
+                        self._written[(snk_n.alias, e.source_id_property)] = (
+                            key_expr_of(src_i, src_n)
+                        )
                     rel_plans.append(("folded", src_key, snk_key))
                 else:
                     rel_plans.append(
@@ -658,6 +779,10 @@ class WriteExecutor:
                 if src_i in created:
                     created[src_i]["cols"][e.sink_id_property] = snk_key
                     created[src_i]["cols"].update(rprop_cols)
+                    if src_n.alias:
+                        self._written[(src_n.alias, e.sink_id_property)] = (
+                            key_expr_of(snk_i, snk_n)
+                        )
                     rel_plans.append(("folded", src_key, snk_key))
                 else:
                     rel_plans.append(
@@ -789,6 +914,13 @@ class WriteExecutor:
         pcols = {p: self._val_col(e) for p, e in props.items()}
         oc_cols = [(i.prop, self._val_col(i.expr)) for i in clause.on_create]
         om_cols = [(i.prop, self._val_col(i.expr)) for i in clause.on_match]
+        if n.alias:
+            # merge props are exact post-write values (matching REQUIRES
+            # equality); everything else on the alias is per-row
+            # conditional, so RETURN fences it
+            self._fenced_aliases.add(n.alias)
+            for p, e_ in props.items():
+                self._written[(n.alias, p)] = e_
 
         def apply(binding: DataFrame):
             self._apply_merge(node, pcols, oc_cols, om_cols, binding)

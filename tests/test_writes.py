@@ -58,8 +58,8 @@ def test_read_parse_keeps_write_fence(q):
 @pytest.mark.parametrize(
     "q,msg",
     [
-        ("MATCH (c:Customer) SET c.x = 1 RETURN c.x", "after a write clause"),
         ("MATCH (c:Customer) SET c.x = 1 WITH c RETURN 1 AS o", "after a write"),
+        ("MATCH (c:Customer) SET c.x = 1 MATCH (o:Orders) DELETE o", "after a write"),
         ("SET c:Gold", "label"),
         ("MATCH (c:Customer) SET c += {x: 1}", "explicitly"),
         ("MATCH (c:Customer) REMOVE c:Gold", "label"),
@@ -539,3 +539,70 @@ def test_merge_relationship_with_props_matches_whole_pattern(movie_weng):
         r2.table("acted_in").filter("_vertexId = 'p1' AND _sink = 'm1'").count()
         == 2
     )
+
+
+# ---------------------------------------------------------------------------
+# RETURN after writes (post-write values via substitution)
+# ---------------------------------------------------------------------------
+
+
+def test_set_return_observes_post_write_values(weng, duck):
+    res = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_acctbal < 0 "
+        "SET c.tier = 'debit' "
+        "RETURN c.c_custkey AS k, c.tier AS t, c.c_acctbal AS bal"
+    )
+    got = {(r["k"], r["t"], r["bal"]) for r in res.returned.collect()}
+    exp = {
+        tuple(r)
+        for r in duck.execute(
+            "SELECT c_custkey, 'debit', c_acctbal FROM customer "
+            "WHERE c_acctbal < 0"
+        ).fetchall()
+    }
+    assert got == exp and got
+
+
+def test_create_return_reads_created_and_unset_props(weng):
+    res = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_custkey >= 1 AND c.c_custkey <= 2 "
+        "CREATE (c)-[:PLACED]->(o:Orders {o_orderkey: 920000 + c.c_custkey, "
+        "o_orderstatus: 'N'}) "
+        "RETURN o.o_orderkey AS ok, o.o_orderstatus AS st, "
+        "o.o_totalprice AS unset, c.c_custkey AS ck"
+    )
+    assert rows(res.returned) == {
+        (920001, "N", None, 1),
+        (920002, "N", None, 2),
+    }
+    # the write still happened alongside the RETURN
+    assert res.table("orders").filter("o_orderkey >= 920000").count() == 2
+
+
+def test_write_return_supports_aggregates(weng):
+    res = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_acctbal < 0 SET c.tier = 'debit' "
+        "RETURN count(*) AS n"
+    )
+    n_neg = weng.tables.get("customer").filter("c_acctbal < 0").count()
+    assert res.returned.collect()[0]["n"] == n_neg
+
+
+def test_merge_return_fences_conditional_props(weng):
+    q = (
+        "MERGE (r:Region {{r_regionkey: 0, r_name: 'AFRICA'}}) "
+        "ON MATCH SET r.seen = true RETURN {item}"
+    )
+    # merge props are exact -> returnable
+    res = weng.cypher_write(q.format(item="r.r_name AS nm"))
+    assert res.returned.collect()[0]["nm"] == "AFRICA"
+    # ON-SET / other props are per-row conditional -> typed fence
+    with pytest.raises(TranspilerNotSupportedError, match="conditional"):
+        weng.cypher_write(q.format(item="r.seen AS s"))
+
+
+def test_no_return_yields_none(weng):
+    res = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_custkey = 2 SET c.tier = 'x'"
+    )
+    assert res.returned is None
