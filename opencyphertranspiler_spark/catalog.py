@@ -519,6 +519,7 @@ CATALOG += [
             FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
             GROUP BY 1
         """,
+        bench=True,
         tags=("writes",),
     ),
     # ---- temporal library (extension; the reference has NO temporal
@@ -1636,6 +1637,7 @@ PIPELINE_CATALOG: list[CatalogEntry] = [
         name="p19_semantic_dedup",
         fn=_p_semantic_dedup,
         oracle=_p19_oracle(),
+        bench=True,
         tags=("dedup", "semantic", "embedding"),
     ),
     CatalogEntry(
@@ -1666,6 +1668,7 @@ PIPELINE_CATALOG: list[CatalogEntry] = [
                    least(n, (chunk_id + 1) * 512 - start) AS doc_end
             FROM c
         """,
+        bench=True,
         tags=("packing", "training"),
     ),
     CatalogEntry(
