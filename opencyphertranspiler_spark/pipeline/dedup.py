@@ -408,3 +408,82 @@ def dedup_clusters(
         )
         .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    window: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_hash: bool = True,
+) -> DataFrame:
+    """Exact duplicate-SPAN detection — the scalable signal behind exact
+    substring deduplication (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", arXiv:2107.06499): a sliding window of
+    ``window`` whitespace tokens per document; a window is duplicated when
+    the same token sequence appears VERBATIM in at least one other
+    document. Returns per document:
+
+        (id, n_windows, n_dup_windows, dup_frac)
+
+    — rank/filter on dup_frac to drop documents mostly made of text seen
+    elsewhere (the suffix-array approach of the paper removes the spans
+    themselves; this flags the carriers with one relational pass).
+
+    Plan shape: window grams come from a codegen transform+explode (no
+    UDF); cross-doc counts are one groupBy with map-side combine; the
+    per-doc rollup joins grams against the duplicated set co-partitioned
+    on the gram key. ``use_hash=True`` shuffles xxhash64(gram) instead of
+    the gram text — 8 bytes/row instead of ~window*6, the difference
+    between feasible and not at 100 TB (hash collisions ~ n²/2⁶⁴:
+    negligible). use_hash=False keeps the text for external-oracle replay.
+    """
+    toks = f"filter(split({text_col}, '\\\\s+'), t -> t <> '')"
+    grams = (
+        f"CASE WHEN size({toks}) >= {window} THEN "
+        f"transform(sequence(0, size({toks}) - {window}), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, {window}))) "
+        "ELSE array() END"
+    )
+    g = df.select(
+        F.col(id_col),
+        F.explode_outer(F.expr(grams)).alias("__gram"),
+    )
+    if use_hash:
+        g = g.withColumn(
+            "__gram",
+            F.when(
+                F.col("__gram").isNotNull(), F.xxhash64(F.col("__gram"))
+            ),
+        )
+    occurrences = g.where(F.col("__gram").isNotNull())
+    dup_grams = (
+        occurrences.groupBy("__gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= 2)
+        .select("__gram")
+    )
+    dup_counts = (
+        occurrences.join(dup_grams, "__gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    totals = g.groupBy(id_col).agg(
+        F.count(F.col("__gram")).alias("n_windows")
+    )
+    return (
+        totals.join(dup_counts, id_col, "left")
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.when(
+                    F.col("n_windows") > 0,
+                    F.coalesce("n_dup_windows", F.lit(0))
+                    / F.col("n_windows").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

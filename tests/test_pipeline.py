@@ -1133,3 +1133,88 @@ def test_domain_mixture_hits_target_and_is_deterministic(spark, docs):
     other = domain_mixture(docs, weights=weights, n_total=200, seed=8)
     c = {(r["doc_id"], r["epoch"]) for r in other.select("doc_id", "epoch").collect()}
     assert a != c
+
+
+# ---------------------------------------------------------------------------
+# exact duplicate-span detection (Lee et al. exact substring dedup signal)
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_spans_planted(spark):
+    from opencyphertranspiler_spark.pipeline.dedup import duplicate_spans
+
+    shared = " ".join(f"w{i}" for i in range(25))  # 25 shared tokens
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} {uniq_a}"),
+            (2, f"{uniq_b} {shared}"),
+            (3, "totally unrelated text with no overlap at all"),
+            (4, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in duplicate_spans(docs, window=20).collect()}
+    # doc 1: 35 tokens -> 16 windows; windows fully inside the shared span
+    # (starting at 0..5 of the 25 shared tokens) are duplicated with doc 2
+    assert out[1]["n_windows"] == 16 and out[2]["n_windows"] == 16
+    assert out[1]["n_dup_windows"] == 6 and out[2]["n_dup_windows"] == 6
+    assert abs(out[1]["dup_frac"] - 6 / 16) < 1e-9
+    assert out[3]["n_dup_windows"] == 0
+    # doc 4 is shorter than the window: zero windows, frac 0
+    assert out[4] == {
+        "doc_id": 4,
+        "n_windows": 0,
+        "n_dup_windows": 0,
+        "dup_frac": 0.0,
+    }
+    # hashed and text paths agree exactly
+    out_text = {
+        r["doc_id"]: r.asDict()
+        for r in duplicate_spans(docs, window=20, use_hash=False).collect()
+    }
+    assert out == out_text
+
+
+def test_duplicate_spans_vs_duckdb(spark, docs, duck):
+    from opencyphertranspiler_spark.pipeline.dedup import duplicate_spans
+
+    got = {
+        (r["doc_id"], r["n_windows"], r["n_dup_windows"], r["dup_frac"])
+        for r in duplicate_spans(docs, window=8, use_hash=False).collect()
+    }
+    exp = {
+        tuple(r)
+        for r in duck.execute(
+            """
+            WITH tk AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   t -> t <> '') AS t
+                FROM documents
+            ), g AS (
+                SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+                    THEN [array_to_string(t[i:i+7], ' ')
+                          FOR i IN range(1, len(t) - 6)]
+                    ELSE [] END) AS gram
+                FROM tk
+            ), d AS (
+                SELECT gram FROM g GROUP BY gram
+                HAVING count(DISTINCT doc_id) >= 2
+            ), cnt AS (
+                SELECT doc_id, count(*) AS nd FROM g
+                WHERE gram IN (SELECT gram FROM d) GROUP BY doc_id
+            ), tot AS (
+                SELECT doc_id, greatest(len(t) - 7, 0) AS nw FROM tk
+            )
+            SELECT tot.doc_id, CAST(tot.nw AS BIGINT),
+                   CAST(coalesce(cnt.nd, 0) AS BIGINT),
+                   round(CASE WHEN tot.nw > 0
+                         THEN coalesce(cnt.nd, 0) / tot.nw::DOUBLE
+                         ELSE 0.0 END, 6)
+            FROM tot LEFT JOIN cnt USING (doc_id)
+            """
+        ).fetchall()
+    }
+    assert got == exp
