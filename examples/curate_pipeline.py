@@ -65,8 +65,16 @@ def main() -> None:
     ).select(F.col("node").alias("doc_id"))
     deduped = kept.join(drop, "doc_id", "left_anti")
 
-    # 3. stable content fingerprint on the survivors
-    out = deduped.join(fingerprint(deduped), "doc_id")
+    # 3. drop documents mostly made of text seen elsewhere (exact
+    #    duplicate-span signal — catches copy-paste the MinHash doc-level
+    #    pass misses) and stamp a stable content fingerprint
+    from opencyphertranspiler_spark.pipeline.dedup import duplicate_spans
+
+    spans = duplicate_spans(deduped, window=12).filter(F.col("dup_frac") < 0.5)
+    out = (
+        deduped.join(spans.select("doc_id"), "doc_id")
+        .join(fingerprint(deduped), "doc_id")
+    )
 
     out = out.persist()  # one materialization feeds count + show
     n_out = out.count()
@@ -75,6 +83,33 @@ def main() -> None:
         f"dup_clusters={canonical.count()} out={n_out}"
     )
     out.select("doc_id", "lang", "fp").show(5, truncate=False)
+
+    # 4. training-set assembly: weighted domain mixture, then GPT-style
+    #    sequence packing of the drawn corpus at a fixed token budget
+    from opencyphertranspiler_spark.pipeline.packing import (
+        chunk_spans,
+        domain_mixture,
+    )
+    from opencyphertranspiler_spark.pipeline.text import token_stats
+
+    sources = [r["source"] for r in out.select("source").distinct().collect()]
+    weights = {s: 1.0 for s in sources}  # uniform mixture for the demo
+    drawn = domain_mixture(out, weights=weights, n_total=n_out, seed=13)
+    # epoch-distinct ids keep repeated documents distinct in the pack
+    drawn = drawn.withColumn(
+        "sample_id", F.col("doc_id") * 100 + F.col("epoch")
+    )
+    toks = token_stats(drawn.select("doc_id", "text").distinct()).select(
+        "doc_id", "n_tokens"
+    )
+    packed = chunk_spans(
+        drawn.join(toks, "doc_id").select("sample_id", "n_tokens"),
+        budget=512,
+        id_col="sample_id",
+    )
+    n_chunks = packed.select("chunk_id").distinct().count()
+    print(f"mixture_rows={drawn.count()} training_chunks(512 tok)={n_chunks}")
+
     out.unpersist()
     kept.unpersist()
     spark.stop()
