@@ -134,6 +134,17 @@ class Parser:
             if t.is_kw(*WRITE_KWS):
                 clauses.append(self.parse_write_clause())
                 continue
+            if (
+                t.kind == "ident"
+                and str(t.value).upper() == "FOREACH"
+                and self.allow_writes
+                and not has_write()
+            ):
+                # FOREACH (x IN list | writes) desugars to UNWIND + writes:
+                # per-element application falls out of the binding rows
+                clauses.extend(self.parse_foreach())
+                self._saw_foreach = True
+                continue
             if has_write():
                 # after the first write clause only further writes or a
                 # final RETURN may follow (the RETURN reads post-write
@@ -142,6 +153,14 @@ class Parser:
                 # which a functional snapshot engine does not honor
                 if t.kind == "eof":
                     break
+                if t.is_kw("RETURN") and getattr(self, "_saw_foreach", False):
+                    # desugared FOREACH multiplies the binding rows by the
+                    # list size; Neo4j's RETURN keeps the pre-FOREACH
+                    # cardinality — fence rather than silently diverge
+                    raise TranspilerNotSupportedError(
+                        "RETURN after FOREACH is not supported (the "
+                        "UNWIND desugar changes the row cardinality)"
+                    )
                 if t.is_kw("RETURN"):
                     clauses.append(self.parse_projection(is_return=True))
                     break
@@ -268,6 +287,36 @@ class Parser:
                 "by other clauses"
             )
         return A.CallProcedureClause(name, yield_name, out_alias, standalone, where)
+
+    def parse_foreach(self) -> list:
+        """``FOREACH (x IN list | <write clauses>)`` (extension) —
+        desugared to ``UNWIND list AS x`` followed by the inner writes,
+        which the snapshot write executor applies per binding row. A
+        FOREACH after other write clauses, nesting, and RETURN afterwards
+        are fenced (the desugar would change their semantics)."""
+        self.advance()  # FOREACH (soft keyword: an ident token)
+        self.expect_punct("(")
+        var = self.expect_ident()
+        self.expect_kw("IN")
+        list_expr = self.parse_expr()
+        self.expect_punct("|")
+        inner: list[A.WriteClause] = []
+        while not self.cur.is_punct(")"):
+            t = self.cur
+            if t.kind == "ident" and str(t.value).upper() == "FOREACH":
+                raise TranspilerNotSupportedError(
+                    "nested FOREACH is not supported"
+                )
+            if not t.is_kw("CREATE", "MERGE", "SET", "DELETE", "DETACH", "REMOVE"):
+                raise TranspilerSyntaxError(
+                    f"Expected a write clause inside FOREACH at position "
+                    f"{t.pos}, got {t.value!r}"
+                )
+            inner.append(self.parse_write_clause())
+        self.expect_punct(")")
+        if not inner:
+            raise TranspilerSyntaxError("FOREACH requires at least one write clause")
+        return [A.UnwindClause(list_expr, var)] + inner
 
     # -- write clauses (extension; reference rejects all of them) ----------
     def accept_soft_kw(self, name: str) -> bool:

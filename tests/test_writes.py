@@ -606,3 +606,49 @@ def test_no_return_yields_none(weng):
         "MATCH (c:Customer) WHERE c.c_custkey = 2 SET c.tier = 'x'"
     )
     assert res.returned is None
+
+
+# ---------------------------------------------------------------------------
+# FOREACH (desugared to UNWIND + writes)
+# ---------------------------------------------------------------------------
+
+
+def test_foreach_creates_per_element(weng):
+    res = weng.cypher_write(
+        "FOREACH (k IN [61, 62, 63] | "
+        "CREATE (r:Region {r_regionkey: k, r_name: 'F'}))"
+    )
+    assert rows(
+        res.table("region")
+        .filter("r_regionkey >= 61 AND r_regionkey <= 63")
+        .select("r_regionkey", "r_name")
+    ) == {(61, "F"), (62, "F"), (63, "F")}
+    assert res.counts() == {"nodes_created": 3}
+
+
+def test_foreach_correlated_set(weng):
+    # per-customer list: the set applies once per element but the value is
+    # per-row deterministic
+    res = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_custkey >= 1 AND c.c_custkey <= 3 "
+        "FOREACH (k IN [1, 2] | SET c.touched = k)"
+    )
+    t = res.table("customer").filter("c_custkey >= 1 AND c_custkey <= 3")
+    # max-conflict rule: both elements set, 2 wins
+    assert {r["touched"] for r in t.collect()} == {2}
+
+
+def test_foreach_fences(weng):
+    with pytest.raises(TranspilerNotSupportedError, match="RETURN after FOREACH"):
+        weng.cypher_write(
+            "FOREACH (k IN [1] | CREATE (r:Region {r_regionkey: k})) RETURN k"
+        )
+    with pytest.raises(TranspilerNotSupportedError, match="nested FOREACH"):
+        weng.cypher_write(
+            "FOREACH (k IN [1] | FOREACH (j IN [2] | SET x.y = 1))"
+        )
+    with pytest.raises(TranspilerNotSupportedError, match="after a write clause"):
+        weng.cypher_write(
+            "MATCH (c:Customer) SET c.x = 1 "
+            "FOREACH (k IN [1] | SET c.y = k)"
+        )
