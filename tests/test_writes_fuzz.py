@@ -1,0 +1,202 @@
+"""Randomized write-sequence differential: apply a random chain of
+SET / REMOVE / CREATE / MERGE / DELETE statements through the engine AND
+through a driver-side pandas model of the same semantics, then compare the
+final node table exactly. Catches cross-clause interactions (schema
+extension then update, delete then merge-recreate, FK nulling) that the
+single-operation tests can't."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+
+from opencyphertranspiler_spark.schema import (
+    EdgeSchema,
+    EntityProperty,
+    GraphSchema,
+    NodeSchema,
+)
+from opencyphertranspiler_spark.sources import TableRegistry
+
+
+def fresh_engine(spark, items, follows):
+    from opencyphertranspiler_spark import CypherEngine
+
+    graph = GraphSchema(
+        [
+            NodeSchema(
+                "Item",
+                "item",
+                "id",
+                (EntityProperty("score", "bigint"), EntityProperty("tag")),
+                "bigint",
+            )
+        ],
+        [
+            EdgeSchema(
+                "FOLLOWS", "Item", "Item", "follows", "_src", "_dst",
+                (), "bigint", "bigint",
+            )
+        ],
+    )
+    reg = TableRegistry()
+    reg.register_df(
+        "item",
+        spark.createDataFrame(items, "id long, score long, tag string"),
+    )
+    reg.register_df(
+        "follows", spark.createDataFrame(follows, "_src long, _dst long")
+    )
+    return CypherEngine(spark, graph, reg)
+
+
+def model_apply(items: pd.DataFrame, follows: pd.DataFrame, op):
+    """Apply one op to the pandas model; mirrors writes.py semantics."""
+    kind = op[0]
+    if kind == "set":
+        _, key_mod, col, val = op
+        mask = items["id"] % 3 == key_mod
+        items.loc[mask, col] = val
+    elif kind == "remove":
+        _, key_mod, col = op
+        mask = items["id"] % 3 == key_mod
+        items.loc[mask, col] = None
+    elif kind == "create":
+        _, new_id, score = op
+        if (items["id"] == new_id).any():
+            raise ValueError("dup")  # engine validates the same way
+        items = pd.concat(
+            [items, pd.DataFrame([{"id": new_id, "score": score}])],
+            ignore_index=True,
+        )
+    elif kind == "merge":
+        _, mid, score = op
+        exists = (items["id"] == mid) & (items["score"] == score)
+        if exists.any():
+            pass
+        elif (items["id"] == mid).any():
+            raise ValueError("collision")
+        else:
+            items = pd.concat(
+                [items, pd.DataFrame([{"id": mid, "score": score}])],
+                ignore_index=True,
+            )
+    elif kind == "delete":
+        _, key_mod = op
+        doomed = set(items.loc[items["id"] % 3 == key_mod, "id"])
+        items.drop(items[items["id"].isin(doomed)].index, inplace=True)
+        follows.drop(
+            follows[
+                follows["_src"].isin(doomed) | follows["_dst"].isin(doomed)
+            ].index,
+            inplace=True,
+        )
+    return items, follows
+
+
+def op_to_cypher(op) -> str:
+    kind = op[0]
+    if kind == "set":
+        _, key_mod, col, val = op
+        v = repr(val) if isinstance(val, str) else val
+        return f"MATCH (i:Item) WHERE i.id % 3 = {key_mod} SET i.{col} = {v}"
+    if kind == "remove":
+        _, key_mod, col = op
+        return f"MATCH (i:Item) WHERE i.id % 3 = {key_mod} REMOVE i.{col}"
+    if kind == "create":
+        _, new_id, score = op
+        return f"CREATE (i:Item {{id: {new_id}, score: {score}}})"
+    if kind == "merge":
+        _, mid, score = op
+        return f"MERGE (i:Item {{id: {mid}, score: {score}}})"
+    _, key_mod = op
+    return f"MATCH (i:Item) WHERE i.id % 3 = {key_mod} DETACH DELETE i"
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37])
+def test_random_write_chains_match_pandas_model(spark, seed):
+    rng = random.Random(seed)
+    items0 = [(i, i * 10, f"t{i % 4}") for i in range(12)]
+    follows0 = [(i, (i + 1) % 12) for i in range(12)]
+    eng = fresh_engine(spark, items0, follows0)
+
+    model_items = pd.DataFrame(items0, columns=["id", "score", "tag"])
+    model_follows = pd.DataFrame(follows0, columns=["_src", "_dst"])
+
+    state = eng
+    next_id = 100
+    applied = 0
+    for _ in range(6):
+        choice = rng.random()
+        if choice < 0.3:
+            col = rng.choice(["score", "tag", "new1"])
+            # value type tracks the column type so ANSI casts stay clean
+            val = rng.choice(["x", "y"]) if col == "tag" else rng.choice([7, 99])
+            op = ("set", rng.randrange(3), col, val)
+        elif choice < 0.45:
+            op = ("remove", rng.randrange(3), rng.choice(["tag", "score"]))
+        elif choice < 0.65:
+            op = ("create", next_id, rng.randrange(50))
+            next_id += 1
+        elif choice < 0.8:
+            op = ("merge", rng.choice([3, 6, next_id - 1, next_id]),
+                  rng.randrange(50))
+        else:
+            op = ("delete", rng.randrange(3))
+
+        try:
+            expect_items = model_items.copy()
+            expect_follows = model_follows.copy()
+            expect_items, expect_follows = model_apply(
+                expect_items, expect_follows, op
+            )
+            model_ok = True
+        except ValueError:
+            model_ok = False
+
+        # model "merge" compares score as stored; engine matches on the
+        # typed column — keep both in sync by always writing ints
+        try:
+            res = state.cypher_write(op_to_cypher(op))
+            engine_ok = True
+        except Exception:
+            engine_ok = False
+
+        assert engine_ok == model_ok, (op, "validation divergence")
+        if not model_ok:
+            continue
+        model_items, model_follows = expect_items, expect_follows
+        state = res.engine()
+        applied += 1
+
+        engine_rows = state.tables.get("item").collect()
+        cols = sorted(set(model_items.columns) | set(engine_rows[0].asDict())
+                      if engine_rows else set(model_items.columns))
+
+        def norm(v):
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                return None
+            if isinstance(v, float) and v.is_integer():
+                return int(v)
+            return v
+
+        got = {
+            tuple(norm(r.asDict().get(c)) for c in cols) for r in engine_rows
+        }
+        want = {
+            tuple(norm(rec.get(c)) for c in cols)
+            for rec in model_items.to_dict("records")
+        }
+        assert got == want, (op, cols, got ^ want)
+        got_f = {
+            (r["_src"], r["_dst"])
+            for r in state.tables.get("follows").collect()
+        }
+        want_f = {
+            (int(r["_src"]), int(r["_dst"]))
+            for r in model_follows.to_dict("records")
+        }
+        assert got_f == want_f, (op, got_f ^ want_f)
+    assert applied >= 3  # the chain exercised several successful writes
