@@ -596,3 +596,81 @@ def pagerank(
     nodes.unpersist()
     outdeg.unpersist()
     return ranks
+
+
+def weighted_shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    max_iters: int = 200,
+) -> DataFrame:
+    """(node, dist) — minimum-cost distance from the ``sources`` seed set
+    over non-negative edge weights (distributed Bellman-Ford, semi-naive:
+    each round relaxes ONLY the nodes whose distance improved last round,
+    so settled regions of the graph stop costing anything).
+
+    Rounds are bounded by the longest shortest path in EDGE COUNT (like
+    Dijkstra's heap, but set-at-a-time); every round is one equi-join of
+    the improvement frontier against the edge table plus a min-combine —
+    both map-side combinable, no driver-side state beyond the loop
+    counter. Negative weights raise (a negative cycle would diverge).
+
+    This is the weighted companion of shortest_path_lengths, and the bulk
+    form of Cypher's (future) weighted shortestPath: run it from the
+    anchor set and join the result back onto node properties."""
+    with _no_constraint_propagation(edges):
+        e = (
+            edges.select(
+                F.col(src).alias("src"),
+                F.col(dst).alias("dst"),
+                F.col(weight).cast("double").alias("w"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.min("w").alias("w"))  # parallel edges: keep the cheapest
+            .persist()
+        )
+        neg = e.where(F.col("w") < 0).isEmpty()
+        if not neg:
+            e.unpersist()
+            raise ValueError("weighted_shortest_paths requires non-negative weights")
+        dist = (
+            sources.select(F.col(sources.columns[0]).alias("node"))
+            .distinct()
+            .withColumn("dist", F.lit(0.0))
+            .localCheckpoint(eager=True)
+        )
+        frontier = dist
+        for _ in range(max_iters):
+            cand = (
+                frontier.join(e, frontier["node"] == e["src"])
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("dist") + F.col("w")).alias("cand"),
+                )
+                .groupBy("node")
+                .agg(F.min("cand").alias("cand"))
+            )
+            improved = (
+                cand.join(dist, "node", "left")
+                .where(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+                .select("node", F.col("cand").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            if improved.isEmpty():
+                break
+            dist = (
+                dist.unionByName(improved)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            frontier = improved
+        else:
+            e.unpersist()
+            raise RuntimeError(
+                f"weighted_shortest_paths did not converge within {max_iters} rounds"
+            )
+        e.unpersist()
+        return dist

@@ -1218,3 +1218,74 @@ def test_duplicate_spans_vs_duckdb(spark, docs, duck):
         ).fetchall()
     }
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# weighted shortest paths (distributed Bellman-Ford)
+# ---------------------------------------------------------------------------
+
+
+def _dijkstra(edges, sources):
+    import heapq
+
+    adj = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+    dist = {s: 0.0 for s in sources}
+    heap = [(0.0, s) for s in sources]
+    heapq.heapify(heap)
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    return dist
+
+
+def test_weighted_shortest_paths_vs_dijkstra(spark):
+    import random
+
+    from opencyphertranspiler_spark.pipeline.graph import weighted_shortest_paths
+
+    rng = random.Random(5)
+    n = 40
+    edges = [
+        (rng.randrange(n), rng.randrange(n), round(rng.uniform(0.5, 9.5), 2))
+        for _ in range(160)
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    srcs = spark.createDataFrame([(0,), (17,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in weighted_shortest_paths(e, srcs).collect()
+    }
+    want = _dijkstra(edges, [0, 17])
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)
+
+
+def test_weighted_shortest_paths_picks_cheap_long_route(spark):
+    from opencyphertranspiler_spark.pipeline.graph import weighted_shortest_paths
+
+    # direct hop costs 10; the three-hop detour costs 3
+    e = spark.createDataFrame(
+        [(1, 4, 10.0), (1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0)],
+        "src long, dst long, weight double",
+    )
+    srcs = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"] for r in weighted_shortest_paths(e, srcs).collect()}
+    assert got == {1: 0.0, 2: 1.0, 3: 2.0, 4: 3.0}
+
+
+def test_weighted_shortest_paths_rejects_negative(spark):
+    from opencyphertranspiler_spark.pipeline.graph import weighted_shortest_paths
+
+    e = spark.createDataFrame([(1, 2, -1.0)], "src long, dst long, weight double")
+    srcs = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(ValueError, match="non-negative"):
+        weighted_shortest_paths(e, srcs)
