@@ -222,6 +222,9 @@ class ExprCompiler:
                 *[self.compile(v).alias(k) for k, v in expr.items]
             )
         if isinstance(expr, A.ListIndex):
+            dyn = self._entity_dynamic_property(expr)
+            if dyn is not None:
+                return dyn
             base = self.compile(expr.base)
             # Cypher is 0-based with negative-from-end; element_at is
             # 1-based with the same negative convention. Literal indices
@@ -439,6 +442,50 @@ class ExprCompiler:
         if expr.name.startswith("date."):
             out = out.cast("date")
         return out
+
+    def _entity_dynamic_property(self, expr: A.ListIndex) -> Column | None:
+        """``n[key]`` — dynamic property access on a node/relationship
+        (extension; Neo4j parity). With a literal string key it is the
+        static ``n.key`` access; with a computed key it compiles to a
+        when-chain over the entity's declared properties (the schema is
+        fixed, so the chain is bounded), Catalyst unifying the branch
+        types (mixed-type schemas coerce, e.g. double+string -> string;
+        a genuinely incompatible mix raises at analysis). Unknown keys
+        yield null, matching Neo4j."""
+        if (
+            not isinstance(expr.base, A.Variable)
+            or expr.base.name in self._lambda_scope
+        ):
+            return None
+        try:
+            ref = self._ref(expr.base.name)
+        except TranspilerBindingError:
+            return None
+        if not isinstance(ref, EntityRef):
+            return None
+        if isinstance(expr.index, A.Literal) and isinstance(expr.index.value, str):
+            prop = expr.index.value
+            if prop not in ref.property_names:
+                raise TranspilerBindingError(
+                    f"Property '{prop}' is not defined on '{expr.base.name}'"
+                )
+            return qcol(ref.col(prop))
+        idx = self.compile(expr.index)
+        sch = ref.node if ref.kind == "node" else ref.edge
+        declared = {p.name: p.data_type for p in sch.properties}
+        types = {declared.get(p, "string") for p in ref.property_names}
+        uniform = len(types) == 1
+        col = F.lit(None).cast("string") if not uniform else F.lit(None)
+        for p in ref.property_names:
+            branch = qcol(ref.col(p))
+            if not uniform:
+                # heterogeneous schema: every branch renders as string so
+                # the when-chain has one type (ANSI-safe; Neo4j returns
+                # ANY, which a single relational column cannot) — with a
+                # literal key use n.key for the native type
+                branch = branch.cast("string")
+            col = F.when(idx == F.lit(p), branch).otherwise(col)
+        return col
 
     def _entity_function(self, expr: A.FuncCall) -> Column | None:
         """labels(n) / type(r) / id(n) — extensions over entity aliases

@@ -115,6 +115,20 @@ class WriteResult:
         counter — cheap on the small diff tables, but a real action)."""
         return {k: int(v()) for k, v in self._counters.items()}
 
+    def checkpoint(self) -> "WriteResult":
+        """Truncate the derived tables' lineage (localCheckpoint, eager).
+
+        Each write derives tables as plans over the previous snapshot, so
+        a LONG chain of writes (result.engine().cypher_write(...) repeated
+        N times) accumulates N layers of joins in every plan. Checkpointing
+        materializes the current snapshot and resets lineage — call it
+        every few writes in an iterative load job, exactly like the
+        iterative graph operators checkpoint their frontiers. Returns self
+        with the tables replaced."""
+        for name, df in list(self.tables.items()):
+            self.tables[name] = df.localCheckpoint(eager=True)
+        return self
+
 
 # ---------------------------------------------------------------------------
 # alias resolution over the reading prefix

@@ -2192,3 +2192,39 @@ def test_call_standalone_first_clause(movie_engine):
         "You've Got Mail",
         "Apollo 13",
     }
+
+
+def test_dynamic_property_access(movie_engine):
+    # literal key == static access (native type preserved)
+    df = movie_engine.cypher(
+        "MATCH (p:Person) WHERE p['Born'] > 1955 RETURN p['Name'] AS n"
+    )
+    assert rows(df) == {("Tom Hanks",), ("Meg Ryan",)}
+    # computed key: when-chain over the declared schema, string-rendered
+    # on heterogeneous property sets; unknown keys yield null
+    df2 = movie_engine.cypher(
+        """
+        MATCH (p:Person) WHERE p.id = 'p1'
+        UNWIND ['Name', 'Born', 'Nope'] AS k
+        RETURN k, p[k] AS v ORDER BY k
+        """
+    )
+    assert [tuple(r) for r in df2.collect()] == [
+        ("Born", "1956"),
+        ("Name", "Tom Hanks"),
+        ("Nope", None),
+    ]
+    # dynamic access on a relationship alias
+    df3 = movie_engine.cypher(
+        "MATCH (p:Person)-[r:REVIEWED]->(m:Movie) "
+        "WHERE m.id = 'm1' RETURN p.Name AS n, r['Rating'] AS rating"
+    )
+    # literal key keeps the native type (int)
+    assert rows(df3) == {("Rob Reiner", 9), ("Bill Paxton", 7)}
+
+
+def test_dynamic_property_unknown_literal_key_raises(movie_engine):
+    from opencyphertranspiler_spark import TranspilerBindingError
+
+    with pytest.raises(TranspilerBindingError, match="not defined"):
+        movie_engine.cypher("MATCH (p:Person) RETURN p['Nope'] AS x")

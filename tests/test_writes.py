@@ -652,3 +652,23 @@ def test_foreach_fences(weng):
             "MATCH (c:Customer) SET c.x = 1 "
             "FOREACH (k IN [1] | SET c.y = k)"
         )
+
+
+def test_write_result_checkpoint_truncates_lineage(weng):
+    state = weng
+    res = None
+    for i in range(3):
+        res = state.cypher_write(
+            f"MATCH (c:Customer) WHERE c.c_custkey = {i + 1} SET c.hop = {i}"
+        )
+        res.checkpoint()
+        state = res.engine()
+    t = res.table("customer")
+    # checkpointed plan is a short scan, not a 3-deep join chain
+    plan = t._jdf.queryExecution().toString()
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan or "Scan" in plan
+    got = {
+        (r["c_custkey"], r["hop"])
+        for r in t.filter("hop IS NOT NULL").collect()
+    }
+    assert got == {(1, 0), (2, 1), (3, 2)}
