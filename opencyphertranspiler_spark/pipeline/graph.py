@@ -674,3 +674,113 @@ def weighted_shortest_paths(
             )
         e.unpersist()
         return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(node, community) — community detection by synchronous label
+    propagation over the UNDIRECTED view of the edge set (Raghavan et al.
+    2007). Deterministic variant: each round every node adopts the label
+    with the highest neighbor count, ties broken by the SMALLEST label id;
+    convergence when no label changes (or max_iters, LPA's usual cap —
+    the algorithm can oscillate, and a bounded round count is the
+    standard remedy).
+
+    Each round is one frontier-free pass: neighbor-label counts are a
+    groupBy with map-side combine, the argmax a max_by over (count, -label)
+    — two shuffles per round and no driver state. Deterministic given the
+    edge set, independent of partitioning."""
+    with _no_constraint_propagation(edges):
+        und = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .unionByName(
+                edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .persist()
+        )
+        labels = (
+            und.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("community", F.col("node"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(max_iters):
+            neigh = (
+                und.join(labels, und["b"] == labels["node"])
+                .groupBy(F.col("a").alias("n"), F.col("community").alias("lab"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            new = neigh.groupBy(F.col("n").alias("node")).agg(
+                F.min_by(
+                    F.col("lab"), F.struct((-F.col("cnt")).alias("c"), F.col("lab"))
+                ).alias("community")
+            )
+            changed = (
+                new.alias("x")
+                .join(labels.alias("y"), "node")
+                .where(F.col("x.community") != F.col("y.community"))
+                .isEmpty()
+            )
+            labels = new.localCheckpoint(eager=True)
+            if changed:
+                break
+        und.unpersist()
+        return labels
+
+
+def shortest_path_counts(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 200,
+) -> DataFrame:
+    """(node, dist, n_paths) — the unweighted shortest distance from the
+    seed set AND the number of distinct shortest paths realizing it (the
+    Brandes sigma values: the forward half of betweenness centrality).
+
+    BFS rounds carry path counts: a node first reached in round k gets
+    sigma = sum of the sigmas of its round-(k-1) predecessors — one
+    frontier-edge equi-join and one sum-combine per round, the same
+    semi-naive shape as shortest_path_lengths."""
+    with _no_constraint_propagation(edges):
+        e = (
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .distinct()
+            .persist()
+        )
+        settled = (
+            sources.select(F.col(sources.columns[0]).alias("node"))
+            .distinct()
+            .withColumn("dist", F.lit(0))
+            .withColumn("n_paths", F.lit(1).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = settled
+        for k in range(1, max_iters + 1):
+            nxt = (
+                frontier.join(e, frontier["node"] == e["src"])
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("n_paths").alias("n_paths"))
+                .join(settled.select("node"), "node", "left_anti")
+                .withColumn("dist", F.lit(k))
+                .select("node", "dist", "n_paths")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        else:
+            e.unpersist()
+            raise RuntimeError(
+                f"shortest_path_counts did not converge within {max_iters} rounds"
+            )
+        e.unpersist()
+        return settled

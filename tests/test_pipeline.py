@@ -1289,3 +1289,82 @@ def test_weighted_shortest_paths_rejects_negative(spark):
     srcs = spark.createDataFrame([(1,)], "node long")
     with pytest.raises(ValueError, match="non-negative"):
         weighted_shortest_paths(e, srcs)
+
+
+def test_label_propagation_two_cliques(spark):
+    from opencyphertranspiler_spark.pipeline.graph import label_propagation
+
+    clique_a = [(i, j) for i in range(5) for j in range(5) if i < j]
+    clique_b = [(i, j) for i in range(10, 15) for j in range(10, 15) if i < j]
+    bridge = [(4, 10)]
+    e = spark.createDataFrame(
+        clique_a + clique_b + bridge, "src long, dst long"
+    )
+    out = {r["node"]: r["community"] for r in label_propagation(e).collect()}
+    a_labels = {out[i] for i in range(5)}
+    b_labels = {out[i] for i in range(10, 15)}
+    assert len(a_labels) == 1 and len(b_labels) == 1
+    assert a_labels != b_labels
+    # determinism
+    again = {r["node"]: r["community"] for r in label_propagation(e).collect()}
+    assert out == again
+
+
+def test_shortest_path_counts_diamond(spark):
+    from opencyphertranspiler_spark.pipeline.graph import shortest_path_counts
+
+    # 1 -> {2,3} -> 4 -> 5 : two shortest paths to 4 and 5
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (1, 6), (6, 4)],
+        "src long, dst long",
+    )
+    srcs = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: (r["dist"], r["n_paths"])
+        for r in shortest_path_counts(e, srcs).collect()
+    }
+    assert got == {
+        1: (0, 1),
+        2: (1, 1),
+        3: (1, 1),
+        6: (1, 1),
+        4: (2, 3),  # three dist-2 routes: via 2, via 3, via 6
+        5: (3, 3),
+    }
+
+
+def test_shortest_path_counts_vs_bruteforce(spark):
+    import itertools
+    import random
+    from collections import deque
+
+    from opencyphertranspiler_spark.pipeline.graph import shortest_path_counts
+
+    rng = random.Random(9)
+    n = 25
+    edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(70)})
+    edges = [(a, b) for a, b in edges if a != b]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    srcs = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: (r["dist"], r["n_paths"])
+        for r in shortest_path_counts(e, srcs).collect()
+    }
+    # reference BFS with sigma counting
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    dist = {0: 0}
+    sigma = {0: 1}
+    q = deque([0])
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                sigma[v] = 0
+                q.append(v)
+            if dist[v] == dist[u] + 1:
+                sigma[v] += sigma[u]
+    want = {k: (dist[k], sigma[k]) for k in dist}
+    assert got == want
