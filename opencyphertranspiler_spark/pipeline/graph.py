@@ -784,3 +784,115 @@ def shortest_path_counts(
             )
         e.unpersist()
         return settled
+
+
+def betweenness_approx(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 200,
+) -> DataFrame:
+    """(node, betweenness) — Brandes betweenness centrality restricted to
+    the given source sample (Brandes 2001; Bader et al. 2007 show uniform
+    source sampling estimates the full value — at 100 TB you never run
+    all |V| sources). Directed; pass a symmetrized edge set for the
+    undirected variant.
+
+    Phase 1 (forward): one BFS over ALL sampled sources at once — state is
+    keyed by (source, node), so k sources cost one extra join key, not k
+    sequential BFS runs. Rounds = max sampled eccentricity.
+    Phase 2 (backward): dependency accumulation by descending distance
+    level; each level is one predecessor equi-join computing
+    sigma_pred / sigma_node * (1 + delta_node), summed map-side. Driver
+    holds only the level counter.
+
+    Endpoints are excluded (standard Brandes). No normalization is
+    applied; divide by the pair count yourself if you want it."""
+    with _no_constraint_propagation(edges):
+        e = (
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .distinct()
+            .persist()
+        )
+        settled = (
+            sources.select(F.col(sources.columns[0]).alias("root"))
+            .distinct()
+            .withColumn("node", F.col("root"))
+            .withColumn("dist", F.lit(0))
+            .withColumn("sigma", F.lit(1).cast("double"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = settled
+        depth = 0
+        for k in range(1, max_iters + 1):
+            nxt = (
+                frontier.join(e, frontier["node"] == e["src"])
+                .groupBy(F.col("root"), F.col("dst").alias("node"))
+                .agg(F.sum("sigma").alias("sigma"))
+                .join(
+                    settled.select("root", "node").withColumn("__s", F.lit(1)),
+                    ["root", "node"],
+                    "left_anti",
+                )
+                .withColumn("dist", F.lit(k))
+                .select("root", "node", "dist", "sigma")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                depth = k - 1
+                break
+            settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        else:
+            e.unpersist()
+            raise RuntimeError(
+                f"betweenness_approx forward pass exceeded {max_iters} rounds"
+            )
+        settled = settled.persist()
+        # backward accumulation, one distance level at a time
+        delta = settled.select(
+            "root", "node", F.lit(0.0).alias("delta")
+        ).localCheckpoint(eager=True)
+        for lvl in range(depth, 0, -1):
+            at = settled.where(F.col("dist") == lvl).join(
+                delta, ["root", "node"]
+            )
+            preds = settled.where(F.col("dist") == lvl - 1)
+            contrib = (
+                preds.alias("p")
+                .join(e, F.col("p.node") == e["src"])
+                .join(
+                    at.alias("w"),
+                    (F.col("dst") == F.col("w.node"))
+                    & (F.col("p.root") == F.col("w.root")),
+                )
+                .select(
+                    F.col("p.root").alias("root"),
+                    F.col("p.node").alias("node"),
+                    (
+                        F.col("p.sigma")
+                        / F.col("w.sigma")
+                        * (F.lit(1.0) + F.col("w.delta"))
+                    ).alias("c"),
+                )
+                .groupBy("root", "node")
+                .agg(F.sum("c").alias("c"))
+            )
+            delta = (
+                delta.join(contrib, ["root", "node"], "left")
+                .select(
+                    "root",
+                    "node",
+                    (F.col("delta") + F.coalesce("c", F.lit(0.0))).alias("delta"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        out = (
+            delta.where(F.col("node") != F.col("root"))
+            .groupBy("node")
+            .agg(F.round(F.sum("delta"), 6).alias("betweenness"))
+        )
+        settled.unpersist()
+        e.unpersist()
+        return out

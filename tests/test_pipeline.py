@@ -1368,3 +1368,69 @@ def test_shortest_path_counts_vs_bruteforce(spark):
                 sigma[v] += sigma[u]
     want = {k: (dist[k], sigma[k]) for k in dist}
     assert got == want
+
+
+def test_betweenness_matches_brandes(spark):
+    import random
+    from collections import deque
+
+    from opencyphertranspiler_spark.pipeline.graph import betweenness_approx
+
+    def brandes(edge_list, roots):
+        adj = {}
+        for a, b in edge_list:
+            adj.setdefault(a, []).append(b)
+        bc = {}
+        for s in roots:
+            dist, sigma, preds, order = {s: 0}, {s: 1.0}, {}, []
+            q = deque([s])
+            while q:
+                u = q.popleft()
+                order.append(u)
+                for v in adj.get(u, []):
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        sigma[v] = 0.0
+                        preds[v] = []
+                        q.append(v)
+                    if dist[v] == dist[u] + 1:
+                        sigma[v] += sigma[u]
+                        preds[v].append(u)
+            delta = {u: 0.0 for u in dist}
+            for w in reversed(order):
+                for p in preds.get(w, []):
+                    delta[p] += sigma[p] / sigma[w] * (1 + delta[w])
+                if w != s:
+                    bc[w] = bc.get(w, 0.0) + delta[w]
+        return {k: v for k, v in bc.items() if v > 0}
+
+    rng = random.Random(4)
+    n = 20
+    edge_list = list({(rng.randrange(n), rng.randrange(n)) for _ in range(60)})
+    edge_list = [(a, b) for a, b in edge_list if a != b]
+    roots = [0, 3, 7]
+    e = spark.createDataFrame(edge_list, "src long, dst long")
+    srcs = spark.createDataFrame([(r,) for r in roots], "node long")
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_approx(e, srcs).collect()
+        if r["betweenness"] > 0
+    }
+    want = brandes(edge_list, roots)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6, (k, got[k], want[k])
+
+
+def test_betweenness_path_graph(spark):
+    from opencyphertranspiler_spark.pipeline.graph import betweenness_approx
+
+    # path 1->2->3->4 from source 1: node 2 lies on paths to 3,4; node 3 on
+    # the path to 4
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    srcs = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_approx(e, srcs).collect()
+    }
+    assert got == {2: 2.0, 3: 1.0, 4: 0.0}
