@@ -94,3 +94,29 @@ def write_table(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.save(path)
+
+
+def register_format(
+    reg: TableRegistry,
+    spark: SparkSession,
+    name: str,
+    path: str,
+    format: str = "orc",
+    schema: str | None = None,
+    **options: str,
+) -> None:
+    """Register a table backed by ANY Spark DataFrame source (orc, avro
+    when the package is on the classpath, text, parquet with custom
+    options, a JDBC/catalog-backed format, ...). The generic escape hatch
+    behind the csv/json conveniences — everything the engine needs from a
+    source is `spark.read.format(...).load(...) -> DataFrame`."""
+
+    def load() -> DataFrame:
+        reader = spark.read.format(format)
+        if schema is not None:
+            reader = reader.schema(schema)
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.load(path)
+
+    reg.register(name, load)

@@ -172,3 +172,20 @@ def test_graph_schema_validate(spark):
     assert len(problems) == 3  # missing column, missing table x2
     with pytest.raises(TranspilerBindingError):
         bad.require_valid(reg)
+
+
+def test_register_format_orc_roundtrip(spark, tmp_path):
+    from opencyphertranspiler_spark.sources import TableRegistry
+    from opencyphertranspiler_spark.sources.files import (
+        register_format,
+        write_table,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    path = str(tmp_path / "region_orc")
+    write_table(src, path, format="orc")
+    reg = TableRegistry()
+    register_format(reg, spark, "region", path, format="orc")
+    got = {tuple(r) for r in reg.get("region").collect()}
+    want = {tuple(r) for r in src.collect()}
+    assert got == want
