@@ -1070,6 +1070,14 @@ class Parser:
                     "DISTINCT is only supported inside count() and collect() "
                     "(reference SQLRenderer.cs:708-711)"
                 )
+            # Neo4j's last() is a LIST function; the reference's LAST is an
+            # aggregate. Disambiguate by the argument's syntactic shape:
+            # list-producing expressions (literals, comprehensions, slices,
+            # list-returning calls, collect()) get the list semantics —
+            # which also legalizes the `last(collect(x))` idiom the
+            # nested-aggregate rule would otherwise reject.
+            if name == "last" and not extras and _is_list_shaped(arg):
+                return A.FuncCall("last_element", [arg])
             if any(A.contains_aggregate(e) for e in [arg, *extras]):
                 raise TranspilerNotSupportedError(
                     "Nested aggregation functions are not supported"
@@ -1085,6 +1093,24 @@ class Parser:
                     break
         self.expect_punct(")")
         return A.FuncCall(name, args)
+
+
+_LIST_RETURNING_FNS = {
+    "range", "split", "keys", "labels", "nodes", "relationships", "tail",
+    "reverse", "last_element",
+}
+
+
+def _is_list_shaped(e: A.Expr) -> bool:
+    """Syntactically list-producing expressions (for last() overloading)."""
+    if isinstance(e, (A.ListLiteral, A.ListComprehension, A.ListSlice,
+                      A.PatternComprehension)):
+        return True
+    if isinstance(e, A.FuncCall) and e.name in _LIST_RETURNING_FNS:
+        return True
+    if isinstance(e, A.AggCall) and e.name == "collect":
+        return True
+    return False
 
 
 def parse(text: str, allow_writes: bool = False) -> A.Query:

@@ -215,6 +215,11 @@ def compile_scalar(name: str, args: list[Column]) -> Column:
     if name == "head":
         _arity(name, args, 1)
         return F.try_element_at(args[0], F.lit(1))
+    if name == "last_element":
+        # Neo4j last(list) — the parser routes list-shaped last() here
+        # (the bare name stays the reference's LAST aggregate)
+        _arity(name, args, 1)
+        return F.try_element_at(args[0], F.lit(-1))
     if name == "tail":
         _arity(name, args, 1)
         return F.slice(args[0], 2, F.greatest(F.size(args[0]) - 1, F.lit(0)))

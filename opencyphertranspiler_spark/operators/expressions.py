@@ -493,6 +493,12 @@ class ExprCompiler:
         schema constants here (single-label model), so they fold to
         literals; id(n) is the node's id column, id(r) the edge's
         (source, sink) pair as a struct."""
+        if expr.name in ("startnode", "endnode"):
+            raise TranspilerNotSupportedError(
+                f"{expr.name}() as a standalone value is not supported; "
+                "use id(startNode(r)) / id(endNode(r)) for the endpoint id, "
+                "or bind the endpoint with its own alias in the pattern"
+            )
         if expr.name not in (
             "labels",
             "type",
@@ -505,6 +511,36 @@ class ExprCompiler:
             "relationships",
         ):
             return None
+        if (
+            len(expr.args) == 1
+            and isinstance(expr.args[0], A.FuncCall)
+            and expr.args[0].name in ("startnode", "endnode")
+        ):
+            # id(startNode(r)) / id(endNode(r)) — the endpoint id IS an
+            # edge column, no join needed. Other uses of startNode/endNode
+            # need the full node row: bind the endpoint with its own alias
+            # in the pattern instead.
+            inner = expr.args[0]
+            if expr.name not in ("id", "elementid"):
+                raise TranspilerNotSupportedError(
+                    f"{expr.name}(startNode()/endNode()) is not supported; "
+                    "bind the endpoint with its own alias in the pattern"
+                )
+            if len(inner.args) != 1 or not isinstance(inner.args[0], A.Variable):
+                raise TranspilerBindingError(
+                    "startNode()/endNode() take a relationship alias"
+                )
+            rref = self._ref(inner.args[0].name)
+            if not isinstance(rref, EntityRef) or rref.kind != "edge":
+                raise TranspilerBindingError(
+                    "startNode()/endNode() require a relationship alias"
+                )
+            prop = (
+                rref.edge.source_id_property
+                if inner.name == "startnode"
+                else rref.edge.sink_id_property
+            )
+            return qcol(rref.col(prop))
         if len(expr.args) != 1 or not isinstance(expr.args[0], A.Variable):
             raise TranspilerBindingError(
                 f"{expr.name}() takes a single node/relationship/path alias"

@@ -128,3 +128,64 @@ def test_isempty_and_elementid(engine):
         None,
     )
     assert row.eid == row.rid
+
+
+# ---------------------------------------------------------------------------
+# last() list/aggregate disambiguation + startNode()/endNode()
+# ---------------------------------------------------------------------------
+
+
+def test_last_on_list_shaped_args(engine):
+    assert engine.cypher("RETURN last([1, 2, 3]) AS x").collect()[0]["x"] == 3
+    assert engine.cypher("RETURN last([]) AS x").collect()[0]["x"] is None
+    assert (
+        engine.cypher("RETURN last(range(1, 5)) AS x").collect()[0]["x"] == 5
+    )
+    # the Neo4j idiom the nested-aggregate rule used to reject
+    got = engine.cypher(
+        "MATCH (r:Region) RETURN last(collect(r.r_name)) AS x"
+    ).collect()[0]["x"]
+    assert got == "MIDDLE EAST"
+    # a list variable still routes to the aggregate (documented: use
+    # names[-1] for element access on variables)
+    got2 = engine.cypher(
+        "MATCH (r:Region) WITH collect(r.r_name) AS names "
+        "RETURN names[-1] AS x"
+    ).collect()[0]["x"]
+    assert got2 == "MIDDLE EAST"
+
+
+def test_last_aggregate_form_intact(engine, duck):
+    got = engine.cypher(
+        "MATCH (o:Orders) RETURN last(o.o_orderstatus) AS x"
+    ).collect()[0]["x"]
+    want = duck.execute("SELECT max(o_orderstatus) FROM orders").fetchone()[0]
+    assert got == want  # reference parity: LAST lowers to MAX
+
+
+def test_start_end_node_ids(engine):
+    rows = engine.cypher(
+        "MATCH (c:Customer)-[r:PLACED]->(o:Orders) "
+        "WHERE o.o_orderkey <= 3 "
+        "RETURN id(startNode(r)) AS s, id(endNode(r)) AS e, "
+        "c.c_custkey AS ck, o.o_orderkey AS ok"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["s"] == r["ck"] and r["e"] == r["ok"]
+
+
+def test_start_end_node_fences(engine):
+    from opencyphertranspiler_spark.exceptions import (
+        TranspilerNotSupportedError,
+    )
+
+    with pytest.raises(TranspilerNotSupportedError, match="bind the endpoint"):
+        engine.cypher(
+            "MATCH (c:Customer)-[r:PLACED]->(o:Orders) RETURN startNode(r) AS s"
+        )
+    with pytest.raises(TranspilerNotSupportedError, match="bind the endpoint"):
+        engine.cypher(
+            "MATCH (c:Customer)-[r:PLACED]->(o:Orders) "
+            "RETURN labels(startNode(r)) AS l"
+        )
