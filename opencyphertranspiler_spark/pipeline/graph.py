@@ -896,3 +896,63 @@ def betweenness_approx(
         settled.unpersist()
         e.unpersist()
         return out
+
+
+def k_core(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 500,
+) -> DataFrame:
+    """(node, coreness) — the largest k such that the node survives in the
+    k-core (the maximal subgraph where every node has degree >= k), over
+    the UNDIRECTED simple view of the edge set. Classic peeling: for
+    k = 1, 2, ... repeatedly drop nodes with degree < k; a node dropped
+    during phase k has coreness k - 1.
+
+    Each peel round is one degree aggregation (map-side combine) plus one
+    semi-join — no driver state beyond the (k, round) counters; total
+    rounds are bounded by max-coreness + number-of-peels, each of which is
+    O(sqrt(edges)) in the worst case and tiny on real graphs. The
+    localCheckpoint per round keeps lineage flat, as in the other
+    iterative operators."""
+    with _no_constraint_propagation(edges):
+        und = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .unionByName(
+                edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        result = None  # (node, coreness) accumulator
+        k = 1
+        for _ in range(max_iters):
+            if und.isEmpty():
+                break
+            deg = und.groupBy(F.col("a").alias("node")).agg(
+                F.count(F.lit(1)).alias("deg")
+            )
+            low = deg.where(F.col("deg") < k).select("node")
+            if low.isEmpty():
+                k += 1
+                continue
+            peeled = low.withColumn("coreness", F.lit(k - 1))
+            result = (
+                peeled
+                if result is None
+                else result.unionByName(peeled).localCheckpoint(eager=True)
+            )
+            und = (
+                und.join(low, und["a"] == low["node"], "left_anti")
+                .join(low, und["b"] == low["node"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            raise RuntimeError(f"k_core did not converge within {max_iters} rounds")
+        if result is None:
+            return edges.sparkSession.createDataFrame(
+                [], "node long, coreness int"
+            )
+        return result

@@ -1434,3 +1434,49 @@ def test_betweenness_path_graph(spark):
         for r in betweenness_approx(e, srcs).collect()
     }
     assert got == {2: 2.0, 3: 1.0, 4: 0.0}
+
+
+def test_k_core_clique_plus_tail(spark):
+    from opencyphertranspiler_spark.pipeline.graph import k_core
+
+    clique = [(i, j) for i in range(5) for j in range(5) if i < j]  # K5
+    tail = [(4, 10), (10, 11), (11, 12)]
+    e = spark.createDataFrame(clique + tail, "src long, dst long")
+    got = {r["node"]: r["coreness"] for r in k_core(e).collect()}
+    assert {got[i] for i in range(5)} == {4}  # K5 members: coreness 4
+    assert got[10] == got[11] == got[12] == 1  # the path tail
+
+
+def test_k_core_vs_bruteforce(spark):
+    import random
+
+    from opencyphertranspiler_spark.pipeline.graph import k_core
+
+    def brute(edge_list):
+        und = {frozenset((a, b)) for a, b in edge_list if a != b}
+        alive = {x for e in und for x in e}
+        core = {}
+        k = 1
+        while alive:
+            deg = {n: 0 for n in alive}
+            for e in und:
+                a, b = tuple(e)
+                if a in alive and b in alive:
+                    deg[a] += 1
+                    deg[b] += 1
+            low = {n for n in alive if deg[n] < k}
+            if not low:
+                k += 1
+                continue
+            for n in low:
+                core[n] = k - 1
+            alive -= low
+            und = {e for e in und if not (e & low)}
+        return core
+
+    rng = random.Random(13)
+    edge_list = list({(rng.randrange(30), rng.randrange(30)) for _ in range(90)})
+    edge_list = [(a, b) for a, b in edge_list if a != b]
+    e = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["node"]: r["coreness"] for r in k_core(e).collect()}
+    assert got == brute(edge_list)

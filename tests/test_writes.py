@@ -672,3 +672,22 @@ def test_write_result_checkpoint_truncates_lineage(weng):
         for r in t.filter("hop IS NOT NULL").collect()
     }
     assert got == {(1, 0), (2, 1), (3, 2)}
+
+
+def test_set_after_order_by_limit(weng):
+    # the reading prefix's ORDER BY/LIMIT bounds which rows the write hits
+    res = weng.cypher_write(
+        "MATCH (c:Customer) WITH c ORDER BY c.c_acctbal DESC LIMIT 3 "
+        "SET c.top3 = true"
+    )
+    got = sorted(
+        r["c_custkey"] for r in res.table("customer").filter("top3").collect()
+    )
+    exp = sorted(
+        r["k"]
+        for r in weng.cypher(
+            "MATCH (c:Customer) RETURN c.c_custkey AS k "
+            "ORDER BY c.c_acctbal DESC LIMIT 3"
+        ).collect()
+    )
+    assert got == exp and len(got) == 3
