@@ -81,6 +81,42 @@ def main() -> None:
         """
     ).show()
 
+    print("— CALL procedures (schema introspection) —")
+    eng.cypher(
+        "CALL db.labels() YIELD label WHERE label STARTS WITH 'C' RETURN label"
+    ).show()
+
+    print("— dynamic property access n[key] —")
+    eng.cypher(
+        """
+        MATCH (c:Customer) WHERE c.c_custkey = 1
+        UNWIND ['c_name', 'c_mktsegment'] AS k
+        RETURN k, c[k] AS value
+        """
+    ).show(truncate=False)
+
+    print("— functional writes: SET + RETURN, then a post-write engine —")
+    res = eng.cypher_write(
+        """
+        MATCH (c:Customer) WHERE c.c_acctbal < 0
+        SET c.tier = 'debit'
+        RETURN c.c_mktsegment AS segment, count(*) AS flagged
+        """
+    )
+    res.returned.show()
+    print("write stats:", res.counts())
+    post = res.engine()
+    post.cypher(
+        "MATCH (c:Customer) WHERE c.tier = 'debit' RETURN count(*) AS debit_customers"
+    ).show()
+
+    print("— FOREACH + MERGE (idempotent seeding) —")
+    seeded = post.cypher_write(
+        "FOREACH (k IN [100, 101] | "
+        "MERGE (r:Region {r_regionkey: k, r_name: 'SANDBOX'}))"
+    )
+    print("seed stats:", seeded.counts())
+
     spark.stop()
 
 
