@@ -43,3 +43,46 @@ def approx_quantiles(
             value_col, F.array(*[F.lit(q) for q in quantiles]), F.lit(accuracy)
         ).alias(f"approx_q_{value_col}")
     )
+
+
+def approx_top_items(
+    df: DataFrame,
+    value_col: str,
+    k: int = 10,
+    per_partition: int | None = None,
+) -> DataFrame:
+    """(item, approx_count) — approximate top-k heavy
+    hitters, the two-phase SpaceSaving-style sketch:
+
+    1. per PHYSICAL partition, keep only the ``per_partition`` locally
+       most-frequent items (default ``4 * k`` — the classic headroom that
+       makes a globally-frequent item survive local eviction);
+    2. merge the surviving candidates globally and take the top k.
+
+    ``approx_count`` can UNDER-count (occurrences evicted in phase 1 are
+    lost), never over-count, so it is a lower bound; items with true count
+    >= n_rows / per_partition are guaranteed to surface (pigeonhole). The
+    shuffle carries at most partitions * per_partition rows instead of one
+    per distinct item — the difference on a 100 TB skewed key column.
+
+    Exact counts for the RETURNED items are one cheap follow-up semi-join
+    if needed; tests assert the guarantee on skewed data."""
+    import pandas as pd
+
+    if per_partition is None:
+        per_partition = 4 * k
+    src = df.select(F.col(value_col).alias("item"))
+
+    def local_top(it):
+        for pdf in it:
+            vc = pdf["item"].value_counts().head(per_partition)
+            yield pd.DataFrame({"item": vc.index, "c": vc.to_numpy()})
+
+    schema = f"item {dict(src.dtypes)['item']}, c long"
+    partial = src.mapInPandas(local_top, schema)
+    return (
+        partial.groupBy("item")
+        .agg(F.sum("c").alias("approx_count"))
+        .orderBy(F.col("approx_count").desc(), F.col("item"))
+        .limit(k)
+    )

@@ -1480,3 +1480,28 @@ def test_k_core_vs_bruteforce(spark):
     e = spark.createDataFrame(edge_list, "src long, dst long")
     got = {r["node"]: r["coreness"] for r in k_core(e).collect()}
     assert got == brute(edge_list)
+
+
+def test_approx_top_items_on_skewed_column(spark):
+    from pyspark.sql import functions as F
+
+    from opencyphertranspiler_spark.pipeline.sketches import approx_top_items
+
+    # skewed: value v appears ~ 1000/v times (zipf-ish), many singletons
+    rows = []
+    for v in range(1, 30):
+        rows.extend([(f"k{v}",)] * (1000 // v))
+    rows.extend([(f"rare{i}",)] * 2 for i in range(500))
+    flat = [r for x in rows for r in (x if isinstance(x, list) else [x])]
+    df = spark.createDataFrame(flat, "item string").repartition(8)
+    got = approx_top_items(df, "item", k=5).collect()
+    exact = {
+        r["item"]: r["n"]
+        for r in df.groupBy("item").agg(F.count("*").alias("n")).collect()
+    }
+    true_top5 = sorted(exact, key=lambda x: (-exact[x], x))[:5]
+    assert [r["item"] for r in got] == true_top5
+    for r in got:
+        # never over-counts; heavy items are fully counted here
+        assert r["approx_count"] <= exact[r["item"]]
+        assert r["approx_count"] >= 0.5 * exact[r["item"]]
