@@ -830,11 +830,7 @@ def betweenness_approx(
                 frontier.join(e, frontier["node"] == e["src"])
                 .groupBy(F.col("root"), F.col("dst").alias("node"))
                 .agg(F.sum("sigma").alias("sigma"))
-                .join(
-                    settled.select("root", "node").withColumn("__s", F.lit(1)),
-                    ["root", "node"],
-                    "left_anti",
-                )
+                .join(settled.select("root", "node"), ["root", "node"], "left_anti")
                 .withColumn("dist", F.lit(k))
                 .select("root", "node", "dist", "sigma")
                 .localCheckpoint(eager=True)

@@ -284,3 +284,92 @@ def ngram_overlap(
             6,
         ).alias("overlap_frac"),
     )
+
+
+def _char_ngrams(text_col: str, n: int):
+    """Array of overlapping character n-grams (lower-cased, whitespace
+    normalized) — pure codegen transform, no UDF."""
+    norm = f"lower(regexp_replace({text_col}, '\\\\s+', ' '))"
+    return F.expr(
+        f"CASE WHEN length({norm}) >= {n} THEN "
+        f"transform(sequence(1, length({norm}) - {n - 1}), "
+        f"i -> substring({norm}, i, {n})) ELSE array() END"
+    )
+
+
+def train_char_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(context, nextc, logp) — a character n-gram language model as a
+    DataFrame: log P(c | preceding n-1 chars), max-likelihood over the
+    corpus. The CCNet recipe (Wenzek et al. 2020) scores documents with a
+    reference LM and drops the worst tail; train this on a trusted corpus
+    (or the corpus itself for outlier mining).
+
+    Scale shape: the model IS a DataFrame (two groupBy passes — n-gram and
+    context counts), never driver state; scoring joins against it. A
+    trigram model over lower-cased text is small enough that the score
+    join broadcasts."""
+    grams = (
+        df.select(F.explode(_char_ngrams(text_col, n)).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c_gram"))
+        .withColumn("context", F.expr(f"substring(g, 1, {n - 1})"))
+        .withColumn("nextc", F.expr(f"substring(g, {n}, 1)"))
+    )
+    ctx = grams.groupBy("context").agg(F.sum("c_gram").alias("c_ctx"))
+    return grams.join(ctx, "context").select(
+        "context",
+        "nextc",
+        (F.log(F.col("c_gram").cast("double")) - F.log(F.col("c_ctx"))).alias(
+            "logp"
+        ),
+    )
+
+
+def lm_score(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    unseen_logp: float = -20.0,
+) -> DataFrame:
+    """(id, n_grams, avg_logp, ppl) — per-document mean character
+    log-likelihood under a train_char_lm model, and the derived
+    perplexity exp(-avg_logp). Low ppl = text that looks like the
+    reference corpus; gibberish and boilerplate score high — CCNet-style
+    filtering is ``lm_score(...).filter("ppl < cutoff")``.
+
+    Unseen n-grams contribute ``unseen_logp`` (a fixed floor; simple and
+    deterministic where CCNet uses Kneser-Ney). The scoring plan is one
+    explode, one join against the (broadcastable) model, one groupBy."""
+    occ = df.select(
+        F.col(id_col),
+        F.explode(_char_ngrams(text_col, n)).alias("g"),
+    ).select(
+        id_col,
+        F.expr(f"substring(g, 1, {n - 1})").alias("context"),
+        F.expr(f"substring(g, {n}, 1)").alias("nextc"),
+    )
+    scored = occ.join(
+        F.broadcast(model), ["context", "nextc"], "left"
+    ).select(
+        id_col,
+        F.coalesce("logp", F.lit(float(unseen_logp))).alias("logp"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.avg("logp").alias("avg_logp"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.round("avg_logp", 6).alias("avg_logp"),
+            F.round(F.exp(-F.col("avg_logp")), 6).alias("ppl"),
+        )
+    )

@@ -1505,3 +1505,78 @@ def test_approx_top_items_on_skewed_column(spark):
         # never over-counts; heavy items are fully counted here
         assert r["approx_count"] <= exact[r["item"]]
         assert r["approx_count"] >= 0.5 * exact[r["item"]]
+
+
+# ---------------------------------------------------------------------------
+# character-LM quality scoring (CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+def test_char_lm_separates_gibberish(spark):
+    import random
+    import string
+
+    from opencyphertranspiler_spark.pipeline.text import lm_score, train_char_lm
+
+    rng = random.Random(21)
+    natural = [
+        "the quick brown fox jumps over the lazy dog and the dog sleeps",
+        "the cat and the dog play in the garden near the old oak tree",
+        "a quick dog runs over the garden and the fox sleeps in the sun",
+    ] * 10
+    ref = spark.createDataFrame([(t,) for t in natural], "text string")
+    model = train_char_lm(ref)
+    gibberish = "".join(rng.choice(string.ascii_lowercase + " ") for _ in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick dog sleeps in the garden near the tree"),
+            (2, gibberish),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in lm_score(docs, model).collect()}
+    assert out[1]["ppl"] < out[2]["ppl"] / 5, (out[1]["ppl"], out[2]["ppl"])
+    assert out[1]["n_grams"] > 0 and out[2]["n_grams"] > 0
+
+
+def test_char_lm_vs_duckdb(spark, docs, duck):
+    from opencyphertranspiler_spark.pipeline.text import lm_score, train_char_lm
+
+    model = train_char_lm(docs)
+    got = {
+        (r["doc_id"], r["n_grams"], r["avg_logp"], r["ppl"])
+        for r in lm_score(docs, model).collect()
+    }
+    exp = {
+        tuple(r)
+        for r in duck.execute(
+            """
+            WITH t AS (
+                SELECT doc_id,
+                       lower(regexp_replace(text, '\\s+', ' ', 'g')) AS s
+                FROM documents
+            ), g AS (
+                SELECT doc_id, unnest(CASE WHEN length(s) >= 3
+                    THEN [substr(s, i, 3) FOR i IN range(1, length(s) - 1)]
+                    ELSE [] END) AS gr
+                FROM t
+            ), cnt AS (
+                SELECT gr, count(*) AS c_gram FROM g GROUP BY gr
+            ), ctx AS (
+                SELECT substr(gr, 1, 2) AS context, sum(c_gram) AS c_ctx
+                FROM cnt GROUP BY 1
+            ), model AS (
+                SELECT gr, ln(c_gram::DOUBLE) - ln(c_ctx::DOUBLE) AS logp
+                FROM cnt JOIN ctx ON substr(cnt.gr, 1, 2) = ctx.context
+            ), sc AS (
+                SELECT g.doc_id, coalesce(m.logp, -20.0) AS logp
+                FROM g LEFT JOIN model m ON g.gr = m.gr
+            )
+            SELECT doc_id, count(*) AS n_grams,
+                   round(avg(logp), 6) AS avg_logp,
+                   round(exp(-avg(logp)), 6) AS ppl
+            FROM sc GROUP BY doc_id
+            """
+        ).fetchall()
+    }
+    assert got == exp
