@@ -355,3 +355,26 @@ def test_write_set_is_single_join_update(spark):
         re.findall(r"\(\d+\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
     )
     assert n_joins == 1, plan
+
+
+def test_duplicate_spans_no_cartesian_and_codegen_windows(spark):
+    """The gram explode must be codegen (no Python UDF) and the rollup
+    must never produce a cartesian product."""
+    from opencyphertranspiler_spark.pipeline.dedup import duplicate_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = formatted_plan(spark, duplicate_spans(docs, window=10))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lm_score_broadcasts_model(spark):
+    """The scoring join ships the (small) model to the corpus — the corpus
+    must never shuffle for the join."""
+    from opencyphertranspiler_spark.pipeline.text import lm_score, train_char_lm
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model = train_char_lm(docs)
+    plan = formatted_plan(spark, lm_score(docs, model))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

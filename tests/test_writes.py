@@ -691,3 +691,13 @@ def test_set_after_order_by_limit(weng):
         ).collect()
     )
     assert got == exp and len(got) == 3
+
+
+def test_write_with_query_parameters(weng):
+    res = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_custkey = $k SET c.note = $msg",
+        params={"k": 3, "msg": "hello"},
+    )
+    t = res.table("customer")
+    assert t.filter("c_custkey = 3").collect()[0]["note"] == "hello"
+    assert t.filter("note IS NOT NULL").count() == 1
