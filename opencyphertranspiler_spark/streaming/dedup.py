@@ -115,3 +115,137 @@ def stream_interval_join(
         & (lts <= rts + F.expr(f"INTERVAL {max_delta_seconds} SECONDS"))
     )
     return l.join(r, cond).drop(*[F.col(f"r.{k}") for k in on])
+
+
+# ---------------------------------------------------------------------------
+# streaming NEAR-duplicate detection (MinHash banding with bucket state)
+# ---------------------------------------------------------------------------
+
+_M31 = (1 << 31) - 1
+
+
+def _signature_expr(text_col: str, n: int = 3, num_hashes: int = 32):
+    """Row-local MinHash signature as an array<long> expression.
+
+    The batch path (pipeline/dedup.py minhash_signature_df) uses
+    explode + groupBy for whole-stage codegen; a STREAM cannot re-group
+    per document, so here the signature folds inside the row with array
+    lambdas (interpreted — fine at ingest rates, and the coefficients are
+    shared with the batch path so signatures are identical)."""
+    from ..pipeline.dedup import MINHASH_COEFFS
+
+    shingles = (
+        f"CASE WHEN length({text_col}) >= {n} THEN "
+        f"transform(sequence(1, length({text_col}) - {n - 1}), "
+        f"i -> pmod(xxhash64(substring({text_col}, i, {n})), {_M31}L)) "
+        "ELSE array(0L) END"
+    )
+    mins = ", ".join(
+        f"array_min(transform(__sh, h -> pmod({a}L * h + {b}L, {_M31}L)))"
+        for a, b in MINHASH_COEFFS[:num_hashes]
+    )
+    return F.expr(f"array({mins})").alias("sig"), F.expr(shingles).alias("__sh")
+
+
+def near_dup_stream(
+    stream: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    state_timeout_minutes: int = 60,
+) -> DataFrame:
+    """(id_a, id_b, agreement) — near-duplicate pairs detected AT INGEST:
+    each arriving document's MinHash signature is checked against the
+    signatures previously seen in any of its LSH band buckets, then added
+    to that bucket's state. ``agreement`` is the signature-agreement
+    fraction (an unbiased Jaccard estimate); the batch operator's exact
+    shingle-level verify is not possible here (state holds signatures,
+    not text) — run minhash_lsh_pairs over the accumulated corpus for the
+    exact confirmation pass.
+
+    State is per band-bucket and expires after ``state_timeout_minutes``
+    of processing-time inactivity, so memory is O(active buckets), not
+    O(corpus). A pair colliding in several bands is emitted once per
+    collision — apply ``dropDuplicates(['id_a','id_b'])`` downstream (a
+    batch-side distinct; doing it in-stream would add unbounded state).
+
+    Works identically on a batch DataFrame (one mega-batch per bucket),
+    which is how the equivalence test pins stream == batch semantics."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    rows_per_band = num_hashes // bands
+    sig, sh = _signature_expr(text_col, n, num_hashes)
+    with_sig = stream.select(F.col(id_col).alias("id"), sh).select("id", sig)
+    banded = with_sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        F.concat_ws(
+                            "-",
+                            F.transform(
+                                F.slice(
+                                    "sig", b * rows_per_band + 1, rows_per_band
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids: list[int]
+        sigs: list[list[int]]
+        if state.exists:
+            stored_ids, stored_sigs = state.get
+            ids = list(stored_ids)
+            sigs = [list(s) for s in stored_sigs]
+        else:
+            ids, sigs = [], []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values("id", kind="mergesort")
+        out_a, out_b, out_j = [], [], []
+        for rid, rsig in zip(batch["id"], batch["sig"]):
+            rid = int(rid)
+            rsig = [int(x) for x in rsig]  # plain ints: state must pickle
+            for pid, psig in zip(ids, sigs):
+                if pid == rid:
+                    continue
+                agree = sum(a == b for a, b in zip(rsig, psig)) / num_hashes
+                if agree >= threshold:
+                    out_a.append(min(pid, rid))
+                    out_b.append(max(pid, rid))
+                    out_j.append(round(agree, 6))
+            ids.append(int(rid))
+            sigs.append(rsig)
+        state.update((ids, sigs))
+        try:
+            state.setTimeoutDuration(state_timeout_minutes * 60 * 1000)
+        except Exception:
+            pass  # batch execution has no timeout clock
+        if out_a:
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "agreement": out_j}
+            )
+
+    return banded.groupBy("bucket").applyInPandasWithState(
+        fn,
+        outputStructType="id_a long, id_b long, agreement double",
+        stateStructType="ids array<long>, sigs array<array<long>>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

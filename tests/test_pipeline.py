@@ -1580,3 +1580,83 @@ def test_char_lm_vs_duckdb(spark, docs, duck):
         ).fetchall()
     }
     assert got == exp
+
+
+def test_near_dup_stream_matches_batch_banding(spark, docs, tmp_path):
+    """The streaming near-dup operator (bucket-state signature agreement)
+    must find exactly the pairs the equivalent batch banding computation
+    finds, running the REAL streaming path (file source + availableNow)."""
+    from pyspark.sql import functions as F
+
+    from opencyphertranspiler_spark.pipeline.dedup import minhash_signature_df
+    from opencyphertranspiler_spark.streaming.dedup import near_dup_stream
+
+    num_hashes, bands, thr = 16, 4, 0.8
+    r = num_hashes // bands
+    docs = docs.where("doc_id < 200")
+
+    # batch twin: identical signatures -> identical band buckets -> pairs
+    sig = minhash_signature_df(docs, num_hashes=num_hashes)
+    sig = sig.select(
+        "id", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig")
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        F.concat_ws(
+                            "-",
+                            F.transform(
+                                F.slice("sig", b * r + 1, r),
+                                lambda x: x.cast("string"),
+                            ),
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    cands = (
+        banded.alias("l")
+        .join(banded.alias("r"), "bucket")
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                F.col("l.sig").alias("sa"), F.col("r.sig").alias("sb"))
+        .distinct()
+    )
+    agree = F.expr(
+        "aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), "
+        "0, (acc, v) -> acc + v)"
+    ) / num_hashes
+    want = {
+        (r2["id_a"], r2["id_b"])
+        for r2 in cands.withColumn("ag", agree).where(F.col("ag") >= thr).collect()
+    }
+
+    # real streaming run
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet("/root/testdata/sf0.001")
+        .where("doc_id < 200")
+    )
+    out = near_dup_stream(stream, threshold=thr, num_hashes=num_hashes, bands=bands)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("near_dups")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ndckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r2["id_a"], r2["id_b"])
+        for r2 in spark.sql("SELECT DISTINCT id_a, id_b FROM near_dups").collect()
+    }
+    assert got == want and want, (len(got), len(want))
