@@ -251,3 +251,59 @@ def domain_mixture(
         .where((F.col("__p") >= 1) | ((F.col("__p") > 0) & (u < F.col("__p"))))
         .drop("__rate", "__p")
     )
+
+
+def materialize_chunks(
+    docs: DataFrame,
+    spans: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(chunk_id, chunk_text, n_tokens) — turn chunk_spans assignments into
+    actual training rows: each document's whitespace tokens are sliced by
+    its (doc_begin, doc_end) spans and the pieces concatenate in document
+    order within the chunk. Every chunk except the last carries exactly
+    ``budget`` tokens.
+
+    One join of spans to the docs (both sides keyed by the doc id), the
+    slice/concat as codegen expressions, then a grouped ordered re-assembly
+    per chunk — the shuffle carries chunk fragments, bounded by the chunk
+    budget, never whole oversized documents."""
+    toks = F.expr(
+        f"filter(split({text_col}, '\\\\s+'), t -> t <> '')"
+    ).alias("__toks")
+    pieces = (
+        spans.join(docs.select(F.col(id_col), toks), id_col)
+        .select(
+            "chunk_id",
+            F.col(id_col),
+            F.col("doc_begin"),
+            (F.col("doc_end") - F.col("doc_begin")).alias("__len"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("__toks"),
+                    (F.col("doc_begin") + 1).cast("int"),
+                    (F.col("doc_end") - F.col("doc_begin")).cast("int"),
+                ),
+            ).alias("__piece"),
+        )
+    )
+    return (
+        pieces.groupBy("chunk_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col(id_col), "doc_begin", "__piece")
+                        )
+                    ),
+                    lambda s: s["__piece"],
+                ),
+            ).alias("chunk_text"),
+            F.sum("__len").alias("n_tokens"),
+        )
+    )

@@ -373,3 +373,75 @@ def lm_score(
             F.round(F.exp(-F.col("avg_logp")), 6).alias("ppl"),
         )
     )
+
+
+def strip_html(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, clean_text) — regex-based HTML/markup removal: script/style
+    blocks dropped wholesale, tags removed, common entities decoded,
+    whitespace collapsed. Pure codegen column expressions (the
+    trafilatura-class DOM extractors need real parsers; this is the
+    cheap first-pass wash a 100 TB crawl gets before quality scoring)."""
+    c = F.col(text_col)
+    c = F.regexp_replace(c, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    for ent, rep in [
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+    ]:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.select(F.col(id_col), c.alias("clean_text"))
+
+
+def drop_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_frac: float = 0.05,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(id, kept_text, n_lines, n_dropped) — remove lines that repeat
+    VERBATIM across a large share of the corpus (navigation, cookie
+    banners, footers — the CCNet/RefinedWeb line-dedup pass). A line is
+    boilerplate when it appears in >= max(min_docs, min_doc_frac * n_docs)
+    distinct documents.
+
+    Plan shape: explode lines keeping position, one groupBy for cross-doc
+    line frequencies (map-side combine), an anti-join against the
+    boilerplate set, and a position-ordered re-assembly per document —
+    shuffle rows are (doc, line) pairs, the same budget as the
+    duplicate-span scan."""
+    n_docs = df.select(id_col).distinct().count()  # bounded: one scalar
+    cutoff = max(min_docs, int(min_doc_frac * n_docs))
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"),
+    ).withColumn("norm", F.trim(F.col("line")))
+    freq = (
+        lines.where(F.col("norm") != "")
+        .groupBy("norm")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") >= cutoff)
+        .select("norm")
+    )
+    tagged = lines.join(freq.withColumn("__bp", F.lit(True)), "norm", "left")
+    kept = tagged.where(F.col("__bp").isNull())
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n", F.transform(F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda s: s["line"])
+        ).alias("kept_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+        )
+    )

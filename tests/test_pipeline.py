@@ -1660,3 +1660,81 @@ def test_near_dup_stream_matches_batch_banding(spark, docs, tmp_path):
         for r2 in spark.sql("SELECT DISTINCT id_a, id_b FROM near_dups").collect()
     }
     assert got == want and want, (len(got), len(want))
+
+
+def test_strip_html(spark):
+    from opencyphertranspiler_spark.pipeline.text import strip_html
+
+    docs = spark.createDataFrame(
+        [
+            (1, "<html><head><style>x{color:red}</style></head>"
+                "<body><h1>Title</h1><p>Hello &amp; welcome</p>"
+                "<script>alert('x')</script></body></html>"),
+            (2, "plain   text\nno markup"),
+            (3, "<div>a &lt; b &gt; c &quot;q&quot; &#39;s&#39;</div>"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["clean_text"] for r in strip_html(docs).collect()}
+    assert got[1] == "Title Hello & welcome"
+    assert got[2] == "plain text no markup"
+    assert got[3] == "a < b > c \"q\" 's'"
+
+
+def test_drop_boilerplate_lines(spark):
+    from opencyphertranspiler_spark.pipeline.text import drop_boilerplate_lines
+
+    footer = "Copyright ACME - all rights reserved"
+    nav = "Home | About | Contact"
+    docs = spark.createDataFrame(
+        [
+            (i, f"{nav}\nUnique content number {i}\nmore text {i}\n{footer}")
+            for i in range(10)
+        ] + [(99, "A document with no boilerplate\nat all")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in drop_boilerplate_lines(docs).collect()}
+    for i in range(10):
+        r = out[i]
+        assert r["n_lines"] == 4 and r["n_dropped"] == 2
+        assert footer not in r["kept_text"] and nav not in r["kept_text"]
+        assert f"Unique content number {i}" in r["kept_text"]
+        # order preserved
+        assert r["kept_text"].splitlines() == [
+            f"Unique content number {i}", f"more text {i}"
+        ]
+    assert out[99]["n_dropped"] == 0
+    assert out[99]["kept_text"].splitlines() == [
+        "A document with no boilerplate", "at all"
+    ]
+
+
+def test_materialize_chunks_round_trip(spark, docs, doc_tokens):
+    """Concatenating every chunk's text in chunk order must reproduce the
+    full token stream of the corpus in doc_id order — packing loses
+    nothing and duplicates nothing."""
+    from pyspark.sql import functions as F
+
+    from opencyphertranspiler_spark.pipeline.packing import (
+        chunk_spans,
+        materialize_chunks,
+    )
+
+    budget = 256
+    spans = chunk_spans(doc_tokens, budget=budget)
+    chunks = materialize_chunks(docs, spans, budget=budget).collect()
+    by_id = {r["chunk_id"]: r for r in chunks}
+    # every chunk but the last is exactly full
+    last = max(by_id)
+    for cid, r in by_id.items():
+        assert r["n_tokens"] == budget or cid == last
+    # round trip: chunks in order == original token stream in doc order
+    stream = []
+    for cid in sorted(by_id):
+        stream.extend(by_id[cid]["chunk_text"].split(" "))
+    want = []
+    for r in (
+        docs.select("doc_id", "text").orderBy("doc_id").collect()
+    ):
+        want.extend(t for t in __import__("re").split(r"\s+", r["text"]) if t)
+    assert stream == want
