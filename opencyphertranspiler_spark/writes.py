@@ -435,6 +435,10 @@ class WriteExecutor:
         return self.engine._run_ast(read_q, self.params)
 
     def _extended_graph(self) -> GraphSchema:
+        """New property columns extend EVERY schema backed by the touched
+        table — the node and any edges sharing it (FK-embedded storage
+        means a relationship property physically lives on the row, so it
+        is legitimately readable through either alias)."""
         if not self._new_props:
             return self.graph
         nodes = []
@@ -453,7 +457,30 @@ class WriteExecutor:
                     n.id_property_type,
                 )
             nodes.append(n)
-        return GraphSchema(nodes, list(self.graph.edges))
+        edges = []
+        for e in self.graph.edges:
+            extra = [
+                p
+                for p in self._new_props.get(e.table, [])
+                if p.name not in e.property_names
+            ]
+            if extra:
+                e = EdgeSchema(
+                    e.verb,
+                    e.source_label,
+                    e.sink_label,
+                    e.table,
+                    e.source_id_property,
+                    e.sink_id_property,
+                    tuple(e.properties) + tuple(extra),
+                    e.source_id_property_type,
+                    e.sink_id_property_type,
+                    e.type_property,
+                    e.display_verb,
+                    e.identity_properties,
+                )
+            edges.append(e)
+        return GraphSchema(nodes, edges)
 
     # -- planners (run before the binding compiles so they can register
     #    projection items; they return the apply function) -----------------
@@ -477,11 +504,26 @@ class WriteExecutor:
     # -- SET ---------------------------------------------------------------
     def _plan_set(self, items: list[A.SetItem]):
         _no_aggregates([i.expr for i in items])
+        # one SET clause may mix node and relationship targets: split by
+        # the target's kind and plan each group with its own key shape
+        rel_items = [
+            i
+            for i in items
+            if (self.scope.get(i.alias) or ("",))[0] == "rel"
+        ]
+        if rel_items:
+            node_items = [i for i in items if i not in rel_items]
+            plans = [self._plan_set_rel(rel_items)]
+            if node_items:
+                plans.append(self._plan_set(node_items))
+
+            def apply_both(binding: DataFrame):
+                for p in plans:
+                    p(binding)
+
+            return apply_both
         by_alias: dict[str, list[tuple[str, str]]] = {}
         for item in items:
-            kind = self.scope.get(item.alias)
-            if kind is not None and kind[0] == "rel":
-                return self._plan_set_rel(items)
             node = _node_schema(self.graph, self.scope, item.alias)
             if item.prop == node.id_property:
                 raise TranspilerNotSupportedError(

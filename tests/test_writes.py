@@ -701,3 +701,43 @@ def test_write_with_query_parameters(weng):
     t = res.table("customer")
     assert t.filter("c_custkey = 3").collect()[0]["note"] == "hello"
     assert t.filter("note IS NOT NULL").count() == 1
+
+
+def test_set_mixes_node_and_relationship_targets(weng):
+    res = weng.cypher_write(
+        "MATCH (o:Orders)-[r:CONTAINS]->(l:Lineitem) "
+        "WHERE o.o_orderkey = 2 "
+        "SET l.checked = true, r.batch = 7"
+    )
+    t = res.table("lineitem_node")
+    hit = t.filter("l_orderkey = 2")
+    assert hit.count() > 0
+    assert hit.filter("NOT checked OR batch <> 7").count() == 0
+    assert t.filter("l_orderkey <> 2 AND (checked OR batch IS NOT NULL)").count() == 0
+
+
+def test_post_write_graph_schema_serializes(weng):
+    res = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_custkey = 5 SET c.vip = true"
+    )
+    doc = res.graph.to_json()
+    assert "vip" in doc  # the extended property round-trips the JSON dialect
+
+
+def test_edge_property_extension_reaches_post_write_engine(weng):
+    # a NEW relationship property set through the rel alias must be
+    # readable as r.batch in the post-write engine (edge schema extension)
+    res = weng.cypher_write(
+        "MATCH (o:Orders)-[r:CONTAINS]->(l:Lineitem) "
+        "WHERE o.o_orderkey = 2 SET r.batch = 7"
+    )
+    out = (
+        res.engine()
+        .cypher(
+            "MATCH (o:Orders)-[r:CONTAINS]->(l:Lineitem) "
+            "WHERE r.batch IS NOT NULL "
+            "RETURN o.o_orderkey AS ok, r.batch AS b"
+        )
+        .collect()
+    )
+    assert out and all(r2["ok"] == 2 and r2["b"] == 7 for r2 in out)
