@@ -741,3 +741,44 @@ def test_edge_property_extension_reaches_post_write_engine(weng):
         .collect()
     )
     assert out and all(r2["ok"] == 2 and r2["b"] == 7 for r2 in out)
+
+
+def test_write_columns_of_rich_types_roundtrip(weng):
+    """Temporal, spatial-struct and list values written through SET stay
+    fully usable (accessors, size()) in the post-write engine."""
+    r1 = weng.cypher_write(
+        "MATCH (o:Orders) WHERE o.o_orderkey = 1 "
+        "SET o.due = o.o_orderdate + duration({days: 30})"
+    )
+    got = (
+        r1.engine()
+        .cypher(
+            "MATCH (o:Orders) WHERE o.due IS NOT NULL "
+            "RETURN o.o_orderkey AS k, o.due.year AS y"
+        )
+        .collect()
+    )
+    assert [(r["k"],) for r in got] == [(1,)] and got[0]["y"] is not None
+
+    r2 = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_custkey = 1 "
+        "SET c.loc = point({x: 1.0, y: 2.0})"
+    )
+    assert (
+        r2.engine()
+        .cypher("MATCH (c:Customer) WHERE c.c_custkey = 1 RETURN c.loc.x AS x")
+        .collect()[0]["x"]
+        == 1.0
+    )
+
+    r3 = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_custkey = 2 SET c.tags = ['a', 'b', 'c']"
+    )
+    assert (
+        r3.engine()
+        .cypher(
+            "MATCH (c:Customer) WHERE c.c_custkey = 2 RETURN size(c.tags) AS n"
+        )
+        .collect()[0]["n"]
+        == 3
+    )
