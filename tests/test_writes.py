@@ -782,3 +782,31 @@ def test_write_columns_of_rich_types_roundtrip(weng):
         .collect()[0]["n"]
         == 3
     )
+
+
+def test_write_reading_prefix_composes_with_extensions(weng):
+    """Dynamic access in write expressions, CALL procedures and UNWIND in
+    the reading prefix — all compile through the ordinary read planner."""
+    r1 = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_custkey = 3 SET c.copy = c['c_name']"
+    )
+    row = r1.table("customer").filter("c_custkey = 3").collect()[0]
+    assert row["copy"] == row["c_name"]
+
+    r2 = weng.cypher_write(
+        "CALL db.labels() YIELD label WHERE label = 'Region' "
+        "MATCH (g:Region) WHERE g.r_regionkey = 0 SET g.tagged = label"
+    )
+    assert (
+        r2.table("region").filter("r_regionkey = 0").collect()[0]["tagged"]
+        == "Region"
+    )
+
+    r3 = weng.cypher_write(
+        "UNWIND [31, 32] AS k "
+        "CREATE (x:Region {r_regionkey: k * 10, r_name: toString(k)})"
+    )
+    assert rows(
+        r3.table("region").filter("r_regionkey >= 300")
+        .select("r_regionkey", "r_name")
+    ) == {(310, "31"), (320, "32")}
