@@ -15,6 +15,7 @@ from .exceptions import (
 )
 from .schema import EdgeSchema, EntityProperty, GraphSchema, NodeSchema
 from .sources import TableRegistry, parquet_registry, tpch_graph_schema, tpch_table_registry
+from .writes import WriteResult
 
 __version__ = "0.1.0"
 
@@ -30,6 +31,7 @@ __all__ = [
     "TranspilerInternalError",
     "TranspilerNotSupportedError",
     "TranspilerSyntaxError",
+    "WriteResult",
     "parquet_registry",
     "tpch_graph_schema",
     "tpch_table_registry",
