@@ -952,3 +952,72 @@ def k_core(
                 [], "node long, coreness int"
             )
         return result
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    walk_length: int = 10,
+    walks_per_node: int = 1,
+    seed: int = 0,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(walk_id, step, node) — uniform random walks over the directed edge
+    set, the corpus generator behind DeepWalk/node2vec embeddings. Walks
+    start at every node of ``starts`` (``walks_per_node`` each) and stop
+    early at sinks.
+
+    Determinism without RNG state: at each step a walk ranks its
+    out-neighbors by xxhash64(walk_id, step, neighbor, seed) and takes the
+    minimum — a fixed pseudorandom choice per (walk, step), reproducible
+    across runs and partitionings (the same trick as the seeded sampling
+    in pipeline/sampling.py). Each step is one frontier-edge equi-join
+    plus a min_by combine; cost per step is O(frontier out-degree), and
+    finished walks leave the frontier."""
+    with _no_constraint_propagation(edges):
+        e = (
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .distinct()
+            .persist()
+        )
+        starts_df = starts.select(
+            F.col(starts.columns[0]).alias("node")
+        ).distinct()
+        frontier = (
+            starts_df.withColumn(
+                "walk_no", F.explode(F.array(*[F.lit(i) for i in range(walks_per_node)]))
+            )
+            .select(
+                F.concat_ws("#", F.col("node"), F.col("walk_no")).alias("walk_id"),
+                F.col("node"),
+            )
+            .withColumn("step", F.lit(0))
+            .localCheckpoint(eager=True)
+        )
+        out = frontier
+        for step in range(1, walk_length):
+            nxt = (
+                frontier.join(e, frontier["node"] == e["src"])
+                .groupBy("walk_id")
+                .agg(
+                    F.min_by(
+                        F.col("dst"),
+                        F.xxhash64(
+                            F.col("walk_id"),
+                            F.lit(step),
+                            F.col("dst"),
+                            F.lit(seed),
+                        ),
+                    ).alias("node")
+                )
+                .withColumn("step", F.lit(step))
+                .select("walk_id", "node", "step")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            out = out.unionByName(nxt)
+            frontier = nxt
+        e.unpersist()
+        return out.select("walk_id", "step", "node")

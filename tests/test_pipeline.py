@@ -1738,3 +1738,50 @@ def test_materialize_chunks_round_trip(spark, docs, doc_tokens):
     ):
         want.extend(t for t in __import__("re").split(r"\s+", r["text"]) if t)
     assert stream == want
+
+
+def test_random_walks_follow_edges_and_are_deterministic(spark):
+    from opencyphertranspiler_spark.pipeline.graph import random_walks
+
+    edges = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 1), (5, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    starts = spark.createDataFrame([(1,), (5,)], "node long")
+    out = random_walks(e, starts, walk_length=6, walks_per_node=2, seed=3)
+    rows_ = out.collect()
+    walks: dict[str, list] = {}
+    for r in rows_:
+        walks.setdefault(r["walk_id"], []).append((r["step"], r["node"]))
+    eset = set(edges)
+    assert len(walks) == 4  # 2 starts x 2 walks each
+    for wid, steps in walks.items():
+        steps.sort()
+        assert [s for s, _ in steps] == list(range(len(steps)))
+        assert len(steps) == 6  # this graph has no sinks on the walk path
+        for (_, a), (_, b) in zip(steps, steps[1:]):
+            assert (a, b) in eset, (wid, a, b)
+    # seeded determinism
+    again = {
+        (r["walk_id"], r["step"], r["node"])
+        for r in random_walks(
+            e, starts, walk_length=6, walks_per_node=2, seed=3
+        ).collect()
+    }
+    assert {(r["walk_id"], r["step"], r["node"]) for r in rows_} == again
+    # a different seed gives at least one different choice somewhere
+    other = {
+        (r["walk_id"], r["step"], r["node"])
+        for r in random_walks(
+            e, starts, walk_length=6, walks_per_node=2, seed=4
+        ).collect()
+    }
+    assert again != other
+
+
+def test_random_walks_stop_at_sinks(spark):
+    from opencyphertranspiler_spark.pipeline.graph import random_walks
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    starts = spark.createDataFrame([(1,)], "node long")
+    out = random_walks(e, starts, walk_length=10)
+    nodes = [r["node"] for r in out.orderBy("step").collect()]
+    assert nodes == [1, 2, 3]  # walk ends at the sink
