@@ -810,3 +810,28 @@ def test_write_reading_prefix_composes_with_extensions(weng):
         r3.table("region").filter("r_regionkey >= 300")
         .select("r_regionkey", "r_name")
     ) == {(310, "31"), (320, "32")}
+
+
+def test_call_subquery_in_write_reading_prefix(weng):
+    # correlated CALL { } aggregate feeds the SET value per customer
+    res = weng.cypher_write(
+        """
+        MATCH (c:Customer) WHERE c.c_custkey <= 5 AND c.c_custkey >= 1
+        CALL { WITH c MATCH (c)-[:PLACED]->(o:Orders)
+               RETURN count(o) AS n_orders }
+        SET c.n_orders = n_orders
+        """
+    )
+    got = sorted(
+        (r["c_custkey"], r["n_orders"])
+        for r in res.table("customer").filter("n_orders IS NOT NULL").collect()
+    )
+    exp = sorted(
+        (r["k"], r["n"])
+        for r in weng.cypher(
+            "MATCH (c:Customer) WHERE c.c_custkey <= 5 AND c.c_custkey >= 1 "
+            "OPTIONAL MATCH (c)-[:PLACED]->(o:Orders) "
+            "RETURN c.c_custkey AS k, count(o) AS n"
+        ).collect()
+    )
+    assert got == exp and len(got) == 5
