@@ -122,6 +122,44 @@ def validate_expr(expr: A.Expr, env: Env) -> None:
                 )
 
 
+def _references_outside_aggregates(expr, grouping_exprs, bound=frozenset()):
+    """First entity/value reference inside ``expr`` that sits OUTSIDE any
+    aggregate call and is not a projected grouping expression (nor a
+    lambda-bound variable) — the Neo4j "implicit grouping expression"
+    check. Returns a display name or None."""
+    import dataclasses
+
+    if isinstance(expr, A.AggCall):
+        return None
+    if any(expr == g for g in grouping_exprs):
+        return None
+    if isinstance(expr, A.Property):
+        if expr.alias in bound:
+            return None
+        return f"{expr.alias}.{expr.prop}"
+    if isinstance(expr, A.Variable):
+        return None if expr.name in bound else expr.name
+    inner = bound
+    if isinstance(expr, (A.ListComprehension, A.Quantified)):
+        inner = bound | {expr.var}
+    elif isinstance(expr, A.Reduce):
+        inner = bound | {expr.acc, expr.var}
+    if dataclasses.is_dataclass(expr) and not isinstance(expr, type):
+        for f in dataclasses.fields(expr):
+            v = getattr(expr, f.name)
+            vals = v if isinstance(v, (list, tuple)) else [v]
+            for item in vals:
+                if isinstance(item, tuple):
+                    item = item[-1] if item else None
+                if isinstance(item, A.Expr):
+                    hit = _references_outside_aggregates(
+                        item, grouping_exprs, inner
+                    )
+                    if hit:
+                        return hit
+    return None
+
+
 class _SingleQueryPlanner:
     def __init__(self, schema: GraphSchema, ordered_aggregates: bool = False):
         self.ordered_aggregates = ordered_aggregates
@@ -1414,6 +1452,25 @@ class _SingleQueryPlanner:
             clause.items = new_items
         in_env = piped.env
         has_agg = any(A.contains_aggregate(e) for _, e in clause.items)
+        if has_agg:
+            # Neo4j parity: inside an aggregating item, any non-aggregated
+            # entity/value reference must itself be a projected grouping
+            # expression (`RETURN v, sum(x) + v` is fine, `sum(x) + x` is
+            # not) — without this check Spark's raw MISSING_GROUP_BY
+            # analysis error leaks instead of a typed one
+            grouping = [
+                e for _, e in clause.items if not A.contains_aggregate(e)
+            ]
+            for alias, e in clause.items:
+                if not A.contains_aggregate(e):
+                    continue
+                mixed = _references_outside_aggregates(e, grouping)
+                if mixed:
+                    raise TranspilerBindingError(
+                        f"Projection item '{alias}' mixes an aggregate with "
+                        f"the non-aggregated reference '{mixed}'; aggregate "
+                        "it or also project it as its own grouping item"
+                    )
         # `ORDER BY <aggregate expr>` (extension; Neo4j idiom): rewrite
         # subtrees structurally equal to a projected aggregate item to the
         # item's alias BEFORE the implicit-field scoping check — the

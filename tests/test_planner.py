@@ -153,3 +153,23 @@ def test_unwind_first_clause(engine):
     # no piped input
     df = engine.cypher("UNWIND [1, 2, 3] AS x RETURN x ORDER BY x")
     assert [r.x for r in df.collect()] == [1, 2, 3]
+
+
+def test_mixed_aggregate_grouping_reference_is_typed_error(engine):
+    """Neo4j parity: sum(x) + x without projecting x as a grouping item is
+    an implicit-grouping error — typed, never Spark's raw MISSING_GROUP_BY."""
+    import pytest
+
+    from opencyphertranspiler_spark.exceptions import TranspilerBindingError
+
+    with pytest.raises(TranspilerBindingError, match="mixes an aggregate"):
+        engine.cypher(
+            "MATCH (c:Customer) "
+            "WITH sum(c.c_acctbal) + c.c_acctbal AS x RETURN x"
+        )
+    # legal: the reference is also projected as its own grouping item
+    rows = engine.cypher(
+        "MATCH (c:Customer) RETURN c.c_mktsegment AS seg, "
+        "count(*) * size(c.c_mktsegment) AS weird ORDER BY seg LIMIT 2"
+    ).collect()
+    assert len(rows) == 2
