@@ -270,3 +270,35 @@ def test_call_procedure_fences(engine):
         engine.cypher("CALL db.labels('x')")
     with pytest.raises(TranspilerSyntaxError, match="YIELD"):
         engine.cypher("CALL db.labels() MATCH (r:Region) RETURN r.r_name AS n")
+
+
+def test_rare_composition_shapes(engine):
+    """Cross-feature compositions: procedures under UNION and inside
+    CALL { }, EXISTS inside a correlated subquery, deep WITH chains."""
+    r1 = engine.cypher(
+        "CALL db.labels() YIELD label RETURN label AS name "
+        "UNION MATCH (r:Region) RETURN r.r_name AS name"
+    ).collect()
+    assert len(r1) == 13  # 8 labels + 5 regions, distinct
+
+    r2 = engine.cypher(
+        "MATCH (r:Region) WHERE r.r_regionkey = 0 "
+        "CALL { CALL db.labels() YIELD label RETURN count(label) AS nl } "
+        "RETURN r.r_name AS rn, nl"
+    ).collect()
+    assert r2[0]["nl"] == 8
+
+    r3 = engine.cypher(
+        "MATCH (c:Customer) WHERE c.c_custkey <= 3 AND c.c_custkey >= 1 "
+        "CALL { WITH c MATCH (c)-[:PLACED]->(o:Orders) "
+        "WHERE EXISTS { MATCH (o)-[:CONTAINS]->(:Lineitem) } "
+        "RETURN count(o) AS n } "
+        "RETURN c.c_custkey AS k, n ORDER BY k"
+    ).collect()
+    assert [r["k"] for r in r3] == [1, 2, 3] and all(r["n"] > 0 for r in r3)
+
+    r4 = engine.cypher(
+        "MATCH (c:Customer) WITH c.c_acctbal AS a WITH a * 2 AS b "
+        "WITH b + 1 AS c2 WITH c2 / 2 AS d RETURN round(sum(d), 1) AS s"
+    ).collect()
+    assert r4[0]["s"] is not None
