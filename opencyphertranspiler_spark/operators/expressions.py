@@ -466,9 +466,9 @@ class ExprCompiler:
         if isinstance(expr.index, A.Literal) and isinstance(expr.index.value, str):
             prop = expr.index.value
             if prop not in ref.property_names:
-                raise TranspilerBindingError(
-                    f"Property '{prop}' is not defined on '{expr.base.name}'"
-                )
+                # unknown keys yield null (Neo4j parity) — dynamic access
+                # is deliberately lenient where static n.key raises
+                return F.lit(None).cast("string")
             return qcol(ref.col(prop))
         idx = self.compile(expr.index)
         sch = ref.node if ref.kind == "node" else ref.edge

@@ -259,25 +259,34 @@ def materialize_chunks(
     budget: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    order_col: str | None = None,
 ) -> DataFrame:
     """(chunk_id, chunk_text, n_tokens) — turn chunk_spans assignments into
     actual training rows: each document's whitespace tokens are sliced by
-    its (doc_begin, doc_end) spans and the pieces concatenate in document
+    its (doc_begin, doc_end) spans and the pieces concatenate in stream
     order within the chunk. Every chunk except the last carries exactly
     ``budget`` tokens.
+
+    ``order_col`` must be the SAME column chunk_spans laid the token
+    stream out by (it defaults to ``id_col``, matching chunk_spans'
+    default) — fragments inside a chunk concatenate in that order.
 
     One join of spans to the docs (both sides keyed by the doc id), the
     slice/concat as codegen expressions, then a grouped ordered re-assembly
     per chunk — the shuffle carries chunk fragments, bounded by the chunk
     budget, never whole oversized documents."""
+    order_col = order_col or id_col
     toks = F.expr(
         f"filter(split({text_col}, '\\\\s+'), t -> t <> '')"
     ).alias("__toks")
+    doc_cols = [F.col(id_col)]
+    if order_col != id_col:
+        doc_cols.append(F.col(order_col))
     pieces = (
-        spans.join(docs.select(F.col(id_col), toks), id_col)
+        spans.join(docs.select(*doc_cols, toks), id_col)
         .select(
             "chunk_id",
-            F.col(id_col),
+            F.col(order_col).alias("__ord"),
             F.col("doc_begin"),
             (F.col("doc_end") - F.col("doc_begin")).alias("__len"),
             F.concat_ws(
@@ -298,7 +307,7 @@ def materialize_chunks(
                 F.transform(
                     F.array_sort(
                         F.collect_list(
-                            F.struct(F.col(id_col), "doc_begin", "__piece")
+                            F.struct(F.col("__ord"), "doc_begin", "__piece")
                         )
                     ),
                     lambda s: s["__piece"],

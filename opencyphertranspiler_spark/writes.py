@@ -546,7 +546,14 @@ class WriteExecutor:
 
     def _plan_set_rel(self, items: list[A.SetItem]):
         """SET on a relationship alias: the update key is the (source,
-        sink) id pair of the edge's backing table."""
+        sink) id pair of the edge's backing table.
+
+        Documented divergence: the pair IS the relationship's identity
+        here, so on edge tables that allow parallel edges with the same
+        endpoint pair (e.g. ACTED_IN with several roles), ``SET r.x``
+        updates EVERY parallel row sharing the pair — Neo4j keys by
+        per-relationship identity instead. Model parallel edges with a
+        discriminating key column if per-edge SET is needed."""
         by_alias: dict[str, list[tuple[str, str]]] = {}
         edges: dict[str, EdgeSchema] = {}
         for item in items:
@@ -594,9 +601,14 @@ class WriteExecutor:
 
         return apply
 
-    def _apply_update(self, table, id_cols, key_cols, pairs, binding):
+    def _apply_update(
+        self, table, id_cols, key_cols, pairs, binding, counter="properties_set"
+    ):
         """One grouped update table + one equi-join; AQE broadcasts small
-        update sets. Conflicting per-key values resolve to max()."""
+        update sets. Conflicting per-key values resolve to max().
+        ``counter=None`` suppresses the properties_set statistic (the
+        FK-edge CREATE path reuses this machinery but counts
+        relationships_created itself)."""
         if isinstance(id_cols, str):
             id_cols, key_cols = (id_cols,), (key_cols,)
         vcols = [v for _, v in pairs]
@@ -630,7 +642,8 @@ class WriteExecutor:
                 self._record_new_prop(table, prop, binding, vcol)
         out = out.drop("__m", *vcols, *[f"__uk{i}" for i in range(len(key_cols))])
         self.tables[table] = out
-        self._count_into("properties_set", upd, len(pairs))
+        if counter is not None:
+            self._count_into(counter, upd, len(pairs))
 
     # -- DELETE ------------------------------------------------------------
     def _plan_delete(self, clause: A.DeleteClause):
@@ -869,7 +882,8 @@ class WriteExecutor:
                     )
                     pairs = [(fk_col, fk_val)] + list(rprops.items())
                     self._apply_update(
-                        e.table, node.id_property, row_key, pairs, binding
+                        e.table, node.id_property, row_key, pairs, binding,
+                        counter=None,
                     )
                     self._count_into(
                         "relationships_created",
@@ -1137,6 +1151,26 @@ class WriteExecutor:
             upd = cand.select(
                 F.col(row_key).alias("__rk"), F.col(fk_val).alias("__fv")
             )
+            if self.validate:
+                # one owning row can hold exactly one FK edge: a statement
+                # that binds TWO different partners to the same row must
+                # fail loudly, not fan the node table out through the join
+                n_multi = (
+                    upd.groupBy("__rk")
+                    .agg(F.countDistinct("__fv").alias("__n"))
+                    .where(F.col("__n") > 1)
+                    .count()
+                )
+                if n_multi:
+                    raise TranspilerBindingError(
+                        f"MERGE [:{e.verb}]: {n_multi} {own_node.label} "
+                        "row(s) matched more than one distinct partner in "
+                        "this statement (one edge per row in the "
+                        f"FK-embedded column '{fk_col}')"
+                    )
+            # exactly one update row per owning key (max() = the same
+            # documented deterministic conflict rule as _apply_update)
+            upd = upd.groupBy("__rk").agg(F.max("__fv").alias("__fv"))
             joined = tbl.join(upd, tbl[own_node.id_property] == upd["__rk"], "left")
             if self.validate:
                 n_conflict = (

@@ -2223,8 +2223,14 @@ def test_dynamic_property_access(movie_engine):
     assert rows(df3) == {("Rob Reiner", 9), ("Bill Paxton", 7)}
 
 
-def test_dynamic_property_unknown_literal_key_raises(movie_engine):
+def test_dynamic_property_unknown_literal_key_is_null(movie_engine):
+    # Neo4j parity: dynamic access with an unknown key yields null — for
+    # literal AND computed keys alike (static p.Nope still raises)
+    df = movie_engine.cypher(
+        "MATCH (p:Person) WHERE p.id = 'p1' RETURN p['Nope'] AS x"
+    )
+    assert [tuple(r) for r in df.collect()] == [(None,)]
     from opencyphertranspiler_spark import TranspilerBindingError
 
-    with pytest.raises(TranspilerBindingError, match="not defined"):
-        movie_engine.cypher("MATCH (p:Person) RETURN p['Nope'] AS x")
+    with pytest.raises(TranspilerBindingError):
+        movie_engine.cypher("MATCH (p:Person) RETURN p.Nope AS x")

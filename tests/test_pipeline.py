@@ -1740,6 +1740,42 @@ def test_materialize_chunks_round_trip(spark, docs, doc_tokens):
     assert stream == want
 
 
+def test_materialize_chunks_respects_order_col(spark):
+    """When chunk_spans lays the stream out by a column OTHER than the doc
+    id, materialize_chunks must reassemble fragments in that same order
+    (ADVICE r5: it used to sort by id only)."""
+    import re
+
+    from opencyphertranspiler_spark.pipeline.packing import (
+        chunk_spans,
+        materialize_chunks,
+    )
+
+    # ids deliberately anti-correlated with the stream position
+    rows_ = [
+        (30, 0, "alpha beta gamma"),
+        (20, 1, "delta epsilon"),
+        (10, 2, "zeta eta theta iota"),
+    ]
+    docs = spark.createDataFrame(rows_, "doc_id long, pos long, text string")
+    toks = docs.selectExpr(
+        "doc_id", "pos",
+        "size(filter(split(text, '\\\\s+'), t -> t <> '')) AS n_tokens",
+    )
+    budget = 4
+    spans = chunk_spans(toks, budget=budget, order_col="pos")
+    chunks = materialize_chunks(
+        docs, spans, budget=budget, order_col="pos"
+    ).collect()
+    stream = []
+    for r in sorted(chunks, key=lambda r: r["chunk_id"]):
+        stream.extend(r["chunk_text"].split(" "))
+    want = []
+    for _, _, text in sorted(rows_, key=lambda t: t[1]):
+        want.extend(t for t in re.split(r"\s+", text) if t)
+    assert stream == want
+
+
 def test_random_walks_follow_edges_and_are_deterministic(spark):
     from opencyphertranspiler_spark.pipeline.graph import random_walks
 

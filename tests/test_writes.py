@@ -252,6 +252,11 @@ def test_create_fk_edge_between_bound_nodes(weng):
         res.table("orders").filter("o_orderkey = 1").collect()[0]["o_custkey"]
         == 7
     )
+    # the FK column write is the RELATIONSHIP, not a property: the
+    # statistics must not report properties_set (ADVICE r5)
+    counts = res.counts()
+    assert counts["relationships_created"] == 1
+    assert counts.get("properties_set", 0) == 0
 
 
 def test_create_requires_id_property(weng):
@@ -358,6 +363,38 @@ def test_merge_relationship_fills_null_fk(weng):
         "MERGE (c)-[:PLACED]->(o)"
     )
     assert r3.counts()["relationships_created"] == 0
+
+
+def test_merge_relationship_multi_partner_same_row(weng):
+    # one statement binding TWO customers to the SAME null-FK order row
+    # must not fan the orders table out into duplicate primary-key rows:
+    # validate=True raises; validate=False resolves deterministically
+    r1 = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_custkey = 4 DETACH DELETE c"
+    )
+    orphans = [
+        r["o_orderkey"]
+        for r in r1.table("orders").filter("o_custkey IS NULL").collect()
+    ]
+    ok = orphans[0]
+    partners = sorted(
+        r["c_custkey"]
+        for r in r1.table("customer").filter("c_custkey IN (2, 7)").collect()
+    )
+    assert partners == [2, 7]
+    q = (
+        "MATCH (c:Customer), (o:Orders) "
+        f"WHERE c.c_custkey IN [2, 7] AND o.o_orderkey = {ok} "
+        "MERGE (c)-[:PLACED]->(o)"
+    )
+    with pytest.raises(TranspilerBindingError, match="more than one"):
+        r1.engine().cypher_write(q)
+    r2 = r1.engine().cypher_write(q, validate=False)
+    hit = r2.table("orders").filter(f"o_orderkey = {ok}").collect()
+    assert len(hit) == 1  # no fan-out
+    assert hit[0]["o_custkey"] == 7  # max() conflict rule
+    # total row count unchanged (only FKs were touched)
+    assert r2.table("orders").count() == r1.table("orders").count()
 
 
 def test_merge_relationship_endpoints_must_be_bound(weng):
