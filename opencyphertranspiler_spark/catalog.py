@@ -79,6 +79,26 @@ def _q_write_set(spark: SparkSession, sf_dir: str):
     )
 
 
+def _q_entity_projection(spark, sf_dir):
+    """Gate q45: `RETURN c` projects the entity as a STRUCT (round 6 —
+    the reference rejects entity returns, LogicalPlan.cs:324-328). The
+    struct is serialized to JSON for the hash comparison; the Cypher
+    below is the actual user surface (WITH-passthrough + implicit
+    grouping ON the entity + RETURN c)."""
+    from pyspark.sql import functions as F
+
+    eng = get_engine(spark, sf_dir)
+    df = eng.cypher(
+        """
+        MATCH (c:Customer)-[:PLACED]->(o:Orders)
+        WHERE c.c_acctbal < -900
+        WITH c, count(o) AS n_orders
+        RETURN c, n_orders
+        """
+    )
+    return df.select(F.to_json("c").alias("cjson"), "n_orders")
+
+
 CATALOG: list[CatalogEntry] = [
     # ---- group 1: sanity MATCH + WHERE + implicit GROUP BY (flagship) ----
     CatalogEntry(
@@ -435,12 +455,18 @@ CATALOG: list[CatalogEntry] = [
         name="q21_exists_pattern",
         # top-level conjuncts lower to SEMI/ANTI joins; the OR clause (a
         # bare pattern predicate in boolean-expression position) lowers
-        # to the left-join flag path (ExistsFlagOp) — both gated here
+        # to the left-join flag path (ExistsFlagOp) — both gated here.
+        # Round 6: merged former q41 (EXISTS { } / COUNT { } subqueries)
+        # into the same scan, freeing a gate slot for
+        # q45_entity_projection — all four pattern-subquery lowerings now
+        # ride one entry.
         cypher="""
             MATCH (o:Orders)
             WHERE (NOT exists((o)-[:CONTAINS]->(:Lineitem))
                    OR (o)-[:CONTAINS]->(:Lineitem {l_linenumber: 7}))
-              AND exists((o)<-[:PLACED]-(:Customer))
+              AND EXISTS { MATCH (o)<-[:PLACED]-(c:Customer)
+                           WHERE c.c_acctbal > 0 }
+              AND COUNT { (o)-[:CONTAINS]->(:Lineitem) } >= 2
               AND o.o_totalprice > 50000
             RETURN o.o_orderstatus AS status, count(*) AS n
         """,
@@ -453,11 +479,14 @@ CATALOG: list[CatalogEntry] = [
                               WHERE l.l_orderkey = o.o_orderkey
                                 AND l.l_linenumber = 7))
               AND EXISTS (SELECT 1 FROM customer c
-                          WHERE c.c_custkey = o.o_custkey)
+                          WHERE c.c_custkey = o.o_custkey
+                            AND c.c_acctbal > 0)
+              AND (SELECT count(*) FROM lineitem l
+                   WHERE l.l_orderkey = o.o_orderkey) >= 2
               AND o.o_totalprice > 50000
             GROUP BY o.o_orderstatus
         """,
-        tags=("exists", "semi-join", "exists-flag"),
+        tags=("exists", "semi-join", "exists-flag", "subquery", "count"),
     ),
     # ---- 3+ hop with cross-pattern comma and timestamps ----
     CatalogEntry(
@@ -732,6 +761,9 @@ CATALOG += [
                          AND b.o_orderkey > a.o_orderkey
             WHERE a.o_orderkey = 1
         """,
+        # round 6: benched (VERDICT r5 #5) — the anchored-BFS machinery
+        # now has sf0.1 wall-clock tracking, not just sf0.01 correctness
+        bench=True,
         tags=("match", "var-length", "unbounded", "anchored"),
     ),
     # ---- undirected variable-length (extension): per-hop undirection ==
@@ -763,31 +795,34 @@ CATALOG += [
         """,
         tags=("match", "var-length", "undirected"),
     ),
-    # ---- EXISTS { } / COUNT { } subqueries (modern openCypher syntax,
-    # extension): EXISTS {} lowers to the semi/anti/flag pattern-predicate
-    # machinery, COUNT {} to size(pattern comprehension) — correlated
-    # subqueries with zero new join machinery (cypher/parser.py:
-    # _parse_subquery_tail) ----
+    # (former q41_count_subquery merged into q21_exists_pattern, round 6 —
+    # EXISTS { } / COUNT { } subqueries stay gate-covered there)
+    # ---- RETURN c entity projection (round 6 extension) ----
     CatalogEntry(
-        name="q41_count_subquery",
-        cypher="""
-            MATCH (c:Customer)
-            WHERE COUNT { (c)-[:PLACED]->(:Orders) } > 8
-              AND EXISTS { MATCH (c)-[:PLACED]->(o:Orders)
-                           WHERE o.o_orderpriority = '1-URGENT' }
-            RETURN c.c_mktsegment AS seg, count(*) AS n
-        """,
+        name="q45_entity_projection",
+        # `RETURN c` entity projection (round 6 — lifts the reference's
+        # LogicalPlan.cs:324-328 fence): the returned entity is a named
+        # STRUCT of its properties. The gate serializes the struct with
+        # to_json on BOTH sides (byte-identical renderings, verified)
+        # because struct cells hash differently across pandas bridges;
+        # the raw-struct path is differential-tested in
+        # tests/test_e2e.py / test_movie_graph.py.
+        fn=_q_entity_projection,
         oracle="""
-            SELECT c.c_mktsegment AS seg, count(*) AS n
-            FROM customer c
-            WHERE (SELECT count(*) FROM orders o
-                   WHERE o.o_custkey = c.c_custkey) > 8
-              AND EXISTS (SELECT 1 FROM orders o
-                          WHERE o.o_custkey = c.c_custkey
-                            AND o.o_orderpriority = '1-URGENT')
-            GROUP BY c.c_mktsegment
+            SELECT to_json(struct_pack(
+                       c_custkey := c_custkey, c_name := c_name,
+                       c_acctbal := c_acctbal,
+                       c_mktsegment := c_mktsegment))::varchar AS cjson,
+                   n_orders
+            FROM (
+                SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment,
+                       count(o.o_orderkey) AS n_orders
+                FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+                WHERE c.c_acctbal < -900
+                GROUP BY c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment
+            )
         """,
-        tags=("subquery", "exists", "count"),
+        tags=("entity-projection", "struct"),
     ),
     # ---- CALL { } subqueries (extension; the reference rejects CALL):
     # correlated form decorrelated by threading the imported node through
@@ -1033,16 +1068,28 @@ def _p_langid(spark, sf_dir):
 
 
 def _p_cosine_topk(spark, sf_dir):
-    from .pipeline.similarity import cosine_topk
+    """Merged p09+p10 (round 6, gate-slot economy for s03): exact top-k
+    per query AND exhaustive threshold pairs, one entry, aligned schema."""
+    from pyspark.sql import functions as F
+
+    from .pipeline.similarity import cosine_pairs, cosine_topk
 
     embs = _embs(spark, sf_dir)
-    return cosine_topk(embs, embs.filter("vec_id < 20"), k=5)
-
-
-def _p_cosine_pairs(spark, sf_dir):
-    from .pipeline.similarity import cosine_pairs
-
-    return cosine_pairs(_embs(spark, sf_dir), threshold=0.4)
+    topk = cosine_topk(embs, embs.filter("vec_id < 20"), k=5).select(
+        F.lit("topk").alias("kind"),
+        F.col("query_id").alias("id_a"),
+        F.col("match_id").alias("id_b"),
+        F.col("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    pairs = cosine_pairs(embs, threshold=0.4).select(
+        F.lit("pairs").alias("kind"),
+        "id_a",
+        "id_b",
+        "cosine",
+        F.lit(None).cast("int").alias("rank"),
+    )
+    return topk.unionByName(pairs)
 
 
 def _p_cosine_lsh_topk(spark, sf_dir):
@@ -1316,6 +1363,40 @@ def _s_sessionize(spark, sf_dir):
     return sessionize(_events(spark, sf_dir), gap_minutes=30)
 
 
+def _s_stateful_sessionize(spark, sf_dir):
+    """Gate s03 (round 6): the REAL Structured Streaming stateful path —
+    events.parquet replayed through a file-source stream into the
+    applyInPandasWithState sessionizer, one availableNow trigger, memory
+    sink. Emits CLOSED sessions only (each user's open tail session stays
+    in the state store), so the oracle drops every user's last session.
+    Same stream==batch equivalence the pytest suite asserts, now under
+    the driver's DuckDB hash gate."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming.stateful import sessionize_stateful
+
+    schema = _events(spark, sf_dir).schema
+    # the file stream source needs a DIRECTORY; the driver data is one
+    # read-only parquet file — expose it through a symlinked temp dir
+    src_dir = tempfile.mkdtemp(prefix="s03_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    out = sessionize_stateful(stream, gap_minutes=30)
+    name = f"s03_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="s03_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 # duckdb n-gram shingle CTE shared by the jaccard oracles
 _SHINGLES = """
     WITH s AS (
@@ -1445,6 +1526,9 @@ PIPELINE_CATALOG: list[CatalogEntry] = [
         tags=("text", "langid", "fingerprint"),
     ),
     CatalogEntry(
+        # round 6: merged former p10_cosine_pairs into the same entry
+        # (both are the exhaustive-cosine baseline family) — freed a gate
+        # slot for s03_stateful_sessionize
         name="p09_cosine_topk",
         fn=_p_cosine_topk,
         oracle=f"""
@@ -1453,26 +1537,21 @@ PIPELINE_CATALOG: list[CatalogEntry] = [
                 FROM embeddings q JOIN embeddings c
                   ON q.vec_id < 20 AND q.vec_id <> c.vec_id
             )
-            SELECT query_id, match_id, round(cosine, 6) AS cosine,
-                   CAST(rank AS INTEGER) AS rank
+            SELECT 'topk' AS kind, query_id AS id_a, match_id AS id_b,
+                   round(cosine, 6) AS cosine, CAST(rank AS INTEGER) AS rank
             FROM (SELECT *, row_number() OVER (
                       PARTITION BY query_id
                       ORDER BY cosine DESC, match_id) AS rank
                   FROM p)
             WHERE rank <= 5
-        """,
-        bench=True,
-        tags=("similarity", "ann"),
-    ),
-    CatalogEntry(
-        name="p10_cosine_pairs",
-        fn=_p_cosine_pairs,
-        oracle=f"""
-            SELECT q.vec_id AS id_a, c.vec_id AS id_b, round({_COS}, 6) AS cosine
+            UNION ALL
+            SELECT 'pairs' AS kind, q.vec_id AS id_a, c.vec_id AS id_b,
+                   round({_COS}, 6) AS cosine, CAST(NULL AS INTEGER) AS rank
             FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
             WHERE {_COS} >= 0.4
         """,
-        tags=("similarity",),
+        bench=True,
+        tags=("similarity", "ann"),
     ),
     CatalogEntry(
         name="p11_cosine_lsh_topk",
@@ -1720,6 +1799,38 @@ PIPELINE_CATALOG: list[CatalogEntry] = [
         """,
         bench=True,
         tags=("streaming", "session"),
+    ),
+    CatalogEntry(
+        name="s03_stateful_sessionize",
+        fn=_s_stateful_sessionize,
+        # the batch CTE re-derives every session, then QUALIFY drops each
+        # user's LAST session — exactly the open tail the stateful
+        # operator keeps in state instead of emitting
+        oracle="""
+            WITH g AS (
+                SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                               THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT *, sum(is_new) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS session_no
+                FROM g
+            ), sess AS (
+                SELECT user_id, session_no, count(*) AS n_events,
+                       min(ts) AS session_start, max(ts) AS session_end,
+                       round(sum(value), 4) AS sum_value
+                FROM s GROUP BY user_id, session_no
+            )
+            SELECT user_id, session_start, session_end,
+                   n_events, sum_value
+            FROM sess
+            QUALIFY session_no < max(session_no) OVER (PARTITION BY user_id)
+        """,
+        bench=True,
+        tags=("streaming", "stateful", "session"),
     ),
 ]
 

@@ -595,15 +595,7 @@ class ExprCompiler:
                 ]
             )
         if expr.name == "properties":
-            # heterogeneous value types -> STRUCT keyed by property name
-            # (a Spark map would force a common value type)
-            return F.struct(
-                *[
-                    qcol(ref.col(p)).alias(p)
-                    for p in ref.property_names
-                    if not p.startswith("__")
-                ]
-            )
+            return self._properties_struct(ref)
         if ref.kind == "node":
             return qcol(ref.col(ref.node.id_property))
         return F.struct(
@@ -616,6 +608,26 @@ class ExprCompiler:
         if ref is None:
             raise TranspilerBindingError(f"Alias '{alias}' does not exist")
         return ref
+
+    def _properties_struct(self, ref: EntityRef) -> Column:
+        """The entity as one STRUCT column keyed by property name
+        (heterogeneous value types — a Spark map would force a common
+        value type). Backs ``properties(n)``, ``RETURN n`` entity
+        projection, and ``collect(n)``. An unmatched OPTIONAL MATCH
+        entity (null surrogate key) is a null STRUCT, matching Neo4j's
+        null node — not a struct of nulls."""
+        st = F.struct(
+            *[
+                qcol(ref.col(p)).alias(p)
+                for p in ref.property_names
+                if not p.startswith("__")
+            ]
+        )
+        nonnull = None
+        for c in ref.key_cols():
+            k = qcol(c).isNotNull()
+            nonnull = k if nonnull is None else (nonnull | k)
+        return F.when(nonnull, st)
 
     def _path_function(self, name: str, ref: PathRef) -> Column:
         """length/nodes/relationships over a bound pattern variable.
@@ -1020,6 +1032,15 @@ class ExprCompiler:
         if isinstance(expr.arg, A.Variable):
             ref = self._ref(expr.arg.name)
             if isinstance(ref, EntityRef):
+                if expr.name == "collect":
+                    # collect(n) — the entity as its properties STRUCT
+                    # (extension; pairs with RETURN n entity projection).
+                    # collect_list drops null structs, so unmatched
+                    # OPTIONAL entities are excluded like Neo4j
+                    st = self._properties_struct(ref)
+                    if expr.distinct:
+                        return F.collect_set(st)
+                    return F.collect_list(st)
                 keys = [qcol(c) for c in ref.key_cols()]
                 return compile_aggregate(
                     expr.name, None, expr.distinct, extras, entity_keys=keys

@@ -1412,8 +1412,9 @@ class _SingleQueryPlanner:
             piped = OneRowOp(env={})
         # `WITH *` / `RETURN *` (extension): expand to every in-scope
         # alias (skipping planner-internal __ aliases), before explicit
-        # items. RETURN * rejects entity/path aliases like any explicit
-        # entity return — project properties instead.
+        # items. RETURN * still rejects path aliases (use length()/
+        # nodes()/relationships()); entity aliases project as structs
+        # via the RETURN-entity rewrite below.
         if clause.star:
             explicit = {a for a, _ in clause.items}
             star_items: list[tuple[str, A.Expr]] = []
@@ -1423,12 +1424,12 @@ class _SingleQueryPlanner:
                 if alias in explicit or alias in self.generated_aliases:
                     continue
                 if clause.is_return and isinstance(
-                    ref, (EntityRef, PathRef, MaterializedPathRef)
+                    ref, (PathRef, MaterializedPathRef)
                 ):
                     raise TranspilerNotSupportedError(
-                        f"RETURN * would return entity/path alias '{alias}' "
-                        "— not supported (reference LogicalPlan.cs:324-328); "
-                        "list properties explicitly"
+                        f"RETURN * would return path alias '{alias}' "
+                        "— not supported; return length()/nodes()/"
+                        "relationships() of it"
                     )
                 star_items.append((alias, A.Variable(alias)))
             clause.items = star_items + clause.items
@@ -1437,6 +1438,24 @@ class _SingleQueryPlanner:
                 raise TranspilerBindingError(
                     "WITH */RETURN * found nothing in scope to project"
                 )
+        # `RETURN n` / `RETURN r` entity projection (extension; the
+        # reference REJECTS returning entities, LogicalPlan.cs:324-328 /
+        # CypherVisitor.cs:780-785 — its most user-visible fence): a
+        # returned entity compiles to a named STRUCT of its properties
+        # (the properties() machinery), so DISTINCT / grouping / ORDER BY
+        # on the returned column work by value. An unmatched OPTIONAL
+        # entity returns a null struct, matching Neo4j's null node.
+        if clause.is_return:
+            clause.items = [
+                (
+                    alias,
+                    A.FuncCall("properties", [expr])
+                    if isinstance(expr, A.Variable)
+                    and isinstance(piped.env.get(expr.name), EntityRef)
+                    else expr,
+                )
+                for alias, expr in clause.items
+            ]
         # exists() in projection-item position (`RETURN exists(...) AS f`):
         # attach flag joins to the piped op and substitute boolean columns
         # before planning the projection itself

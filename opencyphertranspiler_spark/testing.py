@@ -70,6 +70,16 @@ def _canon_object(v) -> str:
         return ""
     if isinstance(v, np.ndarray):
         v = v.tolist()
+    # structs: Spark's toPandas yields Row objects, DuckDB yields dicts —
+    # canonicalize both to the same `{k: v, ...}` text (declared order)
+    if hasattr(v, "asDict") and not isinstance(v, dict):
+        v = v.asDict()
+    if isinstance(v, dict):
+        return (
+            "{"
+            + ", ".join(f"{k}: {_canon_object(x)}" for k, x in v.items())
+            + "}"
+        )
     if isinstance(v, (list, tuple)):
         return "[" + ", ".join(_canon_object(x) for x in v) + "]"
     if isinstance(v, np.generic):

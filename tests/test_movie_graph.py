@@ -1375,8 +1375,12 @@ def test_return_star_values_and_entity_rejection(movie_engine):
         """
     )
     assert rows(df) == {("Tom Hanks", 1956)}
-    with pytest.raises(TranspilerNotSupportedError, match="RETURN [*]"):
-        movie_engine.cypher("MATCH (p:Person) RETURN *")
+    # round 6: `MATCH (p) RETURN *` now projects the entity STRUCT
+    # (entity projection) instead of raising
+    df2 = movie_engine.cypher(
+        "MATCH (p:Person) WHERE p.Born = 1956 RETURN *"
+    )
+    assert [r["p"]["Name"] for r in df2.collect()] == ["Tom Hanks"]
 
 
 # ---------------------------------------------------------------------------
@@ -2234,3 +2238,129 @@ def test_dynamic_property_unknown_literal_key_is_null(movie_engine):
 
     with pytest.raises(TranspilerBindingError):
         movie_engine.cypher("MATCH (p:Person) RETURN p.Nope AS x")
+
+
+# ---------------------------------------------------------------------------
+# RETURN n / RETURN r entity projection (round 6 — lifts the reference's
+# LogicalPlan.cs:324-328 fence: a returned entity is a named STRUCT of its
+# properties)
+# ---------------------------------------------------------------------------
+
+
+def test_return_node_entity_struct(movie_engine):
+    df = movie_engine.cypher(
+        "MATCH (m:Movie) RETURN m ORDER BY m.Released LIMIT 2"
+    )
+    assert df.columns == ["m"]
+    got = [r["m"].asDict() for r in df.collect()]
+    assert got == [
+        {"id": "m1", "Title": "Sleepless in Seattle",
+         "Tagline": "What if...", "Released": 1993},
+        {"id": "m3", "Title": "Apollo 13",
+         "Tagline": "Houston...", "Released": 1995},
+    ]
+
+
+def test_return_distinct_entity_struct(movie_engine):
+    # p1/p2 both acted in m1 and m2 -> duplicate movie rows pre-DISTINCT
+    df = movie_engine.cypher(
+        "MATCH (p:Person)-[:ACTED_IN]->(m:Movie) RETURN DISTINCT m"
+    )
+    got = {r["m"]["id"] for r in df.collect()}
+    assert got == {"m1", "m2", "m3"}
+    assert df.count() == 3
+
+
+def test_return_entity_with_passthrough(movie_engine):
+    # entity rides through WITH (still an entity there: WHERE on its
+    # properties works), the final RETURN projects the struct
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
+        WITH p, count(m) AS n WHERE n >= 3
+        RETURN p, n
+        """
+    )
+    out = [(r["p"]["Name"], r["n"]) for r in df.collect()]
+    assert out == [("Tom Hanks", 3)]
+
+
+def test_return_relationship_entity_struct(movie_engine):
+    # relationship struct carries endpoint ids + declared properties
+    df = movie_engine.cypher(
+        "MATCH (p:Person)-[r:REVIEWED]->(m:Movie) "
+        "WHERE m.id = 'm2' RETURN r"
+    )
+    got = [r["r"].asDict() for r in df.collect()]
+    assert got == [
+        {"_vertexId": "p3", "_sink": "m2", "Summary": "OK", "Rating": 6}
+    ]
+
+
+def test_return_optional_unmatched_entity_is_null(movie_engine):
+    # Nora Ephron has no Born year; nobody REVIEWED m3 -> null struct,
+    # not a struct of nulls (Neo4j null-node parity)
+    df = movie_engine.cypher(
+        """
+        MATCH (m:Movie) OPTIONAL MATCH (p:Person)-[:REVIEWED]->(m)
+        RETURN m.id AS mid, p ORDER BY mid
+        """
+    )
+    by_mid = {}
+    for r in df.collect():
+        by_mid.setdefault(r["mid"], []).append(r["p"])
+    assert by_mid["m3"] == [None]
+    assert {p["Name"] for p in by_mid["m1"]} == {"Rob Reiner", "Bill Paxton"}
+
+
+def test_collect_entity_structs(movie_engine):
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
+        RETURN m.Title AS t, collect(p) AS cast ORDER BY t
+        """
+    )
+    out = {r["t"]: sorted(p["Name"] for p in r["cast"]) for r in df.collect()}
+    assert out == {
+        "Apollo 13": ["Bill Paxton", "Tom Hanks"],
+        "Sleepless in Seattle": ["Meg Ryan", "Tom Hanks"],
+        "You've Got Mail": ["Meg Ryan", "Tom Hanks"],
+    }
+    # collect(DISTINCT n) dedups by the whole struct
+    df2 = movie_engine.cypher(
+        "MATCH (p:Person)-[:ACTED_IN]->(m:Movie) "
+        "RETURN collect(DISTINCT p) AS people"
+    )
+    people = df2.collect()[0]["people"]
+    assert sorted(p["Name"] for p in people) == [
+        "Bill Paxton", "Meg Ryan", "Tom Hanks"
+    ]
+
+
+def test_return_star_projects_entity_structs(movie_engine):
+    df = movie_engine.cypher(
+        "MATCH (p:Person)-[:DIRECTED]->(m:Movie) "
+        "WHERE m.id = 'm3' RETURN *"
+    )
+    assert sorted(df.columns) == ["m", "p"]
+    row = df.collect()[0]
+    assert row["p"]["Name"] == "Rob Reiner"
+    assert row["m"]["Title"] == "Apollo 13"
+
+
+def test_return_entity_grouping_key(movie_engine):
+    # implicit GROUP BY on the struct itself (RETURN m, count(p))
+    df = movie_engine.cypher(
+        "MATCH (p:Person)-[:ACTED_IN]->(m:Movie) RETURN m, count(p) AS n"
+    )
+    out = {r["m"]["Title"]: r["n"] for r in df.collect()}
+    assert out == {
+        "Sleepless in Seattle": 2, "You've Got Mail": 2, "Apollo 13": 2
+    }
+
+
+def test_return_path_variable_still_fenced(movie_engine):
+    with pytest.raises(TranspilerNotSupportedError, match="path"):
+        movie_engine.cypher(
+            "MATCH p = (a:Person)-[:REVIEWED]->(m:Movie) RETURN p"
+        )
