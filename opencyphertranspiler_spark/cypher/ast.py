@@ -482,15 +482,37 @@ class SetItem:
 
 
 @dataclass
+class SetPlusItem:
+    """``SET alias += {map}`` — merge every key of the map expression into
+    the entity (null values remove, Neo4j semantics). ``expr`` must be a
+    MapLiteral or a Parameter bound to a dict at execution time."""
+
+    alias: str
+    expr: Expr
+
+
+@dataclass
+class SetLabelItem:
+    """``SET alias:Label`` — add the label's table facet (round 6
+    extension: labels are tables here, so adding a label appends an
+    id-sharing row to the label's table)."""
+
+    alias: str
+    label: str
+
+
+@dataclass
 class SetClause:
-    items: list[SetItem]
+    items: list[SetItem | SetPlusItem | SetLabelItem]
 
 
 @dataclass
 class RemoveClause:
-    """``REMOVE alias.prop`` — sugar for ``SET alias.prop = null``."""
+    """``REMOVE alias.prop`` — sugar for ``SET alias.prop = null``;
+    ``REMOVE alias:Label`` drops the label's table facet row."""
 
     items: list[tuple[str, str]]  # (alias, prop)
+    labels: list[tuple[str, str]] = field(default_factory=list)  # (alias, label)
 
 
 @dataclass

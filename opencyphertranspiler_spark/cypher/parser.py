@@ -347,16 +347,21 @@ class Parser:
 
     def parse_set_item(self) -> A.SetItem:
         alias = self.expect_ident()
-        if self.cur.is_punct(":"):
-            raise TranspilerNotSupportedError(
-                "SET on a label (SET n:Label) is not supported; the node's "
-                "label is its table binding in this engine"
-            )
+        if self.accept_punct(":"):
+            # SET n:Label — label facet addition (round 6 extension)
+            return A.SetLabelItem(alias, self.expect_name())
         if self.cur.is_punct("+") and self.peek().is_punct("="):
-            raise TranspilerNotSupportedError(
-                "SET n += {map} is not supported; list the properties "
-                "explicitly (SET n.p1 = v1, n.p2 = v2)"
-            )
+            # SET n += {map} (round 6 extension): merge map keys into the
+            # entity; null values remove (Neo4j semantics)
+            self.advance()
+            self.advance()
+            expr = self.parse_expr()
+            if not isinstance(expr, (A.MapLiteral, A.Parameter)):
+                raise TranspilerNotSupportedError(
+                    "SET n += requires a map literal or a $param bound "
+                    "to a map"
+                )
+            return A.SetPlusItem(alias, expr)
         self.expect_punct(".")
         prop = self.expect_name()
         if self.cur.is_punct("."):
@@ -376,17 +381,18 @@ class Parser:
     def parse_remove(self) -> A.RemoveClause:
         self.expect_kw("REMOVE")
         items = []
+        labels = []
         while True:
             alias = self.expect_ident()
-            if self.cur.is_punct(":"):
-                raise TranspilerNotSupportedError(
-                    "REMOVE of a label (REMOVE n:Label) is not supported"
-                )
-            self.expect_punct(".")
-            items.append((alias, self.expect_name()))
+            if self.accept_punct(":"):
+                # REMOVE n:Label — label facet removal (round 6 extension)
+                labels.append((alias, self.expect_name()))
+            else:
+                self.expect_punct(".")
+                items.append((alias, self.expect_name()))
             if not self.accept_punct(","):
                 break
-        return A.RemoveClause(items)
+        return A.RemoveClause(items, labels)
 
     def parse_create(self) -> A.CreateClause:
         self.expect_kw("CREATE")

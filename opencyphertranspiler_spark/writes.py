@@ -486,13 +486,25 @@ class WriteExecutor:
     #    projection items; they return the apply function) -----------------
     def _plan_write(self, clause: A.WriteClause):
         if isinstance(clause, A.SetClause):
-            return self._plan_set(clause.items)
+            return self._plan_set(self._expand_set_items(clause.items))
         if isinstance(clause, A.RemoveClause):
             items = [
                 A.SetItem(alias, prop, A.Literal(None))
                 for alias, prop in clause.items
             ]
-            return self._plan_set(items)
+            plans = [self._plan_set(items)] if items else []
+            plans += [
+                self._plan_label(alias, label, add=False)
+                for alias, label in clause.labels
+            ]
+            if len(plans) == 1:
+                return plans[0]
+
+            def apply_all(binding: DataFrame):
+                for p in plans:
+                    p(binding)
+
+            return apply_all
         if isinstance(clause, A.DeleteClause):
             return self._plan_delete(clause)
         if isinstance(clause, A.CreateClause):
@@ -502,7 +514,45 @@ class WriteExecutor:
         raise TranspilerNotSupportedError(f"Unsupported write clause: {clause}")
 
     # -- SET ---------------------------------------------------------------
-    def _plan_set(self, items: list[A.SetItem]):
+    def _expand_set_items(self, items: list) -> list:
+        """Desugar ``SET n += {map}`` into per-key SetItems (null values
+        remove the property — Neo4j merge semantics) and peel
+        ``SET n:Label`` items off to the label planner."""
+        out: list = []
+        for item in items:
+            if isinstance(item, A.SetPlusItem):
+                expr = item.expr
+                if isinstance(expr, A.Parameter):
+                    val = (self.params or {}).get(expr.name)
+                    if not isinstance(val, dict):
+                        raise TranspilerBindingError(
+                            f"SET {item.alias} += ${expr.name} requires the "
+                            "parameter to be bound to a map"
+                        )
+                    pairs = [(k, A.Literal(v)) for k, v in val.items()]
+                else:  # MapLiteral (parser guarantees)
+                    pairs = list(expr.items)
+                out.extend(A.SetItem(item.alias, k, v) for k, v in pairs)
+            else:
+                out.append(item)
+        return out
+
+    def _plan_set(self, items: list):
+        label_items = [i for i in items if isinstance(i, A.SetLabelItem)]
+        if label_items:
+            rest = [i for i in items if not isinstance(i, A.SetLabelItem)]
+            plans = [
+                self._plan_label(i.alias, i.label, add=True)
+                for i in label_items
+            ]
+            if rest:
+                plans.append(self._plan_set(rest))
+
+            def apply_labels(binding: DataFrame):
+                for p in plans:
+                    p(binding)
+
+            return apply_labels
         _no_aggregates([i.expr for i in items])
         # one SET clause may mix node and relationship targets: split by
         # the target's kind and plan each group with its own key shape
@@ -601,6 +651,59 @@ class WriteExecutor:
 
         return apply
 
+    # -- SET/REMOVE label ---------------------------------------------------
+    def _plan_label(self, alias: str, label: str, add: bool):
+        """``SET n:Label`` / ``REMOVE n:Label`` in the table-backed model
+        (round 6): labels ARE tables (the read side intersects extra
+        labels by id semi-join), so adding a label appends an id-sharing
+        row to the label's table (other columns null) and removing it
+        drops that facet row. The node's own row is untouched."""
+        node = _node_schema(self.graph, self.scope, alias)
+        if not self.graph.has_node(label):
+            raise TranspilerBindingError(
+                f"SET/REMOVE label :{label}: no node schema with that label"
+            )
+        target = self.graph.get_node(label)
+        if target.table == node.table:
+            raise TranspilerBindingError(
+                f"SET/REMOVE label :{label} targets the alias's own "
+                f"primary label table '{target.table}'"
+            )
+        key = self._key_col(alias)
+
+        def apply(binding: DataFrame):
+            keys = (
+                binding.select(F.col(key).alias("__lk"))
+                .where(F.col("__lk").isNotNull())
+                .distinct()
+            )
+            tbl = self._get_table(target.table)
+            dtype = dict(tbl.dtypes)[target.id_property]
+            if add:
+                new_rows = keys.join(
+                    tbl,
+                    keys["__lk"].cast(dtype) == tbl[target.id_property],
+                    "left_anti",
+                ).select(
+                    F.col("__lk").cast(dtype).alias(target.id_property)
+                )
+                self.tables[target.table] = self._align_new_rows(tbl, new_rows)
+                self._count_into("labels_added", new_rows)
+            else:
+                self.tables[target.table] = tbl.join(
+                    keys,
+                    tbl[target.id_property] == keys["__lk"].cast(dtype),
+                    "left_anti",
+                )
+                removed = keys.join(
+                    tbl,
+                    keys["__lk"].cast(dtype) == tbl[target.id_property],
+                    "left_semi",
+                )
+                self._count_into("labels_removed", removed)
+
+        return apply
+
     def _apply_update(
         self, table, id_cols, key_cols, pairs, binding, counter="properties_set"
     ):
@@ -648,19 +751,45 @@ class WriteExecutor:
     # -- DELETE ------------------------------------------------------------
     def _plan_delete(self, clause: A.DeleteClause):
         nodes: list[tuple[str, NodeSchema]] = []
+        rels: list[tuple[str, EdgeSchema]] = []
         for alias in clause.aliases:
             kind = self.scope.get(alias)
             if kind is not None and kind[0] == "rel":
-                raise TranspilerNotSupportedError(
-                    "DELETE of a relationship alias is not supported yet; "
-                    "delete the owning node or model the edge in a "
-                    "standalone table"
+                e = kind[1]
+                if e is None:
+                    raise TranspilerBindingError(
+                        f"Could not resolve the relationship type of '{alias}'"
+                    )
+                if e.type_property is not None or e.identity_properties:
+                    raise TranspilerNotSupportedError(
+                        "DELETE of a virtual (multi-type / symmetrized) "
+                        "relationship is not supported"
+                    )
+                self._add_item(
+                    f"__k1_{alias}", A.Property(alias, e.source_id_property)
                 )
+                self._add_item(
+                    f"__k2_{alias}", A.Property(alias, e.sink_id_property)
+                )
+                rels.append((alias, e))
+                continue
             node = _node_schema(self.graph, self.scope, alias)
             self._key_col(alias)
             nodes.append((alias, node))
 
         def apply(binding: DataFrame):
+            for alias, e in rels:
+                pairs = (
+                    binding.select(
+                        F.col(f"__k1_{alias}").alias("__ds"),
+                        F.col(f"__k2_{alias}").alias("__dk"),
+                    )
+                    .where(
+                        F.col("__ds").isNotNull() & F.col("__dk").isNotNull()
+                    )
+                    .distinct()
+                )
+                self._apply_delete_rel(e, pairs)
             for alias, node in nodes:
                 keys = (
                     binding.select(F.col(f"__k_{alias}").alias("__dk"))
@@ -670,6 +799,50 @@ class WriteExecutor:
                 self._apply_delete_node(node, keys, clause.detach)
 
         return apply
+
+    def _apply_delete_rel(self, e: EdgeSchema, pairs: DataFrame):
+        """DELETE r (round 6): a standalone edge table drops the matched
+        (source, sink) rows (every parallel row sharing the pair — the
+        pair IS the edge identity here, same documented divergence as
+        relationship SET); an FK-embedded edge nulls the FK column on the
+        owning row (edge disappears; both nodes stay)."""
+        owner = _owner_of_edge(self.graph, e)
+        tbl = self._get_table(e.table)
+        if owner is None:
+            cond = (tbl[e.source_id_property] == pairs["__ds"]) & (
+                tbl[e.sink_id_property] == pairs["__dk"]
+            )
+            deleted = tbl.join(pairs, cond, "left_semi")
+            self.tables[e.table] = tbl.join(pairs, cond, "left_anti")
+            self._count_into("relationships_deleted", deleted)
+            return
+        if owner == "sink":
+            own = self.graph.get_node(e.sink_label)
+            row_key, fk_col, fk_val = "__dk", e.source_id_property, "__ds"
+        else:
+            own = self.graph.get_node(e.source_label)
+            row_key, fk_col, fk_val = "__ds", e.sink_id_property, "__dk"
+        # one row per owning key: an FK row holds a single edge, so the
+        # matched pairs are unique per __rk already — the groupBy is a
+        # structural guarantee that the left join below cannot fan out
+        upd = (
+            pairs.select(
+                F.col(row_key).alias("__rk"), F.col(fk_val).alias("__fv")
+            )
+            .groupBy("__rk")
+            .agg(F.max("__fv").alias("__fv"))
+        )
+        dtype = dict(tbl.dtypes)[fk_col]
+        joined = tbl.join(upd, tbl[own.id_property] == upd["__rk"], "left")
+        hit = upd["__fv"].isNotNull() & tbl[fk_col].eqNullSafe(
+            upd["__fv"].cast(dtype)
+        )
+        deleted = joined.where(hit).select("__rk")
+        self.tables[e.table] = joined.withColumn(
+            fk_col,
+            F.when(hit, F.lit(None).cast(dtype)).otherwise(F.col(fk_col)),
+        ).drop("__rk", "__fv")
+        self._count_into("relationships_deleted", deleted)
 
     def _apply_delete_node(self, node: NodeSchema, keys: DataFrame, detach: bool):
         for e in self.graph.edges:
@@ -1055,17 +1228,20 @@ class WriteExecutor:
 
 
     def _plan_merge_rel(self, clause: A.MergeClause):
-        """``MERGE (a)-[:V {props?}]->(b)`` with BOTH endpoints bound:
+        """``MERGE (a)-[r:V {props?}]->(b)`` with BOTH endpoints bound:
         create the relationship only where the full pattern (keys + any
         inline props) does not already exist. Standalone edge tables get
         an anti-join + append; FK-embedded edges set the FK column where
         it is currently NULL (a row already pointing at a DIFFERENT node
-        cannot hold a second edge — validate=True raises, else skipped)."""
+        cannot hold a second edge — validate=True raises, else skipped).
+        ON CREATE/ON MATCH SET (round 6) target the MERGE relationship
+        alias: standalone tables update the matched pair rows / stamp the
+        appended rows; FK-embedded edges update the owning row's columns,
+        split by the pre-write FK state."""
         part = clause.pattern
-        if len(part.rels) != 1 or clause.on_create or clause.on_match:
+        if len(part.rels) != 1:
             raise TranspilerNotSupportedError(
-                "MERGE supports a single relationship hop without "
-                "ON CREATE/ON MATCH SET"
+                "MERGE supports a single relationship hop"
             )
         left, rel, right = next(part.hops())
         if rel.direction == A.Direction.EITHER:
@@ -1098,20 +1274,47 @@ class WriteExecutor:
                 f"{snk_label} has no edge schema; declare it first"
             )
         _no_aggregates([x for _, x in rel.props])
+        _no_aggregates([i.expr for i in clause.on_create + clause.on_match])
+        # ON CREATE/ON MATCH SET on relationship MERGE (round 6): items
+        # must target the MERGE relationship alias; the assigned columns
+        # live on the edge table (standalone) or the owning row
+        # (FK-embedded)
+        for item in clause.on_create + clause.on_match:
+            if not isinstance(item, A.SetItem):
+                raise TranspilerNotSupportedError(
+                    "ON CREATE/ON MATCH SET on a relationship MERGE "
+                    "supports plain property assignments only"
+                )
+            if rel.alias is None or item.alias != rel.alias:
+                raise TranspilerBindingError(
+                    "ON CREATE/ON MATCH SET must target the MERGE "
+                    "relationship alias"
+                )
+            if item.prop in (e.source_id_property, e.sink_id_property):
+                raise TranspilerNotSupportedError(
+                    "SET on a relationship key column is not supported"
+                )
         src_key = self._key_col(src_n.alias)
         snk_key = self._key_col(snk_n.alias)
         rprop_cols = {p: self._val_col(x) for p, x in rel.props}
+        oc_cols = [(i.prop, self._val_col(i.expr)) for i in clause.on_create]
+        om_cols = [(i.prop, self._val_col(i.expr)) for i in clause.on_match]
+        if rel.alias:
+            self._fenced_aliases.add(rel.alias)
         owner = _owner_of_edge(self.graph, e)
 
         def apply(binding: DataFrame):
+            vcols = list(rprop_cols.values()) + [
+                v for _, v in oc_cols + om_cols
+            ]
             cand = binding.select(
                 F.col(src_key).alias("__ms"),
                 F.col(snk_key).alias("__mk"),
-                *[F.col(v) for v in rprop_cols.values()],
+                *[F.col(v) for v in vcols],
             ).where(F.col("__ms").isNotNull() & F.col("__mk").isNotNull())
-            if rprop_cols:
+            if vcols:
                 cand = cand.groupBy("__ms", "__mk").agg(
-                    *[F.max(v).alias(v) for v in rprop_cols.values()]
+                    *[F.max(v).alias(v) for v in vcols]
                 )
             else:
                 cand = cand.distinct()
@@ -1127,12 +1330,30 @@ class WriteExecutor:
                         F.col(v).cast(dtypes.get(p, "string"))
                     )
                 to_create = cand.join(tbl, cond, "left_anti")
+                if om_cols:
+                    matched = cand.join(tbl, cond, "left_semi")
+                    upd_b = matched.select(
+                        "__ms", "__mk", *[F.col(v) for _, v in om_cols]
+                    )
+                    self._apply_update(
+                        e.table,
+                        (e.source_id_property, e.sink_id_property),
+                        ("__ms", "__mk"),
+                        om_cols,
+                        upd_b,
+                    )
                 cols = {e.source_id_property: "__ms", e.sink_id_property: "__mk"}
                 cols.update(rprop_cols)
+                for p, v in oc_cols:
+                    cols[p] = v
                 new_rows = to_create.select(
                     *[F.col(v).alias(p) for p, v in cols.items()]
                 )
-                self.tables[e.table] = self._align_new_rows(tbl, new_rows)
+                tbl2 = self._get_table(e.table)  # post ON-MATCH update
+                for p, v in cols.items():
+                    if p not in tbl2.columns:
+                        self._record_new_prop(e.table, p, to_create, v)
+                self.tables[e.table] = self._align_new_rows(tbl2, new_rows)
                 self._count_into("relationships_created", new_rows)
                 return
             # FK-embedded: the edge is a column of the owning row
@@ -1148,8 +1369,11 @@ class WriteExecutor:
             else:
                 row_key, fk_col, fk_val = "__ms", e.sink_id_property, "__mk"
                 own_node = self.graph.get_node(e.source_label)
+            set_vals = [v for _, v in oc_cols + om_cols]
             upd = cand.select(
-                F.col(row_key).alias("__rk"), F.col(fk_val).alias("__fv")
+                F.col(row_key).alias("__rk"),
+                F.col(fk_val).alias("__fv"),
+                *[F.col(v) for v in set_vals],
             )
             if self.validate:
                 # one owning row can hold exactly one FK edge: a statement
@@ -1170,7 +1394,10 @@ class WriteExecutor:
                     )
             # exactly one update row per owning key (max() = the same
             # documented deterministic conflict rule as _apply_update)
-            upd = upd.groupBy("__rk").agg(F.max("__fv").alias("__fv"))
+            upd = upd.groupBy("__rk").agg(
+                F.max("__fv").alias("__fv"),
+                *[F.max(v).alias(v) for v in set_vals],
+            )
             joined = tbl.join(upd, tbl[own_node.id_property] == upd["__rk"], "left")
             if self.validate:
                 n_conflict = (
@@ -1197,9 +1424,32 @@ class WriteExecutor:
                         upd["__fv"].isNotNull() & F.col(fk_col).isNull(),
                         upd["__fv"].cast(dtypes[fk_col]),
                     ).otherwise(F.col(fk_col)),
-                ).drop("__rk", "__fv")
+                ).drop("__rk", "__fv", *set_vals)
             )
             self._count_into("relationships_created", created)
+            # ON CREATE/ON MATCH SET land on the owning row's columns
+            # (FK-embedded props live there); split by the PRE-write FK
+            # state: null FK -> just created, FK == partner -> matched
+            if oc_cols:
+                created_b = upd.join(
+                    tbl,
+                    (tbl[own_node.id_property] == upd["__rk"])
+                    & tbl[fk_col].isNull(),
+                    "left_semi",
+                ).select(F.col("__rk"), *[F.col(v) for _, v in oc_cols])
+                self._apply_update(
+                    e.table, own_node.id_property, "__rk", oc_cols, created_b
+                )
+            if om_cols:
+                matched_b = upd.join(
+                    tbl,
+                    (tbl[own_node.id_property] == upd["__rk"])
+                    & (tbl[fk_col] == upd["__fv"].cast(dtypes[fk_col])),
+                    "left_semi",
+                ).select(F.col("__rk"), *[F.col(v) for _, v in om_cols])
+                self._apply_update(
+                    e.table, own_node.id_property, "__rk", om_cols, matched_b
+                )
 
         return apply
 

@@ -60,9 +60,9 @@ def test_read_parse_keeps_write_fence(q):
     [
         ("MATCH (c:Customer) SET c.x = 1 WITH c RETURN 1 AS o", "after a write"),
         ("MATCH (c:Customer) SET c.x = 1 MATCH (o:Orders) DELETE o", "after a write"),
-        ("SET c:Gold", "label"),
-        ("MATCH (c:Customer) SET c += {x: 1}", "explicitly"),
-        ("MATCH (c:Customer) REMOVE c:Gold", "label"),
+        # round 6: SET c:Label / REMOVE c:Label / SET c += {map} are now
+        # supported extensions — a non-map += stays fenced:
+        ("MATCH (c:Customer) SET c += 5", "map"),
         (
             "CREATE (n:Tag {id: 1}) UNION CREATE (n:Tag {id: 2})",
             "UNION after a write",
@@ -872,3 +872,187 @@ def test_call_subquery_in_write_reading_prefix(weng):
         ).collect()
     )
     assert got == exp and len(got) == 5
+
+
+# ---------------------------------------------------------------------------
+# round 6: relationship DELETE, SET +=, label SET/REMOVE, rel-MERGE ON SET
+# ---------------------------------------------------------------------------
+
+
+def test_delete_relationship_standalone_table(movie_weng):
+    res = movie_weng.cypher_write(
+        "MATCH (p:Person {Name: 'Tom Hanks'})-[r:ACTED_IN]->(m:Movie) "
+        "WHERE m.id IN ['m1', 'm2'] DELETE r"
+    )
+    left = res.table("acted_in")
+    assert rows(left.select("_vertexId", "_sink")) == {
+        ("p2", "m1"), ("p2", "m2"), ("p1", "m3"), ("p5", "m3")
+    }
+    assert res.counts()["relationships_deleted"] == 2
+    # nodes untouched
+    assert res.table("person").count() == 5
+    assert res.table("movie").count() == 3
+
+
+def test_delete_relationship_fk_embedded(weng):
+    res = weng.cypher_write(
+        "MATCH (c:Customer {c_custkey: 7})-[p:PLACED]->(o:Orders) DELETE p"
+    )
+    n_edges = weng.tables.get("orders").filter("o_custkey = 7").count()
+    assert n_edges > 0
+    assert res.counts()["relationships_deleted"] == n_edges
+    # order rows survive with a nulled FK; the customer row survives
+    assert res.table("orders").count() == weng.tables.get("orders").count()
+    assert res.table("orders").filter("o_custkey = 7").count() == 0
+    assert res.table("customer").filter("c_custkey = 7").count() == 1
+
+
+def test_delete_relationship_then_node_in_one_statement(weng):
+    # DELETE p then DETACH DELETE c in one statement: the rel delete runs
+    # first (clause order), the detach sweeps the remaining parallel edge
+    # types (PLACED_URGENT/PLACED_NORMAL live in their own tables)
+    res = weng.cypher_write(
+        "MATCH (c:Customer {c_custkey: 9})-[p:PLACED]->(o:Orders) "
+        "DELETE p DETACH DELETE c"
+    )
+    assert res.table("customer").filter("c_custkey = 9").count() == 0
+    assert res.table("orders").filter("o_custkey = 9").count() == 0
+    assert res.table("orders_urgent").filter("o_custkey = 9").count() == 0
+    c = res.counts()
+    assert c["nodes_deleted"] == 1 and c["relationships_deleted"] > 0
+    # plain DELETE of a node still refuses while OTHER edge types remain
+    with pytest.raises(TranspilerBindingError, match="DETACH"):
+        weng.cypher_write(
+            "MATCH (c:Customer {c_custkey: 9})-[p:PLACED]->(o:Orders) "
+            "DELETE p, c"
+        )
+
+
+def test_set_plus_equals_map_literal(weng):
+    res = weng.cypher_write(
+        "MATCH (c:Customer {c_custkey: 3}) "
+        "SET c += {c_mktsegment: 'VIP', loyalty: 5}"
+    )
+    row = res.table("customer").filter("c_custkey = 3").collect()[0]
+    assert row["c_mktsegment"] == "VIP" and row["loyalty"] == 5
+    # null value removes the property (Neo4j += semantics)
+    res2 = res.engine().cypher_write(
+        "MATCH (c:Customer {c_custkey: 3}) SET c += {loyalty: null}"
+    )
+    assert (
+        res2.table("customer").filter("c_custkey = 3").collect()[0]["loyalty"]
+        is None
+    )
+
+
+def test_set_plus_equals_param_map(weng):
+    res = weng.cypher_write(
+        "MATCH (c:Customer {c_custkey: 3}) SET c += $m",
+        params={"m": {"tier": "gold"}},
+    )
+    assert (
+        res.table("customer").filter("c_custkey = 3").collect()[0]["tier"]
+        == "gold"
+    )
+    with pytest.raises(TranspilerBindingError, match="map"):
+        weng.cypher_write(
+            "MATCH (c:Customer {c_custkey: 3}) SET c += $m",
+            params={"m": 7},
+        )
+
+
+def test_set_remove_label_facets(weng):
+    # labels are tables: SET r:Nation appends an id-sharing facet row,
+    # REMOVE r:Nation drops it. Region key 2 already exists in nation
+    # (ids overlap) -> add is a no-op; key 77 is fresh.
+    res = weng.cypher_write(
+        "CREATE (r:Region {r_regionkey: 77, r_name: 'NEWLAND'})"
+    )
+    res2 = res.engine().cypher_write(
+        "MATCH (r:Region {r_regionkey: 77}) SET r:Nation"
+    )
+    assert res2.counts()["labels_added"] == 1
+    assert res2.table("nation").filter("n_nationkey = 77").count() == 1
+    # read side sees the multi-label node now
+    n = (
+        res2.engine()
+        .cypher(
+            "MATCH (x:Region:Nation) WHERE x.r_regionkey = 77 "
+            "RETURN count(*) AS n"
+        )
+        .collect()[0]["n"]
+    )
+    assert n == 1
+    res3 = res2.engine().cypher_write(
+        "MATCH (r:Region {r_regionkey: 77}) REMOVE r:Nation"
+    )
+    assert res3.counts()["labels_removed"] == 1
+    assert res3.table("nation").filter("n_nationkey = 77").count() == 0
+    # idempotent: adding an already-present facet adds nothing
+    res4 = weng.cypher_write("MATCH (r:Region {r_regionkey: 2}) SET r:Nation")
+    assert res4.counts()["labels_added"] == 0
+
+
+def test_set_label_unknown_or_rel_target_rejected(weng):
+    with pytest.raises(TranspilerBindingError, match="no node schema"):
+        weng.cypher_write("MATCH (c:Customer {c_custkey: 1}) SET c:Nope")
+    with pytest.raises(TranspilerBindingError, match="relationship"):
+        weng.cypher_write(
+            "MATCH (c:Customer)-[p:PLACED]->(o:Orders) "
+            "WHERE c.c_custkey = 1 SET p:Nation"
+        )
+
+
+def test_merge_rel_on_create_on_match_standalone(movie_weng):
+    q = (
+        "MATCH (p:Person {Name: 'Meg Ryan'}), (m:Movie {id: 'm3'}) "
+        "MERGE (p)-[r:ACTED_IN]->(m) "
+        "ON CREATE SET r.Roles = 'New Role' "
+        "ON MATCH SET r.Roles = 'Recast'"
+    )
+    res = movie_weng.cypher_write(q)
+    assert res.counts()["relationships_created"] == 1
+    assert rows(
+        res.table("acted_in")
+        .filter("_vertexId = 'p2' AND _sink = 'm3'")
+        .select("Roles")
+    ) == {("New Role",)}
+    res2 = res.engine().cypher_write(q)
+    assert res2.counts()["relationships_created"] == 0
+    assert rows(
+        res2.table("acted_in")
+        .filter("_vertexId = 'p2' AND _sink = 'm3'")
+        .select("Roles")
+    ) == {("Recast",)}
+
+
+def test_merge_rel_on_create_on_match_fk_embedded(weng):
+    r1 = weng.cypher_write(
+        "MATCH (c:Customer {c_custkey: 4}) DETACH DELETE c"
+    )
+    ok = [
+        r["o_orderkey"]
+        for r in r1.table("orders").filter("o_custkey IS NULL").collect()
+    ][0]
+    q = (
+        f"MATCH (c:Customer {{c_custkey: 7}}), (o:Orders {{o_orderkey: {ok}}}) "
+        "MERGE (c)-[p:PLACED]->(o) "
+        "ON CREATE SET p.note = 'attached' "
+        "ON MATCH SET p.note = 'kept'"
+    )
+    r2 = r1.engine().cypher_write(q)
+    assert r2.counts()["relationships_created"] == 1
+    row = r2.table("orders").filter(f"o_orderkey = {ok}").collect()[0]
+    assert row["o_custkey"] == 7 and row["note"] == "attached"
+    r3 = r2.engine().cypher_write(q)
+    assert r3.counts()["relationships_created"] == 0
+    row = r3.table("orders").filter(f"o_orderkey = {ok}").collect()[0]
+    assert row["o_custkey"] == 7 and row["note"] == "kept"
+
+
+def test_merge_rel_on_set_must_target_rel_alias(movie_weng):
+    with pytest.raises(TranspilerBindingError, match="relationship alias"):
+        movie_weng.cypher_write(
+            "MATCH (p:Person {Name: 'Meg Ryan'}), (m:Movie {id: 'm3'}) "
+            "MERGE (p)-[r:ACTED_IN]->(m) ON CREATE SET m.Title = 'X'"
+        )
