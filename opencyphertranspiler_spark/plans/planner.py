@@ -1106,44 +1106,89 @@ class _SingleQueryPlanner:
         correlated UNION (an import WITH in any branch), rebinding an
         import alias."""
         if isinstance(clause.query, A.UnionQuery):
-            def branches(q):
-                if isinstance(q, A.UnionQuery):
-                    yield from branches(q.left)
-                    yield from branches(q.right)
-                else:
-                    yield q
+            flat: list[tuple[A.SingleQuery, bool]] = []
 
-            for br in branches(clause.query):
+            def flatten(q, op_all=False):
+                if isinstance(q, A.UnionQuery):
+                    flatten(q.left)
+                    flat.append((q.right, q.all))
+                else:
+                    flat.append((q, op_all))
+
+            flatten(clause.query)
+
+            def has_import(br: A.SingleQuery) -> bool:
                 first = br.clauses[0] if br.clauses else None
-                if (
+                return (
                     isinstance(first, A.ProjectionClause)
                     and not first.is_return
-                    and first.items
+                    and bool(first.items)
                     and all(
                         isinstance(e, A.Variable) and a == e.name
                         for a, e in first.items
                     )
-                ):
-                    raise TranspilerNotSupportedError(
-                        "UNION inside CALL { } is supported in the "
-                        "uncorrelated form only (no import WITH in a "
-                        "union branch)"
-                    )
-            sub = plan_query(
-                clause.query, self.schema, self.ordered_aggregates
-            )
-            outer_env = piped.env if piped is not None else {}
-            collide = set(sub.env) & set(outer_env)
-            if collide:
-                raise TranspilerBindingError(
-                    f"CALL {{ }} returns aliases already bound outside: "
-                    f"{sorted(collide)}"
                 )
+
+            if not any(has_import(br) for br, _ in flat):
+                sub = plan_query(
+                    clause.query, self.schema, self.ordered_aggregates
+                )
+                outer_env = piped.env if piped is not None else {}
+                collide = set(sub.env) & set(outer_env)
+                if collide:
+                    raise TranspilerBindingError(
+                        f"CALL {{ }} returns aliases already bound outside: "
+                        f"{sorted(collide)}"
+                    )
+                if piped is None:
+                    return sub
+                return JoinOp(
+                    piped, sub, "cross", [], env={**piped.env, **sub.env}
+                )
+            # correlated UNION (round 6): each branch is planned as its
+            # own correlated CALL against the SAME outer op (the existing
+            # import-threading/decorrelation, incl. per-branch
+            # aggregate-over-empty LEFT-join defaults), then the JOINED
+            # outputs union — outer x (branch1 rows ∪ branch2 rows),
+            # Neo4j invocation semantics. UNION (distinct) dedups full
+            # rows: within one outer row that is exactly subquery-row
+            # dedup across branches; distinct outer rows never conflate
+            # (their outer columns differ).
             if piped is None:
-                return sub
-            return JoinOp(
-                piped, sub, "cross", [], env={**piped.env, **sub.env}
-            )
+                raise TranspilerBindingError(
+                    "CALL { WITH ... } imports need an outer scope to "
+                    "import from"
+                )
+            normed: list[LogicalOp] = []
+            aliases: list[str] | None = None
+            for br, _ in flat:
+                joined = self.plan_call(piped, A.CallSubqueryClause(br))
+                if aliases is None:
+                    aliases = sorted(joined.env.keys())
+                elif sorted(joined.env.keys()) != aliases:
+                    raise TranspilerBindingError(
+                        "CALL { UNION } branches must return the same "
+                        f"columns: {aliases} vs "
+                        f"{sorted(joined.env.keys())}"
+                    )
+                # normalize each branch to the same projected column set
+                # so unionByName aligns (entity refs keep their shared
+                # outer column prefixes)
+                normed.append(
+                    self.plan_projection(
+                        joined,
+                        A.ProjectionClause(
+                            items=[(a, A.Variable(a)) for a in aliases],
+                            is_return=False,
+                        ),
+                    )
+                )
+            out = normed[0]
+            for i in range(1, len(normed)):
+                out = SetOp(
+                    out, normed[i], all=flat[i][1], env=dict(out.env)
+                )
+            return out
         inner = clause.query
         body = list(inner.clauses)
         imports: list[str] = []

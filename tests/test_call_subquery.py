@@ -302,3 +302,115 @@ def test_rare_composition_shapes(engine):
         "WITH b + 1 AS c2 WITH c2 / 2 AS d RETURN round(sum(d), 1) AS s"
     ).collect()
     assert r4[0]["s"] is not None
+
+
+# ---------------------------------------------------------------------------
+# round 6: correlated CALL { UNION }
+# ---------------------------------------------------------------------------
+
+
+def test_call_correlated_union_all_vs_duckdb(engine, duck):
+    got = sorted(
+        map(
+            tuple,
+            engine.cypher(
+                """
+                MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+                WHERE r.r_name = 'ASIA'
+                CALL {
+                  WITH n
+                  MATCH (s:Supplier)-[:FROM_NATION]->(n)
+                  RETURN count(s) AS cnt, 'suppliers' AS kind
+                  UNION ALL
+                  WITH n
+                  MATCH (c:Customer)-[:FROM_NATION]->(n)
+                  RETURN count(c) AS cnt, 'customers' AS kind
+                }
+                RETURN n.n_name AS nation, kind, cnt
+                """
+            ).collect(),
+        )
+    )
+    # grouped aggregates over an empty match yield ZERO rows (Neo4j):
+    # the constant `kind` item makes the branch grouped, so LATERAL +
+    # GROUP BY reproduces it exactly
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                """
+                SELECT n.n_name AS nation, u.kind, u.cnt
+                FROM nation n
+                JOIN region r ON r.r_regionkey = n.n_regionkey
+                               AND r.r_name = 'ASIA',
+                LATERAL (
+                  SELECT count(*) AS cnt, 'suppliers' AS kind
+                  FROM supplier s WHERE s.s_nationkey = n.n_nationkey
+                  GROUP BY kind
+                  UNION ALL
+                  SELECT count(*) AS cnt, 'customers' AS kind
+                  FROM customer c WHERE c.c_custkey IS NOT NULL
+                    AND c.c_nationkey = n.n_nationkey
+                  GROUP BY kind
+                ) u
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == exp and got
+
+
+def test_call_correlated_union_distinct_dedups_per_outer_row(engine, duck):
+    # both branches return the order's status for small orders; UNION
+    # (distinct) collapses the duplicate per outer row
+    got = sorted(
+        map(
+            tuple,
+            engine.cypher(
+                """
+                MATCH (c:Customer) WHERE c.c_custkey <= 20
+                CALL {
+                  WITH c
+                  MATCH (c)-[:PLACED]->(o:Orders)
+                  RETURN o.o_orderstatus AS st
+                  UNION
+                  WITH c
+                  MATCH (c)-[:PLACED]->(o:Orders)
+                  WHERE o.o_totalprice > 100000
+                  RETURN o.o_orderstatus AS st
+                }
+                RETURN c.c_custkey AS k, st
+                """
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                """
+                SELECT DISTINCT c.c_custkey AS k, o.o_orderstatus AS st
+                FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+                WHERE c.c_custkey <= 20
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == exp and got
+
+
+def test_call_correlated_union_mismatched_columns_rejected(engine):
+    from opencyphertranspiler_spark.exceptions import TranspilerBindingError
+
+    with pytest.raises(TranspilerBindingError, match="same columns"):
+        engine.cypher(
+            """
+            MATCH (c:Customer) WHERE c.c_custkey <= 5
+            CALL {
+              WITH c MATCH (c)-[:PLACED]->(o:Orders) RETURN count(o) AS n
+              UNION
+              WITH c MATCH (c)-[:PLACED]->(o:Orders) RETURN count(o) AS m
+            }
+            RETURN c.c_custkey AS k, n
+            """
+        )

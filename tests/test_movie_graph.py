@@ -2156,13 +2156,20 @@ def test_call_rejections(movie_engine):
         movie_engine.cypher("CALL db.labels() RETURN x")
     with pytest.raises(TranspilerNotSupportedError, match="db.labels"):
         movie_engine.cypher("CALL dbms.components()")
-    # correlated UNION (an import WITH in a branch) stays fenced
-    with pytest.raises(TranspilerNotSupportedError, match="uncorrelated"):
-        movie_engine.cypher(
-            "MATCH (p:Person) CALL { WITH p MATCH (p)-[:ACTED_IN]->(m) "
-            "RETURN m.Title AS t "
-            "UNION MATCH (m:Movie) RETURN m.Title AS t } RETURN t"
-        )
+    # round 6: correlated UNION is supported — a mixed
+    # correlated+uncorrelated branch pair plans per-branch and unions the
+    # joined outputs (UNION dedups subquery rows per outer row)
+    df = movie_engine.cypher(
+        "MATCH (p:Person {Name: 'Rob Reiner'}) "
+        "CALL { WITH p MATCH (p)-[:DIRECTED]->(m:Movie) "
+        "RETURN m.Title AS t "
+        "UNION MATCH (m:Movie {Released: 1993}) RETURN m.Title AS t } "
+        "RETURN p.Name AS n, t ORDER BY t"
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        ("Rob Reiner", "Apollo 13"),
+        ("Rob Reiner", "Sleepless in Seattle"),
+    ]
 
 
 def test_call_uncorrelated_union(movie_engine):
