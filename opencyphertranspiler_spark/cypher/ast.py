@@ -440,6 +440,9 @@ class CallProcedureClause:
     out_alias: str | None = None
     standalone: bool = False  # no following clauses: implicit RETURN
     where: "Expr | None" = None  # `YIELD x WHERE p` filter (desugars to WITH)
+    # round 6: literal / $param arguments (plan-time constants), e.g.
+    # db.propertyKeys('Customer')
+    args: list = field(default_factory=list)
 
 
 @dataclass

@@ -267,11 +267,11 @@ class Parser:
                 f"Expected ( after CALL {name} at position {self.cur.pos}"
             )
         self.expect_punct("(")
+        args = []
         if not self.cur.is_punct(")"):
-            raise TranspilerNotSupportedError(
-                f"CALL {name}: procedure arguments are not supported "
-                "(only the no-arg schema-introspection procedures)"
-            )
+            args.append(self.parse_expr())
+            while self.accept_punct(","):
+                args.append(self.parse_expr())
         self.expect_punct(")")
         yield_name = out_alias = where = None
         if self.accept_soft_kw("YIELD"):
@@ -286,7 +286,9 @@ class Parser:
                 f"CALL {name} must YIELD its output column when followed "
                 "by other clauses"
             )
-        return A.CallProcedureClause(name, yield_name, out_alias, standalone, where)
+        return A.CallProcedureClause(
+            name, yield_name, out_alias, standalone, where, args
+        )
 
     def parse_foreach(self) -> list:
         """``FOREACH (x IN list | <write clauses>)`` (extension) —

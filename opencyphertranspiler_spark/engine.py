@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from .cypher import ast as A
 from .cypher import parse
-from .exceptions import TranspilerNotSupportedError
+from .exceptions import TranspilerBindingError, TranspilerNotSupportedError
 from .operators import Compiler
 from .plans import plan_query
 from .schema import EdgeSchema, EntityProperty, GraphSchema
@@ -59,7 +59,7 @@ class CypherEngine:
     def _run_ast(self, ast_query, params: dict | None = None) -> DataFrame:
         """Rewrite, plan and compile an already-parsed read query (shared
         by cypher() and the write executor's binding compilation)."""
-        self._resolve_procedures(ast_query)
+        self._resolve_procedures(ast_query, params)
         graph, tables = self._resolve_multi_verb(ast_query, self.graph, self.tables)
         graph, tables = self._resolve_undirected_varlength(ast_query, graph, tables)
         graph, tables = self._resolve_unbounded(ast_query, graph, tables, params)
@@ -93,14 +93,71 @@ class CypherEngine:
     # planner. Neo4j procedure parity: db.labels, db.relationshipTypes,
     # db.propertyKeys (the reference rejects CALL outright).
 
-    def _procedure_rows(self, name: str) -> tuple[str, list[str]]:
+    def _procedure_rows(
+        self, name: str, args: list = (), params: dict | None = None
+    ) -> tuple[str, list[str]]:
+        def const_arg(i: int, what: str):
+            # procedure results are plan-time constants, so arguments
+            # must be too: literals or $params (round 6 — the no-arg-only
+            # fence is narrowed to unknown procedures)
+            a = args[i]
+            if isinstance(a, A.Literal):
+                return a.value
+            if isinstance(a, A.Parameter):
+                if params is None or a.name not in params:
+                    raise TranspilerBindingError(
+                        f"CALL {name}: parameter ${a.name} was not "
+                        "supplied (pass params={...})"
+                    )
+                return params[a.name]
+            raise TranspilerNotSupportedError(
+                f"CALL {name}: the {what} argument must be a literal or "
+                "a $param (procedure results are plan-time constants)"
+            )
+
+        def no_args():
+            if args:
+                raise TranspilerBindingError(
+                    f"CALL {name} takes no arguments"
+                )
+
         if name == "db.labels":
+            no_args()
             return "label", sorted(n.label for n in self.graph.nodes)
         if name == "db.relationshiptypes":
+            no_args()
             verbs = {e.display_verb or e.verb for e in self.graph.edges}
             return "relationshipType", sorted(verbs)
         if name == "db.propertykeys":
-            keys: set[str] = set()
+            if len(args) > 1:
+                raise TranspilerBindingError(
+                    "CALL db.propertyKeys takes at most one argument "
+                    "(a label or relationship type)"
+                )
+            if args:
+                target = const_arg(0, "label")
+                if not isinstance(target, str):
+                    raise TranspilerBindingError(
+                        "CALL db.propertyKeys: the label argument must "
+                        "be a string"
+                    )
+                keys: set[str] = set()
+                found = False
+                for n in self.graph.nodes:
+                    if n.label == target:
+                        keys.update(n.property_names)
+                        found = True
+                for e in self.graph.edges:
+                    if (e.display_verb or e.verb) == target:
+                        keys.update(e.property_names)
+                        found = True
+                if not found:
+                    raise TranspilerBindingError(
+                        f"CALL db.propertyKeys('{target}'): no node label "
+                        "or relationship type with that name"
+                    )
+                return "propertyKey", sorted(keys)
+            keys = set()
             for n in self.graph.nodes:
                 keys.update(n.property_names)
             for e in self.graph.edges:
@@ -108,10 +165,10 @@ class CypherEngine:
             return "propertyKey", sorted(keys)
         raise TranspilerNotSupportedError(
             f"Unknown procedure '{name}'; supported: db.labels, "
-            "db.relationshipTypes, db.propertyKeys"
+            "db.relationshipTypes, db.propertyKeys[(label)]"
         )
 
-    def _resolve_procedures(self, ast_query) -> None:
+    def _resolve_procedures(self, ast_query, params: dict | None = None) -> None:
         def rewrite_single(sq) -> None:
             new_clauses = []
             for clause in sq.clauses:
@@ -120,7 +177,9 @@ class CypherEngine:
                 if not isinstance(clause, A.CallProcedureClause):
                     new_clauses.append(clause)
                     continue
-                col, values = self._procedure_rows(clause.name)
+                col, values = self._procedure_rows(
+                    clause.name, clause.args, params
+                )
                 if clause.yield_name is not None and clause.yield_name != col:
                     raise TranspilerNotSupportedError(
                         f"CALL {clause.name} yields '{col}', "

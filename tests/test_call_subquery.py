@@ -262,11 +262,15 @@ def test_call_procedure_fences(engine):
         TranspilerSyntaxError,
     )
 
+    from opencyphertranspiler_spark.exceptions import TranspilerBindingError
+
     with pytest.raises(TranspilerNotSupportedError, match="db.labels"):
         engine.cypher("CALL apoc.help()")
     with pytest.raises(TranspilerNotSupportedError, match="yields"):
         engine.cypher("CALL db.labels() YIELD nope RETURN nope")
-    with pytest.raises(TranspilerNotSupportedError, match="arguments"):
+    # round 6: arguments parse now; a no-arg procedure rejects them with
+    # a typed binding error instead of a parser fence
+    with pytest.raises(TranspilerBindingError, match="no arguments"):
         engine.cypher("CALL db.labels('x')")
     with pytest.raises(TranspilerSyntaxError, match="YIELD"):
         engine.cypher("CALL db.labels() MATCH (r:Region) RETURN r.r_name AS n")
@@ -414,3 +418,51 @@ def test_call_correlated_union_mismatched_columns_rejected(engine):
             RETURN c.c_custkey AS k, n
             """
         )
+
+
+# ---------------------------------------------------------------------------
+# round 6: CALL procedure arguments (literal / $param plan-time constants)
+# ---------------------------------------------------------------------------
+
+
+def test_procedure_propertykeys_with_label_argument(engine):
+    got = [r[0] for r in engine.cypher("CALL db.propertyKeys('Customer')").collect()]
+    assert got == ["c_acctbal", "c_custkey", "c_mktsegment", "c_name"]
+    # relationship type works too, and $param binding
+    got2 = [
+        r[0]
+        for r in engine.cypher(
+            "CALL db.propertyKeys($t)", params={"t": "PLACED"}
+        ).collect()
+    ]
+    assert got2 == ["o_custkey", "o_orderkey"]
+
+
+def test_procedure_argument_composes_with_yield_where(engine):
+    df = engine.cypher(
+        "CALL db.propertyKeys('Region') YIELD propertyKey AS k "
+        "WHERE k ENDS WITH 'name' RETURN k"
+    )
+    assert [r[0] for r in df.collect()] == ["r_name"]
+
+
+def test_procedure_argument_errors_are_typed(engine):
+    from opencyphertranspiler_spark.exceptions import (
+        TranspilerBindingError,
+        TranspilerNotSupportedError,
+    )
+
+    with pytest.raises(TranspilerBindingError, match="no node label"):
+        engine.cypher("CALL db.propertyKeys('Nope')")
+    with pytest.raises(TranspilerBindingError, match="no arguments"):
+        engine.cypher("CALL db.labels('X')")
+    with pytest.raises(TranspilerBindingError, match="at most one"):
+        engine.cypher("CALL db.propertyKeys('A', 'B')")
+    with pytest.raises(TranspilerBindingError, match="not"):
+        engine.cypher("CALL db.propertyKeys($missing)")
+    # computed arguments stay fenced: results are plan-time constants
+    with pytest.raises(TranspilerNotSupportedError, match="literal"):
+        engine.cypher("CALL db.propertyKeys('Cust' + 'omer')")
+    # the fence is now only for UNKNOWN procedures
+    with pytest.raises(TranspilerNotSupportedError, match="Unknown procedure"):
+        engine.cypher("CALL dbms.components()")
