@@ -290,12 +290,14 @@ class ExprCompiler:
             # point accessors (extension): latitude/longitude read the
             # y/x fields of a point struct (x = longitude, Neo4j order)
             if (
-                fld.lower() in ("latitude", "longitude")
+                fld.lower() in ("latitude", "longitude", "height")
                 and fld not in t.names
                 and {"x", "y", "crs"} <= set(t.names)
             ):
                 return col.getField(
-                    "y" if fld.lower() == "latitude" else "x"
+                    {"latitude": "y", "longitude": "x", "height": "z"}[
+                        fld.lower()
+                    ]
                 )
             return col.getField(fld)
         acc = _TEMPORAL_ACCESSORS.get(fld.lower())
@@ -364,37 +366,52 @@ class ExprCompiler:
     _EARTH_RADIUS_M = 6_371_008.8  # IUGG mean Earth radius (spherical model)
 
     def _point(self, expr: A.FuncCall) -> Column:
-        """point({x, y}) -> cartesian point; point({latitude, longitude})
-        -> geographic ('wgs-84') point. Compiles to a struct column —
-        accessors p.x / p.y / p.crs are plain field reads and
-        p.latitude / p.longitude map onto y / x."""
+        """point({x, y[, z]}) -> cartesian / cartesian-3d point;
+        point({latitude, longitude[, height]}) -> geographic 'wgs-84' /
+        'wgs-84-3d' point (round 6: 3D added). Compiles to a struct
+        column (x, y, z, crs — z null for 2D so 2D and 3D points share
+        one schema); accessors p.x / p.y / p.z / p.crs are plain field
+        reads and p.latitude / p.longitude / p.height map onto y / x / z."""
         if len(expr.args) != 1 or not isinstance(expr.args[0], A.MapLiteral):
             raise TranspilerNotSupportedError(
                 "point() takes a single map literal, e.g. point({x: 1.0, "
                 "y: 2.0}) or point({latitude: 48.8, longitude: 2.3})"
             )
         parts = {k.lower(): self.compile(v) for k, v in expr.args[0].items}
+        z = None
         if set(parts) == {"x", "y"}:
             x, y, crs = parts["x"], parts["y"], "cartesian"
+        elif set(parts) == {"x", "y", "z"}:
+            x, y, z, crs = parts["x"], parts["y"], parts["z"], "cartesian-3d"
         elif set(parts) == {"latitude", "longitude"}:
             x, y, crs = parts["longitude"], parts["latitude"], "wgs-84"
+        elif set(parts) == {"latitude", "longitude", "height"}:
+            x, y, z, crs = (
+                parts["longitude"],
+                parts["latitude"],
+                parts["height"],
+                "wgs-84-3d",
+            )
         else:
             raise TranspilerNotSupportedError(
-                "point() needs exactly the keys {x, y} (cartesian) or "
-                "{latitude, longitude} (geographic); got "
+                "point() needs exactly the keys {x, y[, z]} (cartesian) "
+                "or {latitude, longitude[, height]} (geographic); got "
                 f"{sorted(parts) or '{}'}"
             )
         return F.struct(
             x.cast("double").alias("x"),
             y.cast("double").alias("y"),
+            (F.lit(None) if z is None else z).cast("double").alias("z"),
             F.lit(crs).alias("crs"),
         )
 
     def _point_distance(self, expr: A.FuncCall) -> Column:
         """distance(p1, p2) / point.distance(p1, p2): Euclidean for
-        cartesian pairs; haversine great-circle metres (spherical Earth,
-        IUGG mean radius 6371008.8 m) for geographic pairs; null for
-        mismatched or unknown CRS (Neo4j's mixed-CRS behavior)."""
+        cartesian pairs (2D and 3D); haversine great-circle metres
+        (spherical Earth, IUGG mean radius 6371008.8 m) for geographic
+        pairs, with the 3D form adding the height delta pythagorean-style
+        (Neo4j's wgs-84-3d rule); null for mismatched or unknown CRS
+        (Neo4j's mixed-CRS behavior)."""
         if len(expr.args) != 2:
             raise TranspilerBindingError(
                 "distance() takes two point arguments"
@@ -403,7 +420,9 @@ class ExprCompiler:
         p2 = self.compile(expr.args[1])
         x1, y1 = p1.getField("x"), p1.getField("y")
         x2, y2 = p2.getField("x"), p2.getField("y")
+        z1, z2 = p1.getField("z"), p2.getField("z")
         eucl = F.sqrt((x1 - x2) ** 2 + (y1 - y2) ** 2)
+        eucl3 = F.sqrt((x1 - x2) ** 2 + (y1 - y2) ** 2 + (z1 - z2) ** 2)
         lat1, lat2 = F.radians(y1), F.radians(y2)
         dlat, dlon = lat2 - lat1, F.radians(x2) - F.radians(x1)
         h = (
@@ -411,10 +430,14 @@ class ExprCompiler:
             + F.cos(lat1) * F.cos(lat2) * F.sin(dlon / 2) ** 2
         )
         hav = F.lit(2.0 * self._EARTH_RADIUS_M) * F.asin(F.sqrt(h))
+        hav3 = F.sqrt(hav ** 2 + (z1 - z2) ** 2)
         c1, c2 = p1.getField("crs"), p2.getField("crs")
-        return F.when(
-            (c1 == "cartesian") & (c2 == "cartesian"), eucl
-        ).when((c1 == "wgs-84") & (c2 == "wgs-84"), hav)
+        return (
+            F.when((c1 == "cartesian") & (c2 == "cartesian"), eucl)
+            .when((c1 == "cartesian-3d") & (c2 == "cartesian-3d"), eucl3)
+            .when((c1 == "wgs-84") & (c2 == "wgs-84"), hav)
+            .when((c1 == "wgs-84-3d") & (c2 == "wgs-84-3d"), hav3)
+        )
 
     _TRUNC_UNITS = frozenset(
         {"year", "quarter", "month", "week", "day", "hour", "minute", "second"}
@@ -442,6 +465,30 @@ class ExprCompiler:
         if expr.name.startswith("date."):
             out = out.cast("date")
         return out
+
+    def _is_hetero_dynamic(self, expr) -> bool:
+        """True when ``expr`` is a computed-key ``n[k]`` whose entity has
+        a mixed-type property schema — the when-chain string-renders the
+        value (see _entity_dynamic_property), so arithmetic on it gets a
+        typed rejection in _binary."""
+        if not isinstance(expr, A.ListIndex):
+            return False
+        if (
+            not isinstance(expr.base, A.Variable)
+            or expr.base.name in self._lambda_scope
+        ):
+            return False
+        ref = self.env.get(expr.base.name)
+        if not isinstance(ref, EntityRef):
+            return False
+        if isinstance(expr.index, A.Literal) and isinstance(
+            expr.index.value, str
+        ):
+            return False  # literal key = static native-typed access
+        sch = ref.node if ref.kind == "node" else ref.edge
+        declared = {p.name: p.data_type for p in sch.properties}
+        types = {declared.get(p, "string") for p in ref.property_names}
+        return len(types) > 1
 
     def _entity_dynamic_property(self, expr: A.ListIndex) -> Column | None:
         """``n[key]`` — dynamic property access on a node/relationship
@@ -861,6 +908,27 @@ class ExprCompiler:
                     F.array(*[self.compile(i) for i in expr.right.items]), left
                 )
             return F.array_contains(self.compile(expr.right), left)
+        if op in (
+            A.BinaryOp.PLUS,
+            A.BinaryOp.MINUS,
+            A.BinaryOp.MULTIPLY,
+            A.BinaryOp.DIVIDE,
+            A.BinaryOp.MODULO,
+            A.BinaryOp.POW,
+        ):
+            # round 6 guard (ADVICE r5): a computed-key n[k] over a
+            # heterogeneous property schema string-renders its value, so
+            # feeding it into arithmetic would concat or fail where Neo4j
+            # would add — reject with a typed error instead
+            for side in (expr.left, expr.right):
+                if self._is_hetero_dynamic(side):
+                    raise TranspilerNotSupportedError(
+                        "Dynamic property access with a computed key over "
+                        "a mixed-type property schema renders as a string "
+                        "and cannot feed arithmetic; use the static n.key "
+                        "access (native type) or toInteger()/toFloat() "
+                        "the value explicitly"
+                    )
         l, r = self.compile(expr.left), self.compile(expr.right)
         self._check_binary_types(expr, l, r)
         if op == A.BinaryOp.AND:

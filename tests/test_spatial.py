@@ -111,3 +111,85 @@ def test_point_rejections(engine):
         engine.cypher("RETURN point(1) AS p")
     with pytest.raises(TranspilerBindingError, match="two point"):
         engine.cypher("RETURN distance(point({x: 1.0, y: 2.0})) AS d")
+
+
+# ---------------------------------------------------------------------------
+# round 6: 3D points
+# ---------------------------------------------------------------------------
+
+
+def test_point_3d_cartesian_distance_vs_duckdb(engine, duck):
+    got = engine.cypher(
+        """
+        MATCH (r:Region)
+        RETURN r.r_regionkey AS k,
+               round(distance(
+                   point({x: toFloat(r.r_regionkey), y: 2.0, z: 1.0}),
+                   point({x: 0.0, y: 0.0, z: 5.0})), 6) AS d
+        """
+    ).collect()
+    exp = dict(
+        duck.sql(
+            """
+            SELECT r_regionkey AS k,
+                   round(sqrt(r_regionkey * r_regionkey + 4.0 + 16.0), 6) AS d
+            FROM region
+            """
+        ).fetchall()
+    )
+    assert {r["k"]: r["d"] for r in got} == exp and exp
+
+
+def test_point_3d_accessors_and_crs(engine):
+    row = engine.cypher(
+        """
+        RETURN point({x: 1.0, y: 2.0, z: 3.0}).z AS z,
+               point({x: 1.0, y: 2.0, z: 3.0}).crs AS crs,
+               point({latitude: 48.0, longitude: 2.0, height: 100.0}).height
+                   AS h,
+               point({latitude: 48.0, longitude: 2.0, height: 100.0}).crs
+                   AS gcrs,
+               point({x: 1.0, y: 2.0}).z AS z2
+        """
+    ).collect()[0]
+    assert row["z"] == 3.0 and row["crs"] == "cartesian-3d"
+    assert row["h"] == 100.0 and row["gcrs"] == "wgs-84-3d"
+    assert row["z2"] is None
+
+
+def test_point_3d_geographic_distance_adds_height(engine):
+    rows = engine.cypher(
+        """
+        RETURN distance(point({latitude: 48.0, longitude: 2.0}),
+                        point({latitude: 48.0, longitude: 2.0})) AS flat,
+               distance(point({latitude: 48.0, longitude: 2.0, height: 0.0}),
+                        point({latitude: 48.0, longitude: 2.0, height: 30.0}))
+                   AS up,
+               distance(point({x: 1.0, y: 1.0}),
+                        point({x: 1.0, y: 1.0, z: 1.0})) AS mixed
+        """
+    ).collect()[0]
+    assert rows["flat"] == 0.0
+    assert abs(rows["up"] - 30.0) < 1e-9  # pure height delta
+    assert rows["mixed"] is None  # 2D vs 3D CRS mismatch -> null
+
+
+def test_dynamic_access_arithmetic_guard(engine):
+    # Customer's schema mixes string and numeric property types, so a
+    # computed-key access string-renders — arithmetic on it is a typed
+    # error (ADVICE r5 nit #1), not a silent concat
+    from opencyphertranspiler_spark.exceptions import (
+        TranspilerNotSupportedError,
+    )
+
+    with pytest.raises(TranspilerNotSupportedError, match="arithmetic"):
+        engine.cypher(
+            "MATCH (c:Customer) WITH c, 'c_acctbal' AS k "
+            "RETURN c[k] + 1 AS x"
+        )
+    # comparison / concat-free use still works
+    df = engine.cypher(
+        "MATCH (c:Customer) WHERE c.c_custkey = 1 "
+        "WITH c, 'c_name' AS k RETURN c[k] AS v"
+    )
+    assert df.collect()[0]["v"] == "Customer#000000001"
