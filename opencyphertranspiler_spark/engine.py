@@ -69,7 +69,11 @@ class CypherEngine:
         return Compiler(self.spark, tables, params=params).compile(plan)
 
     def cypher_write(
-        self, query: str, params: dict | None = None, validate: bool = True
+        self,
+        query: str,
+        params: dict | None = None,
+        validate: bool = True,
+        on_conflict: str = "max",
     ):
         """Execute a write query (CREATE / MERGE / SET / REMOVE / DELETE —
         extension; the reference rejects every write clause) FUNCTIONALLY:
@@ -83,7 +87,10 @@ class CypherEngine:
         batch writes."""
         from .writes import execute_write
 
-        return execute_write(self, query, params=params, validate=validate)
+        return execute_write(
+            self, query, params=params, validate=validate,
+            on_conflict=on_conflict,
+        )
 
     # -- CALL procedure desugar --------------------------------------------
     # The schema-introspection procedures' results are plan-time constants

@@ -315,12 +315,24 @@ def _owner_of_edge(graph: GraphSchema, e: EdgeSchema) -> str | None:
 
 
 class WriteExecutor:
-    def __init__(self, engine, ast_query: A.SingleQuery, params, validate: bool):
+    def __init__(
+        self,
+        engine,
+        ast_query: A.SingleQuery,
+        params,
+        validate: bool,
+        on_conflict: str = "max",
+    ):
         self.engine = engine
         self.spark = engine.spark
         self.graph: GraphSchema = engine.graph
         self.params = params
         self.validate = validate
+        if on_conflict not in ("max", "error"):
+            raise TranspilerBindingError(
+                "on_conflict must be 'max' or 'error'"
+            )
+        self.on_conflict = on_conflict
         first_write = next(
             (
                 i
@@ -722,9 +734,29 @@ class WriteExecutor:
         cond = F.lit(True)
         for i in range(len(key_cols)):
             cond = cond & F.col(f"__uk{i}").isNotNull()
+        upd = upd.where(cond)
+        if self.on_conflict == "error":
+            # opt-in loud mode (round 6): instead of the documented max()
+            # rule, reject any (key, property) that received more than
+            # one distinct value in this statement
+            multi = F.lit(False)
+            for v in vcols:
+                multi = multi | (F.col(v) > 1)
+            conflicts = (
+                upd.groupBy(*[f"__uk{i}" for i in range(len(key_cols))])
+                .agg(*[F.countDistinct(v).alias(v) for v in vcols])
+                .where(multi)
+                .count()
+            )
+            if conflicts:
+                raise TranspilerBindingError(
+                    f"SET on '{table}': {conflicts} key(s) received more "
+                    "than one distinct value in this statement "
+                    "(on_conflict='error'; use the default 'max' for "
+                    "deterministic resolution)"
+                )
         upd = (
-            upd.where(cond)
-            .groupBy(*[f"__uk{i}" for i in range(len(key_cols))])
+            upd.groupBy(*[f"__uk{i}" for i in range(len(key_cols))])
             .agg(*[F.max(v).alias(v) for v in vcols])
             .withColumn("__m", F.lit(True))
         )
@@ -1454,10 +1486,16 @@ class WriteExecutor:
         return apply
 
 
-def execute_write(engine, query: str, params=None, validate: bool = True) -> WriteResult:
+def execute_write(
+    engine,
+    query: str,
+    params=None,
+    validate: bool = True,
+    on_conflict: str = "max",
+) -> WriteResult:
     from .cypher import parse
 
     ast_query = parse(query, allow_writes=True)
     if isinstance(ast_query, A.UnionQuery):
         raise TranspilerNotSupportedError("UNION over a write query is not supported")
-    return WriteExecutor(engine, ast_query, params, validate).run()
+    return WriteExecutor(engine, ast_query, params, validate, on_conflict).run()
