@@ -358,6 +358,11 @@ class WriteExecutor:
         # per-row conditional (MERGE targets) — RETURN on those raises
         self._created_aliases: set[str] = set()
         self._fenced_aliases: set[str] = set()
+        # node aliases introduced by an earlier CREATE/MERGE clause in
+        # THIS statement: alias -> (label, id expression). Lets a later
+        # relationship MERGE bind endpoints the reading prefix never saw
+        # (the classic MERGE-nodes-then-MERGE-rel single statement)
+        self._write_bound: dict[str, tuple] = {}
         self.scope = _resolve_scope(self.reading, self.graph)
         # synthesized projection items for the binding DataFrame
         self._items: list[tuple[str, A.Expr]] = []
@@ -968,6 +973,9 @@ class WriteExecutor:
                 self._created_aliases.add(n.alias)
                 for p, e in props.items():
                     self._written[(n.alias, p)] = e
+                self._write_bound[n.alias] = (
+                    n.label, props[node.id_property]
+                )
 
         # relationship storage plans
         rel_plans = []
@@ -1196,6 +1204,7 @@ class WriteExecutor:
             self._fenced_aliases.add(n.alias)
             for p, e_ in props.items():
                 self._written[(n.alias, p)] = e_
+            self._write_bound[n.alias] = (n.label, props[node.id_property])
 
         def apply(binding: DataFrame):
             self._apply_merge(node, pcols, oc_cols, om_cols, binding)
@@ -1286,19 +1295,32 @@ class WriteExecutor:
             src_n, snk_n = right, left
         else:
             src_n, snk_n = left, right
-        for n in (src_n, snk_n):
-            if not n.alias or n.alias not in self.scope:
-                raise TranspilerBindingError(
-                    "MERGE relationship endpoints must be bound by a "
-                    "preceding MATCH (MERGE the nodes first)"
-                )
+        def endpoint(n):
+            """(label, key column) for a MERGE-rel endpoint: bound by the
+            reading prefix, or (round 6) introduced by an earlier
+            CREATE/MERGE clause in this statement — whose id expression
+            then keys the candidate pairs."""
             if n.props:
                 raise TranspilerSyntaxError(
                     "property maps on MERGE relationship endpoints are not "
                     "supported; bind the nodes with MATCH/WHERE instead"
                 )
-        src_label = _node_schema(self.graph, self.scope, src_n.alias).label
-        snk_label = _node_schema(self.graph, self.scope, snk_n.alias).label
+            if n.alias and n.alias in self.scope:
+                return (
+                    _node_schema(self.graph, self.scope, n.alias).label,
+                    self._key_col(n.alias),
+                )
+            if n.alias and n.alias in self._write_bound:
+                label, id_expr = self._write_bound[n.alias]
+                return label, self._val_col(id_expr)
+            raise TranspilerBindingError(
+                "MERGE relationship endpoints must be bound by a "
+                "preceding MATCH, or by a CREATE/MERGE earlier in this "
+                "statement"
+            )
+
+        src_label, src_key = endpoint(src_n)
+        snk_label, snk_key = endpoint(snk_n)
         e = self.graph.try_get_edge(rel.verb, src_label, snk_label)
         if e is None:
             raise TranspilerBindingError(
@@ -1307,6 +1329,7 @@ class WriteExecutor:
             )
         _no_aggregates([x for _, x in rel.props])
         _no_aggregates([i.expr for i in clause.on_create + clause.on_match])
+
         # ON CREATE/ON MATCH SET on relationship MERGE (round 6): items
         # must target the MERGE relationship alias; the assigned columns
         # live on the edge table (standalone) or the owning row
@@ -1326,8 +1349,6 @@ class WriteExecutor:
                 raise TranspilerNotSupportedError(
                     "SET on a relationship key column is not supported"
                 )
-        src_key = self._key_col(src_n.alias)
-        snk_key = self._key_col(snk_n.alias)
         rprop_cols = {p: self._val_col(x) for p, x in rel.props}
         oc_cols = [(i.prop, self._val_col(i.expr)) for i in clause.on_create]
         om_cols = [(i.prop, self._val_col(i.expr)) for i in clause.on_match]

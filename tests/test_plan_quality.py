@@ -378,3 +378,26 @@ def test_lm_score_broadcasts_model(spark):
     plan = formatted_plan(spark, lm_score(docs, model))
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_entity_projection_plan_quality(spark, engine):
+    # RETURN c (round 6 entity projection): the WHERE still reaches
+    # PushedFilters, the struct is built AFTER the aggregation (one
+    # exchange for the implicit grouping; the struct itself adds none),
+    # and the scan reads only the entity's declared columns
+    df = engine.cypher(
+        """
+        MATCH (c:Customer)-[:PLACED]->(o:Orders)
+        WHERE c.c_acctbal < -900
+        WITH c, count(o) AS n_orders
+        RETURN c, n_orders
+        """
+    )
+    plan = formatted_plan(spark, df)
+    assert "LessThan(c_acctbal,-900" in plan, "filter must reach the scan"
+    # grouping happens on entity KEY columns, not on the struct: exactly
+    # one aggregate exchange (+ AQE coalesce markers don't add Exchanges)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"expected <=2 hash exchanges, got {n_exchanges}"
+    # no props outside the declared graph overlay leak into the scan
+    assert "c_comment" not in plan and "c_phone" not in plan

@@ -1076,3 +1076,45 @@ def test_on_conflict_error_mode(weng):
     assert res.table("customer").filter("c_custkey = 4").collect()[0]["tag"] == "x"
     with pytest.raises(TranspilerBindingError, match="on_conflict"):
         weng.cypher_write(q, on_conflict="nope")
+
+
+def test_merge_rel_endpoints_from_same_statement_merges(weng):
+    # the classic upsert idiom: MERGE both nodes, then MERGE the rel —
+    # all in ONE statement (round 6; endpoints bound by the earlier
+    # write clauses, not by MATCH)
+    q = """
+        MERGE (n:Nation {n_nationkey: 99, n_name: 'NEWLAND'})
+        MERGE (r:Region {r_regionkey: 88, r_name: 'TERRA'})
+        MERGE (n)-[:IN_REGION]->(r)
+    """
+    r1 = weng.cypher_write(q)
+    c1 = r1.counts()
+    assert c1["nodes_created"] == 2 and c1["relationships_created"] == 1
+    row = r1.table("nation").filter("n_nationkey = 99").collect()[0]
+    assert row["n_regionkey"] == 88
+    # idempotent on re-run over the post-write graph
+    c2 = r1.engine().cypher_write(q).counts()
+    assert c2["nodes_created"] == 0 and c2["relationships_created"] == 0
+    assert c2["nodes_matched"] == 2
+
+
+def test_merge_rel_endpoint_from_create_standalone_table(movie_weng):
+    res = movie_weng.cypher_write(
+        "CREATE (p:Person {id: 'p9', Name: 'New Actor'}) "
+        "MERGE (m:Movie {id: 'm1', Title: 'Sleepless in Seattle', "
+        "Tagline: 'What if...', Released: 1993}) "
+        "MERGE (p)-[:ACTED_IN]->(m)"
+    )
+    c = res.counts()
+    assert c["nodes_created"] == 1 and c["relationships_created"] == 1
+    assert rows(
+        res.table("acted_in").filter("_vertexId = 'p9'").select("_sink")
+    ) == {("m1",)}
+
+
+def test_merge_rel_unbound_endpoint_still_rejected(weng):
+    with pytest.raises(TranspilerBindingError, match="bound"):
+        weng.cypher_write(
+            "MERGE (n:Nation {n_nationkey: 99, n_name: 'X'}) "
+            "MERGE (n)-[:IN_REGION]->(r)"
+        )
