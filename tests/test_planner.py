@@ -143,9 +143,14 @@ def test_same_rel_alias_twice_rejected():
         )
 
 
-def test_returning_entity_rejected():
-    with pytest.raises(TranspilerNotSupportedError):
-        plan("MATCH (c:Customer) RETURN c")
+def test_returning_entity_projects_struct():
+    # round 6: RETURN c is entity projection (struct of properties), not
+    # the reference's rejection (LogicalPlan.cs:324-328); a PATH variable
+    # stays rejected
+    p = plan("MATCH (c:Customer) RETURN c")
+    assert p is not None
+    with pytest.raises(TranspilerNotSupportedError, match="path"):
+        plan("MATCH p = (c:Customer)-[:PLACED]->(o:Orders) RETURN p")
 
 
 def test_unwind_first_clause(engine):
