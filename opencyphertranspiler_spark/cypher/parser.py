@@ -122,7 +122,15 @@ class Parser:
         WRITE_KWS = ("CREATE", "MERGE", "SET", "DELETE", "DETACH", "REMOVE")
 
         def has_write() -> bool:
-            return any(isinstance(c, A.WriteClause) for c in clauses)
+            # writes in the CURRENT segment only: a WITH after a write
+            # clause is a clause-sequential boundary (writes.py segments)
+            # that re-opens the full clause grammar
+            for c in reversed(clauses):
+                if isinstance(c, A.WriteClause):
+                    return True
+                if isinstance(c, A.ProjectionClause):
+                    return False
+            return False
 
         while True:
             t = self.cur
@@ -146,27 +154,40 @@ class Parser:
                 self._saw_foreach = True
                 continue
             if has_write():
-                # after the first write clause only further writes or a
-                # final RETURN may follow (the RETURN reads post-write
-                # values via substitution — writes.py); WITH/MATCH after a
-                # write would need Neo4j's clause-sequential visibility,
-                # which a functional snapshot engine does not honor
+                # after a write clause: further writes, a final RETURN, or
+                # a WITH — the WITH is a clause-sequential segment boundary
+                # (Neo4j's own rule: "WITH is required between CREATE and
+                # MATCH"); writes.py executes each segment against the
+                # previous segment's post-write tables, so clauses after
+                # the WITH observe the writes before it
                 if t.kind == "eof":
                     break
-                if t.is_kw("RETURN") and getattr(self, "_saw_foreach", False):
+                if (
+                    t.is_kw("RETURN") or t.is_kw("WITH")
+                ) and getattr(self, "_saw_foreach", False):
                     # desugared FOREACH multiplies the binding rows by the
-                    # list size; Neo4j's RETURN keeps the pre-FOREACH
+                    # list size; Neo4j's RETURN/WITH keeps the pre-FOREACH
                     # cardinality — fence rather than silently diverge
                     raise TranspilerNotSupportedError(
-                        "RETURN after FOREACH is not supported (the "
+                        f"{t.value} after FOREACH is not supported (the "
                         "UNWIND desugar changes the row cardinality)"
                     )
                 if t.is_kw("RETURN"):
                     clauses.append(self.parse_projection(is_return=True))
                     break
+                if t.is_kw("WITH"):
+                    clauses.append(self.parse_projection(is_return=False))
+                    continue
+                if t.is_kw("MATCH", "OPTIONAL", "UNWIND", "CALL"):
+                    raise TranspilerNotSupportedError(
+                        f"WITH is required between a write clause and "
+                        f"{t.value} (the WITH is the clause-sequential "
+                        "boundary: clauses after it observe the writes)"
+                    )
                 raise TranspilerNotSupportedError(
                     f"{t.value} after a write clause is not supported; "
-                    "only further write clauses or a final RETURN may follow"
+                    "only further write clauses, a boundary WITH, or a "
+                    "final RETURN may follow"
                 )
             if t.is_kw("MATCH") or t.is_kw("OPTIONAL"):
                 clauses.append(self.parse_match())

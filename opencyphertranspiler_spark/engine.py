@@ -56,17 +56,25 @@ class CypherEngine:
         reference rejects parameters)."""
         return self._run_ast(parse(query), params)
 
-    def _run_ast(self, ast_query, params: dict | None = None) -> DataFrame:
+    def _run_ast(self, ast_query, params: dict | None = None, seed=None) -> DataFrame:
         """Rewrite, plan and compile an already-parsed read query (shared
         by cypher() and the write executor's binding compilation)."""
+        return self._run_ast_env(ast_query, params, seed)[0]
+
+    def _run_ast_env(self, ast_query, params: dict | None = None, seed=None):
+        """Like :meth:`_run_ast` but also returns the plan's output env —
+        the write executor re-anchors carried entities through it.
+        ``seed`` is a SeedOp carrying a prior write segment's binding."""
         self._resolve_procedures(ast_query, params)
         graph, tables = self._resolve_multi_verb(ast_query, self.graph, self.tables)
         graph, tables = self._resolve_undirected_varlength(ast_query, graph, tables)
         graph, tables = self._resolve_unbounded(ast_query, graph, tables, params)
         plan = plan_query(
-            ast_query, graph, ordered_aggregates=self.ordered_aggregates
+            ast_query, graph, ordered_aggregates=self.ordered_aggregates,
+            seed=seed,
         )
-        return Compiler(self.spark, tables, params=params).compile(plan)
+        df = Compiler(self.spark, tables, params=params).compile(plan)
+        return df, plan.env
 
     def cypher_write(
         self,

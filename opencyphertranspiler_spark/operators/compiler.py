@@ -27,6 +27,7 @@ from ..plans.logical import (
     LogicalOp,
     MaterializedPathRef,
     OneRowOp,
+    SeedOp,
     PathRef,
     ProjectOp,
     SelectionOp,
@@ -73,6 +74,9 @@ class Compiler:
         if isinstance(op, OneRowOp):
             # one row, zero columns — the standalone WITH/RETURN source
             return self.spark.range(1).select()
+        if isinstance(op, SeedOp):
+            # carried binding across a write-segment boundary (writes.py)
+            return op.df
         if isinstance(op, AddColsOp):
             df = self.compile(op.input)
             ec = ExprCompiler(op.compile_env, df, self.params)

@@ -242,6 +242,22 @@ class OneRowOp(LogicalOp):
 
 
 @dataclass
+class SeedOp(LogicalOp):
+    """An already-compiled binding DataFrame used as the plan's source —
+    the carry across a write-segment boundary (clause-sequential
+    visibility, writes.py): its env maps the carried aliases to
+    EntityRefs/ValueRefs whose physical ``__{alias}_{prop}`` columns the
+    DataFrame already contains, so every downstream planner rule (label
+    inference, piped-entity rejoin, projection scoping) applies
+    unchanged."""
+
+    df: object = None  # pyspark DataFrame
+
+    def __repr__(self):
+        return f"Seed({', '.join(self.env.keys())})"
+
+
+@dataclass
 class JoinOp(LogicalOp):
     """Equi/cross join (reference JoinOperator.cs:18-241). ``pairs`` are
     (left physical column, right physical column). ``drop_right`` lists right

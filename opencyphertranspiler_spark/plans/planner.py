@@ -54,13 +54,24 @@ from .logical import (
 
 
 def plan_query(
-    query: A.Query, schema: GraphSchema, ordered_aggregates: bool = False
+    query: A.Query,
+    schema: GraphSchema,
+    ordered_aggregates: bool = False,
+    seed: LogicalOp | None = None,
 ) -> LogicalOp:
     """Plan a parsed query against the graph schema.
 
     ``ordered_aggregates`` (extension, off by default for reference
     parity) makes collect()/first()/last() honor the immediately
-    preceding WITH's ORDER BY, Neo4j-style."""
+    preceding WITH's ORDER BY, Neo4j-style.
+
+    ``seed`` (write path only) is a pre-compiled source op — the carried
+    binding of a write-segment boundary; the query's clauses plan on top
+    of it exactly as if they followed a WITH."""
+    if seed is not None and isinstance(query, A.UnionQuery):
+        raise TranspilerInternalError(
+            "seeded plans cannot span UNION queries"
+        )  # pragma: no cover — the write executor rejects UNION first
     if isinstance(query, A.UnionQuery):
         left = plan_query(query.left, schema, ordered_aggregates)
         right = plan_query(query.right, schema, ordered_aggregates)
@@ -71,7 +82,7 @@ def plan_query(
                 f"UNION branches must return the same columns: {l_aliases} vs {r_aliases}"
             )
         return SetOp(left, right, all=query.all, env=dict(left.env))
-    return _SingleQueryPlanner(schema, ordered_aggregates).plan(query)
+    return _SingleQueryPlanner(schema, ordered_aggregates).plan(query, seed)
 
 
 # ---------------------------------------------------------------------------
@@ -174,8 +185,8 @@ class _SingleQueryPlanner:
         self.generated_aliases.add(alias)
         return alias
 
-    def plan(self, sq: A.SingleQuery) -> LogicalOp:
-        cur = self._plan_clauses(None, sq.clauses)
+    def plan(self, sq: A.SingleQuery, seed: LogicalOp | None = None) -> LogicalOp:
+        cur = self._plan_clauses(seed, sq.clauses)
         if cur is None:  # pragma: no cover — parser guarantees a RETURN
             raise TranspilerInternalError("Empty query plan")
         return cur

@@ -58,8 +58,15 @@ from pyspark.sql import functions as F
 from .cypher import ast as A
 from .exceptions import (
     TranspilerBindingError,
+    TranspilerInternalError,
     TranspilerNotSupportedError,
     TranspilerSyntaxError,
+)
+from .plans.logical import (
+    EntityRef,
+    MaterializedPathRef,
+    PathRef,
+    SeedOp,
 )
 from .schema import EdgeSchema, EntityProperty, GraphSchema, NodeSchema
 from .sources import TableRegistry
@@ -194,9 +201,12 @@ def _infer_match_scope(clause: A.MatchClause, scope: dict, graph: GraphSchema):
                 scope[rel.alias] = ("rel", None)
 
 
-def _resolve_scope(reading: list, graph: GraphSchema) -> dict:
-    """alias -> ("node", label) | ("rel", EdgeSchema|None) | ("value",)."""
-    scope: dict[str, tuple] = {}
+def _resolve_scope(reading: list, graph: GraphSchema, initial=None) -> dict:
+    """alias -> ("node", label) | ("rel", EdgeSchema|None) | ("value",).
+
+    ``initial`` pre-binds aliases carried across a write-segment boundary
+    (the previous segment's SeedOp env)."""
+    scope: dict[str, tuple] = dict(initial or {})
     for clause in reading:
         if isinstance(clause, A.MatchClause):
             _infer_match_scope(clause, scope, graph)
@@ -318,10 +328,13 @@ class WriteExecutor:
     def __init__(
         self,
         engine,
-        ast_query: A.SingleQuery,
+        reading: list,
+        writes: list,
+        returning: A.ProjectionClause | None,
         params,
         validate: bool,
         on_conflict: str = "max",
+        seed: SeedOp | None = None,
     ):
         self.engine = engine
         self.spark = engine.spark
@@ -333,23 +346,21 @@ class WriteExecutor:
                 "on_conflict must be 'max' or 'error'"
             )
         self.on_conflict = on_conflict
-        first_write = next(
-            (
-                i
-                for i, c in enumerate(ast_query.clauses)
-                if isinstance(c, A.WriteClause)
-            ),
-            None,
-        )
-        if first_write is None:
-            raise TranspilerSyntaxError("cypher_write() requires a write clause")
-        self.reading = list(ast_query.clauses[:first_write])
-        tail = list(ast_query.clauses[first_write:])
-        # optional trailing RETURN (parser guarantees the shape)
-        self.returning: A.ProjectionClause | None = None
-        if tail and isinstance(tail[-1], A.ProjectionClause):
-            self.returning = tail.pop()
-        self.writes = tail
+        self.reading = list(reading)
+        self.writes = list(writes)
+        self.returning = returning
+        # carried binding from the previous write segment (clause-sequential
+        # visibility): a SeedOp whose env pre-binds the carried aliases
+        self.seed = seed
+        seed_scope: dict[str, tuple] = {}
+        if seed is not None:
+            for alias, ref in seed.env.items():
+                if isinstance(ref, EntityRef) and ref.kind == "node":
+                    seed_scope[alias] = ("node", ref.node.label)
+                elif isinstance(ref, EntityRef):
+                    seed_scope[alias] = ("rel", ref.edge)
+                else:
+                    seed_scope[alias] = ("value",)
         # (alias, prop) -> the written expression, for post-write RETURN
         # substitution; later clauses override earlier ones
         self._written: dict[tuple[str, str], A.Expr] = {}
@@ -363,7 +374,7 @@ class WriteExecutor:
         # relationship MERGE bind endpoints the reading prefix never saw
         # (the classic MERGE-nodes-then-MERGE-rel single statement)
         self._write_bound: dict[str, tuple] = {}
-        self.scope = _resolve_scope(self.reading, self.graph)
+        self.scope = _resolve_scope(self.reading, self.graph, initial=seed_scope)
         # synthesized projection items for the binding DataFrame
         self._items: list[tuple[str, A.Expr]] = []
         self._item_names: set[str] = set()
@@ -440,7 +451,7 @@ class WriteExecutor:
             self._fenced_aliases,
         )
         read_q = A.SingleQuery(list(self.reading) + [proj])
-        return self.engine._run_ast(read_q, self.params)
+        return self.engine._run_ast(read_q, self.params, seed=self.seed)
 
     def _compile_binding(self) -> DataFrame:
         if not self._items:
@@ -449,7 +460,113 @@ class WriteExecutor:
             self._add_item("__one", A.Literal(1))
         proj = A.ProjectionClause(items=list(self._items), is_return=True)
         read_q = A.SingleQuery(list(self.reading) + [proj])
-        return self.engine._run_ast(read_q, self.params)
+        return self.engine._run_ast(read_q, self.params, seed=self.seed)
+
+    # -- clause-sequential segment boundary ---------------------------------
+    def run_to_boundary(self, boundary: A.ProjectionClause):
+        """Execute this segment's writes, then compile the boundary WITH
+        into a carried :class:`SeedOp` for the next segment (Neo4j's
+        clause-sequential visibility — clauses after the WITH observe the
+        writes before it).
+
+        Carried MATCHed entities pass through the boundary as ordinary
+        entity column groups, then have their property columns RE-ANCHORED
+        by an id-key join against the post-write tables — so SET values,
+        newly-added properties, and DELETEs are all observed (a deleted
+        entity carries null properties and matches nothing downstream).
+        Aliases this segment's CREATE/MERGE introduced carry their id
+        expression and re-anchor the same way. Scalar items observe
+        post-write values via the RETURN-substitution machinery."""
+        plans = [self._plan_write(w) for w in self.writes]
+        binding = self._compile_binding()
+        for fn in plans:
+            fn(binding)
+        graph = self._extended_graph()
+
+        items: list[tuple[str, A.Expr]] = []
+        created_carry: dict[str, str] = {}  # out alias -> node label
+        star_items: list[tuple[str, A.Expr]] = []
+        if boundary.star:
+            explicit = {a for a, _ in boundary.items}
+            names = list(self.scope.keys()) + [
+                a for a in self._write_bound if a not in self.scope
+            ]
+            star_items = [
+                (n, A.Variable(n)) for n in names if n not in explicit
+            ]
+        for alias, expr in star_items + list(boundary.items):
+            if isinstance(expr, A.Variable) and expr.name in self._write_bound:
+                # CREATE/MERGE-introduced alias: the reading plan never saw
+                # it — carry its id expression, re-anchor below
+                label, id_expr = self._write_bound[expr.name]
+                items.append((alias, id_expr))
+                created_carry[alias] = label
+            else:
+                items.append((alias, expr))
+        proj = A.ProjectionClause(
+            items=items,
+            distinct=boundary.distinct,
+            where=boundary.where,
+            order_by=boundary.order_by,
+            skip=boundary.skip,
+            limit=boundary.limit,
+            is_return=False,
+            star=False,
+        )
+        proj = _substitute(
+            proj, self._written, self._created_aliases, self._fenced_aliases
+        )
+        read_q = A.SingleQuery(list(self.reading) + [proj])
+        df, env = self.engine._run_ast_env(read_q, self.params, seed=self.seed)
+        df, env = self._reanchor(df, env, graph, created_carry)
+        return SeedOp(df=df, env=env), graph
+
+    def _reanchor(self, df, env, graph, created_carry):
+        new_env: dict[str, object] = {}
+        for alias, ref in env.items():
+            if isinstance(ref, EntityRef) and ref.kind == "node":
+                key_src = ref.col(ref.node.id_property)
+                drop = [c for c in ref.columns() if c != key_src]
+                if drop:
+                    df = df.drop(*drop)
+                node = graph.get_node(ref.node.label)
+                df = self._reanchor_join(df, key_src, node, alias, new_env)
+            elif isinstance(ref, EntityRef):
+                raise TranspilerNotSupportedError(
+                    f"Carrying relationship '{alias}' across a write-"
+                    "boundary WITH is not supported; carry its endpoint "
+                    "ids instead"
+                )
+            elif isinstance(ref, (PathRef, MaterializedPathRef)):
+                raise TranspilerNotSupportedError(
+                    f"Carrying path '{alias}' across a write-boundary "
+                    "WITH is not supported; carry nodes()/length() of it"
+                )
+            elif alias in created_carry:
+                node = graph.get_node(created_carry[alias])
+                df = self._reanchor_join(df, alias, node, alias, new_env)
+            else:
+                new_env[alias] = ref
+        return df, new_env
+
+    def _reanchor_join(self, df, key_src, node, alias, new_env):
+        """LEFT-join the post-write node table on the carried id key and
+        rebuild the entity's ``__{alias}_{prop}`` column group (one
+        broadcast-eligible equi-join per carried entity)."""
+        ref = EntityRef(alias, "node", node=node)
+        tmp = {p: f"__reanchor_{p}" for p in node.property_names}
+        tbl = self._get_table(node.table).select(
+            *[F.col(p).alias(t) for p, t in tmp.items()]
+        )
+        df = df.join(
+            tbl,
+            F.col(key_src) == F.col(tmp[node.id_property]),
+            "left",
+        ).drop(key_src)
+        for p, t in tmp.items():
+            df = df.withColumnRenamed(t, ref.col(p))
+        new_env[alias] = ref
+        return df
 
     def _extended_graph(self) -> GraphSchema:
         """New property columns extend EVERY schema backed by the touched
@@ -1507,6 +1624,38 @@ class WriteExecutor:
         return apply
 
 
+@dataclass
+class _Segment:
+    """One clause-sequential execution unit: reads, then writes, ended by
+    either a boundary WITH (carried into the next segment) or a final
+    RETURN (post-write values via substitution)."""
+
+    reading: list
+    writes: list
+    boundary: A.ProjectionClause | None = None
+    returning: A.ProjectionClause | None = None
+
+
+def _split_segments(clauses: list) -> list[_Segment]:
+    segs: list[_Segment] = []
+    reading: list = []
+    writes: list = []
+    for c in clauses:
+        if isinstance(c, A.WriteClause):
+            writes.append(c)
+        elif isinstance(c, A.ProjectionClause) and writes:
+            if c.is_return:
+                segs.append(_Segment(reading, writes, returning=c))
+            else:
+                segs.append(_Segment(reading, writes, boundary=c))
+            reading, writes = [], []
+        else:
+            reading.append(c)
+    if reading or writes:
+        segs.append(_Segment(reading, writes))
+    return segs
+
+
 def execute_write(
     engine,
     query: str,
@@ -1514,9 +1663,83 @@ def execute_write(
     validate: bool = True,
     on_conflict: str = "max",
 ) -> WriteResult:
+    """Parse and execute a write statement.
+
+    Clause-sequential visibility (Neo4j semantics, round 6): a WITH after
+    a write clause splits the statement into SEGMENTS; each segment's
+    reads run against the previous segment's post-write tables, with the
+    boundary WITH's bindings carried across as a SeedOp. Within one
+    segment, all write clauses still read that segment's pre-write
+    snapshot (documented divergence for same-segment write stacking)."""
     from .cypher import parse
 
     ast_query = parse(query, allow_writes=True)
     if isinstance(ast_query, A.UnionQuery):
         raise TranspilerNotSupportedError("UNION over a write query is not supported")
-    return WriteExecutor(engine, ast_query, params, validate, on_conflict).run()
+    clauses = list(ast_query.clauses)
+    if not any(isinstance(c, A.WriteClause) for c in clauses):
+        raise TranspilerSyntaxError("cypher_write() requires a write clause")
+    segs = _split_segments(clauses)
+
+    eng = engine
+    seed: SeedOp | None = None
+    merged_tables: dict[str, DataFrame] = {}
+    merged_counters: dict[str, object] = {}
+
+    def merge_counters(counters: dict[str, object]) -> None:
+        for k, v in counters.items():
+            prev = merged_counters.get(k)
+            merged_counters[k] = (
+                v if prev is None else (lambda a=prev, b=v: a() + b())
+            )
+
+    for i, seg in enumerate(segs):
+        last = i == len(segs) - 1
+        if not seg.writes:
+            # read-only tail segment (only possible in last position: a
+            # boundary is cut exactly when writes exist) — a trailing
+            # MATCH/RETURN over the post-write state, seeded by the carry
+            returned = None
+            if seg.reading:
+                returned = eng._run_ast(
+                    A.SingleQuery(list(seg.reading)), params, seed=seed
+                )
+            return WriteResult(
+                engine.spark,
+                eng.graph,
+                merged_tables,
+                engine.tables,
+                merged_counters,
+                returned=returned,
+            )
+        ex = WriteExecutor(
+            eng,
+            seg.reading,
+            seg.writes,
+            seg.returning,
+            params,
+            validate,
+            on_conflict,
+            seed=seed,
+        )
+        if last:
+            res = ex.run()
+            merge_counters(res._counters)
+            return WriteResult(
+                engine.spark,
+                res.graph,
+                {**merged_tables, **res.tables},
+                engine.tables,
+                merged_counters,
+                returned=res.returned,
+            )
+        seed, graph = ex.run_to_boundary(seg.boundary)
+        merged_tables.update(ex.tables)
+        merge_counters(ex._counters)
+        eng = WriteResult(
+            engine.spark, graph, dict(ex.tables), eng.tables
+        ).engine(
+            reach_max_iters=engine.reach_max_iters,
+            ordered_aggregates=engine.ordered_aggregates,
+        )
+    raise TranspilerInternalError("segment loop ended without a result")  # pragma: no cover
