@@ -60,11 +60,11 @@ def main() -> None:
     warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
     timings: dict[str, float] = {}
     for e in bench_entries:
-        run_entry(e, spark, warm_dir).count()  # warm-up, not timed
+        run_entry(e, spark, warm_dir, bench=True).count()  # warm-up, not timed
         best = None
         for _ in range(2):  # min-of-2: the box is noisy (2-3x run-to-run)
             t0 = time.perf_counter()
-            df = run_entry(e, spark, sf_dir)
+            df = run_entry(e, spark, sf_dir, bench=True)
             df.count()  # execute fully; result sizes are small (aggregates)
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)

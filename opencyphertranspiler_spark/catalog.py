@@ -35,6 +35,11 @@ class CatalogEntry:
     oracle: str | None = None  # DuckDB SQL; None -> rows-only check
     bench: bool = False  # include in bench.py headline suite
     fn: Callable[[SparkSession, str], DataFrame] | None = None  # non-Cypher ops
+    # When an entry's CORRECTNESS form is a small-SF oracle baseline that
+    # must not be timed at bench SF (e.g. the exhaustive O(n²) cosine
+    # pairs), bench_fn supplies the scale-representative plan bench.py
+    # times instead; the gate still runs fn against the oracle.
+    bench_fn: Callable[[SparkSession, str], DataFrame] | None = None
     tags: tuple[str, ...] = ()
 
 
@@ -54,7 +59,11 @@ def get_engine(spark: SparkSession, sf_dir: str):
     return _engines[key]
 
 
-def run_entry(entry: CatalogEntry, spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_entry(
+    entry: CatalogEntry, spark: SparkSession, sf_dir: str, bench: bool = False
+) -> DataFrame:
+    if bench and entry.bench_fn is not None:
+        return entry.bench_fn(spark, sf_dir)
     if entry.fn is not None:
         return entry.fn(spark, sf_dir)
     return get_engine(spark, sf_dir).cypher(entry.cypher)
@@ -1092,6 +1101,36 @@ def _p_cosine_topk(spark, sf_dir):
     return topk.unionByName(pairs)
 
 
+def _p_cosine_topk_bench(spark, sf_dir):
+    """Round 7: bench path for p09. The gate's pairs half (cosine_pairs)
+    is the deliberately-exhaustive O(n²) oracle baseline — correct at
+    sf0.01, a nested-loop scale-killer at bench SF (54.7 s at sf0.1 in
+    round 6). The plan a 100 TB user would run is the LSH-self-bucketed
+    cosine_near_dup_pairs (equi-join on (table, bucket), cost bounded by
+    bucket occupancy), so THAT is what the bench times, exactly the
+    p02-jaccard-oracle vs p03-minhash-bench split this repo already uses."""
+    from pyspark.sql import functions as F
+
+    from .pipeline.similarity import cosine_near_dup_pairs, cosine_topk
+
+    embs = _embs(spark, sf_dir)
+    topk = cosine_topk(embs, embs.filter("vec_id < 20"), k=5).select(
+        F.lit("topk").alias("kind"),
+        F.col("query_id").alias("id_a"),
+        F.col("match_id").alias("id_b"),
+        F.col("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    pairs = cosine_near_dup_pairs(embs, threshold=0.95).select(
+        F.lit("pairs").alias("kind"),
+        "id_a",
+        "id_b",
+        "cosine",
+        F.lit(None).cast("int").alias("rank"),
+    )
+    return topk.unionByName(pairs)
+
+
 def _p_cosine_lsh_topk(spark, sf_dir):
     from .pipeline.similarity import cosine_lsh_topk
 
@@ -1531,6 +1570,7 @@ PIPELINE_CATALOG: list[CatalogEntry] = [
         # slot for s03_stateful_sessionize
         name="p09_cosine_topk",
         fn=_p_cosine_topk,
+        bench_fn=_p_cosine_topk_bench,
         oracle=f"""
             WITH p AS (
                 SELECT q.vec_id AS query_id, c.vec_id AS match_id, {_COS} AS cosine

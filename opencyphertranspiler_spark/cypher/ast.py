@@ -411,6 +411,11 @@ class MatchClause:
 class UnwindClause:
     expr: Expr
     alias: str = ""
+    # True when this UNWIND is the desugared spine of a FOREACH — its
+    # alias is scoped to the FOREACH body, and a boundary after the
+    # writes restores the pre-FOREACH row cardinality (writes.py prunes
+    # foreach-unwinds from the boundary's reading plan)
+    foreach: bool = False
 
 
 @dataclass

@@ -162,16 +162,11 @@ class Parser:
                 # the WITH observe the writes before it
                 if t.kind == "eof":
                     break
-                if (
-                    t.is_kw("RETURN") or t.is_kw("WITH")
-                ) and getattr(self, "_saw_foreach", False):
-                    # desugared FOREACH multiplies the binding rows by the
-                    # list size; Neo4j's RETURN/WITH keeps the pre-FOREACH
-                    # cardinality — fence rather than silently diverge
-                    raise TranspilerNotSupportedError(
-                        f"{t.value} after FOREACH is not supported (the "
-                        "UNWIND desugar changes the row cardinality)"
-                    )
+                # round 7: RETURN/WITH after FOREACH is supported — the
+                # executor cuts a synthetic boundary after the FOREACH's
+                # writes and compiles it over the reading plan MINUS the
+                # desugared UNWIND, restoring pre-FOREACH cardinality
+                # (writes.py _split_segments / run_to_boundary)
                 if t.is_kw("RETURN"):
                     clauses.append(self.parse_projection(is_return=True))
                     break
@@ -313,10 +308,12 @@ class Parser:
 
     def parse_foreach(self) -> list:
         """``FOREACH (x IN list | <write clauses>)`` (extension) —
-        desugared to ``UNWIND list AS x`` followed by the inner writes,
-        which the snapshot write executor applies per binding row. A
-        FOREACH after other write clauses, nesting, and RETURN afterwards
-        are fenced (the desugar would change their semantics)."""
+        desugared to ``UNWIND list AS x`` (marked ``foreach=True``)
+        followed by the inner writes, which the snapshot write executor
+        applies per binding row. RETURN/WITH afterwards is supported
+        (round 7): the executor's synthetic boundary restores pre-FOREACH
+        cardinality and scopes ``x`` to the body. A FOREACH after other
+        write clauses and nesting stay fenced."""
         self.advance()  # FOREACH (soft keyword: an ident token)
         self.expect_punct("(")
         var = self.expect_ident()
@@ -339,7 +336,7 @@ class Parser:
         self.expect_punct(")")
         if not inner:
             raise TranspilerSyntaxError("FOREACH requires at least one write clause")
-        return [A.UnwindClause(list_expr, var)] + inner
+        return [A.UnwindClause(list_expr, var, foreach=True)] + inner
 
     # -- write clauses (extension; reference rejects all of them) ----------
     def accept_soft_kw(self, name: str) -> bool:

@@ -61,10 +61,15 @@ class CypherEngine:
         by cypher() and the write executor's binding compilation)."""
         return self._run_ast_env(ast_query, params, seed)[0]
 
-    def _run_ast_env(self, ast_query, params: dict | None = None, seed=None):
+    def _run_ast_env(
+        self, ast_query, params: dict | None = None, seed=None,
+        return_plan: bool = False,
+    ):
         """Like :meth:`_run_ast` but also returns the plan's output env —
         the write executor re-anchors carried entities through it.
-        ``seed`` is a SeedOp carrying a prior write segment's binding."""
+        ``seed`` is a SeedOp carrying a prior write segment's binding.
+        ``return_plan=True`` returns (df, logical op) instead — the
+        explain() surface."""
         self._resolve_procedures(ast_query, params)
         graph, tables = self._resolve_multi_verb(ast_query, self.graph, self.tables)
         graph, tables = self._resolve_undirected_varlength(ast_query, graph, tables)
@@ -74,7 +79,10 @@ class CypherEngine:
             seed=seed,
         )
         df = Compiler(self.spark, tables, params=params).compile(plan)
+        if return_plan:
+            return df, plan
         return df, plan.env
+
 
     def cypher_write(
         self,
@@ -321,12 +329,16 @@ class CypherEngine:
     def _resolve_multi_verb(
         self, ast_query, graph: GraphSchema, tables: TableRegistry
     ) -> tuple[GraphSchema, TableRegistry]:
+        # "|" in rel.verb: the write executor compiles one AST TWICE
+        # (binding, then boundary/RETURN) — the first pass rewrote
+        # alt_verbs into a joined verb in place, so re-trigger on it to
+        # rebuild the union edge idempotently (round 7)
         rewrites = [
             (left, rel, right)
             for _sq, _cl, _part, left, rel, right in self._pattern_triples(
                 ast_query
             )
-            if rel.alt_verbs
+            if rel.alt_verbs or (rel.verb and "|" in rel.verb)
         ]
         if not rewrites:
             return graph, tables
@@ -337,7 +349,11 @@ class CypherEngine:
             overlay.register(name, lambda n=name: tables.get(n))
 
         for left, rel, right in rewrites:
-            verbs = [rel.verb, *rel.alt_verbs]
+            verbs = [
+                v
+                for part in [rel.verb, *rel.alt_verbs]
+                for v in part.split("|")
+            ]
             if rel.direction == A.Direction.BACKWARD:
                 src_node, snk_node = right, left
             else:  # FORWARD and EITHER anchor pattern-left as source
@@ -1116,20 +1132,39 @@ class CypherEngine:
         self._reach_cache[key] = out
         return out
 
-    def explain(self, query: str, mode: str = "formatted") -> str:
-        """Catalyst's physical plan for a query ('formatted', 'extended',
-        'cost', 'codegen') — the plan-quality audit surface."""
-        df = self.cypher(query)
-        return df._jdf.queryExecution().explainString(
+    def explain(
+        self,
+        query: str,
+        mode: str = "formatted",
+        params: dict | None = None,
+    ) -> str:
+        """Plan-dump debug surface (round 7 — the reference's
+        ``DumpGraph``, LogicalPlan.cs:88-110, as a user API): the
+        openCypher logical operator tree followed by Catalyst's physical
+        plan ('formatted', 'extended', 'cost', 'codegen'). Nothing
+        executes — both sections come from planning, so this answers
+        "did the filter reach the scan / is this join broadcast" before
+        running at scale."""
+        df, plan = self._run_ast_env(parse(query), params, return_plan=True)
+        physical = df._jdf.queryExecution().explainString(
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 mode
             )
         )
+        return (
+            "== Cypher Logical Plan ==\n"
+            + plan.describe()
+            + "\n\n"
+            + physical.rstrip("\n")
+        )
 
-    def explain_plan(self, query: str) -> str:
-        """Dump the logical operator DAG (the reference's DumpGraph,
-        /root/reference/src/LogicalPlanner/LogicalPlan.cs:88-110)."""
-        return plan_query(parse(query), self.graph).describe()
+    def explain_plan(self, query: str, params: dict | None = None) -> str:
+        """The logical operator DAG alone (the reference's DumpGraph,
+        /root/reference/src/LogicalPlanner/LogicalPlan.cs:88-110) — runs
+        the full rewrite pipeline (procedures, multi-verb, unbounded
+        var-length) so every supported query dumps."""
+        _, plan = self._run_ast_env(parse(query), params, return_plan=True)
+        return plan.describe()
 
     def register_sql_views(self, names: list[str] | None = None) -> list[str]:
         """Expose the registered backing tables as Spark SQL temp views so

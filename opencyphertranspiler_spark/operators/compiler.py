@@ -30,6 +30,7 @@ from ..plans.logical import (
     SeedOp,
     PathRef,
     ProjectOp,
+    RowIdOp,
     SelectionOp,
     SetOp,
     TrimOp,
@@ -51,6 +52,9 @@ class Compiler:
         self.spark = spark
         self.tables = tables
         self.params = params or {}
+        # RowIdOp instances compile ONCE (identity-keyed): every branch
+        # of a correlated CALL { UNION } must see the same row ids
+        self._rowid_cache: dict[int, DataFrame] = {}
 
     def compile(self, op: LogicalOp) -> DataFrame:
         if isinstance(op, DataSourceOp):
@@ -77,6 +81,21 @@ class Compiler:
         if isinstance(op, SeedOp):
             # carried binding across a write-segment boundary (writes.py)
             return op.df
+        if isinstance(op, RowIdOp):
+            cached = self._rowid_cache.get(id(op))
+            if cached is None:
+                # localCheckpoint pins the numbering: without it a
+                # post-shuffle recompute could deliver rows to partitions
+                # in a different order per consumer branch. The outer
+                # stream of a correlated CALL { UNION } is the only
+                # construct that pays this materialization.
+                cached = (
+                    self.compile(op.input)
+                    .withColumn(op.col, F.monotonically_increasing_id())
+                    .localCheckpoint(eager=False)
+                )
+                self._rowid_cache[id(op)] = cached
+            return cached
         if isinstance(op, AddColsOp):
             df = self.compile(op.input)
             ec = ExprCompiler(op.compile_env, df, self.params)

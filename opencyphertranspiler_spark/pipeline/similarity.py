@@ -82,11 +82,15 @@ def cosine_topk(
     the global per-query window (see _global_topk)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"))
+    ).withColumn("qn", _norm("qv"))
+    c = corpus.select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cn", _norm("cv"))
+    # norms are computed ONCE per vector on each side (projection before
+    # the join), not per pair — same fold, same bits, 1/3 the lambda work
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("match_id"))
-        .withColumn("cosine", _dot("qv", "cv") / (_norm("qv") * _norm("cv")))
+        .withColumn("cosine", _dot("qv", "cv") / (F.col("qn") * F.col("cn")))
         .select("query_id", "match_id", "cosine")
     )
     return _global_topk(scored, k)
@@ -99,15 +103,23 @@ def cosine_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """All (id_a < id_b) pairs with cosine >= threshold — embedding-space
-    near-duplicate detection, exhaustive baseline."""
-    s = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    near-duplicate detection, exhaustive baseline.
+
+    O(n²) by construction (BroadcastNestedLoopJoin on the inequality):
+    this is the small-SF ORACLE BASELINE, like dedup.jaccard_pairs — the
+    scale path is cosine_near_dup_pairs (LSH self-bucketing). Norms are
+    folded once per vector per side before the pair join, so each pair
+    pays one dot fold, not three."""
+    s = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "nrm", _norm("v")
+    )
     a, b = s.alias("a"), s.alias("b")
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            (_dot("a.v", "b.v") / (_norm("a.v") * _norm("b.v"))).alias("cosine"),
+            (_dot("a.v", "b.v") / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
@@ -305,9 +317,10 @@ def cosine_lsh_topk(
     ]
     c_buckets = corpus.select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv")
-    ).select(
+    ).withColumn("cn", _norm("cv")).select(
         "match_id",
         "cv",
+        "cn",
         F.explode(
             F.array(
                 *[
@@ -319,10 +332,10 @@ def cosine_lsh_topk(
                 ]
             )
         ).alias("tb"),
-    ).select("match_id", "cv", "tb.tbl", "tb.bucket")
+    ).select("match_id", "cv", "cn", "tb.tbl", "tb.bucket")
     q_base = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
+    ).withColumn("qn", _norm("qv"))
     probe_structs = []
     for t in range(n_tables):
         b0 = _bucket_expr("qv", per_table[t])
@@ -336,14 +349,17 @@ def cosine_lsh_topk(
                     )
                 )
     q_probes = q_base.select(
-        "query_id", "qv", F.explode(F.array(*probe_structs)).alias("tb")
-    ).select("query_id", "qv", "tb.tbl", "tb.bucket")
+        "query_id", "qv", "qn", F.explode(F.array(*probe_structs)).alias("tb")
+    ).select("query_id", "qv", "qn", "tb.tbl", "tb.bucket")
+    # norms ride along from each side's base projection (one fold per
+    # vector); the distinct's cardinality is unchanged — (id, vec) pairs
+    # determine their norm
     scored = (
         c_buckets.join(F.broadcast(q_probes), ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("match_id"))
-        .select("query_id", "match_id", "qv", "cv")
+        .select("query_id", "match_id", "qv", "cv", "qn", "cn")
         .distinct()
-        .withColumn("cosine", _dot("qv", "cv") / (_norm("qv") * _norm("cv")))
+        .withColumn("cosine", _dot("qv", "cv") / (F.col("qn") * F.col("cn")))
         .select("query_id", "match_id", "cosine")
     )
     # candidates are already bucket-pruned; a single per-query window is fine
@@ -373,9 +389,12 @@ def cosine_near_dup_pairs(
     per_table = [
         _hyperplanes(dim, n_planes, seed=97 + 1000 * t) for t in range(n_tables)
     ]
-    b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).select(
+    b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "nrm", _norm("v")  # folded once per vector, BEFORE bucket fan-out
+    ).select(
         "id",
         "v",
+        "nrm",
         F.explode(
             F.array(
                 *[
@@ -387,7 +406,7 @@ def cosine_near_dup_pairs(
                 ]
             )
         ).alias("tb"),
-    ).select("id", "v", "tb.tbl", "tb.bucket")
+    ).select("id", "v", "nrm", "tb.tbl", "tb.bucket")
     cands = (
         b.alias("l")
         .join(b.alias("r"), ["tbl", "bucket"])
@@ -397,12 +416,14 @@ def cosine_near_dup_pairs(
             F.col("r.id").alias("id_b"),
             F.col("l.v").alias("va"),
             F.col("r.v").alias("vb"),
+            F.col("l.nrm").alias("na"),
+            F.col("r.nrm").alias("nb"),
         )
         .distinct()
     )
     return (
         cands.withColumn(
-            "cosine", _dot("va", "vb") / (_norm("va") * _norm("vb"))
+            "cosine", _dot("va", "vb") / (F.col("na") * F.col("nb"))
         )
         # threshold on the UNROUNDED value; round only for output
         .filter(F.col("cosine") >= threshold)
@@ -442,7 +463,7 @@ def semantic_dedup(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         assign_cell(F.col(vec_col)).alias("cell"),
-    )
+    ).withColumn("nrm", _norm("v"))  # one fold per vector, not per pair
     pairs = (
         assigned.alias("a")
         .join(
@@ -451,7 +472,7 @@ def semantic_dedup(
             & (F.col("b.id") < F.col("a.id")),
         )
         .withColumn(
-            "cosine", _dot("a.v", "b.v") / (_norm("a.v") * _norm("b.v"))
+            "cosine", _dot("a.v", "b.v") / (F.col("a.nrm") * F.col("b.nrm"))
         )
     )
     dups = (

@@ -258,6 +258,27 @@ class SeedOp(LogicalOp):
 
 
 @dataclass
+class RowIdOp(LogicalOp):
+    """Tag the input with a synthetic unique row-id column (round 7:
+    the correlated CALL { UNION } spine — Cypher streams legally carry
+    duplicate rows, and the union's distinct must dedup PER INVOCATION,
+    not across identical outer rows). The compiler materializes the
+    tagged stream once per op INSTANCE (identity-cached +
+    localCheckpoint) so every consumer branch observes the same ids —
+    monotonically_increasing_id is only partition-deterministic, and a
+    post-shuffle recompute could renumber rows between branches."""
+
+    input: LogicalOp
+    col: str = ""
+
+    def children(self):
+        return [self.input]
+
+    def __repr__(self):
+        return f"RowId({self.col})"
+
+
+@dataclass
 class JoinOp(LogicalOp):
     """Equi/cross join (reference JoinOperator.cs:18-241). ``pairs`` are
     (left physical column, right physical column). ``drop_right`` lists right

@@ -44,6 +44,7 @@ from .logical import (
     OneRowOp,
     PathRef,
     ProjectOp,
+    RowIdOp,
     SelectionOp,
     SetOp,
     TrimOp,
@@ -1162,25 +1163,40 @@ class _SingleQueryPlanner:
             # aggregate-over-empty LEFT-join defaults), then the JOINED
             # outputs union — outer x (branch1 rows ∪ branch2 rows),
             # Neo4j invocation semantics. UNION (distinct) dedups full
-            # rows: within one outer row that is exactly subquery-row
-            # dedup across branches; distinct outer rows never conflate
-            # (their outer columns differ).
+            # rows — but Cypher streams legally carry DUPLICATE outer
+            # rows (fan-out then WITH without DISTINCT), and Neo4j's
+            # dedup is per INVOCATION, so (round 7) the outer op is
+            # tagged with a unique row-id spine that rides through every
+            # branch and the union's distinct, then is trimmed off:
+            # identical outer rows keep separate invocation outputs.
             if piped is None:
                 raise TranspilerBindingError(
                     "CALL { WITH ... } imports need an outer scope to "
                     "import from"
                 )
+            outer: LogicalOp = piped
+            rid: str | None = None
+            if any(not is_all for _, is_all in flat[1:]):
+                rid = self._gen_alias("call_rid")
+                outer = RowIdOp(
+                    piped,
+                    col=rid,
+                    env={**piped.env, rid: ValueRef(rid)},
+                )
             normed: list[LogicalOp] = []
             aliases: list[str] | None = None
             for br, _ in flat:
-                joined = self.plan_call(piped, A.CallSubqueryClause(br))
+                joined = self.plan_call(outer, A.CallSubqueryClause(br))
                 if aliases is None:
                     aliases = sorted(joined.env.keys())
                 elif sorted(joined.env.keys()) != aliases:
+                    shown = [a for a in aliases if a != rid]
+                    got = [
+                        a for a in sorted(joined.env.keys()) if a != rid
+                    ]
                     raise TranspilerBindingError(
                         "CALL { UNION } branches must return the same "
-                        f"columns: {aliases} vs "
-                        f"{sorted(joined.env.keys())}"
+                        f"columns: {shown} vs {got}"
                     )
                 # normalize each branch to the same projected column set
                 # so unionByName aligns (entity refs keep their shared
@@ -1198,6 +1214,13 @@ class _SingleQueryPlanner:
             for i in range(1, len(normed)):
                 out = SetOp(
                     out, normed[i], all=flat[i][1], env=dict(out.env)
+                )
+            if rid is not None:
+                visible = [a for a in aliases if a != rid]
+                out = TrimOp(
+                    out,
+                    visible,
+                    env={a: out.env[a] for a in visible},
                 )
             return out
         inner = clause.query

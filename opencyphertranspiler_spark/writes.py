@@ -170,8 +170,37 @@ def _infer_match_scope(clause: A.MatchClause, scope: dict, graph: GraphSchema):
     while changed:
         changed = False
         for left, rel, right in hops:
-            if rel.min_hops is not None or rel.alt_verbs:
-                continue  # var-length / multi-verb rels are not write targets
+            if rel.min_hops is not None:
+                continue  # var-length rels are not write targets
+            if rel.alt_verbs:
+                # round 7: a DIRECTED multi-type rel [:A|B] resolves to
+                # its concrete member edges — SET/DELETE route each
+                # matched row to its member table via the union edge's
+                # __type discriminator. EITHER-direction stays untyped
+                # (scope None -> typed fence downstream).
+                if rel.alias and rel.direction != A.Direction.EITHER:
+                    if rel.direction == A.Direction.BACKWARD:
+                        src, snk = right, left
+                    else:
+                        src, snk = left, right
+                    members = []
+                    for v in [rel.verb, *rel.alt_verbs]:
+                        cands = graph.candidate_edges(
+                            v, node_label(src), node_label(snk)
+                        )
+                        if len(cands) != 1:
+                            members = None
+                            break
+                        members.append(cands[0])
+                    if members and scope.get(rel.alias) != (
+                        "rel_multi",
+                        tuple(members),
+                    ):
+                        scope[rel.alias] = ("rel_multi", tuple(members))
+                        changed = True
+                elif rel.alias and rel.alias not in scope:
+                    scope[rel.alias] = ("rel", None)
+                continue
             if rel.direction == A.Direction.BACKWARD:
                 src, snk = right, left
             else:
@@ -374,6 +403,17 @@ class WriteExecutor:
         # relationship MERGE bind endpoints the reading prefix never saw
         # (the classic MERGE-nodes-then-MERGE-rel single statement)
         self._write_bound: dict[str, tuple] = {}
+        self._seed_scope = seed_scope
+        # FOREACH support (round 7): the desugared UNWIND participates in
+        # the WRITE binding (per-element application) but is pruned from
+        # any boundary compile — the boundary restores pre-FOREACH
+        # cardinality, and FOREACH-scoped names don't cross it
+        self._foreach_vars = {
+            c.alias for c in self.reading if _is_foreach_unwind(c)
+        }
+        self._pruned_reading = [
+            c for c in self.reading if not _is_foreach_unwind(c)
+        ]
         self.scope = _resolve_scope(self.reading, self.graph, initial=seed_scope)
         # synthesized projection items for the binding DataFrame
         self._items: list[tuple[str, A.Expr]] = []
@@ -463,7 +503,27 @@ class WriteExecutor:
         return self.engine._run_ast(read_q, self.params, seed=self.seed)
 
     # -- clause-sequential segment boundary ---------------------------------
-    def run_to_boundary(self, boundary: A.ProjectionClause):
+    def run_to_foreach_boundary(self):
+        """Synthetic boundary after a FOREACH's writes: run the writes
+        with the full binding (one application per list element), then
+        carry every PRE-FOREACH name — compiled over the reading plan
+        minus the desugared UNWIND, so the next segment observes the
+        writes at the original row cardinality. FOREACH-scoped names
+        (the element variable, aliases CREATE'd inside the body) do not
+        cross the boundary (Neo4j scoping)."""
+        names = list(
+            _resolve_scope(
+                self._pruned_reading, self.graph, initial=self._seed_scope
+            ).keys()
+        )
+        boundary = A.ProjectionClause(
+            items=[(n, A.Variable(n)) for n in names], is_return=False
+        )
+        return self.run_to_boundary(boundary, pruned=True)
+
+    def run_to_boundary(
+        self, boundary: A.ProjectionClause, pruned: bool = False
+    ):
         """Execute this segment's writes, then compile the boundary WITH
         into a carried :class:`SeedOp` for the next segment (Neo4j's
         clause-sequential visibility — clauses after the WITH observe the
@@ -516,7 +576,8 @@ class WriteExecutor:
         proj = _substitute(
             proj, self._written, self._created_aliases, self._fenced_aliases
         )
-        read_q = A.SingleQuery(list(self.reading) + [proj])
+        base = self._pruned_reading if pruned else self.reading
+        read_q = A.SingleQuery(list(base) + [proj])
         df, env = self.engine._run_ast_env(read_q, self.params, seed=self.seed)
         df, env = self._reanchor(df, env, graph, created_carry)
         return SeedOp(df=df, env=env), graph
@@ -693,7 +754,7 @@ class WriteExecutor:
         rel_items = [
             i
             for i in items
-            if (self.scope.get(i.alias) or ("",))[0] == "rel"
+            if (self.scope.get(i.alias) or ("",))[0] in ("rel", "rel_multi")
         ]
         if rel_items:
             node_items = [i for i in items if i not in rel_items]
@@ -737,7 +798,31 @@ class WriteExecutor:
         endpoint pair (e.g. ACTED_IN with several roles), ``SET r.x``
         updates EVERY parallel row sharing the pair — Neo4j keys by
         per-relationship identity instead. Model parallel edges with a
-        discriminating key column if per-edge SET is needed."""
+        discriminating key column if per-edge SET is needed.
+
+        Round 7: a DIRECTED multi-type alias ``[r:A|B]`` is supported —
+        the binding carries the union edge's ``__src``/``__dst``/``__type``
+        columns and each matched row routes to its concrete member table
+        (the verdict-r6 virtual-edge write). Symmetrized (undirected
+        var-length) edges stay fenced: one matched row is BOTH
+        orientations of a concrete row, so a pair-keyed update would be
+        ambiguous."""
+        multi_items = [
+            i
+            for i in items
+            if (self.scope.get(i.alias) or ("",))[0] == "rel_multi"
+        ]
+        if multi_items:
+            rest = [i for i in items if i not in multi_items]
+            plans = [self._plan_set_rel_multi(multi_items)]
+            if rest:
+                plans.append(self._plan_set_rel(rest))
+
+            def apply_split(binding: DataFrame):
+                for p in plans:
+                    p(binding)
+
+            return apply_split
         by_alias: dict[str, list[tuple[str, str]]] = {}
         edges: dict[str, EdgeSchema] = {}
         for item in items:
@@ -782,6 +867,48 @@ class WriteExecutor:
                     pairs,
                     binding,
                 )
+
+        return apply
+
+    def _plan_set_rel_multi(self, items: list[A.SetItem]):
+        """SET through a directed multi-type rel ``[r:A|B]`` (round 7):
+        the read plan resolves r to the union edge whose rows carry
+        ``__src`` / ``__dst`` / ``__type``; each binding row routes to
+        its CONCRETE member table by the ``__type`` discriminator, then
+        the ordinary pair-keyed update applies per member."""
+        by_alias: dict[str, list[tuple[str, str]]] = {}
+        members: dict[str, tuple] = {}
+        for item in items:
+            mem = self.scope[item.alias][1]
+            keys = {"__src", "__dst", "__type"}
+            for e in mem:
+                keys.update((e.source_id_property, e.sink_id_property))
+            if item.prop in keys:
+                raise TranspilerNotSupportedError(
+                    "SET on a relationship key/discriminator column is "
+                    "not supported"
+                )
+            members[item.alias] = mem
+            self._add_item(f"__k1_{item.alias}", A.Property(item.alias, "__src"))
+            self._add_item(f"__k2_{item.alias}", A.Property(item.alias, "__dst"))
+            self._add_item(f"__t_{item.alias}", A.Property(item.alias, "__type"))
+            vcol = self._val_col(item.expr)
+            by_alias.setdefault(item.alias, []).append((item.prop, vcol))
+            self._written[(item.alias, item.prop)] = item.expr
+
+        def apply(binding: DataFrame):
+            for alias, pairs in by_alias.items():
+                for e in members[alias]:
+                    rows = binding.where(
+                        F.col(f"__t_{alias}") == F.lit(e.verb)
+                    )
+                    self._apply_update(
+                        e.table,
+                        (e.source_id_property, e.sink_id_property),
+                        (f"__k1_{alias}", f"__k2_{alias}"),
+                        pairs,
+                        rows,
+                    )
 
         return apply
 
@@ -906,8 +1033,17 @@ class WriteExecutor:
     def _plan_delete(self, clause: A.DeleteClause):
         nodes: list[tuple[str, NodeSchema]] = []
         rels: list[tuple[str, EdgeSchema]] = []
+        multi_rels: list[tuple[str, tuple]] = []
         for alias in clause.aliases:
             kind = self.scope.get(alias)
+            if kind is not None and kind[0] == "rel_multi":
+                # round 7: DELETE through a directed [:A|B] — route each
+                # matched pair to its concrete member table via __type
+                self._add_item(f"__k1_{alias}", A.Property(alias, "__src"))
+                self._add_item(f"__k2_{alias}", A.Property(alias, "__dst"))
+                self._add_item(f"__t_{alias}", A.Property(alias, "__type"))
+                multi_rels.append((alias, kind[1]))
+                continue
             if kind is not None and kind[0] == "rel":
                 e = kind[1]
                 if e is None:
@@ -944,6 +1080,23 @@ class WriteExecutor:
                     .distinct()
                 )
                 self._apply_delete_rel(e, pairs)
+            for alias, mem in multi_rels:
+                for e in mem:
+                    pairs = (
+                        binding.where(
+                            F.col(f"__t_{alias}") == F.lit(e.verb)
+                        )
+                        .select(
+                            F.col(f"__k1_{alias}").alias("__ds"),
+                            F.col(f"__k2_{alias}").alias("__dk"),
+                        )
+                        .where(
+                            F.col("__ds").isNotNull()
+                            & F.col("__dk").isNotNull()
+                        )
+                        .distinct()
+                    )
+                    self._apply_delete_rel(e, pairs)
             for alias, node in nodes:
                 keys = (
                     binding.select(F.col(f"__k_{alias}").alias("__dk"))
@@ -1483,6 +1636,28 @@ class WriteExecutor:
                 *[F.col(v) for v in vcols],
             ).where(F.col("__ms").isNotNull() & F.col("__mk").isNotNull())
             if vcols:
+                if self.on_conflict == "error":
+                    # round 7 (ADVICE r6): the loud mode must also cover
+                    # the MERGE-rel path — the max() pre-aggregation below
+                    # would otherwise silently resolve two binding rows
+                    # assigning different values to the same (src, snk)
+                    multi = F.lit(False)
+                    for v in vcols:
+                        multi = multi | (F.col(v) > 1)
+                    conflicts = (
+                        cand.groupBy("__ms", "__mk")
+                        .agg(*[F.countDistinct(v).alias(v) for v in vcols])
+                        .where(multi)
+                        .count()
+                    )
+                    if conflicts:
+                        raise TranspilerBindingError(
+                            f"MERGE [:{e.verb}]: {conflicts} (source, "
+                            "sink) pair(s) received more than one "
+                            "distinct property value in this statement "
+                            "(on_conflict='error'; use the default 'max' "
+                            "for deterministic resolution)"
+                        )
                 cand = cand.groupBy("__ms", "__mk").agg(
                     *[F.max(v).alias(v) for v in vcols]
                 )
@@ -1634,6 +1809,14 @@ class _Segment:
     writes: list
     boundary: A.ProjectionClause | None = None
     returning: A.ProjectionClause | None = None
+    # True for the synthetic boundary cut after a FOREACH's writes: the
+    # carry compiles over the reading MINUS the desugared UNWIND
+    # (pre-FOREACH cardinality) and excludes FOREACH-scoped names
+    foreach_boundary: bool = False
+
+
+def _is_foreach_unwind(c) -> bool:
+    return isinstance(c, A.UnwindClause) and getattr(c, "foreach", False)
 
 
 def _split_segments(clauses: list) -> list[_Segment]:
@@ -1644,11 +1827,20 @@ def _split_segments(clauses: list) -> list[_Segment]:
         if isinstance(c, A.WriteClause):
             writes.append(c)
         elif isinstance(c, A.ProjectionClause) and writes:
-            if c.is_return:
+            if any(_is_foreach_unwind(r) for r in reading):
+                # round 7: a WITH/RETURN after FOREACH — cut a SYNTHETIC
+                # boundary right after the FOREACH's writes; the user's
+                # projection then runs in the NEXT segment against the
+                # post-write tables (no substitution needed, FOREACH-var-
+                # dependent SETs included) at pre-FOREACH cardinality
+                segs.append(_Segment(reading, writes, foreach_boundary=True))
+                reading, writes = [c], []
+            elif c.is_return:
                 segs.append(_Segment(reading, writes, returning=c))
+                reading, writes = [], []
             else:
                 segs.append(_Segment(reading, writes, boundary=c))
-            reading, writes = [], []
+                reading, writes = [], []
         else:
             reading.append(c)
     if reading or writes:
@@ -1733,7 +1925,10 @@ def execute_write(
                 merged_counters,
                 returned=res.returned,
             )
-        seed, graph = ex.run_to_boundary(seg.boundary)
+        if seg.foreach_boundary:
+            seed, graph = ex.run_to_foreach_boundary()
+        else:
+            seed, graph = ex.run_to_boundary(seg.boundary)
         merged_tables.update(ex.tables)
         merge_counters(ex._counters)
         eng = WriteResult(

@@ -466,3 +466,65 @@ def test_procedure_argument_errors_are_typed(engine):
     # the fence is now only for UNKNOWN procedures
     with pytest.raises(TranspilerNotSupportedError, match="Unknown procedure"):
         engine.cypher("CALL dbms.components()")
+
+
+def test_call_correlated_union_keeps_duplicate_outer_rows(engine, duck):
+    # round 7 (ADVICE r6): UNION dedup is PER INVOCATION — a duplicate-
+    # carrying outer stream (fan-out then WITH without DISTINCT) must
+    # keep one branch-output set per outer ROW, not per distinct value.
+    # Customer 1 has 5 orders, so `WITH c` pipes 5 identical rows; Neo4j
+    # returns 5.
+    got = engine.cypher(
+        """
+        MATCH (c:Customer)-[:PLACED]->(o:Orders) WHERE c.c_custkey = 1
+        WITH c
+        CALL {
+          WITH c RETURN c.c_custkey AS k
+          UNION
+          WITH c RETURN c.c_custkey AS k
+        }
+        RETURN k
+        """
+    ).collect()
+    n_orders = duck.sql(
+        "SELECT count(*) FROM orders WHERE o_custkey = 1"
+    ).fetchone()[0]
+    assert [r["k"] for r in got] == [1] * n_orders and n_orders == 5
+    # the spine must NOT leak: only the projected column comes back
+    assert got[0].asDict().keys() == {"k"}
+
+
+def test_call_correlated_union_distinct_outer_single_row(engine):
+    # a genuinely single outer row still dedups across branches
+    got = engine.cypher(
+        """
+        MATCH (c:Customer) WHERE c.c_custkey = 1
+        WITH c
+        CALL {
+          WITH c RETURN c.c_custkey AS k
+          UNION
+          WITH c RETURN c.c_custkey AS k
+        }
+        RETURN k
+        """
+    ).collect()
+    assert [r["k"] for r in got] == [1]
+
+
+def test_call_correlated_union_all_no_spine_overhead(engine):
+    # UNION ALL needs no row-id spine (no distinct to protect) — the
+    # plan must not contain the localCheckpoint scan the spine implies
+    df = engine.cypher(
+        """
+        MATCH (c:Customer) WHERE c.c_custkey = 1
+        WITH c
+        CALL {
+          WITH c RETURN c.c_custkey AS k
+          UNION ALL
+          WITH c RETURN c.c_custkey AS k
+        }
+        RETURN k
+        """
+    )
+    assert [r["k"] for r in df.collect()] == [1, 1]
+    assert "ExistingRDD" not in df._jdf.queryExecution().toString()

@@ -58,8 +58,10 @@ def test_read_parse_keeps_write_fence(q):
 @pytest.mark.parametrize(
     "q,msg",
     [
-        ("MATCH (c:Customer) SET c.x = 1 WITH c RETURN 1 AS o", "after a write"),
-        ("MATCH (c:Customer) SET c.x = 1 MATCH (o:Orders) DELETE o", "after a write"),
+        # round 7: a boundary WITH after a write is now supported (clause-
+        # sequential segment semantics) — only the WITH-less write→MATCH
+        # form stays fenced, with Neo4j's own "WITH is required" wording:
+        ("MATCH (c:Customer) SET c.x = 1 MATCH (o:Orders) DELETE o", "WITH is required"),
         # round 6: SET c:Label / REMOVE c:Label / SET c += {map} are now
         # supported extensions — a non-map += stays fenced:
         ("MATCH (c:Customer) SET c += 5", "map"),
@@ -91,6 +93,94 @@ def test_write_clauses_parse_in_write_mode():
     kinds = [type(c).__name__ for c in q.clauses]
     assert kinds == ["MatchClause", "SetClause", "CreateClause", "DeleteClause"]
     assert isinstance(q.clauses[-1], A.DeleteClause) and q.clauses[-1].detach
+
+
+# ---------------------------------------------------------------------------
+# clause-sequential visibility (write -> boundary WITH -> reads see the write)
+# ---------------------------------------------------------------------------
+
+
+def test_set_with_match_observes_write(weng):
+    # the MATCH after the boundary WITH runs against the post-SET table
+    res = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_custkey <= 3 SET c.seg2 = 'X' "
+        "WITH count(*) AS n "
+        "MATCH (c:Customer) WHERE c.seg2 = 'X' "
+        "RETURN n, count(c) AS seen"
+    )
+    row = res.returned.collect()[0]
+    # sf0.001 custkeys are 0..149, so <= 3 matches four rows (0,1,2,3)
+    assert row["n"] == 4 and row["seen"] == 4
+
+
+def test_create_with_match_finds_new_node(weng):
+    res = weng.cypher_write(
+        "CREATE (c:Customer {c_custkey: 990001, c_name: 'fresh'}) "
+        "WITH 1 AS one "
+        "MATCH (c:Customer) WHERE c.c_custkey = 990001 RETURN c.c_name AS name"
+    )
+    assert [r["name"] for r in res.returned.collect()] == ["fresh"]
+
+
+def test_delete_invisible_after_boundary(weng):
+    res = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_custkey <= 5 DETACH DELETE c "
+        "WITH 1 AS one "
+        "MATCH (c:Customer) WHERE c.c_custkey <= 5 RETURN count(c) AS left"
+    )
+    assert res.returned.collect()[0]["left"] == 0
+    # functional: the registered table is untouched (keys 0..5 = 6 rows)
+    assert weng.tables.get("customer").filter("c_custkey <= 5").count() == 6
+
+
+def test_multi_segment_chain_counters_accumulate(weng):
+    # write -> WITH -> write -> RETURN: second segment reads post-write
+    # state, and counters sum across segments
+    res = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_custkey = 1 SET c.stage = 'a' "
+        "WITH c "
+        "MATCH (d:Customer) WHERE d.stage = 'a' SET d.stage2 = 'b' "
+        "RETURN d.c_custkey AS k, d.stage AS s1, d.stage2 AS s2"
+    )
+    assert res.counts()["properties_set"] == 2
+    assert {tuple(r) for r in res.returned.collect()} == {(1, "a", "b")}
+    t = res.table("customer").filter("c_custkey = 1").collect()[0]
+    assert t["stage"] == "a" and t["stage2"] == "b"
+
+
+def test_boundary_with_carries_bindings(weng):
+    # the WITH's bindings seed the next segment (c crosses the boundary)
+    res = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_custkey <= 2 SET c.mark = true "
+        "WITH c "
+        "SET c.mark2 = c.c_custkey * 10 "
+        "RETURN c.c_custkey AS k, c.mark2 AS m ORDER BY k"
+    )
+    assert [tuple(r) for r in res.returned.collect()] == [(0, 0), (1, 10), (2, 20)]
+
+
+def test_two_segment_statement_matches_duckdb(weng, duck):
+    # segment 1 flags negative-balance customers, segment 2 re-reads the
+    # post-write table and counts flagged per segment — the DuckDB oracle
+    # does both steps in one query over the same parquet
+    # NB: the boundary must aggregate — a bare `WITH 1 AS one` would carry
+    # one row PER matched customer (Cypher cardinality), multiplying the
+    # second MATCH
+    res = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_acctbal < 0 SET c.neg = true "
+        "WITH count(*) AS wrote "
+        "MATCH (c:Customer) WHERE c.neg "
+        "RETURN c.c_mktsegment AS seg, count(*) AS n"
+    )
+    got = {tuple(r) for r in res.returned.collect()}
+    exp = {
+        tuple(r)
+        for r in duck.execute(
+            "SELECT c_mktsegment AS seg, count(*) AS n FROM customer "
+            "WHERE c_acctbal < 0 GROUP BY 1"
+        ).fetchall()
+    }
+    assert got == exp and got
 
 
 # ---------------------------------------------------------------------------
@@ -676,9 +766,11 @@ def test_foreach_correlated_set(weng):
 
 
 def test_foreach_fences(weng):
-    with pytest.raises(TranspilerNotSupportedError, match="RETURN after FOREACH"):
+    # round 7: RETURN after FOREACH is supported, but the element var is
+    # scoped to the FOREACH body (Neo4j) — referencing it raises
+    with pytest.raises(TranspilerBindingError, match="does not exist"):
         weng.cypher_write(
-            "FOREACH (k IN [1] | CREATE (r:Region {r_regionkey: k})) RETURN k"
+            "FOREACH (k IN [991] | CREATE (r:Region {r_regionkey: k})) RETURN k"
         )
     with pytest.raises(TranspilerNotSupportedError, match="nested FOREACH"):
         weng.cypher_write(
@@ -689,6 +781,61 @@ def test_foreach_fences(weng):
             "MATCH (c:Customer) SET c.x = 1 "
             "FOREACH (k IN [1] | SET c.y = k)"
         )
+
+
+def test_foreach_return_restores_cardinality(weng):
+    # RETURN after FOREACH keeps the PRE-FOREACH row count (the UNWIND
+    # desugar is invisible) and observes post-write values
+    res = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_custkey <= 2 "
+        "FOREACH (x IN [1, 2, 3] | SET c.fe = x) "
+        "RETURN c.c_custkey AS k, c.fe AS fe ORDER BY k"
+    )
+    assert [tuple(r) for r in res.returned.collect()] == [(0, 3), (1, 3), (2, 3)]
+
+
+def test_foreach_with_boundary_visibility(weng):
+    # WITH after FOREACH: pre-FOREACH cardinality at the boundary, and a
+    # fresh MATCH afterwards observes the FOREACH's writes
+    res = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_custkey = 1 "
+        "FOREACH (x IN ['a', 'b'] | SET c.ftag = x) "
+        "WITH count(*) AS n "
+        "MATCH (d:Customer) WHERE d.ftag IS NOT NULL "
+        "RETURN n, count(d) AS seen"
+    )
+    assert [tuple(r) for r in res.returned.collect()] == [(1, 1)]
+
+
+def test_foreach_with_carries_entity(weng):
+    # the boundary carries c re-anchored: the next segment reads (and
+    # writes over) the post-FOREACH value
+    res = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_custkey <= 1 "
+        "FOREACH (x IN [10] | SET c.fv = x) "
+        "WITH c "
+        "SET c.fw = c.fv + 1 "
+        "RETURN c.c_custkey AS k, c.fv AS v, c.fw AS w ORDER BY k"
+    )
+    assert [tuple(r) for r in res.returned.collect()] == [(0, 10, 11), (1, 10, 11)]
+
+
+def test_foreach_create_then_match_differential(weng, duck):
+    # FOREACH-created rows are visible to a post-boundary MATCH; the
+    # oracle computes the same count arithmetic over the base parquet
+    res = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_custkey = 1 "
+        "FOREACH (x IN [900001, 900002] | "
+        "  CREATE (o:Orders {o_orderkey: x, o_custkey: 1})) "
+        "WITH 1 AS one "
+        "MATCH (c:Customer)-[:PLACED]->(o:Orders) WHERE c.c_custkey = 1 "
+        "RETURN count(o) AS n"
+    )
+    base = duck.execute(
+        "SELECT count(*) FROM orders WHERE o_custkey = 1"
+    ).fetchone()[0]
+    assert res.returned.collect()[0]["n"] == base + 2
+    assert res.counts()["nodes_created"] == 2
 
 
 def test_write_result_checkpoint_truncates_lineage(weng):
@@ -1078,6 +1225,34 @@ def test_on_conflict_error_mode(weng):
         weng.cypher_write(q, on_conflict="nope")
 
 
+def test_merge_rel_on_conflict_error_mode(movie_weng):
+    # round 7 (ADVICE r6): the loud mode must reach the MERGE-rel path —
+    # x fans out over m1's two actors, so the single (Bill Paxton, m1)
+    # pair receives two distinct ON CREATE values
+    q = (
+        "MATCH (p:Person {Name: 'Bill Paxton'}), "
+        "(x:Person)-[:ACTED_IN]->(m:Movie {id: 'm1'}) "
+        "MERGE (p)-[r:ACTED_IN]->(m) ON CREATE SET r.Roles = x.Name"
+    )
+    with pytest.raises(TranspilerBindingError, match="distinct property value"):
+        movie_weng.cypher_write(q, on_conflict="error")
+    # the default documented max() rule still resolves deterministically
+    res = movie_weng.cypher_write(q)
+    assert res.counts()["relationships_created"] == 1
+    assert rows(
+        res.table("acted_in")
+        .filter("_vertexId = 'p5' AND _sink = 'm1'")
+        .select("Roles")
+    ) == {("Tom Hanks",)}
+    # and a conflict-free MERGE passes in error mode
+    res2 = movie_weng.cypher_write(
+        "MATCH (p:Person {Name: 'Bill Paxton'}), (m:Movie {id: 'm1'}) "
+        "MERGE (p)-[r:ACTED_IN]->(m) ON CREATE SET r.Roles = 'Solo'",
+        on_conflict="error",
+    )
+    assert res2.counts()["relationships_created"] == 1
+
+
 def test_merge_rel_endpoints_from_same_statement_merges(weng):
     # the classic upsert idiom: MERGE both nodes, then MERGE the rel —
     # all in ONE statement (round 6; endpoints bound by the earlier
@@ -1117,4 +1292,46 @@ def test_merge_rel_unbound_endpoint_still_rejected(weng):
         weng.cypher_write(
             "MERGE (n:Nation {n_nationkey: 99, n_name: 'X'}) "
             "MERGE (n)-[:IN_REGION]->(r)"
+        )
+
+
+# ---------------------------------------------------------------------------
+# multi-type relationship writes (round 7: routed via __type)
+# ---------------------------------------------------------------------------
+
+
+def test_multi_type_rel_set_routes_to_member_tables(movie_weng):
+    res = movie_weng.cypher_write(
+        "MATCH (p:Person)-[r:ACTED_IN|DIRECTED]->(m:Movie {id: 'm1'}) "
+        "SET r.year_checked = 1993"
+    )
+    assert rows(
+        res.table("acted_in").filter("_sink = 'm1'").select("_vertexId", "year_checked")
+    ) == {("p1", 1993), ("p2", 1993)}
+    assert rows(
+        res.table("directed").filter("_sink = 'm1'").select("_vertexId", "year_checked")
+    ) == {("p4", 1993)}
+    # rows of OTHER movies untouched in both member tables
+    assert res.table("acted_in").filter(
+        "_sink <> 'm1' AND year_checked IS NOT NULL"
+    ).count() == 0
+    assert res.counts()["properties_set"] == 3
+
+
+def test_multi_type_rel_delete_routes_to_member_tables(movie_weng):
+    res = movie_weng.cypher_write(
+        "MATCH (p:Person)-[r:ACTED_IN|DIRECTED]->(m:Movie {id: 'm1'}) DELETE r"
+    )
+    assert res.table("acted_in").filter("_sink = 'm1'").count() == 0
+    assert res.table("directed").filter("_sink = 'm1'").count() == 0
+    # m2/m3 rows survive in both concrete tables
+    assert res.table("acted_in").count() == 4
+    assert res.table("directed").count() == 2
+    assert res.counts()["relationships_deleted"] == 3
+
+
+def test_multi_type_rel_write_either_direction_fenced(movie_weng):
+    with pytest.raises(TranspilerBindingError, match="relationship type"):
+        movie_weng.cypher_write(
+            "MATCH (p:Person)-[r:ACTED_IN|DIRECTED]-(m:Movie) DELETE r"
         )
