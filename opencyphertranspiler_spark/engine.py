@@ -708,7 +708,18 @@ class CypherEngine:
                     "shortestPath() does not support a minimal hop count "
                     "above 1 (use [:V*] or [:V*1..]), matching Neo4j"
                 )
-            if getattr(part, "shortest", False):
+            # round 7: a path variable over PLAIN [:V*] / [:V*1..] rides
+            # the same witness machinery — the reachable pairs at
+            # min_hops=1 are exactly the dist>=1 shortest-path pairs, and
+            # the variable binds ONE witness (shortest) path per pair.
+            # Documented divergence: Neo4j yields a row per PATH (can be
+            # exponential); this engine's unbounded model is DISTINCT
+            # endpoint pairs, so the witness is the canonical
+            # representative.
+            use_witness = getattr(part, "shortest", False) or (
+                part.path_alias is not None and rel.min_hops == 1
+            )
+            if use_witness:
                 # shortestPath(): the virtual edge carries the true hop
                 # count as __dist; length(p) reads it (PathRef handling).
                 # When the query reads nodes()/relationships() of the path
@@ -775,12 +786,17 @@ class CypherEngine:
                     )
             else:
                 if part.path_alias is not None:
+                    # only min_hops 0 / >=2 land here (min_hops=1 took
+                    # the witness branch above): dist-0 self-paths and
+                    # longer-than-shortest witness constraints have no
+                    # canonical representative in the pair model
                     raise TranspilerNotSupportedError(
                         "A pattern variable over an unbounded "
-                        "variable-length pattern is only supported with "
-                        "shortestPath() — plain [:V*] computes DISTINCT "
-                        "endpoint-pair reachability, which has no single "
-                        "path to bind"
+                        f"*{rel.min_hops}.. pattern is only supported "
+                        "for *1.. (plain [:V*]) or shortestPath() — "
+                        "the endpoint-pair model binds one witness path "
+                        "per pair, which *0.. / *n.. (n>=2) cannot "
+                        "represent"
                     )
                 reach = self._reachability(edge, rel.min_hops, tables, anchor, graph)
                 vname = f"__reach_{rel.min_hops}_{edge.id}{asuf}"

@@ -962,19 +962,34 @@ def random_walks(
     seed: int = 0,
     src: str = "src",
     dst: str = "dst",
+    p: float = 1.0,
+    q: float = 1.0,
 ) -> DataFrame:
-    """(walk_id, step, node) — uniform random walks over the directed edge
-    set, the corpus generator behind DeepWalk/node2vec embeddings. Walks
+    """(walk_id, step, node) — random walks over the directed edge set,
+    the corpus generator behind DeepWalk/node2vec embeddings. Walks
     start at every node of ``starts`` (``walks_per_node`` each) and stop
     early at sinks.
 
+    ``p``/``q`` are node2vec's return/in-out parameters (Grover &
+    Leskovec 2016): given the previous node t, a candidate x is weighted
+    1/p when x == t (return), 1 when the edge t->x exists (distance-1),
+    1/q otherwise (distance-2). p = q = 1 keeps the original uniform
+    DeepWalk behaviour (bit-identical to earlier rounds — the biased
+    key path is gated off).
+
     Determinism without RNG state: at each step a walk ranks its
-    out-neighbors by xxhash64(walk_id, step, neighbor, seed) and takes the
-    minimum — a fixed pseudorandom choice per (walk, step), reproducible
-    across runs and partitionings (the same trick as the seeded sampling
-    in pipeline/sampling.py). Each step is one frontier-edge equi-join
-    plus a min_by combine; cost per step is O(frontier out-degree), and
-    finished walks leave the frontier."""
+    out-neighbors by xxhash64(walk_id, step, neighbor, seed) and takes
+    the minimum — a fixed pseudorandom choice per (walk, step),
+    reproducible across runs and partitionings (the same trick as the
+    seeded sampling in pipeline/sampling.py). The biased form keeps the
+    hash determinism through exponential clocks: u = hash-uniform in
+    (0, 1), key = -ln(u)/w, argmin — the weighted-sampling identity, so
+    the choice distribution follows the node2vec weights while staying
+    partition-independent. Each step is one frontier-edge equi-join
+    (plus, when biased, one (prev, dst) membership join) and a min_by
+    combine; cost per step is O(frontier out-degree), and finished
+    walks leave the frontier."""
+    biased = not (p == 1.0 and q == 1.0)
     with _no_constraint_propagation(edges):
         e = (
             edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -993,28 +1008,58 @@ def random_walks(
                 F.col("node"),
             )
             .withColumn("step", F.lit(0))
-            .localCheckpoint(eager=True)
         )
-        out = frontier
-        for step in range(1, walk_length):
-            nxt = (
-                frontier.join(e, frontier["node"] == e["src"])
-                .groupBy("walk_id")
-                .agg(
-                    F.min_by(
-                        F.col("dst"),
-                        F.xxhash64(
-                            F.col("walk_id"),
-                            F.lit(step),
-                            F.col("dst"),
-                            F.lit(seed),
-                        ),
-                    ).alias("node")
-                )
-                .withColumn("step", F.lit(step))
-                .select("walk_id", "node", "step")
-                .localCheckpoint(eager=True)
+        if biased:
+            frontier = frontier.withColumn(
+                "prev", F.lit(None).cast(dict(frontier.dtypes)["node"])
             )
+        frontier = frontier.localCheckpoint(eager=True)
+        out = frontier
+        nbr = e.select(
+            F.col("src").alias("prev"), F.col("dst").alias("dst")
+        ).withColumn("__nb", F.lit(True))
+        for step in range(1, walk_length):
+            h = F.xxhash64(
+                F.col("walk_id"), F.lit(step), F.col("dst"), F.lit(seed)
+            )
+            if not biased:
+                nxt = (
+                    frontier.join(e, frontier["node"] == e["src"])
+                    .groupBy("walk_id")
+                    .agg(F.min_by(F.col("dst"), h).alias("node"))
+                    .withColumn("step", F.lit(step))
+                    .select("walk_id", "node", "step")
+                    .localCheckpoint(eager=True)
+                )
+            else:
+                cand = frontier.join(e, frontier["node"] == e["src"]).select(
+                    "walk_id",
+                    frontier["prev"],
+                    frontier["node"].alias("cur"),
+                    e["dst"],
+                )
+                cand = cand.join(nbr, ["prev", "dst"], "left")
+                w = (
+                    F.when(F.col("prev").isNull(), F.lit(1.0))
+                    .when(F.col("dst") == F.col("prev"), F.lit(1.0 / p))
+                    .when(F.col("__nb"), F.lit(1.0))
+                    .otherwise(F.lit(1.0 / q))
+                )
+                # hash -> uniform (0,1) -> exponential clock -ln(u)/w:
+                # argmin draws dst with probability w / sum(w)
+                m = 1_000_000_007
+                u = (F.pmod(h, F.lit(m)) + F.lit(0.5)) / F.lit(float(m))
+                key = -F.log(u) / w
+                nxt = (
+                    cand.groupBy("walk_id")
+                    .agg(
+                        F.min_by(F.col("dst"), key).alias("node"),
+                        F.min(F.col("cur")).alias("prev"),
+                    )
+                    .withColumn("step", F.lit(step))
+                    .select("walk_id", "node", "step", "prev")
+                    .localCheckpoint(eager=True)
+                )
             if nxt.isEmpty():
                 break
             out = out.unionByName(nxt)

@@ -1207,13 +1207,47 @@ def test_pattern_variable_rejections(movie_engine):
         movie_engine.cypher(
             "MATCH p = (a:Person)-[:FOLLOWS]->(b:Person) RETURN p"
         )
-    # plain unbounded reachability binds no single path — only
-    # shortestPath() supports a pattern variable there (round 5 also
-    # fixed the silent length(p)=1 this used to produce)
-    with pytest.raises(TranspilerNotSupportedError, match="shortestPath"):
+    # round 7: plain [:V*] path variables are supported (witness-path
+    # semantics); *0.. / *2.. still have no canonical representative
+    with pytest.raises(TranspilerNotSupportedError, match="witness"):
         movie_engine.cypher(
-            "MATCH p = (a:Person)-[:FOLLOWS*]->(b:Person) RETURN length(p) AS l"
+            "MATCH p = (a:Person)-[:FOLLOWS*2..]->(b:Person) RETURN length(p) AS l"
         )
+
+
+def test_plain_unbounded_path_variable_witness(movie_engine):
+    # round 7: `p = (a)-[:V*]->(b)` binds ONE witness (shortest) path per
+    # DISTINCT endpoint pair — the documented pair-model divergence from
+    # Neo4j's row-per-path. FOLLOWS: p3->p4->p2->p1, p5->p1.
+    df = movie_engine.cypher(
+        """
+        MATCH p = (a:Person)-[:FOLLOWS*]->(b:Person)
+        RETURN a.id AS a, b.id AS b, length(p) AS l, nodes(p) AS ns
+        """
+    )
+    got = {(r["a"], r["b"], r["l"], tuple(r["ns"])) for r in df.collect()}
+    assert got == {
+        ("p2", "p1", 1, ("p2", "p1")),
+        ("p3", "p1", 3, ("p3", "p4", "p2", "p1")),
+        ("p3", "p2", 2, ("p3", "p4", "p2")),
+        ("p3", "p4", 1, ("p3", "p4")),
+        ("p4", "p1", 2, ("p4", "p2", "p1")),
+        ("p4", "p2", 1, ("p4", "p2")),
+        ("p5", "p1", 1, ("p5", "p1")),
+    }
+    # relationships(p) reconstructs the hop structs from the witness
+    df2 = movie_engine.cypher(
+        """
+        MATCH p = (a:Person {id: 'p3'})-[:FOLLOWS*]->(b:Person {id: 'p1'})
+        RETURN relationships(p) AS rels
+        """
+    )
+    rels = [tuple(x) for x in df2.collect()[0]["rels"]]
+    assert rels == [
+        ("p3", "p4", "FOLLOWS"),
+        ("p4", "p2", "FOLLOWS"),
+        ("p2", "p1", "FOLLOWS"),
+    ]
 
 
 def test_shortest_path_lengths_via_pattern(movie_engine):

@@ -1821,3 +1821,62 @@ def test_random_walks_stop_at_sinks(spark):
     out = random_walks(e, starts, walk_length=10)
     nodes = [r["node"] for r in out.orderBy("step").collect()]
     assert nodes == [1, 2, 3]  # walk ends at the sink
+
+
+def _node2vec_step2_counts(spark, p, q, n_walks=600):
+    """Distribution fixture: t->c forced-ish; from c (prev=t) the
+    candidates are t (return, 1/p), a (t's neighbor via t->a, weight 1),
+    b (distance-2, 1/q). Returns step-2 choice counts from c."""
+    from opencyphertranspiler_spark.pipeline.graph import random_walks
+
+    e = spark.createDataFrame(
+        [("t", "c"), ("c", "t"), ("c", "a"), ("c", "b"), ("t", "a")],
+        "src string, dst string",
+    )
+    starts = spark.createDataFrame([("t",)], "node string")
+    out = random_walks(
+        e, starts, walk_length=3, walks_per_node=n_walks, seed=11, p=p, q=q
+    ).collect()
+    by_walk = {}
+    for r in out:
+        by_walk.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    counts = {"t": 0, "a": 0, "b": 0}
+    for w in by_walk.values():
+        if w.get(1) == "c" and 2 in w:
+            counts[w[2]] += 1
+    return counts
+
+
+def test_random_walks_node2vec_bias_distribution(spark):
+    # q << 1 favors distance-2 (b), p >> 1 suppresses return (t):
+    # weights t=1/4, a=1, b=4 -> expect b > a > t by a wide margin
+    c1 = _node2vec_step2_counts(spark, p=4.0, q=0.25)
+    total1 = sum(c1.values())
+    assert total1 > 150  # ~half the walks go t->c first
+    assert c1["b"] > c1["a"] > c1["t"], c1
+    assert c1["b"] / total1 > 0.55, c1  # expected 16/21 ~ 0.76
+
+    # inverted: p << 1 favors return (t), q >> 1 suppresses distance-2
+    c2 = _node2vec_step2_counts(spark, p=0.25, q=4.0)
+    assert c2["t"] > c2["a"] > c2["b"], c2
+
+    # p = q = 1 keeps the ORIGINAL uniform-hash path (bit-compat):
+    # identical output to an explicit default-args call
+    from opencyphertranspiler_spark.pipeline.graph import random_walks
+
+    e = spark.createDataFrame(
+        [("t", "c"), ("c", "t"), ("c", "a"), ("c", "b"), ("t", "a")],
+        "src string, dst string",
+    )
+    starts = spark.createDataFrame([("t",)], "node string")
+    base = {
+        tuple(r)
+        for r in random_walks(e, starts, walk_length=3, walks_per_node=5, seed=7).collect()
+    }
+    unit = {
+        tuple(r)
+        for r in random_walks(
+            e, starts, walk_length=3, walks_per_node=5, seed=7, p=1.0, q=1.0
+        ).collect()
+    }
+    assert base == unit
