@@ -71,21 +71,24 @@ def run_entry(
 
 def _q_write_set(spark: SparkSession, sf_dir: str):
     """Gate q44: SET over negative-balance customers (existing + NEW
-    property) via the functional write path (writes.py), then an
-    aggregate read through the derived post-write engine."""
+    property) via the functional write path (writes.py), then — round 7
+    — the aggregate read runs INSIDE the same statement after a
+    clause-sequential boundary WITH (the second MATCH observes the
+    writes; Neo4j segment visibility), instead of through a separately
+    derived engine."""
     eng = get_engine(spark, sf_dir)
     res = eng.cypher_write(
-        "MATCH (c:Customer) WHERE c.c_acctbal < 0 "
-        "SET c.c_mktsegment = 'NEGATIVE', c.risk_flag = true"
-    )
-    return res.engine().cypher(
         """
+        MATCH (c:Customer) WHERE c.c_acctbal < 0
+        SET c.c_mktsegment = 'NEGATIVE', c.risk_flag = true
+        WITH count(*) AS wrote
         MATCH (c:Customer)-[:PLACED]->(o:Orders)
         RETURN c.c_mktsegment AS seg,
                sum(CASE WHEN c.risk_flag THEN 1 ELSE 0 END) AS flagged,
                count(*) AS n, round(sum(o.o_totalprice), 1) AS total
         """
     )
+    return res.returned
 
 
 def _q_entity_projection(spark, sf_dir):
@@ -735,20 +738,32 @@ CATALOG += [
     # orders by orderkey, so NEXT* reachability has the closed-form oracle
     # "same customer, strictly later orderkey" — exact, no recursion needed.
     CatalogEntry(
+        # round 7: the pattern variable p rides along — length(p) is the
+        # WITNESS (shortest) hop count per endpoint pair; in the NEXT
+        # chain that is exactly the per-customer rank difference, so the
+        # oracle stays closed-form (no recursion)
         name="q38_unbounded_varlength",
         fn=lambda spark, sf_dir: _next_order_engine(spark, sf_dir).cypher(
             """
-            MATCH (a:Orders)-[:NEXT*]->(b:Orders)
-            RETURN a.o_orderkey AS src_order, b.o_orderkey AS dst_order
+            MATCH p = (a:Orders)-[:NEXT*]->(b:Orders)
+            RETURN a.o_orderkey AS src_order, b.o_orderkey AS dst_order,
+                   length(p) AS hops
             """
         ),
         oracle="""
-            SELECT a.o_orderkey AS src_order, b.o_orderkey AS dst_order
-            FROM orders a
-            JOIN orders b ON b.o_custkey = a.o_custkey
-                         AND b.o_orderkey > a.o_orderkey
+            WITH r AS (
+                SELECT o_orderkey, o_custkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderkey) AS rn
+                FROM orders
+            )
+            SELECT a.o_orderkey AS src_order, b.o_orderkey AS dst_order,
+                   CAST(b.rn - a.rn AS BIGINT) AS hops
+            FROM r a
+            JOIN r b ON b.o_custkey = a.o_custkey
+                    AND b.o_orderkey > a.o_orderkey
         """,
-        tags=("match", "var-length", "unbounded", "reachability"),
+        tags=("match", "var-length", "unbounded", "reachability", "path-var"),
     ),
     # ---- anchored reachability pushdown: a literal equality on the
     # unbounded hop's endpoint seeds the fixpoint from the anchor set
