@@ -69,7 +69,18 @@ class CypherEngine:
         the write executor re-anchors carried entities through it.
         ``seed`` is a SeedOp carrying a prior write segment's binding.
         ``return_plan=True`` returns (df, logical op) instead — the
-        explain() surface."""
+        explain() surface.
+
+        The rewrite passes below (procedures, multi-verb, undirected /
+        unbounded var-length) and the planner's alias assignment all
+        mutate the AST in place, and the write executor compiles ONE
+        parsed statement several times (binding, boundary, trailing
+        RETURN) — so every compile runs on a deep copy, leaving the
+        caller's AST pristine (round 7; the in-place [:A|B] rewrite used
+        to break the second compile of a write statement)."""
+        import copy
+
+        ast_query = copy.deepcopy(ast_query)
         self._resolve_procedures(ast_query, params)
         graph, tables = self._resolve_multi_verb(ast_query, self.graph, self.tables)
         graph, tables = self._resolve_undirected_varlength(ast_query, graph, tables)

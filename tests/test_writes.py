@@ -1335,3 +1335,37 @@ def test_multi_type_rel_write_either_direction_fenced(movie_weng):
         movie_weng.cypher_write(
             "MATCH (p:Person)-[r:ACTED_IN|DIRECTED]-(m:Movie) DELETE r"
         )
+
+
+# ---------------------------------------------------------------------------
+# double-compile safety: engine rewrites must not leak into the second
+# compile of one statement (round 7 — _run_ast_env deep-copies the AST)
+# ---------------------------------------------------------------------------
+
+
+def test_write_return_over_multi_verb_reading(weng):
+    # the [:A|B] rewrite used to mutate the parsed AST in place, so the
+    # trailing RETURN's re-compile saw a joined verb with no edge
+    res = weng.cypher_write(
+        "MATCH (c:Customer)-[r:PLACED_URGENT|PLACED_NORMAL]->(o:Orders) "
+        "WHERE c.c_custkey = 1 SET c.mv = true RETURN count(*) AS k"
+    )
+    assert res.returned.collect()[0]["k"] == 5
+
+
+def test_write_return_over_unbounded_reading(movie_weng):
+    res = movie_weng.cypher_write(
+        "MATCH (a:Person)-[:FOLLOWS*]->(b:Person {id: 'p1'}) "
+        "SET a.reaches_tom = true RETURN count(*) AS n"
+    )
+    # p2, p5 (direct), p4 (via p2), p3 (via p4, p2) reach Tom Hanks
+    assert res.returned.collect()[0]["n"] == 4
+    assert res.table("person").filter("reaches_tom").count() == 4
+
+
+def test_write_return_over_undirected_varlength_reading(movie_weng):
+    res = movie_weng.cypher_write(
+        "MATCH (a:Person)-[:FOLLOWS*1..2]-(b:Person {id: 'p1'}) "
+        "SET a.near_tom = true RETURN count(*) AS n"
+    )
+    assert res.returned.collect()[0]["n"] == 3  # p2, p5 at 1; p4 at 2
