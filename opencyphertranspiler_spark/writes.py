@@ -149,9 +149,19 @@ def _infer_match_scope(clause: A.MatchClause, scope: dict, graph: GraphSchema):
     hops = []
     for part in clause.patterns:
         if part.shortest:
-            raise TranspilerNotSupportedError(
-                "write clauses over shortestPath patterns are not supported"
-            )
+            # round 7: a shortestPath in the READING prefix is fine —
+            # the engine rewrite turns it into a 1-hop virtual edge and
+            # the endpoint nodes type normally below. Only the path
+            # variable itself is not a writable target (scope "value";
+            # SET p.x would be rejected by the target-kind checks).
+            if part.path_alias:
+                scope.setdefault(part.path_alias, ("value",))
+            for node in part.nodes:
+                if node.alias and node.label:
+                    scope[node.alias] = ("node", node.label)
+                elif node.alias and node.alias not in scope:
+                    scope[node.alias] = ("node", None)
+            continue
         for node in part.nodes:
             if node.alias and node.label:
                 scope[node.alias] = ("node", node.label)

@@ -1369,3 +1369,24 @@ def test_write_return_over_undirected_varlength_reading(movie_weng):
         "SET a.near_tom = true RETURN count(*) AS n"
     )
     assert res.returned.collect()[0]["n"] == 3  # p2, p5 at 1; p4 at 2
+
+
+def test_write_over_shortest_path_reading(movie_weng):
+    # round 7: a shortestPath in the READING prefix of a write statement
+    # works (the engine rewrite makes it a 1-hop virtual edge); the path
+    # variable itself stays a non-writable value
+    res = movie_weng.cypher_write(
+        "MATCH p = shortestPath((a:Person)-[:FOLLOWS*]->(b:Person {id: 'p1'})) "
+        "SET a.d = length(p) RETURN a.id AS a, length(p) AS l ORDER BY a"
+    )
+    assert [tuple(r) for r in res.returned.collect()] == [
+        ("p2", 1), ("p3", 3), ("p4", 2), ("p5", 1),
+    ]
+    assert rows(
+        res.table("person").filter("d IS NOT NULL").select("id", "d")
+    ) == {("p2", 1), ("p3", 3), ("p4", 2), ("p5", 1)}
+    with pytest.raises(TranspilerNotSupportedError, match="value"):
+        movie_weng.cypher_write(
+            "MATCH p = shortestPath((a:Person {id: 'p3'})-[:FOLLOWS*]->"
+            "(b:Person {id: 'p1'})) SET p.x = 1"
+        )
