@@ -183,21 +183,36 @@ def _infer_match_scope(clause: A.MatchClause, scope: dict, graph: GraphSchema):
             if rel.min_hops is not None:
                 continue  # var-length rels are not write targets
             if rel.alt_verbs:
-                # round 7: a DIRECTED multi-type rel [:A|B] resolves to
-                # its concrete member edges — SET/DELETE route each
-                # matched row to its member table via the union edge's
-                # __type discriminator. EITHER-direction stays untyped
-                # (scope None -> typed fence downstream).
-                if rel.alias and rel.direction != A.Direction.EITHER:
+                # round 7: a multi-type rel [:A|B] resolves to its
+                # concrete member edges — SET/DELETE route each matched
+                # row to its member table via the union edge's __type
+                # discriminator. Members are (edge, flipped) pairs:
+                # EITHER direction may resolve a verb through the
+                # reversed label pair, in which case the union row's
+                # (__src, __dst) are the concrete row's (sink, source)
+                # and the pair-keyed update swaps its keys.
+                if rel.alias:
                     if rel.direction == A.Direction.BACKWARD:
                         src, snk = right, left
                     else:
                         src, snk = left, right
                     members = []
                     for v in [rel.verb, *rel.alt_verbs]:
-                        cands = graph.candidate_edges(
-                            v, node_label(src), node_label(snk)
-                        )
+                        cands = [
+                            (e, False)
+                            for e in graph.candidate_edges(
+                                v, node_label(src), node_label(snk)
+                            )
+                        ]
+                        if rel.direction == A.Direction.EITHER:
+                            fwd = {id(c[0]) for c in cands}
+                            cands += [
+                                (e, True)
+                                for e in graph.candidate_edges(
+                                    v, node_label(snk), node_label(src)
+                                )
+                                if id(e) not in fwd
+                            ]
                         if len(cands) != 1:
                             members = None
                             break
@@ -208,8 +223,8 @@ def _infer_match_scope(clause: A.MatchClause, scope: dict, graph: GraphSchema):
                     ):
                         scope[rel.alias] = ("rel_multi", tuple(members))
                         changed = True
-                elif rel.alias and rel.alias not in scope:
-                    scope[rel.alias] = ("rel", None)
+                    elif members is None and rel.alias not in scope:
+                        scope[rel.alias] = ("rel", None)
                 continue
             if rel.direction == A.Direction.BACKWARD:
                 src, snk = right, left
@@ -891,7 +906,7 @@ class WriteExecutor:
         for item in items:
             mem = self.scope[item.alias][1]
             keys = {"__src", "__dst", "__type"}
-            for e in mem:
+            for e, _fl in mem:
                 keys.update((e.source_id_property, e.sink_id_property))
             if item.prop in keys:
                 raise TranspilerNotSupportedError(
@@ -908,14 +923,19 @@ class WriteExecutor:
 
         def apply(binding: DataFrame):
             for alias, pairs in by_alias.items():
-                for e in members[alias]:
+                for e, flipped in members[alias]:
                     rows = binding.where(
                         F.col(f"__t_{alias}") == F.lit(e.verb)
                     )
+                    k1, k2 = f"__k1_{alias}", f"__k2_{alias}"
+                    if flipped:
+                        # union row stores (sink, source) of the concrete
+                        # row (either-direction member) — swap keys back
+                        k1, k2 = k2, k1
                     self._apply_update(
                         e.table,
                         (e.source_id_property, e.sink_id_property),
-                        (f"__k1_{alias}", f"__k2_{alias}"),
+                        (k1, k2),
                         pairs,
                         rows,
                     )
@@ -1091,14 +1111,17 @@ class WriteExecutor:
                 )
                 self._apply_delete_rel(e, pairs)
             for alias, mem in multi_rels:
-                for e in mem:
+                for e, flipped in mem:
+                    k1, k2 = f"__k1_{alias}", f"__k2_{alias}"
+                    if flipped:
+                        k1, k2 = k2, k1
                     pairs = (
                         binding.where(
                             F.col(f"__t_{alias}") == F.lit(e.verb)
                         )
                         .select(
-                            F.col(f"__k1_{alias}").alias("__ds"),
-                            F.col(f"__k2_{alias}").alias("__dk"),
+                            F.col(k1).alias("__ds"),
+                            F.col(k2).alias("__dk"),
                         )
                         .where(
                             F.col("__ds").isNotNull()

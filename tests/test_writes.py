@@ -1330,11 +1330,32 @@ def test_multi_type_rel_delete_routes_to_member_tables(movie_weng):
     assert res.counts()["relationships_deleted"] == 3
 
 
-def test_multi_type_rel_write_either_direction_fenced(movie_weng):
-    with pytest.raises(TranspilerBindingError, match="relationship type"):
-        movie_weng.cypher_write(
-            "MATCH (p:Person)-[r:ACTED_IN|DIRECTED]-(m:Movie) DELETE r"
-        )
+def test_multi_type_rel_write_either_direction(movie_weng):
+    # round 7 follow-up: EITHER-direction multi-type writes route too —
+    # members resolve per-orientation, and a member matched through the
+    # reversed label pair swaps its (source, sink) keys back
+    res = movie_weng.cypher_write(
+        "MATCH (p:Person)-[r:ACTED_IN|DIRECTED]-(m:Movie {id: 'm2'}) DELETE r"
+    )
+    assert res.table("acted_in").filter("_sink = 'm2'").count() == 0
+    assert res.table("directed").filter("_sink = 'm2'").count() == 0
+    assert res.counts()["relationships_deleted"] == 3  # p1, p2 acted; p4 directed
+
+
+def test_multi_type_rel_write_flipped_member(movie_weng):
+    # pattern-left = Movie, so every member resolves through the
+    # REVERSED label pair (flipped=True) — keys must swap back to the
+    # concrete tables' (person, movie) orientation
+    res = movie_weng.cypher_write(
+        "MATCH (m:Movie {id: 'm3'})-[r:ACTED_IN|DIRECTED]-(p:Person) "
+        "SET r.checked = true"
+    )
+    assert rows(
+        res.table("acted_in").filter("checked").select("_vertexId", "_sink")
+    ) == {("p1", "m3"), ("p5", "m3")}
+    assert rows(
+        res.table("directed").filter("checked").select("_vertexId", "_sink")
+    ) == {("p3", "m3")}
 
 
 # ---------------------------------------------------------------------------
