@@ -306,36 +306,59 @@ class Parser:
             name, yield_name, out_alias, standalone, where, args
         )
 
-    def parse_foreach(self) -> list:
+    def parse_foreach(self, nested: bool = False) -> list:
         """``FOREACH (x IN list | <write clauses>)`` (extension) —
         desugared to ``UNWIND list AS x`` (marked ``foreach=True``)
         followed by the inner writes, which the snapshot write executor
         applies per binding row. RETURN/WITH afterwards is supported
         (round 7): the executor's synthetic boundary restores pre-FOREACH
         cardinality and scopes ``x`` to the body. A FOREACH after other
-        write clauses and nesting stay fenced."""
+        write clauses stays fenced.
+
+        Nested FOREACH (round 7): the inner loop desugars to a further
+        foreach-UNWIND, so the flattened clause list reads
+        ``UNWIND x, <outer writes>, UNWIND y, <inner writes>`` — both
+        unwinds land in the reading prefix (ordered), and every write
+        applies at the (x, y) cardinality. Under the documented per-key
+        max() write model that yields the same final state as Neo4j's
+        sequential application for SET/REMOVE/DELETE/MERGE; a CREATE in
+        an OUTER body would run once per inner element (wrong
+        multiplicity), so that one form keeps a typed fence — put the
+        CREATE in the innermost body or a separate FOREACH."""
         self.advance()  # FOREACH (soft keyword: an ident token)
         self.expect_punct("(")
         var = self.expect_ident()
         self.expect_kw("IN")
         list_expr = self.parse_expr()
         self.expect_punct("|")
-        inner: list[A.WriteClause] = []
+        inner: list = []
+        own_creates = False
+        has_nested = False
         while not self.cur.is_punct(")"):
             t = self.cur
             if t.kind == "ident" and str(t.value).upper() == "FOREACH":
-                raise TranspilerNotSupportedError(
-                    "nested FOREACH is not supported"
-                )
+                inner.extend(self.parse_foreach(nested=True))
+                has_nested = True
+                continue
             if not t.is_kw("CREATE", "MERGE", "SET", "DELETE", "DETACH", "REMOVE"):
                 raise TranspilerSyntaxError(
                     f"Expected a write clause inside FOREACH at position "
                     f"{t.pos}, got {t.value!r}"
                 )
-            inner.append(self.parse_write_clause())
+            c = self.parse_write_clause()
+            if isinstance(c, A.CreateClause):
+                own_creates = True
+            inner.append(c)
         self.expect_punct(")")
         if not inner:
             raise TranspilerSyntaxError("FOREACH requires at least one write clause")
+        if has_nested and own_creates:
+            raise TranspilerNotSupportedError(
+                "CREATE in the OUTER body of a nested FOREACH is not "
+                "supported (the flattened desugar would run it once per "
+                "inner element) — move the CREATE into the innermost "
+                "body or its own FOREACH"
+            )
         return [A.UnwindClause(list_expr, var, foreach=True)] + inner
 
     # -- write clauses (extension; reference rejects all of them) ----------

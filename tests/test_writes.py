@@ -772,9 +772,13 @@ def test_foreach_fences(weng):
         weng.cypher_write(
             "FOREACH (k IN [991] | CREATE (r:Region {r_regionkey: k})) RETURN k"
         )
-    with pytest.raises(TranspilerNotSupportedError, match="nested FOREACH"):
+    # round 7: nested FOREACH works for SET/REMOVE/DELETE/MERGE bodies;
+    # only CREATE in an OUTER body keeps a fence (flattened desugar would
+    # run it once per inner element)
+    with pytest.raises(TranspilerNotSupportedError, match="OUTER body"):
         weng.cypher_write(
-            "FOREACH (k IN [1] | FOREACH (j IN [2] | SET x.y = 1))"
+            "FOREACH (k IN [1] | CREATE (r:Region {r_regionkey: 900 + k}) "
+            "FOREACH (j IN [2] | SET r.t = j))"
         )
     with pytest.raises(TranspilerNotSupportedError, match="after a write clause"):
         weng.cypher_write(
@@ -1411,3 +1415,28 @@ def test_write_over_shortest_path_reading(movie_weng):
             "MATCH p = shortestPath((a:Person {id: 'p3'})-[:FOLLOWS*]->"
             "(b:Person {id: 'p1'})) SET p.x = 1"
         )
+
+
+def test_nested_foreach_set_and_create(weng):
+    # nested SET: per-(x, y) application, max() resolves the grid value
+    res = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_custkey = 1 "
+        "FOREACH (x IN [1, 2] | FOREACH (y IN [10, 20] | "
+        "  SET c.grid = x * 100 + y)) "
+        "RETURN c.c_custkey AS k, c.grid AS g"
+    )
+    assert [tuple(r) for r in res.returned.collect()] == [(1, 220)]
+    # CREATE in the INNERMOST body runs once per (x, y) — Neo4j parity
+    res2 = weng.cypher_write(
+        "FOREACH (x IN [1, 2] | FOREACH (y IN [1, 2] | "
+        "  CREATE (r:Region {r_regionkey: 99000 + x * 10 + y, r_name: 'N'})))"
+    )
+    assert res2.table("region").filter("r_regionkey >= 99000").count() == 4
+    assert res2.counts() == {"nodes_created": 4}
+    # the inner list may depend on the outer element
+    res3 = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_custkey = 1 "
+        "FOREACH (xs IN [[1, 2], [3]] | FOREACH (y IN xs | SET c.dep = y)) "
+        "RETURN c.dep AS d"
+    )
+    assert [r["d"] for r in res3.returned.collect()] == [3]
