@@ -173,6 +173,19 @@ class Parser:
                 if t.is_kw("WITH"):
                     clauses.append(self.parse_projection(is_return=False))
                     continue
+                if t.kind == "ident" and str(t.value).upper() == "FOREACH":
+                    # round 7: FOREACH after other writes (the classic
+                    # conditional-write idiom MERGE ... FOREACH (_ IN
+                    # CASE ...)) — a synthetic `WITH *` boundary is cut
+                    # first, so the earlier writes run at their own
+                    # cardinality and the FOREACH observes them
+                    # (clause-sequential, like Neo4j)
+                    clauses.append(
+                        A.ProjectionClause(items=[], star=True, is_return=False)
+                    )
+                    clauses.extend(self.parse_foreach())
+                    self._saw_foreach = True
+                    continue
                 if t.is_kw("MATCH", "OPTIONAL", "UNWIND", "CALL"):
                     raise TranspilerNotSupportedError(
                         f"WITH is required between a write clause and "

@@ -1519,12 +1519,16 @@ class WriteExecutor:
         extra = [(p, v) for p, v in pcols.items() if p != node.id_property]
         vcols = [v for _, v in extra] + [v for _, v in oc_cols + om_cols]
         # one candidate row per id; conflicting non-id values -> max()
-        cand = (
-            binding.select(F.col(id_v).alias("__mk"), *[F.col(v) for v in vcols])
-            .where(F.col("__mk").isNotNull())
-            .groupBy("__mk")
-            .agg(*[F.max(v).alias(v) for v in vcols])
-        )
+        sel = binding.select(
+            F.col(id_v).alias("__mk"), *[F.col(v) for v in vcols]
+        ).where(F.col("__mk").isNotNull())
+        if vcols:
+            cand = sel.groupBy("__mk").agg(
+                *[F.max(v).alias(v) for v in vcols]
+            )
+        else:
+            # bare MERGE (n {id: ...}) — no value columns to combine
+            cand = sel.distinct()
         tbl = self._get_table(node.table)
         dtypes = dict(tbl.dtypes)
         # a candidate matches only if EVERY merge property agrees

@@ -780,11 +780,8 @@ def test_foreach_fences(weng):
             "FOREACH (k IN [1] | CREATE (r:Region {r_regionkey: 900 + k}) "
             "FOREACH (j IN [2] | SET r.t = j))"
         )
-    with pytest.raises(TranspilerNotSupportedError, match="after a write clause"):
-        weng.cypher_write(
-            "MATCH (c:Customer) SET c.x = 1 "
-            "FOREACH (k IN [1] | SET c.y = k)"
-        )
+    # round 7: FOREACH after a write works (synthetic WITH * boundary) —
+    # see test_foreach_after_write_conditional_idiom
 
 
 def test_foreach_return_restores_cardinality(weng):
@@ -1440,3 +1437,55 @@ def test_nested_foreach_set_and_create(weng):
         "RETURN c.dep AS d"
     )
     assert [r["d"] for r in res3.returned.collect()] == [3]
+
+
+def test_foreach_after_write_conditional_idiom(weng):
+    # the classic Cypher conditional-write idiom: MERGE then FOREACH over
+    # a CASE-built list. A synthetic WITH * boundary runs the MERGE at
+    # its own cardinality first; the FOREACH observes it.
+    res = weng.cypher_write(
+        "MERGE (r:Region {r_regionkey: 88001}) "
+        "FOREACH (x IN CASE WHEN true THEN [1] ELSE [] END | SET r.flag = x) "
+        "RETURN r.r_regionkey AS k"
+    )
+    assert [r["k"] for r in res.returned.collect()] == [88001]
+    assert res.table("region").filter("r_regionkey = 88001").collect()[0]["flag"] == 1
+    # false branch: the MERGE still creates, the SET is skipped
+    res2 = weng.cypher_write(
+        "MERGE (r:Region {r_regionkey: 88002}) "
+        "FOREACH (x IN CASE WHEN false THEN [1] ELSE [] END | SET r.flag = x)"
+    )
+    assert res2.table("region").filter("r_regionkey = 88002").count() == 1
+    assert res2.counts() == {
+        "nodes_created": 1, "nodes_matched": 0, "properties_set": 0,
+    }
+
+
+def test_foreach_after_set_sees_the_write(weng):
+    # clause-sequential: the FOREACH body reads the post-SET value
+    res = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_custkey = 1 SET c.base = 5 "
+        "FOREACH (x IN [1] | SET c.derived = c.base * 10) "
+        "RETURN c.base AS b, c.derived AS d"
+    )
+    assert [tuple(r) for r in res.returned.collect()] == [(5, 50)]
+
+
+def test_foreach_after_create_single_cardinality(weng):
+    # the CREATE runs once (its own segment), not once per list element
+    res = weng.cypher_write(
+        "CREATE (r:Region {r_regionkey: 88003, r_name: 'C'}) "
+        "FOREACH (x IN [1, 2] | SET r.hits = x) "
+        "RETURN r.r_regionkey AS k"
+    )
+    assert res.table("region").filter("r_regionkey = 88003").count() == 1
+    assert res.counts() == {"nodes_created": 1, "properties_set": 1}
+
+
+def test_bare_single_prop_merge(weng):
+    # regression: MERGE with only the id property used to crash on an
+    # empty aggregate in the candidate dedup
+    res = weng.cypher_write("MERGE (r:Region {r_regionkey: 0})")
+    assert res.counts() == {"nodes_created": 0, "nodes_matched": 1}
+    res2 = weng.cypher_write("MERGE (r:Region {r_regionkey: 88004})")
+    assert res2.counts() == {"nodes_created": 1, "nodes_matched": 0}
