@@ -680,16 +680,6 @@ class CypherEngine:
                     "An unbounded variable-length relationship needs an "
                     "explicit type, e.g. [:FOLLOWS*]"
                 )
-            if rel.props:
-                # the reachability rewrite discards per-hop identity, so a
-                # per-hop property filter cannot be applied (the bounded
-                # *n..m form supports it) — reject rather than leak the
-                # virtual-edge internals in a binding error
-                raise TranspilerNotSupportedError(
-                    "Inline property maps are not supported on UNBOUNDED "
-                    "variable-length relationships (use a bounded *n..m "
-                    "form, which filters every hop)"
-                )
             fwd = rel.direction == A.Direction.FORWARD
             src_label = left.label if fwd else right.label
             snk_label = right.label if fwd else left.label
@@ -700,6 +690,49 @@ class CypherEngine:
                     f"'{rel.verb}' — label both endpoint nodes"
                 )
             edge = cands[0]
+            # an inline property map on the unbounded hop pre-filters the
+            # EDGE SET before the fixpoint: every hop of every surviving
+            # path satisfies the map — exactly Cypher's per-hop semantics
+            # for [:V* {k: v}] — and the closure runs over the (usually
+            # much smaller) filtered graph. Values must be plan-time
+            # constants (literal / $param / piped-WITH constant): the
+            # filter is applied once, before per-hop identity is erased.
+            edge_filter = None
+            fsuf = ""
+            if rel.props:
+                import hashlib
+
+                consts = (
+                    self._piped_consts(sq, clause, params)
+                    if sq is not None and clause is not None
+                    else {}
+                )
+                resolved = []
+                for k, v in rel.props:
+                    if k not in edge.property_names:
+                        raise TranspilerBindingError(
+                            f"Edge '{edge.verb}' has no property '{k}' "
+                            "(inline map on an unbounded variable-length "
+                            "relationship)"
+                        )
+                    val = self._const_value(v, consts, params)
+                    if val is self._NOT_CONST:
+                        raise TranspilerNotSupportedError(
+                            "An inline property map on an UNBOUNDED "
+                            "variable-length relationship must use "
+                            "constant values (literal, $param, or a "
+                            "constant piped through WITH) — it filters "
+                            "the edge set before the reachability "
+                            "fixpoint"
+                        )
+                    resolved.append((k, val))
+                edge_filter = sorted(set(resolved), key=repr)
+                fsuf = "_f" + hashlib.md5(
+                    repr([(p, repr(v)) for p, v in edge_filter]).encode()
+                ).hexdigest()[:10]
+                # consumed here — the virtual reach/spath edge carries no
+                # property columns for the planner to desugar against
+                rel.props = []
             # anchored pushdown: a literal equality on an endpoint (inline
             # map or top-level WHERE conjunct) seeds the fixpoint from the
             # filtered anchor set — single/multi-source BFS proportional
@@ -708,7 +741,7 @@ class CypherEngine:
             anchor = self._find_anchor(
                 sq, clause, src_node, snk_node, edge, graph, params
             )
-            asuf = "" if anchor is None else f"_a{anchor[2]}"
+            asuf = ("" if anchor is None else f"_a{anchor[2]}") + fsuf
             if getattr(part, "shortest", False) and rel.min_hops > 1:
                 # Neo4j rejects shortestPath with a minimal length other
                 # than 0/1 rather than reinterpreting it — filtering the
@@ -750,7 +783,9 @@ class CypherEngine:
                         shortest_path_nodes,
                     )
 
-                    e_df, seeds = self._edge_and_seeds(edge, anchor, tables, graph)
+                    e_df, seeds = self._edge_and_seeds(
+                        edge, anchor, tables, graph, edge_filter
+                    )
                     if need_nodes:
                         sp = shortest_path_nodes(
                             e_df, max_iters=self.reach_max_iters, sources=seeds
@@ -809,7 +844,10 @@ class CypherEngine:
                         "per pair, which *0.. / *n.. (n>=2) cannot "
                         "represent"
                     )
-                reach = self._reachability(edge, rel.min_hops, tables, anchor, graph)
+                reach = self._reachability(
+                    edge, rel.min_hops, tables, anchor, graph,
+                    edge_filter=edge_filter, filter_fp=fsuf,
+                )
                 vname = f"__reach_{rel.min_hops}_{edge.id}{asuf}"
                 # key the virtual verb by the full edge IDENTITY, not just
                 # the verb: one verb can back several (source, sink) label
@@ -1054,11 +1092,18 @@ class CypherEngine:
                 return side, preds, fp
         return None
 
-    def _edge_and_seeds(self, edge, anchor, tables, graph):
+    def _edge_and_seeds(self, edge, anchor, tables, graph, edge_filter=None):
         """The hop's (src, dst) edge DataFrame — reversed when the anchor
         sits on the sink side, so the BFS always runs forward from the
-        seeds — plus the seed id set (None when unanchored)."""
-        e = tables.get(edge.table).select(
+        seeds — plus the seed id set (None when unanchored).
+        ``edge_filter`` ([(prop, const)], from the hop's inline map)
+        pre-filters the edge table BEFORE the fixpoint: per-hop inline-map
+        semantics, applied once over the whole edge set."""
+        t = tables.get(edge.table)
+        if edge_filter:
+            for prop, value in edge_filter:
+                t = t.filter(F.col(prop) == F.lit(value))
+        e = t.select(
             F.col(edge.source_id_property).alias("src"),
             F.col(edge.sink_id_property).alias("dst"),
         )
@@ -1088,11 +1133,16 @@ class CypherEngine:
         tables: TableRegistry,
         anchor=None,
         graph: GraphSchema | None = None,
+        edge_filter=None,
+        filter_fp: str = "",
     ) -> DataFrame:
-        key = (edge.id, min_hops, "" if anchor is None else anchor[2])
+        key = (
+            edge.id, min_hops,
+            ("" if anchor is None else anchor[2]) + filter_fp,
+        )
         if key in self._reach_cache:
             return self._reach_cache[key]
-        e, seeds = self._edge_and_seeds(edge, anchor, tables, graph)
+        e, seeds = self._edge_and_seeds(edge, anchor, tables, graph, edge_filter)
         if seeds is None:
             # path doubling: O(log diameter) rounds — user graphs reached
             # via `[:V*]` have unbounded diameter, so the semi-naive

@@ -431,6 +431,142 @@ def test_unbounded_composes_with_filters_and_agg(movie_engine):
     assert df.collect()[0].n == 4
 
 
+@pytest.fixture(scope="module")
+def weighted_engine(spark):
+    """Six-node graph with a weighted self-label edge: chain
+    1->2->3->4 (w=1), shortcut 1->4 (w=2), 4->5 (w=1), 5->6 (w=2).
+    Exercises the round-7 filtered unbounded rewrite: an inline map on
+    [:LINK* {...}] pre-filters the EDGE SET before the reachability
+    fixpoint (per-hop semantics, closure over the filtered graph)."""
+    nodes = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(1, 7)], "id int, name string"
+    )
+    links = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1), (1, 4, 2), (4, 5, 1), (5, 6, 2)],
+        "src int, dst int, w int",
+    )
+    g = GraphSchema(
+        nodes=[
+            NodeSchema(
+                label="N", table="n", id_property="id",
+                id_property_type="int", properties=(P("name", "string"),),
+            )
+        ],
+        edges=[
+            EdgeSchema(
+                verb="LINK", source_label="N", sink_label="N", table="l",
+                source_id_property="src", sink_id_property="dst",
+                source_id_property_type="int", sink_id_property_type="int",
+                properties=(P("w", "int"),),
+            )
+        ],
+    )
+    reg = TableRegistry()
+    reg.register_df("n", nodes)
+    reg.register_df("l", links)
+    return CypherEngine(spark, g, reg)
+
+
+def test_unbounded_inline_map_filters_edge_set(weighted_engine):
+    # w=1 excludes the 1->4 shortcut and the 5->6 hop: the closure runs
+    # over the 4-edge chain only — verified against a DuckDB recursive CTE
+    df = weighted_engine.cypher(
+        "MATCH (a:N)-[:LINK* {w: 1}]->(b:N) RETURN a.id AS a, b.id AS b"
+    )
+    import duckdb
+
+    oracle = duckdb.sql(
+        """
+        WITH RECURSIVE e(src, dst) AS (
+            SELECT * FROM (VALUES (1,2),(2,3),(3,4),(4,5)) t(src, dst)
+        ), reach(src, dst) AS (
+            SELECT src, dst FROM e
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+        ) SELECT src, dst FROM reach
+        """
+    ).fetchall()
+    assert rows(df) == {tuple(r) for r in oracle}
+
+
+def test_unbounded_inline_map_param_and_anchor(weighted_engine):
+    # $param value + endpoint anchor: seeds AND edge filter compose
+    df = weighted_engine.cypher(
+        "MATCH (a:N {id: 1})-[:LINK* {w: $w}]->(b:N) RETURN b.id AS b",
+        params={"w": 1},
+    )
+    assert sorted(r.b for r in df.collect()) == [2, 3, 4, 5]
+    # piped-WITH constant resolves the same way
+    df = weighted_engine.cypher(
+        "WITH 1 AS k MATCH (a:N {id: 1})-[:LINK* {w: k}]->(b:N) "
+        "RETURN b.id AS b"
+    )
+    assert sorted(r.b for r in df.collect()) == [2, 3, 4, 5]
+
+
+def test_unbounded_inline_map_min_hops(weighted_engine):
+    df = weighted_engine.cypher(
+        "MATCH (a:N)-[:LINK*2.. {w: 1}]->(b:N) RETURN a.id AS a, b.id AS b"
+    )
+    assert rows(df) == {(1, 3), (1, 4), (1, 5), (2, 4), (2, 5), (3, 5)}
+
+
+def test_unbounded_inline_map_shortest_path_witness(weighted_engine):
+    # the w=2 shortcut is excluded, so the shortest 1->4 path is the
+    # 3-hop chain — and the witness node array is the chain itself
+    df = weighted_engine.cypher(
+        "MATCH p = shortestPath((a:N {id: 1})-[:LINK* {w: 1}]->(b:N {id: 4})) "
+        "RETURN length(p) AS l, nodes(p) AS ns"
+    )
+    r = df.collect()[0]
+    assert r.l == 3 and r.ns == [1, 2, 3, 4]
+    # unfiltered takes the shortcut
+    df = weighted_engine.cypher(
+        "MATCH p = shortestPath((a:N {id: 1})-[:LINK*]->(b:N {id: 4})) "
+        "RETURN length(p) AS l"
+    )
+    assert df.collect()[0].l == 1
+
+
+def test_unbounded_inline_map_undirected(weighted_engine):
+    # node 6's only edge has w=2: filtered symmetrized closure is empty
+    df = weighted_engine.cypher(
+        "MATCH (a:N {id: 6})-[:LINK* {w: 1}]-(b:N) RETURN b.id AS b"
+    )
+    assert df.count() == 0
+    df = weighted_engine.cypher(
+        "MATCH (a:N {id: 6})-[:LINK*]-(b:N) RETURN b.id AS b"
+    )
+    assert sorted(r.b for r in df.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_unbounded_inline_map_cache_isolation(weighted_engine):
+    # filtered and unfiltered fixpoints memoize under distinct keys
+    filtered = weighted_engine.cypher(
+        "MATCH (a:N {id: 1})-[:LINK* {w: 1}]->(b:N) RETURN b.id AS b"
+    )
+    unfiltered = weighted_engine.cypher(
+        "MATCH (a:N {id: 1})-[:LINK*]->(b:N) RETURN b.id AS b"
+    )
+    assert sorted(r.b for r in filtered.collect()) == [2, 3, 4, 5]
+    assert sorted(r.b for r in unfiltered.collect()) == [2, 3, 4, 5, 6]
+
+
+def test_unbounded_inline_map_rejections(weighted_engine):
+    from opencyphertranspiler_spark import TranspilerBindingError
+
+    # unknown property -> binding error
+    with pytest.raises(TranspilerBindingError, match="no property 'nope'"):
+        weighted_engine.cypher(
+            "MATCH (a:N)-[:LINK* {nope: 1}]->(b:N) RETURN a.id AS a"
+        )
+    # per-row (computed) value -> typed not-supported error
+    with pytest.raises(TranspilerNotSupportedError, match="constant"):
+        weighted_engine.cypher(
+            "MATCH (a:N)-[:LINK* {w: a.id}]->(b:N) RETURN a.id AS a"
+        )
+
+
 def test_labels_type_id_functions(movie_engine):
     df = movie_engine.cypher(
         """
@@ -1521,8 +1657,14 @@ def test_range_empty_and_null_slice_bounds(movie_engine):
     assert row.s1 is None and row.s2 is None
 
 
-def test_props_on_unbounded_varlength_rejected(movie_engine):
-    with pytest.raises(TranspilerNotSupportedError, match="UNBOUNDED"):
+def test_props_on_unbounded_varlength_unknown_prop(movie_engine):
+    # round 7 lifted the inline-map fence on unbounded hops (the map now
+    # pre-filters the edge set before the fixpoint — see the
+    # weighted_engine tests); FOLLOWS has no 'x' property, so this is a
+    # binding error now, not a not-supported fence
+    from opencyphertranspiler_spark import TranspilerBindingError
+
+    with pytest.raises(TranspilerBindingError, match="no property 'x'"):
         movie_engine.cypher(
             "MATCH (a:Person)-[:FOLLOWS* {x: 1}]->(b:Person) RETURN a.Name AS n"
         )
