@@ -100,15 +100,23 @@ def _q_entity_projection(spark, sf_dir):
     from pyspark.sql import functions as F
 
     eng = get_engine(spark, sf_dir)
+    # round 7: the same entry also gates MAP PROJECTION `c {.prop,
+    # key: expr}` (Neo4j sugar over the identical struct machinery) —
+    # one scan, two struct columns, both to_json-hashed
     df = eng.cypher(
         """
         MATCH (c:Customer)-[:PLACED]->(o:Orders)
         WHERE c.c_acctbal < -900
         WITH c, count(o) AS n_orders
-        RETURN c, n_orders
+        RETURN c, c {.c_name, seg: c.c_mktsegment, n: n_orders} AS cm,
+               n_orders
         """
     )
-    return df.select(F.to_json("c").alias("cjson"), "n_orders")
+    return df.select(
+        F.to_json("c").alias("cjson"),
+        F.to_json("cm").alias("cmjson"),
+        "n_orders",
+    )
 
 
 CATALOG: list[CatalogEntry] = [
@@ -837,6 +845,9 @@ CATALOG += [
                        c_custkey := c_custkey, c_name := c_name,
                        c_acctbal := c_acctbal,
                        c_mktsegment := c_mktsegment))::varchar AS cjson,
+                   to_json(struct_pack(
+                       c_name := c_name, seg := c_mktsegment,
+                       n := n_orders))::varchar AS cmjson,
                    n_orders
             FROM (
                 SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment,

@@ -160,6 +160,33 @@ class MapLiteral(Expr):
 
 
 @dataclass
+class MapProjection(Expr):
+    """``alias {.prop, .*, key: expr, var}`` — Neo4j map projection over
+    a node/relationship entity (extension; the reference has no map
+    values at all). Compiles to a named STRUCT: ``.prop`` copies a
+    declared property, ``.*`` copies all of them, ``key: expr`` adds a
+    computed entry, and a bare ``var`` is shorthand for ``var: var``.
+    Duplicate keys keep their first position with the LAST value
+    (Neo4j override order). A null entity (unmatched OPTIONAL MATCH)
+    projects to a null struct — Neo4j's null map, not a map of nulls.
+
+    ``items`` entries: ("prop", name) | ("all", None) |
+    ("entry", (key, Expr)) | ("var", name)."""
+
+    alias: str
+    items: list[tuple[str, object]]
+
+    def children(self):
+        out: list[Expr] = [Variable(self.alias)]
+        for kind, v in self.items:
+            if kind == "entry":
+                out.append(v[1])
+            elif kind == "var":
+                out.append(Variable(v))
+        return out
+
+
+@dataclass
 class ListIndex(Expr):
     """``l[i]`` (extension): 0-based; negative counts from the end
     (Neo4j semantics); out-of-range -> null."""

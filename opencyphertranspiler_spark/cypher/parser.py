@@ -633,6 +633,45 @@ class Parser:
         self.expect_punct("}")
         return props
 
+    def parse_map_projection(self, alias: str) -> A.Expr:
+        """``alias {.prop, .*, key: expr, var}`` (Neo4j map projection,
+        extension). Key positions follow the symbolic-name grammar
+        (keywords allowed, like property maps)."""
+        self.expect_punct("{")
+        items: list[tuple[str, object]] = []
+        if not self.cur.is_punct("}"):
+            while True:
+                if self.accept_punct("."):
+                    if self.accept_punct("*"):
+                        items.append(("all", None))
+                    else:
+                        items.append(("prop", self.expect_name()))
+                elif (
+                    self.cur.kind in ("ident", "kw")
+                    and self.peek().is_punct(":")
+                ):
+                    key = self.expect_name()
+                    self.expect_punct(":")
+                    items.append(("entry", (key, self.parse_expr())))
+                elif self.cur.kind == "ident":
+                    items.append(("var", self.expect_ident()))
+                else:
+                    raise TranspilerSyntaxError(
+                        "Expected '.prop', '.*', 'key: expr' or a "
+                        f"variable in map projection at position "
+                        f"{self.cur.pos}, got {self.cur.value!r}"
+                    )
+                if not self.accept_punct(","):
+                    break
+        self.expect_punct("}")
+        if not items:
+            raise TranspilerNotSupportedError(
+                "An empty map projection `n {}` is not supported — a "
+                "Spark struct needs at least one field; use properties(n) "
+                "for the full property map"
+            )
+        return A.MapProjection(alias, items)
+
     def parse_rel_pattern(self) -> A.RelPattern:
         # assembled from single-char tokens:  <-[..]-   -[..]->   -[..]-
         # plus bracketless shorthands:  <--   -->   --
@@ -993,6 +1032,11 @@ class Parser:
             if self.peek().is_punct("("):
                 return self.parse_func_call()
             name = self.expect_ident()
+            if self.cur.is_punct("{"):
+                # map projection `alias {.prop, .*, key: expr, var}`
+                # (Neo4j sugar, extension) — the only construct where an
+                # expression-position identifier is followed by `{`
+                return self.parse_map_projection(name)
             return A.Variable(name)
         if t.is_kw("CONTAINS", "END"):  # identifiers that collide with keywords
             self.advance()

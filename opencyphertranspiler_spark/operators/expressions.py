@@ -221,6 +221,8 @@ class ExprCompiler:
             return F.struct(
                 *[self.compile(v).alias(k) for k, v in expr.items]
             )
+        if isinstance(expr, A.MapProjection):
+            return self._map_projection(expr)
         if isinstance(expr, A.ListIndex):
             dyn = self._entity_dynamic_property(expr)
             if dyn is not None:
@@ -655,6 +657,39 @@ class ExprCompiler:
         if ref is None:
             raise TranspilerBindingError(f"Alias '{alias}' does not exist")
         return ref
+
+    def _map_projection(self, expr: "A.MapProjection") -> Column:
+        """``alias {.prop, .*, key: e, var}`` → named STRUCT (the
+        entity-struct model of properties()/RETURN n). Duplicate keys
+        keep first position, last value (Neo4j override order); a null
+        entity (unmatched OPTIONAL MATCH) projects to a null struct."""
+        ref = self._ref(expr.alias)
+        if not isinstance(ref, EntityRef):
+            raise TranspilerNotSupportedError(
+                f"Map projection over '{expr.alias}' needs a node or "
+                "relationship entity alias (a piped value cannot "
+                "enumerate its fields at plan time)"
+            )
+        entries: dict[str, Column] = {}
+        for kind, v in expr.items:
+            if kind == "prop":
+                # validate_expr checked membership; ref.col namespaces
+                entries[v] = qcol(ref.col(v))
+            elif kind == "all":
+                for p in ref.property_names:
+                    if not p.startswith("__"):
+                        entries[p] = qcol(ref.col(p))
+            elif kind == "entry":
+                key, e = v
+                entries[key] = self.compile(e)
+            else:  # bare-variable shorthand `var` == `var: var`
+                entries[v] = self.compile(A.Variable(v))
+        st = F.struct(*[c.alias(k) for k, c in entries.items()])
+        nonnull = None
+        for c in ref.key_cols():
+            k = qcol(c).isNotNull()
+            nonnull = k if nonnull is None else (nonnull | k)
+        return F.when(nonnull, st)
 
     def _properties_struct(self, ref: EntityRef) -> Column:
         """The entity as one STRUCT column keyed by property name

@@ -101,6 +101,21 @@ def _expr_alias_refs(expr: A.Expr, bound: frozenset = frozenset()):
         if expr.alias not in bound:
             yield expr.alias, expr.prop
         return
+    if isinstance(expr, A.MapProjection):
+        # the projected alias is referenced as a whole; `.prop` items are
+        # schema-checked property references (`.*`, entries and var
+        # shorthands ride the generic children() walk below)
+        if expr.alias not in bound:
+            yield expr.alias, None
+            for kind, v in expr.items:
+                if kind == "prop":
+                    yield expr.alias, v
+        for kind, v in expr.items:
+            if kind == "entry":
+                yield from _expr_alias_refs(v[1], bound)
+            elif kind == "var" and v not in bound:
+                yield v, None
+        return
     if isinstance(expr, (A.ListComprehension, A.Quantified)):
         yield from _expr_alias_refs(expr.list_expr, bound)
         inner = bound | {expr.var}

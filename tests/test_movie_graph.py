@@ -567,6 +567,85 @@ def test_unbounded_inline_map_rejections(weighted_engine):
         )
 
 
+def test_map_projection_basic(movie_engine):
+    # `.prop` copies, `key: expr` computes, bare `var` is var: var
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
+        WHERE m.Title = 'Apollo 13'
+        WITH p, m.Released AS rel
+        RETURN p {.Name, .Born, year: rel + 1, rel} AS mp
+        ORDER BY mp.Name
+        """
+    )
+    got = [r.mp.asDict() for r in df.collect()]
+    assert got == [
+        {"Name": "Bill Paxton", "Born": 1955, "year": 1996, "rel": 1995},
+        {"Name": "Tom Hanks", "Born": 1956, "year": 1996, "rel": 1995},
+    ]
+
+
+def test_map_projection_star(movie_engine):
+    df = movie_engine.cypher(
+        "MATCH (m:Movie) WHERE m.Released = 1998 RETURN m {.*} AS mp"
+    )
+    got = df.collect()[0].mp.asDict()
+    assert got == {
+        "id": "m2",
+        "Title": "You've Got Mail",
+        "Tagline": None,
+        "Released": 1998,
+    }
+
+
+def test_map_projection_duplicate_key_override(movie_engine):
+    # later entries override earlier ones (Neo4j), keeping first position
+    df = movie_engine.cypher(
+        "MATCH (m:Movie) WHERE m.Released = 1998 "
+        "RETURN m {.Title, Title: 'Override'} AS mp"
+    )
+    row = df.collect()[0].mp
+    assert row.asDict() == {"Title": "Override"}
+
+
+def test_map_projection_null_entity(movie_engine):
+    # unmatched OPTIONAL entity projects to a NULL map, not a map of
+    # nulls (Neo4j parity, same rule as RETURN n / properties(n))
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person) WHERE p.Name = 'Rob Reiner'
+        OPTIONAL MATCH (p)-[:ACTED_IN]->(m:Movie)
+        RETURN p.Name AS n, m {.Title, seen: true} AS mp
+        """
+    )
+    row = df.collect()[0]
+    assert row.n == "Rob Reiner" and row.mp is None
+
+
+def test_map_projection_collect_and_grouping(movie_engine):
+    # map projections group by value and collect like any struct
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
+        WHERE p.Name = 'Tom Hanks'
+        RETURN collect(m {.Title, .Released}) AS ms
+        """
+    )
+    ms = sorted(x.asDict()["Title"] for x in df.collect()[0].ms)
+    assert ms == ["Apollo 13", "Sleepless in Seattle", "You've Got Mail"]
+
+
+def test_map_projection_rejections(movie_engine):
+    from opencyphertranspiler_spark import TranspilerBindingError
+
+    with pytest.raises(TranspilerNotSupportedError, match="empty map"):
+        movie_engine.cypher("MATCH (m:Movie) RETURN m {} AS mp")
+    with pytest.raises(TranspilerBindingError, match="not defined"):
+        movie_engine.cypher("MATCH (m:Movie) RETURN m {.Nope} AS mp")
+    with pytest.raises(TranspilerNotSupportedError, match="entity alias"):
+        movie_engine.cypher("WITH 1 AS x RETURN x {.a} AS mp")
+
+
 def test_labels_type_id_functions(movie_engine):
     df = movie_engine.cypher(
         """
