@@ -1006,6 +1006,12 @@ class Parser:
             if str(t.value).lower() == "count" and self.peek().is_punct("{"):
                 self.advance()
                 return self._parse_subquery_tail("count")
+            # COLLECT { ... RETURN e } subquery (Neo4j 5, extension) —
+            # checked before the map-projection hook so `collect {` never
+            # parses as a projection of a variable named collect
+            if str(t.value).lower() == "collect" and self.peek().is_punct("{"):
+                self.advance()
+                return self._parse_subquery_tail("collect")
             # namespaced temporal functions `datetime.truncate('month', x)`,
             # `date.truncate(...)`, `duration.between(a, b)` (extension;
             # these namespace names shadow same-named user aliases only in
@@ -1086,11 +1092,13 @@ class Parser:
         return A.Quantified(name, var, lst, pred)
 
     def _parse_subquery_tail(self, kind: str) -> A.Expr:
-        """`EXISTS { (a)-[:V]->(b) [WHERE p] }` / `COUNT { ... }` (modern
-        openCypher subquery syntax, extension): lowered onto the existing
-        pattern-predicate (semi/anti/flag joins) and pattern-comprehension
-        (grouped collect) machinery — COUNT {} is exactly
-        size([pattern WHERE p | 1]). An optional leading MATCH keyword is
+        """`EXISTS { (a)-[:V]->(b) [WHERE p] }` / `COUNT { ... }` /
+        `COLLECT { ... RETURN e }` (modern openCypher subquery syntax,
+        extension): lowered onto the existing pattern-predicate
+        (semi/anti/flag joins) and pattern-comprehension (grouped
+        collect) machinery — COUNT {} is exactly
+        size([pattern WHERE p | 1]) and COLLECT {} is exactly
+        [pattern WHERE p | e]. An optional leading MATCH keyword is
         accepted; multi-clause subqueries are rejected with a typed
         error."""
         self.expect_punct("{")
@@ -1104,15 +1112,38 @@ class Parser:
         where = None
         if self.accept_kw("WHERE"):
             where = self.parse_expr()
+        ret = None
+        if kind == "collect":
+            # COLLECT {} REQUIRES the inner RETURN (Neo4j grammar)
+            if self.cur.is_kw("WITH", "ORDER", "MATCH", "UNWIND"):
+                raise TranspilerNotSupportedError(
+                    "COLLECT { } supports a single MATCH pattern with an "
+                    "optional WHERE and a final RETURN item — multi-clause "
+                    "subqueries (WITH/ORDER BY/extra MATCH) are not "
+                    "supported; use CALL { ... RETURN collect(e) } instead"
+                )
+            self.expect_kw("RETURN")
+            if self.accept_kw("DISTINCT"):
+                raise TranspilerNotSupportedError(
+                    "COLLECT { ... RETURN DISTINCT e } is not supported — "
+                    "the pattern-comprehension lowering keeps one element "
+                    "per pattern row; wrap a WITH-aggregated query in "
+                    "CALL { } for per-row dedup"
+                )
+            ret = self.parse_expr()
         if not self.cur.is_punct("}"):
             raise TranspilerNotSupportedError(
                 f"{kind.upper()} {{ }} supports a single MATCH pattern "
-                "with an optional WHERE — multi-clause subqueries are not "
-                "supported"
+                "with an optional WHERE"
+                + (" and a final RETURN item" if kind == "collect" else "")
+                + " — multi-clause subqueries (WITH/ORDER BY/LIMIT) are "
+                "not supported"
             )
         self.expect_punct("}")
         if kind == "exists":
             return A.PatternPredicate(part, where)
+        if kind == "collect":
+            return A.PatternComprehension(part, where, ret)
         return A.FuncCall(
             "size", [A.PatternComprehension(part, where, A.Literal(1))]
         )

@@ -2239,6 +2239,55 @@ def test_subquery_rejections(movie_engine):
         )
 
 
+def test_collect_subquery(movie_engine):
+    # COLLECT { MATCH ... RETURN e } (Neo4j 5) — exactly the
+    # pattern-comprehension lowering, [] when nothing matches
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person)
+        RETURN p.Name AS n,
+               COLLECT { MATCH (p)-[:ACTED_IN]->(m:Movie)
+                         WHERE m.Released < 1996
+                         RETURN m.Title } AS titles
+        """
+    )
+    got = {r.n: sorted(r.titles) for r in df.collect()}
+    assert got == {
+        "Tom Hanks": ["Apollo 13", "Sleepless in Seattle"],
+        "Meg Ryan": ["Sleepless in Seattle"],
+        "Bill Paxton": ["Apollo 13"],
+        "Rob Reiner": [],
+        "Nora Ephron": [],
+    }
+
+
+def test_collect_subquery_composes(movie_engine):
+    # size() over it, and a map projection as the returned element
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        RETURN size(COLLECT { (p)-[:ACTED_IN]->(m:Movie) RETURN m.Title }) AS n,
+               COLLECT { (p)-[:REVIEWED]->(m:Movie)
+                         RETURN m {.Title, .Released} } AS reviewed
+        """
+    )
+    r = df.collect()[0]
+    assert r.n == 3 and r.reviewed == []
+
+
+def test_collect_subquery_rejections(movie_engine):
+    with pytest.raises(TranspilerNotSupportedError, match="RETURN DISTINCT"):
+        movie_engine.cypher(
+            "MATCH (p:Person) RETURN COLLECT { (p)-[:ACTED_IN]->(m:Movie) "
+            "RETURN DISTINCT m.Title } AS t"
+        )
+    with pytest.raises(TranspilerNotSupportedError, match="multi-clause"):
+        movie_engine.cypher(
+            "MATCH (p:Person) RETURN COLLECT { (p)-[:ACTED_IN]->(m:Movie) "
+            "WITH m RETURN m.Title } AS t"
+        )
+
+
 # ---------------------------------------------------------------------------
 # Path interior materialization for bounded *n..m (round-5 verdict item 5)
 # ---------------------------------------------------------------------------
