@@ -177,6 +177,21 @@ def compile_scalar(name: str, args: list[Column]) -> Column:
     if name == "e":
         _arity(name, args, 0)
         return F.lit(math.e)
+    # --- non-deterministic functions (extension; Neo4j parity) ---
+    if name == "timestamp":
+        # Neo4j: milliseconds since epoch at statement start. Lowered to
+        # the session's query-constant clock — every row in one statement
+        # sees the same value, like Neo4j
+        _arity(name, args, 0)
+        return F.unix_millis(F.current_timestamp())
+    if name == "rand":
+        # uniform [0, 1) per ROW (Spark seeds per partition;
+        # non-reproducible across runs, like Neo4j)
+        _arity(name, args, 0)
+        return F.rand()
+    if name == "randomuuid":
+        _arity(name, args, 0)
+        return F.expr("uuid()")
     if name == "haversin":
         _arity(name, args, 1)
         # haversin(x) = sin^2(x/2), Neo4j's spherical-distance helper

@@ -665,11 +665,7 @@ class ExprCompiler:
         entity (unmatched OPTIONAL MATCH) projects to a null struct."""
         ref = self._ref(expr.alias)
         if not isinstance(ref, EntityRef):
-            raise TranspilerNotSupportedError(
-                f"Map projection over '{expr.alias}' needs a node or "
-                "relationship entity alias (a piped value cannot "
-                "enumerate its fields at plan time)"
-            )
+            return self._map_projection_value(expr, ref)
         entries: dict[str, Column] = {}
         for kind, v in expr.items:
             if kind == "prop":
@@ -690,6 +686,52 @@ class ExprCompiler:
             k = qcol(c).isNotNull()
             nonnull = k if nonnull is None else (nonnull | k)
         return F.when(nonnull, st)
+
+    def _map_projection_value(self, expr: "A.MapProjection", ref) -> Column:
+        """Map projection over a piped MAP/STRUCT value (Neo4j allows
+        projecting from map values, not just entities): `.prop` reads the
+        struct field, `.*` enumerates the fields from the Catalyst schema.
+        A null base value projects to null (Neo4j's null map)."""
+        from ..plans.logical import ValueRef
+
+        if not isinstance(ref, ValueRef):
+            raise TranspilerNotSupportedError(
+                f"Map projection over '{expr.alias}' needs an entity or a "
+                "map-typed value alias"
+            )
+        base = qcol(ref.col)
+        dtype = None
+        if self.df is not None:
+            try:
+                dtype = self.df.select(base).schema[0].dataType
+            except Exception:
+                dtype = None
+        if not isinstance(dtype, T.StructType):
+            raise TranspilerNotSupportedError(
+                f"Map projection over value '{expr.alias}' needs a "
+                "map/struct-typed column (got "
+                f"{dtype.simpleString() if dtype is not None else 'an unresolvable type'})"
+            )
+        fields = [f.name for f in dtype.fields]
+        entries: dict[str, Column] = {}
+        for kind, v in expr.items:
+            if kind == "prop":
+                if v not in fields:
+                    raise TranspilerBindingError(
+                        f"Map value '{expr.alias}' has no field '{v}' "
+                        f"(fields: {', '.join(fields)})"
+                    )
+                entries[v] = base.getField(v)
+            elif kind == "all":
+                for p in fields:
+                    entries[p] = base.getField(p)
+            elif kind == "entry":
+                key, e = v
+                entries[key] = self.compile(e)
+            else:
+                entries[v] = self.compile(A.Variable(v))
+        st = F.struct(*[c.alias(k) for k, c in entries.items()])
+        return F.when(base.isNotNull(), st)
 
     def _properties_struct(self, ref: EntityRef) -> Column:
         """The entity as one STRUCT column keyed by property name

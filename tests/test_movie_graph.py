@@ -635,6 +635,34 @@ def test_map_projection_collect_and_grouping(movie_engine):
     assert ms == ["Apollo 13", "Sleepless in Seattle", "You've Got Mail"]
 
 
+def test_map_projection_over_map_value(movie_engine):
+    # Neo4j also projects from MAP values: `.prop` reads the struct
+    # field, `.*` enumerates from the Catalyst schema, null base -> null
+    df = movie_engine.cypher(
+        """
+        WITH {a: 1, b: 'x', c: 2.5} AS m
+        RETURN m {.a, extra: m.c * 2} AS out, m {.*} AS full
+        """
+    )
+    r = df.collect()[0]
+    assert r.out.asDict() == {"a": 1, "extra": 5.0}
+    assert r.full.asDict() == {"a": 1, "b": "x", "c": 2.5}
+    # piped properties(n) struct projects the same way
+    df = movie_engine.cypher(
+        """
+        MATCH (m:Movie) WHERE m.Released = 1998
+        WITH properties(m) AS pm
+        RETURN pm {.Title} AS out
+        """
+    )
+    assert df.collect()[0].out.asDict() == {"Title": "You've Got Mail"}
+    df = movie_engine.cypher(
+        "WITH CASE WHEN 1 = 2 THEN {a: 1} ELSE null END AS m "
+        "RETURN m {.a} AS out"
+    )
+    assert df.collect()[0].out is None
+
+
 def test_map_projection_rejections(movie_engine):
     from opencyphertranspiler_spark import TranspilerBindingError
 
@@ -642,8 +670,10 @@ def test_map_projection_rejections(movie_engine):
         movie_engine.cypher("MATCH (m:Movie) RETURN m {} AS mp")
     with pytest.raises(TranspilerBindingError, match="not defined"):
         movie_engine.cypher("MATCH (m:Movie) RETURN m {.Nope} AS mp")
-    with pytest.raises(TranspilerNotSupportedError, match="entity alias"):
+    with pytest.raises(TranspilerNotSupportedError, match="struct-typed"):
         movie_engine.cypher("WITH 1 AS x RETURN x {.a} AS mp")
+    with pytest.raises(TranspilerBindingError, match="no field 'nope'"):
+        movie_engine.cypher("WITH {a: 1} AS m RETURN m {.nope} AS mp")
 
 
 def test_labels_type_id_functions(movie_engine):

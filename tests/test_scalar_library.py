@@ -189,3 +189,24 @@ def test_start_end_node_fences(engine):
             "MATCH (c:Customer)-[r:PLACED]->(o:Orders) "
             "RETURN labels(startNode(r)) AS l"
         )
+
+
+def test_nondeterministic_functions(engine):
+    # timestamp()/rand()/randomUUID() (extension; Neo4j parity) — no
+    # DuckDB oracle by nature, so assert shape/range/uniqueness instead
+    import re
+    import time
+
+    rows = engine.cypher(
+        "MATCH (r:Region) RETURN timestamp() AS ts, rand() AS rv, "
+        "randomUUID() AS u"
+    ).collect()
+    assert len(rows) == 5
+    now_ms = time.time() * 1000
+    for r in rows:
+        # statement-start clock: one shared value, close to wall time
+        assert abs(r.ts - now_ms) < 600_000
+        assert 0.0 <= r.rv < 1.0
+        assert re.fullmatch(r"[0-9a-f]{8}(-[0-9a-f]{4}){3}-[0-9a-f]{12}", r.u)
+    assert len({r.ts for r in rows}) == 1  # query-constant timestamp
+    assert len({r.u for r in rows}) == 5  # per-row uuids
