@@ -1,0 +1,192 @@
+"""Differential fuzz for the MATCH join fabric: random sub-paths of the
+TPC-H graph overlay — random hop orientations (forward vs arrow-reversed
+spelling), comma-separated pattern parts, an optional LEFT-forked tail
+with its WHERE inside the fork, and plain-vs-aggregated projections —
+run through the engine AND as hand-built DuckDB joins over the same
+parquet.
+
+This fuzzes the planner's direction resolution, alias sharing across
+comma patterns, the OPTIONAL MATCH fork, and implicit grouping beyond
+the hand-written catalog shapes. Bounded examples keep the suite cheap."""
+
+from __future__ import annotations
+
+import hypothesis.strategies as st
+import pytest
+from hypothesis import HealthCheck, given, settings
+
+from opencyphertranspiler_spark.testing import assert_frames_match
+
+from .conftest import SF_DIR
+
+# (source label, verb, sink label) chains through the overlay
+CHAINS = [
+    [
+        ("Customer", "PLACED", "Orders"),
+        ("Orders", "CONTAINS", "Lineitem"),
+        ("Lineitem", "OF_PART", "Part"),
+    ],
+    [
+        ("Customer", "FROM_NATION", "Nation"),
+        ("Nation", "IN_REGION", "Region"),
+    ],
+    [
+        ("Lineitem", "FROM_SUPPLIER", "Supplier"),
+        ("Supplier", "FROM_NATION", "Nation"),
+        ("Nation", "IN_REGION", "Region"),
+    ],
+]
+
+TABLE = {
+    "Customer": "customer",
+    "Orders": "orders",
+    "Lineitem": "lineitem",
+    "Part": "part",
+    "Nation": "nation",
+    "Region": "region",
+    "Supplier": "supplier",
+}
+
+# FK equality per hop: left_alias.<l> = right_alias.<r>
+JOIN_COLS = {
+    ("Customer", "PLACED", "Orders"): ("c_custkey", "o_custkey"),
+    ("Orders", "CONTAINS", "Lineitem"): ("o_orderkey", "l_orderkey"),
+    ("Lineitem", "OF_PART", "Part"): ("l_partkey", "p_partkey"),
+    ("Lineitem", "FROM_SUPPLIER", "Supplier"): ("l_suppkey", "s_suppkey"),
+    ("Customer", "FROM_NATION", "Nation"): ("c_nationkey", "n_nationkey"),
+    ("Supplier", "FROM_NATION", "Nation"): ("s_nationkey", "n_nationkey"),
+    ("Nation", "IN_REGION", "Region"): ("n_regionkey", "r_regionkey"),
+}
+
+# one representative projection column and one filter per label;
+# cypher text uses {a} for the alias, sql text uses the same alias
+PROJ = {
+    "Customer": "c_name",
+    "Orders": "o_orderkey",
+    "Lineitem": "l_linenumber",
+    "Part": "p_brand",
+    "Nation": "n_name",
+    "Region": "r_name",
+    "Supplier": "s_name",
+}
+
+FILTERS = {
+    "Customer": ("{a}.c_acctbal > 5000", "{a}.c_acctbal > 5000"),
+    "Orders": ("{a}.o_totalprice > 150000", "{a}.o_totalprice > 150000"),
+    "Lineitem": ("{a}.l_quantity >= 40", "{a}.l_quantity >= 40"),
+    "Part": ("{a}.p_retailprice > 1500", "{a}.p_retailprice > 1500"),
+    "Nation": ("{a}.n_nationkey % 2 = 0", "{a}.n_nationkey % 2 = 0"),
+    "Region": ("{a}.r_regionkey >= 2", "{a}.r_regionkey >= 2"),
+    "Supplier": ("{a}.s_acctbal > 1000", "{a}.s_acctbal > 1000"),
+}
+
+
+@st.composite
+def match_case(draw):
+    chain = draw(st.sampled_from(CHAINS))
+    start = draw(st.integers(0, len(chain) - 1))
+    length = draw(st.integers(1, len(chain) - start))
+    hops = chain[start : start + length]
+
+    labels = [hops[0][0]] + [h[2] for h in hops]
+    aliases = [f"x{i}" for i in range(len(labels))]
+
+    # cypher: comma-separated hop patterns, each randomly arrow-reversed;
+    # a label annotates only the first occurrence of each alias
+    seen: set[str] = set()
+
+    def node(i: int) -> str:
+        a = aliases[i]
+        if a in seen:
+            return f"({a})"
+        seen.add(a)
+        return f"({a}:{labels[i]})"
+
+    optional_tail = length >= 2 and draw(st.booleans())
+    n_inner = length - 1 if optional_tail else length
+
+    parts = []
+    for i, h in enumerate(hops[:n_inner]):
+        if draw(st.booleans()):
+            parts.append(f"{node(i)}-[:{h[1]}]->{node(i + 1)}")
+        else:
+            parts.append(f"{node(i + 1)}<-[:{h[1]}]-{node(i)}")
+    first_filter = draw(st.booleans())
+    cy = "MATCH " + ", ".join(parts)
+    if first_filter:
+        cy += "\nWHERE " + FILTERS[labels[0]][0].format(a=aliases[0])
+
+    # SQL: inner joins over the same FK chain
+    sql_from = f"FROM {TABLE[labels[0]]} {aliases[0]}"
+    for i, h in enumerate(hops[:n_inner]):
+        l, r = JOIN_COLS[h]
+        sql_from += (
+            f"\nJOIN {TABLE[labels[i + 1]]} {aliases[i + 1]} "
+            f"ON {aliases[i]}.{l} = {aliases[i + 1]}.{r}"
+        )
+    sql_where = (
+        "\nWHERE " + FILTERS[labels[0]][1].format(a=aliases[0])
+        if first_filter
+        else ""
+    )
+
+    if optional_tail:
+        h = hops[-1]
+        i = n_inner
+        tail_filter = draw(st.booleans())
+        tail = f"({aliases[i]})-[:{h[1]}]->{node(i + 1)}"
+        cy += f"\nOPTIONAL MATCH {tail}"
+        l, r = JOIN_COLS[h]
+        on = f"{aliases[i]}.{l} = {aliases[i + 1]}.{r}"
+        if tail_filter:
+            cy += "\nWHERE " + FILTERS[labels[i + 1]][0].format(
+                a=aliases[i + 1]
+            )
+            on += " AND " + FILTERS[labels[i + 1]][1].format(a=aliases[i + 1])
+        sql_from += (
+            f"\nLEFT JOIN {TABLE[labels[i + 1]]} {aliases[i + 1]} ON {on}"
+        )
+
+    first_col = f"{aliases[0]}.{PROJ[labels[0]]}"
+    last_col = f"{aliases[-1]}.{PROJ[labels[-1]]}"
+    if draw(st.booleans()) and last_col != first_col:
+        # implicit grouping: one grouping key + count(*)
+        cy += f"\nRETURN {first_col} AS k, count(*) AS n"
+        sql = (
+            f"SELECT {first_col} AS k, count(*) AS n\n"
+            + sql_from
+            + sql_where
+            + f"\nGROUP BY {first_col}"
+        )
+    else:
+        cols = f"{first_col} AS k1"
+        sel = f"{first_col} AS k1"
+        if last_col != first_col:
+            cols += f", {last_col} AS k2"
+            sel += f", {last_col} AS k2"
+        cy += f"\nRETURN DISTINCT {cols}"
+        sql = f"SELECT DISTINCT {sel}\n" + sql_from + sql_where
+    return cy, sql
+
+
+@pytest.fixture(scope="module")
+def fuzz_duck():
+    from opencyphertranspiler_spark.testing import duckdb_connection
+
+    return duckdb_connection(SF_DIR)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(case=match_case())
+def test_match_fabric_vs_duckdb(engine, fuzz_duck, case):
+    cy, sql = case
+    actual = engine.cypher(cy).toPandas()
+    expected = fuzz_duck.sql(sql).df()
+    assert_frames_match(actual, expected)
