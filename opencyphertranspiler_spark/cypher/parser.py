@@ -265,13 +265,45 @@ class Parser:
         UNION inside the braces is supported in the uncorrelated form only
         (the planner fences correlated UNION)."""
         self.expect_kw("CALL")
+        scope_vars: list[str] | None = None
+        if self.cur.is_punct("("):
+            # scope clause `CALL (a, b) { ... }` (Neo4j 5.23 syntax,
+            # extension) — pure sugar for the import-WITH form: the
+            # variable list is prepended as `WITH a, b` to every branch
+            self.advance()
+            if self.accept_punct("*"):
+                raise TranspilerNotSupportedError(
+                    "CALL (*) { } is not supported — import the needed "
+                    "variables explicitly: CALL (a, b) { ... }"
+                )
+            scope_vars = []
+            if not self.cur.is_punct(")"):
+                scope_vars.append(self.expect_ident())
+                while self.accept_punct(","):
+                    scope_vars.append(self.expect_ident())
+            self.expect_punct(")")
+            if not self.cur.is_punct("{"):
+                raise TranspilerSyntaxError(
+                    f"Expected {{ after CALL (...) at position "
+                    f"{self.cur.pos}, got {self.cur.value!r}"
+                )
         if not self.cur.is_punct("{"):
             return self.parse_call_procedure()
         self.expect_punct("{")
-        inner: A.Query = self.parse_single_query()
+
+        def with_scope(q: "A.SingleQuery") -> "A.SingleQuery":
+            if not scope_vars:
+                return q
+            imp = A.ProjectionClause(
+                items=[(v, A.Variable(v)) for v in scope_vars]
+            )
+            q.clauses.insert(0, imp)
+            return q
+
+        inner: A.Query = with_scope(self.parse_single_query())
         while self.accept_kw("UNION"):
             all_ = bool(self.accept_kw("ALL"))
-            right = self.parse_single_query()
+            right = with_scope(self.parse_single_query())
             inner = A.UnionQuery(inner, right, all_)
         self.expect_punct("}")
         return A.CallSubqueryClause(inner)

@@ -528,3 +528,63 @@ def test_call_correlated_union_all_no_spine_overhead(engine):
     )
     assert [r["k"] for r in df.collect()] == [1, 1]
     assert "ExistingRDD" not in df._jdf.queryExecution().toString()
+
+
+def test_call_scope_clause_equals_import_with(engine):
+    # CALL (c) { ... } (Neo4j 5.23 scope syntax) is sugar for the
+    # import-WITH form — identical results
+    a = engine.cypher(
+        """
+        MATCH (c:Customer) WHERE c.c_custkey <= 5
+        CALL (c) { MATCH (c)-[:PLACED]->(o:Orders) RETURN count(o) AS n }
+        RETURN c.c_custkey AS k, n ORDER BY k
+        """
+    ).collect()
+    b = engine.cypher(
+        """
+        MATCH (c:Customer) WHERE c.c_custkey <= 5
+        CALL { WITH c MATCH (c)-[:PLACED]->(o:Orders) RETURN count(o) AS n }
+        RETURN c.c_custkey AS k, n ORDER BY k
+        """
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 6
+
+
+def test_call_scope_clause_empty_and_union(engine):
+    # CALL () { } is the explicit uncorrelated form; a scope list applies
+    # to EVERY union branch
+    got = engine.cypher(
+        """
+        MATCH (r:Region)
+        CALL () { MATCH (n:Nation) RETURN count(n) AS nn }
+        RETURN count(*) AS rows, min(nn) AS nn
+        """
+    ).collect()[0]
+    assert tuple(got) == (5, 25)
+    got = engine.cypher(
+        """
+        MATCH (c:Customer) WHERE c.c_custkey = 1
+        CALL (c) {
+          MATCH (c)-[:PLACED]->(o:Orders) RETURN max(o.o_totalprice) AS v
+          UNION ALL
+          MATCH (c)-[:FROM_NATION]->(n:Nation) RETURN toFloat(n.n_nationkey) AS v
+        }
+        RETURN count(*) AS rows
+        """
+    ).collect()[0]
+    assert got.rows == 2
+
+
+def test_call_scope_clause_star_fence(engine):
+    import pytest
+
+    from opencyphertranspiler_spark.exceptions import (
+        TranspilerNotSupportedError,
+    )
+
+    with pytest.raises(TranspilerNotSupportedError, match=r"CALL \(\*\)"):
+        engine.cypher(
+            "MATCH (c:Customer) CALL (*) { MATCH (n:Nation) "
+            "RETURN n.n_name AS x } RETURN x"
+        )
