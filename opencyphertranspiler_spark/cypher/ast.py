@@ -358,6 +358,10 @@ class NodePattern:
     # CypherVisitor.cs:1094-1097) — desugared by the planner to WHERE
     # equality conjuncts on the pattern's alias
     props: list[tuple[str, Expr]] = field(default_factory=list)
+    # inline pattern predicate `(n:L WHERE n.x > 1)` (Neo4j 5 syntax,
+    # extension) — desugared by the planner into the clause WHERE, like
+    # the property map (so it filters inside an OPTIONAL MATCH fork)
+    where: Expr | None = None
 
 
 @dataclass
@@ -376,6 +380,9 @@ class RelPattern:
     alt_verbs: list[str] = field(default_factory=list)
     # inline property map `[r:T {k: v}]` — same desugaring as NodePattern
     props: list[tuple[str, Expr]] = field(default_factory=list)
+    # inline pattern predicate `[r:T WHERE r.x > 1]` (Neo4j 5 syntax,
+    # extension) — single-hop only; var-length hops reject it
+    where: Expr | None = None
 
 
 @dataclass

@@ -482,16 +482,29 @@ class Parser:
                 break
         return A.RemoveClause(items, labels)
 
+    @staticmethod
+    def _reject_pattern_where(part, kw: str) -> None:
+        # inline WHERE is a MATCH-side predicate; Neo4j rejects it in
+        # CREATE/MERGE patterns too
+        for ent in (*part.nodes, *part.rels):
+            if getattr(ent, "where", None) is not None:
+                raise TranspilerSyntaxError(
+                    f"An inline WHERE is not allowed in a {kw} pattern"
+                )
+
     def parse_create(self) -> A.CreateClause:
         self.expect_kw("CREATE")
         patterns = [self.parse_pattern_part()]
         while self.accept_punct(","):
             patterns.append(self.parse_pattern_part())
+        for p in patterns:
+            self._reject_pattern_where(p, "CREATE")
         return A.CreateClause(patterns)
 
     def parse_merge(self) -> A.MergeClause:
         self.expect_kw("MERGE")
         pattern = self.parse_pattern_part()
+        self._reject_pattern_where(pattern, "MERGE")
         on_create: list[A.SetItem] = []
         on_match: list[A.SetItem] = []
         while self.accept_soft_kw("ON"):
@@ -645,8 +658,14 @@ class Parser:
             while self.accept_punct(":"):
                 extra.append(self.expect_name())
         props = self.parse_property_map() if self.cur.is_punct("{") else []
+        where = None
+        if self.cur.is_kw("WHERE"):
+            # inline pattern predicate `(n:L WHERE pred)` (Neo4j 5,
+            # extension) — desugared like the property map
+            self.advance()
+            where = self.parse_expr()
         self.expect_punct(")")
-        return A.NodePattern(alias, label, extra, props)
+        return A.NodePattern(alias, label, extra, props, where)
 
     def parse_property_map(self) -> list[tuple[str, A.Expr]]:
         """Inline property map `{k: v, ...}` (extension; the reference
@@ -766,9 +785,24 @@ class Parser:
                     )
             if self.cur.is_punct("{"):
                 rel_props = self.parse_property_map()
+            if self.cur.is_kw("WHERE"):
+                # inline pattern predicate `[r:T WHERE pred]` (Neo4j 5,
+                # extension) — single hop only: a var-length hop has no
+                # single relationship for the predicate to bind to
+                self.advance()
+                if min_hops is not None:
+                    raise TranspilerNotSupportedError(
+                        "An inline WHERE on a variable-length relationship "
+                        "is not supported — use a property map (filters "
+                        "every hop) or a post-MATCH WHERE"
+                    )
+                rel_where = self.parse_expr()
+            else:
+                rel_where = None
             self.expect_punct("]")
         else:
             min_hops = max_hops = None
+            rel_where = None
         self.expect_punct("-")
         right_arrow = bool(self.accept_punct(">"))
         if left_arrow and right_arrow:
@@ -782,7 +816,8 @@ class Parser:
         # undirected variable-length `-[:V*n..m]-` / `-[:V*]-` is allowed
         # (extension): the engine symmetrizes the edge set per hop
         return A.RelPattern(
-            alias, verb, direction, min_hops, max_hops, alt_verbs, rel_props
+            alias, verb, direction, min_hops, max_hops, alt_verbs, rel_props,
+            rel_where,
         )
 
     # -- expressions ----------------------------------------------------------

@@ -730,6 +730,16 @@ class _SingleQueryPlanner:
                         if prop_pred is None
                         else A.Binary(A.BinaryOp.AND, prop_pred, eq)
                     )
+                # inline pattern predicate `(n:L WHERE pred)` /
+                # `[r:T WHERE pred]` (Neo4j 5, extension): same desugar
+                # as the property map — ANDed into the clause WHERE, so
+                # it filters inside an OPTIONAL MATCH fork
+                if getattr(ent, "where", None) is not None:
+                    prop_pred = (
+                        ent.where
+                        if prop_pred is None
+                        else A.Binary(A.BinaryOp.AND, prop_pred, ent.where)
+                    )
         if prop_pred is not None:
             clause.where = (
                 prop_pred

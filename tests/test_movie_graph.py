@@ -567,6 +567,44 @@ def test_unbounded_inline_map_rejections(weighted_engine):
         )
 
 
+def test_inline_pattern_where(movie_engine):
+    # (n:L WHERE pred) / [r:T WHERE pred] (Neo4j 5, extension) — same
+    # desugar as the inline property map
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person WHERE p.Born < 1956)-[r:REVIEWED WHERE r.Rating >= 7]->(m:Movie)
+        RETURN p.Name AS n, m.Title AS t
+        """
+    )
+    assert rows(df) == {
+        ("Rob Reiner", "Sleepless in Seattle"),
+        ("Bill Paxton", "Sleepless in Seattle"),
+    }
+    # OPTIONAL MATCH: the inline predicate filters inside the fork
+    df = movie_engine.cypher(
+        """
+        MATCH (p:Person) WHERE p.Name IN ['Tom Hanks', 'Rob Reiner']
+        OPTIONAL MATCH (p)-[:ACTED_IN]->(m:Movie WHERE m.Released > 1994)
+        RETURN p.Name AS n, count(m) AS c
+        """
+    )
+    assert rows(df) == {("Tom Hanks", 2), ("Rob Reiner", 0)}
+
+
+def test_inline_pattern_where_rejections(movie_engine):
+    from opencyphertranspiler_spark import TranspilerSyntaxError
+
+    with pytest.raises(TranspilerNotSupportedError, match="variable-length"):
+        movie_engine.cypher(
+            "MATCH (a:Person)-[:FOLLOWS*1..2 WHERE true]->(b:Person) "
+            "RETURN count(*) AS n"
+        )
+    with pytest.raises(TranspilerSyntaxError, match="CREATE pattern"):
+        movie_engine.cypher_write("CREATE (n:Person WHERE n.Born = 1 )")
+    with pytest.raises(TranspilerSyntaxError, match="MERGE pattern"):
+        movie_engine.cypher_write("MERGE (n:Person WHERE n.Born = 1 )")
+
+
 def test_map_projection_basic(movie_engine):
     # `.prop` copies, `key: expr` computes, bare `var` is var: var
     df = movie_engine.cypher(
