@@ -211,10 +211,13 @@ CATALOG: list[CatalogEntry] = [
     # ---- group 4: OPTIONAL MATCH with WHERE inside + count(o)>0 flag ----
     CatalogEntry(
         name="q06_optional_match",
+        # round 7: the optional's filter is spelled as an INLINE pattern
+        # predicate (Neo4j 5 syntax) — identical desugar to the previous
+        # trailing WHERE (filters inside the fork), so the oracle is
+        # unchanged and the driver now gates the inline form
         cypher="""
             MATCH (c:Customer)
-            OPTIONAL MATCH (c)-[:PLACED]->(o:Orders)
-            WHERE o.o_totalprice > 100000
+            OPTIONAL MATCH (c)-[:PLACED]->(o:Orders WHERE o.o_totalprice > 100000)
             WITH c, count(o) AS big_orders
             RETURN c.c_mktsegment AS seg,
                    sum(CASE WHEN big_orders > 0 THEN 1 ELSE 0 END) AS has_big,
