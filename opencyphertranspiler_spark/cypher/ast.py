@@ -534,6 +534,19 @@ class SetPlusItem:
 
 
 @dataclass
+class SetReplaceItem:
+    """``SET alias = {map}`` — REPLACE the entity's properties: every
+    declared non-id property absent from the map is removed (nulled),
+    Neo4j semantics. ``expr`` must be a MapLiteral or a Parameter bound
+    to a dict. Desugared in writes.py to the += merge plus explicit
+    null assignments for the missing properties (schema-bound, so the
+    missing set is known at plan time)."""
+
+    alias: str
+    expr: Expr
+
+
+@dataclass
 class SetLabelItem:
     """``SET alias:Label`` — add the label's table facet (round 6
     extension: labels are tables here, so adding a label appends an

@@ -450,6 +450,19 @@ class Parser:
                     "to a map"
                 )
             return A.SetPlusItem(alias, expr)
+        if self.cur.is_punct("="):
+            # SET n = {map} (round 7 extension): REPLACE the entity's
+            # properties — declared non-id properties absent from the
+            # map are removed (Neo4j semantics)
+            self.advance()
+            expr = self.parse_expr()
+            if not isinstance(expr, (A.MapLiteral, A.Parameter)):
+                raise TranspilerNotSupportedError(
+                    "SET n = requires a map literal or a $param bound to "
+                    "a map (property replacement); use SET n.prop = ... "
+                    "for a single property"
+                )
+            return A.SetReplaceItem(alias, expr)
         self.expect_punct(".")
         prop = self.expect_name()
         if self.cur.is_punct("."):

@@ -740,19 +740,44 @@ class WriteExecutor:
         ``SET n:Label`` items off to the label planner."""
         out: list = []
         for item in items:
-            if isinstance(item, A.SetPlusItem):
+            if isinstance(item, (A.SetPlusItem, A.SetReplaceItem)):
                 expr = item.expr
+                op = "=" if isinstance(item, A.SetReplaceItem) else "+="
                 if isinstance(expr, A.Parameter):
                     val = (self.params or {}).get(expr.name)
                     if not isinstance(val, dict):
                         raise TranspilerBindingError(
-                            f"SET {item.alias} += ${expr.name} requires the "
-                            "parameter to be bound to a map"
+                            f"SET {item.alias} {op} ${expr.name} requires "
+                            "the parameter to be bound to a map"
                         )
                     pairs = [(k, A.Literal(v)) for k, v in val.items()]
                 else:  # MapLiteral (parser guarantees)
                     pairs = list(expr.items)
                 out.extend(A.SetItem(item.alias, k, v) for k, v in pairs)
+                if isinstance(item, A.SetReplaceItem):
+                    # replacement removes every declared non-id property
+                    # the map does not mention (null removes, like +=);
+                    # the schema makes the missing set plan-time known
+                    kind = self.scope.get(item.alias)
+                    if kind is not None and kind[0] in ("rel", "rel_multi"):
+                        raise TranspilerNotSupportedError(
+                            f"SET {item.alias} = {{map}} on a RELATIONSHIP "
+                            "is not supported (edge keys are the pair "
+                            "identity) — use SET r += {map} to merge"
+                        )
+                    sch = _node_schema(self.graph, self.scope, item.alias)
+                    given = {k for k, _ in pairs}
+                    if sch.id_property in given:
+                        raise TranspilerNotSupportedError(
+                            f"SET {item.alias} = {{map}} cannot assign the "
+                            f"id property '{sch.id_property}' (node "
+                            "identity is immutable here)"
+                        )
+                    out.extend(
+                        A.SetItem(item.alias, p, A.Literal(None))
+                        for p in sch.property_names
+                        if p != sch.id_property and p not in given
+                    )
             else:
                 out.append(item)
         return out

@@ -1093,6 +1093,52 @@ def test_set_plus_equals_map_literal(weng):
     )
 
 
+def test_set_replace_map(weng):
+    # SET c = {map} (round 7): REPLACE — declared non-id properties
+    # absent from the map are removed; id and FK columns untouched
+    res = weng.cypher_write(
+        "MATCH (c:Customer {c_custkey: 3}) "
+        "SET c = {c_name: 'Fresh', c_acctbal: 1.25} "
+        "RETURN c.c_name AS n, c.c_mktsegment AS seg"
+    )
+    assert [tuple(r) for r in res.returned.collect()] == [("Fresh", None)]
+    row = res.table("customer").filter("c_custkey = 3").collect()[0]
+    assert row["c_name"] == "Fresh" and row["c_acctbal"] == 1.25
+    assert row["c_mktsegment"] is None  # removed by replacement
+    # edges survive (FK columns are identity, not properties)
+    assert (
+        res.engine()
+        .cypher(
+            "MATCH (c:Customer {c_custkey: 3})-[:PLACED]->(o:Orders) "
+            "RETURN count(o) AS n"
+        )
+        .collect()[0]
+        .n
+        > 0
+    )
+    # other rows untouched
+    assert (
+        res.table("customer").filter("c_custkey = 2").collect()[0][
+            "c_mktsegment"
+        ]
+        is not None
+    )
+
+
+def test_set_replace_map_fences(weng):
+    with pytest.raises(TranspilerNotSupportedError, match="RELATIONSHIP"):
+        weng.cypher_write(
+            "MATCH (c:Customer {c_custkey: 1})-[r:PLACED]->(o:Orders) "
+            "SET r = {x: 1}"
+        )
+    with pytest.raises(TranspilerNotSupportedError, match="id property"):
+        weng.cypher_write(
+            "MATCH (c:Customer {c_custkey: 1}) SET c = {c_custkey: 9}"
+        )
+    with pytest.raises(TranspilerNotSupportedError, match="map literal"):
+        weng.cypher_write("MATCH (c:Customer {c_custkey: 1}) SET c = 5")
+
+
 def test_set_plus_equals_param_map(weng):
     res = weng.cypher_write(
         "MATCH (c:Customer {c_custkey: 3}) SET c += $m",
