@@ -46,6 +46,19 @@ def test_column_pruning_reaches_read_schema(spark, engine):
     assert cols == {"c_name"}, f"scan should read only c_name, got {cols}"
 
 
+def test_map_projection_scan_pruning(spark, engine):
+    # `c {.c_name}` builds a struct from ONE property: the scan must read
+    # only that column plus the null-check surrogate key — Catalyst's
+    # ColumnPruning must see through the struct construction
+    df = engine.cypher("MATCH (c:Customer) RETURN c {.c_name} AS m")
+    plan = formatted_plan(spark, df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"c_custkey", "c_name"}, cols
+    assert "c_acctbal" not in plan and "c_mktsegment" not in plan
+
+
 def test_projection_only_props_are_pruned(spark, engine):
     # c_acctbal / c_mktsegment are never referenced -> must not be read
     df = engine.cypher(
