@@ -458,9 +458,15 @@ class CallSubqueryClause:
     reference rejects CALL outright). The inner query's clause list ends
     with a RETURN; an optional leading ``WITH a, b`` of bare variables is
     the IMPORT clause (correlated form). The inner query may be a
-    UnionQuery (uncorrelated form only)."""
+    UnionQuery (uncorrelated form only).
+
+    ``optional`` (round 7; Neo4j 5.24 OPTIONAL CALL): outer rows with no
+    subquery output survive with null output columns — the correlated
+    join becomes LEFT, the uncorrelated cross join a condition-less LEFT
+    join."""
 
     query: "SingleQuery | UnionQuery"
+    optional: bool = False
 
 
 @dataclass

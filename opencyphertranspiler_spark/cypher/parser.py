@@ -197,7 +197,9 @@ class Parser:
                     "only further write clauses, a boundary WITH, or a "
                     "final RETURN may follow"
                 )
-            if t.is_kw("MATCH") or t.is_kw("OPTIONAL"):
+            if t.is_kw("MATCH") or (
+                t.is_kw("OPTIONAL") and not self.peek().is_kw("CALL")
+            ):
                 clauses.append(self.parse_match())
             elif t.is_kw("UNWIND"):
                 clauses.append(self.parse_unwind())
@@ -206,8 +208,18 @@ class Parser:
             elif t.is_kw("RETURN"):
                 clauses.append(self.parse_projection(is_return=True))
                 break
-            elif t.is_kw("CALL"):
+            elif t.is_kw("CALL") or t.is_kw("OPTIONAL"):
+                # OPTIONAL CALL { } (round 7; Neo4j 5.24): outer rows
+                # with no subquery output survive with nulls
+                optional = bool(self.accept_kw("OPTIONAL"))
                 call = self.parse_call_subquery()
+                if optional:
+                    if not isinstance(call, A.CallSubqueryClause):
+                        raise TranspilerNotSupportedError(
+                            "OPTIONAL CALL is only supported for CALL { } "
+                            "subqueries, not procedures"
+                        )
+                    call.optional = True
                 clauses.append(call)
                 if isinstance(call, A.CallProcedureClause) and call.standalone:
                     break  # implicit RETURN of the procedure's column

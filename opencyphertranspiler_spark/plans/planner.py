@@ -1180,7 +1180,13 @@ class _SingleQueryPlanner:
                 if piped is None:
                     return sub
                 return JoinOp(
-                    piped, sub, "cross", [], env={**piped.env, **sub.env}
+                    piped,
+                    sub,
+                    # OPTIONAL CALL: a condition-less LEFT join keeps
+                    # outer rows when the subquery yields nothing
+                    "left" if clause.optional else "cross",
+                    [],
+                    env={**piped.env, **sub.env},
                 )
             # correlated UNION (round 6): each branch is planned as its
             # own correlated CALL against the SAME outer op (the existing
@@ -1211,7 +1217,9 @@ class _SingleQueryPlanner:
             normed: list[LogicalOp] = []
             aliases: list[str] | None = None
             for br, _ in flat:
-                joined = self.plan_call(outer, A.CallSubqueryClause(br))
+                joined = self.plan_call(
+                    outer, A.CallSubqueryClause(br, clause.optional)
+                )
                 if aliases is None:
                     aliases = sorted(joined.env.keys())
                 elif sorted(joined.env.keys()) != aliases:
@@ -1282,7 +1290,11 @@ class _SingleQueryPlanner:
             if piped is None:
                 return sub
             return JoinOp(
-                piped, sub, "cross", [], env={**piped.env, **sub.env}
+                piped,
+                sub,
+                "left" if clause.optional else "cross",
+                [],
+                env={**piped.env, **sub.env},
             )
 
         if piped is None:
@@ -1437,7 +1449,10 @@ class _SingleQueryPlanner:
         joined = JoinOp(
             piped,
             sub,
-            "left" if all_agg else "inner",
+            # OPTIONAL CALL (round 7): outer rows with no subquery output
+            # survive with null output columns (Neo4j 5.24); all-aggregate
+            # returns were already LEFT (aggregate-over-empty row)
+            "left" if (all_agg or clause.optional) else "inner",
             pairs,
             drop_right,
             env=new_env,

@@ -588,3 +588,52 @@ def test_call_scope_clause_star_fence(engine):
             "MATCH (c:Customer) CALL (*) { MATCH (n:Nation) "
             "RETURN n.n_name AS x } RETURN x"
         )
+
+
+def test_optional_call_correlated(engine):
+    # OPTIONAL CALL (Neo4j 5.24): outer rows with no subquery output
+    # survive with null output columns; plain CALL drops them
+    plain = engine.cypher(
+        """
+        MATCH (c:Customer) WHERE c.c_custkey <= 5
+        CALL (c) { MATCH (c)-[:PLACED]->(o:Orders WHERE o.o_totalprice > 350000)
+                   RETURN o.o_orderkey AS k }
+        RETURN c.c_custkey AS ck, k
+        """
+    ).collect()
+    opt = engine.cypher(
+        """
+        MATCH (c:Customer) WHERE c.c_custkey <= 5
+        OPTIONAL CALL (c) { MATCH (c)-[:PLACED]->(o:Orders WHERE o.o_totalprice > 350000)
+                            RETURN o.o_orderkey AS k }
+        RETURN c.c_custkey AS ck, k
+        """
+    ).collect()
+    matched = {tuple(r) for r in plain}
+    assert matched <= {tuple(r) for r in opt}
+    unmatched = {r.ck for r in opt if r.k is None}
+    assert unmatched == {0, 1, 2, 3, 4, 5} - {r.ck for r in plain}
+    assert len(opt) == len(plain) + len(unmatched)
+
+
+def test_optional_call_uncorrelated_empty(engine):
+    row = engine.cypher(
+        """
+        MATCH (r:Region)
+        OPTIONAL CALL { MATCH (n:Nation WHERE n.n_nationkey > 999)
+                        RETURN n.n_name AS nm }
+        RETURN count(*) AS rows, count(nm) AS nonnull
+        """
+    ).collect()[0]
+    assert tuple(row) == (5, 0)
+
+
+def test_optional_call_procedure_fence(engine):
+    import pytest
+
+    from opencyphertranspiler_spark.exceptions import (
+        TranspilerNotSupportedError,
+    )
+
+    with pytest.raises(TranspilerNotSupportedError, match="OPTIONAL CALL"):
+        engine.cypher("OPTIONAL CALL db.labels() YIELD label RETURN label")
