@@ -439,6 +439,11 @@ class MatchClause:
     patterns: list[PatternPart]
     optional: bool = False
     where: Expr | None = None
+    # internal (round 7): id-equality conjuncts injected by the *0..m
+    # zero-length variant expansion — kept separate from ``where`` so the
+    # variant-union planner can clear the user WHERE (applied after the
+    # union) without losing the variant's structural equalities
+    zero_where: Expr | None = None
 
 
 @dataclass

@@ -795,9 +795,15 @@ class Parser:
                     if self.cur.kind == "int":
                         max_hops = int(self.advance().value)
                         unbounded = False
-                if min_hops < 1 or (max_hops is not None and max_hops < min_hops):
+                if min_hops < 0 or (max_hops is not None and max_hops < min_hops):
                     raise TranspilerSyntaxError(
                         f"Invalid variable-length range *{min_hops}..{max_hops}"
+                    )
+                if min_hops == 0 and (unbounded or max_hops is None):
+                    raise TranspilerNotSupportedError(
+                        "*0.. without an upper bound is not supported — "
+                        "zero-length paths work on the bounded form "
+                        "(*0..m); unbounded reachability starts at 1 hop"
                     )
                 if not unbounded and max_hops > 8:
                     raise TranspilerNotSupportedError(

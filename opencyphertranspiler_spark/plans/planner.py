@@ -669,6 +669,16 @@ class _SingleQueryPlanner:
             raise TranspilerNotSupportedError(
                 "Variable-length expansion exceeds 32 fixed-length variants"
             )
+        for pi, ri in slots:
+            if (
+                clause.patterns[pi].rels[ri].min_hops == 0
+                and clause.patterns[pi].path_alias is not None
+            ):
+                raise TranspilerNotSupportedError(
+                    "A pattern variable over a *0..m hop is not supported "
+                    "(the zero-length variant has no relationship to "
+                    "materialize) — use *1..m"
+                )
         out: list[A.MatchClause] = []
         for combo in combos:
             vc = copy.deepcopy(clause)
@@ -678,6 +688,50 @@ class _SingleQueryPlanner:
             ):
                 part = vc.patterns[pi]
                 proto = part.rels[ri]
+                if length == 0:
+                    # zero-length path (round 7, Neo4j *0..m): both
+                    # endpoints bind the SAME node. The right endpoint
+                    # moves to a disjoint single-node part and an
+                    # id-equality conjunct ties it to the left one
+                    # (Catalyst rewrites the cross join + equality into
+                    # an equi-join); the path continues from the left
+                    # node. Different declared endpoint labels can never
+                    # match at length 0 — a constant-false conjunct makes
+                    # that variant statically empty (ids of different
+                    # labels must never compare: values collide across
+                    # tables).
+                    left, right = part.nodes[ri], part.nodes[ri + 1]
+                    mismatch = (
+                        left.label is not None
+                        and right.label is not None
+                        and left.label != right.label
+                    )
+                    if left.label is None:
+                        left.label = right.label
+                    elif right.label is None:
+                        right.label = left.label
+                    if left.alias is None:
+                        left.alias = self._gen_alias("unnamed")
+                    if right.alias is None:
+                        right.alias = self._gen_alias("unnamed")
+                    part.rels[ri : ri + 1] = []
+                    part.nodes.pop(ri + 1)
+                    vc.patterns.append(A.PatternPart([right], []))
+                    eq: A.Expr = (
+                        A.Literal(False)
+                        if mismatch
+                        else A.Binary(
+                            A.BinaryOp.EQ,
+                            A.FuncCall("id", [A.Variable(left.alias)]),
+                            A.FuncCall("id", [A.Variable(right.alias)]),
+                        )
+                    )
+                    vc.zero_where = (
+                        eq
+                        if vc.zero_where is None
+                        else A.Binary(A.BinaryOp.AND, vc.zero_where, eq)
+                    )
+                    continue
                 hops = [
                     # props apply to EVERY hop (Neo4j: `[:T*2 {k: v}]`
                     # constrains each traversed relationship)
@@ -740,6 +794,14 @@ class _SingleQueryPlanner:
                         if prop_pred is None
                         else A.Binary(A.BinaryOp.AND, prop_pred, ent.where)
                     )
+        if clause.zero_where is not None:
+            # *0..m zero-length variant equalities (survive the
+            # variant-union planner's clearing of the user WHERE)
+            prop_pred = (
+                clause.zero_where
+                if prop_pred is None
+                else A.Binary(A.BinaryOp.AND, prop_pred, clause.zero_where)
+            )
         if prop_pred is not None:
             clause.where = (
                 prop_pred

@@ -386,6 +386,57 @@ def test_json_schema_roundtrip_non_string_ids():
     )
 
 
+def test_zero_length_var_length(movie_engine):
+    # *0..m (round 7): length-0 binds both endpoints to the SAME node —
+    # 5 self-pairs + the 4 FOLLOWS edges
+    df = movie_engine.cypher(
+        "MATCH (a:Person)-[:FOLLOWS*0..1]->(b:Person) "
+        "RETURN a.Name AS a, b.Name AS b"
+    )
+    got = rows(df)
+    self_pairs = {(n, n) for n in
+                  ["Tom Hanks", "Meg Ryan", "Rob Reiner", "Nora Ephron",
+                   "Bill Paxton"]}
+    edges = {("Meg Ryan", "Tom Hanks"), ("Bill Paxton", "Tom Hanks"),
+             ("Rob Reiner", "Nora Ephron"), ("Nora Ephron", "Meg Ryan")}
+    assert got == self_pairs | edges
+    # *0..2 from one anchor: self + 1-hop + 2-hop
+    df = movie_engine.cypher(
+        "MATCH (a:Person {Name: 'Rob Reiner'})-[:FOLLOWS*0..2]->(b:Person) "
+        "RETURN b.Name AS b"
+    )
+    assert sorted(r.b for r in df.collect()) == [
+        "Meg Ryan", "Nora Ephron", "Rob Reiner"
+    ]
+    # exact *0 is the identity relation
+    assert (
+        movie_engine.cypher(
+            "MATCH (a:Person)-[:FOLLOWS*0]->(b:Person) RETURN count(*) AS n"
+        ).collect()[0].n
+        == 5
+    )
+
+
+def test_zero_length_cross_label_and_fences(movie_engine):
+    # differing endpoint labels: the zero variant is statically empty,
+    # the 1-hop variant still matches (Neo4j: b would be a, which cannot
+    # satisfy the other label)
+    df = movie_engine.cypher(
+        "MATCH (a:Person {Name: 'Rob Reiner'})-[:DIRECTED*0..1]->(m:Movie) "
+        "RETURN m.Title AS t"
+    )
+    assert sorted(r.t for r in df.collect()) == ["Apollo 13"]
+    with pytest.raises(TranspilerNotSupportedError, match="upper bound"):
+        movie_engine.cypher(
+            "MATCH (a:Person)-[:FOLLOWS*0..]->(b:Person) RETURN a.Name AS n"
+        )
+    with pytest.raises(TranspilerNotSupportedError, match="pattern variable"):
+        movie_engine.cypher(
+            "MATCH p = (a:Person)-[:FOLLOWS*0..1]->(b:Person) "
+            "RETURN length(p) AS l"
+        )
+
+
 def test_unbounded_var_length_reachability(movie_engine):
     # follows: Meg->Tom, Bill->Tom, Rob->Nora, Nora->Meg
     df = movie_engine.cypher(
