@@ -54,6 +54,22 @@ def compile_scalar(name: str, args: list[Column]) -> Column:
     if name == "tolong":
         _arity(name, args, 1)
         return args[0].try_cast("long")
+    # Neo4j 4.4+ ...OrNull spellings: identical here — every cast above is
+    # already null-on-failure (try_cast), which is the OrNull contract
+    if name in (
+        "tointegerornull",
+        "tofloatornull",
+        "tobooleanornull",
+        "tostringornull",
+    ):
+        _arity(name, args, 1)
+        target = {
+            "tointegerornull": "long",
+            "tofloatornull": "float",
+            "tobooleanornull": "boolean",
+            "tostringornull": "string",
+        }[name]
+        return args[0].try_cast(target)
     # --- strings (reference SQLRenderer.cs:589-621) ---
     if name == "startswith":
         _arity(name, args, 2)

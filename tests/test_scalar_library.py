@@ -210,3 +210,14 @@ def test_nondeterministic_functions(engine):
         assert re.fullmatch(r"[0-9a-f]{8}(-[0-9a-f]{4}){3}-[0-9a-f]{12}", r.u)
     assert len({r.ts for r in rows}) == 1  # query-constant timestamp
     assert len({r.u for r in rows}) == 5  # per-row uuids
+
+
+def test_ornull_cast_aliases(engine):
+    # Neo4j ...OrNull spellings — same null-on-failure try_cast
+    row = engine.cypher(
+        "WITH 1 AS one RETURN toIntegerOrNull('12') AS a, "
+        "toIntegerOrNull('abc') AS b, toFloatOrNull('1.5') AS c, "
+        "toBooleanOrNull('true') AS d, toStringOrNull(42) AS e"
+    ).collect()[0]
+    assert (row.a, row.b, row.d, row.e) == (12, None, True, "42")
+    assert abs(row.c - 1.5) < 1e-6
