@@ -59,6 +59,25 @@ def test_map_projection_scan_pruning(spark, engine):
     assert "c_acctbal" not in plan and "c_mktsegment" not in plan
 
 
+def test_zero_length_variant_is_equi_join(spark):
+    # the *0..m zero-length variant is built as a disjoint node part +
+    # id-equality conjunct; Catalyst MUST rewrite the cross join +
+    # equality into an equi-join — a CartesianProduct here would explode
+    # at scale
+    from opencyphertranspiler_spark.catalog import _next_order_engine
+
+    from .conftest import SF_DIR
+
+    eng = _next_order_engine(spark, SF_DIR)
+    df = eng.cypher(
+        "MATCH (a:Orders)-[:NEXT*0..1]->(b:Orders) "
+        "RETURN a.o_orderkey AS x, b.o_orderkey AS y"
+    )
+    plan = formatted_plan(spark, df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_projection_only_props_are_pruned(spark, engine):
     # c_acctbal / c_mktsegment are never referenced -> must not be read
     df = engine.cypher(
