@@ -456,10 +456,12 @@ class Parser:
             self.advance()
             self.advance()
             expr = self.parse_expr()
-            if not isinstance(expr, (A.MapLiteral, A.Parameter)):
+            if not isinstance(
+                expr, (A.MapLiteral, A.Parameter, A.MapProjection)
+            ):
                 raise TranspilerNotSupportedError(
-                    "SET n += requires a map literal or a $param bound "
-                    "to a map"
+                    "SET n += requires a map literal, a $param bound to "
+                    "a map, or a map projection (src {.prop, ...})"
                 )
             return A.SetPlusItem(alias, expr)
         if self.cur.is_punct("="):
@@ -468,11 +470,13 @@ class Parser:
             # map are removed (Neo4j semantics)
             self.advance()
             expr = self.parse_expr()
-            if not isinstance(expr, (A.MapLiteral, A.Parameter)):
+            if not isinstance(
+                expr, (A.MapLiteral, A.Parameter, A.MapProjection)
+            ):
                 raise TranspilerNotSupportedError(
-                    "SET n = requires a map literal or a $param bound to "
-                    "a map (property replacement); use SET n.prop = ... "
-                    "for a single property"
+                    "SET n = requires a map literal, a $param bound to a "
+                    "map, or a map projection (property replacement); "
+                    "use SET n.prop = ... for a single property"
                 )
             return A.SetReplaceItem(alias, expr)
         self.expect_punct(".")

@@ -751,6 +751,49 @@ class WriteExecutor:
                             "the parameter to be bound to a map"
                         )
                     pairs = [(k, A.Literal(v)) for k, v in val.items()]
+                elif isinstance(expr, A.MapProjection):
+                    # property copy between entities (round 7):
+                    # `SET b += a {.x, .*, k: e}` — keys are plan-time
+                    # static, values are per-row expressions over the
+                    # binding DataFrame. `.prop`/`.*` need a node source
+                    # (its schema names the columns); `.*` excludes the
+                    # source's id property — copying identity into
+                    # another node is never what += means.
+                    src = expr.alias
+                    pairs = []
+                    ssch = None
+                    for kind2, v in expr.items:
+                        if kind2 in ("prop", "all") and ssch is None:
+                            skind = self.scope.get(src)
+                            if skind is None or skind[0] != "node":
+                                raise TranspilerNotSupportedError(
+                                    f"SET {op} {src} {{.prop}}: the "
+                                    "projection source must be a bound "
+                                    "NODE alias"
+                                )
+                            ssch = _node_schema(self.graph, self.scope, src)
+                        if kind2 == "prop":
+                            if v not in ssch.property_names:
+                                raise TranspilerBindingError(
+                                    f"'{src}' ({ssch.label}) has no "
+                                    f"property '{v}'"
+                                )
+                            pairs.append((v, A.Property(src, v)))
+                        elif kind2 == "all":
+                            pairs.extend(
+                                (p, A.Property(src, p))
+                                for p in ssch.property_names
+                                if p != ssch.id_property
+                            )
+                        elif kind2 == "entry":
+                            pairs.append(v)
+                        else:  # bare variable shorthand
+                            pairs.append((v, A.Variable(v)))
+                    # duplicate keys: last value wins, first position
+                    merged: dict = {}
+                    for k, v in pairs:
+                        merged[k] = v
+                    pairs = list(merged.items())
                 else:  # MapLiteral (parser guarantees)
                     pairs = list(expr.items)
                 out.extend(A.SetItem(item.alias, k, v) for k, v in pairs)

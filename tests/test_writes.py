@@ -1125,6 +1125,40 @@ def test_set_replace_map(weng):
     )
 
 
+def test_set_map_projection_copy(weng):
+    # property copy between entities: SET b += a {.prop, k: expr} and
+    # SET b = a {.*} (replacement; .* excludes the source id)
+    res = weng.cypher_write(
+        """
+        MATCH (a:Customer {c_custkey: 1}), (b:Customer {c_custkey: 2})
+        SET b += a {.c_mktsegment, bal2: a.c_acctbal * 2}
+        """
+    )
+    row = res.table("customer").filter("c_custkey = 2").collect()[0]
+    src = res.table("customer").filter("c_custkey = 1").collect()[0]
+    assert row["c_mktsegment"] == src["c_mktsegment"]
+    assert row["bal2"] == src["c_acctbal"] * 2
+    res2 = weng.cypher_write(
+        """
+        MATCH (a:Customer {c_custkey: 1}), (b:Customer {c_custkey: 3})
+        SET b = a {.*}
+        """
+    )
+    r3 = res2.table("customer").filter("c_custkey = 3").collect()[0]
+    s1 = res2.table("customer").filter("c_custkey = 1").collect()[0]
+    assert r3["c_name"] == s1["c_name"] and r3["c_custkey"] == 3
+    with pytest.raises(TranspilerNotSupportedError, match="NODE alias"):
+        weng.cypher_write(
+            "MATCH (a:Customer {c_custkey: 1}) WITH a.c_acctbal AS v "
+            "MATCH (b:Customer {c_custkey: 2}) SET b += v {.x}"
+        )
+    with pytest.raises(TranspilerBindingError, match="no property 'nope'"):
+        weng.cypher_write(
+            "MATCH (a:Customer {c_custkey: 1}), (b:Customer {c_custkey: 2}) "
+            "SET b += a {.nope}"
+        )
+
+
 def test_set_replace_map_fences(weng):
     with pytest.raises(TranspilerNotSupportedError, match="RELATIONSHIP"):
         weng.cypher_write(
