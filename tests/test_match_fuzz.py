@@ -112,8 +112,22 @@ def match_case(draw):
         else:
             parts.append(f"{node(i + 1)}<-[:{h[1]}]-{node(i)}")
     first_filter = draw(st.booleans())
+    # the first endpoint's filter randomly takes the trailing-WHERE or
+    # the inline `(n:L WHERE pred)` spelling (round 7) — identical
+    # desugar, so the oracle is unchanged either way
+    inline_first = first_filter and draw(st.booleans())
+    if inline_first:
+        pred = FILTERS[labels[0]][0].format(a=aliases[0])
+        parts = [
+            p.replace(
+                f"({aliases[0]}:{labels[0]})",
+                f"({aliases[0]}:{labels[0]} WHERE {pred})",
+                1,
+            )
+            for p in parts
+        ]
     cy = "MATCH " + ", ".join(parts)
-    if first_filter:
+    if first_filter and not inline_first:
         cy += "\nWHERE " + FILTERS[labels[0]][0].format(a=aliases[0])
 
     # SQL: inner joins over the same FK chain
