@@ -5,7 +5,7 @@ planned in Python, then compiled to declarative PySpark DataFrame plans that
 Catalyst/Tungsten/AQE optimize and execute.
 """
 
-from .engine import CypherEngine
+from .engine import CypherEngine, validate_graph
 from .exceptions import (
     TranspilerBindingError,
     TranspilerError,
@@ -35,4 +35,5 @@ __all__ = [
     "parquet_registry",
     "tpch_graph_schema",
     "tpch_table_registry",
+    "validate_graph",
 ]

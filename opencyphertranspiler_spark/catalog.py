@@ -24,8 +24,9 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Lineitem node surrogate id, shared with sources/tpch.py
-_LN = "(SELECT *, l_orderkey * 10 + l_linenumber AS l_id FROM lineitem)"
+# Lineitem node surrogate id (full-row md5) — single source of truth lives
+# next to the Spark-side twin so the two renderings can't drift.
+from .sources.tpch import LINEITEM_NODE_SQL as _LN
 
 
 @dataclass(frozen=True)

@@ -26,6 +26,69 @@ from .schema import EdgeSchema, EntityProperty, GraphSchema
 from .sources import TableRegistry
 
 
+def validate_graph(
+    graph: GraphSchema, tables: TableRegistry, sample_ids: int = 5
+) -> None:
+    """Opt-in data-contract check for the normalized-table prerequisite.
+
+    The reference data model requires every node table to expose a single
+    UNIQUE id column (reference README.md:65; DataSourceOperator.cs:55-58
+    reads exactly one id column per node) but, like this engine's planner,
+    never verifies it — a table with duplicate ids silently inflates every
+    plan that re-joins on the node id (OPTIONAL MATCH fork, EXISTS flags,
+    correlated CALL decorrelation): k duplicate rows per id fan out k² where
+    row semantics give k.  This check makes the contract explicit:
+
+    * node id columns must be non-null and unique,
+    * edge source/sink id columns must be non-null.
+
+    One distributed aggregate per node table (groupBy(id) HAVING count>1 —
+    a single map-side-combined shuffle, linear at any scale) and one
+    null-scan per edge table; opt-in via ``CypherEngine(...,
+    validate_schema=True)`` or callable directly.  Raises
+    :class:`TranspilerBindingError` naming up to ``sample_ids`` offending
+    ids per entity.
+    """
+    for node in graph.nodes:
+        df = tables.get(node.table)
+        idc = F.col(node.id_property)
+        dups = (
+            df.groupBy(idc.alias("__id"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where((F.col("__n") > 1) | F.col("__id").isNull())
+            .limit(sample_ids)
+            .collect()
+        )
+        if dups:
+            shown = ", ".join(
+                f"{r['__id']!r}×{r['__n']}" if r["__id"] is not None else "NULL"
+                for r in dups
+            )
+            raise TranspilerBindingError(
+                f"Node '{node.label}' violates the unique-id contract: "
+                f"table '{node.table}' has duplicate or null values in id "
+                f"column '{node.id_property}' (e.g. {shown}). Node tables must "
+                f"be normalized to one row per id (reference README.md:65)."
+            )
+    for edge in graph.edges:
+        df = tables.get(edge.table)
+        nulls = (
+            df.where(
+                F.col(edge.source_id_property).isNull()
+                | F.col(edge.sink_id_property).isNull()
+            )
+            .limit(1)
+            .count()
+        )
+        if nulls:
+            raise TranspilerBindingError(
+                f"Edge '{edge.id}' has null endpoint ids in table "
+                f"'{edge.table}' (columns '{edge.source_id_property}', "
+                f"'{edge.sink_id_property}'). Edge rows must reference "
+                f"non-null node ids."
+            )
+
+
 class CypherEngine:
     def __init__(
         self,
@@ -34,10 +97,15 @@ class CypherEngine:
         tables: TableRegistry,
         reach_max_iters: int = 200,
         ordered_aggregates: bool = False,
+        validate_schema: bool = False,
     ):
         self.spark = spark
         self.graph = graph
         self.tables = tables
+        if validate_schema:
+            # bind-time contract check (round 8 — the shipped TPC-H overlay
+            # itself violated it until the full-row-hash l_id re-key)
+            validate_graph(graph, tables)
         # collect()/first()/last() honor a directly preceding WITH's
         # ORDER BY, Neo4j-style (extension; default off = reference's
         # MIN/MAX first/last parity and unordered collect)

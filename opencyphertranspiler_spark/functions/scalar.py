@@ -49,7 +49,7 @@ def compile_scalar(name: str, args: list[Column]) -> Column:
     if name == "tointeger":
         _arity(name, args, 1)
         # openCypher integers are 64-bit; a 32-bit cast would overflow on
-        # long surrogate keys (e.g. l_id)
+        # long surrogate keys
         return args[0].try_cast("long")
     if name == "tolong":
         _arity(name, args, 1)

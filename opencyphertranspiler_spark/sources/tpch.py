@@ -2,9 +2,18 @@
 
 Implements FIXTURES.md "Set B": nodes = the base tables keyed by their PK;
 edges = 2-3 column projections of the child table of each FK pair. No new
-data is synthesized except the Lineitem surrogate id
-``l_id = l_orderkey * 10 + l_linenumber`` (the data model requires a single
-id column per node — /root/reference/src/Common/GraphSchema/DataSourceOperator.cs:55-58).
+data is synthesized except the Lineitem surrogate id (the data model requires
+a single UNIQUE id column per node —
+/root/reference/src/Common/GraphSchema/DataSourceOperator.cs:55-58).
+
+Lineitem surrogate: the driver's synthetic lineitem has payload-distinct
+duplicate ``(l_orderkey, l_linenumber)`` pairs (1,161 at sf0.001; 118,144 at
+sf0.1), so no arithmetic on the "PK" columns can be unique. The surrogate is
+therefore an md5 over the FULL row (full rows are distinct at every SF),
+rendered engine-agnostically so the DuckDB oracle recomputes the identical
+id: integers as decimal strings, the exactly-2-dp doubles as integer cents
+(``round(x*100)`` — both engines round a value ~1e-9 from an integer the
+same way), timestamps via the shared ``YYYY-MM-DD HH:MM:SS`` cast.
 """
 
 from __future__ import annotations
@@ -189,13 +198,42 @@ def tpch_table_registry(spark: SparkSession, sf_dir: str) -> TableRegistry:
     )
     reg.register(
         "lineitem_node",
-        lambda: reg.get("lineitem").withColumn(
-            "l_id",
-            F.col("l_orderkey") * F.lit(10) + F.col("l_linenumber").cast("long"),
-        ),
+        lambda: reg.get("lineitem").withColumn("l_id", lineitem_id_col()),
     )
     return reg
 
 
+def lineitem_id_col():
+    """Full-row md5 surrogate id for Lineitem (see module docstring).
+
+    Column order and rendering MUST stay in lockstep with
+    ``LINEITEM_NODE_SQL`` below — the driver gate hash-compares results that
+    render l_id.
+    """
+    return F.md5(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey"),
+            F.col("l_partkey"),
+            F.col("l_suppkey"),
+            F.col("l_linenumber"),
+            F.round(F.col("l_quantity") * 100).cast("long"),
+            F.round(F.col("l_extendedprice") * 100).cast("long"),
+            F.round(F.col("l_discount") * 100).cast("long"),
+            F.round(F.col("l_tax") * 100).cast("long"),
+            F.col("l_returnflag"),
+            F.col("l_linestatus"),
+            F.col("l_shipdate").cast("string"),
+        )
+    )
+
+
 # DuckDB-side view of the same surrogate, for oracle SQL parity.
-LINEITEM_NODE_SQL = "(SELECT *, l_orderkey * 10 + l_linenumber AS l_id FROM lineitem)"
+LINEITEM_NODE_SQL = """(SELECT *, md5(concat_ws('|',
+    l_orderkey, l_partkey, l_suppkey, l_linenumber,
+    cast(round(l_quantity * 100) as bigint),
+    cast(round(l_extendedprice * 100) as bigint),
+    cast(round(l_discount * 100) as bigint),
+    cast(round(l_tax * 100) as bigint),
+    l_returnflag, l_linestatus,
+    cast(l_shipdate as varchar))) AS l_id FROM lineitem)"""

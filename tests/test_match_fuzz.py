@@ -204,3 +204,33 @@ def test_match_fabric_vs_duckdb(engine, fuzz_duck, case):
     actual = engine.cypher(cy).toPandas()
     expected = fuzz_duck.sql(sql).df()
     assert_frames_match(actual, expected)
+
+
+def test_optional_fork_over_duplicate_natural_keys_pinned(engine, fuzz_duck):
+    """Round-7 fuzz catch, pinned deterministically (the hypothesis example
+    database is gitignored, so replay must not depend on it).
+
+    The driver's lineitem parquet has payload-distinct duplicate
+    (l_orderkey, l_linenumber) pairs; the old arithmetic surrogate
+    l_id = l_orderkey*10 + l_linenumber was therefore non-unique, and the
+    OPTIONAL MATCH fork's re-join on the Lineitem node id fanned out k²
+    rows per duplicated id (engine counted ~45% high on this query).
+    Green iff the surrogate is genuinely unique (full-row md5,
+    sources/tpch.py:lineitem_id_col)."""
+    cy = """
+        MATCH (x1:Orders)<-[:PLACED]-(x0:Customer),
+              (x2:Lineitem)<-[:CONTAINS]-(x1)
+        OPTIONAL MATCH (x2)-[:OF_PART]->(x3:Part)
+        RETURN x0.c_name AS k, count(*) AS n
+    """
+    sql = """
+        SELECT c.c_name AS k, count(*) AS n
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        LEFT JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY c.c_name
+    """
+    actual = engine.cypher(cy).toPandas()
+    expected = fuzz_duck.sql(sql).df()
+    assert_frames_match(actual, expected)

@@ -57,10 +57,10 @@ def test_order_by_nulls_last_asc_first_desc(engine):
 
 
 def test_tointeger_is_64_bit(engine):
-    # l_id surrogates exceed 2^31; a 32-bit cast would throw under ANSI mode
+    # values above 2^31; a 32-bit cast would throw under ANSI mode
     q = """
-        MATCH ()-[l:CONTAINS]->()
-        RETURN max(toInteger(l.l_id * 1000000)) AS big
+        MATCH (o:Orders)
+        RETURN max(toInteger(o.o_orderkey * 100000000)) AS big
     """
     (big,) = rows(engine, q, "big")
     assert big > 2**31
@@ -419,3 +419,38 @@ def test_reduce_fold_matches_duckdb(spark, duck):
         """
     ).collect()[0]
     assert row.s == 15 and row.cat == "abc" and row.bang == ["a!", "b!"]
+
+
+def test_zero_length_mismatched_labels_continuation_vs_duckdb(engine, duck):
+    """(ADVICE r7 medium) the exact falsifying shape: *0..1 between
+    Customer and Orders followed by a CONTAINS hop. The zero variant is
+    statically empty (dropped), so the result equals the plain 1-hop SQL."""
+    got = sorted(
+        map(
+            tuple,
+            engine.cypher(
+                """
+                MATCH (c:Customer)-[:PLACED*0..1]->(o:Orders)
+                      -[:CONTAINS]->(l:Lineitem)
+                WHERE c.c_custkey <= 50
+                RETURN c.c_custkey AS ck, count(*) AS n
+                """
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                """
+                SELECT c.c_custkey AS ck, count(*) AS n
+                FROM customer c
+                JOIN orders o ON o.o_custkey = c.c_custkey
+                JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                WHERE c.c_custkey <= 50
+                GROUP BY c.c_custkey
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == exp and got

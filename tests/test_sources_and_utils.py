@@ -174,6 +174,65 @@ def test_graph_schema_validate(spark):
         bad.require_valid(reg)
 
 
+def test_validate_graph_rejects_duplicate_node_ids(spark):
+    """Round-8 data-contract validator: the round-7 fuzzer found the shipped
+    Lineitem overlay violating the unique-node-id prerequisite (reference
+    README.md:65) with nothing checking it. This registers a deliberately
+    duplicated node table and asserts the opt-in bind-time check names it."""
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EdgeSchema,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+        validate_graph,
+    )
+    from opencyphertranspiler_spark.exceptions import TranspilerBindingError
+
+    reg = TableRegistry()
+    reg.register_df(
+        "person",
+        spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "id long, name string"),
+    )
+    reg.register_df("knows", spark.createDataFrame([(1, 2)], "src long, dst long"))
+    graph = GraphSchema(
+        nodes=[NodeSchema("Person", "person", "id")],
+        edges=[EdgeSchema("KNOWS", "Person", "Person", "knows", "src", "dst")],
+    )
+    with pytest.raises(TranspilerBindingError, match="unique-id.*'id'"):
+        validate_graph(graph, reg)
+    with pytest.raises(TranspilerBindingError, match="Person"):
+        CypherEngine(spark, graph, reg, validate_schema=True)
+
+    # null node ids are rejected too
+    reg2 = TableRegistry()
+    reg2.register_df(
+        "person", spark.createDataFrame([(None, "a"), (2, "c")], "id long, name string")
+    )
+    with pytest.raises(TranspilerBindingError, match="NULL"):
+        validate_graph(GraphSchema([NodeSchema("Person", "person", "id")], []), reg2)
+
+    # null edge endpoints are rejected
+    reg3 = TableRegistry()
+    reg3.register_df("person", spark.createDataFrame([(1, "a")], "id long, name string"))
+    reg3.register_df(
+        "knows", spark.createDataFrame([(1, None)], "src long, dst long")
+    )
+    graph3 = GraphSchema(
+        nodes=[NodeSchema("Person", "person", "id")],
+        edges=[EdgeSchema("KNOWS", "Person", "Person", "knows", "src", "dst")],
+    )
+    with pytest.raises(TranspilerBindingError, match="KNOWS"):
+        validate_graph(graph3, reg3)
+
+    # the shipped TPC-H overlay now passes its own contract (the round-7
+    # bug class: this call failed before the full-row-hash l_id re-key)
+    from opencyphertranspiler_spark import tpch_graph_schema, tpch_table_registry
+    from .conftest import SF_DIR
+
+    validate_graph(tpch_graph_schema(), tpch_table_registry(spark, SF_DIR))
+
+
 def test_register_format_orc_roundtrip(spark, tmp_path):
     from opencyphertranspiler_spark.sources import TableRegistry
     from opencyphertranspiler_spark.sources.files import (
