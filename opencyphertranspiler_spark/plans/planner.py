@@ -559,11 +559,33 @@ class _SingleQueryPlanner:
                 piped, variants[0], known_labels, prefix_overrides
             )
         ops = []
+        zero_dropped: TranspilerBindingError | None = None
         for vc in variants:
             vc.where = None
-            o = self._plan_match_single(piped, vc, known_labels, prefix_overrides)
+            try:
+                o = self._plan_match_single(
+                    piped, vc, known_labels, prefix_overrides
+                )
+            except TranspilerBindingError as err:
+                if vc.zero_where is not None:
+                    # (round 8, ADVICE r7 medium) a zero-length splice
+                    # rewired the continuation hops onto the merged
+                    # endpoint; when the merged node's label cannot
+                    # satisfy an adjacent hop (e.g. (c:Customer)
+                    # -[:PLACED*0..1]->(o:Orders)-[:CONTAINS]->(l): the
+                    # zero variant would need Customer@CONTAINS), NO
+                    # length-0 path exists — the variant is statically
+                    # empty, so drop it instead of failing the query
+                    zero_dropped = err
+                    continue
+                raise
             o = self._materialize_paths(o, vc)
             ops.append(o)
+        if not ops:
+            # every variant was a statically-empty zero-length splice
+            # (degenerate, e.g. *0..0 between mismatched labels with a
+            # continuation) — surface the binding diagnosis
+            raise zero_dropped
         common: Env = {
             a: r for a, r in ops[0].env.items() if not a.startswith("__unnamed_")
         }
@@ -701,6 +723,29 @@ class _SingleQueryPlanner:
                     # labels must never compare: values collide across
                     # tables).
                     left, right = part.nodes[ri], part.nodes[ri + 1]
+                    if left.label is None and right.label is None:
+                        # edge-derived inference would have typed both
+                        # endpoints from the verb in the non-zero
+                        # variants; removing the rel loses that, so apply
+                        # it here (round 8). A declared label is NOT
+                        # overridden: at length 0 the merged node is the
+                        # declared one, unconstrained by the verb.
+                        pairs_lr = {
+                            (e.source_label, e.sink_label)
+                            for e in self.schema.edges_by_verb(
+                                proto.verb or ""
+                            )
+                        }
+                        if proto.direction is A.Direction.BACKWARD:
+                            pairs_lr = {(t, s) for s, t in pairs_lr}
+                        elif proto.direction is A.Direction.EITHER:
+                            pairs_lr |= {(t, s) for s, t in pairs_lr}
+                        lls = {s for s, _ in pairs_lr}
+                        rls = {t for _, t in pairs_lr}
+                        if len(lls) == 1:
+                            left.label = next(iter(lls))
+                        if len(rls) == 1:
+                            right.label = next(iter(rls))
                     mismatch = (
                         left.label is not None
                         and right.label is not None
@@ -1269,7 +1314,10 @@ class _SingleQueryPlanner:
                 )
             outer: LogicalOp = piped
             rid: str | None = None
-            if any(not is_all for _, is_all in flat[1:]):
+            # the row-id spine serves two masters: per-invocation dedup of
+            # UNION (distinct), and — for OPTIONAL CALL — the key the
+            # whole-invocation null-extension joins back on
+            if clause.optional or any(not is_all for _, is_all in flat[1:]):
                 rid = self._gen_alias("call_rid")
                 outer = RowIdOp(
                     piped,
@@ -1279,8 +1327,13 @@ class _SingleQueryPlanner:
             normed: list[LogicalOp] = []
             aliases: list[str] | None = None
             for br, _ in flat:
+                # branches plan NON-optional (round 8, ADVICE r7 high): a
+                # per-branch LEFT join would emit a spurious null-extended
+                # row whenever ANY branch missed, even though another
+                # branch matched — Neo4j null-extends only when the WHOLE
+                # invocation output is empty, handled once below
                 joined = self.plan_call(
-                    outer, A.CallSubqueryClause(br, clause.optional)
+                    outer, A.CallSubqueryClause(br, False)
                 )
                 if aliases is None:
                     aliases = sorted(joined.env.keys())
@@ -1310,8 +1363,34 @@ class _SingleQueryPlanner:
                 out = SetOp(
                     out, normed[i], all=flat[i][1], env=dict(out.env)
                 )
+            visible = [a for a in aliases if a != rid]
+            if clause.optional:
+                # apply optionality ONCE over the unioned per-invocation
+                # output: project it down to (row id, subquery outputs) and
+                # LEFT-join the outer spine back on the row id — an outer
+                # row null-extends only when EVERY branch produced nothing
+                new_out = [a for a in visible if a not in piped.env]
+                rid2 = self._gen_alias("call_rid_r")
+                proj = self.plan_projection(
+                    out,
+                    A.ProjectionClause(
+                        items=[(rid2, A.Variable(rid))]
+                        + [(a, A.Variable(a)) for a in new_out],
+                        is_return=False,
+                    ),
+                )
+                out = JoinOp(
+                    outer,
+                    proj,
+                    "left",
+                    [(rid, rid2)],
+                    drop_right=[rid2],
+                    env={
+                        **outer.env,
+                        **{a: ValueRef(a) for a in new_out},
+                    },
+                )
             if rid is not None:
-                visible = [a for a in aliases if a != rid]
                 out = TrimOp(
                     out,
                     visible,

@@ -30,9 +30,11 @@ Execution model (bulk-relational, no driver-side row loops):
    MERGE   distinct candidate tuples + ``left_anti`` existence check
    ======  ==========================================================
 
-   Every write clause reads the same PRE-write snapshot (SQL statement
-   semantics; documented divergence from Neo4j's clause-sequential
-   visibility).
+   Visibility is clause-sequential at WITH granularity (Neo4j-style,
+   round 7): a statement is split into segments at each WITH boundary
+   (``run_to_boundary``), every clause within a segment reads that
+   segment's entry snapshot, and each boundary re-binds the carried rows
+   against the post-segment tables so later segments see earlier writes.
 
 Identity model: nodes are keyed by their declared id property, so CREATE
 and MERGE require the id property in the inline map (there is no hidden

@@ -637,3 +637,72 @@ def test_optional_call_procedure_fence(engine):
 
     with pytest.raises(TranspilerNotSupportedError, match="OPTIONAL CALL"):
         engine.cypher("OPTIONAL CALL db.labels() YIELD label RETURN label")
+
+
+def test_optional_call_union_null_extends_only_when_all_branches_empty(engine):
+    """(ADVICE r7 high) Optionality applies to the WHOLE invocation output:
+    an outer row matched by one branch must NOT also emit a null-extended
+    row just because another branch missed — the null row appears only when
+    EVERY branch is empty for that invocation (Neo4j 5.24)."""
+    q = """
+        MATCH (c:Customer) WHERE c.c_custkey <= 5
+        OPTIONAL CALL (c) {{
+            MATCH (c)-[:PLACED]->(o:Orders WHERE o.o_totalprice > 350000)
+            RETURN o.o_orderkey AS k
+            UNION {all_kw}
+            MATCH (c)-[:PLACED]->(o:Orders WHERE o.o_totalprice < 0)
+            RETURN o.o_orderkey AS k
+        }}
+        RETURN c.c_custkey AS ck, k
+    """
+    single = engine.cypher(
+        """
+        MATCH (c:Customer) WHERE c.c_custkey <= 5
+        OPTIONAL CALL (c) {
+            MATCH (c)-[:PLACED]->(o:Orders WHERE o.o_totalprice > 350000)
+            RETURN o.o_orderkey AS k
+        }
+        RETURN c.c_custkey AS ck, k
+        """
+    ).collect()
+    assert any(r.k is not None for r in single)  # some branch-1 matches
+    assert any(r.k is None for r in single)  # some invocations are empty
+    for all_kw in ("ALL", ""):
+        got = engine.cypher(q.format(all_kw=all_kw)).collect()
+        # branch 2 is statically empty, so the union output per invocation
+        # equals branch 1's — the result must be EXACTLY the single-branch
+        # optional result (no spurious nulls for matched outer rows)
+        assert sorted(map(tuple, got)) == sorted(map(tuple, single))
+        matched = {r.ck for r in got if r.k is not None}
+        nulled = {r.ck for r in got if r.k is None}
+        assert not (matched & nulled)
+
+
+def test_optional_call_union_both_branches_contribute(engine):
+    """OPTIONAL CALL { UNION } where both branches can match: rows from both
+    branches survive per invocation; null-extension only for outer rows
+    with no output from either branch."""
+    got = engine.cypher(
+        """
+        MATCH (c:Customer) WHERE c.c_custkey <= 5
+        OPTIONAL CALL (c) {
+            MATCH (c)-[:PLACED]->(o:Orders WHERE o.o_totalprice > 350000)
+            RETURN o.o_totalprice AS v
+            UNION ALL
+            MATCH (c)-[:PLACED]->(o:Orders WHERE o.o_totalprice < 5000)
+            RETURN o.o_totalprice AS v
+        }
+        RETURN c.c_custkey AS ck, v
+        """
+    ).collect()
+    hi = engine.cypher(
+        """
+        MATCH (c:Customer)-[:PLACED]->(o:Orders)
+        WHERE c.c_custkey <= 5 AND (o.o_totalprice > 350000 OR o.o_totalprice < 5000)
+        RETURN c.c_custkey AS ck, o.o_totalprice AS v
+        """
+    ).collect()
+    matched = sorted((r.ck, r.v) for r in got if r.v is not None)
+    assert matched == sorted((r.ck, r.v) for r in hi)
+    nulled = {r.ck for r in got if r.v is None}
+    assert nulled == {0, 1, 2, 3, 4, 5} - {r.ck for r in hi}

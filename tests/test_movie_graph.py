@@ -437,6 +437,53 @@ def test_zero_length_cross_label_and_fences(movie_engine):
         )
 
 
+def test_zero_length_mismatched_labels_with_continuation(movie_engine):
+    """(ADVICE r7 medium) *0..m between differently-labeled endpoints WITH a
+    continuation hop: the zero variant splices the continuation onto the
+    merged endpoint and used to raise TranspilerBindingError; it is
+    statically empty (no Person can be a Movie at length 0) and must be
+    dropped, returning the 1-hop variant rows."""
+    df = movie_engine.cypher(
+        "MATCH (a:Person {Name: 'Rob Reiner'})-[:DIRECTED*0..1]->(m:Movie)"
+        "<-[:ACTED_IN]-(x:Person) "
+        "RETURN x.Name AS x"
+    )
+    got = sorted(r.x for r in df.collect())
+    one_hop = sorted(
+        r.x
+        for r in movie_engine.cypher(
+            "MATCH (a:Person {Name: 'Rob Reiner'})-[:DIRECTED]->(m:Movie)"
+            "<-[:ACTED_IN]-(x:Person) "
+            "RETURN x.Name AS x"
+        ).collect()
+    )
+    assert got == one_hop and got  # non-empty, exactly the 1-hop rows
+
+
+def test_zero_length_unlabeled_endpoints_verb_inference(movie_engine):
+    # both endpoints unlabeled: the zero variant gets its merged label
+    # from the verb (same inference the non-zero variants apply), so a
+    # same-label verb keeps its length-0 identity pairs...
+    df = movie_engine.cypher(
+        "MATCH (a)-[:FOLLOWS*0..1]->(b) RETURN a.Name AS a, b.Name AS b"
+    )
+    labeled = movie_engine.cypher(
+        "MATCH (a:Person)-[:FOLLOWS*0..1]->(b:Person) "
+        "RETURN a.Name AS a, b.Name AS b"
+    )
+    assert rows(df) == rows(labeled)
+    # ...and a cross-label verb's zero variant is statically empty
+    df = movie_engine.cypher(
+        "MATCH (a)-[:DIRECTED*0..1]->(m) RETURN m.Title AS t"
+    )
+    one_hop = movie_engine.cypher(
+        "MATCH (a:Person)-[:DIRECTED]->(m:Movie) RETURN m.Title AS t"
+    )
+    assert sorted(r.t for r in df.collect()) == sorted(
+        r.t for r in one_hop.collect()
+    )
+
+
 def test_unbounded_var_length_reachability(movie_engine):
     # follows: Meg->Tom, Bill->Tom, Rob->Nora, Nora->Meg
     df = movie_engine.cypher(
