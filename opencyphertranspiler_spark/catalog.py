@@ -863,6 +863,34 @@ CATALOG += [
         """,
         tags=("entity-projection", "struct"),
     ),
+    # ---- label disjunction `(n:A|B)` (round 8 extension; Neo4j 5) ----
+    CatalogEntry(
+        name="q46_label_disjunction",
+        # tagged-union node scan (engine.py:_resolve_multi_label):
+        # members union with composite (label, id) identity + __label
+        # discriminator; the FROM_NATION hop unions both members' edges;
+        # labels(n) reads the discriminator; member-specific properties
+        # null-pad (coalesce picks whichever side exists)
+        cypher="""
+            MATCH (n:Customer|Supplier)-[:FROM_NATION]->(x:Nation)
+            WHERE n.c_acctbal > 5000 OR labels(n)[0] = 'Supplier'
+            RETURN x.n_name AS nation, labels(n)[0] AS kind,
+                   count(*) AS members,
+                   round(sum(coalesce(n.c_acctbal, n.s_acctbal)), 2) AS bal
+        """,
+        oracle="""
+            SELECT n_name AS nation, kind, count(*) AS members,
+                   round(sum(b), 2) AS bal
+            FROM (
+                SELECT c_nationkey AS k, 'Customer' AS kind, c_acctbal AS b
+                FROM customer WHERE c_acctbal > 5000
+                UNION ALL
+                SELECT s_nationkey, 'Supplier', s_acctbal FROM supplier
+            ) u JOIN nation ON n_nationkey = u.k
+            GROUP BY n_name, kind
+        """,
+        tags=("label-disjunction", "tagged-union"),
+    ),
     # ---- CALL { } subqueries (extension; the reference rejects CALL):
     # correlated form decorrelated by threading the imported node through
     # the inner projections (per-outer-row aggregation), LEFT join +

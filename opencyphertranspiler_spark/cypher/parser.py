@@ -684,7 +684,17 @@ class Parser:
             # multi-label (extension): first label is primary, the rest
             # intersect via semi joins on the node id
             label = self.expect_name()
+            # label disjunction `(n:A|B)` (Neo4j 5, extension): stored as
+            # 'A|B'; the engine rewrites it to a tagged-union scan before
+            # planning (engine.py:_resolve_multi_label)
+            while self.accept_punct("|"):
+                label += "|" + self.expect_name()
             while self.accept_punct(":"):
+                if "|" in label:
+                    raise TranspilerNotSupportedError(
+                        "Label disjunction (n:A|B) cannot combine with "
+                        "label conjunction (n:A:B)"
+                    )
                 extra.append(self.expect_name())
         props = self.parse_property_map() if self.cur.is_punct("{") else []
         where = None

@@ -22,7 +22,7 @@ from .cypher import parse
 from .exceptions import TranspilerBindingError, TranspilerNotSupportedError
 from .operators import Compiler
 from .plans import plan_query
-from .schema import EdgeSchema, EntityProperty, GraphSchema
+from .schema import EdgeSchema, EntityProperty, GraphSchema, NodeSchema
 from .sources import TableRegistry
 
 
@@ -150,7 +150,10 @@ class CypherEngine:
 
         ast_query = copy.deepcopy(ast_query)
         self._resolve_procedures(ast_query, params)
-        graph, tables = self._resolve_multi_verb(ast_query, self.graph, self.tables)
+        graph, tables = self._resolve_multi_label(
+            ast_query, self.graph, self.tables
+        )
+        graph, tables = self._resolve_multi_verb(ast_query, graph, tables)
         graph, tables = self._resolve_undirected_varlength(ast_query, graph, tables)
         graph, tables = self._resolve_unbounded(ast_query, graph, tables, params)
         plan = plan_query(
@@ -330,11 +333,11 @@ class CypherEngine:
     # 2035-2039); this is a documented extension.
 
     @staticmethod
-    def _pattern_triples(ast_query):
-        """Yield every (single_query, clause, part, left_node, rel,
-        right_node) hop in the query — MATCH patterns plus
-        exists(pattern) predicates / pattern comprehensions embedded in
-        any clause's WHERE, projection items, or UNWIND expression.
+    def _pattern_parts(ast_query):
+        """Yield every (single_query, clause, part) pattern part in the
+        query — MATCH patterns plus exists(pattern) predicates / pattern
+        comprehensions embedded in any clause's WHERE, projection items,
+        or UNWIND expression.
 
         ``clause`` is the enclosing clause for MATCH pattern parts and
         None for expression-embedded parts (their WHERE scope is their
@@ -380,15 +383,332 @@ class CypherEngine:
                         stack.extend(single_queries(clause.query))
                         continue
                     for part, owner in parts_of(clause):
-                        for i, rel in enumerate(part.rels):
-                            yield (
-                                sq,
-                                owner,
-                                part,
-                                part.nodes[i],
-                                rel,
-                                part.nodes[i + 1],
-                            )
+                        yield sq, owner, part
+
+    @classmethod
+    def _pattern_triples(cls, ast_query):
+        """Yield every (single_query, clause, part, left_node, rel,
+        right_node) hop in the query (see :meth:`_pattern_parts`)."""
+        for sq, owner, part in cls._pattern_parts(ast_query):
+            for i, rel in enumerate(part.rels):
+                yield sq, owner, part, part.nodes[i], rel, part.nodes[i + 1]
+
+    # -- label disjunction `(n:A|B)` ----------------------------------------
+    # Neo4j 5 syntax; the reference's single-label data model has no
+    # equivalent (one node = one table, DataSourceOperator.cs:55-58). Each
+    # multi-label node is rewritten BEFORE planning to an ordinary scan of
+    # a virtual TAGGED-UNION node table: the members' tables are
+    # unionByName-ed with a composite id `__id = '<label>:<id>'` (node ids
+    # legally collide ACROSS label tables, so the raw ids cannot key the
+    # union — the composite restores uniqueness for OPTIONAL/EXISTS/CALL
+    # re-joins), a `__label` discriminator (drives labels(n)), and the
+    # union of the members' property columns (null-padded where a member
+    # lacks one, Neo4j semantics). Hops adjacent to a multi-label node are
+    # rewritten to virtual union EDGES whose union-node side carries the
+    # same composite id; members lacking the verb contribute no rows
+    # (Neo4j: those nodes simply don't match the hop).
+
+    def _resolve_multi_label(
+        self, ast_query, graph: GraphSchema, tables: TableRegistry
+    ) -> tuple[GraphSchema, TableRegistry]:
+        ml_parts = [
+            part
+            for _sq, _cl, part in self._pattern_parts(ast_query)
+            if any(n.label and "|" in n.label for n in part.nodes)
+        ]
+        if not ml_parts:
+            return graph, tables
+        if self._has_write_clause(ast_query):
+            raise TranspilerNotSupportedError(
+                "Label disjunction (n:A|B) is read-only — a tagged-union "
+                "node has no single backing table to write to"
+            )
+        overlay = TableRegistry()
+        for name in tables.names():
+            overlay.register(name, lambda n=name: tables.get(n))
+        built_nodes: dict[str, NodeSchema] = {}
+        built_edges: dict[tuple, EdgeSchema] = {}
+        for part in ml_parts:
+            for i, node in enumerate(part.nodes):
+                if not (node.label and "|" in node.label):
+                    continue
+                if node.extra_labels:
+                    raise TranspilerNotSupportedError(
+                        "Label disjunction (n:A|B) cannot combine with "
+                        "label conjunction (n:A:B)"
+                    )
+                vlabel = node.label
+                if vlabel not in built_nodes:
+                    built_nodes[vlabel] = self._build_union_node(
+                        vlabel, graph, tables, overlay
+                    )
+                # adjacent hops: rel ri connects nodes[ri] -> nodes[ri+1]
+                for ri in (i - 1, i):
+                    if 0 <= ri < len(part.rels):
+                        self._rewire_multilabel_hop(
+                            part, ri, i, graph, tables, overlay, built_edges
+                        )
+        merged_graph = GraphSchema(
+            graph.nodes + list(built_nodes.values()),
+            graph.edges + list(built_edges.values()),
+        )
+        return merged_graph, overlay
+
+    @staticmethod
+    def _has_write_clause(ast_query) -> bool:
+        def single_queries(q):
+            if isinstance(q, A.UnionQuery):
+                yield from single_queries(q.left)
+                yield from single_queries(q.right)
+            else:
+                yield q
+
+        write_kinds = (
+            A.CreateClause,
+            A.MergeClause,
+            A.SetClause,
+            A.RemoveClause,
+            A.DeleteClause,
+        )
+        stack = list(single_queries(ast_query))
+        while stack:
+            sq = stack.pop()
+            for clause in sq.clauses:
+                if isinstance(clause, write_kinds):
+                    return True
+                if isinstance(clause, A.CallSubqueryClause):
+                    stack.extend(single_queries(clause.query))
+        return False
+
+    @staticmethod
+    def _ml_composite(label: str, col: str):
+        """The (label, id) composite identity of a tagged-union node row."""
+        return F.concat_ws(":", F.lit(label), F.col(col).cast("string"))
+
+    def _build_union_node(
+        self,
+        vlabel: str,
+        graph: GraphSchema,
+        tables: TableRegistry,
+        overlay: TableRegistry,
+    ) -> NodeSchema:
+        members = list(dict.fromkeys(vlabel.split("|")))
+        schemas = [graph.get_node(m) for m in members]
+        merged: dict[str, EntityProperty] = {}
+        for ns in schemas:
+            for p in (
+                EntityProperty(ns.id_property, ns.id_property_type),
+                *ns.properties,
+            ):
+                if p.name in ("__id", "__label"):
+                    raise TranspilerNotSupportedError(
+                        f"Node '{ns.label}' property '{p.name}' collides "
+                        "with tagged-union internals"
+                    )
+                prev = merged.get(p.name)
+                if prev is None:
+                    merged[p.name] = p
+                elif prev.data_type != p.data_type:
+                    raise TranspilerNotSupportedError(
+                        f"Property '{p.name}' has conflicting types across "
+                        f"(:{vlabel}) members: {prev.data_type} vs "
+                        f"{p.data_type}"
+                    )
+        parts = []
+        for m, ns in zip(members, schemas):
+            df = tables.get(ns.table)
+            own = {ns.id_property} | {p.name for p in ns.properties}
+            sel = [
+                self._ml_composite(m, ns.id_property).alias("__id"),
+                F.lit(m).alias("__label"),
+            ]
+            for name, p in merged.items():
+                if name in own:
+                    sel.append(F.col(name).alias(name))
+                else:
+                    sel.append(F.lit(None).cast(p.data_type).alias(name))
+            parts.append(df.select(sel))
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        vname = f"__mlnode_{vlabel}"
+        overlay.register_df(vname, union)
+        return NodeSchema(
+            vlabel,
+            vname,
+            "__id",
+            (EntityProperty("__label", "string"), *merged.values()),
+            id_property_type="string",
+            label_property="__label",
+        )
+
+    def _rewire_multilabel_hop(
+        self,
+        part,
+        ri: int,
+        node_i: int,
+        graph: GraphSchema,
+        tables: TableRegistry,
+        overlay: TableRegistry,
+        built_edges: dict,
+    ) -> None:
+        rel = part.rels[ri]
+        union_node = part.nodes[node_i]
+        other = part.nodes[ri + 1 if node_i == ri else ri]
+        vlabel = union_node.label
+        if other.label and "|" in other.label:
+            raise TranspilerNotSupportedError(
+                "A relationship between two label disjunctions is not "
+                "supported — label one endpoint"
+            )
+        if rel.verb is None or rel.alt_verbs or (rel.verb and "|" in rel.verb):
+            raise TranspilerNotSupportedError(
+                "A hop adjacent to a label disjunction needs exactly one "
+                "explicit relationship type"
+            )
+        if rel.min_hops is not None:
+            raise TranspilerNotSupportedError(
+                "Variable-length hops adjacent to a label disjunction are "
+                "not supported"
+            )
+        union_is_left = node_i == ri
+        # orientations the hop admits, as union_node_is_source flags
+        if rel.direction == A.Direction.EITHER:
+            orientations = (True, False)
+        elif (rel.direction == A.Direction.FORWARD) == union_is_left:
+            orientations = (True,)
+        else:
+            orientations = (False,)
+        members = list(dict.fromkeys(vlabel.split("|")))
+        # resolve each member x orientation to a concrete edge
+        resolved: list[tuple[str, EdgeSchema, bool]] = []  # (member, edge, member_is_source)
+        other_labels: set[str] = set()
+        for m in members:
+            for mem_src in orientations:
+                cands = graph.candidate_edges(
+                    rel.verb,
+                    m if mem_src else other.label,
+                    other.label if mem_src else m,
+                )
+                cands = [
+                    e
+                    for e in cands
+                    if (e.source_label if mem_src else e.sink_label) == m
+                ]
+                if len(cands) > 1:
+                    raise TranspilerNotSupportedError(
+                        f"Relationship type '{rel.verb}' is ambiguous for "
+                        f"(:{vlabel}) member '{m}' — label the other "
+                        "endpoint"
+                    )
+                if cands:
+                    e = cands[0]
+                    resolved.append((m, e, mem_src))
+                    other_labels.add(e.sink_label if mem_src else e.source_label)
+        if not resolved:
+            raise TranspilerNotSupportedError(
+                f"No edge named '{rel.verb}' connects any member of "
+                f"(:{vlabel}) to ({other.label or ''})"
+            )
+        if len(other_labels) != 1:
+            raise TranspilerNotSupportedError(
+                f"[:{rel.verb}] from (:{vlabel}) reaches different labels "
+                f"{sorted(other_labels)}; label the other endpoint"
+            )
+        other_label = other_labels.pop()
+        mode = "e" if rel.direction == A.Direction.EITHER else "d"
+        key = (rel.verb, vlabel, other_label, mode)
+        edge = built_edges.get(key)
+        if edge is None:
+            edge = self._build_multilabel_edge(
+                resolved, rel.verb, vlabel, other_label, mode, tables, overlay
+            )
+            built_edges[key] = edge
+        # rewrite the hop: union node is the virtual edge's source
+        rel.verb = edge.verb
+        rel.direction = (
+            A.Direction.FORWARD if union_is_left else A.Direction.BACKWARD
+        )
+        other.label = other_label
+
+    def _build_multilabel_edge(
+        self,
+        resolved: list[tuple[str, EdgeSchema, bool]],
+        verb: str,
+        vlabel: str,
+        other_label: str,
+        mode: str,
+        tables: TableRegistry,
+        overlay: TableRegistry,
+    ) -> EdgeSchema:
+        merged_props: dict[str, EntityProperty] = {}
+        for _m, e, _mem_src in resolved:
+            id_cols = {e.source_id_property, e.sink_id_property}
+            for p in e.properties:
+                if p.name in id_cols:
+                    continue
+                if p.name in ("__src", "__dst"):
+                    raise TranspilerNotSupportedError(
+                        f"Edge '{e.verb}' property '{p.name}' collides "
+                        "with union-edge internals"
+                    )
+                prev = merged_props.get(p.name)
+                if prev is None:
+                    merged_props[p.name] = p
+                elif prev.data_type != p.data_type:
+                    raise TranspilerNotSupportedError(
+                        f"Property '{p.name}' has conflicting types across "
+                        f"[:{verb}] member edges: {prev.data_type} vs "
+                        f"{p.data_type}"
+                    )
+        parts = []
+        other_types = set()
+        for m, e, mem_src in resolved:
+            df = tables.get(e.table)
+            m_col = e.source_id_property if mem_src else e.sink_id_property
+            o_col = e.sink_id_property if mem_src else e.source_id_property
+            other_types.add(
+                e.sink_id_property_type if mem_src else e.source_id_property_type
+            )
+            own = {p.name for p in e.properties} - {
+                e.source_id_property,
+                e.sink_id_property,
+            }
+            sel = [
+                self._ml_composite(m, m_col).alias("__src"),
+                F.col(o_col).alias("__dst"),
+            ]
+            for name, p in merged_props.items():
+                if name in own:
+                    sel.append(F.col(name).alias(name))
+                else:
+                    sel.append(F.lit(None).cast(p.data_type).alias(name))
+            parts.append(df.select(sel))
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        if len(other_types) != 1:
+            raise TranspilerNotSupportedError(
+                f"[:{verb}] member edges key ({other_label}) with "
+                f"conflicting id types {sorted(other_types)}"
+            )
+        # '+' not '|' in the internal verb — a '|' would re-trigger the
+        # [:A|B] multi-verb rewrite on the rewritten hop
+        vverb = f"__ML_{verb}_{vlabel.replace('|', '+')}_{other_label}_{mode}"
+        vname = f"__mledge_{vverb}"
+        overlay.register_df(vname, union)
+        return EdgeSchema(
+            verb=vverb,
+            source_label=vlabel,
+            sink_label=other_label,
+            table=vname,
+            source_id_property="__src",
+            sink_id_property="__dst",
+            properties=tuple(merged_props.values()),
+            source_id_property_type="string",
+            sink_id_property_type=other_types.pop(),
+            display_verb=verb,
+        )
 
     # -- multiple relationship types `[:A|B]` ------------------------------
     # The reference rejects type alternation outright

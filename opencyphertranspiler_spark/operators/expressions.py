@@ -623,6 +623,9 @@ class ExprCompiler:
         if expr.name == "labels":
             if ref.kind != "node":
                 raise TranspilerBindingError("labels() requires a node alias")
+            if ref.node.label_property is not None:
+                # `(n:A|B)` tagged-union node: per-row discriminator column
+                return F.array(qcol(ref.col(ref.node.label_property)))
             return F.array(F.lit(ref.node.label))
         if expr.name == "type":
             if ref.kind != "edge":

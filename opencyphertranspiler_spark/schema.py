@@ -84,6 +84,10 @@ class NodeSchema:
     # reference JSON dialect carries a real .NET type on IdProperty, so
     # to_json must round-trip it rather than hardcode System.String
     id_property_type: str = "string"
+    # tagged-union nodes (`(n:A|B)` label disjunction rewrite): the
+    # property column holding the concrete label of each row — drives
+    # labels(n). None for ordinary single-label nodes.
+    label_property: str | None = None
 
     @property
     def property_names(self) -> tuple[str, ...]:

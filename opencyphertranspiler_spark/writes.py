@@ -1975,6 +1975,12 @@ def execute_write(
     ast_query = parse(query, allow_writes=True)
     if isinstance(ast_query, A.UnionQuery):
         raise TranspilerNotSupportedError("UNION over a write query is not supported")
+    for _sq, _cl, part in engine._pattern_parts(ast_query):
+        if any(n.label and "|" in n.label for n in part.nodes):
+            raise TranspilerNotSupportedError(
+                "Label disjunction (n:A|B) is read-only — a tagged-union "
+                "node has no single backing table to write to"
+            )
     clauses = list(ast_query.clauses)
     if not any(isinstance(c, A.WriteClause) for c in clauses):
         raise TranspilerSyntaxError("cypher_write() requires a write clause")

@@ -1,0 +1,166 @@
+"""Label disjunction `(n:A|B)` (Neo4j 5, extension): tagged-union node
+scans with composite (label, id) identity, rewritten before planning
+(engine.py:_resolve_multi_label). DuckDB differentials on the TPC-H
+overlay at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+
+from opencyphertranspiler_spark.exceptions import (
+    TranspilerNotSupportedError,
+)
+
+
+def pairs(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_union_scan_and_labels(engine, duck):
+    got = pairs(
+        engine.cypher(
+            "MATCH (n:Customer|Supplier) RETURN labels(n)[0] AS l, count(*) AS c"
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                "SELECT 'Customer' AS l, count(*) AS c FROM customer "
+                "UNION ALL SELECT 'Supplier', count(*) FROM supplier"
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+
+
+def test_union_scan_null_padded_properties(engine, duck):
+    # s_name exists only on the Supplier member; Customer rows null-pad
+    got = engine.cypher(
+        """
+        MATCH (n:Customer|Supplier)
+        RETURN count(n.c_name) AS customers, count(n.s_name) AS suppliers,
+               count(*) AS total
+        """
+    ).collect()[0]
+    nc = duck.sql("SELECT count(*) FROM customer").fetchone()[0]
+    ns = duck.sql("SELECT count(*) FROM supplier").fetchone()[0]
+    assert (got.customers, got.suppliers, got.total) == (nc, ns, nc + ns)
+
+
+def test_union_hop_vs_duckdb(engine, duck):
+    # members' FROM_NATION edges union into one virtual hop; the
+    # unlabeled endpoint is inferred (both members reach Nation)
+    got = pairs(
+        engine.cypher(
+            """
+            MATCH (n:Customer|Supplier)-[r:FROM_NATION]->(x)
+            RETURN x.n_name AS nm, type(r) AS t, count(*) AS c
+            """
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                """
+                SELECT n_name AS nm, 'FROM_NATION' AS t, count(*) AS c
+                FROM (SELECT c_nationkey AS k FROM customer
+                      UNION ALL SELECT s_nationkey FROM supplier) u
+                JOIN nation ON n_nationkey = k
+                GROUP BY n_name
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+
+
+def test_union_hop_either_direction(engine, duck):
+    got = engine.cypher(
+        "MATCH (x:Nation)-[:FROM_NATION]-(n:Customer|Supplier) "
+        "RETURN count(*) AS c"
+    ).collect()[0].c
+    exp = duck.sql(
+        "SELECT (SELECT count(*) FROM customer) + "
+        "(SELECT count(*) FROM supplier)"
+    ).fetchone()[0]
+    assert got == exp
+
+
+def test_union_optional_match_count_semantics(engine, duck):
+    # OPTIONAL MATCH re-joins on the union node id: the composite
+    # (label, id) identity keeps counts right even though raw ids
+    # collide across the member tables
+    got = pairs(
+        engine.cypher(
+            """
+            MATCH (x:Nation)
+            OPTIONAL MATCH (n:Customer|Supplier)-[:FROM_NATION]->(x)
+            RETURN x.n_name AS nm, count(n) AS c, count(DISTINCT n) AS d
+            """
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                """
+                SELECT n_name AS nm, count(u.k) AS c, count(u.k) AS d
+                FROM nation LEFT JOIN (
+                  SELECT c_nationkey AS k FROM customer
+                  UNION ALL SELECT s_nationkey FROM supplier) u
+                ON u.k = n_nationkey
+                GROUP BY n_name
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+
+
+def test_union_where_and_member_filter(engine, duck):
+    # WHERE over the discriminator + a member-specific property
+    got = pairs(
+        engine.cypher(
+            """
+            MATCH (n:Customer|Supplier)
+            WHERE labels(n)[0] = 'Supplier' OR n.c_acctbal > 9000
+            RETURN labels(n)[0] AS l, count(*) AS c
+            """
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                """
+                SELECT 'Supplier' AS l, count(*) AS c FROM supplier
+                UNION ALL
+                SELECT 'Customer', count(*) FROM customer WHERE c_acctbal > 9000
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == [t for t in exp if t[1] > 0]
+
+
+def test_union_fences(engine):
+    with pytest.raises(TranspilerNotSupportedError, match="No edge"):
+        # Part has no FROM_NATION edge to Part
+        engine.cypher(
+            "MATCH (n:Customer|Part)-[:FROM_NATION]->(x:Part) "
+            "RETURN n.p_name AS p"
+        )
+    with pytest.raises(TranspilerNotSupportedError, match="two label"):
+        engine.cypher(
+            "MATCH (a:Customer|Supplier)-[:FROM_NATION]->(b:Nation|Region) "
+            "RETURN count(*) AS c"
+        )
+    with pytest.raises(TranspilerNotSupportedError, match="read-only"):
+        engine.cypher_write("MATCH (n:Customer|Supplier) SET n.c_name = 'x'")
+    with pytest.raises(TranspilerNotSupportedError, match="conjunction"):
+        engine.cypher("MATCH (n:Customer|Supplier:Part) RETURN count(*) AS c")
+    with pytest.raises(TranspilerNotSupportedError, match="relationship type"):
+        # verbless hop adjacent to a disjunction
+        engine.cypher("MATCH (n:Customer|Supplier)-->(x) RETURN count(*) AS c")
