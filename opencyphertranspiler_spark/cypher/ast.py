@@ -472,6 +472,10 @@ class CallSubqueryClause:
 
     query: "SingleQuery | UnionQuery"
     optional: bool = False
+    # `CALL (*) { ... }` (Neo4j 5.23): import EVERY outer variable the
+    # body references — the planner expands it against the outer scope
+    # (the parser cannot know it) into the ordinary import-WITH form
+    scope_star: bool = False
 
 
 @dataclass

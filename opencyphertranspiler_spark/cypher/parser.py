@@ -284,10 +284,25 @@ class Parser:
             # variable list is prepended as `WITH a, b` to every branch
             self.advance()
             if self.accept_punct("*"):
-                raise TranspilerNotSupportedError(
-                    "CALL (*) { } is not supported — import the needed "
-                    "variables explicitly: CALL (a, b) { ... }"
-                )
+                # `CALL (*) { }` (Neo4j 5.23): import every outer
+                # variable the body references. The scope isn't known
+                # until planning, so mark the clause and let plan_call
+                # expand it into the ordinary import-WITH form.
+                self.expect_punct(")")
+                if not self.cur.is_punct("{"):
+                    raise TranspilerSyntaxError(
+                        f"Expected {{ after CALL (*) at position "
+                        f"{self.cur.pos}, got {self.cur.value!r}"
+                    )
+                self.expect_punct("{")
+                inner: A.Query = self.parse_single_query()
+                while self.accept_kw("UNION"):
+                    all_ = bool(self.accept_kw("ALL"))
+                    inner = A.UnionQuery(
+                        inner, self.parse_single_query(), all_
+                    )
+                self.expect_punct("}")
+                return A.CallSubqueryClause(inner, scope_star=True)
             scope_vars = []
             if not self.cur.is_punct(")"):
                 scope_vars.append(self.expect_ident())
@@ -813,12 +828,8 @@ class Parser:
                     raise TranspilerSyntaxError(
                         f"Invalid variable-length range *{min_hops}..{max_hops}"
                     )
-                if min_hops == 0 and (unbounded or max_hops is None):
-                    raise TranspilerNotSupportedError(
-                        "*0.. without an upper bound is not supported — "
-                        "zero-length paths work on the bounded form "
-                        "(*0..m); unbounded reachability starts at 1 hop"
-                    )
+                # *0.. unbounded (round 8): reachability ∪ length-0
+                # identity pairs — handled by engine._resolve_unbounded
                 if not unbounded and max_hops > 8:
                     raise TranspilerNotSupportedError(
                         "Variable-length upper bound is limited to 8 hops"

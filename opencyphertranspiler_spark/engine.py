@@ -362,7 +362,11 @@ class CypherEngine:
             where = getattr(clause, "where", None)
             if where is not None:
                 exprs.append(where)
-            exprs.extend(e for _, e in getattr(clause, "items", []))
+            # projection items are (alias, expr) pairs; write clauses'
+            # .items are SetItem objects — skip those (their patterns are
+            # write targets, not rewrite candidates)
+            if isinstance(clause, A.ProjectionClause):
+                exprs.extend(e for _, e in clause.items)
             if isinstance(clause, A.UnwindClause):
                 exprs.append(clause.expr)
             for expr in exprs:
@@ -1199,6 +1203,28 @@ class CypherEngine:
                         # drop self-pairs (documented divergence: a true
                         # cycle through a node is not reported either)
                         sp = sp.filter(F.col("src") != F.col("dst"))
+                    if (
+                        rel.min_hops == 0
+                        and edge.source_label == edge.sink_label
+                    ):
+                        # shortestPath over *0.. (round 8): every node
+                        # reaches itself at distance 0, which beats any
+                        # cyclic self-pair the BFS found — replace
+                        # self-pairs with the identity set (witness path
+                        # = the single node)
+                        nsch0 = graph.get_node(edge.source_label)
+                        ident = tables.get(nsch0.table).select(
+                            F.col(nsch0.id_property).alias("src"),
+                            F.col(nsch0.id_property).alias("dst"),
+                            F.lit(0).cast("int").alias("dist"),
+                        )
+                        if need_nodes:
+                            ident = ident.withColumn(
+                                "nodes", F.array(F.col("src"))
+                            )
+                        sp = sp.filter(
+                            F.col("src") != F.col("dst")
+                        ).unionByName(ident)
                     out_cols = [
                         F.col("src").alias(edge.source_id_property),
                         F.col("dst").alias(edge.sink_id_property),
@@ -1233,9 +1259,29 @@ class CypherEngine:
                         "represent"
                     )
                 reach = self._reachability(
-                    edge, rel.min_hops, tables, anchor, graph,
+                    edge, max(rel.min_hops, 1), tables, anchor, graph,
                     edge_filter=edge_filter, filter_fp=fsuf,
                 )
+                if rel.min_hops == 0:
+                    # *0.. (round 8) = *1.. reachability ∪ length-0
+                    # identity pairs: every node of the (shared) endpoint
+                    # label trivially reaches itself — even isolated
+                    # nodes, and regardless of any inline map (a rel-less
+                    # path satisfies it vacuously). Differing endpoint
+                    # labels make the zero variant statically empty, so
+                    # *0.. degenerates to *1... The union dedups: a
+                    # cycle's a→a closure pair collides with identity.
+                    if edge.source_label == edge.sink_label:
+                        nsch = graph.get_node(edge.source_label)
+                        ident = tables.get(nsch.table).select(
+                            F.col(nsch.id_property).alias(
+                                edge.source_id_property
+                            ),
+                            F.col(nsch.id_property).alias(
+                                edge.sink_id_property
+                            ),
+                        )
+                        reach = reach.unionByName(ident).distinct()
                 vname = f"__reach_{rel.min_hops}_{edge.id}{asuf}"
                 # key the virtual verb by the full edge IDENTITY, not just
                 # the verb: one verb can back several (source, sink) label

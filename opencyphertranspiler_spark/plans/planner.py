@@ -1221,6 +1221,99 @@ class _SingleQueryPlanner:
 
     # -- CALL { subquery } -------------------------------------------------------
 
+    def _expand_scope_star(
+        self, piped: LogicalOp | None, clause: A.CallSubqueryClause
+    ) -> A.CallSubqueryClause:
+        """``CALL (*) { ... }`` (Neo4j 5.23): expand the star against the
+        outer scope into the ordinary import-WITH form — the imports are
+        the outer aliases the body actually references (an unreferenced
+        outer scalar must not trip the node-entity-import fence; a
+        referenced one fails it with the accurate typed error)."""
+        used = self._referenced_names(clause.query)
+        outer_env = piped.env if piped is not None else {}
+        imports = [a for a in outer_env if a in used and not a.startswith("__")]
+        if imports:
+
+            def singles(q):
+                if isinstance(q, A.UnionQuery):
+                    yield from singles(q.left)
+                    yield from singles(q.right)
+                else:
+                    yield q
+
+            for sq in singles(clause.query):
+                sq.clauses.insert(
+                    0,
+                    A.ProjectionClause(
+                        items=[(a, A.Variable(a)) for a in imports]
+                    ),
+                )
+        return A.CallSubqueryClause(clause.query, clause.optional)
+
+    @staticmethod
+    def _referenced_names(query) -> set[str]:
+        """Every variable/alias name a CALL body mentions — expressions,
+        pattern node/rel aliases, nested subqueries."""
+        names: set[str] = set()
+
+        def from_expr(e):
+            for n in e.walk():
+                if isinstance(n, A.Variable):
+                    names.add(n.name)
+                elif isinstance(
+                    n, (A.PatternPredicate, A.PatternComprehension)
+                ):
+                    from_part(n.part)
+                    w = getattr(n, "where", None)
+                    if w is not None:
+                        from_expr(w)
+
+        def from_part(part):
+            for nd in part.nodes:
+                if nd.alias:
+                    names.add(nd.alias)
+                for _k, v in nd.props:
+                    from_expr(v)
+                if nd.where is not None:
+                    from_expr(nd.where)
+            for rl in part.rels:
+                if rl.alias:
+                    names.add(rl.alias)
+                for _k, v in rl.props:
+                    from_expr(v)
+                w = getattr(rl, "where", None)
+                if w is not None:
+                    from_expr(w)
+
+        def from_single(sq):
+            for c in sq.clauses:
+                if isinstance(c, A.MatchClause):
+                    for p in c.patterns:
+                        from_part(p)
+                    if c.where is not None:
+                        from_expr(c.where)
+                elif isinstance(c, A.ProjectionClause):
+                    for _a, e in c.items:
+                        from_expr(e)
+                    if c.where is not None:
+                        from_expr(c.where)
+                    for si in c.order_by:
+                        from_expr(si.expr)
+                elif isinstance(c, A.UnwindClause):
+                    from_expr(c.expr)
+                elif isinstance(c, A.CallSubqueryClause):
+                    walk_query(c.query)
+
+        def walk_query(q):
+            if isinstance(q, A.UnionQuery):
+                walk_query(q.left)
+                walk_query(q.right)
+            else:
+                from_single(q)
+
+        walk_query(query)
+        return names
+
     def plan_call(
         self, piped: LogicalOp | None, clause: A.CallSubqueryClause
     ) -> LogicalOp:
@@ -1249,6 +1342,8 @@ class _SingleQueryPlanner:
         LIMIT inside a correlated subquery (per-outer-row windows),
         correlated UNION (an import WITH in any branch), rebinding an
         import alias."""
+        if clause.scope_star:
+            clause = self._expand_scope_star(piped, clause)
         if isinstance(clause.query, A.UnionQuery):
             flat: list[tuple[A.SingleQuery, bool]] = []
 

@@ -1664,9 +1664,9 @@ class WriteExecutor:
         left, rel, right = next(part.hops())
         if rel.direction == A.Direction.EITHER:
             raise TranspilerSyntaxError("MERGE relationships require a direction")
-        if rel.verb is None or rel.min_hops is not None or rel.alt_verbs:
+        if rel.verb is None or rel.min_hops is not None:
             raise TranspilerSyntaxError(
-                "MERGE supports single-hop, single-type relationships"
+                "MERGE supports single-hop typed relationships"
             )
         if rel.direction == A.Direction.BACKWARD:
             src_n, snk_n = right, left
@@ -1698,12 +1698,41 @@ class WriteExecutor:
 
         src_label, src_key = endpoint(src_n)
         snk_label, snk_key = endpoint(snk_n)
-        e = self.graph.try_get_edge(rel.verb, src_label, snk_label)
-        if e is None:
-            raise TranspilerBindingError(
-                f"MERGE relationship [:{rel.verb}] between {src_label} and "
-                f"{snk_label} has no edge schema; declare it first"
-            )
+        # multi-type MERGE `[r:A|B]` (round 8; documented divergence —
+        # Neo4j rejects type alternation on MERGE): a pair MATCHES when
+        # ANY member table holds it; a missing pair is CREATED as the
+        # FIRST listed type. ON MATCH SET routes to each member table the
+        # pair matched in; ON CREATE SET lands on the created (first
+        # member) rows.
+        members: list[EdgeSchema] = []
+        for v in [rel.verb, *rel.alt_verbs]:
+            m = self.graph.try_get_edge(v, src_label, snk_label)
+            if m is None:
+                raise TranspilerBindingError(
+                    f"MERGE relationship [:{v}] between {src_label} and "
+                    f"{snk_label} has no edge schema; declare it first"
+                )
+            members.append(m)
+        e = members[0]
+        if len(members) > 1:
+            for m in members:
+                if _owner_of_edge(self.graph, m) is not None:
+                    raise TranspilerNotSupportedError(
+                        "Multi-type MERGE members must be standalone edge "
+                        f"tables; [:{m.verb}] is FK-embedded"
+                    )
+            for p, _x in rel.props:
+                missing = [
+                    m.verb
+                    for m in members
+                    if p not in self._get_table(m.table).columns
+                ]
+                if missing:
+                    raise TranspilerNotSupportedError(
+                        f"Multi-type MERGE property '{p}' must exist in "
+                        f"every member table (missing in {missing}) — it "
+                        "participates in the match condition"
+                    )
         _no_aggregates([x for _, x in rel.props])
         _no_aggregates([i.expr for i in clause.on_create + clause.on_match])
 
@@ -1722,7 +1751,10 @@ class WriteExecutor:
                     "ON CREATE/ON MATCH SET must target the MERGE "
                     "relationship alias"
                 )
-            if item.prop in (e.source_id_property, e.sink_id_property):
+            if any(
+                item.prop in (m.source_id_property, m.sink_id_property)
+                for m in members
+            ):
                 raise TranspilerNotSupportedError(
                     "SET on a relationship key column is not supported"
                 )
@@ -1770,6 +1802,55 @@ class WriteExecutor:
                 )
             else:
                 cand = cand.distinct()
+            if len(members) > 1:
+                # multi-type: match-in-any-member, create-as-first-member
+                def member_cond(tbl_m, m, cdf):
+                    c = (tbl_m[m.source_id_property] == cdf["__ms"]) & (
+                        tbl_m[m.sink_id_property] == cdf["__mk"]
+                    )
+                    dt_m = dict(tbl_m.dtypes)
+                    for p, v in rprop_cols.items():
+                        c = c & tbl_m[p].eqNullSafe(
+                            F.col(v).cast(dt_m.get(p, "string"))
+                        )
+                    return c
+
+                to_create = cand
+                for m in members:
+                    tbl_m = self._get_table(m.table)
+                    if om_cols:
+                        matched_m = cand.join(
+                            tbl_m, member_cond(tbl_m, m, cand), "left_semi"
+                        ).select(
+                            "__ms", "__mk", *[F.col(v) for _, v in om_cols]
+                        )
+                        self._apply_update(
+                            m.table,
+                            (m.source_id_property, m.sink_id_property),
+                            ("__ms", "__mk"),
+                            om_cols,
+                            matched_m,
+                        )
+                    to_create = to_create.join(
+                        tbl_m, member_cond(tbl_m, m, to_create), "left_anti"
+                    )
+                cols = {
+                    e.source_id_property: "__ms",
+                    e.sink_id_property: "__mk",
+                }
+                cols.update(rprop_cols)
+                for p, v in oc_cols:
+                    cols[p] = v
+                new_rows = to_create.select(
+                    *[F.col(v).alias(p) for p, v in cols.items()]
+                )
+                tbl2 = self._get_table(e.table)  # post ON-MATCH update
+                for p, v in cols.items():
+                    if p not in tbl2.columns:
+                        self._record_new_prop(e.table, p, to_create, v)
+                self.tables[e.table] = self._align_new_rows(tbl2, new_rows)
+                self._count_into("relationships_created", new_rows)
+                return
             tbl = self._get_table(e.table)
             dtypes = dict(tbl.dtypes)
             if owner is None:

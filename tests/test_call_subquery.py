@@ -576,17 +576,40 @@ def test_call_scope_clause_empty_and_union(engine):
     assert got.rows == 2
 
 
-def test_call_scope_clause_star_fence(engine):
+def test_call_scope_clause_star(engine):
+    """`CALL (*)` (round 8): expands to the outer aliases the body
+    references — here none, so the subquery is uncorrelated (cross)."""
+    got = engine.cypher(
+        "MATCH (c:Customer) WHERE c.c_custkey <= 3 "
+        "CALL (*) { MATCH (n:Nation) RETURN count(n) AS x } "
+        "RETURN count(*) AS rows, min(x) AS x"
+    ).collect()[0]
+    assert tuple(got) == (4, 25)
+    # referenced outer node -> correlated, same as the explicit import
+    star = engine.cypher(
+        "MATCH (c:Customer) WHERE c.c_custkey <= 20 "
+        "CALL (*) { MATCH (c)-[:PLACED]->(o:Orders) RETURN count(o) AS n } "
+        "RETURN c.c_custkey AS k, n"
+    ).collect()
+    expl = engine.cypher(
+        "MATCH (c:Customer) WHERE c.c_custkey <= 20 "
+        "CALL (c) { MATCH (c)-[:PLACED]->(o:Orders) RETURN count(o) AS n } "
+        "RETURN c.c_custkey AS k, n"
+    ).collect()
+    assert sorted(map(tuple, star)) == sorted(map(tuple, expl))
+    # a referenced outer SCALAR keeps the node-entity-import typed fence
     import pytest
 
     from opencyphertranspiler_spark.exceptions import (
         TranspilerNotSupportedError,
     )
 
-    with pytest.raises(TranspilerNotSupportedError, match=r"CALL \(\*\)"):
+    with pytest.raises(TranspilerNotSupportedError, match="node-entity"):
         engine.cypher(
-            "MATCH (c:Customer) CALL (*) { MATCH (n:Nation) "
-            "RETURN n.n_name AS x } RETURN x"
+            "MATCH (c:Customer) WITH c, 5 AS t "
+            "CALL (*) { MATCH (c)-[:PLACED]->(o:Orders) "
+            "WHERE o.o_orderkey > t RETURN count(o) AS n } "
+            "RETURN count(*) AS x"
         )
 
 

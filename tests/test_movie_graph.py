@@ -426,15 +426,76 @@ def test_zero_length_cross_label_and_fences(movie_engine):
         "RETURN m.Title AS t"
     )
     assert sorted(r.t for r in df.collect()) == ["Apollo 13"]
-    with pytest.raises(TranspilerNotSupportedError, match="upper bound"):
-        movie_engine.cypher(
-            "MATCH (a:Person)-[:FOLLOWS*0..]->(b:Person) RETURN a.Name AS n"
-        )
     with pytest.raises(TranspilerNotSupportedError, match="pattern variable"):
         movie_engine.cypher(
             "MATCH p = (a:Person)-[:FOLLOWS*0..1]->(b:Person) "
             "RETURN length(p) AS l"
         )
+
+
+def test_zero_length_unbounded(movie_engine):
+    """*0.. unbounded (round 8): reachability ∪ length-0 identity pairs.
+    FOLLOWS closure is 7 pairs (Meg/Bill→Tom; Rob→Nora,Meg,Tom;
+    Nora→Meg,Tom) + 5 identity pairs."""
+    got = rows(
+        movie_engine.cypher(
+            "MATCH (a:Person)-[:FOLLOWS*0..]->(b:Person) "
+            "RETURN a.Name AS a, b.Name AS b"
+        )
+    )
+    closure = rows(
+        movie_engine.cypher(
+            "MATCH (a:Person)-[:FOLLOWS*]->(b:Person) "
+            "RETURN a.Name AS a, b.Name AS b"
+        )
+    )
+    people = {r.Name for r in movie_engine.cypher(
+        "MATCH (p:Person) RETURN p.Name AS Name").collect()}
+    assert got == closure | {(n, n) for n in people}
+    assert len(got) == 12
+    # cross-label *0..: the zero variant is statically empty -> pure *1..
+    got = rows(
+        movie_engine.cypher(
+            "MATCH (a:Person)-[:DIRECTED*0..]->(m:Movie) "
+            "RETURN a.Name AS a, m.Title AS t"
+        )
+    )
+    one = rows(
+        movie_engine.cypher(
+            "MATCH (a:Person)-[:DIRECTED*]->(m:Movie) "
+            "RETURN a.Name AS a, m.Title AS t"
+        )
+    )
+    assert got == one and got
+    # anchored *0..: the anchor predicate still applies to the zero pair
+    got = sorted(
+        r.b
+        for r in movie_engine.cypher(
+            "MATCH (a:Person {Name: 'Rob Reiner'})-[:FOLLOWS*0..]->(b) "
+            "RETURN b.Name AS b"
+        ).collect()
+    )
+    assert got == ["Meg Ryan", "Nora Ephron", "Rob Reiner", "Tom Hanks"]
+
+
+def test_shortest_path_zero_length(movie_engine):
+    # shortestPath over *0..: self-pairs at distance 0 beat any cycle
+    got = {
+        (r.a, r.b): r.l
+        for r in movie_engine.cypher(
+            "MATCH p = shortestPath((a:Person)-[:FOLLOWS*0..]->(b:Person)) "
+            "RETURN a.Name AS a, b.Name AS b, length(p) AS l"
+        ).collect()
+    }
+    assert len(got) == 12
+    assert all(l == 0 for (a, b), l in got.items() if a == b)
+    assert got[("Rob Reiner", "Tom Hanks")] == 3
+    # witness node-id array for the zero-length path is the single node
+    one = movie_engine.cypher(
+        "MATCH p = shortestPath((a:Person {Name: 'Meg Ryan'})-[:FOLLOWS*0..]->"
+        "(b:Person {Name: 'Meg Ryan'})) RETURN nodes(p) AS ns, id(a) AS i"
+    ).collect()
+    assert len(one) == 1 and one[0].ns == [one[0].i]
 
 
 def test_zero_length_mismatched_labels_with_continuation(movie_engine):

@@ -1439,6 +1439,86 @@ def test_multi_type_rel_write_flipped_member(movie_weng):
     ) == {("p3", "m3")}
 
 
+def test_multi_type_rel_merge_matches_any_creates_first(movie_weng):
+    """Multi-type MERGE (round 8; documented divergence — Neo4j rejects
+    type alternation on MERGE): a (src, snk) pair matches when ANY member
+    table holds it; missing pairs are created as the FIRST listed type.
+    ON MATCH routes to the member table the pair matched in; ON CREATE
+    lands on the created rows."""
+    res = movie_weng.cypher_write(
+        """
+        MATCH (p:Person), (m:Movie)
+        WHERE (p.id = 'p1' AND m.id = 'm1')    // exists in acted_in
+           OR (p.id = 'p4' AND m.id = 'm1')    // exists in directed
+           OR (p.id = 'p5' AND m.id = 'm2')    // exists in neither
+        MERGE (p)-[r:ACTED_IN|DIRECTED]->(m)
+        ON MATCH SET r.seen = true
+        ON CREATE SET r.fresh = true
+        """
+    )
+    assert res.counts()["relationships_created"] == 1
+    acted, directed = res.table("acted_in"), res.table("directed")
+    # created as the FIRST listed member type only
+    assert rows(acted.filter("fresh").select("_vertexId", "_sink")) == {
+        ("p5", "m2")
+    }
+    assert "fresh" not in directed.columns
+    # ON MATCH routed to each member table that held the pair
+    assert rows(acted.filter("seen").select("_vertexId", "_sink")) == {
+        ("p1", "m1")
+    }
+    assert rows(directed.filter("seen").select("_vertexId", "_sink")) == {
+        ("p4", "m1")
+    }
+    # no duplicate rows appended for matched pairs
+    assert acted.count() == 7 and directed.count() == 3
+
+
+def test_multi_type_rel_merge_idempotent_and_counts(movie_weng):
+    res = movie_weng.cypher_write(
+        """
+        MATCH (p:Person {id: 'p5'}), (m:Movie {id: 'm2'})
+        MERGE (p)-[:ACTED_IN|DIRECTED]->(m)
+        """
+    )
+    assert res.counts()["relationships_created"] == 1
+    # re-running over the post-write tables matches (either member) -> 0
+    res2 = res.engine().cypher_write(
+        """
+        MATCH (p:Person {id: 'p5'}), (m:Movie {id: 'm2'})
+        MERGE (p)-[:ACTED_IN|DIRECTED]->(m)
+        """
+    )
+    assert res2.counts()["relationships_created"] == 0
+    # a pair held by the SECOND member also matches (p4 directed m2)
+    res3 = movie_weng.cypher_write(
+        """
+        MATCH (p:Person {id: 'p4'}), (m:Movie {id: 'm2'})
+        MERGE (p)-[:ACTED_IN|DIRECTED]->(m)
+        """
+    )
+    assert res3.counts()["relationships_created"] == 0
+    assert res3.table("acted_in").count() == 6
+
+
+def test_multi_type_rel_merge_prop_must_exist_everywhere(movie_weng):
+    import pytest
+
+    from opencyphertranspiler_spark.exceptions import (
+        TranspilerNotSupportedError,
+    )
+
+    # Roles exists only in acted_in, not directed — it participates in
+    # the match condition, so the fence is typed and explicit
+    with pytest.raises(TranspilerNotSupportedError, match="member table"):
+        movie_weng.cypher_write(
+            """
+            MATCH (p:Person {id: 'p1'}), (m:Movie {id: 'm1'})
+            MERGE (p)-[:ACTED_IN|DIRECTED {Roles: 'Sam'}]->(m)
+            """
+        )
+
+
 # ---------------------------------------------------------------------------
 # double-compile safety: engine rewrites must not leak into the second
 # compile of one statement (round 7 — _run_ast_env deep-copies the AST)
