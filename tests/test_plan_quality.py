@@ -533,3 +533,37 @@ def test_explain_combines_logical_and_physical(engine):
     assert "Scan parquet" in out
     # rewrite pipeline runs: a procedure query dumps too
     assert "Unwind" in engine.explain_plan("CALL db.labels()")
+
+
+def test_label_disjunction_pushdown_through_union(spark, engine):
+    # (n:A|B) tagged-union scan: a member-specific predicate must be
+    # pushed through the unionByName into THAT member's parquet scan, and
+    # the whole fabric must stay equi-join (no cartesian) — the shape
+    # that survives 100 TB
+    df = engine.cypher(
+        """
+        MATCH (n:Customer|Supplier)-[:FROM_NATION]->(x:Nation)
+        WHERE n.c_acctbal > 5000 OR labels(n)[0] = 'Supplier'
+        RETURN x.n_name AS nation, labels(n)[0] AS kind, count(*) AS members
+        """
+    )
+    plan = formatted_plan(spark, df)
+    assert "GreaterThan(c_acctbal,5000.0)" in plan, "pushdown through Union"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zero_length_unbounded_no_cartesian(spark, engine):
+    # *0..: reachability ∪ identity pairs must stay equi-join end-to-end
+    from opencyphertranspiler_spark.catalog import _next_order_engine
+
+    from .conftest import SF_DIR
+
+    eng = _next_order_engine(spark, SF_DIR)
+    df = eng.cypher(
+        "MATCH (a:Orders)-[:NEXT*0..]->(b:Orders) "
+        "RETURN count(*) AS n"
+    )
+    plan = formatted_plan(spark, df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
