@@ -1153,7 +1153,10 @@ class CypherEngine:
             # endpoint pairs, so the witness is the canonical
             # representative.
             use_witness = getattr(part, "shortest", False) or (
-                part.path_alias is not None and rel.min_hops == 1
+                # round 8: *0.. path vars ride the witness machinery too —
+                # the zero-union below yields the dist-0 identity rows, so
+                # length(p)=0 and nodes(p)=[n] for the self-pairs
+                part.path_alias is not None and rel.min_hops in (0, 1)
             )
             if use_witness:
                 # shortestPath(): the virtual edge carries the true hop
@@ -1246,16 +1249,17 @@ class CypherEngine:
                     )
             else:
                 if part.path_alias is not None:
-                    # only min_hops 0 / >=2 land here (min_hops=1 took
-                    # the witness branch above): dist-0 self-paths and
-                    # longer-than-shortest witness constraints have no
-                    # canonical representative in the pair model
+                    # only min_hops >= 2 lands here (0 and 1 take the
+                    # witness branch above): a longer-than-shortest
+                    # witness constraint has no canonical representative
+                    # in the pair model — the shortest path for a pair
+                    # may be below n even when an n+-hop path exists
                     raise TranspilerNotSupportedError(
                         "A pattern variable over an unbounded "
                         f"*{rel.min_hops}.. pattern is only supported "
-                        "for *1.. (plain [:V*]) or shortestPath() — "
-                        "the endpoint-pair model binds one witness path "
-                        "per pair, which *0.. / *n.. (n>=2) cannot "
+                        "for *0.. / *1.. (plain [:V*]) or shortestPath() "
+                        "— the endpoint-pair model binds one witness "
+                        "path per pair, which *n.. (n>=2) cannot "
                         "represent"
                     )
                 reach = self._reachability(

@@ -478,6 +478,27 @@ def test_zero_length_unbounded(movie_engine):
     assert got == ["Meg Ryan", "Nora Ephron", "Rob Reiner", "Tom Hanks"]
 
 
+def test_path_var_over_zero_unbounded(movie_engine):
+    # round 8: a path variable over plain *0.. rides the witness
+    # machinery — length 0 with a single-node witness for the self-pairs
+    got = {
+        (r.a, r.b): r.l
+        for r in movie_engine.cypher(
+            "MATCH p = (a:Person)-[:FOLLOWS*0..]->(b:Person) "
+            "RETURN a.Name AS a, b.Name AS b, length(p) AS l"
+        ).collect()
+    }
+    assert len(got) == 12
+    assert all(l == 0 for (a, b), l in got.items() if a == b)
+    assert got[("Rob Reiner", "Tom Hanks")] == 3
+    # *n.. (n>=2) path vars keep the typed fence
+    with pytest.raises(TranspilerNotSupportedError, match="n>=2"):
+        movie_engine.cypher(
+            "MATCH p = (a:Person)-[:FOLLOWS*2..]->(b:Person) "
+            "RETURN length(p) AS l"
+        )
+
+
 def test_shortest_path_zero_length(movie_engine):
     # shortestPath over *0..: self-pairs at distance 0 beat any cycle
     got = {
