@@ -727,22 +727,44 @@ CATALOG += [
     # type(r) discriminator, engine.py:_resolve_multi_verb ----
     CatalogEntry(
         name="q37_multi_rel_types",
+        # one gate slot, BOTH alternation families (driver cap is 50
+        # entries — merged in round 8 rather than appended past it):
+        # branch 1 = relationship-type alternation [r:A|B] (virtual union
+        # EDGE, per-row __type drives type(r)); branch 2 = label
+        # disjunction (n:A|B) (round 8: tagged-union NODE scan, composite
+        # (label, id) identity, __label drives labels(n), null-padded
+        # member properties under coalesce)
         cypher="""
             MATCH (c:Customer)-[r:PLACED_URGENT|PLACED_NORMAL]->(o:Orders)
             WHERE c.c_mktsegment = 'MACHINERY'
-            RETURN type(r) AS rel_type, count(*) AS n,
+            RETURN type(r) AS kind, count(*) AS n,
                    round(sum(o.o_totalprice), 2) AS total
+            UNION ALL
+            MATCH (m:Customer|Supplier)-[:FROM_NATION]->(x:Nation)
+            WHERE m.c_acctbal > 5000 OR labels(m)[0] = 'Supplier'
+            RETURN x.n_name + '/' + labels(m)[0] AS kind, count(*) AS n,
+                   round(sum(coalesce(m.c_acctbal, m.s_acctbal)), 2) AS total
         """,
         oracle="""
             SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 'PLACED_URGENT' ELSE 'PLACED_NORMAL' END AS rel_type,
+                        THEN 'PLACED_URGENT' ELSE 'PLACED_NORMAL' END AS kind,
                    count(*) AS n, round(sum(o.o_totalprice), 2) AS total
             FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
             WHERE c.c_mktsegment = 'MACHINERY'
             GROUP BY 1
+            UNION ALL
+            SELECT n_name || '/' || k AS kind, count(*) AS n,
+                   round(sum(b), 2) AS total
+            FROM (
+                SELECT c_nationkey AS nk, 'Customer' AS k, c_acctbal AS b
+                FROM customer WHERE c_acctbal > 5000
+                UNION ALL
+                SELECT s_nationkey, 'Supplier', s_acctbal FROM supplier
+            ) u JOIN nation ON n_nationkey = u.nk
+            GROUP BY n_name, k
         """,
         bench=True,
-        tags=("match", "multi-rel-types", "union-edge"),
+        tags=("match", "multi-rel-types", "union-edge", "label-disjunction"),
     ),
     # ---- unbounded variable-length [:V*] (extension; reference rejects at
     # CypherVisitor.cs:2035-2039): engine rewrites to reachability over an
@@ -862,34 +884,6 @@ CATALOG += [
             )
         """,
         tags=("entity-projection", "struct"),
-    ),
-    # ---- label disjunction `(n:A|B)` (round 8 extension; Neo4j 5) ----
-    CatalogEntry(
-        name="q46_label_disjunction",
-        # tagged-union node scan (engine.py:_resolve_multi_label):
-        # members union with composite (label, id) identity + __label
-        # discriminator; the FROM_NATION hop unions both members' edges;
-        # labels(n) reads the discriminator; member-specific properties
-        # null-pad (coalesce picks whichever side exists)
-        cypher="""
-            MATCH (n:Customer|Supplier)-[:FROM_NATION]->(x:Nation)
-            WHERE n.c_acctbal > 5000 OR labels(n)[0] = 'Supplier'
-            RETURN x.n_name AS nation, labels(n)[0] AS kind,
-                   count(*) AS members,
-                   round(sum(coalesce(n.c_acctbal, n.s_acctbal)), 2) AS bal
-        """,
-        oracle="""
-            SELECT n_name AS nation, kind, count(*) AS members,
-                   round(sum(b), 2) AS bal
-            FROM (
-                SELECT c_nationkey AS k, 'Customer' AS kind, c_acctbal AS b
-                FROM customer WHERE c_acctbal > 5000
-                UNION ALL
-                SELECT s_nationkey, 'Supplier', s_acctbal FROM supplier
-            ) u JOIN nation ON n_nationkey = u.k
-            GROUP BY n_name, kind
-        """,
-        tags=("label-disjunction", "tagged-union"),
     ),
     # ---- CALL { } subqueries (extension; the reference rejects CALL):
     # correlated form decorrelated by threading the imported node through

@@ -164,3 +164,100 @@ def test_union_fences(engine):
     with pytest.raises(TranspilerNotSupportedError, match="relationship type"):
         # verbless hop adjacent to a disjunction
         engine.cypher("MATCH (n:Customer|Supplier)-->(x) RETURN count(*) AS c")
+
+
+# ---------------------------------------------------------------------------
+# differential fuzz: random member sets + random predicate trees over the
+# tagged union, vs a compositional DuckDB oracle where a property absent
+# from a member renders as a typed SQL NULL — exact 3VL parity by
+# construction (round 8)
+# ---------------------------------------------------------------------------
+
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+
+# label -> (table, [(numeric property, sql type)...])
+MEMBERS = {
+    "Customer": ("customer", [("c_acctbal", "DOUBLE")]),
+    "Supplier": ("supplier", [("s_acctbal", "DOUBLE")]),
+    "Part": ("part", [("p_size", "INTEGER"), ("p_retailprice", "DOUBLE")]),
+    "Orders": ("orders", [("o_totalprice", "DOUBLE")]),
+    "Nation": ("nation", [("n_nationkey", "BIGINT")]),
+}
+
+
+@st.composite
+def disjunction_case(draw):
+    labels = draw(
+        st.lists(
+            st.sampled_from(sorted(MEMBERS)), min_size=2, max_size=3, unique=True
+        )
+    )
+
+    # predicate tree nodes render to (cypher, {member -> sql})
+    def atom():
+        kind = draw(st.integers(0, 1))
+        if kind == 0:
+            owner = draw(st.sampled_from(labels))
+            prop, sqlt = draw(st.sampled_from(MEMBERS[owner][1]))
+            cmp_op = draw(st.sampled_from([">", "<", ">=", "<=", "<>"]))
+            v = draw(st.integers(0, 9000))
+            cy = f"n.{prop} {cmp_op} {v}"
+            sql = {
+                m: (
+                    f"({prop} {cmp_op} {v})"
+                    if any(p == prop for p, _ in MEMBERS[m][1])
+                    else f"(CAST(NULL AS {sqlt}) {cmp_op} {v})"
+                )
+                for m in labels
+            }
+            return cy, sql
+        tgt = draw(st.sampled_from(labels))
+        cy = f"labels(n)[0] = '{tgt}'"
+        sql = {m: ("TRUE" if m == tgt else "FALSE") for m in labels}
+        return cy, sql
+
+    def tree(depth=0):
+        if depth >= 2 or draw(st.booleans()):
+            return atom()
+        op = draw(st.sampled_from(["AND", "OR"]))
+        a_cy, a_sql = tree(depth + 1)
+        b_cy, b_sql = tree(depth + 1)
+        if draw(st.booleans()):
+            return (
+                f"NOT (({a_cy}) {op} ({b_cy}))",
+                {m: f"NOT (({a_sql[m]}) {op} ({b_sql[m]}))" for m in labels},
+            )
+        return (
+            f"({a_cy}) {op} ({b_cy})",
+            {m: f"({a_sql[m]}) {op} ({b_sql[m]})" for m in labels},
+        )
+
+    pred_cy, pred_sql = tree()
+    cy = (
+        f"MATCH (n:{'|'.join(labels)}) WHERE {pred_cy} "
+        "RETURN labels(n)[0] AS l, count(*) AS c"
+    )
+    branches = " UNION ALL ".join(
+        f"SELECT '{m}' AS l, count(*) AS c FROM {MEMBERS[m][0]} "
+        f"WHERE {pred_sql[m]}"
+        for m in labels
+    )
+    sql = f"SELECT l, c FROM ({branches}) u WHERE c > 0"
+    return cy, sql
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(case=disjunction_case())
+def test_disjunction_fabric_vs_duckdb(engine, duck, case):
+    cy, sql = case
+    got = sorted(map(tuple, engine.cypher(cy).collect()))
+    exp = sorted(map(tuple, duck.sql(sql).fetchall()))
+    assert got == exp, f"\ncypher: {cy}\nsql: {sql}"
