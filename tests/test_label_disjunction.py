@@ -5,6 +5,12 @@ overlay at sf0.001."""
 
 from __future__ import annotations
 
+# fuzz budget scales with SPARK_GRAFT_FUZZ_SCALE (default 1) — CI runs the
+# cheap default; an extended hunt runs e.g. SPARK_GRAFT_FUZZ_SCALE=20
+import os as _os
+
+_FUZZ_SCALE = int(_os.environ.get("SPARK_GRAFT_FUZZ_SCALE", "1"))
+
 import pytest
 
 from opencyphertranspiler_spark.exceptions import (
@@ -248,7 +254,7 @@ def disjunction_case(draw):
 
 
 @settings(
-    max_examples=15,
+    max_examples=15 * _FUZZ_SCALE,
     deadline=None,
     suppress_health_check=[
         HealthCheck.too_slow,
@@ -261,3 +267,78 @@ def test_disjunction_fabric_vs_duckdb(engine, duck, case):
     got = sorted(map(tuple, engine.cypher(cy).collect()))
     exp = sorted(map(tuple, duck.sql(sql).fetchall()))
     assert got == exp, f"\ncypher: {cy}\nsql: {sql}"
+
+
+def test_union_inside_pattern_comprehension(engine, duck):
+    # the tagged union works in expression-embedded patterns too — the
+    # per-nation member degree via a pattern comprehension
+    got = pairs(
+        engine.cypher(
+            """
+            MATCH (x:Nation)
+            RETURN x.n_name AS nm,
+                   size([(n:Customer|Supplier)-[:FROM_NATION]->(x) | 1]) AS deg
+            """
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                """
+                SELECT n_name AS nm,
+                       (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey)
+                     + (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) AS deg
+                FROM nation
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+
+
+def test_union_inside_exists_subquery(engine, duck):
+    got = engine.cypher(
+        """
+        MATCH (x:Nation)
+        WHERE EXISTS { MATCH (n:Customer|Supplier)-[:FROM_NATION]->(x)
+                       WHERE n.s_acctbal > 4000 }
+        RETURN count(*) AS c
+        """
+    ).collect()[0].c
+    exp = duck.sql(
+        "SELECT count(*) FROM nation WHERE EXISTS ("
+        "SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey "
+        "AND s_acctbal > 4000)"
+    ).fetchone()[0]
+    assert got == exp and got > 0
+
+
+def test_union_optional_side_with_member_filter(engine, duck):
+    got = pairs(
+        engine.cypher(
+            """
+            MATCH (x:Nation)
+            OPTIONAL MATCH (n:Customer|Supplier)-[:FROM_NATION]->(x)
+            WHERE n.c_acctbal > 9000 OR n.s_acctbal > 4000
+            RETURN x.n_name AS nm, count(n) AS c
+            """
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                """
+                SELECT n_name AS nm, count(u.k) AS c
+                FROM nation LEFT JOIN (
+                    SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000
+                    UNION ALL
+                    SELECT s_nationkey FROM supplier WHERE s_acctbal > 4000
+                ) u ON u.k = n_nationkey
+                GROUP BY n_name
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == exp

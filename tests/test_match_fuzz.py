@@ -11,6 +11,12 @@ the hand-written catalog shapes. Bounded examples keep the suite cheap."""
 
 from __future__ import annotations
 
+# fuzz budget scales with SPARK_GRAFT_FUZZ_SCALE (default 1) — CI runs the
+# cheap default; an extended hunt runs e.g. SPARK_GRAFT_FUZZ_SCALE=20
+import os as _os
+
+_FUZZ_SCALE = int(_os.environ.get("SPARK_GRAFT_FUZZ_SCALE", "1"))
+
 import hypothesis.strategies as st
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -191,7 +197,7 @@ def fuzz_duck():
 
 
 @settings(
-    max_examples=12,
+    max_examples=12 * _FUZZ_SCALE,
     deadline=None,
     suppress_health_check=[
         HealthCheck.too_slow,

@@ -7,6 +7,12 @@ string +, pow, CASE, 3VL logic) far beyond the hand-written catalog."""
 
 from __future__ import annotations
 
+# fuzz budget scales with SPARK_GRAFT_FUZZ_SCALE (default 1) — CI runs the
+# cheap default; an extended hunt runs e.g. SPARK_GRAFT_FUZZ_SCALE=20
+import os as _os
+
+_FUZZ_SCALE = int(_os.environ.get("SPARK_GRAFT_FUZZ_SCALE", "1"))
+
 import hypothesis.strategies as st
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -105,7 +111,7 @@ def fuzz_env(spark, duck):
 
 
 @settings(
-    max_examples=30,
+    max_examples=30 * _FUZZ_SCALE,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -120,7 +126,7 @@ def test_random_expressions_match_duckdb(fuzz_env, exprs):
 
 
 @settings(
-    max_examples=20,
+    max_examples=20 * _FUZZ_SCALE,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -229,7 +235,7 @@ def list_scalar_expr(draw):
 
 
 @settings(
-    max_examples=40,
+    max_examples=40 * _FUZZ_SCALE,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )

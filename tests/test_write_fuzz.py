@@ -8,6 +8,12 @@ multi-item combinations the handwritten tests don't enumerate."""
 
 from __future__ import annotations
 
+# fuzz budget scales with SPARK_GRAFT_FUZZ_SCALE (default 1) — CI runs the
+# cheap default; an extended hunt runs e.g. SPARK_GRAFT_FUZZ_SCALE=20
+import os as _os
+
+_FUZZ_SCALE = int(_os.environ.get("SPARK_GRAFT_FUZZ_SCALE", "1"))
+
 import hypothesis.strategies as st
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -39,7 +45,7 @@ def weng(spark):
 
 
 @settings(
-    max_examples=12,
+    max_examples=12 * _FUZZ_SCALE,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -77,7 +83,7 @@ def test_random_set_matches_duckdb_update(weng, duck, pred, val1, val2):
 
 
 @settings(
-    max_examples=6,
+    max_examples=6 * _FUZZ_SCALE,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
