@@ -342,3 +342,33 @@ def test_union_optional_side_with_member_filter(engine, duck):
         )
     )
     assert got == exp
+
+
+def test_union_in_longer_chain(engine, duck):
+    # only the hops ADJACENT to the disjunction rewire; the rest of the
+    # chain plans normally
+    got = pairs(
+        engine.cypher(
+            """
+            MATCH (n:Customer|Supplier)-[:FROM_NATION]->(x:Nation)
+                  -[:IN_REGION]->(r:Region)
+            RETURN r.r_name AS region, labels(n)[0] AS kind, count(*) AS c
+            """
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                """
+                SELECT r_name AS region, kind, count(*) AS c
+                FROM (SELECT c_nationkey AS k, 'Customer' AS kind FROM customer
+                      UNION ALL SELECT s_nationkey, 'Supplier' FROM supplier) u
+                JOIN nation ON n_nationkey = u.k
+                JOIN region ON r_regionkey = n_regionkey
+                GROUP BY r_name, kind
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == exp
