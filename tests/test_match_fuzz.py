@@ -113,10 +113,16 @@ def match_case(draw):
 
     parts = []
     for i, h in enumerate(hops[:n_inner]):
+        # round 8: occasionally spell a hop as *0..1 / *1..1 — every
+        # overlay hop is cross-label, so the zero-length variant is
+        # statically empty (the planner must DROP it, not fail binding
+        # when a continuation hop rewires onto the merged endpoint) and
+        # the SQL oracle stays the plain 1-hop join either way
+        star = draw(st.sampled_from(["", "", "", "*0..1", "*1..1"]))
         if draw(st.booleans()):
-            parts.append(f"{node(i)}-[:{h[1]}]->{node(i + 1)}")
+            parts.append(f"{node(i)}-[:{h[1]}{star}]->{node(i + 1)}")
         else:
-            parts.append(f"{node(i + 1)}<-[:{h[1]}]-{node(i)}")
+            parts.append(f"{node(i + 1)}<-[:{h[1]}{star}]-{node(i)}")
     first_filter = draw(st.booleans())
     # the first endpoint's filter randomly takes the trailing-WHERE or
     # the inline `(n:L WHERE pred)` spelling (round 7) — identical
