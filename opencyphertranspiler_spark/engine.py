@@ -411,6 +411,12 @@ class CypherEngine:
     # rewritten to virtual union EDGES whose union-node side carries the
     # same composite id; members lacking the verb contribute no rows
     # (Neo4j: those nodes simply don't match the hop).
+    #
+    # Documented divergence: `RETURN n` / `properties(n)` / `keys(n)` /
+    # `n {.*}` expose the MERGED property schema (other members' columns
+    # null) — a Spark struct column has one schema for every row, so
+    # Neo4j's per-member property set is not expressible; per-row
+    # dispatch is (labels(n), coalesce(...)).
 
     def _resolve_multi_label(
         self, ast_query, graph: GraphSchema, tables: TableRegistry
