@@ -2056,7 +2056,16 @@ def execute_write(
     ast_query = parse(query, allow_writes=True)
     if isinstance(ast_query, A.UnionQuery):
         raise TranspilerNotSupportedError("UNION over a write query is not supported")
-    for _sq, _cl, part in engine._pattern_parts(ast_query):
+    # reading patterns + CREATE/MERGE target patterns (the generic
+    # traversal covers only read clauses)
+    write_parts = [
+        p
+        for c in ast_query.clauses
+        if isinstance(c, (A.CreateClause, A.MergeClause))
+        for p in (c.patterns if isinstance(c, A.CreateClause) else [c.pattern])
+    ]
+    read_parts = (p for _sq, _cl, p in engine._pattern_parts(ast_query))
+    for part in [*read_parts, *write_parts]:
         if any(n.label and "|" in n.label for n in part.nodes):
             raise TranspilerNotSupportedError(
                 "Label disjunction (n:A|B) is read-only — a tagged-union "

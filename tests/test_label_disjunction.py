@@ -372,3 +372,14 @@ def test_union_in_longer_chain(engine, duck):
         )
     )
     assert got == exp
+
+
+def test_union_write_target_fences(engine):
+    # CREATE/MERGE target patterns are fenced too, not just read patterns
+    for q in (
+        "CREATE (n:Customer|Supplier {c_custkey: 99999})",
+        "MERGE (n:Customer|Supplier {c_custkey: 1})",
+        "MATCH (n:Customer|Supplier) DETACH DELETE n",
+    ):
+        with pytest.raises(TranspilerNotSupportedError, match="read-only"):
+            engine.cypher_write(q)
