@@ -869,6 +869,61 @@ class Parser:
             direction = A.Direction.FORWARD
         else:
             direction = A.Direction.EITHER
+        # GQL / Neo4j 5 quantified relationships (round 8): postfix
+        # `-[:R]->{n,m}` / `{n}` / `{n,}` / `{,m}`, `->+` (one-or-more)
+        # and `->*` (zero-or-more) — pure sugar over the bracket *n..m
+        # spellings, so the same expansion/reachability machinery and the
+        # same validations apply. Unambiguous position: a node pattern
+        # always starts with '(' here.
+        q_min = q_max = None
+        has_q = False
+        if self.accept_punct("{"):
+            has_q = True
+            if self.cur.kind == "int":
+                q_min = int(self.advance().value)
+            if self.accept_punct(","):
+                if self.cur.kind == "int":
+                    q_max = int(self.advance().value)
+            else:
+                if q_min is None:
+                    raise TranspilerSyntaxError(
+                        f"Empty relationship quantifier {{}} at position "
+                        f"{self.cur.pos}"
+                    )
+                q_max = q_min  # {n} = exactly n
+            if q_min is None:
+                q_min = 0  # {,m}
+            self.expect_punct("}")
+        elif self.accept_punct("+"):
+            has_q, q_min, q_max = True, 1, None
+        elif self.accept_punct("*"):
+            has_q, q_min, q_max = True, 0, None
+        if has_q:
+            if min_hops is not None:
+                raise TranspilerSyntaxError(
+                    "Duplicate quantifier: use either [*n..m] inside the "
+                    "brackets or a postfix {n,m}, not both"
+                )
+            if q_max is not None and q_max < q_min:
+                raise TranspilerSyntaxError(
+                    f"Invalid relationship quantifier {{{q_min},{q_max}}}"
+                )
+            if q_max is not None and q_max > 8:
+                raise TranspilerNotSupportedError(
+                    "Variable-length upper bound is limited to 8 hops"
+                )
+            if alias is not None:
+                raise TranspilerNotSupportedError(
+                    "A variable-length relationship cannot be bound to an "
+                    "alias"
+                )
+            if rel_where is not None:
+                raise TranspilerNotSupportedError(
+                    "An inline WHERE on a variable-length relationship "
+                    "is not supported — use a property map (filters every "
+                    "hop) or a post-MATCH WHERE"
+                )
+            min_hops, max_hops = q_min, q_max
         # undirected variable-length `-[:V*n..m]-` / `-[:V*]-` is allowed
         # (extension): the engine symmetrizes the edge set per hop
         return A.RelPattern(

@@ -2923,3 +2923,42 @@ def test_return_path_variable_still_fenced(movie_engine):
         movie_engine.cypher(
             "MATCH p = (a:Person)-[:REVIEWED]->(m:Movie) RETURN p"
         )
+
+
+def test_postfix_relationship_quantifiers(movie_engine):
+    """GQL / Neo4j 5 quantified relationships (round 8): `-[:R]->{n,m}`,
+    `->+` and `->*` are sugar over the bracket *n..m spellings."""
+    from opencyphertranspiler_spark import TranspilerSyntaxError
+
+    def r(q):
+        return rows(movie_engine.cypher(q))
+
+    base = "MATCH (a:Person)-[:FOLLOWS]->%s(b:Person) RETURN a.Name AS a, b.Name AS b"
+    assert r(base % "{1,2}") == r(
+        "MATCH (a:Person)-[:FOLLOWS*1..2]->(b:Person) RETURN a.Name AS a, b.Name AS b"
+    )
+    assert r(base % "+") == r(
+        "MATCH (a:Person)-[:FOLLOWS*]->(b:Person) RETURN a.Name AS a, b.Name AS b"
+    )
+    assert r(base % "*") == r(
+        "MATCH (a:Person)-[:FOLLOWS*0..]->(b:Person) RETURN a.Name AS a, b.Name AS b"
+    )
+    assert r(base % "{2}") == {
+        ("Nora Ephron", "Tom Hanks"),
+        ("Rob Reiner", "Meg Ryan"),
+    }
+    assert r(base % "{,1}") == r(
+        "MATCH (a:Person)-[:FOLLOWS*0..1]->(b:Person) RETURN a.Name AS a, b.Name AS b"
+    )
+    with pytest.raises(TranspilerSyntaxError, match="Duplicate quantifier"):
+        movie_engine.cypher(
+            "MATCH (a:Person)-[:FOLLOWS*1..2]->{1,2}(b:Person) RETURN a.Name AS n"
+        )
+    with pytest.raises(TranspilerSyntaxError, match="Invalid relationship"):
+        movie_engine.cypher(
+            "MATCH (a:Person)-[:FOLLOWS]->{3,2}(b:Person) RETURN a.Name AS n"
+        )
+    with pytest.raises(TranspilerNotSupportedError, match="bound to an"):
+        movie_engine.cypher(
+            "MATCH (a:Person)-[r:FOLLOWS]->{1,2}(b:Person) RETURN a.Name AS n"
+        )
