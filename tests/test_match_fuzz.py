@@ -119,10 +119,15 @@ def match_case(draw):
         # when a continuation hop rewires onto the merged endpoint) and
         # the SQL oracle stays the plain 1-hop join either way
         star = draw(st.sampled_from(["", "", "", "*0..1", "*1..1"]))
+        # the equivalent GQL postfix spelling fuzzes the same machinery
+        post = ""
+        if star and draw(st.booleans()):
+            post = {"*0..1": "{,1}", "*1..1": "{1}"}[star]
+            star = ""
         if draw(st.booleans()):
-            parts.append(f"{node(i)}-[:{h[1]}{star}]->{node(i + 1)}")
+            parts.append(f"{node(i)}-[:{h[1]}{star}]->{post}{node(i + 1)}")
         else:
-            parts.append(f"{node(i + 1)}<-[:{h[1]}{star}]-{node(i)}")
+            parts.append(f"{node(i + 1)}<-[:{h[1]}{star}]-{post}{node(i)}")
     first_filter = draw(st.booleans())
     # the first endpoint's filter randomly takes the trailing-WHERE or
     # the inline `(n:L WHERE pred)` spelling (round 7) — identical
