@@ -109,6 +109,16 @@ def main() -> None:
         """
     ).show()
 
+    print("== GQL quantified relationships: -[:R]->{n,m}, ->+, ->* ==")
+    neng.cypher(
+        """
+        MATCH (a:Orders)-[:NEXT]->{1,3}(b:Orders)
+        WHERE a.o_orderkey < 40
+        RETURN a.o_orderkey AS a, count(*) AS within_3_hops
+        ORDER BY a LIMIT 5
+        """
+    ).show()
+
     spark.stop()
     print("round-8 tour complete")
 
