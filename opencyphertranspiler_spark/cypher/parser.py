@@ -884,6 +884,14 @@ class Parser:
             if self.accept_punct(","):
                 if self.cur.kind == "int":
                     q_max = int(self.advance().value)
+                if q_min is None and q_max is None:
+                    # GQL/Neo4j reject a quantifier with neither bound;
+                    # silently reading `{,}` as zero-or-more would run
+                    # invalid queries (ADVICE r8)
+                    raise TranspilerSyntaxError(
+                        "Relationship quantifier {,} needs at least one "
+                        "bound: use {n,}, {,m} or {n,m}"
+                    )
             else:
                 if q_min is None:
                     raise TranspilerSyntaxError(

@@ -567,7 +567,14 @@ class _SingleQueryPlanner:
                     piped, vc, known_labels, prefix_overrides
                 )
             except TranspilerBindingError as err:
-                if vc.zero_where is not None:
+                # Only the two label-inference diagnoses the merged-endpoint
+                # splice can legitimately produce are swallowed (ADVICE r8:
+                # a blanket except here would hide real regressions in the
+                # zero variant behind silently-missing length-0 rows)
+                expected_static_empty = str(err).startswith(
+                    ("Cannot bind relationship", "Conflicting labels for alias")
+                )
+                if vc.zero_where is not None and expected_static_empty:
                     # (round 8, ADVICE r7 medium) a zero-length splice
                     # rewired the continuation hops onto the merged
                     # endpoint; when the merged node's label cannot
@@ -1228,9 +1235,25 @@ class _SingleQueryPlanner:
         outer scope into the ordinary import-WITH form — the imports are
         the outer aliases the body actually references (an unreferenced
         outer scalar must not trip the node-entity-import fence; a
-        referenced one fails it with the accurate typed error)."""
+        referenced one fails it with the accurate typed error). A body
+        definition (WITH/RETURN item, UNWIND alias) that collides with an
+        UNREFERENCED outer alias is rejected up front (ADVICE r8) — under
+        `(*)` EVERY outer variable is in scope in Neo4j 5.23, so
+        `WITH 1 AS t CALL (*) { WITH 2 AS t ... }` is 'variable already
+        defined', not a silent shadow (a referenced one is imported and
+        hits the existing rebind fence)."""
         used = self._referenced_names(clause.query)
         outer_env = piped.env if piped is not None else {}
+        defined = self._defined_names(clause.query)
+        shadowed = sorted(
+            a for a in outer_env if a in defined and not a.startswith("__")
+        )
+        if shadowed:
+            raise TranspilerBindingError(
+                f"CALL (*) body redefines outer alias(es) {shadowed}: "
+                "under (*) every outer variable is in scope (Neo4j "
+                "'variable already defined')"
+            )
         imports = [a for a in outer_env if a in used and not a.startswith("__")]
         if imports:
 
@@ -1249,6 +1272,61 @@ class _SingleQueryPlanner:
                     ),
                 )
         return A.CallSubqueryClause(clause.query, clause.optional)
+
+    @staticmethod
+    def _null_extend_first(sub: LogicalOp, optional: bool) -> LogicalOp:
+        """Uncorrelated CALL as the FIRST clause. Plain CALL passes the
+        subquery plan through; OPTIONAL CALL (ADVICE r8) must yield ONE
+        null-extended row when the subquery output is empty (Neo4j 5.24) —
+        a condition-less LEFT join from the implicit single-row source."""
+        if not optional:
+            return sub
+        return JoinOp(OneRowOp(env={}), sub, "left", [], env=dict(sub.env))
+
+    @staticmethod
+    def _defined_names(query) -> set[str]:
+        """Every alias a CALL body DEFINES in its own scope: WITH/RETURN
+        items, UNWIND aliases, procedure YIELD bindings, and the OUTPUT
+        aliases of nested subqueries (a nested plain CALL's intermediate
+        WITH lives in the nested scope and does not leak)."""
+        names: set[str] = set()
+
+        def from_single(sq):
+            for c in sq.clauses:
+                if isinstance(c, A.ProjectionClause):
+                    # a bare self-passthrough (`WITH c` → ('c', c)) is a
+                    # re-projection, not a definition — re-exporting an
+                    # imported alias through an intermediate WITH is legal
+                    names.update(
+                        a
+                        for a, e in c.items
+                        if not (isinstance(e, A.Variable) and e.name == a)
+                    )
+                elif isinstance(c, A.UnwindClause):
+                    names.add(c.alias)
+                elif isinstance(c, A.CallProcedureClause):
+                    out = c.out_alias or c.yield_name
+                    if out:
+                        names.add(out)
+                elif isinstance(c, A.CallSubqueryClause):
+                    walk(c.query, returns_only=True)
+
+        def returns_of(sq):
+            last = sq.clauses[-1] if sq.clauses else None
+            if isinstance(last, A.ProjectionClause):
+                names.update(a for a, _ in last.items)
+
+        def walk(q, returns_only=False):
+            if isinstance(q, A.UnionQuery):
+                walk(q.left, returns_only)
+                walk(q.right, returns_only)
+            elif returns_only:
+                returns_of(q)
+            else:
+                from_single(q)
+
+        walk(query)
+        return names
 
     @staticmethod
     def _referenced_names(query) -> set[str]:
@@ -1301,6 +1379,14 @@ class _SingleQueryPlanner:
                         from_expr(si.expr)
                 elif isinstance(c, A.UnwindClause):
                     from_expr(c.expr)
+                elif isinstance(c, A.CallProcedureClause):
+                    # procedure arguments may reference outer aliases
+                    # (ADVICE r8), e.g. db.propertyKeys(lbl)
+                    for arg in c.args:
+                        if isinstance(arg, A.Expr):
+                            from_expr(arg)
+                    if c.where is not None:
+                        from_expr(c.where)
                 elif isinstance(c, A.CallSubqueryClause):
                     walk_query(c.query)
 
@@ -1380,7 +1466,7 @@ class _SingleQueryPlanner:
                         f"{sorted(collide)}"
                     )
                 if piped is None:
-                    return sub
+                    return self._null_extend_first(sub, clause.optional)
                 return JoinOp(
                     piped,
                     sub,
@@ -1524,7 +1610,7 @@ class _SingleQueryPlanner:
                     f"{sorted(collide)}"
                 )
             if piped is None:
-                return sub
+                return self._null_extend_first(sub, clause.optional)
             return JoinOp(
                 piped,
                 sub,

@@ -729,3 +729,112 @@ def test_optional_call_union_both_branches_contribute(engine):
     assert matched == sorted((r.ck, r.v) for r in hi)
     nulled = {r.ck for r in got if r.v is None}
     assert nulled == {0, 1, 2, 3, 4, 5} - {r.ck for r in hi}
+
+
+# -- round-9 ADVICE fixes ------------------------------------------------------
+
+
+def test_optional_call_as_first_clause_null_extends(engine):
+    """ADVICE r8: uncorrelated OPTIONAL CALL as the FIRST clause must yield
+    one null-extended row when the subquery output is empty (Neo4j 5.24),
+    not zero rows."""
+    rows = engine.cypher(
+        """
+        OPTIONAL CALL { MATCH (n:Nation WHERE n.n_nationkey > 999)
+                        RETURN n.n_name AS nm }
+        RETURN nm
+        """
+    ).collect()
+    assert len(rows) == 1 and rows[0].nm is None
+    # non-empty subquery: passthrough, no extra null row
+    rows = engine.cypher(
+        """
+        OPTIONAL CALL { MATCH (r:Region) RETURN r.r_name AS nm }
+        RETURN nm ORDER BY nm
+        """
+    ).collect()
+    assert len(rows) == 5 and all(r.nm is not None for r in rows)
+    # plain CALL keeps zero-row semantics
+    rows = engine.cypher(
+        """
+        CALL { MATCH (n:Nation WHERE n.n_nationkey > 999)
+               RETURN n.n_name AS nm }
+        RETURN nm
+        """
+    ).collect()
+    assert rows == []
+
+
+def test_optional_call_first_clause_union_empty(engine):
+    rows = engine.cypher(
+        """
+        OPTIONAL CALL { MATCH (n:Nation WHERE n.n_nationkey > 999) RETURN n.n_name AS nm
+                        UNION
+                        MATCH (r:Region WHERE r.r_regionkey > 999) RETURN r.r_name AS nm }
+        RETURN nm
+        """
+    ).collect()
+    assert len(rows) == 1 and rows[0].nm is None
+
+
+def test_call_scope_star_body_shadow_rejected(engine):
+    """ADVICE r8: under CALL (*) every outer variable is in scope, so a
+    body WITH/UNWIND that redefines an UNREFERENCED outer alias is
+    'variable already defined' (Neo4j 5.23), not a silent shadow."""
+    import pytest
+
+    from opencyphertranspiler_spark.exceptions import TranspilerBindingError
+
+    with pytest.raises(TranspilerBindingError, match="redefines outer"):
+        engine.cypher(
+            """
+            MATCH (r:Region)
+            WITH r, 1 AS t
+            CALL (*) { WITH 2 AS t MATCH (n:Nation) RETURN count(n) AS c }
+            RETURN r.r_name AS nm, t, c
+            """
+        )
+    with pytest.raises(TranspilerBindingError, match="redefines outer"):
+        engine.cypher(
+            """
+            MATCH (r:Region)
+            WITH r, 1 AS t
+            CALL (*) { UNWIND [1, 2] AS t RETURN sum(t) AS c }
+            RETURN r.r_name AS nm, t, c
+            """
+        )
+    # referencing the outer alias imports it — rebind fence still applies,
+    # and a legal use keeps working
+    rows = engine.cypher(
+        """
+        MATCH (r:Region)
+        WITH r, 1 AS t
+        CALL (*) { MATCH (r)<-[:IN_REGION]-(n:Nation) RETURN count(n) AS c }
+        RETURN r.r_name AS nm, t, c ORDER BY nm
+        """
+    ).collect()
+    assert len(rows) == 5 and all(r.c == 5 and r.t == 1 for r in rows)
+
+
+def test_call_scope_star_sees_procedure_args(engine):
+    """ADVICE r8: procedure-call arguments are walked for referenced
+    names. Procedures resolve to constants BEFORE planning, so a variable
+    argument hits the plan-time-constant fence with its accurate typed
+    error (never an unbound-alias error from a missed import)."""
+    import pytest
+
+    from opencyphertranspiler_spark.exceptions import (
+        TranspilerNotSupportedError,
+    )
+
+    with pytest.raises(
+        TranspilerNotSupportedError, match="literal or a .param"
+    ):
+        engine.cypher(
+            """
+            WITH 'Customer' AS lbl
+            CALL (*) { CALL db.propertyKeys(lbl) YIELD propertyKey
+                       RETURN count(propertyKey) AS c }
+            RETURN c
+            """
+        )

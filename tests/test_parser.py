@@ -189,3 +189,18 @@ def test_parse_reduce():
     assert r.acc == "acc" and r.var == "x"
     with pytest.raises(TranspilerSyntaxError, match="must differ"):
         parse("MATCH (a:X) RETURN reduce(x = 0, x IN a.v | x + x) AS s")
+
+
+def test_postfix_quantifier_rejects_empty_bounds():
+    """ADVICE r8: `{,}` has neither bound — GQL/Neo4j reject it; silently
+    reading it as zero-or-more would run invalid queries."""
+    import pytest
+
+    from opencyphertranspiler_spark.cypher.parser import parse
+    from opencyphertranspiler_spark.exceptions import TranspilerSyntaxError
+
+    with pytest.raises(TranspilerSyntaxError, match="at least one bound"):
+        parse("MATCH (a:X)-[:R]->{,}(b:Y) RETURN a.v AS v")
+    # the bounded spellings stay legal
+    for q in ("{1,}", "{,2}", "{1,2}", "{2}"):
+        parse(f"MATCH (a:X)-[:R]->{q}(b:Y) RETURN a.v AS v")
