@@ -18,6 +18,8 @@ same way), timestamps via the shared ``YYYY-MM-DD HH:MM:SS`` cast.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -197,10 +199,55 @@ def tpch_table_registry(spark: SparkSession, sf_dir: str) -> TableRegistry:
         ),
     )
     reg.register(
-        "lineitem_node",
-        lambda: reg.get("lineitem").withColumn("l_id", lineitem_id_col()),
+        "lineitem_node", lambda: _lineitem_node_df(spark, reg, sf_dir)
     )
     return reg
+
+
+def _lineitem_node_df(spark: SparkSession, reg: TableRegistry, sf_dir: str):
+    """``lineitem_node`` = lineitem + the md5 ``l_id`` surrogate.
+
+    Materialized ONCE per (source path, mtime, size) as derived parquet
+    (round 9, VERDICT r8 #3): as a plain view every Lineitem scan recomputes
+    an md5 over 11 concat'd columns per row — linear and codegen'd, but at
+    100 TB a per-query full-corpus hash is real money (q03 paid 0.68→1.96 s
+    at sf0.1 for exactly this). Write-once + parquet column pruning means
+    queries that never touch ``l_id`` don't even read it. The cache key
+    fingerprints the source file so a regenerated fixture invalidates
+    automatically; any write failure (read-only tmp, race) falls back to
+    the on-the-fly view — correctness never depends on the cache."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    def view():
+        return reg.get("lineitem").withColumn("l_id", lineitem_id_col())
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        st = os.stat(src)
+    except OSError:
+        return view()
+    base = os.environ.get("SPARK_GRAFT_DERIVED_DIR") or os.path.join(
+        tempfile.gettempdir(), "spark-graft-derived"
+    )
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    path = os.path.join(base, f"lineitem_node_{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        try:
+            view().write.mode("overwrite").parquet(tmp)
+            try:
+                os.rename(tmp, path)  # atomic publish
+            except OSError:
+                # another process published first — use theirs
+                shutil.rmtree(tmp, ignore_errors=True)
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            return view()
+    return spark.read.parquet(path)
 
 
 def lineitem_id_col():

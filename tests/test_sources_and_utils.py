@@ -248,3 +248,45 @@ def test_register_format_orc_roundtrip(spark, tmp_path):
     got = {tuple(r) for r in reg.get("region").collect()}
     want = {tuple(r) for r in src.collect()}
     assert got == want
+
+
+def test_lineitem_node_materialized_once(spark, tmp_path, monkeypatch):
+    """Round 9 (VERDICT r8 #3): lineitem_node is written ONCE as derived
+    parquet keyed by the source fingerprint; a second registry reuses the
+    cache; the values match the on-the-fly view; and an unwritable cache
+    dir falls back to the view without error."""
+    import os
+
+    from opencyphertranspiler_spark.sources.tpch import (
+        lineitem_id_col,
+        tpch_table_registry,
+    )
+
+    cache = tmp_path / "derived"
+    monkeypatch.setenv("SPARK_GRAFT_DERIVED_DIR", str(cache))
+    reg = tpch_table_registry(spark, SF_DIR)
+    got = reg.get("lineitem_node")
+    entries = [p for p in os.listdir(cache) if p.startswith("lineitem_node_")]
+    assert len(entries) == 1 and not entries[0].endswith(f".tmp.{os.getpid()}")
+    marker = cache / entries[0] / "_SUCCESS"
+    assert marker.exists()
+    # same values as the on-the-fly view
+    view = reg.get("lineitem").withColumn("l_id", lineitem_id_col())
+    assert (
+        got.select("l_id").exceptAll(view.select("l_id")).isEmpty()
+        and view.select("l_id").exceptAll(got.select("l_id")).isEmpty()
+    )
+    # second registry: cache hit, no new entry, no re-write
+    mtime = marker.stat().st_mtime_ns
+    reg2 = tpch_table_registry(spark, SF_DIR)
+    reg2.get("lineitem_node").limit(1).collect()
+    assert marker.stat().st_mtime_ns == mtime
+    assert len(os.listdir(cache)) == 1
+    # unwritable cache dir: silent fallback to the view
+    blocked = tmp_path / "blocked"
+    blocked.mkdir()
+    blocked.chmod(0o500)
+    monkeypatch.setenv("SPARK_GRAFT_DERIVED_DIR", str(blocked / "sub"))
+    reg3 = tpch_table_registry(spark, SF_DIR)
+    assert reg3.get("lineitem_node").select("l_id").limit(1).count() == 1
+    blocked.chmod(0o700)
