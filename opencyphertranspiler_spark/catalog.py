@@ -772,32 +772,63 @@ CATALOG += [
     # orders by orderkey, so NEXT* reachability has the closed-form oracle
     # "same customer, strictly later orderkey" — exact, no recursion needed.
     CatalogEntry(
-        # round 7: the pattern variable p rides along — length(p) is the
-        # WITNESS (shortest) hop count per endpoint pair; in the NEXT
-        # chain that is exactly the per-customer rank difference, so the
-        # oracle stays closed-form (no recursion)
+        # MERGED GATE SLOT (driver cap = 50 entries), two families:
+        #   (1) witness-pair model: p over deep-chain [:NEXT*] — length(p)
+        #       is the WITNESS (shortest) hop count per endpoint pair; in
+        #       the NEXT chain that is the per-customer rank difference,
+        #       so the oracle stays closed-form (round 7)
+        #   (2) ROW-PER-PATH (round 9, VERDICT r8 #1): p over the
+        #       branching finite-depth [:NEXT12*] DAG expands to bounded
+        #       *1..L via engine._finite_path_bound — one row PER PATH
+        #       (duplicated (src, dst, hops) rows where paths multiply),
+        #       oracle = DuckDB recursive CTE enumerating paths
         name="q38_unbounded_varlength",
         fn=lambda spark, sf_dir: _next_order_engine(spark, sf_dir).cypher(
             """
             MATCH p = (a:Orders)-[:NEXT*]->(b:Orders)
             RETURN a.o_orderkey AS src_order, b.o_orderkey AS dst_order,
                    length(p) AS hops
+            UNION ALL
+            MATCH p = (a:Orders)-[:NEXT12*]->(b:Orders)
+            RETURN a.o_orderkey AS src_order, b.o_orderkey AS dst_order,
+                   length(p) AS hops
             """
         ),
         oracle="""
-            WITH r AS (
+            WITH RECURSIVE r AS (
                 SELECT o_orderkey, o_custkey,
                        row_number() OVER (PARTITION BY o_custkey
-                                          ORDER BY o_orderkey) AS rn
+                                          ORDER BY o_orderkey) AS rn,
+                       count(*) OVER (PARTITION BY o_custkey) AS cnt
                 FROM orders
+            ),
+            e12 AS (
+                SELECT a.o_orderkey AS s, b.o_orderkey AS d
+                FROM r a
+                JOIN r b ON b.o_custkey = a.o_custkey
+                        AND b.rn - a.rn IN (1, 2)
+                WHERE a.cnt <= 5
+            ),
+            paths(src, dst, hops) AS (
+                SELECT s, d, 1 FROM e12
+                UNION ALL
+                SELECT p.src, e12.d, p.hops + 1
+                FROM paths p JOIN e12 ON e12.s = p.dst
             )
             SELECT a.o_orderkey AS src_order, b.o_orderkey AS dst_order,
                    CAST(b.rn - a.rn AS BIGINT) AS hops
             FROM r a
             JOIN r b ON b.o_custkey = a.o_custkey
                     AND b.o_orderkey > a.o_orderkey
+            UNION ALL
+            SELECT src AS src_order, dst AS dst_order,
+                   CAST(hops AS BIGINT) AS hops
+            FROM paths
         """,
-        tags=("match", "var-length", "unbounded", "reachability", "path-var"),
+        tags=(
+            "match", "var-length", "unbounded", "reachability", "path-var",
+            "row-per-path",
+        ),
     ),
     # ---- anchored reachability pushdown: a literal equality on the
     # unbounded hop's endpoint seeds the fixpoint from the anchor set
@@ -946,11 +977,50 @@ def _next_order_engine(spark: SparkSession, sf_dir: str):
             F.col("o_orderkey").alias("src"), F.col("next_key").alias("dst")
         ),
     )
+
+    # NEXT12 (round 9): a genuinely BRANCHING finite-depth DAG — orders of
+    # customers with <= 5 orders, edges to the next one AND two ranks later.
+    # Distinct paths multiply between the same endpoints (Fibonacci-style),
+    # so `p = (a)-[:NEXT12*]->(b)` exercises ROW-PER-PATH expansion
+    # (engine._finite_path_bound discovers depth <= 4), where NEXT's deep
+    # chains fall back to the witness-pair model.
+    def _next12():
+        r = (
+            reg.get("orders")
+            .select(
+                "o_custkey",
+                "o_orderkey",
+                F.row_number().over(w).alias("rn"),
+                F.count("*")
+                .over(Window.partitionBy("o_custkey"))
+                .alias("cnt"),
+            )
+            .filter(F.col("cnt") <= 5)
+        )
+        return (
+            r.alias("a")
+            .join(
+                r.alias("b"),
+                (F.col("a.o_custkey") == F.col("b.o_custkey"))
+                & (F.col("b.rn") - F.col("a.rn")).isin(1, 2),
+            )
+            .select(
+                F.col("a.o_orderkey").alias("src"),
+                F.col("b.o_orderkey").alias("dst"),
+            )
+        )
+
+    reg.register("orders_next12", _next12)
     base = tpch_graph_schema()
     graph = GraphSchema(
         base.nodes,
         base.edges
-        + [EdgeSchema("NEXT", "Orders", "Orders", "orders_next", "src", "dst")],
+        + [
+            EdgeSchema("NEXT", "Orders", "Orders", "orders_next", "src", "dst"),
+            EdgeSchema(
+                "NEXT12", "Orders", "Orders", "orders_next12", "src", "dst"
+            ),
+        ],
     )
     return CypherEngine(spark, graph, reg)
 

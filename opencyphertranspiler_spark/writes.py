@@ -2036,6 +2036,32 @@ def _split_segments(clauses: list) -> list[_Segment]:
     return segs
 
 
+def _written_aliases(clauses) -> set[str]:
+    """Every alias a write clause TARGETS: SET/REMOVE/DELETE subjects and
+    any alias appearing in a CREATE/MERGE pattern (a bound endpoint of a
+    created edge counts — the write must resolve its backing table)."""
+    out: set[str] = set()
+    for c in clauses:
+        if isinstance(c, A.SetClause):
+            out.update(it.alias for it in c.items)
+        elif isinstance(c, A.RemoveClause):
+            out.update(a for a, _ in c.items)
+            out.update(a for a, _ in c.labels)
+        elif isinstance(c, A.DeleteClause):
+            out.update(c.aliases)
+        elif isinstance(c, (A.CreateClause, A.MergeClause)):
+            parts = (
+                c.patterns if isinstance(c, A.CreateClause) else [c.pattern]
+            )
+            for p in parts:
+                out.update(n.alias for n in p.nodes if n.alias)
+                out.update(r.alias for r in p.rels if r.alias)
+            if isinstance(c, A.MergeClause):
+                out.update(it.alias for it in c.on_create)
+                out.update(it.alias for it in c.on_match)
+    return out
+
+
 def execute_write(
     engine,
     query: str,
@@ -2064,12 +2090,30 @@ def execute_write(
         if isinstance(c, (A.CreateClause, A.MergeClause))
         for p in (c.patterns if isinstance(c, A.CreateClause) else [c.pattern])
     ]
-    read_parts = (p for _sq, _cl, p in engine._pattern_parts(ast_query))
-    for part in [*read_parts, *write_parts]:
+    for part in write_parts:
         if any(n.label and "|" in n.label for n in part.nodes):
             raise TranspilerNotSupportedError(
                 "Label disjunction (n:A|B) is read-only — a tagged-union "
                 "node has no single backing table to write to"
+            )
+    # round 9 (VERDICT r8 #4): a disjunction in the READING prefix is
+    # fine as long as no write TARGETS the union alias — `MATCH
+    # (n:A|B)-[:R]->(m) SET m.flag = true` writes only m. The fence now
+    # covers exactly the invariant it protects: writing ON (or creating
+    # an edge to) a tagged-union alias, which has no single backing table.
+    ml_read_aliases = {
+        n.alias
+        for _sq, _cl, p in engine._pattern_parts(ast_query)
+        for n in p.nodes
+        if n.label and "|" in n.label and n.alias
+    }
+    if ml_read_aliases:
+        hit = sorted(ml_read_aliases & _written_aliases(ast_query.clauses))
+        if hit:
+            raise TranspilerNotSupportedError(
+                f"Cannot write on label-disjunction alias(es) {hit} — a "
+                "tagged-union node has no single backing table to write "
+                "to (reads over (n:A|B) in the same statement are fine)"
             )
     clauses = list(ast_query.clauses)
     if not any(isinstance(c, A.WriteClause) for c in clauses):

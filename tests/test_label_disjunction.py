@@ -163,7 +163,7 @@ def test_union_fences(engine):
             "MATCH (a:Customer|Supplier)-[:FROM_NATION]->(b:Nation|Region) "
             "RETURN count(*) AS c"
         )
-    with pytest.raises(TranspilerNotSupportedError, match="read-only"):
+    with pytest.raises(TranspilerNotSupportedError, match="write on label-disjunction"):
         engine.cypher_write("MATCH (n:Customer|Supplier) SET n.c_name = 'x'")
     with pytest.raises(TranspilerNotSupportedError, match="conjunction"):
         engine.cypher("MATCH (n:Customer|Supplier:Part) RETURN count(*) AS c")
@@ -379,7 +379,289 @@ def test_union_write_target_fences(engine):
     for q in (
         "CREATE (n:Customer|Supplier {c_custkey: 99999})",
         "MERGE (n:Customer|Supplier {c_custkey: 1})",
-        "MATCH (n:Customer|Supplier) DETACH DELETE n",
     ):
         with pytest.raises(TranspilerNotSupportedError, match="read-only"):
             engine.cypher_write(q)
+    # round 9 (VERDICT r8 #4): the fence names the union alias when a
+    # write TARGETS it...
+    for q in (
+        "MATCH (n:Customer|Supplier) DETACH DELETE n",
+        "MATCH (n:Customer|Supplier) SET n.c_acctbal = 0",
+        "MATCH (n:Customer|Supplier) REMOVE n.c_name",
+        "MATCH (n:Customer|Supplier), (x:Nation {n_nationkey: 1}) "
+        "CREATE (n)-[:FROM_NATION]->(x)",
+    ):
+        with pytest.raises(
+            TranspilerNotSupportedError, match="write on label-disjunction"
+        ):
+            engine.cypher_write(q)
+
+
+def test_union_in_write_reading_prefix(engine, duck):
+    """Round 9 (VERDICT r8 #4): a disjunction in the READING prefix of a
+    write statement is allowed when the written aliases don't touch the
+    union — `MATCH (n:A|B)-[:R]->(x) SET x...` writes only x."""
+    res = engine.cypher_write(
+        """
+        MATCH (n:Customer|Supplier)-[:FROM_NATION]->(x:Nation)
+        WHERE n.c_acctbal > 9000 OR n.s_acctbal > 4000
+        SET x.n_name = 'FLAGGED'
+        RETURN count(*) AS c
+        """
+    )
+    exp_rows, exp_nations = duck.sql(
+        """
+        SELECT count(*) AS c, count(DISTINCT k) AS d FROM (
+            SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000
+            UNION ALL
+            SELECT s_nationkey FROM supplier WHERE s_acctbal > 4000)
+        """
+    ).fetchone()
+    assert res.returned.collect()[0].c == exp_rows
+    flagged = (
+        res.engine()
+        .cypher("MATCH (x:Nation {n_name: 'FLAGGED'}) RETURN count(*) AS c")
+        .collect()[0]
+        .c
+    )
+    assert flagged == exp_nations
+
+
+# -- round 9 (VERDICT r8 #2): composition — var-length / multi-type hops
+# adjacent to a label disjunction ---------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def chain_ml_engine(spark):
+    """Members X, Y feed a Z-chain: N edges x1->z1, x2->z2, y1->z3 and
+    z1->z2->z3->z4; S is a second verb X->Z and Z->Z (for [:N|S] mixes)."""
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EdgeSchema,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+    )
+
+    reg = TableRegistry()
+    reg.register_df("tx", spark.createDataFrame([("x1",), ("x2",)], "id string"))
+    reg.register_df("ty", spark.createDataFrame([("y1",)], "id string"))
+    reg.register_df(
+        "tz",
+        spark.createDataFrame([("z1",), ("z2",), ("z3",), ("z4",)], "id string"),
+    )
+    reg.register_df(
+        "nx", spark.createDataFrame([("x1", "z1"), ("x2", "z2")], "src string, dst string")
+    )
+    reg.register_df(
+        "ny", spark.createDataFrame([("y1", "z3")], "src string, dst string")
+    )
+    reg.register_df(
+        "nz",
+        spark.createDataFrame(
+            [("z1", "z2"), ("z2", "z3"), ("z3", "z4")], "src string, dst string"
+        ),
+    )
+    reg.register_df(
+        "sx", spark.createDataFrame([("x1", "z3")], "src string, dst string")
+    )
+    reg.register_df(
+        "sz", spark.createDataFrame([("z4", "z1")], "src string, dst string")
+    )
+    g = GraphSchema(
+        [
+            NodeSchema("X", "tx", "id", ()),
+            NodeSchema("Y", "ty", "id", ()),
+            NodeSchema("Z", "tz", "id", ()),
+        ],
+        [
+            EdgeSchema("N", "X", "Z", "nx", "src", "dst"),
+            EdgeSchema("N", "Y", "Z", "ny", "src", "dst"),
+            EdgeSchema("N", "Z", "Z", "nz", "src", "dst"),
+            EdgeSchema("S", "X", "Z", "sx", "src", "dst"),
+            EdgeSchema("S", "Z", "Z", "sz", "src", "dst"),
+        ],
+    )
+    return CypherEngine(spark, g, reg)
+
+
+def test_ml_varlength_adjacent_vs_duckdb(chain_ml_engine, duck):
+    """(n:X|Y)-[:N*1..2]->(m): single hop onto the virtual union edge +
+    bounded *0..1 remainder — verified against a DuckDB recursive CTE
+    bounded at 2 hops."""
+    got = pairs(
+        chain_ml_engine.cypher(
+            "MATCH (n:X|Y)-[:N*1..2]->(m:Z) "
+            "RETURN labels(n)[0] AS l, m.id AS m"
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                """
+                WITH RECURSIVE e(l, src, dst) AS (
+                    SELECT * FROM (VALUES
+                        ('X', 'x1', 'z1'), ('X', 'x2', 'z2'),
+                        ('Y', 'y1', 'z3'),
+                        ('Z', 'z1', 'z2'), ('Z', 'z2', 'z3'),
+                        ('Z', 'z3', 'z4'))
+                ),
+                walk(l, start, at, hops) AS (
+                    SELECT l, src, dst, 1 FROM e WHERE l IN ('X', 'Y')
+                    UNION ALL
+                    SELECT w.l, w.start, e.dst, w.hops + 1
+                    FROM walk w JOIN e ON e.src = w.at AND e.l = 'Z'
+                    WHERE w.hops < 2
+                )
+                SELECT l, at AS m FROM walk
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+    assert len(got) == 6
+
+
+def test_ml_varlength_exact_and_floor(chain_ml_engine):
+    # *2..2 — exactly two hops from a member
+    got = pairs(
+        chain_ml_engine.cypher(
+            "MATCH (n:X|Y)-[:N*2..2]->(m:Z) RETURN n.id AS n, m.id AS m"
+        )
+    )
+    assert got == [("x1", "z2"), ("x2", "z3"), ("y1", "z4")]
+    # *1..3 includes three-hop x1->z1->z2->z3
+    got = pairs(
+        chain_ml_engine.cypher(
+            "MATCH (n:X {id: 'x1'})-[:N*1..3]->(m:Z) RETURN m.id AS m"
+        )
+    )
+    assert [m for (m,) in got] == ["z1", "z2", "z3"]
+    # backward adjacency: (m:Z)<-[:N*1..2]-(n:X|Y) — same rows as forward
+    got = pairs(
+        chain_ml_engine.cypher(
+            "MATCH (m:Z)<-[:N*1..2]-(n:X|Y) RETURN n.id AS n, m.id AS m"
+        )
+    )
+    assert got == [
+        ("x1", "z1"), ("x1", "z2"),
+        ("x2", "z2"), ("x2", "z3"),
+        ("y1", "z3"), ("y1", "z4"),
+    ]
+
+
+def test_ml_multitype_adjacent(chain_ml_engine):
+    """[:N|S] adjacent to (n:X|Y): verb x member x orientation union with
+    a __type discriminator driving type(r)."""
+    got = pairs(
+        chain_ml_engine.cypher(
+            "MATCH (n:X|Y)-[r:N|S]->(m:Z) "
+            "RETURN n.id AS n, type(r) AS t, m.id AS m"
+        )
+    )
+    assert got == [
+        ("x1", "N", "z1"), ("x1", "S", "z3"),
+        ("x2", "N", "z2"), ("y1", "N", "z3"),
+    ]
+
+
+def test_ml_multitype_varlength_adjacent(chain_ml_engine):
+    """[:N|S*1..2] adjacent to a disjunction: the splice keeps the
+    alternation on both pieces — first hop via the multi-verb union ML
+    edge, remainder via the ordinary [:N|S] union edge."""
+    got = pairs(
+        chain_ml_engine.cypher(
+            "MATCH (n:X|Y)-[:N|S*1..2]->(m:Z) RETURN n.id AS n, m.id AS m"
+        )
+    )
+    # 1 hop: x1-N->z1, x1-S->z3, x2-N->z2, y1-N->z3
+    # 2 hops: x1->z1->z2, x1->z3(S)->z4(N), x1->z3->? S z3: no; x2->z2->z3,
+    #         y1->z3->z4; S remainder: z4-S->z1 unreachable in 2 hops from
+    #         members except via x1-S->z3? z3 has N->z4 only. Also
+    #         x1-N->z1, then S from z1: none.
+    assert got == [
+        ("x1", "z1"), ("x1", "z2"), ("x1", "z3"), ("x1", "z4"),
+        ("x2", "z2"), ("x2", "z3"),
+        ("y1", "z3"), ("y1", "z4"),
+    ]
+
+
+def test_ml_varlength_remaining_fences(chain_ml_engine):
+    # *0.. / unbounded / undirected var-length adjacency keep typed errors
+    for q in (
+        "MATCH (n:X|Y)-[:N*0..2]->(m:Z) RETURN m.id AS m",
+        "MATCH (n:X|Y)-[:N*]->(m:Z) RETURN m.id AS m",
+        "MATCH (n:X|Y)-[:N*1..2]-(m:Z) RETURN m.id AS m",
+    ):
+        with pytest.raises(TranspilerNotSupportedError):
+            chain_ml_engine.cypher(q)
+    # *1..1 degenerates to the plain supported hop
+    got = pairs(
+        chain_ml_engine.cypher(
+            "MATCH (n:X|Y)-[:N*1..1]->(m:Z) RETURN n.id AS n, m.id AS m"
+        )
+    )
+    assert got == [("x1", "z1"), ("x2", "z2"), ("y1", "z3")]
+
+
+# round 9: fuzz the adjacency composition — random (verb set, bounds,
+# direction) adjacent hops on the chain fixture vs a DuckDB walk CTE.
+# Max bound 3 keeps walks == rel-unique paths on this fixture (its only
+# cycle, z1->z2->z3->z4-S->z1, has length 4).
+_CHAIN_EDGES = [
+    ("N", "X", "x1", "z1"), ("N", "X", "x2", "z2"), ("N", "Y", "y1", "z3"),
+    ("N", "Z", "z1", "z2"), ("N", "Z", "z2", "z3"), ("N", "Z", "z3", "z4"),
+    ("S", "X", "x1", "z3"), ("S", "Z", "z4", "z1"),
+]
+
+
+@st.composite
+def ml_adjacency_case(draw):
+    verbs = draw(
+        st.lists(st.sampled_from(["N", "S"]), min_size=1, max_size=2, unique=True)
+    )
+    members = draw(
+        st.lists(st.sampled_from(["X", "Y"]), min_size=2, max_size=2, unique=True)
+    )
+    a = draw(st.integers(1, 2))
+    b = draw(st.integers(a, 3))
+    backward = draw(st.booleans())
+    vspec = "|".join(verbs)
+    hop = f"[:{vspec}*{a}..{b}]" if (a, b) != (1, 1) else f"[:{vspec}]"
+    lhs = f"(n:{'|'.join(members)})"
+    if backward:
+        cy = f"MATCH (m:Z)<-{hop}-{lhs} RETURN n.id AS n, m.id AS m"
+    else:
+        cy = f"MATCH {lhs}-{hop}->(m:Z) RETURN n.id AS n, m.id AS m"
+    vals = ", ".join(f"('{v}', '{l}', '{s}', '{d}')" for v, l, s, d in _CHAIN_EDGES)
+    vlist = ", ".join(f"'{v}'" for v in verbs)
+    mlist = ", ".join(f"'{m}'" for m in members)
+    sql = f"""
+        WITH RECURSIVE e(v, l, src, dst) AS (SELECT * FROM (VALUES {vals})),
+        walk(n, m, hops) AS (
+            SELECT src, dst, 1 FROM e WHERE l IN ({mlist}) AND v IN ({vlist})
+            UNION ALL
+            SELECT w.n, e.dst, w.hops + 1
+            FROM walk w JOIN e ON e.src = w.m AND e.l = 'Z' AND e.v IN ({vlist})
+            WHERE w.hops < {b}
+        )
+        SELECT n, m FROM walk WHERE hops >= {a}
+    """
+    return cy, sql
+
+
+@settings(
+    max_examples=10 * _FUZZ_SCALE,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(case=ml_adjacency_case())
+def test_ml_adjacency_fabric_vs_duckdb(chain_ml_engine, duck, case):
+    cy, sql = case
+    got = sorted(map(tuple, chain_ml_engine.cypher(cy).collect()))
+    exp = sorted(map(tuple, duck.sql(sql).fetchall()))
+    assert got == exp, f"\ncypher: {cy}\nsql: {sql}"
