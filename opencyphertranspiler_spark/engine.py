@@ -623,6 +623,12 @@ class CypherEngine:
             (EntityProperty("__label", "string"), *merged.values()),
             id_property_type="string",
             label_property="__label",
+            # round 9 (VERDICT r8 #5): per-member shapes for
+            # properties(n) / map-projection `.*` (expressions.py builds
+            # member-shaped VARIANTs from this)
+            member_properties=tuple(
+                (m, ns.property_names) for m, ns in zip(members, schemas)
+            ),
         )
 
     def _rewire_multilabel_hop(

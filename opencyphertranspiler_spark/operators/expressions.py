@@ -669,6 +669,41 @@ class ExprCompiler:
         ref = self._ref(expr.alias)
         if not isinstance(ref, EntityRef):
             return self._map_projection_value(expr, ref)
+        mp = (
+            getattr(getattr(ref, "node", None), "member_properties", None)
+            if ref.kind == "node"
+            else None
+        )
+        if mp and any(kind == "all" for kind, _ in expr.items):
+            # `.*` over a tagged union (round 9): expand each row to its
+            # MEMBER's own properties — per-row shapes need VARIANT
+            nonnull = None
+            for c in ref.key_cols():
+                k = qcol(c).isNotNull()
+                nonnull = k if nonnull is None else (nonnull | k)
+            lbl = qcol(ref.col(ref.node.label_property))
+            out = None
+            for m, props in mp:
+                m_entries: dict[str, Column] = {}
+                for kind, v in expr.items:
+                    if kind == "prop":
+                        m_entries[v] = qcol(ref.col(v))
+                    elif kind == "all":
+                        for p in props:
+                            m_entries[p] = qcol(ref.col(p))
+                    elif kind == "entry":
+                        key, e = v
+                        m_entries[key] = self.compile(e)
+                    else:
+                        m_entries[v] = self.compile(A.Variable(v))
+                st_m = F.to_variant_object(
+                    F.struct(*[c.alias(k) for k, c in m_entries.items()])
+                )
+                cond = lbl == F.lit(m)
+                out = (
+                    F.when(cond, st_m) if out is None else out.when(cond, st_m)
+                )
+            return F.when(nonnull, out)
         entries: dict[str, Column] = {}
         for kind, v in expr.items:
             if kind == "prop":
@@ -742,7 +777,30 @@ class ExprCompiler:
         value type). Backs ``properties(n)``, ``RETURN n`` entity
         projection, and ``collect(n)``. An unmatched OPTIONAL MATCH
         entity (null surrogate key) is a null STRUCT, matching Neo4j's
-        null node — not a struct of nulls."""
+        null node — not a struct of nulls.
+
+        Tagged-union entities (`(n:A|B)`, round 9 — VERDICT r8 #5): each
+        row yields its MEMBER's shape, not the null-padded merged struct
+        — a per-row shape needs Spark 4 VARIANT (one struct schema per
+        column otherwise), built per member branch on the __label
+        discriminator, exactly Neo4j's per-node property maps."""
+        nonnull = None
+        for c in ref.key_cols():
+            k = qcol(c).isNotNull()
+            nonnull = k if nonnull is None else (nonnull | k)
+        mp = getattr(getattr(ref, "node", None), "member_properties", None)
+        if ref.kind == "node" and mp:
+            lbl = qcol(ref.col(ref.node.label_property))
+            out = None
+            for m, props in mp:
+                st_m = F.to_variant_object(
+                    F.struct(*[qcol(ref.col(p)).alias(p) for p in props])
+                )
+                cond = lbl == F.lit(m)
+                out = (
+                    F.when(cond, st_m) if out is None else out.when(cond, st_m)
+                )
+            return F.when(nonnull, out)
         st = F.struct(
             *[
                 qcol(ref.col(p)).alias(p)
@@ -750,10 +808,6 @@ class ExprCompiler:
                 if not p.startswith("__")
             ]
         )
-        nonnull = None
-        for c in ref.key_cols():
-            k = qcol(c).isNotNull()
-            nonnull = k if nonnull is None else (nonnull | k)
         return F.when(nonnull, st)
 
     def _path_function(self, name: str, ref: PathRef) -> Column:

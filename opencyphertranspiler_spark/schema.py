@@ -88,6 +88,11 @@ class NodeSchema:
     # property column holding the concrete label of each row — drives
     # labels(n). None for ordinary single-label nodes.
     label_property: str | None = None
+    # tagged-union nodes (round 9): each member's OWN property names,
+    # ((label, (prop, ...)), ...) — properties(n) / map-projection `.*`
+    # build per-row member-shaped VARIANT values from this instead of the
+    # null-padded merged struct. None for ordinary nodes.
+    member_properties: tuple[tuple[str, tuple[str, ...]], ...] | None = None
 
     @property
     def property_names(self) -> tuple[str, ...]:

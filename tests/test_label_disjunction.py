@@ -665,3 +665,61 @@ def test_ml_adjacency_fabric_vs_duckdb(chain_ml_engine, duck, case):
     got = sorted(map(tuple, chain_ml_engine.cypher(cy).collect()))
     exp = sorted(map(tuple, duck.sql(sql).fetchall()))
     assert got == exp, f"\ncypher: {cy}\nsql: {sql}"
+
+
+def test_union_properties_per_member_shapes(engine, duck):
+    """Round 9 (VERDICT r8 #5): properties(n) over (n:A|B) yields each
+    row's MEMBER shape (Spark VARIANT), not the null-padded merged
+    struct — verified against per-member DuckDB struct_pack."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    df = engine.cypher(
+        """
+        MATCH (n:Nation|Region)
+        RETURN labels(n)[0] AS l, id(n) AS i, properties(n) AS p
+        """
+    )
+    assert df.schema["p"].dataType.typeName() == "variant"
+    got = sorted(
+        (r.l, r.i, json.loads(r.j))
+        for r in df.select("l", "i", F.to_json("p").alias("j")).collect()
+    )
+    exp = sorted(
+        (l, i, json.loads(j))
+        for l, i, j in duck.sql(
+            """
+            SELECT 'Nation' AS l, 'Nation:' || n_nationkey AS i,
+                   to_json(struct_pack(n_nationkey := n_nationkey,
+                                       n_name := n_name))::varchar AS j
+            FROM nation
+            UNION ALL
+            SELECT 'Region', 'Region:' || r_regionkey,
+                   to_json(struct_pack(r_regionkey := r_regionkey,
+                                       r_name := r_name))::varchar
+            FROM region
+            """
+        ).fetchall()
+    )
+    assert got == exp
+    # map projection `.*` follows the member shape too; fixed entries ride
+    row = engine.cypher(
+        """
+        MATCH (n:Nation|Region) WHERE n.r_regionkey = 0
+        RETURN n {.*, extra: 1} AS m
+        """
+    ).select(F.to_json("m").alias("j")).collect()
+    shapes = sorted(sorted(json.loads(r.j).keys()) for r in row)
+    assert shapes == [["extra", "r_name", "r_regionkey"]]
+    # collect(n) over a union collects member-shaped values
+    rows = engine.cypher(
+        """
+        MATCH (n:Customer|Supplier)-[:FROM_NATION]->(x:Nation {n_nationkey: 1})
+        RETURN collect(n) AS ns
+        """
+    ).select(F.to_json("ns").alias("j")).collect()
+    vals = json.loads(rows[0].j)
+    assert vals and all(
+        ("c_name" in v) != ("s_name" in v) for v in vals
+    )
