@@ -200,3 +200,112 @@ def test_random_write_chains_match_pandas_model(spark, seed):
         }
         assert got_f == want_f, (op, got_f ^ want_f)
     assert applied >= 3  # the chain exercised several successful writes
+
+
+# ---------------------------------------------------------------------------
+# round 9 (VERDICT r8 #8): multi-type MERGE [:F1|F2] fuzz arm — random
+# initial edge sets + random merge chains vs a dict model of the round-8
+# semantics (match-any-member, create-as-first, ON MATCH routes to every
+# member table holding the pair)
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+
+_FUZZ_SCALE = int(_os.environ.get("SPARK_GRAFT_FUZZ_SCALE", "1"))
+
+
+def _two_edge_engine(spark, fa_pairs, fb_pairs):
+    from opencyphertranspiler_spark import CypherEngine
+
+    graph = GraphSchema(
+        [NodeSchema("Item", "item", "id", (), "bigint")],
+        [
+            EdgeSchema(
+                "F1", "Item", "Item", "fa", "src", "dst",
+                (EntityProperty("w", "bigint"),), "bigint", "bigint",
+            ),
+            EdgeSchema(
+                "F2", "Item", "Item", "fb", "src", "dst",
+                (EntityProperty("w", "bigint"),), "bigint", "bigint",
+            ),
+        ],
+    )
+    reg = TableRegistry()
+    reg.register_df(
+        "item", spark.createDataFrame([(i,) for i in range(4)], "id long")
+    )
+    schema = "src long, dst long, w long"
+    reg.register_df(
+        "fa",
+        spark.createDataFrame([(s, d, None) for s, d in fa_pairs], schema),
+    )
+    reg.register_df(
+        "fb",
+        spark.createDataFrame([(s, d, None) for s, d in fb_pairs], schema),
+    )
+    return CypherEngine(spark, graph, reg)
+
+
+@st.composite
+def multi_merge_case(draw):
+    grid = [(s, d) for s in range(4) for d in range(4)]
+    fa = draw(st.lists(st.sampled_from(grid), max_size=4, unique=True))
+    fb = draw(st.lists(st.sampled_from(grid), max_size=4, unique=True))
+    ops = draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, 3),  # src
+                st.integers(0, 3),  # dst
+                st.integers(1, 9),  # ON MATCH value
+                st.integers(10, 19),  # ON CREATE value
+            ),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    return fa, fb, ops
+
+
+@settings(
+    max_examples=5 * _FUZZ_SCALE,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(case=multi_merge_case())
+def test_multi_type_merge_fuzz_vs_model(spark, case):
+    fa_pairs, fb_pairs, ops = case
+    state = _two_edge_engine(spark, fa_pairs, fb_pairs)
+    model_fa = {p: None for p in fa_pairs}
+    model_fb = {p: None for p in fb_pairs}
+    for x, y, mv, cv in ops:
+        res = state.cypher_write(
+            f"MATCH (a:Item {{id: {x}}}), (b:Item {{id: {y}}}) "
+            f"MERGE (a)-[r:F1|F2]->(b) "
+            f"ON MATCH SET r.w = {mv} ON CREATE SET r.w = {cv}"
+        )
+        matched = (x, y) in model_fa or (x, y) in model_fb
+        if matched:
+            if (x, y) in model_fa:
+                model_fa[(x, y)] = mv
+            if (x, y) in model_fb:
+                model_fb[(x, y)] = mv
+            assert res.counts()["relationships_created"] == 0
+        else:
+            model_fa[(x, y)] = cv  # created as the FIRST member type
+            assert res.counts()["relationships_created"] == 1
+        state = res.engine()
+    got_fa = {
+        (r.src, r.dst): r.w for r in state.tables.get("fa").collect()
+    }
+    got_fb = {
+        (r.src, r.dst): r.w for r in state.tables.get("fb").collect()
+    }
+    assert got_fa == model_fa and got_fb == model_fb, (
+        fa_pairs, fb_pairs, ops,
+    )
