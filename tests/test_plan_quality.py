@@ -569,3 +569,73 @@ def test_zero_length_unbounded_no_cartesian(spark, engine):
     plan = formatted_plan(spark, df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_row_per_path_expansion_plan_shape(spark):
+    """Round 9: row-per-path `p = (a)-[:NEXT12*]->(b)` rewrites to the
+    bounded union-of-join-chains expansion — every chain is an equi-join
+    (no cartesian / BNLJ), the shape that survives 100 TB. The bound
+    discovery itself runs at plan time (<= 8 distinct equi-joins) and
+    leaves no trace in the final plan."""
+    from opencyphertranspiler_spark.catalog import _next_order_engine
+
+    from .conftest import SF_DIR
+
+    eng = _next_order_engine(spark, SF_DIR)
+    df = eng.cypher(
+        """
+        MATCH p = (a:Orders)-[:NEXT12*]->(b:Orders)
+        RETURN a.o_orderkey AS src, b.o_orderkey AS dst, length(p) AS hops
+        """
+    )
+    plan = formatted_plan(spark, df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Union" in plan  # the per-length variant union
+
+
+def test_ml_varlength_adjacency_plan_no_cartesian(spark):
+    # disjunction + bounded var-length composition stays equi-join:
+    # virtual union edge hop + ordinary expansion remainder
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EdgeSchema,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+    )
+
+    reg = TableRegistry()
+    reg.register_df("ta", spark.createDataFrame([("a1",)], "id string"))
+    reg.register_df("tb", spark.createDataFrame([("b1",)], "id string"))
+    reg.register_df(
+        "tc", spark.createDataFrame([("c1",), ("c2",)], "id string")
+    )
+    reg.register_df(
+        "ea", spark.createDataFrame([("a1", "c1")], "src string, dst string")
+    )
+    reg.register_df(
+        "eb", spark.createDataFrame([("b1", "c1")], "src string, dst string")
+    )
+    reg.register_df(
+        "ec", spark.createDataFrame([("c1", "c2")], "src string, dst string")
+    )
+    g = GraphSchema(
+        [
+            NodeSchema("A", "ta", "id", ()),
+            NodeSchema("B", "tb", "id", ()),
+            NodeSchema("C", "tc", "id", ()),
+        ],
+        [
+            EdgeSchema("E", "A", "C", "ea", "src", "dst"),
+            EdgeSchema("E", "B", "C", "eb", "src", "dst"),
+            EdgeSchema("E", "C", "C", "ec", "src", "dst"),
+        ],
+    )
+    eng = CypherEngine(spark, g, reg)
+    df = eng.cypher(
+        "MATCH (n:A|B)-[:E*1..2]->(m:C) RETURN n.id AS n, m.id AS m"
+    )
+    plan = formatted_plan(spark, df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
