@@ -1213,17 +1213,16 @@ class CypherEngine:
             # (previously a typed error). Inline props stay on the rel:
             # the bounded expansion applies them per hop. Deeper/cyclic
             # edge sets fall back to the documented witness-pair model
-            # below. *0.. keeps the witness model (the bounded expansion
-            # has no zero-length path materialization).
+            # below. *0.. composes: its zero-length variant rides the
+            # splice machinery (length 0, nodes [n], relationships []).
             if (
                 part.path_alias is not None
                 and not getattr(part, "shortest", False)
                 and rel.direction != A.Direction.EITHER
-                and rel.min_hops >= 1
             ):
                 bound = self._finite_path_bound(edge, tables)
                 if bound is not None:
-                    rel.max_hops = max(bound, rel.min_hops)
+                    rel.max_hops = max(bound, rel.min_hops, 1)
                     continue
             # an inline property map on the unbounded hop pre-filters the
             # EDGE SET before the fixpoint: every hop of every surviving

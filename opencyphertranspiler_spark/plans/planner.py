@@ -698,16 +698,12 @@ class _SingleQueryPlanner:
             raise TranspilerNotSupportedError(
                 "Variable-length expansion exceeds 32 fixed-length variants"
             )
-        for pi, ri in slots:
-            if (
-                clause.patterns[pi].rels[ri].min_hops == 0
-                and clause.patterns[pi].path_alias is not None
-            ):
-                raise TranspilerNotSupportedError(
-                    "A pattern variable over a *0..m hop is not supported "
-                    "(the zero-length variant has no relationship to "
-                    "materialize) — use *1..m"
-                )
+        # round 9: pattern variables over *0..m are supported — the
+        # zero-length variant's PathRef falls out of the splice (the part
+        # keeps only the left node: length 0, nodes [n], relationships []
+        # — Neo4j's zero-length path), and the empty relationships()
+        # array (array<null>) coerces into the sibling variants' struct
+        # arrays at the union.
         out: list[A.MatchClause] = []
         for combo in combos:
             vc = copy.deepcopy(clause)

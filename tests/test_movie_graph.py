@@ -426,11 +426,26 @@ def test_zero_length_cross_label_and_fences(movie_engine):
         "RETURN m.Title AS t"
     )
     assert sorted(r.t for r in df.collect()) == ["Apollo 13"]
-    with pytest.raises(TranspilerNotSupportedError, match="pattern variable"):
-        movie_engine.cypher(
-            "MATCH p = (a:Person)-[:FOLLOWS*0..1]->(b:Person) "
-            "RETURN length(p) AS l"
+    # round 9: pattern variables over *0..m work — the zero-length
+    # variant binds length 0, nodes [a], relationships []
+    got = sorted(
+        map(
+            tuple,
+            movie_engine.cypher(
+                "MATCH p = (a:Person)-[:FOLLOWS*0..1]->(b:Person) "
+                "RETURN a.id AS a, b.id AS b, length(p) AS l, "
+                "size(relationships(p)) AS nr"
+            ).collect(),
         )
+    )
+    # 5 zero-length self-paths + the 4 FOLLOWS edges
+    assert [(a, b, l, nr) for a, b, l, nr in got if l == 0] == [
+        (p, p, 0, 0) for p in ["p1", "p2", "p3", "p4", "p5"]
+    ]
+    assert [(a, b) for a, b, l, nr in got if l == 1] == [
+        ("p2", "p1"), ("p3", "p4"), ("p4", "p2"), ("p5", "p1"),
+    ]
+    assert all(nr == l for _, _, l, nr in got)
 
 
 def test_zero_length_unbounded(movie_engine):
