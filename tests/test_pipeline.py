@@ -1880,3 +1880,61 @@ def test_random_walks_node2vec_bias_distribution(spark):
         ).collect()
     }
     assert base == unit
+
+
+# -- product quantization ANN (round 9) ----------------------------------------
+
+
+def test_pq_topk_exact_when_codebooks_cover_corpus(spark):
+    """With ksub >= n_corpus the per-subspace codebooks converge onto the
+    exact subvectors, ADC error is 0, and PQ top-k equals exact cosine
+    top-k — a deterministic correctness pin for the approximate path."""
+    import numpy as np
+
+    from opencyphertranspiler_spark.pipeline.similarity import (
+        cosine_topk,
+        pq_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(16).round(4).tolist()) for i in range(24)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = embs.filter("vec_id < 6")
+    exact = {
+        (r.query_id, r.match_id)
+        for r in cosine_topk(embs, queries, k=3).collect()
+    }
+    approx_rows = pq_topk(
+        embs, queries, k=3, m=4, ksub=24, train_iters=2
+    ).collect()
+    approx = {(r.query_id, r.match_id) for r in approx_rows}
+    assert approx == exact
+    # the ADC score equals the true cosine when quantization error is 0
+    true_cos = {
+        (r.query_id, r.match_id): r.cosine
+        for r in cosine_topk(embs, queries, k=3).collect()
+    }
+    for r in approx_rows:
+        assert abs(r.approx_cosine - true_cos[(r.query_id, r.match_id)]) < 1e-6
+
+
+def test_pq_topk_recall_on_fixture(spark, embs):
+    from opencyphertranspiler_spark.pipeline.similarity import (
+        cosine_topk,
+        pq_topk,
+    )
+
+    queries = embs.filter("vec_id < 20")
+    exact = {
+        (r.query_id, r.match_id)
+        for r in cosine_topk(embs, queries, k=5).collect()
+    }
+    # the fixture's i.i.d.-random embeddings are PQ's worst case (no
+    # cluster structure to quantize); fine subspaces (dsub=2) still reach
+    # useful recall — real text embeddings do far better
+    approx = {
+        (r.query_id, r.match_id)
+        for r in pq_topk(embs, queries, k=5, m=32, ksub=64).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"PQ m=32 ksub=64 top-5 recall {recall:.2f} too low"
