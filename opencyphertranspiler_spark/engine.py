@@ -1219,6 +1219,9 @@ class CypherEngine:
                 part.path_alias is not None
                 and not getattr(part, "shortest", False)
                 and rel.direction != A.Direction.EITHER
+                # a symmetrized (undirected-rewritten) edge set is cyclic
+                # by construction — skip the discovery joins outright
+                and not edge.identity_properties
             ):
                 bound = self._finite_path_bound(edge, tables)
                 if bound is not None:
