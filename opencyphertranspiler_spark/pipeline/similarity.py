@@ -654,3 +654,71 @@ def pq_topk(
         .select("query_id", "match_id", "cosine")
     )
     return _global_topk(scored, k).withColumnRenamed("cosine", "approx_cosine")
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 6,
+    m: int = 16,
+    ksub: int = 64,
+    train_iters: int = 3,
+) -> DataFrame:
+    """IVF + PQ composed (the FAISS IVFPQ layout): coarse-quantize the
+    corpus into inverted cells, PQ-encode every vector, probe each
+    query's nprobe nearest cells, and ADC-score only the candidates in
+    probed cells.
+
+    100 TB shape: candidate generation is the IVF cell equi-join (query
+    cost ∝ probed list sizes, never the corpus), and the scored corpus
+    side carries (cell, m codes) instead of D floats — the join/shuffle
+    width win of PQ stacked on the candidate-pruning win of IVF."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = train_ivf_centroids(corpus, n_cells, train_iters, id_col, vec_col)
+    assign_cell = _assign_cell_udf(cents)
+    books = train_pq_codebooks(corpus, m, ksub, train_iters, id_col, vec_col)
+    dsub = books.shape[2]
+    enc = _pq_encode_udf(books)
+
+    @pandas_udf("array<int>")
+    def probe_cells(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy()).astype("float64")
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(x @ cents.T), axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(order))
+
+    @pandas_udf("double")
+    def adc_score(qv: pd.Series, codes: pd.Series) -> pd.Series:
+        q = np.stack(qv.to_numpy()).astype("float64")
+        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        c = np.stack(codes.to_numpy()).astype("int64")
+        adc = np.zeros(q.shape[0])
+        for s in range(books.shape[0]):
+            qs = q[:, s * dsub : (s + 1) * dsub]
+            adc += ((qs - books[s][c[:, s]]) ** 2).sum(axis=1)
+        return pd.Series(1.0 - adc / 2.0)
+
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        assign_cell(F.col(vec_col)).alias("cell"),
+        enc(F.col(vec_col)).alias("codes"),
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn("cell", F.explode(probe_cells(F.col("qv"))))
+    )
+    scored = (
+        c.join(F.broadcast(q), ["cell"])
+        .filter(F.col("query_id") != F.col("match_id"))
+        .withColumn("cosine", adc_score(F.col("qv"), F.col("codes")))
+        .select("query_id", "match_id", "cosine")
+        .distinct()
+    )
+    return _global_topk(scored, k, two_phase=False).withColumnRenamed(
+        "cosine", "approx_cosine"
+    )

@@ -1938,3 +1938,24 @@ def test_pq_topk_recall_on_fixture(spark, embs):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"PQ m=32 ksub=64 top-5 recall {recall:.2f} too low"
+
+
+def test_ivfpq_topk_recall_and_pruning(spark, embs):
+    from opencyphertranspiler_spark.pipeline.similarity import (
+        cosine_topk,
+        ivfpq_topk,
+    )
+
+    queries = embs.filter("vec_id < 20")
+    exact = {
+        (r.query_id, r.match_id)
+        for r in cosine_topk(embs, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.match_id)
+        for r in ivfpq_topk(
+            embs, queries, k=5, n_cells=16, nprobe=8, m=32, ksub=64
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVFPQ top-5 recall {recall:.2f} too low"
