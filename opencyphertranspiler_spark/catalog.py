@@ -1008,6 +1008,10 @@ def _next_order_engine(spark: SparkSession, sf_dir: str):
                 F.col("a.o_orderkey").alias("src"),
                 F.col("b.o_orderkey").alias("dst"),
             )
+            # materialize once: the bounded expansion joins this edge
+            # table up to 4 variants x k hops — without a checkpoint each
+            # hop re-evaluates the window + self-join
+            .localCheckpoint()
         )
 
     reg.register("orders_next12", _next12)

@@ -1687,12 +1687,15 @@ class CypherEngine:
         never empties a level and hits the 8-hop expansion cap -> None
         (callers fall back to the endpoint-pair witness model).
 
-        Cost: <= 8 distinct equi-joins over (src, dst) id pairs — the
-        same per-round regime as the reachability fixpoint; each level is
-        localCheckpoint'ed (iterative lineage) and the empty check is one
-        cheap action per level. Memoized per edge per engine lifetime.
-        100 TB note: level k is E^k, bounded by the closure size, and the
-        discovery is only attempted when a path VARIABLE binds the hop.
+        Cost: <= 8 NODE-frontier equi-joins — a k-walk exists iff
+        S_k = {nodes a length-k walk can END at} is nonempty, and
+        S_{k+1} = dst(E ⨝_src S_k), so each level is at most node-set
+        sized (never the pair closure); levels are localCheckpoint'ed
+        (iterative lineage) and the empty check is one cheap action per
+        level. Memoized per edge per engine lifetime. 100 TB note: the
+        frontier only shrinks level-over-level on finite-depth graphs,
+        and the discovery is only attempted when a path VARIABLE binds
+        the hop.
         """
         key = ("pathbound", edge.id)
         if key not in self._reach_cache:
@@ -1703,18 +1706,18 @@ class CypherEngine:
                     F.col(edge.sink_id_property).alias("d"),
                 )
                 .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
-                .distinct()
                 .localCheckpoint()
             )
             bound = None
-            cur = e
+            # S_1 = every walk-of-1 endpoint
+            cur = (
+                e.select(F.col("d").alias("n")).distinct().localCheckpoint()
+            )
             for k in range(1, 9):
+                # S_{k+1}: extend each level-k endpoint by one edge
                 cur = (
-                    cur.alias("a")
-                    .join(e.alias("b"), F.col("a.d") == F.col("b.s"))
-                    .select(
-                        F.col("a.s").alias("s"), F.col("b.d").alias("d")
-                    )
+                    cur.join(e, F.col("n") == F.col("s"))
+                    .select(F.col("d").alias("n"))
                     .distinct()
                     .localCheckpoint()
                 )
