@@ -833,7 +833,27 @@ class CypherEngine:
             sink_id_property_type=other_types.pop(),
             display_verb=None if multi else verb,
             type_property="__type" if multi else None,
+            member_properties=self._edge_member_props(
+                (e.display_verb or e.verb, e) for _m, e, _mem_src in resolved
+            )
+            if multi
+            else None,
         )
+
+    @staticmethod
+    def _edge_member_props(entries) -> tuple[tuple[str, tuple[str, ...]], ...]:
+        """Per-member-TYPE own (non-id) property names for a virtual
+        union edge, keyed by the __type discriminator value — same-type
+        entries (e.g. one verb over several disjunction members) merge
+        their property sets in declaration order."""
+        by_type: dict[str, dict[str, None]] = {}
+        for tname, e in entries:
+            ids = {e.source_id_property, e.sink_id_property}
+            slot = by_type.setdefault(tname, {})
+            for p in e.properties:
+                if p.name not in ids:
+                    slot[p.name] = None
+        return tuple((t, tuple(ps)) for t, ps in by_type.items())
 
     # -- multiple relationship types `[:A|B]` ------------------------------
     # The reference rejects type alternation outright
@@ -1037,6 +1057,9 @@ class CypherEngine:
             source_id_property_type=src_t,
             sink_id_property_type=snk_t,
             type_property="__type",
+            member_properties=self._edge_member_props(
+                (e.verb, e) for e, _fl in resolved
+            ),
         )
 
     # -- undirected variable-length `-[:V*n..m]-` / `-[:V*]-` --------------

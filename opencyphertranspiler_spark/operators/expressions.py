@@ -669,11 +669,7 @@ class ExprCompiler:
         ref = self._ref(expr.alias)
         if not isinstance(ref, EntityRef):
             return self._map_projection_value(expr, ref)
-        mp = (
-            getattr(getattr(ref, "node", None), "member_properties", None)
-            if ref.kind == "node"
-            else None
-        )
+        mp, disc = self._member_shapes(ref)
         if mp and any(kind == "all" for kind, _ in expr.items):
             # `.*` over a tagged union (round 9): expand each row to its
             # MEMBER's own properties — per-row shapes need VARIANT
@@ -681,7 +677,7 @@ class ExprCompiler:
             for c in ref.key_cols():
                 k = qcol(c).isNotNull()
                 nonnull = k if nonnull is None else (nonnull | k)
-            lbl = qcol(ref.col(ref.node.label_property))
+            lbl = qcol(ref.col(disc))
             out = None
             for m, props in mp:
                 m_entries: dict[str, Column] = {}
@@ -771,6 +767,17 @@ class ExprCompiler:
         st = F.struct(*[c.alias(k) for k, c in entries.items()])
         return F.when(base.isNotNull(), st)
 
+    @staticmethod
+    def _member_shapes(ref):
+        """(member_properties, discriminator column name) for tagged-union
+        entities — nodes keyed by __label, virtual union EDGES keyed by
+        __type (round 9) — or (None, None) for ordinary entities."""
+        if ref.kind == "node":
+            mp = getattr(ref.node, "member_properties", None)
+            return (mp, ref.node.label_property) if mp else (None, None)
+        mp = getattr(ref.edge, "member_properties", None)
+        return (mp, ref.edge.type_property) if mp else (None, None)
+
     def _properties_struct(self, ref: EntityRef) -> Column:
         """The entity as one STRUCT column keyed by property name
         (heterogeneous value types — a Spark map would force a common
@@ -788,9 +795,9 @@ class ExprCompiler:
         for c in ref.key_cols():
             k = qcol(c).isNotNull()
             nonnull = k if nonnull is None else (nonnull | k)
-        mp = getattr(getattr(ref, "node", None), "member_properties", None)
-        if ref.kind == "node" and mp:
-            lbl = qcol(ref.col(ref.node.label_property))
+        mp, disc = self._member_shapes(ref)
+        if mp:
+            lbl = qcol(ref.col(disc))
             out = None
             for m, props in mp:
                 st_m = F.to_variant_object(

@@ -133,6 +133,11 @@ class EdgeSchema:
     # directions still counts as one edge for Cypher's relationship
     # uniqueness and for DISTINCT/count(DISTINCT r)
     identity_properties: tuple[str, ...] = ()
+    # virtual union edges (round 9): each member TYPE's own property
+    # names, ((type, (prop, ...)), ...) keyed by the ``type_property``
+    # value — properties(r) / map-projection `.*` build per-row
+    # member-shaped VARIANTs from this. None for ordinary edges.
+    member_properties: tuple[tuple[str, tuple[str, ...]], ...] | None = None
 
     @property
     def id(self) -> str:

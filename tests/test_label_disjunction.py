@@ -723,3 +723,38 @@ def test_union_properties_per_member_shapes(engine, duck):
     assert vals and all(
         ("c_name" in v) != ("s_name" in v) for v in vals
     )
+
+
+def test_union_edge_properties_per_member_shapes(engine, duck):
+    """Round 9: properties(r) over a multi-type union edge yields each
+    row's member-TYPE shape (VARIANT keyed by __type) — PLACED_URGENT
+    carries o_orderpriority, PLACED_NORMAL has no own properties."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    df = engine.cypher(
+        """
+        MATCH (c:Customer)-[r:PLACED_URGENT|PLACED_NORMAL]->(o:Orders)
+        RETURN type(r) AS t, properties(r) AS p
+        """
+    )
+    assert df.schema["p"].dataType.typeName() == "variant"
+    got = sorted(
+        (r.t, tuple(sorted(json.loads(r.j).items())))
+        for r in df.select("t", F.to_json("p").alias("j")).collect()
+    )
+    exp = sorted(
+        (t, tuple(sorted(json.loads(j).items())))
+        for t, j in duck.sql(
+            """
+            SELECT 'PLACED_URGENT' AS t,
+                   to_json(struct_pack(o_orderpriority := o_orderpriority))::varchar AS j
+            FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+            UNION ALL
+            SELECT 'PLACED_NORMAL', '{}'
+            FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+            """
+        ).fetchall()
+    )
+    assert got == exp
