@@ -1207,10 +1207,21 @@ class Parser:
                 and self.peek().is_punct(".")
                 and self.peek(2).kind == "ident"
                 and self.peek(3).is_punct("(")
+            ) or (
+                # `vector.similarity.cosine(a, b)` (Neo4j 5.18) — the only
+                # two-segment function namespace
+                str(t.value).lower() == "vector"
+                and self.peek().is_punct(".")
+                and self.peek(2).kind == "ident"
+                and self.peek(3).is_punct(".")
+                and self.peek(4).kind == "ident"
+                and self.peek(5).is_punct("(")
             ):
                 ns = str(self.advance().value).lower()
                 self.advance()  # the dot
                 fn = self.expect_ident().lower()
+                if self.accept_punct("."):
+                    fn += "." + self.expect_ident().lower()
                 self.expect_punct("(")
                 args: list[A.Expr] = []
                 if not self.cur.is_punct(")"):

@@ -70,6 +70,32 @@ def compile_scalar(name: str, args: list[Column]) -> Column:
             "tostringornull": "string",
         }[name]
         return args[0].try_cast(target)
+    # --- vector similarity (Neo4j 5.18; extension — the reference has no
+    # vector functions). Pure JVM-side higher-order folds, same
+    # left-to-right double-precision order as pipeline/similarity.py so a
+    # DuckDB list_cosine_similarity oracle agrees to float tolerance.
+    if name in ("vector.similarity.cosine", "vector.similarity.euclidean"):
+        _arity(name, args, 2)
+        # the up-front cast types a bare NULL argument (VOID would fail
+        # zip_with analysis) and yields Neo4j's null-in-null-out for free
+        a = args[0].cast("array<double>")
+        b = args[1].cast("array<double>")
+
+        def fold_dot(x, y):
+            return F.aggregate(
+                F.zip_with(x, y, lambda p, q: p * q),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+
+        if name.endswith("cosine"):
+            na = F.sqrt(fold_dot(a, a))
+            nb = F.sqrt(fold_dot(b, b))
+            return fold_dot(a, b) / (na * nb)
+        # euclidean similarity = 1 / (1 + squared L2 distance)
+        diff = F.zip_with(a, b, lambda p, q: p - q)
+        sq = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v)
+        return F.lit(1.0) / (F.lit(1.0) + sq)
     # --- strings (reference SQLRenderer.cs:589-621) ---
     if name == "startswith":
         _arity(name, args, 2)

@@ -221,3 +221,80 @@ def test_ornull_cast_aliases(engine):
     ).collect()[0]
     assert (row.a, row.b, row.d, row.e) == (12, None, True, "42")
     assert abs(row.c - 1.5) < 1e-6
+
+
+# -- vector.similarity.* (round 9; Neo4j 5.18) ---------------------------------
+
+
+def test_vector_similarity_literals(engine):
+    row = engine.cypher(
+        """
+        WITH [1.0, 2.0] AS a, [2.0, 4.0] AS b, [0.0, 0.0] AS z, [3.0, 4.0] AS w
+        RETURN vector.similarity.cosine(a, b) AS cos,
+               vector.similarity.euclidean(z, w) AS euc,
+               vector.similarity.cosine(a, null) AS nul
+        """
+    ).collect()[0]
+    assert abs(row.cos - 1.0) < 1e-12
+    assert abs(row.euc - 1.0 / 26.0) < 1e-12
+    assert row.nul is None
+
+
+def test_vector_similarity_vs_duckdb(spark, duck):
+    """Pairs over the real embeddings parquet vs DuckDB's
+    list_cosine_similarity / list_distance."""
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EntityProperty,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+    )
+    from tests.conftest import SF_DIR
+
+    reg = TableRegistry()
+    reg.register(
+        "embeddings", lambda: spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    )
+    g = GraphSchema(
+        [
+            NodeSchema(
+                "Emb",
+                "embeddings",
+                "vec_id",
+                (EntityProperty("embedding", "array<float>"),),
+                "bigint",
+            )
+        ],
+        [],
+    )
+    eng = CypherEngine(spark, g, reg)
+    got = {
+        (r.a, r.b): (r.cos, r.euc)
+        for r in eng.cypher(
+            """
+            MATCH (a:Emb), (b:Emb)
+            WHERE a.vec_id < b.vec_id AND b.vec_id < 8
+            RETURN a.vec_id AS a, b.vec_id AS b,
+                   vector.similarity.cosine(a.embedding, b.embedding) AS cos,
+                   vector.similarity.euclidean(a.embedding, b.embedding) AS euc
+            """
+        ).collect()
+    }
+    exp = {
+        (a, b): (c, e)
+        for a, b, c, e in duck.sql(
+            f"""
+            SELECT a.vec_id, b.vec_id,
+                   list_cosine_similarity(a.embedding, b.embedding),
+                   1 / (1 + list_distance(a.embedding, b.embedding) ** 2)
+            FROM '{SF_DIR}/embeddings.parquet' a
+            JOIN '{SF_DIR}/embeddings.parquet' b
+              ON a.vec_id < b.vec_id AND b.vec_id < 8
+            """
+        ).fetchall()
+    }
+    assert got.keys() == exp.keys() and len(got) == 28
+    for k in got:
+        assert abs(got[k][0] - exp[k][0]) < 1e-5, k
+        assert abs(got[k][1] - exp[k][1]) < 1e-5, k
