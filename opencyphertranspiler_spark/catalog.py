@@ -1376,9 +1376,25 @@ def _p13_oracle() -> str:
     argmax-cosine cell assignment, top-6 probe cells per query, inverted-
     list equi-join, exact cosine re-rank. The trained-quantizer path is
     covered by the clustered-recall tests (k-means itself is not usefully
-    SQL-oracle-able)."""
+    SQL-oracle-able).
+
+    Round 10 (VERDICT r9 #2): the slot is a two-family merge — UNION ALL
+    with the PQ encode+ADC path under the same deterministic seed
+    codebooks (train_iters=0: books = the 16 lowest-id vectors'
+    normalized subvectors, m=4 subspaces of 16 dims). DuckDB recomputes
+    the per-subspace argmin code assignment (ties -> lowest code, same
+    as np.argmin) and the asymmetric-distance score
+    1 - sum_s ||q_s - b_{{s,code_s}}||^2 / 2 per (query, match)."""
     dot_c = "list_sum([s.embedding[i]::DOUBLE * c.cv[i] FOR i IN range(1, 65)])"
     norm2 = "list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE FOR i IN range(1, 65)])"
+    sub_d = (
+        "list_sum([power(n.nv[(s.s - 1) * 16 + i] - "
+        "c.cv[(s.s - 1) * 16 + i], 2) FOR i IN range(1, 17)])"
+    )
+    adc_d = (
+        "list_sum([power(q.nv[(k.s - 1) * 16 + i] - "
+        "c.cv[(k.s - 1) * 16 + i], 2) FOR i IN range(1, 17)])"
+    )
     return f"""
         WITH cents AS (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
@@ -1407,15 +1423,87 @@ def _p13_oracle() -> str:
             WHERE p.query_id <> a.vec_id
         ), scored AS (
             SELECT query_id, match_id, {_COS_QC} AS cosine FROM cand
+        ),
+        normd AS (
+            SELECT vec_id,
+                   [embedding[i]::DOUBLE / sqrt({norm2})
+                    FOR i IN range(1, 65)] AS nv
+            FROM embeddings
+        ), subdist AS (
+            SELECT n.vec_id, s.s, c.cell AS code, {sub_d} AS d
+            FROM normd n
+            CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS s) s
+            CROSS JOIN cents c
+        ), codes AS (
+            SELECT vec_id, s, code
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY vec_id, s ORDER BY d, code) AS rn
+                  FROM subdist)
+            WHERE rn = 1
+        ), adc AS (
+            SELECT q.vec_id AS query_id, k.vec_id AS match_id,
+                   1 - sum({adc_d}) / 2 AS score
+            FROM codes k
+            JOIN cents c ON c.cell = k.code
+            JOIN normd q ON q.vec_id < 20 AND q.vec_id <> k.vec_id
+            GROUP BY 1, 2
         )
-        SELECT query_id, match_id, round(cosine, 6) AS cosine,
-               CAST(rank AS INTEGER) AS rank
+        SELECT 'ivf' AS kind, query_id, match_id,
+               round(cosine, 6) AS score, CAST(rank AS INTEGER) AS rank
         FROM (SELECT *, row_number() OVER (
                   PARTITION BY query_id
-                  ORDER BY cosine DESC, match_id) AS rank
+                  ORDER BY round(cosine, 6) DESC, match_id) AS rank
               FROM scored)
         WHERE rank <= 5
+        UNION ALL
+        SELECT 'pq' AS kind, query_id, match_id,
+               round(score, 6) AS score, CAST(rank AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY round(score, 6) DESC, match_id) AS rank
+              FROM adc)
+        WHERE rank <= 5
     """
+
+
+def _p_ivf_pq_topk(spark, sf_dir):
+    """Two-family ANN gate entry (VERDICT r9 #2): IVF top-k and PQ
+    encode+ADC top-k, both under the deterministic train_iters=0 seed
+    quantizers, merged with a `kind` discriminator."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .pipeline.similarity import ivf_topk, pq_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter("vec_id < 20")
+    # both families over-fetch (k=10) then re-rank on the ROUNDED score
+    # with the match_id tiebreak: sub-1e-6 float noise between numpy and
+    # DuckDB summation order must not flip gate ranks. The window runs
+    # over an already-top-k-reduced relation (<= 10 rows per query), not
+    # the scored corpus — the scale-safe topk stays inside *_topk.
+    w = Window.partitionBy("kind", "query_id").orderBy(
+        F.col("score").desc(), F.col("match_id")
+    )
+    ivf = ivf_topk(embs, queries, k=10, train_iters=0).select(
+        F.lit("ivf").alias("kind"),
+        "query_id",
+        "match_id",
+        F.col("cosine").alias("score"),
+    )
+    pq = pq_topk(
+        embs, queries, k=10, m=4, ksub=16, train_iters=0
+    ).select(
+        F.lit("pq").alias("kind"),
+        "query_id",
+        "match_id",
+        F.col("approx_cosine").alias("score"),
+    )
+    return (
+        ivf.unionByName(pq)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
 
 
 # deterministic chain graph for the iterative operators: part keys link
@@ -1727,20 +1815,13 @@ PIPELINE_CATALOG: list[CatalogEntry] = [
     ),
     CatalogEntry(
         name="p13_ivf_topk",
-        # gate uses the deterministic seed quantizer (train_iters=0) so the
+        # two-family merge (round 10): IVF top-k UNION ALL PQ ADC top-k,
+        # both under deterministic seed quantizers (train_iters=0) so the
         # whole query path is DuckDB-recomputable; trained k-means recall
         # is asserted in tests/test_pipeline.py on a clustered corpus
-        fn=lambda spark, sf_dir: __import__(
-            "opencyphertranspiler_spark.pipeline.similarity",
-            fromlist=["ivf_topk"],
-        ).ivf_topk(
-            _embs(spark, sf_dir),
-            _embs(spark, sf_dir).filter("vec_id < 20"),
-            k=5,
-            train_iters=0,
-        ),
+        fn=_p_ivf_pq_topk,
         oracle=_p13_oracle(),
-        tags=("similarity", "ivf"),
+        tags=("similarity", "ivf", "pq"),
     ),
     CatalogEntry(
         name="p12_multimodal_features",

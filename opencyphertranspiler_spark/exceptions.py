@@ -23,3 +23,10 @@ class TranspilerBindingError(TranspilerError):
 
 class TranspilerInternalError(TranspilerError):
     """Engine invariant violated (a bug in the engine itself)."""
+
+
+class PathEnumerationCapWarning(UserWarning):
+    """The relationship-unique path enumeration for an unbounded path
+    variable exceeded its round or row cap; the engine fell back to the
+    endpoint-pair witness model (one shortest witness per reachable
+    pair) instead of Neo4j's row-per-path semantics."""

@@ -89,9 +89,13 @@ def compile_scalar(name: str, args: list[Column]) -> Column:
             )
 
         if name.endswith("cosine"):
+            # Neo4j 5.18 normalizes the Lucene vector-index score to
+            # [0, 1]: (1 + cos) / 2 — orthogonal vectors score 0.5, not
+            # 0.0 (ADVICE r9 high: raw cosine diverged on every
+            # non-identical pair)
             na = F.sqrt(fold_dot(a, a))
             nb = F.sqrt(fold_dot(b, b))
-            return fold_dot(a, b) / (na * nb)
+            return (F.lit(1.0) + fold_dot(a, b) / (na * nb)) / F.lit(2.0)
         # euclidean similarity = 1 / (1 + squared L2 distance)
         diff = F.zip_with(a, b, lambda p, q: p - q)
         sq = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v)

@@ -1255,13 +1255,39 @@ class ExprCompiler:
                 else:
                     n0 = ref.node_refs[0]
                     marker = qcol(n0.col(n0.node.id_property))
-                    # fixed-length pattern: the node ids determine the path
-                    shape = F.struct(
-                        *[
-                            qcol(nr.col(nr.node.id_property))
-                            for nr in ref.node_refs
-                        ]
-                    )
+                    # fixed-length pattern: node ids + each hop's rel
+                    # IDENTITY determine the path. Parallel relationships
+                    # between the same endpoints (distinct type_property /
+                    # identity_properties values, e.g. PLACED vs
+                    # PLACED_URGENT on a union edge) are distinct Neo4j
+                    # paths — node ids alone would collapse them (ADVICE
+                    # r9 medium). Mirrors the planner's uniqueness
+                    # key_props (planner.py:1104-1115).
+                    parts: list[Column] = [
+                        qcol(nr.col(nr.node.id_property))
+                        for nr in ref.node_refs
+                    ]
+                    for rr in ref.rel_refs:
+                        e = rr.edge
+                        if "__nodes" in e.property_names:
+                            # row-per-path / witness virtual hop: the
+                            # materialized node array IS the path identity
+                            parts.append(qcol(rr.col("__nodes")))
+                            continue
+                        if "__dist" in e.property_names:
+                            parts.append(qcol(rr.col("__dist")))
+                            continue
+                        if e.identity_properties:
+                            key_props = list(e.identity_properties)
+                        else:
+                            key_props = [
+                                e.source_id_property,
+                                e.sink_id_property,
+                            ]
+                            if e.type_property is not None:
+                                key_props.append(e.type_property)
+                        parts.extend(qcol(rr.col(kp)) for kp in key_props)
+                    shape = F.struct(*parts)
                 if expr.name == "count":
                     return compile_aggregate(
                         "count",
@@ -1271,19 +1297,32 @@ class ExprCompiler:
                         expr.distinct,
                         extras,
                     )
-                if (
-                    expr.name == "collect"
-                    and isinstance(ref, MaterializedPathRef)
-                    and not expr.distinct
-                ):
+                if expr.name == "collect" and not expr.distinct:
                     # the collected path renders as its (length, nodes,
                     # relationships) struct; unmatched OPTIONAL paths are
                     # excluded (collect_list drops null structs)
-                    st = F.struct(
-                        qcol(ref.len_col).alias("length"),
-                        qcol(ref.nodes_col).alias("nodes"),
-                        qcol(ref.rels_col).alias("relationships"),
-                    )
+                    if isinstance(ref, MaterializedPathRef):
+                        st = F.struct(
+                            qcol(ref.len_col).alias("length"),
+                            qcol(ref.nodes_col).alias("nodes"),
+                            qcol(ref.rels_col).alias("relationships"),
+                        )
+                    else:
+                        # plain PathRef (round 10): single-variant fixed
+                        # pattern, or a row-per-path virtual hop carrying
+                        # __dist/__nodes — _path_function raises a typed
+                        # error for witness hops without node arrays
+                        st = F.struct(
+                            self._path_function("length", ref).alias(
+                                "length"
+                            ),
+                            self._path_function("nodes", ref).alias(
+                                "nodes"
+                            ),
+                            self._path_function(
+                                "relationships", ref
+                            ).alias("relationships"),
+                        )
                     return F.collect_list(
                         F.when(marker.isNotNull(), st)
                     )

@@ -596,6 +596,46 @@ def test_ml_varlength_remaining_fences(chain_ml_engine):
     ):
         with pytest.raises(TranspilerNotSupportedError):
             chain_ml_engine.cypher(q)
+
+
+def test_ml_varlength_splice_reuse_fence(chain_ml_engine):
+    """ADVICE r9 medium: when a disjunction member's edge lies on a
+    cycle of the hop's verb set (here (Z)-[:S]->(Z) via z4->z1, and
+    (Z)-[:N]->(Z)), the remainder could re-traverse the relationship the
+    split single hop consumed — no rel-uniqueness conjunct spans the
+    split — so the splice is fenced with a typed error."""
+    for q in (
+        "MATCH (n:Z|X)-[:S*1..2]->(m:Z) RETURN m.id AS m",
+        "MATCH (n:Z|X)-[:N*1..3]->(m:Z) RETURN m.id AS m",
+        "MATCH (m:Z)<-[:N*1..2]-(n:Z|Y) RETURN m.id AS m",
+    ):
+        with pytest.raises(
+            TranspilerNotSupportedError, match="re-traverse"
+        ):
+            chain_ml_engine.cypher(q)
+    # members OFF every verb cycle stay spliceable (the fuzzer's shape)
+    assert (
+        len(
+            chain_ml_engine.cypher(
+                "MATCH (n:X|Y)-[:N*1..2]->(m:Z) RETURN m.id AS m"
+            ).collect()
+        )
+        == 6
+    )
+
+
+def test_ml_varlength_rel_alias_fence(chain_ml_engine):
+    """ADVICE r9 low asked for a targeted error when a relationship
+    alias rides a spliced var-length hop; in fact the PARSER already
+    rejects aliases on every var-length relationship with a typed
+    message (parser.py:839), so the aliased query can never reach the
+    splice's alias=None reconstruction — pin that."""
+    with pytest.raises(
+        TranspilerNotSupportedError, match="cannot be bound to an alias"
+    ):
+        chain_ml_engine.cypher(
+            "MATCH (n:X|Y)-[r:N*1..2]->(m:Z) RETURN r"
+        )
     # *1..1 degenerates to the plain supported hop
     got = pairs(
         chain_ml_engine.cypher(

@@ -251,3 +251,105 @@ def test_optional_fork_over_duplicate_natural_keys_pinned(engine, fuzz_duck):
     actual = engine.cypher(cy).toPandas()
     expected = fuzz_duck.sql(sql).df()
     assert_frames_match(actual, expected)
+
+
+# -- round 10 (VERDICT r9 #8): random-graph row-per-path enumeration ----------
+# Random small directed graphs — CYCLES ALLOWED, exercising the iterative
+# relationship-unique expansion (engine._enumerate_rel_unique_paths) as well
+# as the finite-depth bounded rewrite on DAG draws — compared against a
+# DuckDB recursive CTE that carries the traversed rel set and forbids reuse.
+
+
+@st.composite
+def rel_unique_path_graph(draw):
+    n = draw(st.integers(3, 6))
+    nodes = [f"n{i}" for i in range(n)]
+    pairs = st.tuples(st.sampled_from(nodes), st.sampled_from(nodes))
+    edges = draw(st.lists(pairs, min_size=2, max_size=8, unique=True))
+    min_hops = draw(st.sampled_from([0, 1, 2]))
+    undirected = draw(st.booleans())
+    return nodes, edges, min_hops, undirected
+
+
+@settings(
+    max_examples=6 * _FUZZ_SCALE,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(case=rel_unique_path_graph())
+def test_row_per_path_fabric_vs_duckdb(spark, case):
+    import duckdb
+
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EdgeSchema,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+    )
+
+    nodes, edges, min_hops, undirected = case
+    reg = TableRegistry()
+    reg.register_df("n", spark.createDataFrame([(x,) for x in nodes], "id string"))
+    reg.register_df("l", spark.createDataFrame(edges, "src string, dst string"))
+    g = GraphSchema(
+        [NodeSchema("N", "n", "id", ())],
+        [EdgeSchema("L", "N", "N", "l", "src", "dst")],
+    )
+    eng = CypherEngine(spark, g, reg)
+    star = {0: "*0..", 1: "*", 2: "*2.."}[min_hops]
+    arrow = "-" if undirected else "->"
+    got = sorted(
+        map(
+            tuple,
+            eng.cypher(
+                f"MATCH p = (x:N)-[:L{star}]{arrow}(y:N) "
+                "RETURN x.id AS x, y.id AS y, length(p) AS l, count(p) AS c"
+            ).collect(),
+        )
+    )
+    d = duckdb.connect()
+    if undirected:
+        # symmetrize; both orientations of one relationship share a rel id
+        evals = ", ".join(
+            f"('{s}','{t}','{s}>{t}'), ('{t}','{s}','{s}>{t}')"
+            if s != t
+            else f"('{s}','{t}','{s}>{t}')"
+            for s, t in edges
+        )
+    else:
+        evals = ", ".join(f"('{s}','{t}','{s}>{t}')" for s, t in edges)
+    zero_union = (
+        "UNION ALL SELECT id, id, 0 FROM (SELECT unnest(["
+        + ", ".join(f"'{x}'" for x in nodes)
+        + "]) AS id)"
+        if min_hops == 0
+        else ""
+    )
+    exp = sorted(
+        map(
+            tuple,
+            d.sql(
+                f"""
+                WITH RECURSIVE e(s, d, rid) AS (SELECT * FROM (VALUES {evals})),
+                paths(src, dst, len, rels) AS (
+                    SELECT s, d, 1, [rid] FROM e
+                    UNION ALL
+                    SELECT p.src, e.d, p.len + 1, list_append(p.rels, e.rid)
+                    FROM paths p JOIN e ON e.s = p.dst
+                    WHERE NOT list_contains(p.rels, e.rid)
+                ),
+                all_paths(src, dst, len) AS (
+                    SELECT src, dst, len FROM paths WHERE len >= {max(min_hops, 1)}
+                    {zero_union}
+                )
+                SELECT src AS x, dst AS y, len AS l, count(*) AS c
+                FROM all_paths GROUP BY 1, 2, 3
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == exp, f"edges={edges} min={min_hops} undirected={undirected}"

@@ -240,6 +240,20 @@ def test_vector_similarity_literals(engine):
     assert row.nul is None
 
 
+def test_vector_similarity_cosine_normalized(engine):
+    """Neo4j 5.18 scores cosine into [0,1] as (1+cos)/2 (ADVICE r9):
+    orthogonal vectors score 0.5, opposite vectors 0.0."""
+    row = engine.cypher(
+        """
+        WITH [1.0, 0.0] AS x, [0.0, 1.0] AS y, [-2.0, 0.0] AS nx
+        RETURN vector.similarity.cosine(x, y) AS ortho,
+               vector.similarity.cosine(x, nx) AS opposite
+        """
+    ).collect()[0]
+    assert abs(row.ortho - 0.5) < 1e-12
+    assert abs(row.opposite - 0.0) < 1e-12
+
+
 def test_vector_similarity_vs_duckdb(spark, duck):
     """Pairs over the real embeddings parquet vs DuckDB's
     list_cosine_similarity / list_distance."""
@@ -286,7 +300,7 @@ def test_vector_similarity_vs_duckdb(spark, duck):
         for a, b, c, e in duck.sql(
             f"""
             SELECT a.vec_id, b.vec_id,
-                   list_cosine_similarity(a.embedding, b.embedding),
+                   (1 + list_cosine_similarity(a.embedding, b.embedding)) / 2,
                    1 / (1 + list_distance(a.embedding, b.embedding) ** 2)
             FROM '{SF_DIR}/embeddings.parquet' a
             JOIN '{SF_DIR}/embeddings.parquet' b
