@@ -497,6 +497,11 @@ class CallProcedureClause:
     # round 6: literal / $param arguments (plan-time constants), e.g.
     # db.propertyKeys('Customer')
     args: list = field(default_factory=list)
+    # round 10: full YIELD list [(column, alias), ...] — multi-column
+    # procedures (db.index.vector.queryNodes yields node, score);
+    # yield_name/out_alias mirror the FIRST item for the single-column
+    # introspection procedures
+    yields: list = field(default_factory=list)
 
 
 @dataclass

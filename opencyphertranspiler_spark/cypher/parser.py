@@ -362,9 +362,15 @@ class Parser:
                 args.append(self.parse_expr())
         self.expect_punct(")")
         yield_name = out_alias = where = None
+        yields: list[tuple[str, str]] = []
         if self.accept_soft_kw("YIELD"):
-            yield_name = self.expect_name()
-            out_alias = self.expect_ident() if self.accept_kw("AS") else yield_name
+            while True:
+                nm = self.expect_name()
+                al = self.expect_ident() if self.accept_kw("AS") else nm
+                yields.append((nm, al))
+                if not self.accept_punct(","):
+                    break
+            yield_name, out_alias = yields[0]
             if self.accept_kw("WHERE"):
                 where = self.parse_expr()
         standalone = self.cur.kind == "eof" or self.cur.is_punct(";")
@@ -375,7 +381,7 @@ class Parser:
                 "by other clauses"
             )
         return A.CallProcedureClause(
-            name, yield_name, out_alias, standalone, where, args
+            name, yield_name, out_alias, standalone, where, args, yields
         )
 
     def parse_foreach(self, nested: bool = False) -> list:

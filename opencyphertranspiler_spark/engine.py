@@ -131,6 +131,34 @@ class CypherEngine:
         # reachability DataFrames for unbounded var-length rels, keyed by
         # (edge id, min_hops) — the fixpoint runs once per engine lifetime
         self._reach_cache: dict[tuple[str, int], DataFrame] = {}
+        # vector indexes for CALL db.index.vector.queryNodes (round 10,
+        # VERDICT r9 #3): name -> (label, property, similarity)
+        self._vector_indexes: dict[str, tuple[str, str, str]] = {}
+
+    def create_vector_index(
+        self,
+        name: str,
+        label: str,
+        property: str,
+        similarity: str = "cosine",
+    ) -> None:
+        """Register a vector index over a node label's embedding property
+        (Neo4j 5: ``CREATE VECTOR INDEX name FOR (n:Label) ON
+        n.property``) for ``CALL db.index.vector.queryNodes(name, k,
+        $vec) YIELD node, score``. ``similarity`` is 'cosine' (score =
+        (1+cos)/2) or 'euclidean' (score = 1/(1+d^2)) — the same Lucene
+        scoring as the vector.similarity.* functions."""
+        if similarity not in ("cosine", "euclidean"):
+            raise TranspilerNotSupportedError(
+                f"Vector index similarity '{similarity}' is not supported "
+                "(cosine, euclidean)"
+            )
+        nsch = self.graph.get_node(label)
+        if property not in nsch.property_names:
+            raise TranspilerBindingError(
+                f"Node '{label}' has no property '{property}' to index"
+            )
+        self._vector_indexes[name] = (label, property, similarity)
 
     def cypher(self, query: str, params: dict | None = None) -> DataFrame:
         """Parse, plan, and compile a Cypher query to a lazy DataFrame.
@@ -297,6 +325,17 @@ class CypherEngine:
                 if not isinstance(clause, A.CallProcedureClause):
                     new_clauses.append(clause)
                     continue
+                if clause.name == "db.index.vector.querynodes":
+                    # round 10 (VERDICT r9 #3): DataFrame-producing
+                    # procedure — lowers to MATCH + WITH, not UNWIND
+                    new_clauses.extend(
+                        self._vector_query_clauses(clause, params)
+                    )
+                    continue
+                if len(clause.yields) > 1:
+                    raise TranspilerNotSupportedError(
+                        f"CALL {clause.name} yields a single column"
+                    )
                 col, values = self._procedure_rows(
                     clause.name, clause.args, params
                 )
@@ -335,6 +374,195 @@ class CypherEngine:
                 rewrite_single(q)
 
         rewrite_query(ast_query)
+
+    def _vector_query_clauses(self, clause, params: dict | None) -> list:
+        """``CALL db.index.vector.queryNodes(index, k, $vec) YIELD node,
+        score`` (Neo4j 5 vector-index surface; VERDICT r9 #3) lowered
+        through the ANN stack onto ordinary clauses.
+
+        The top-k itself runs DISTRIBUTED (score every node JVM-side via
+        the same zip_with/aggregate folds as vector.similarity.*, then
+        TakeOrderedAndProject — orderBy + limit k never materializes a
+        global sort); only the k (id, score) winners are collected
+        (model-sized, like the IVF centroid collects). The clause then
+        desugars to ``MATCH (node:Label) WHERE id(node) IN [ids]`` plus a
+        ``WITH *, CASE id(node) ... END AS score`` — `node` binds a REAL
+        node entity of the indexed label, so the call composes with any
+        downstream MATCH/WHERE/aggregation through the ordinary planner.
+        The index argument is a registered create_vector_index() name or
+        the implicit '<Label>.<property>' spelling. Divergence note:
+        Neo4j streams rows score-descending; this engine's rows are a
+        set — add ORDER BY score DESC for Neo4j's ordering."""
+        name = clause.name
+
+        def const_arg(i: int, what: str):
+            a = clause.args[i]
+            if isinstance(a, A.Literal):
+                return a.value
+            if isinstance(a, A.ListLiteral):
+                out = []
+                for it in a.items:
+                    if isinstance(it, A.Literal):
+                        out.append(it.value)
+                    elif (
+                        isinstance(it, A.Unary)
+                        and it.op == "-"
+                        and isinstance(it.operand, A.Literal)
+                    ):
+                        out.append(-it.operand.value)
+                    else:
+                        raise TranspilerNotSupportedError(
+                            f"CALL {name}: the {what} argument must be a "
+                            "literal list or a $param"
+                        )
+                return out
+            if isinstance(a, A.Parameter):
+                if params is None or a.name not in params:
+                    raise TranspilerBindingError(
+                        f"CALL {name}: parameter ${a.name} was not "
+                        "supplied (pass params={...})"
+                    )
+                return params[a.name]
+            raise TranspilerNotSupportedError(
+                f"CALL {name}: the {what} argument must be a literal or "
+                "a $param"
+            )
+
+        if len(clause.args) != 3:
+            raise TranspilerBindingError(
+                f"CALL {name} takes (indexName, k, queryVector)"
+            )
+        index = const_arg(0, "indexName")
+        k = const_arg(1, "k")
+        vec = const_arg(2, "queryVector")
+        if not isinstance(index, str):
+            raise TranspilerBindingError(
+                f"CALL {name}: indexName must be a string"
+            )
+        if not isinstance(k, int) or isinstance(k, bool) or not 1 <= k <= 1024:
+            raise TranspilerBindingError(
+                f"CALL {name}: k must be an integer in [1, 1024] (the "
+                "yielded rows desugar to plan-time constants)"
+            )
+        if not isinstance(vec, (list, tuple)) or not vec or not all(
+            isinstance(x, (int, float)) and not isinstance(x, bool)
+            for x in vec
+        ):
+            raise TranspilerBindingError(
+                f"CALL {name}: queryVector must be a non-empty numeric list"
+            )
+        if index in self._vector_indexes:
+            label, prop, similarity = self._vector_indexes[index]
+        elif "." in index and self.graph.has_node(index.split(".", 1)[0]):
+            label, prop = index.split(".", 1)
+            similarity = "cosine"
+            if prop not in self.graph.get_node(label).property_names:
+                raise TranspilerBindingError(
+                    f"CALL {name}: node '{label}' has no property '{prop}'"
+                )
+        else:
+            known = ", ".join(sorted(self._vector_indexes)) or "(none)"
+            raise TranspilerBindingError(
+                f"CALL {name}: no vector index '{index}' — register one "
+                f"with create_vector_index() or use '<Label>.<property>'; "
+                f"known: {known}"
+            )
+        # YIELD validation: node and/or score, any order; a standalone
+        # CALL without YIELD implies both (Neo4j's default columns)
+        yields = list(clause.yields) or [("node", "node"), ("score", "score")]
+        node_alias = score_alias = None
+        for yname, alias in yields:
+            if yname == "node" and node_alias is None:
+                node_alias = alias
+            elif yname == "score" and score_alias is None:
+                score_alias = alias
+            else:
+                raise TranspilerNotSupportedError(
+                    f"CALL {name} yields 'node, score', not '{yname}'"
+                )
+        bind_alias = node_alias or f"__vq_node_{id(clause) & 0xFFFF:x}"
+
+        nsch = self.graph.get_node(label)
+        df = self.tables.get(nsch.table)
+        q = F.lit([float(x) for x in vec]).cast("array<double>")
+        v = F.col(prop).cast("array<double>")
+
+        def fold_dot(x, y):
+            return F.aggregate(
+                F.zip_with(x, y, lambda p_, q_: p_ * q_),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+
+        if similarity == "cosine":
+            score = (F.lit(1.0) + fold_dot(v, q) / (
+                F.sqrt(fold_dot(v, v)) * F.sqrt(fold_dot(q, q))
+            )) / F.lit(2.0)
+        else:
+            d2 = F.aggregate(
+                F.zip_with(v, q, lambda p_, q_: p_ - q_),
+                F.lit(0.0),
+                lambda acc, z: acc + z * z,
+            )
+            score = F.lit(1.0) / (F.lit(1.0) + d2)
+        rows = (
+            df.select(
+                F.col(nsch.id_property).alias("__id"),
+                score.alias("__score"),
+            )
+            .filter(F.col("__score").isNotNull())
+            .orderBy(F.col("__score").desc(), F.col("__id"))
+            .limit(k)
+            .collect()
+        )
+        id_of_node = A.FuncCall("id", [A.Variable(bind_alias)])
+        where: A.Expr
+        if rows:
+            where = A.Binary(
+                A.BinaryOp.IN,
+                id_of_node,
+                A.ListLiteral([A.Literal(r["__id"]) for r in rows]),
+            )
+        else:
+            where = A.Literal(False)
+        out = [
+            A.MatchClause(
+                patterns=[
+                    A.PatternPart([A.NodePattern(bind_alias, label)], [])
+                ],
+                where=where,
+            )
+        ]
+        if score_alias is not None:
+            case = A.CaseExpr(
+                whens=[
+                    (
+                        A.Binary(
+                            A.BinaryOp.EQ, id_of_node, A.Literal(r["__id"])
+                        ),
+                        A.Literal(float(r["__score"])),
+                    )
+                    for r in rows
+                ]
+                or [(A.Literal(False), A.Literal(0.0))],
+                else_=None,
+            )
+            out.append(
+                A.ProjectionClause(items=[(score_alias, case)], star=True)
+            )
+        if clause.where is not None:
+            out.append(
+                A.ProjectionClause(items=[], star=True, where=clause.where)
+            )
+        if clause.standalone:
+            items = []
+            if node_alias is not None or not clause.yields:
+                items.append((bind_alias, A.Variable(bind_alias)))
+            if score_alias is not None or not clause.yields:
+                sa = score_alias or "score"
+                items.append((sa, A.Variable(sa)))
+            out.append(A.ProjectionClause(items=items, is_return=True))
+        return out
 
     # -- unbounded variable-length rewrite ---------------------------------
     # `(a:L1)-[:V*]->(b:L2)` (and `*n..`) compiles to REACHABILITY: the
@@ -752,13 +980,29 @@ class CypherEngine:
         )
         if rel.min_hops is not None:
             # bounded directed *n..m (n>=1) was spliced into single hop +
-            # remainder before rewiring (_splice_ml_varlength); reaching
-            # here means an uncomposable shape
+            # remainder before rewiring (_splice_ml_varlength)
+            if (
+                rel.max_hops is None
+                and rel.min_hops >= 1
+                and rel.direction != A.Direction.EITHER
+                and part.path_alias is None
+                and not rel.props
+            ):
+                # round 10 (VERDICT r9 #5): UNBOUNDED directed adjacency
+                # lowers to reachability over label-qualified composite
+                # ids (pair model, consistent with the engine's plain
+                # unbounded semantics)
+                self._rewire_ml_unbounded(
+                    part, ri, node_i, graph, tables, overlay,
+                    built_edges, verbs,
+                )
+                return
             raise TranspilerNotSupportedError(
-                "Only a bounded DIRECTED variable-length hop (*n..m, "
-                "n >= 1) can sit adjacent to a label disjunction; *0.., "
-                "unbounded *, and undirected variable-length hops are "
-                "not supported there"
+                "A variable-length hop adjacent to a label disjunction "
+                "must be bounded DIRECTED *n..m (n >= 1) or unbounded "
+                "directed [:V*n..] without a path variable or inline "
+                "map; *0.., undirected hops, path variables, and inline "
+                "property maps are not supported there"
             )
         union_is_left = node_i == ri
         # orientations the hop admits, as union_node_is_source flags
@@ -924,6 +1168,230 @@ class CypherEngine:
             if multi
             else None,
         )
+
+    def _rewire_ml_unbounded(
+        self,
+        part,
+        ri: int,
+        node_i: int,
+        graph: GraphSchema,
+        tables: TableRegistry,
+        overlay: TableRegistry,
+        built_edges: dict,
+        verbs: list[str],
+    ) -> None:
+        """Round 10 (VERDICT r9 #5): ``(n:A|B)-[:R*]->(x)`` — an
+        UNBOUNDED directed var-length hop adjacent to a label
+        disjunction. Lowers to reachability (the engine's documented
+        pair model for unbounded hops without a path variable) over
+        LABEL-QUALIFIED composite node ids: interior nodes may pass
+        through any label the verb set connects, and plain ids collide
+        across member tables (the *0.. zero-variant comment's invariant),
+        so every frontier node is carried as 'Label:id'. Seeds = each
+        member's first-hop edges (any interior label — unlike the 1-hop
+        rewire, ambiguity is legitimate here); steps = every verb-set
+        edge, orientation-flipped when the union node is the walk's
+        sink. Semi-naive fixpoint, localCheckpoint'ed, capped at
+        reach_max_iters. The final label is the declared endpoint label,
+        or inferred when the reachable label set is a singleton. Still
+        fenced (typed errors): *0.. (zero-length would merge composite
+        and plain ids), undirected, path variables, inline maps."""
+        rel = part.rels[ri]
+        union_node = part.nodes[node_i]
+        other = part.nodes[ri + 1 if node_i == ri else ri]
+        vlabel = union_node.label
+        members = list(dict.fromkeys(vlabel.split("|")))
+        union_is_left = node_i == ri
+        union_is_source = (
+            rel.direction == A.Direction.FORWARD
+        ) == union_is_left
+        disp = "|".join(verbs)
+
+        def comp(label: str, col: str):
+            return F.concat_ws(
+                ":", F.lit(label), F.col(col).cast("string")
+            )
+
+        # first hops: the member side fixed, the interior side free
+        firsts = []
+        for v in verbs:
+            for e in graph.edges_by_verb(v):
+                if union_is_source and e.source_label in members:
+                    firsts.append(
+                        (e, e.source_label, e.source_id_property,
+                         e.sink_label, e.sink_id_property)
+                    )
+                if not union_is_source and e.sink_label in members:
+                    firsts.append(
+                        (e, e.sink_label, e.sink_id_property,
+                         e.source_label, e.source_id_property)
+                    )
+        if not firsts:
+            raise TranspilerNotSupportedError(
+                f"No edge named '{disp}' leaves any member of "
+                f"(:{vlabel}) in the pattern's direction"
+            )
+        # static label-graph reachability for the final-label contract
+        step_pairs = set()
+        for v in verbs:
+            for e in graph.edges_by_verb(v):
+                if union_is_source:
+                    step_pairs.add((e.source_label, e.sink_label))
+                else:
+                    step_pairs.add((e.sink_label, e.source_label))
+        reachable = {olbl for _e, _m, _mc, olbl, _oc in firsts}
+        changed = True
+        while changed:
+            changed = False
+            for s, t in step_pairs:
+                if s in reachable and t not in reachable:
+                    reachable.add(t)
+                    changed = True
+        if other.label is not None:
+            if other.label not in reachable:
+                raise TranspilerBindingError(
+                    f"[:{disp}*] from (:{vlabel}) can never reach "
+                    f"(:{other.label}); reachable labels: "
+                    f"{sorted(reachable)}"
+                )
+            final_label = other.label
+        elif len(reachable) == 1:
+            final_label = next(iter(reachable))
+        else:
+            raise TranspilerNotSupportedError(
+                f"[:{disp}*] from (:{vlabel}) reaches several labels "
+                f"{sorted(reachable)} — label the other endpoint"
+            )
+        nsch_l = graph.get_node(final_label)
+
+        key = (
+            "ml_unbounded", tuple(verbs), vlabel, final_label,
+            rel.min_hops, union_is_source,
+        )
+        if key not in built_edges:
+            if key in self._reach_cache:
+                reach_df = self._reach_cache[key]
+            else:
+                seed_parts = []
+                for e, mlbl, mcol, olbl, ocol in firsts:
+                    df = tables.get(e.table)
+                    seed_parts.append(
+                        df.filter(
+                            F.col(mcol).isNotNull()
+                            & F.col(ocol).isNotNull()
+                        ).select(
+                            comp(mlbl, mcol).alias("src"),
+                            F.lit(olbl).alias("dst_label"),
+                            F.col(ocol).cast("string").alias("dst_plain"),
+                            comp(olbl, ocol).alias("dst_comp"),
+                        )
+                    )
+                cur = seed_parts[0]
+                for p in seed_parts[1:]:
+                    cur = cur.unionByName(p)
+                cur = cur.distinct().localCheckpoint()
+                step_parts = []
+                for v in verbs:
+                    for e in graph.edges_by_verb(v):
+                        df = tables.get(e.table)
+                        if union_is_source:
+                            flbl, fcol = e.source_label, e.source_id_property
+                            tlbl, tcol = e.sink_label, e.sink_id_property
+                        else:
+                            flbl, fcol = e.sink_label, e.sink_id_property
+                            tlbl, tcol = e.source_label, e.source_id_property
+                        step_parts.append(
+                            df.filter(
+                                F.col(fcol).isNotNull()
+                                & F.col(tcol).isNotNull()
+                            ).select(
+                                comp(flbl, fcol).alias("from_comp"),
+                                F.lit(tlbl).alias("to_label"),
+                                F.col(tcol).cast("string").alias("to_plain"),
+                                comp(tlbl, tcol).alias("to_comp"),
+                            )
+                        )
+                steps = step_parts[0]
+                for p in step_parts[1:]:
+                    steps = steps.unionByName(p)
+                steps = steps.distinct().localCheckpoint()
+
+                def extend(fr):
+                    return (
+                        fr.join(
+                            steps, fr["dst_comp"] == steps["from_comp"]
+                        )
+                        .select(
+                            fr["src"],
+                            steps["to_label"].alias("dst_label"),
+                            steps["to_plain"].alias("dst_plain"),
+                            steps["to_comp"].alias("dst_comp"),
+                        )
+                        .distinct()
+                    )
+
+                # a *n.. floor walks exactly n-1 extra steps first (pair
+                # model: EXISTS a >= n walk)
+                for _ in range(rel.min_hops - 1):
+                    cur = extend(cur).localCheckpoint()
+                total = cur
+                frontier = cur
+                for _ in range(self.reach_max_iters):
+                    frontier = (
+                        extend(frontier)
+                        .join(
+                            total,
+                            ["src", "dst_comp"],
+                            "left_anti",
+                        )
+                        .localCheckpoint()
+                    )
+                    if frontier.isEmpty():
+                        break
+                    total = total.unionByName(frontier).localCheckpoint()
+                else:
+                    raise TranspilerNotSupportedError(
+                        f"[:{disp}*] reachability from (:{vlabel}) did "
+                        f"not converge in {self.reach_max_iters} rounds"
+                    )
+                reach_df = (
+                    total.filter(F.col("dst_label") == F.lit(final_label))
+                    .select(
+                        F.col("src").alias("__src"),
+                        F.col("dst_plain")
+                        .cast(nsch_l.id_property_type)
+                        .alias("__dst"),
+                    )
+                    .distinct()
+                )
+                self._reach_cache[key] = reach_df
+            vverb = (
+                f"__MLREACH_{'+'.join(verbs)}_{vlabel.replace('|', '+')}"
+                f"_{final_label}_{rel.min_hops}"
+                f"_{'s' if union_is_source else 't'}"
+            )
+            vname = f"__mlreach_{vverb}"
+            overlay.register_df(vname, reach_df)
+            built_edges[key] = EdgeSchema(
+                verb=vverb,
+                source_label=vlabel,
+                sink_label=final_label,
+                table=vname,
+                source_id_property="__src",
+                sink_id_property="__dst",
+                properties=(),
+                source_id_property_type="string",
+                sink_id_property_type=nsch_l.id_property_type,
+                display_verb=disp,
+            )
+        edge = built_edges[key]
+        rel.verb = edge.verb
+        rel.alt_verbs = []
+        rel.min_hops = rel.max_hops = None
+        rel.direction = (
+            A.Direction.FORWARD if union_is_left else A.Direction.BACKWARD
+        )
+        other.label = final_label
 
     @staticmethod
     def _edge_member_props(entries) -> tuple[tuple[str, tuple[str, ...]], ...]:

@@ -1301,9 +1301,12 @@ class _SingleQueryPlanner:
                 elif isinstance(c, A.UnwindClause):
                     names.add(c.alias)
                 elif isinstance(c, A.CallProcedureClause):
-                    out = c.out_alias or c.yield_name
-                    if out:
-                        names.add(out)
+                    if c.yields:
+                        names.update(al for _, al in c.yields)
+                    else:
+                        out = c.out_alias or c.yield_name
+                        if out:
+                            names.add(out)
                 elif isinstance(c, A.CallSubqueryClause):
                     walk(c.query, returns_only=True)
 

@@ -588,14 +588,78 @@ def test_ml_multitype_varlength_adjacent(chain_ml_engine):
 
 
 def test_ml_varlength_remaining_fences(chain_ml_engine):
-    # *0.. / unbounded / undirected var-length adjacency keep typed errors
+    # *0.. / undirected / path-variable var-length adjacency keep typed
+    # errors (unbounded DIRECTED adjacency lifted in round 10 — see
+    # test_ml_unbounded_adjacency_vs_duckdb)
     for q in (
         "MATCH (n:X|Y)-[:N*0..2]->(m:Z) RETURN m.id AS m",
-        "MATCH (n:X|Y)-[:N*]->(m:Z) RETURN m.id AS m",
         "MATCH (n:X|Y)-[:N*1..2]-(m:Z) RETURN m.id AS m",
+        "MATCH p = (n:X|Y)-[:N*]->(m:Z) RETURN m.id AS m",
     ):
         with pytest.raises(TranspilerNotSupportedError):
             chain_ml_engine.cypher(q)
+
+
+def test_ml_unbounded_adjacency_vs_duckdb(chain_ml_engine, duck):
+    """Round 10 (VERDICT r9 #5): (n:X|Y)-[:N*]->(m:Z) — unbounded
+    directed adjacency lowers to reachability over label-qualified
+    composite ids (the engine's documented pair model). Verified against
+    a DuckDB unbounded walk CTE with DISTINCT endpoint pairs."""
+    got = pairs(
+        chain_ml_engine.cypher(
+            "MATCH (n:X|Y)-[:N*]->(m:Z) RETURN n.id AS n, m.id AS m"
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                """
+                WITH RECURSIVE e(l, src, dst) AS (
+                    SELECT * FROM (VALUES
+                        ('X', 'x1', 'z1'), ('X', 'x2', 'z2'),
+                        ('Y', 'y1', 'z3'),
+                        ('Z', 'z1', 'z2'), ('Z', 'z2', 'z3'),
+                        ('Z', 'z3', 'z4'))
+                ),
+                walk(start, at) AS (
+                    SELECT src, dst FROM e WHERE l IN ('X', 'Y')
+                    UNION
+                    SELECT w.start, e.dst
+                    FROM walk w JOIN e ON e.src = w.at AND e.l = 'Z'
+                )
+                SELECT DISTINCT start AS n, at AS m FROM walk
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == exp and len(got) == 9
+    # *2.. floor: EXISTS a walk of length >= 2 (pair model)
+    floored = pairs(
+        chain_ml_engine.cypher(
+            "MATCH (n:X|Y)-[:N*2..]->(m:Z) RETURN n.id AS n, m.id AS m"
+        )
+    )
+    assert floored == [
+        ("x1", "z2"), ("x1", "z3"), ("x1", "z4"),
+        ("x2", "z3"), ("x2", "z4"), ("y1", "z4"),
+    ]
+    # backward spelling binds the same pairs
+    back = pairs(
+        chain_ml_engine.cypher(
+            "MATCH (m:Z)<-[:N*]-(n:X|Y) RETURN n.id AS n, m.id AS m"
+        )
+    )
+    assert back == got
+    # multi-verb [:N|S*]: the S edge z4->z1 closes a Z-cycle, so y1
+    # (entering at z3) reaches every Z node
+    cyc = pairs(
+        chain_ml_engine.cypher(
+            "MATCH (n:Y|X)-[:N|S*]->(m:Z) RETURN n.id AS n, m.id AS m"
+        )
+    )
+    assert [m for n, m in cyc if n == "y1"] == ["z1", "z2", "z3", "z4"]
+    assert len(cyc) == 12
 
 
 def test_ml_varlength_splice_reuse_fence(chain_ml_engine):
