@@ -193,6 +193,7 @@ class CypherEngine:
 
         ast_query = copy.deepcopy(ast_query)
         self._resolve_procedures(ast_query, params)
+        ast_query = self._resolve_ml_zero_varlength(ast_query)
         graph, tables = self._resolve_multi_label(
             ast_query, self.graph, self.tables
         )
@@ -374,6 +375,147 @@ class CypherEngine:
                 rewrite_single(q)
 
         rewrite_query(ast_query)
+
+    # -- (n:A|B)-[:R*0..m]->(x) zero-variant expansion ----------------------
+
+    def _resolve_ml_zero_varlength(self, ast_query):
+        """Round 10 (VERDICT r9 #5): ``*0..m`` / ``*0..`` DIRECTED hops
+        adjacent to a label disjunction. The length-0 variant means the
+        union node and the other endpoint are THE SAME node, which the
+        planner's zero-splice cannot express (the union node's id is the
+        composite 'Label:id', the plain endpoint's is not) — so the
+        ENGINE expands the alternation one level up, into a query-level
+        UNION ALL:
+
+          branch A: the hop floored to *1..m (unbounded *1.. composes
+                    with _rewire_ml_unbounded; bounded with the splice)
+          branch B: the hop removed — the other endpoint moves to a
+                    disjoint single-node part tied back by the
+                    COMPOSITE-id equality id(u) = 'Z:' + toString(id(x))
+                    (continuation hops rewire onto the union node and
+                    ride the ordinary adjacency machinery)
+
+        Branch B exists only when the other endpoint's declared label is
+        a disjunction member (otherwise no length-0 match is possible
+        and the floor alone is exact). Fenced (typed errors): OPTIONAL
+        MATCH (the union would break the fork's row semantics), an
+        unlabeled other endpoint, path variables (checked downstream),
+        and more than 8 expansions per query."""
+        budget = [8]
+
+        def union_adjacent_zero(cl):
+            if not isinstance(cl, A.MatchClause):
+                return None
+            for part in cl.patterns:
+                for i, node in enumerate(part.nodes):
+                    if not (node.label and "|" in node.label):
+                        continue
+                    for ri in (i - 1, i):
+                        if 0 <= ri < len(part.rels):
+                            rel = part.rels[ri]
+                            if rel.min_hops == 0:
+                                return cl, part, i, node, ri, rel
+            return None
+
+        def expand(sq):
+            if isinstance(sq, A.UnionQuery):
+                sq.left = expand(sq.left)
+                sq.right = expand(sq.right)
+                return sq
+            hit = None
+            for cl in sq.clauses:
+                hit = union_adjacent_zero(cl)
+                if hit:
+                    break
+                if isinstance(cl, A.CallSubqueryClause):
+                    cl.query = expand(cl.query)
+            if hit is None:
+                return sq
+            cl, part, i, node, ri, rel = hit
+            if cl.optional:
+                raise TranspilerNotSupportedError(
+                    "*0.. adjacent to a label disjunction inside "
+                    "OPTIONAL MATCH is not supported (the zero-variant "
+                    "UNION would break the fork's row semantics)"
+                )
+            if rel.direction == A.Direction.EITHER:
+                raise TranspilerNotSupportedError(
+                    "An undirected *0.. hop adjacent to a label "
+                    "disjunction is not supported"
+                )
+            other = part.nodes[ri + 1 if i == ri else ri]
+            members = node.label.split("|")
+            if other.label is None:
+                raise TranspilerNotSupportedError(
+                    "*0.. adjacent to a label disjunction needs the "
+                    "other endpoint labeled (the zero variant merges "
+                    "the two nodes)"
+                )
+            if budget[0] <= 0:
+                raise TranspilerNotSupportedError(
+                    "Too many *0.. disjunction expansions in one query "
+                    "(max 8 UNION branches)"
+                )
+            budget[0] -= 1
+            import copy
+
+            zero_possible = other.label in members
+            if rel.max_hops == 0 and not zero_possible:
+                raise TranspilerBindingError(
+                    f"(:{node.label})-[*0..0]->(:{other.label}) can "
+                    "never match: the endpoint label is not a "
+                    "disjunction member"
+                )
+            # identity-based coordinates (dataclass __eq__ would match an
+            # earlier structurally-equal clause/part)
+            cl_i = next(j for j, c in enumerate(sq.clauses) if c is cl)
+            part_i = next(
+                j for j, p in enumerate(cl.patterns) if p is part
+            )
+            floored = None
+            if rel.max_hops != 0:
+                floored = copy.deepcopy(sq)
+                floored.clauses[cl_i].patterns[part_i].rels[
+                    ri
+                ].min_hops = 1
+            if not zero_possible:
+                return expand(floored)
+            zero = copy.deepcopy(sq)
+            zcl = zero.clauses[cl_i]
+            zpart = zcl.patterns[part_i]
+            znode, zother = zpart.nodes[i], zpart.nodes[
+                ri + 1 if i == ri else ri
+            ]
+            if znode.alias is None:
+                znode.alias = f"__mlz_u_{budget[0]}"
+            if zother.alias is None:
+                zother.alias = f"__mlz_x_{budget[0]}"
+            zpart.rels.pop(ri)
+            zpart.nodes.pop(ri + 1 if i == ri else ri)
+            zcl.patterns.append(A.PatternPart([zother], []))
+            eq = A.Binary(
+                A.BinaryOp.EQ,
+                A.FuncCall("id", [A.Variable(znode.alias)]),
+                A.Binary(
+                    A.BinaryOp.PLUS,
+                    A.Literal(f"{zother.label}:"),
+                    A.FuncCall(
+                        "tostring",
+                        [A.FuncCall("id", [A.Variable(zother.alias)])],
+                    ),
+                ),
+            )
+            zcl.where = (
+                eq
+                if zcl.where is None
+                else A.Binary(A.BinaryOp.AND, zcl.where, eq)
+            )
+            zero = expand(zero)
+            if floored is None:
+                return zero
+            return A.UnionQuery(expand(floored), zero, all=True)
+
+        return expand(ast_query)
 
     def _vector_query_clauses(self, clause, params: dict | None) -> list:
         """``CALL db.index.vector.queryNodes(index, k, $vec) YIELD node,

@@ -588,11 +588,10 @@ def test_ml_multitype_varlength_adjacent(chain_ml_engine):
 
 
 def test_ml_varlength_remaining_fences(chain_ml_engine):
-    # *0.. / undirected / path-variable var-length adjacency keep typed
-    # errors (unbounded DIRECTED adjacency lifted in round 10 — see
-    # test_ml_unbounded_adjacency_vs_duckdb)
+    # undirected / path-variable var-length adjacency keep typed errors
+    # (unbounded DIRECTED adjacency and *0.. lifted in round 10 — see
+    # test_ml_unbounded_adjacency_vs_duckdb / test_ml_zero_varlength_*)
     for q in (
-        "MATCH (n:X|Y)-[:N*0..2]->(m:Z) RETURN m.id AS m",
         "MATCH (n:X|Y)-[:N*1..2]-(m:Z) RETURN m.id AS m",
         "MATCH p = (n:X|Y)-[:N*]->(m:Z) RETURN m.id AS m",
     ):
@@ -728,8 +727,11 @@ def ml_adjacency_case(draw):
     members = draw(
         st.lists(st.sampled_from(["X", "Y"]), min_size=2, max_size=2, unique=True)
     )
-    a = draw(st.integers(1, 2))
-    b = draw(st.integers(a, 3))
+    # a=0 exercises the round-10 zero-variant expansion; Z is not a
+    # member here, so the zero variant is statically impossible and the
+    # oracle's hops >= max(a, 1) floor stays exact
+    a = draw(st.integers(0, 2))
+    b = draw(st.integers(max(a, 1), 3))
     backward = draw(st.booleans())
     vspec = "|".join(verbs)
     hop = f"[:{vspec}*{a}..{b}]" if (a, b) != (1, 1) else f"[:{vspec}]"
@@ -750,7 +752,7 @@ def ml_adjacency_case(draw):
             FROM walk w JOIN e ON e.src = w.m AND e.l = 'Z' AND e.v IN ({vlist})
             WHERE w.hops < {b}
         )
-        SELECT n, m FROM walk WHERE hops >= {a}
+        SELECT n, m FROM walk WHERE hops >= {max(a, 1)}
     """
     return cy, sql
 
@@ -862,3 +864,118 @@ def test_union_edge_properties_per_member_shapes(engine, duck):
         ).fetchall()
     )
     assert got == exp
+
+
+# -- round 10 (VERDICT r9 #5): *0..m adjacency via zero-variant UNION ---------
+
+
+@pytest.fixture(scope="module")
+def zero_ml_engine(spark):
+    """Acyclic single-verb fixture where a disjunction MEMBER equals the
+    hop's endpoint label, so the length-0 variant is non-empty: O edges
+    b1->a1, b2->a2, b2->a1 (B -> A only; no cycle, so the *1..m floor
+    passes the splice-reuse fence)."""
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EdgeSchema,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+    )
+
+    reg = TableRegistry()
+    reg.register_df("ta", spark.createDataFrame([("a1",), ("a2",)], "id string"))
+    reg.register_df("tb", spark.createDataFrame([("b1",), ("b2",)], "id string"))
+    reg.register_df(
+        "ob",
+        spark.createDataFrame(
+            [("b1", "a1"), ("b2", "a2"), ("b2", "a1")],
+            "src string, dst string",
+        ),
+    )
+    g = GraphSchema(
+        [NodeSchema("A", "ta", "id", ()), NodeSchema("B", "tb", "id", ())],
+        [EdgeSchema("O", "B", "A", "ob", "src", "dst")],
+    )
+    return CypherEngine(spark, g, reg)
+
+
+def test_ml_zero_varlength_adjacency(zero_ml_engine, duck):
+    """(n:A|B)-[:O*0..1]->(x:A): the zero variant binds n = x for member
+    A (the engine expands a query-level UNION ALL with a composite-id
+    equality); the floor variant rides the ordinary splice. Differential
+    vs a DuckDB union of the identity and 1-hop relations."""
+    got = pairs(
+        zero_ml_engine.cypher(
+            "MATCH (n:A|B)-[:O*0..1]->(x:A) "
+            "RETURN labels(n)[0] AS l, n.id AS n, x.id AS x"
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                """
+                SELECT 'A' AS l, id AS n, id AS x
+                FROM (SELECT unnest(['a1', 'a2']) AS id)
+                UNION ALL
+                SELECT 'B', src, dst FROM (VALUES
+                    ('b1', 'a1'), ('b2', 'a2'), ('b2', 'a1')) e(src, dst)
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == exp and len(got) == 5
+    # continuation hops rewire onto the merged union node in the zero
+    # variant: x's incoming O edges apply to n itself
+    cont = pairs(
+        zero_ml_engine.cypher(
+            "MATCH (n:A|B)-[:O*0..1]->(x:A)<-[:O]-(w:B) "
+            "RETURN n.id AS n, x.id AS x, w.id AS w"
+        )
+    )
+    assert cont == [
+        ("a1", "a1", "b1"), ("a1", "a1", "b2"), ("a2", "a2", "b2"),
+        ("b1", "a1", "b1"), ("b1", "a1", "b2"),
+        ("b2", "a1", "b1"), ("b2", "a1", "b2"), ("b2", "a2", "b2"),
+    ]
+    # unbounded *0.. composes with the reachability rewrite (depth-1
+    # relation: same rows as *0..1 here)
+    unb = pairs(
+        zero_ml_engine.cypher(
+            "MATCH (n:A|B)-[:O*0..]->(x:A) "
+            "RETURN labels(n)[0] AS l, n.id AS n, x.id AS x"
+        )
+    )
+    assert unb == got
+
+
+def test_ml_zero_varlength_zero_impossible(chain_ml_engine):
+    """(n:X|Y)-[:N*0..1]->(m:Z): Z is not a member, so no length-0 match
+    exists — the expansion degenerates to the *1..1 floor alone."""
+    got = pairs(
+        chain_ml_engine.cypher(
+            "MATCH (n:X|Y)-[:N*0..1]->(m:Z) RETURN n.id AS n, m.id AS m"
+        )
+    )
+    assert got == [("x1", "z1"), ("x2", "z2"), ("y1", "z3")]
+
+
+def test_ml_zero_varlength_fences(zero_ml_engine, chain_ml_engine):
+    # unlabeled other endpoint: the zero variant cannot resolve the merge
+    with pytest.raises(TranspilerNotSupportedError, match="labeled"):
+        zero_ml_engine.cypher(
+            "MATCH (n:A|B)-[:O*0..1]->(x) RETURN x.id AS x"
+        )
+    # OPTIONAL MATCH: the UNION expansion would break fork row semantics
+    with pytest.raises(TranspilerNotSupportedError, match="OPTIONAL"):
+        zero_ml_engine.cypher(
+            "MATCH (w:B) OPTIONAL MATCH (n:A|B)-[:O*0..1]->(x:A) "
+            "WHERE x.id = w.id RETURN w.id AS w, n.id AS n"
+        )
+    # a cyclic member shape still hits the splice-reuse fence in the
+    # floor branch ((Z)-[:N]->(Z) lies on the verb cycle)
+    with pytest.raises(TranspilerNotSupportedError, match="re-traverse"):
+        chain_ml_engine.cypher(
+            "MATCH (n:Z|X)-[:N*0..2]->(m:Z) RETURN m.id AS m"
+        )
