@@ -193,7 +193,12 @@ class CypherEngine:
 
         ast_query = copy.deepcopy(ast_query)
         self._resolve_procedures(ast_query, params)
-        ast_query = self._resolve_ml_zero_varlength(ast_query)
+        if seed is None and not self._has_write_clause(ast_query):
+            # the *0.. disjunction expansion produces a query-level
+            # UNION, which a seeded (write-segment) plan cannot span and
+            # the write executor cannot re-anchor — those paths keep the
+            # downstream typed fences instead
+            ast_query = self._resolve_ml_zero_varlength(ast_query)
         graph, tables = self._resolve_multi_label(
             ast_query, self.graph, self.tables
         )

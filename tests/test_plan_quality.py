@@ -639,3 +639,144 @@ def test_ml_varlength_adjacency_plan_no_cartesian(spark):
     plan = formatted_plan(spark, df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_path_enumeration_plan_shape(spark):
+    """Round 10: the relationship-unique enumeration's OUTPUT is a
+    materialized (localCheckpoint'ed) row-per-path relation; the final
+    query plan is plain equi-joins of nodes against it — no cartesian,
+    no BNLJ, and the exponential fixpoint leaves no lineage in the
+    per-query plan (it ran once at resolve time, memoized)."""
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EdgeSchema,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+    )
+
+    reg = TableRegistry()
+    reg.register_df(
+        "n", spark.createDataFrame([("x",), ("y",), ("z",)], "id string")
+    )
+    reg.register_df(
+        "l",
+        spark.createDataFrame(
+            [("x", "y"), ("y", "z"), ("z", "x")], "src string, dst string"
+        ),
+    )
+    eng = CypherEngine(
+        spark,
+        GraphSchema(
+            [NodeSchema("N", "n", "id", ())],
+            [EdgeSchema("L", "N", "N", "l", "src", "dst")],
+        ),
+        reg,
+    )
+    df = eng.cypher(
+        "MATCH p = (a:N)-[:L*]->(b:N) "
+        "RETURN a.id AS a, b.id AS b, length(p) AS l"
+    )
+    plan = formatted_plan(spark, df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the enumeration result enters as a materialized scan, not a
+    # recomputed fixpoint
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_vector_query_nodes_plan_shape(spark):
+    """Round 10: CALL db.index.vector.queryNodes desugars the k winners
+    into an id-IN filter over the node scan — the per-query plan is a
+    filtered scan plus a plan-time CASE column, no join at all. (The
+    top-k itself ran once at resolve time as TakeOrderedAndProject.)"""
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EntityProperty,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+    )
+
+    from .conftest import SF_DIR
+
+    reg = TableRegistry()
+    reg.register(
+        "embeddings",
+        lambda: spark.read.parquet(f"{SF_DIR}/embeddings.parquet"),
+    )
+    eng = CypherEngine(
+        spark,
+        GraphSchema(
+            [
+                NodeSchema(
+                    "Emb",
+                    "embeddings",
+                    "vec_id",
+                    (EntityProperty("embedding", "array<float>"),),
+                    "bigint",
+                )
+            ],
+            [],
+        ),
+        reg,
+    )
+    qv = [1.0] * 64
+    df = eng.cypher(
+        "CALL db.index.vector.queryNodes('Emb.embedding', 3, $v) "
+        "YIELD node, score RETURN node.vec_id AS id, score",
+        params={"v": qv},
+    )
+    plan = formatted_plan(spark, df)
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    # the id-IN predicate reaches the parquet scan
+    assert "vec_id" in plan and "PushedFilters" in plan
+
+
+def test_ml_unbounded_adjacency_plan_shape(spark):
+    """Round 10: unbounded disjunction adjacency joins the union-node
+    scan against the materialized composite-id reachability — equi-joins
+    only."""
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EdgeSchema,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+    )
+
+    reg = TableRegistry()
+    reg.register_df("ta", spark.createDataFrame([("a1",)], "id string"))
+    reg.register_df("tb", spark.createDataFrame([("b1",)], "id string"))
+    reg.register_df(
+        "tc", spark.createDataFrame([("c1",), ("c2",)], "id string")
+    )
+    reg.register_df(
+        "ea", spark.createDataFrame([("a1", "c1")], "src string, dst string")
+    )
+    reg.register_df(
+        "eb", spark.createDataFrame([("b1", "c1")], "src string, dst string")
+    )
+    reg.register_df(
+        "ec", spark.createDataFrame([("c1", "c2")], "src string, dst string")
+    )
+    g = GraphSchema(
+        [
+            NodeSchema("A", "ta", "id", ()),
+            NodeSchema("B", "tb", "id", ()),
+            NodeSchema("C", "tc", "id", ()),
+        ],
+        [
+            EdgeSchema("E", "A", "C", "ea", "src", "dst"),
+            EdgeSchema("E", "B", "C", "eb", "src", "dst"),
+            EdgeSchema("E", "C", "C", "ec", "src", "dst"),
+        ],
+    )
+    eng = CypherEngine(spark, g, reg)
+    df = eng.cypher(
+        "MATCH (n:A|B)-[:E*]->(m:C) RETURN n.id AS n, m.id AS m"
+    )
+    plan = formatted_plan(spark, df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
