@@ -60,6 +60,23 @@ def get_engine(spark: SparkSession, sf_dir: str):
     return _engines[key]
 
 
+def clear_engine_caches(spark: SparkSession) -> None:
+    """Per-entry bench isolation (VERDICT r10 #8): drop every cached
+    engine's lifetime materializations — reachability fixpoints pin
+    localCheckpoint RDD blocks in the shared driver JVM, and in a 4g
+    heap those blocks pressure later entries' GC (the r10 s03 incident's
+    prime suspect). Engines themselves stay registered (schema binding
+    is cheap to keep); their caches rebuild on demand, and the SQL cache
+    is cleared too."""
+    for (sid, _), eng in list(_engines.items()):
+        if sid == id(spark):
+            eng.clear_caches()
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
+
+
 def run_entry(
     entry: CatalogEntry, spark: SparkSession, sf_dir: str, bench: bool = False
 ) -> DataFrame:
@@ -1482,8 +1499,12 @@ def _p_ivf_pq_topk(spark, sf_dir):
     # DuckDB summation order must not flip gate ranks. The window runs
     # over an already-top-k-reduced relation (<= 10 rows per query), not
     # the scored corpus — the scale-safe topk stays inside *_topk.
+    # Tie assumption (ADVICE r10): the 2x over-fetch covers rounded-score
+    # ties at the rank-5 boundary as long as no >10-way tie crosses it —
+    # true for this synthetic corpus (scores are distinct at 6 dp); a
+    # larger corpus would widen the over-fetch with the tie width.
     w = Window.partitionBy("kind", "query_id").orderBy(
-        F.col("score").desc(), F.col("match_id")
+        F.round(F.col("score"), 6).desc(), F.col("match_id")
     )
     ivf = ivf_topk(embs, queries, k=10, train_iters=0).select(
         F.lit("ivf").alias("kind"),
@@ -1637,15 +1658,32 @@ def _s_stateful_sessionize(spark, sf_dir):
     os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
     stream = spark.readStream.schema(schema).parquet(src_dir)
     out = sessionize_stateful(stream, gap_minutes=30)
+    # each run sinks into a fresh memory table; drop the previous runs'
+    # sinks (warm-up + min-of-2 + gate all land here) so ~100k-row result
+    # sets don't accumulate in the shared driver heap across a suite
+    for t in spark.catalog.listTables():
+        if t.name.startswith("s03_sessions_") and t.isTemporary:
+            spark.catalog.dropTempView(t.name)
     name = f"s03_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="s03_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    # 16 state-store partitions, not the session's 32 (round 11, after
+    # the r10 bench flag): each state partition costs a Python state
+    # worker + an HDFSBackedStateStore snapshot/commit per microbatch,
+    # and at this key cardinality 16 measures ~20% faster than 32 and
+    # 64 is strictly worse — the stream's shuffle-partition conf is read
+    # once at query start, so setting it here scopes it to this stream
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="s03_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     q.awaitTermination(300)
     return spark.table(name)
 

