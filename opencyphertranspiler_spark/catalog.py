@@ -878,11 +878,32 @@ CATALOG += [
     # relationship it just traversed (engine.py:_resolve_undirected_varlength) ----
     CatalogEntry(
         name="q42_undirected_varlength",
-        fn=lambda spark, sf_dir: _next_order_engine(spark, sf_dir).cypher(
+        # MERGED GATE SLOT (driver cap = 50 entries), two families:
+        #   (1) plain undirected *1..2 over the NEXT chain (round 9 —
+        #       symmetrized edge with original-(src,dst) identity)
+        #   (2) round 11 (VERDICT r10 #3): undirected *2..2 ADJACENT TO A
+        #       LABEL DISJUNCTION — (m:Customer|Supplier)-
+        #       [:FROM_NATION*2..2]-(c:Customer) runs the composite-id
+        #       relationship-unique enumeration (_rewire_ml_enumerate);
+        #       the 2-hop undirected trail bounces off the shared Nation,
+        #       and a customer cannot reach itself (one FROM_NATION rel
+        #       per customer — go-and-return is excluded)
+        fn=lambda spark, sf_dir: _next_order_engine(spark, sf_dir)
+        .cypher(
             """
             MATCH (a:Orders)-[:NEXT*1..2]-(b:Orders)
-            RETURN a.o_orderkey AS src_order, b.o_orderkey AS dst_order
+            RETURN 'next' AS fam, tostring(a.o_orderkey) AS src,
+                   tostring(b.o_orderkey) AS dst
             """
+        )
+        .unionByName(
+            get_engine(spark, sf_dir).cypher(
+                """
+                MATCH (m:Customer|Supplier)-[:FROM_NATION*2..2]-(c:Customer)
+                RETURN labels(m)[0] AS fam, id(m) AS src,
+                       tostring(c.c_custkey) AS dst
+                """
+            )
         ),
         # NEXT chains each customer's orders by key, so undirected 1..2-hop
         # trails reach exactly the orders 1 or 2 chain positions away (the
@@ -894,12 +915,28 @@ CATALOG += [
                                           ORDER BY o_orderkey) AS rn
                 FROM orders
             )
-            SELECT a.o_orderkey AS src_order, b.o_orderkey AS dst_order
+            SELECT 'next' AS fam,
+                   CAST(a.o_orderkey AS VARCHAR) AS src,
+                   CAST(b.o_orderkey AS VARCHAR) AS dst
             FROM r a
             JOIN r b ON b.o_custkey = a.o_custkey
                     AND abs(b.rn - a.rn) IN (1, 2)
+            UNION ALL
+            SELECT m.lbl AS fam, m.lbl || ':' || m.mid AS src,
+                   CAST(c.c_custkey AS VARCHAR) AS dst
+            FROM (
+                SELECT 'Customer' AS lbl, CAST(c_custkey AS VARCHAR) AS mid,
+                       c_nationkey AS nk, c_custkey AS ck
+                FROM customer
+                UNION ALL
+                SELECT 'Supplier', CAST(s_suppkey AS VARCHAR),
+                       s_nationkey, NULL
+                FROM supplier
+            ) m
+            JOIN customer c ON c.c_nationkey = m.nk
+            WHERE NOT (m.lbl = 'Customer' AND m.ck = c.c_custkey)
         """,
-        tags=("match", "var-length", "undirected"),
+        tags=("match", "var-length", "undirected", "label-disjunction"),
     ),
     # (former q41_count_subquery merged into q21_exists_pattern, round 6 —
     # EXISTS { } / COUNT { } subqueries stay gate-covered there)

@@ -296,7 +296,7 @@ class CypherEngine:
             # downstream typed fences instead
             ast_query = self._resolve_ml_zero_varlength(ast_query)
         graph, tables = self._resolve_multi_label(
-            ast_query, self.graph, self.tables
+            ast_query, self.graph, self.tables, params
         )
         graph, tables = self._resolve_multi_verb(ast_query, graph, tables)
         graph, tables = self._resolve_undirected_varlength(ast_query, graph, tables)
@@ -974,7 +974,8 @@ class CypherEngine:
     # dispatch is (labels(n), coalesce(...)).
 
     def _resolve_multi_label(
-        self, ast_query, graph: GraphSchema, tables: TableRegistry
+        self, ast_query, graph: GraphSchema, tables: TableRegistry,
+        params: dict | None = None,
     ) -> tuple[GraphSchema, TableRegistry]:
         ml_parts = [
             part
@@ -1012,7 +1013,8 @@ class CypherEngine:
                 for ri in (i - 1, i):
                     if 0 <= ri < len(part.rels):
                         self._rewire_multilabel_hop(
-                            part, ri, i, graph, tables, overlay, built_edges
+                            part, ri, i, graph, tables, overlay,
+                            built_edges, params,
                         )
         merged_graph = GraphSchema(
             graph.nodes + list(built_nodes.values()),
@@ -1055,19 +1057,19 @@ class CypherEngine:
         [:R*0..m-1]->(x)`` — the single hop is rewired onto the virtual
         union edge below, the remainder rides the ordinary bounded
         expansion (zero-length remainders use the *0..m splice
-        machinery). Fenced elsewhere: ``*0..`` (a zero-length variant
-        would merge the union node with a plain-label node), unbounded
-        (pair-model cardinality would mix with row semantics), and
-        undirected (the split loses the go-and-return rel-uniqueness
-        conjunct — every edge would fake a 2-hop path). Round 10
+        machinery). Left for other lowerings: ``*0..`` (a zero-length
+        variant would merge the union node with a plain-label node —
+        _resolve_ml_zero_varlength), unbounded and undirected hops
+        (_rewire_ml_unbounded / _rewire_ml_enumerate). Round 10
         (ADVICE r9 medium): the split single hop (virtual __ML_ verb)
         and the remainder (original verb) share NO rel-uniqueness
         conjunct — the planner pairs them by edge id — so any edge the
         single hop can traverse that lies on a directed CYCLE of the
         hop's verb set (self-loop member edges included) could be
         re-traversed by the remainder, emitting walk rows Neo4j's path
-        semantics exclude. Those shapes now raise a typed error
-        (_fence_splice_reuse) instead of silently diverging. A
+        semantics exclude. Round 11 (VERDICT r10 #5): those shapes SKIP
+        the splice (_splice_reuse_possible) and lower through
+        relationship-unique enumeration instead of raising. A
         user-bound relationship alias never reaches the splice: the
         parser rejects aliases on ALL var-length relationships with a
         typed error (parser.py:839, pinned by
@@ -1095,7 +1097,15 @@ class CypherEngine:
                         or rel.direction == A.Direction.EITHER
                     ):
                         continue
-                    cls._fence_splice_reuse(part, node, rel, i, ri, graph)
+                    if cls._splice_reuse_possible(part, node, rel, i, ri, graph):
+                        # round 11 (VERDICT r10 #5): a member-side edge
+                        # on a directed cycle of the verb set means the
+                        # remainder could re-traverse the split hop's
+                        # relationship (no conjunct spans the split) —
+                        # leave the hop un-spliced; _rewire_ml_enumerate
+                        # lowers it through relationship-unique
+                        # enumeration, which cannot reuse an edge
+                        continue
                     a, b = rel.min_hops, rel.max_hops
                     single = A.RelPattern(
                         None,
@@ -1128,24 +1138,28 @@ class CypherEngine:
                     break
 
     @staticmethod
-    def _fence_splice_reuse(part, node, rel, i: int, ri: int, graph) -> None:
-        """ADVICE r9 medium: raise when the splice could let the
-        remainder re-traverse the relationship consumed by the split
-        single hop. The planner pairs rel-uniqueness conjuncts by edge
-        id, and the split hop rides a DIFFERENT (virtual __ML_) edge
-        than the remainder (original verb), so no conjunct protects
+    def _splice_reuse_possible(
+        part, node, rel, i: int, ri: int, graph
+    ) -> bool:
+        """ADVICE r9 medium / VERDICT r10 #5: True when the splice could
+        let the remainder re-traverse the relationship consumed by the
+        split single hop. The planner pairs rel-uniqueness conjuncts by
+        edge id, and the split hop rides a DIFFERENT (virtual __ML_)
+        edge than the remainder (original verb), so no conjunct protects
         them. Reuse requires the same edge SCHEMA to appear on both
         sides, which is possible exactly when some edge the single hop
         can traverse (member-side label in the disjunction) lies on a
         directed cycle of the hop's verb set — self-loop (Z,V,Z) member
         edges included (sink reaches source in zero steps). The label
         graph is tiny (schema-sized), so the check is a driver-side
-        BFS."""
+        BFS. Round 11: callers SKIP the splice for these shapes and
+        route them through relationship-unique enumeration instead of
+        raising."""
         members = set((node.label or "").split("|"))
         verbs = [rel.verb] + list(rel.alt_verbs or [])
         verbs = [v for v in verbs if v is not None]
         if not verbs:
-            return
+            return False
         edges = [e for v in verbs for e in graph.edges_by_verb(v)]
         union_left = ri == i
         member_is_source = (
@@ -1175,18 +1189,8 @@ class CypherEngine:
             if member_side not in members:
                 continue
             if reaches(e.sink_label, e.source_label):
-                raise TranspilerNotSupportedError(
-                    f"A var-length [:{'|'.join(verbs)}*{rel.min_hops}.."
-                    f"{rel.max_hops}] hop adjacent to (:{node.label}) "
-                    f"cannot be spliced: edge ({e.source_label})-"
-                    f"[:{e.verb}]->({e.sink_label}) lies on a cycle of "
-                    "the hop's verb set, so the remainder could "
-                    "re-traverse the relationship consumed by the split "
-                    "single hop (no rel-uniqueness conjunct spans the "
-                    "split) — Neo4j's path semantics exclude such walks. "
-                    "Rewrite without the disjunction, or bound the hop "
-                    "to *1..1"
-                )
+                return True
+        return False
 
     @staticmethod
     def _ml_composite(label: str, col: str):
@@ -1265,6 +1269,7 @@ class CypherEngine:
         tables: TableRegistry,
         overlay: TableRegistry,
         built_edges: dict,
+        params: dict | None = None,
     ) -> None:
         rel = part.rels[ri]
         union_node = part.nodes[node_i]
@@ -1291,8 +1296,9 @@ class CypherEngine:
             )
         )
         if rel.min_hops is not None:
-            # bounded directed *n..m (n>=1) was spliced into single hop +
-            # remainder before rewiring (_splice_ml_varlength)
+            # bounded directed *n..m (n>=1) on acyclic shapes was spliced
+            # into single hop + remainder before rewiring
+            # (_splice_ml_varlength)
             if (
                 rel.max_hops is None
                 and rel.min_hops >= 1
@@ -1309,12 +1315,23 @@ class CypherEngine:
                     built_edges, verbs,
                 )
                 return
+            if rel.min_hops >= 1:
+                # round 11 (VERDICT r10 #3/#4/#5): every other var-length
+                # shape — undirected (bounded or unbounded), path
+                # variables, inline maps, and bounded directed shapes the
+                # splice can't protect (cyclic verb sets) — lowers
+                # through relationship-unique path ENUMERATION over
+                # label-qualified composite ids
+                self._rewire_ml_enumerate(
+                    part, ri, node_i, graph, tables, overlay,
+                    built_edges, verbs, params,
+                )
+                return
             raise TranspilerNotSupportedError(
-                "A variable-length hop adjacent to a label disjunction "
-                "must be bounded DIRECTED *n..m (n >= 1) or unbounded "
-                "directed [:V*n..] without a path variable or inline "
-                "map; *0.., undirected hops, path variables, and inline "
-                "property maps are not supported there"
+                "*0.. adjacent to a label disjunction is not supported "
+                "inside OPTIONAL MATCH, write statements, or undirected "
+                "hops (the zero-length variant's query-level UNION "
+                "cannot span those plans)"
             )
         union_is_left = node_i == ri
         # orientations the hop admits, as union_node_is_source flags
@@ -1692,6 +1709,306 @@ class CypherEngine:
                 source_id_property="__src",
                 sink_id_property="__dst",
                 properties=(),
+                source_id_property_type="string",
+                sink_id_property_type=nsch_l.id_property_type,
+                display_verb=disp,
+            )
+        edge = built_edges[key]
+        rel.verb = edge.verb
+        rel.alt_verbs = []
+        rel.min_hops = rel.max_hops = None
+        rel.direction = (
+            A.Direction.FORWARD if union_is_left else A.Direction.BACKWARD
+        )
+        other.label = final_label
+
+    def _rewire_ml_enumerate(
+        self,
+        part,
+        ri: int,
+        node_i: int,
+        graph: GraphSchema,
+        tables: TableRegistry,
+        overlay: TableRegistry,
+        built_edges: dict,
+        verbs: list[str],
+        params: dict | None = None,
+    ) -> None:
+        """Round 11 (VERDICT r10 #3/#4/#5): var-length hops adjacent to a
+        label disjunction that the pair model and the splice can't carry
+        — undirected (bounded or unbounded), path variables, inline
+        property maps, and bounded directed hops whose verb set is
+        cyclic (the splice-reuse shapes) — lower through RELATIONSHIP-
+        UNIQUE path enumeration over label-qualified composite ids.
+
+        The verb set's edges become one (_s, _d, _r) frame with
+        'Label:id' composite endpoints and a string relationship
+        identity '<edge id>\\x1f<key cols>' (identity_properties when
+        set, else (src, dst[, type]) — the planner's uniqueness
+        key_props). EITHER symmetrizes the frame with the ORIGINAL
+        orientation's identity, so both directions of one relationship
+        compare equal and go-and-return is excluded for free (the same
+        trick as _build_symmetric_edge). The `_enum_fixpoint` then
+        yields one row per rel-unique path — exact Neo4j row-per-path
+        semantics for bounded windows and for path variables; unbounded
+        WITHOUT a path variable dedups to the engine's documented
+        endpoint-pair model. An inline map pre-filters the edge set by
+        constant values per hop (edges lacking the property contribute
+        nothing — Cypher's null-propagating equality). The virtual edge
+        carries __dist/__nodes so length(p)/nodes(p) compose through
+        the ordinary PathRef machinery; nodes(p) yields the composite
+        'Label:id' strings (consistent with id() on disjunction nodes).
+        Enumeration is genuinely exponential: unbounded shapes that
+        exceed `path_enum_max_hops`/`path_enum_max_paths` raise a typed
+        error (no silent truncation), bounded shapes only ever need
+        max_hops-1 extension rounds."""
+        rel = part.rels[ri]
+        union_node = part.nodes[node_i]
+        other = part.nodes[ri + 1 if node_i == ri else ri]
+        vlabel = union_node.label
+        members = list(dict.fromkeys(vlabel.split("|")))
+        union_is_left = node_i == ri
+        either = rel.direction == A.Direction.EITHER
+        union_is_source = either or (
+            (rel.direction == A.Direction.FORWARD) == union_is_left
+        )
+        disp = "|".join(verbs)
+        min_h = rel.min_hops
+        max_h = rel.max_hops  # None = unbounded
+
+        # inline map -> constant per-hop edge filter (VERDICT r10 #4)
+        edge_filter: list[tuple] = []
+        fsuf = ""
+        if rel.props:
+            import hashlib
+
+            all_props = {
+                p
+                for v in verbs
+                for e in graph.edges_by_verb(v)
+                for p in e.property_names
+            }
+            resolved = []
+            for k, v in rel.props:
+                if k not in all_props:
+                    raise TranspilerBindingError(
+                        f"No '{disp}' edge has property '{k}' (inline "
+                        "map on a var-length hop adjacent to a label "
+                        "disjunction)"
+                    )
+                val = self._const_value(v, {}, params)
+                if val is self._NOT_CONST:
+                    raise TranspilerNotSupportedError(
+                        "An inline property map on a var-length hop "
+                        "adjacent to a label disjunction must use "
+                        "constant values (literal or $param) — it "
+                        "filters the edge set before the enumeration "
+                        "fixpoint"
+                    )
+                resolved.append((k, val))
+            edge_filter = sorted(set(resolved), key=repr)
+            fsuf = "_f" + hashlib.md5(
+                repr([(p, repr(v)) for p, v in edge_filter]).encode()
+            ).hexdigest()[:10]
+            rel.props = []
+
+        # static label-step graph in the walk direction (both ways for
+        # EITHER) — for the can-never-reach error and final-label
+        # inference, exactly as _rewire_ml_unbounded
+        step_pairs: set[tuple[str, str]] = set()
+        for v in verbs:
+            for e in graph.edges_by_verb(v):
+                if either:
+                    step_pairs.add((e.source_label, e.sink_label))
+                    step_pairs.add((e.sink_label, e.source_label))
+                elif union_is_source:
+                    step_pairs.add((e.source_label, e.sink_label))
+                else:
+                    step_pairs.add((e.sink_label, e.source_label))
+        reachable = {t for s, t in step_pairs if s in members}
+        if not reachable:
+            raise TranspilerNotSupportedError(
+                f"No edge named '{disp}' touches any member of "
+                f"(:{vlabel}) in the pattern's direction"
+            )
+        changed = True
+        while changed:
+            changed = False
+            for s, t in step_pairs:
+                if s in reachable and t not in reachable:
+                    reachable.add(t)
+                    changed = True
+        if other.label is not None:
+            if other.label not in reachable:
+                raise TranspilerBindingError(
+                    f"[:{disp}*] from (:{vlabel}) can never reach "
+                    f"(:{other.label}); reachable labels: "
+                    f"{sorted(reachable)}"
+                )
+            final_label = other.label
+        elif len(reachable) == 1:
+            final_label = next(iter(reachable))
+        else:
+            raise TranspilerNotSupportedError(
+                f"[:{disp}*] from (:{vlabel}) reaches several labels "
+                f"{sorted(reachable)} — label the other endpoint"
+            )
+        nsch_l = graph.get_node(final_label)
+
+        row_per_path = (max_h is not None) or (part.path_alias is not None)
+        mode = "e" if either else ("s" if union_is_source else "t")
+        # union_is_left matters only for __nodes ordering (pattern order,
+        # leftmost entity first), but keying on it keeps the registered
+        # frame unambiguous
+        side = "l" if union_is_left else "r"
+        key = (
+            "ml_enum", tuple(verbs), vlabel, final_label, min_h, max_h,
+            mode, fsuf, row_per_path, side,
+        )
+        if key not in built_edges:
+            if key in self._reach_cache:
+                paths = self._reach_cache[key]
+            else:
+                comp = self._ml_composite
+                frames = []
+                for v in verbs:
+                    for e in graph.edges_by_verb(v):
+                        df = tables.get(e.table)
+                        for prop, value in edge_filter:
+                            if prop in e.property_names:
+                                df = df.filter(
+                                    F.col(prop) == F.lit(value)
+                                )
+                            else:
+                                # null = const is never true: this edge
+                                # type contributes no hops
+                                df = df.filter(F.lit(False))
+                        scol = e.source_id_property
+                        dcol = e.sink_id_property
+                        if e.identity_properties:
+                            kc = list(e.identity_properties)
+                        else:
+                            kc = [scol, dcol]
+                            if e.type_property is not None:
+                                kc.append(e.type_property)
+                        # string identity: heterogeneous edge tables have
+                        # different key-col counts, so structs would not
+                        # union — '\x1f' never occurs in the ids
+                        rid = F.concat_ws(
+                            "\x1f",
+                            F.lit(e.id),
+                            *[F.col(c).cast("string") for c in kc],
+                        )
+                        base = df.filter(
+                            F.col(scol).isNotNull()
+                            & F.col(dcol).isNotNull()
+                        )
+                        fwd = base.select(
+                            comp(e.source_label, scol).alias("_s"),
+                            comp(e.sink_label, dcol).alias("_d"),
+                            rid.alias("_r"),
+                        )
+                        bwd = base.select(
+                            comp(e.sink_label, dcol).alias("_s"),
+                            comp(e.source_label, scol).alias("_d"),
+                            rid.alias("_r"),
+                        )
+                        if either:
+                            frames.append(fwd)
+                            frames.append(bwd)
+                        elif union_is_source:
+                            frames.append(fwd)
+                        else:
+                            frames.append(bwd)
+                e_all = frames[0]
+                for fr in frames[1:]:
+                    e_all = e_all.unionByName(fr)
+                # duplicate rows with one identity are ONE relationship;
+                # for EITHER this also collapses a self-loop's two
+                # orientations into a single traversable row
+                e_all = e_all.distinct().localCheckpoint()
+                seed_pred = None
+                for m in members:
+                    p = F.col("src").startswith(f"{m}:")
+                    seed_pred = p if seed_pred is None else (seed_pred | p)
+                rounds = (
+                    self.path_enum_max_hops
+                    if max_h is None
+                    else min(max_h - 1, self.path_enum_max_hops)
+                )
+                out, emptied, capped = self._enum_fixpoint(
+                    e_all, seed_pred=seed_pred, rounds=rounds
+                )
+                needed = (max_h - 1) if max_h is not None else None
+                if capped or (
+                    max_h is None and not emptied
+                ) or (
+                    needed is not None
+                    and needed > self.path_enum_max_hops
+                    and not emptied
+                ):
+                    raise TranspilerNotSupportedError(
+                        f"Relationship-unique path enumeration for "
+                        f"[:{disp}*{min_h}..{'' if max_h is None else max_h}] "
+                        f"adjacent to (:{vlabel}) exceeded "
+                        f"{self.path_enum_max_hops} rounds / "
+                        f"{self.path_enum_max_paths} paths — raise "
+                        "path_enum_max_hops/path_enum_max_paths on the "
+                        "engine, or bound the hop tighter"
+                    )
+                paths = out
+                if min_h > 1:
+                    paths = paths.filter(F.col("dist") >= min_h)
+                pref = f"{final_label}:"
+                # __nodes reads in PATTERN order (leftmost entity first,
+                # Neo4j's path orientation) — the walk always ran
+                # union -> other, so reverse when the union node is the
+                # pattern's right endpoint
+                nodes_col = (
+                    F.col("nodes")
+                    if union_is_left
+                    else F.reverse(F.col("nodes"))
+                )
+                paths = paths.filter(
+                    F.col("dst").startswith(pref)
+                ).select(
+                    F.col("src").alias("__src"),
+                    F.expr(f"substring(dst, {len(pref) + 1})")
+                    .cast(nsch_l.id_property_type)
+                    .alias("__dst"),
+                    F.col("dist").alias("__dist"),
+                    nodes_col.alias("__nodes"),
+                )
+                if not row_per_path:
+                    # unbounded without a path variable: the engine's
+                    # documented endpoint-pair model
+                    paths = paths.select("__src", "__dst").distinct()
+                paths = paths.localCheckpoint()
+                self._reach_cache[key] = paths
+            props = (
+                (
+                    EntityProperty("__dist", "long"),
+                    EntityProperty("__nodes", "array<string>"),
+                )
+                if row_per_path
+                else ()
+            )
+            tag = (
+                f"{'+'.join(verbs)}_{vlabel.replace('|', '+')}"
+                f"_{final_label}_{min_h}_{max_h or 0}_{mode}{side}{fsuf}"
+                f"{'_p' if row_per_path else ''}"
+            )
+            vverb = f"__MLENUM_{tag}"
+            vname = f"__mlenum_{tag}"
+            overlay.register_df(vname, paths)
+            built_edges[key] = EdgeSchema(
+                verb=vverb,
+                source_label=vlabel,
+                sink_label=final_label,
+                table=vname,
+                source_id_property="__src",
+                sink_id_property="__dst",
+                properties=props,
                 source_id_property_type="string",
                 sink_id_property_type=nsch_l.id_property_type,
                 display_verb=disp,
@@ -2776,13 +3093,7 @@ class CypherEngine:
                 F.col("_d").alias("_s"), F.col("_s").alias("_d"), F.col("_r")
             )
         e = e.localCheckpoint()
-        cur = e.select(
-            F.col("_s").alias("src"),
-            F.col("_d").alias("dst"),
-            F.lit(1).cast("long").alias("dist"),
-            F.array(F.col("_s"), F.col("_d")).alias("nodes"),
-            F.array(F.col("_r")).alias("rids"),
-        )
+        seeds = None
         if anchor is not None:
             side, preds, _fp = anchor
             label = edge.source_label if side == "src" else edge.sink_label
@@ -2797,15 +3108,65 @@ class CypherEngine:
                 .select(F.col(nsch.id_property).alias("seed"))
                 .distinct()
             )
+        out, emptied, _capped = self._enum_fixpoint(e, seeds=seeds)
+        result = None
+        if emptied:
+            result = out
+            if reverse:
+                result = result.select(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    F.col("dist"),
+                    F.reverse(F.col("nodes")).alias("nodes"),
+                )
+        self._reach_cache[key] = result
+        return result
+
+    def _enum_fixpoint(
+        self, e, seeds=None, seed_pred=None, rounds: int | None = None
+    ):
+        """The relationship-unique path-enumeration fixpoint over an
+        (``_s``, ``_d``, ``_r``) edge frame: level k carries one row per
+        rel-unique path of length k as (src, dst, dist, nodes, rids);
+        each round extends by one edge and filters
+        ``NOT array_contains(rids, next_rid)``; levels localCheckpoint.
+
+        ``seeds`` (DataFrame with a ``seed`` column) or ``seed_pred``
+        (a Column predicate over level-1 columns) restrict which edges
+        START a path — interior steps always use the full frame.
+        ``rounds`` caps the number of extension rounds (defaults to
+        ``path_enum_max_hops``). Returns ``(union-of-levels DF, emptied,
+        capped)``: emptied=True when a level came back empty (every
+        rel-unique path of ANY length is enumerated); capped=True when
+        the ``path_enum_max_paths`` row cap cut enumeration short. A
+        bounded caller that asked for exactly ``rounds = max_hops - 1``
+        extensions is exhaustive over its window iff not capped, even
+        with emptied=False. Parallel relationships stay distinct rows
+        (rids differ) even after the rids column is dropped —
+        multiplicity IS the row-per-path contract."""
+        if rounds is None:
+            rounds = self.path_enum_max_hops
+        cur = e.select(
+            F.col("_s").alias("src"),
+            F.col("_d").alias("dst"),
+            F.lit(1).cast("long").alias("dist"),
+            F.array(F.col("_s"), F.col("_d")).alias("nodes"),
+            F.array(F.col("_r")).alias("rids"),
+        )
+        if seed_pred is not None:
+            cur = cur.filter(seed_pred)
+        if seeds is not None:
             cur = cur.join(
                 F.broadcast(seeds), F.col("src") == F.col("seed"), "semi"
             )
         cur = cur.localCheckpoint()
         levels = [cur]
         total = cur.count()
-        result = None
-        for _ in range(1, self.path_enum_max_hops + 1):
+        emptied = False
+        capped = False
+        for _ in range(rounds):
             if total > self.path_enum_max_paths:
+                capped = True
                 break
             cur = (
                 cur.join(e, F.col("dst") == F.col("_s"))
@@ -2825,22 +3186,14 @@ class CypherEngine:
             )
             n = cur.count()
             if n == 0:
-                out = levels[0]
-                for lv in levels[1:]:
-                    out = out.unionByName(lv)
-                result = out.select("src", "dst", "dist", "nodes")
-                if reverse:
-                    result = result.select(
-                        F.col("dst").alias("src"),
-                        F.col("src").alias("dst"),
-                        F.col("dist"),
-                        F.reverse(F.col("nodes")).alias("nodes"),
-                    )
+                emptied = True
                 break
             total += n
             levels.append(cur)
-        self._reach_cache[key] = result
-        return result
+        out = levels[0]
+        for lv in levels[1:]:
+            out = out.unionByName(lv)
+        return out.select("src", "dst", "dist", "nodes"), emptied, capped
 
     def _edge_and_seeds(self, edge, anchor, tables, graph, edge_filter=None):
         """The hop's (src, dst) edge DataFrame — reversed when the anchor

@@ -353,3 +353,143 @@ def test_row_per_path_fabric_vs_duckdb(spark, case):
         )
     )
     assert got == exp, f"edges={edges} min={min_hops} undirected={undirected}"
+
+
+# -- round 11 (VERDICT r10 #3): disjunction-adjacent var-length fabric --------
+# Random tri-label graphs; (u:A|B)-[:L*window]{arrow}(m:C) runs through the
+# composite-id relationship-unique enumeration (engine._rewire_ml_enumerate)
+# and is compared against a DuckDB recursive CTE over label-qualified node
+# ids that carries the traversed rel set. Bounded windows are row-per-path;
+# unbounded (no path variable) is the documented endpoint-pair model.
+
+
+@st.composite
+def ml_varlength_graph(draw):
+    labels = {"A": 2, "B": 2, "C": 3}
+    nodes = [(lbl, f"{lbl.lower()}{i}") for lbl, k in labels.items() for i in range(k)]
+    pairs = st.tuples(st.sampled_from(nodes), st.sampled_from(nodes))
+    edges = draw(st.lists(pairs, min_size=2, max_size=10, unique=True))
+    window = draw(st.sampled_from([(1, 2), (1, 3), (2, 3), (1, None), (2, None)]))
+    undirected = draw(st.booleans())
+    return nodes, edges, window, undirected
+
+
+@settings(
+    max_examples=6 * _FUZZ_SCALE,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(case=ml_varlength_graph())
+def test_ml_varlength_fabric_vs_duckdb(spark, case):
+    import duckdb
+
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EdgeSchema,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+    )
+
+    nodes, edges, (min_h, max_h), undirected = case
+    reg = TableRegistry()
+    for lbl in ("A", "B", "C"):
+        reg.register_df(
+            f"t{lbl}",
+            spark.createDataFrame(
+                [(nid,) for l2, nid in nodes if l2 == lbl], "id string"
+            ),
+        )
+    # one edge table per (src label, dst label) pair, all verb L
+    by_pair: dict[tuple, list] = {}
+    for (sl, s), (dl, d) in edges:
+        by_pair.setdefault((sl, dl), []).append((s, d))
+    schemas = []
+    for (sl, dl), rows in sorted(by_pair.items()):
+        tname = f"e{sl}{dl}"
+        reg.register_df(
+            tname, spark.createDataFrame(rows, "src string, dst string")
+        )
+        schemas.append(EdgeSchema("L", sl, dl, tname, "src", "dst"))
+    g = GraphSchema(
+        [
+            NodeSchema("A", "tA", "id", ()),
+            NodeSchema("B", "tB", "id", ()),
+            NodeSchema("C", "tC", "id", ()),
+        ],
+        schemas,
+    )
+    eng = CypherEngine(spark, g, reg)
+    star = f"*{min_h}..{max_h}" if max_h is not None else (
+        "*" if min_h == 1 else f"*{min_h}.."
+    )
+    arrow = "-" if undirected else "->"
+    from opencyphertranspiler_spark.exceptions import (
+        TranspilerBindingError,
+        TranspilerNotSupportedError,
+    )
+
+    try:
+        got = sorted(
+            map(
+                tuple,
+                eng.cypher(
+                    f"MATCH (u:A|B)-[:L{star}]{arrow}(m:C) "
+                    "RETURN u.id AS u, m.id AS m"
+                ).collect(),
+            )
+        )
+    except (TranspilerBindingError, TranspilerNotSupportedError):
+        # statically unreachable C / no member-side edge: typed, fine
+        return
+    d = duckdb.connect()
+    comp = lambda lbl, nid: f"{lbl}:{nid}"  # noqa: E731
+    if undirected:
+        evals = ", ".join(
+            f"('{comp(sl, s)}','{comp(dl, t)}','{i}'), "
+            f"('{comp(dl, t)}','{comp(sl, s)}','{i}')"
+            if (sl, s) != (dl, t)
+            else f"('{comp(sl, s)}','{comp(dl, t)}','{i}')"
+            for i, ((sl, s), (dl, t)) in enumerate(edges)
+        )
+    else:
+        evals = ", ".join(
+            f"('{comp(sl, s)}','{comp(dl, t)}','{i}')"
+            for i, ((sl, s), (dl, t)) in enumerate(edges)
+        )
+    pair_model = max_h is None
+    sel = (
+        "SELECT DISTINCT src, dst FROM hits"
+        if pair_model
+        else "SELECT src, dst FROM hits"
+    )
+    exp = sorted(
+        map(
+            tuple,
+            d.sql(
+                f"""
+                WITH RECURSIVE e(s, d, rid) AS (SELECT * FROM (VALUES {evals})),
+                paths(src, dst, len, rels) AS (
+                    SELECT s, d, 1, [rid] FROM e
+                    WHERE s LIKE 'A:%' OR s LIKE 'B:%'
+                    UNION ALL
+                    SELECT p.src, e.d, p.len + 1, list_append(p.rels, e.rid)
+                    FROM paths p JOIN e ON e.s = p.dst
+                    WHERE NOT list_contains(p.rels, e.rid)
+                ),
+                hits(src, dst) AS (
+                    SELECT substring(src, 3), substring(dst, 3) FROM paths
+                    WHERE dst LIKE 'C:%' AND len >= {min_h}
+                      {'' if max_h is None else f'AND len <= {max_h}'}
+                )
+                {sel}
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == exp, (
+        f"edges={edges} window=({min_h},{max_h}) undirected={undirected}"
+    )
