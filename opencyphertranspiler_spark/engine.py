@@ -498,10 +498,12 @@ class CypherEngine:
 
         Branch B exists only when the other endpoint's declared label is
         a disjunction member (otherwise no length-0 match is possible
-        and the floor alone is exact). Fenced (typed errors): OPTIONAL
-        MATCH (the union would break the fork's row semantics), an
-        unlabeled other endpoint, path variables (checked downstream),
-        and more than 8 expansions per query."""
+        and the floor alone is exact). OPTIONAL MATCH and EITHER hops
+        skip this expansion (round 11, VERDICT r10 #6): the enumeration
+        edge carries dist-0 identity rows instead, so no query-level
+        UNION is needed there (_rewire_ml_enumerate). Fenced (typed
+        errors): an unlabeled other endpoint, path variables (checked
+        downstream), and more than 8 expansions per query."""
         budget = [8]
 
         def union_adjacent_zero(cl):
@@ -515,6 +517,18 @@ class CypherEngine:
                         if 0 <= ri < len(part.rels):
                             rel = part.rels[ri]
                             if rel.min_hops == 0:
+                                if (
+                                    cl.optional
+                                    or rel.direction == A.Direction.EITHER
+                                ):
+                                    # round 11 (VERDICT r10 #6): OPTIONAL
+                                    # MATCH and undirected *0.. skip the
+                                    # query-level UNION (which cannot
+                                    # span the optional fork) — the
+                                    # enumeration edge carries dist-0
+                                    # identity rows instead
+                                    # (_rewire_ml_enumerate)
+                                    continue
                                 return cl, part, i, node, ri, rel
             return None
 
@@ -533,17 +547,6 @@ class CypherEngine:
             if hit is None:
                 return sq
             cl, part, i, node, ri, rel = hit
-            if cl.optional:
-                raise TranspilerNotSupportedError(
-                    "*0.. adjacent to a label disjunction inside "
-                    "OPTIONAL MATCH is not supported (the zero-variant "
-                    "UNION would break the fork's row semantics)"
-                )
-            if rel.direction == A.Direction.EITHER:
-                raise TranspilerNotSupportedError(
-                    "An undirected *0.. hop adjacent to a label "
-                    "disjunction is not supported"
-                )
             other = part.nodes[ri + 1 if i == ri else ri]
             members = node.label.split("|")
             if other.label is None:
@@ -1315,24 +1318,19 @@ class CypherEngine:
                     built_edges, verbs,
                 )
                 return
-            if rel.min_hops >= 1:
-                # round 11 (VERDICT r10 #3/#4/#5): every other var-length
-                # shape — undirected (bounded or unbounded), path
-                # variables, inline maps, and bounded directed shapes the
-                # splice can't protect (cyclic verb sets) — lowers
-                # through relationship-unique path ENUMERATION over
-                # label-qualified composite ids
-                self._rewire_ml_enumerate(
-                    part, ri, node_i, graph, tables, overlay,
-                    built_edges, verbs, params,
-                )
-                return
-            raise TranspilerNotSupportedError(
-                "*0.. adjacent to a label disjunction is not supported "
-                "inside OPTIONAL MATCH, write statements, or undirected "
-                "hops (the zero-length variant's query-level UNION "
-                "cannot span those plans)"
+            # round 11 (VERDICT r10 #3/#4/#5/#6): every other var-length
+            # shape — undirected (bounded or unbounded), path variables,
+            # inline maps, bounded directed shapes the splice can't
+            # protect (cyclic verb sets), and *0.. under OPTIONAL MATCH
+            # or EITHER (the enumeration edge carries dist-0 identity
+            # rows, so no query-level UNION is needed) — lowers through
+            # relationship-unique path ENUMERATION over label-qualified
+            # composite ids
+            self._rewire_ml_enumerate(
+                part, ri, node_i, graph, tables, overlay,
+                built_edges, verbs, params,
             )
+            return
         union_is_left = node_i == ri
         # orientations the hop admits, as union_node_is_source flags
         if rel.direction == A.Direction.EITHER:
@@ -1825,8 +1823,15 @@ class CypherEngine:
                     step_pairs.add((e.source_label, e.sink_label))
                 else:
                     step_pairs.add((e.sink_label, e.source_label))
+        zero_possible = min_h == 0
+        if zero_possible and other.label is None:
+            raise TranspilerNotSupportedError(
+                "*0.. adjacent to a label disjunction needs the other "
+                "endpoint labeled (the zero variant merges the two "
+                "nodes)"
+            )
         reachable = {t for s, t in step_pairs if s in members}
-        if not reachable:
+        if not reachable and not zero_possible:
             raise TranspilerNotSupportedError(
                 f"No edge named '{disp}' touches any member of "
                 f"(:{vlabel}) in the pattern's direction"
@@ -1838,6 +1843,10 @@ class CypherEngine:
                 if s in reachable and t not in reachable:
                     reachable.add(t)
                     changed = True
+        if zero_possible:
+            # the length-0 path "reaches" every member label (the union
+            # node IS the endpoint)
+            reachable |= set(members)
         if other.label is not None:
             if other.label not in reachable:
                 raise TranspilerBindingError(
@@ -1920,65 +1929,102 @@ class CypherEngine:
                             frames.append(fwd)
                         else:
                             frames.append(bwd)
-                e_all = frames[0]
-                for fr in frames[1:]:
-                    e_all = e_all.unionByName(fr)
-                # duplicate rows with one identity are ONE relationship;
-                # for EITHER this also collapses a self-loop's two
-                # orientations into a single traversable row
-                e_all = e_all.distinct().localCheckpoint()
-                seed_pred = None
-                for m in members:
-                    p = F.col("src").startswith(f"{m}:")
-                    seed_pred = p if seed_pred is None else (seed_pred | p)
-                rounds = (
-                    self.path_enum_max_hops
-                    if max_h is None
-                    else min(max_h - 1, self.path_enum_max_hops)
-                )
-                out, emptied, capped = self._enum_fixpoint(
-                    e_all, seed_pred=seed_pred, rounds=rounds
-                )
-                needed = (max_h - 1) if max_h is not None else None
-                if capped or (
-                    max_h is None and not emptied
-                ) or (
-                    needed is not None
-                    and needed > self.path_enum_max_hops
-                    and not emptied
-                ):
-                    raise TranspilerNotSupportedError(
-                        f"Relationship-unique path enumeration for "
-                        f"[:{disp}*{min_h}..{'' if max_h is None else max_h}] "
-                        f"adjacent to (:{vlabel}) exceeded "
-                        f"{self.path_enum_max_hops} rounds / "
-                        f"{self.path_enum_max_paths} paths — raise "
-                        "path_enum_max_hops/path_enum_max_paths on the "
-                        "engine, or bound the hop tighter"
+                # dist-0 identity rows (round 11, VERDICT r10 #6): when
+                # the endpoint label is a member, the union node IS the
+                # endpoint at length 0 — carried INSIDE the virtual edge
+                # table, so *0.. composes with OPTIONAL MATCH and EITHER
+                # without any query-level UNION
+                zero_df = None
+                if zero_possible and final_label in members:
+                    nz = graph.get_node(final_label)
+                    zc = self._ml_composite(final_label, nz.id_property)
+                    zero_df = (
+                        tables.get(nz.table)
+                        .filter(F.col(nz.id_property).isNotNull())
+                        .select(
+                            zc.alias("__src"),
+                            F.col(nz.id_property)
+                            .cast(nsch_l.id_property_type)
+                            .alias("__dst"),
+                            F.lit(0).cast("long").alias("__dist"),
+                            F.array(zc).alias("__nodes"),
+                        )
                     )
-                paths = out
-                if min_h > 1:
-                    paths = paths.filter(F.col("dist") >= min_h)
-                pref = f"{final_label}:"
-                # __nodes reads in PATTERN order (leftmost entity first,
-                # Neo4j's path orientation) — the walk always ran
-                # union -> other, so reverse when the union node is the
-                # pattern's right endpoint
-                nodes_col = (
-                    F.col("nodes")
-                    if union_is_left
-                    else F.reverse(F.col("nodes"))
-                )
-                paths = paths.filter(
-                    F.col("dst").startswith(pref)
-                ).select(
-                    F.col("src").alias("__src"),
-                    F.expr(f"substring(dst, {len(pref) + 1})")
-                    .cast(nsch_l.id_property_type)
-                    .alias("__dst"),
-                    F.col("dist").alias("__dist"),
-                    nodes_col.alias("__nodes"),
-                )
+                if max_h == 0 and zero_df is None:
+                    raise TranspilerBindingError(
+                        f"(:{vlabel})-[*0..0]-(:{final_label}) can "
+                        "never match: the endpoint label is not a "
+                        "disjunction member"
+                    )
+                paths = None
+                if frames and max_h != 0:
+                    e_all = frames[0]
+                    for fr in frames[1:]:
+                        e_all = e_all.unionByName(fr)
+                    # duplicate rows with one identity are ONE
+                    # relationship; for EITHER this also collapses a
+                    # self-loop's two orientations into a single
+                    # traversable row
+                    e_all = e_all.distinct().localCheckpoint()
+                    seed_pred = None
+                    for m in members:
+                        p = F.col("src").startswith(f"{m}:")
+                        seed_pred = (
+                            p if seed_pred is None else (seed_pred | p)
+                        )
+                    rounds = (
+                        self.path_enum_max_hops
+                        if max_h is None
+                        else min(max_h - 1, self.path_enum_max_hops)
+                    )
+                    out, emptied, capped = self._enum_fixpoint(
+                        e_all, seed_pred=seed_pred, rounds=rounds
+                    )
+                    needed = (max_h - 1) if max_h is not None else None
+                    if capped or (
+                        max_h is None and not emptied
+                    ) or (
+                        needed is not None
+                        and needed > self.path_enum_max_hops
+                        and not emptied
+                    ):
+                        raise TranspilerNotSupportedError(
+                            f"Relationship-unique path enumeration for "
+                            f"[:{disp}*{min_h}.."
+                            f"{'' if max_h is None else max_h}] "
+                            f"adjacent to (:{vlabel}) exceeded "
+                            f"{self.path_enum_max_hops} rounds / "
+                            f"{self.path_enum_max_paths} paths — raise "
+                            "path_enum_max_hops/path_enum_max_paths on "
+                            "the engine, or bound the hop tighter"
+                        )
+                    paths = out
+                    if min_h > 1:
+                        paths = paths.filter(F.col("dist") >= min_h)
+                    pref = f"{final_label}:"
+                    # __nodes reads in PATTERN order (leftmost entity
+                    # first, Neo4j's path orientation) — the walk always
+                    # ran union -> other, so reverse when the union node
+                    # is the pattern's right endpoint
+                    nodes_col = (
+                        F.col("nodes")
+                        if union_is_left
+                        else F.reverse(F.col("nodes"))
+                    )
+                    paths = paths.filter(
+                        F.col("dst").startswith(pref)
+                    ).select(
+                        F.col("src").alias("__src"),
+                        F.expr(f"substring(dst, {len(pref) + 1})")
+                        .cast(nsch_l.id_property_type)
+                        .alias("__dst"),
+                        F.col("dist").alias("__dist"),
+                        nodes_col.alias("__nodes"),
+                    )
+                if paths is None:
+                    paths = zero_df
+                elif zero_df is not None:
+                    paths = paths.unionByName(zero_df)
                 if not row_per_path:
                     # unbounded without a path variable: the engine's
                     # documented endpoint-pair model

@@ -1121,12 +1121,52 @@ def test_ml_zero_varlength_fences(zero_ml_engine, chain_ml_engine):
         zero_ml_engine.cypher(
             "MATCH (n:A|B)-[:O*0..1]->(x) RETURN x.id AS x"
         )
-    # OPTIONAL MATCH: the UNION expansion would break fork row semantics
-    with pytest.raises(TranspilerNotSupportedError, match="OPTIONAL"):
-        zero_ml_engine.cypher(
-            "MATCH (w:B) OPTIONAL MATCH (n:A|B)-[:O*0..1]->(x:A) "
-            "WHERE x.id = w.id RETURN w.id AS w, n.id AS n"
+    # round 11 (VERDICT r10 #6): OPTIONAL MATCH no longer raises — the
+    # enumeration edge carries dist-0 identity rows, so the optional
+    # fork's row semantics hold (no query-level UNION). For each B node
+    # w: x ranges over w's O-targets; n = x (zero, member A) plus any B
+    # with an O edge into x (one hop)
+    rows = sorted(
+        map(
+            tuple,
+            zero_ml_engine.cypher(
+                "MATCH (w:B)-[:O]->(x:A) "
+                "OPTIONAL MATCH (x:A)<-[:O*0..1]-(n:A|B) "
+                "RETURN w.id AS w, x.id AS x, n.id AS n"
+            ).collect(),
         )
+    )
+    assert rows == [
+        ("b1", "a1", "a1"), ("b1", "a1", "b1"), ("b1", "a1", "b2"),
+        ("b2", "a1", "a1"), ("b2", "a1", "b1"), ("b2", "a1", "b2"),
+        ("b2", "a2", "a2"), ("b2", "a2", "b2"),
+    ]
+    # and a never-matching optional keeps the outer row with nulls
+    empty = sorted(
+        map(
+            tuple,
+            zero_ml_engine.cypher(
+                "MATCH (w:B)-[:O]->(x:A) "
+                "OPTIONAL MATCH (x:A)<-[:O*0..2]-(n:A|B) "
+                "WHERE n.id = 'nope' "
+                "RETURN w.id AS w, x.id AS x, n.id AS n"
+            ).collect(),
+        ),
+        key=repr,
+    )
+    assert empty == [
+        ("b1", "a1", None), ("b2", "a1", None), ("b2", "a2", None)
+    ]
+    # undirected *0..1 (round 11): zero rows + symmetrized one-hop
+    und = pairs(
+        zero_ml_engine.cypher(
+            "MATCH (n:A|B)-[:O*0..1]-(x:A) RETURN n.id AS n, x.id AS x"
+        )
+    )
+    assert und == [
+        ("a1", "a1"), ("a2", "a2"),
+        ("b1", "a1"), ("b2", "a1"), ("b2", "a2"),
+    ]
     # round 11: a cyclic member shape's floor branch now enumerates
     # instead of hitting the splice-reuse fence — *0..2 = zero variant
     # (z1..z4 match themselves) + rel-unique paths of length 1..2
