@@ -1204,3 +1204,121 @@ def test_train_vector_index_errors(vector_engine):
         vector_engine.train_vector_index("emb_l2")
     with pytest.raises(TranspilerBindingError, match="nprobe"):
         vector_engine.train_vector_index("emb_idx", n_cells=4, nprobe=9)
+
+
+# -- round 11: CALL db.index.vector.queryRelationships ------------------------
+
+
+@pytest.fixture(scope="module")
+def rel_vector_engine(spark):
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EdgeSchema,
+        EntityProperty,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+    )
+
+    reg = TableRegistry()
+    reg.register_df("ta", spark.createDataFrame([(1,), (2,)], "id long"))
+    reg.register_df(
+        "tb", spark.createDataFrame([(10,), (20,), (30,)], "id long")
+    )
+    rows = [
+        (1, 10, [1.0, 0.0], 0.5),
+        (1, 20, [0.8, 0.6], 0.7),
+        (2, 20, [0.0, 1.0], 0.9),
+        (2, 30, [0.6, 0.8], 0.1),
+    ]
+    reg.register_df(
+        "tr",
+        spark.createDataFrame(
+            rows, "src long, dst long, emb array<float>, w double"
+        ),
+    )
+    g = GraphSchema(
+        [
+            NodeSchema("A", "ta", "id", (), "bigint"),
+            NodeSchema("B", "tb", "id", (), "bigint"),
+        ],
+        [
+            EdgeSchema(
+                "R", "A", "B", "tr", "src", "dst",
+                (
+                    EntityProperty("emb", "array<float>"),
+                    EntityProperty("w", "double"),
+                ),
+            )
+        ],
+    )
+    eng = CypherEngine(spark, g, reg)
+    eng.create_relationship_vector_index("remb", "R", "emb")
+    return eng
+
+
+def test_vector_query_relationships(rel_vector_engine):
+    """CALL db.index.vector.queryRelationships yields a REAL
+    relationship entity + the exact Lucene score; hand-derived oracle:
+    cosines vs [1,0] are 1.0/0.8/0.0/0.6 -> scores 1.0/0.9/0.5/0.8."""
+    v = [1.0, 0.0]
+    got = [
+        tuple(r)
+        for r in rel_vector_engine.cypher(
+            "CALL db.index.vector.queryRelationships('remb', 2, $v) "
+            "YIELD relationship AS r, score "
+            "RETURN type(r) AS t, r.w AS w, round(score, 4) AS s "
+            "ORDER BY s DESC",
+            params={"v": v},
+        ).collect()
+    ]
+    assert got == [("R", 0.5, 1.0), ("R", 0.7, 0.9)]
+    # standalone CALL implies YIELD relationship, score
+    st = rel_vector_engine.cypher(
+        "CALL db.index.vector.queryRelationships('remb', 3, $v)",
+        params={"v": v},
+    )
+    assert st.columns == ["relationship", "score"] and st.count() == 3
+    # YIELD ... WHERE composes
+    c = rel_vector_engine.cypher(
+        "CALL db.index.vector.queryRelationships('remb', 4, $v) "
+        "YIELD relationship AS r, score WHERE score >= 0.8 "
+        "RETURN count(*) AS c",
+        params={"v": v},
+    ).collect()[0].c
+    assert c == 3
+    # memoized winners (shares the queryNodes cache, 'rel'-tagged keys)
+    assert any(
+        k[0] == "rel" for k in rel_vector_engine._vector_topk_cache
+    )
+
+
+def test_vector_query_relationships_errors(rel_vector_engine):
+    from opencyphertranspiler_spark.exceptions import (
+        TranspilerBindingError,
+        TranspilerNotSupportedError,
+    )
+
+    v = [1.0, 0.0]
+    with pytest.raises(TranspilerBindingError, match="no relationship"):
+        rel_vector_engine.cypher(
+            "CALL db.index.vector.queryRelationships('nope', 2, $v) "
+            "YIELD relationship, score RETURN score",
+            params={"v": v},
+        )
+    with pytest.raises(
+        TranspilerNotSupportedError, match="relationship, score"
+    ):
+        rel_vector_engine.cypher(
+            "CALL db.index.vector.queryRelationships('remb', 2, $v) "
+            "YIELD node, score RETURN score",
+            params={"v": v},
+        )
+    with pytest.raises(TranspilerBindingError, match="no property"):
+        rel_vector_engine.create_relationship_vector_index(
+            "bad", "R", "nope"
+        )
+    with pytest.raises(TranspilerBindingError, match="No relationship"):
+        rel_vector_engine.create_relationship_vector_index(
+            "bad", "NOPE", "emb"
+        )
