@@ -966,6 +966,40 @@ class CypherEngine:
                     ]
                 ),
             )
+            # redundant PUSHDOWN-ABLE endpoint conjuncts: the pair-IN is
+            # a concat over two aliases, which no scan can absorb; these
+            # per-endpoint INs prune the node scans (PushedFilters) and
+            # shrink the joins' build sides — the pair-IN then only
+            # rejects cross-pairings among the k winners
+            raw_src = {r["__id"]["s"] for r in rows}
+            raw_dst = {r["__id"]["d"] for r in rows}
+
+            def typed_in(alias, idp, label, raw):
+                nsch = self.graph.get_node(label)
+                t = (nsch.id_property_type or "string").lower()
+                if "int" in t or "long" in t:
+                    caster = int
+                elif "double" in t or "float" in t or "decimal" in t:
+                    caster = float
+                else:
+                    caster = str
+                return A.Binary(
+                    A.BinaryOp.IN,
+                    A.Property(alias, idp),
+                    A.ListLiteral(
+                        [A.Literal(caster(s)) for s in sorted(raw)]
+                    ),
+                )
+
+            where = A.Binary(
+                A.BinaryOp.AND,
+                A.Binary(
+                    A.BinaryOp.AND,
+                    typed_in(a_alias, a_id, edge.source_label, raw_src),
+                    typed_in(b_alias, b_id, edge.sink_label, raw_dst),
+                ),
+                where,
+            )
         else:
             where = A.Literal(False)
         out = [

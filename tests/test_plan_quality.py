@@ -780,3 +780,110 @@ def test_ml_unbounded_adjacency_plan_shape(spark):
     plan = formatted_plan(spark, df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vector_query_relationships_plan_shape(spark):
+    """Round 11: queryRelationships desugars to equi-joins over the
+    endpoint tables with PUSHDOWN-ABLE per-endpoint id-IN conjuncts (the
+    pair-IN alone is a concat no scan can absorb) — node scans are
+    pruned at the source, no cartesian anywhere."""
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EdgeSchema,
+        EntityProperty,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+    )
+
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="vqr_plan_")
+    spark.createDataFrame(
+        [(i,) for i in range(50)], "id long"
+    ).write.parquet(os.path.join(d, "a"))
+    spark.createDataFrame(
+        [(i,) for i in range(50)], "id long"
+    ).write.parquet(os.path.join(d, "b"))
+    spark.createDataFrame(
+        [(i, (i * 7) % 50, [float(i % 5), 1.0]) for i in range(200)],
+        "src long, dst long, emb array<float>",
+    ).write.parquet(os.path.join(d, "r"))
+    reg = TableRegistry()
+    for t in ("a", "b", "r"):
+        reg.register(t, lambda t=t: spark.read.parquet(os.path.join(d, t)))
+    g = GraphSchema(
+        [
+            NodeSchema("A", "a", "id", (), "bigint"),
+            NodeSchema("B", "b", "id", (), "bigint"),
+        ],
+        [
+            EdgeSchema(
+                "R", "A", "B", "r", "src", "dst",
+                (EntityProperty("emb", "array<float>"),),
+            )
+        ],
+    )
+    eng = CypherEngine(spark, g, reg)
+    eng.create_relationship_vector_index("remb", "R", "emb")
+    df = eng.cypher(
+        "CALL db.index.vector.queryRelationships('remb', 5, $v) "
+        "YIELD relationship AS rel, score RETURN score",
+        params={"v": [1.0, 0.5]},
+    )
+    plan = formatted_plan(spark, df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the endpoint id-IN conjuncts reach the parquet scans
+    assert plan.count("PushedFilters: [In(id") >= 1 or (
+        "In(id" in plan and "PushedFilters" in plan
+    )
+
+
+def test_ml_enumerate_plan_shape(spark):
+    """Round 11: a disjunction-adjacent undirected var-length hop joins
+    the union-node scan against the materialized enumeration frame —
+    equi-joins only, never a cartesian or BNLJ."""
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EdgeSchema,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+    )
+
+    reg = TableRegistry()
+    reg.register_df("tx", spark.createDataFrame([("x1",)], "id string"))
+    reg.register_df("ty", spark.createDataFrame([("y1",)], "id string"))
+    reg.register_df(
+        "tz", spark.createDataFrame([("z1",), ("z2",)], "id string")
+    )
+    reg.register_df(
+        "nx", spark.createDataFrame([("x1", "z1")], "src string, dst string")
+    )
+    reg.register_df(
+        "ny", spark.createDataFrame([("y1", "z2")], "src string, dst string")
+    )
+    reg.register_df(
+        "nz", spark.createDataFrame([("z1", "z2")], "src string, dst string")
+    )
+    g = GraphSchema(
+        [
+            NodeSchema("X", "tx", "id", ()),
+            NodeSchema("Y", "ty", "id", ()),
+            NodeSchema("Z", "tz", "id", ()),
+        ],
+        [
+            EdgeSchema("N", "X", "Z", "nx", "src", "dst"),
+            EdgeSchema("N", "Y", "Z", "ny", "src", "dst"),
+            EdgeSchema("N", "Z", "Z", "nz", "src", "dst"),
+        ],
+    )
+    eng = CypherEngine(spark, g, reg)
+    df = eng.cypher(
+        "MATCH (n:X|Y)-[:N*1..2]-(m:Z) RETURN n.id AS n, m.id AS m"
+    )
+    plan = formatted_plan(spark, df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
