@@ -1238,8 +1238,8 @@ class CypherEngine:
         params: dict | None = None,
     ) -> tuple[GraphSchema, TableRegistry]:
         ml_parts = [
-            part
-            for _sq, _cl, part in self._pattern_parts(ast_query)
+            (sq, cl, part)
+            for sq, cl, part in self._pattern_parts(ast_query)
             if any(n.label and "|" in n.label for n in part.nodes)
         ]
         if not ml_parts:
@@ -1254,7 +1254,7 @@ class CypherEngine:
             overlay.register(name, lambda n=name: tables.get(n))
         built_nodes: dict[str, NodeSchema] = {}
         built_edges: dict[tuple, EdgeSchema] = {}
-        for part in ml_parts:
+        for p_sq, p_cl, part in ml_parts:
             self._splice_ml_varlength(part, graph)
             for i, node in enumerate(part.nodes):
                 if not (node.label and "|" in node.label):
@@ -1274,7 +1274,7 @@ class CypherEngine:
                     if 0 <= ri < len(part.rels):
                         self._rewire_multilabel_hop(
                             part, ri, i, graph, tables, overlay,
-                            built_edges, params,
+                            built_edges, params, p_sq, p_cl,
                         )
         merged_graph = GraphSchema(
             graph.nodes + list(built_nodes.values()),
@@ -1530,6 +1530,8 @@ class CypherEngine:
         overlay: TableRegistry,
         built_edges: dict,
         params: dict | None = None,
+        sq=None,
+        clause=None,
     ) -> None:
         rel = part.rels[ri]
         union_node = part.nodes[node_i]
@@ -1585,7 +1587,7 @@ class CypherEngine:
             # composite ids
             self._rewire_ml_enumerate(
                 part, ri, node_i, graph, tables, overlay,
-                built_edges, verbs, params,
+                built_edges, verbs, params, sq, clause,
             )
             return
         union_is_left = node_i == ri
@@ -1988,6 +1990,8 @@ class CypherEngine:
         built_edges: dict,
         verbs: list[str],
         params: dict | None = None,
+        sq=None,
+        clause=None,
     ) -> None:
         """Round 11 (VERDICT r10 #3/#4/#5): var-length hops adjacent to a
         label disjunction that the pair model and the splice can't carry
@@ -2121,6 +2125,25 @@ class CypherEngine:
             )
         nsch_l = graph.get_node(final_label)
 
+        # anchored seeding (round 11): constant equality predicates on
+        # the UNION node (inline map / top-level WHERE / piped constants,
+        # via the same _anchor_preds as plain unbounded hops) seed the
+        # fixpoint from the FILTERED member rows — multi-source BFS
+        # proportional to the anchored reachable set instead of
+        # every-member-outward. Pure pushdown: the WHERE still applies
+        # at the query level, so dist-0 identity rows need no filtering
+        anchor_preds: list[tuple] = []
+        asuf = ""
+        if sq is not None and clause is not None:
+            found = self._anchor_preds(sq, clause, union_node, params)
+            if found:
+                import hashlib
+
+                anchor_preds = sorted(set(found), key=repr)
+                asuf = "_a" + hashlib.md5(
+                    repr([(p, repr(v)) for p, v in anchor_preds]).encode()
+                ).hexdigest()[:10]
+
         row_per_path = (max_h is not None) or (part.path_alias is not None)
         mode = "e" if either else ("s" if union_is_source else "t")
         # union_is_left matters only for __nodes ordering (pattern order,
@@ -2129,7 +2152,7 @@ class CypherEngine:
         side = "l" if union_is_left else "r"
         key = (
             "ml_enum", tuple(verbs), vlabel, final_label, min_h, max_h,
-            mode, fsuf, row_per_path, side,
+            mode, fsuf, row_per_path, side, asuf,
         )
         if key not in built_edges:
             if key in self._reach_cache:
@@ -2229,13 +2252,47 @@ class CypherEngine:
                         seed_pred = (
                             p if seed_pred is None else (seed_pred | p)
                         )
+                    seeds = None
+                    if anchor_preds:
+                        seed_parts = []
+                        for m in members:
+                            nschm = graph.get_node(m)
+                            own = set(nschm.property_names) | {
+                                nschm.id_property
+                            }
+                            if any(
+                                p not in own for p, _ in anchor_preds
+                            ):
+                                # null = const never holds: this member
+                                # contributes no seeds
+                                continue
+                            dfm = tables.get(nschm.table)
+                            for p, vv in anchor_preds:
+                                dfm = dfm.filter(F.col(p) == F.lit(vv))
+                            seed_parts.append(
+                                dfm.select(
+                                    self._ml_composite(
+                                        m, nschm.id_property
+                                    ).alias("seed")
+                                )
+                            )
+                        if seed_parts:
+                            seeds = seed_parts[0]
+                            for spp in seed_parts[1:]:
+                                seeds = seeds.unionByName(spp)
+                            seeds = seeds.distinct()
+                        else:
+                            seeds = e_all.select(
+                                F.col("_s").alias("seed")
+                            ).filter(F.lit(False))
                     rounds = (
                         self.path_enum_max_hops
                         if max_h is None
                         else min(max_h - 1, self.path_enum_max_hops)
                     )
                     out, emptied, capped = self._enum_fixpoint(
-                        e_all, seed_pred=seed_pred, rounds=rounds
+                        e_all, seed_pred=seed_pred, seeds=seeds,
+                        rounds=rounds,
                     )
                     needed = (max_h - 1) if max_h is not None else None
                     if capped or (
@@ -2299,7 +2356,7 @@ class CypherEngine:
             tag = (
                 f"{'+'.join(verbs)}_{vlabel.replace('|', '+')}"
                 f"_{final_label}_{min_h}_{max_h or 0}_{mode}{side}{fsuf}"
-                f"{'_p' if row_per_path else ''}"
+                f"{asuf}{'_p' if row_per_path else ''}"
             )
             vverb = f"__MLENUM_{tag}"
             vname = f"__mlenum_{tag}"

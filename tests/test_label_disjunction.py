@@ -1181,3 +1181,35 @@ def test_ml_zero_varlength_fences(zero_ml_engine, chain_ml_engine):
     assert m == (
         ["z1"] * 2 + ["z2"] * 4 + ["z3"] * 4 + ["z4"] * 3
     )
+
+
+def test_ml_varlength_anchored_seeds(chain_ml_engine):
+    """Round 11: constant equality predicates on the union node seed the
+    enumeration fixpoint (multi-source BFS over the anchored rows only —
+    pure pushdown, WHERE still applies at the query level). Expected
+    rows hand-derived; the anchored and unanchored plans must agree."""
+    anchored = pairs(
+        chain_ml_engine.cypher(
+            "MATCH (n:X|Y)-[:N*1..3]-(m:Z) WHERE n.id = 'x1' "
+            "RETURN n.id AS n, m.id AS m"
+        )
+    )
+    assert anchored == [("x1", "z1"), ("x1", "z2"), ("x1", "z3")]
+    # distinct anchors must not collide in the enumeration cache
+    other = pairs(
+        chain_ml_engine.cypher(
+            "MATCH (n:X|Y)-[:N*1..3]-(m:Z) WHERE n.id = 'y1' "
+            "RETURN n.id AS n, m.id AS m"
+        )
+    )
+    # y1-z3 (1); z3-z2, z3-z4 (2); z3-z2-z1 (3)
+    assert other == [
+        ("y1", "z1"), ("y1", "z2"), ("y1", "z3"), ("y1", "z4")
+    ]
+    unanchored = pairs(
+        chain_ml_engine.cypher(
+            "MATCH (n:X|Y)-[:N*1..3]-(m:Z) RETURN n.id AS n, m.id AS m"
+        )
+    )
+    assert [r for r in unanchored if r[0] == "x1"] == anchored
+    assert [r for r in unanchored if r[0] == "y1"] == other
