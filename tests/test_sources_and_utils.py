@@ -290,3 +290,62 @@ def test_lineitem_node_materialized_once(spark, tmp_path, monkeypatch):
     reg3 = tpch_table_registry(spark, SF_DIR)
     assert reg3.get("lineitem_node").select("l_id").limit(1).count() == 1
     blocked.chmod(0o700)
+
+
+def test_stateful_sessionize_evict_idle(spark, tmp_path):
+    """Round 11: evict_idle=True arms an EVENT-TIME timeout — once the
+    watermark passes an open session's end + gap, the session is emitted
+    CLOSED and its state removed (bounded state for idle users on an
+    unbounded stream). Two-file availableNow replay: batch 0 sets the
+    watermark (user 99's far-future event), batch 1 fires user 1's
+    timeout. User 99's own tail stays open (nothing outruns it)."""
+    import datetime as dt
+
+    from opencyphertranspiler_spark.streaming.stateful import (
+        sessionize_stateful,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def rows(*specs):
+        return [
+            (uid, t0 + dt.timedelta(minutes=m), float(v))
+            for uid, m, v in specs
+        ]
+
+    d = tmp_path / "src"
+    d.mkdir()
+    schema = "user_id long, ts timestamp, value double"
+    # file 0: user 1's events at t0..t0+5, user 99 ten hours later (the
+    # watermark driver: wm = t0+600min - 30min gap)
+    spark.createDataFrame(
+        rows((1, 0, 1.0), (1, 5, 2.0), (99, 600, 9.0)), schema
+    ).coalesce(1).write.parquet(str(d / "f0"))
+    # file 1: a later user-99 event so batch 1 has data to process
+    spark.createDataFrame(rows((99, 601, 1.0)), schema).coalesce(1).write.parquet(
+        str(d / "f1")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d / "*"))
+    )
+    out = sessionize_stateful(stream, gap_minutes=30, evict_idle=True)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("evict_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM evict_sessions").collect()
+    )
+    # user 1's session closed BY TIMEOUT (no later user-1 event exists);
+    # user 99's tail is still open -> absent
+    assert got == [
+        (1, t0, t0 + dt.timedelta(minutes=5), 2, 3.0)
+    ], got
