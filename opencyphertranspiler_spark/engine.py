@@ -235,6 +235,9 @@ class CypherEngine:
         iters: int = 3,
         sample_fraction: float | None = None,
         seed: int = 42,
+        pq_m: int | None = None,
+        pq_ksub: int = 32,
+        refine_factor: int = 4,
     ) -> None:
         """Attach a trained IVF coarse quantizer to a registered vector
         index so ``CALL db.index.vector.queryNodes`` prunes by cell
@@ -251,7 +254,20 @@ class CypherEngine:
         with the EXACT similarity fold, so yielded scores are exact;
         recall < 1 is possible when a true neighbor lives in an unprobed
         cell (raise nprobe/n_cells to trade cost for recall). Cosine
-        indexes only — euclidean indexes keep the exact scan."""
+        indexes only — euclidean indexes keep the exact scan.
+
+        ``pq_m`` (round 11) additionally PQ-encodes the corpus
+        (train_pq_codebooks — m subspaces, pq_ksub codes each, optionally
+        sample-trained): queries then ADC-pre-rank the probed-cell
+        candidates ENTIRELY JVM-SIDE (the per-query distance lookup
+        table is computed driver-side from the literal vector and folded
+        into the plan as a (m x ksub) literal — scoring a candidate is
+        m element_at gathers, no Python, no full-width vectors touched),
+        keep the top ``k * refine_factor`` by ADC, and only THOSE rows
+        get the exact fold re-rank. The FAISS IVFPQ+refine layout:
+        at 100 TB the scan reads m bytes of code per candidate instead
+        of D floats; scores stay exact, recall additionally depends on
+        the ADC pre-rank (raise refine_factor to tighten)."""
         if name not in self._vector_indexes:
             known = ", ".join(sorted(self._vector_indexes)) or "(none)"
             raise TranspilerBindingError(
@@ -282,15 +298,38 @@ class CypherEngine:
             sample_fraction=sample_fraction,
             seed=seed,
         )
-        celled = (
-            df.select(
-                F.col(nsch.id_property).alias("__id"),
-                F.col(prop).alias("__vec"),
+        celled = df.select(
+            F.col(nsch.id_property).alias("__id"),
+            F.col(prop).alias("__vec"),
+        ).withColumn("cell", _assign_cell_udf(cents)(F.col("__vec")))
+        books = None
+        if pq_m is not None:
+            if refine_factor < 1:
+                raise TranspilerBindingError(
+                    "train_vector_index: refine_factor must be >= 1"
+                )
+            from .pipeline.similarity import (
+                _pq_encode_udf,
+                train_pq_codebooks,
             )
-            .withColumn("cell", _assign_cell_udf(cents)(F.col("__vec")))
-            .localCheckpoint()
+
+            books = train_pq_codebooks(
+                df,
+                m=pq_m,
+                ksub=pq_ksub,
+                iters=iters,
+                id_col=nsch.id_property,
+                vec_col=prop,
+                sample_fraction=sample_fraction,
+                seed=seed,
+            )
+            celled = celled.withColumn(
+                "code", _pq_encode_udf(books)(F.col("__vec"))
+            )
+        celled = celled.localCheckpoint()
+        self._vector_ann[name] = (
+            cents, int(nprobe), celled, books, int(refine_factor),
         )
-        self._vector_ann[name] = (cents, int(nprobe), celled)
         self._vector_topk_cache.clear()  # trained index changes the plan
 
     def cypher(self, query: str, params: dict | None = None) -> DataFrame:
@@ -1072,7 +1111,7 @@ class CypherEngine:
         df = self.tables.get(nsch.table)
         ann = self._vector_ann.get(index)
         if ann is not None:
-            cents, nprobe, celled = ann
+            cents, nprobe, celled, books, _refine = ann
             qv = np.asarray([float(x) for x in vec], dtype="float64")
             n = np.linalg.norm(qv)
             if n > 0:
@@ -1080,7 +1119,7 @@ class CypherEngine:
             probed = np.argsort(-(cents @ qv))[:nprobe].tolist()
             return (
                 celled.filter(F.col("cell").isin([int(c) for c in probed])),
-                "ivf",
+                "ivfpq" if books is not None else "ivf",
             )
         return (
             df.select(
@@ -1099,7 +1138,42 @@ class CypherEngine:
         are exact even on the IVF-pruned path; recall is the only
         approximation), then TakeOrderedAndProject (orderBy+limit never
         materializes a global sort) and collect the ≤ k winners."""
-        cand, _how = self._vector_candidate_frame(index, label, prop, vec)
+        cand, how = self._vector_candidate_frame(index, label, prop, vec)
+        if how == "ivfpq":
+            # ADC pre-rank (round 11): fold the per-query (m x ksub)
+            # distance lookup table into the plan as a literal — scoring
+            # a candidate is m JVM element_at gathers over its code
+            # array, no Python and no full-width vector reads; only the
+            # top k*refine ADC candidates get the exact fold re-rank
+            import numpy as np
+
+            cents, nprobe, celled, books, refine = self._vector_ann[index]
+            qv = np.asarray([float(x) for x in vec], dtype="float64")
+            n = np.linalg.norm(qv)
+            if n > 0:
+                qv = qv / n
+            m, ksub, dsub = books.shape
+            tab = [
+                [
+                    float(((qv[s * dsub:(s + 1) * dsub] - books[s][c]) ** 2).sum())
+                    for c in range(ksub)
+                ]
+                for s in range(m)
+            ]
+            adc = F.aggregate(
+                F.zip_with(
+                    F.col("code"),
+                    F.lit(tab),
+                    lambda c, row: F.element_at(row, c + F.lit(1)),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            cand = (
+                cand.withColumn("__adc", adc)
+                .orderBy(F.col("__adc").asc(), F.col("__id"))
+                .limit(int(k) * int(refine))
+            )
         return self._vector_topk_frame_rows(cand, similarity, k, vec)
 
     @staticmethod

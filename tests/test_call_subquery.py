@@ -1322,3 +1322,55 @@ def test_vector_query_relationships_errors(rel_vector_engine):
         rel_vector_engine.create_relationship_vector_index(
             "bad", "NOPE", "emb"
         )
+
+
+def test_vector_query_nodes_ivfpq_refine(vector_engine, spark):
+    """Round 11: pq_m adds a JVM-side ADC pre-rank inside probed cells.
+    With every cell probed and refine covering the whole corpus, the
+    exact-fold re-rank sees all candidates, so the result must equal the
+    brute scan exactly; with a tight refine the scores stay EXACT per
+    returned id (only recall is approximate). The per-query ADC path is
+    JVM-only — no Python eval in the candidate plan."""
+    v = _qvec(spark)
+    q = (
+        "CALL db.index.vector.queryNodes('emb_idx', 5, $v) "
+        "YIELD node, score "
+        "RETURN node.vec_id AS id, round(score, 9) AS s ORDER BY s DESC, id"
+    )
+    vector_engine.clear_caches()
+    exact = [(r.id, r.s) for r in vector_engine.cypher(q, params={"v": v}).collect()]
+    vector_engine.train_vector_index(
+        "emb_idx", n_cells=8, nprobe=8, iters=1,
+        pq_m=8, pq_ksub=32, refine_factor=1000,
+    )
+    try:
+        cand, how = vector_engine._vector_candidate_frame(
+            "emb_idx", "Emb", "embedding", v
+        )
+        assert how == "ivfpq" and "code" in cand.columns
+        # the stored celled frame is localCheckpoint'ed: the per-query
+        # plan gathers ADC from a literal lookup table — no Python
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+        got = [(r.id, r.s) for r in vector_engine.cypher(q, params={"v": v}).collect()]
+        assert got == exact
+    finally:
+        vector_engine._vector_ann.clear()
+        vector_engine.clear_caches()
+    # tight refine: exact scores per returned id, self always recalled
+    vector_engine.train_vector_index(
+        "emb_idx", n_cells=8, nprobe=3, iters=1,
+        pq_m=8, pq_ksub=32, refine_factor=4,
+    )
+    try:
+        got = vector_engine.cypher(q, params={"v": v}).collect()
+        exact_by_id = dict(exact)
+        # scores of returned ids match the exact fold where the id is in
+        # the exact top-5; the query vector's own row (score 1.0) leads
+        assert got[0].s == pytest.approx(1.0, abs=1e-9)
+        for r in got:
+            if r.id in exact_by_id:
+                assert r.s == pytest.approx(exact_by_id[r.id], abs=1e-9)
+    finally:
+        vector_engine._vector_ann.clear()
+        vector_engine.clear_caches()
