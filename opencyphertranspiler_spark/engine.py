@@ -2218,6 +2218,15 @@ class CypherEngine:
                     repr([(p, repr(v)) for p, v in anchor_preds]).encode()
                 ).hexdigest()[:10]
 
+        shortest = bool(getattr(part, "shortest", False))
+        if shortest and min_h > 1:
+            # Neo4j rejects shortestPath with a minimal length above 1
+            # rather than reinterpreting it (same fence as the plain
+            # unbounded path in _resolve_unbounded)
+            raise TranspilerNotSupportedError(
+                "shortestPath() does not support a minimal hop count "
+                "above 1 (use [:V*] or [:V*1..]), matching Neo4j"
+            )
         row_per_path = (max_h is not None) or (part.path_alias is not None)
         mode = "e" if either else ("s" if union_is_source else "t")
         # union_is_left matters only for __nodes ordering (pattern order,
@@ -2226,7 +2235,7 @@ class CypherEngine:
         side = "l" if union_is_left else "r"
         key = (
             "ml_enum", tuple(verbs), vlabel, final_label, min_h, max_h,
-            mode, fsuf, row_per_path, side, asuf,
+            mode, fsuf, row_per_path, side, asuf, shortest,
         )
         if key not in built_edges:
             if key in self._reach_cache:
@@ -2413,7 +2422,25 @@ class CypherEngine:
                     paths = zero_df
                 elif zero_df is not None:
                     paths = paths.unionByName(zero_df)
-                if not row_per_path:
+                if shortest:
+                    # shortestPath(): ONE minimal-length path per
+                    # endpoint pair (Neo4j yields a single witness) —
+                    # the enumerated frame is already path-granular, so
+                    # a per-pair window picks the min-dist row, with the
+                    # node array as the deterministic tiebreak
+                    from pyspark.sql import Window
+
+                    w = Window.partitionBy("__src", "__dst").orderBy(
+                        F.col("__dist").asc(), F.col("__nodes").asc()
+                    )
+                    paths = (
+                        paths.withColumn(
+                            "__rn", F.row_number().over(w)
+                        )
+                        .filter(F.col("__rn") == 1)
+                        .drop("__rn")
+                    )
+                elif not row_per_path:
                     # unbounded without a path variable: the engine's
                     # documented endpoint-pair model
                     paths = paths.select("__src", "__dst").distinct()

@@ -1213,3 +1213,36 @@ def test_ml_varlength_anchored_seeds(chain_ml_engine):
     )
     assert [r for r in unanchored if r[0] == "x1"] == anchored
     assert [r for r in unanchored if r[0] == "y1"] == other
+
+
+def test_ml_shortest_path(chain_ml_engine):
+    """Round 11: shortestPath over a disjunction-adjacent hop rides the
+    enumeration with a per-pair min-dist window — ONE witness path per
+    endpoint pair, Neo4j's shortestPath contract. Floors above 1 keep
+    the Neo4j-parity typed error."""
+    got = pairs(
+        chain_ml_engine.cypher(
+            "MATCH p = shortestPath((n:X|Y)-[:N*]->(m:Z)) "
+            "RETURN n.id AS n, m.id AS m, length(p) AS l"
+        )
+    )
+    # one row per pair at the minimal distance (x1->z1 1, ->z2 2, ->z3 3,
+    # ->z4 4; x2->z2 1 ...; y1->z3 1, ->z4 2)
+    assert got == [
+        ("x1", "z1", 1), ("x1", "z2", 2), ("x1", "z3", 3), ("x1", "z4", 4),
+        ("x2", "z2", 1), ("x2", "z3", 2), ("x2", "z4", 3),
+        ("y1", "z3", 1), ("y1", "z4", 2),
+    ]
+    # undirected: distances shrink where the symmetric edge helps
+    und = pairs(
+        chain_ml_engine.cypher(
+            "MATCH p = shortestPath((n:X|Y)-[:N*]-(m:Z)) "
+            "WHERE n.id = 'y1' RETURN m.id AS m, length(p) AS l"
+        )
+    )
+    assert und == [("z1", 3), ("z2", 2), ("z3", 1), ("z4", 2)]
+    with pytest.raises(TranspilerNotSupportedError, match="minimal hop"):
+        chain_ml_engine.cypher(
+            "MATCH p = shortestPath((n:X|Y)-[:N*2..]->(m:Z)) "
+            "RETURN m.id AS m"
+        )
