@@ -397,6 +397,10 @@ class PatternPart:
     # unbounded hop to a virtual edge carrying a __dist property;
     # length(p) then reads the real hop count
     shortest: bool = False
+    # `allShortestPaths(...)` (round 11): like shortest, but EVERY
+    # minimal-length relationship-unique path per endpoint pair is a row
+    # (rides the enumeration; shortest alone binds one witness)
+    all_shortest: bool = False
 
     def hops(self):
         """Yield (left_node, rel, right_node) triples."""

@@ -669,15 +669,20 @@ class Parser:
         if self.cur.kind == "ident" and self.peek().is_punct("="):
             path_alias = self.expect_ident()
             self.expect_punct("=")
-        # `shortestPath((a)-[:V*]->(b))` wrapper (extension; engine
-        # rewrites the unbounded hop to a distance-carrying virtual edge)
+        # `shortestPath((a)-[:V*]->(b))` / `allShortestPaths(...)`
+        # wrappers (extension; the engine rewrites the unbounded hop to a
+        # distance-carrying virtual edge — allShortestPaths keeps EVERY
+        # minimal-length path per endpoint pair, round 11)
         shortest = False
+        all_shortest = False
         if (
             self.cur.kind == "ident"
-            and str(self.cur.value).lower() == "shortestpath"
+            and str(self.cur.value).lower()
+            in ("shortestpath", "allshortestpaths")
             and self.peek().is_punct("(")
         ):
             shortest = True
+            all_shortest = str(self.cur.value).lower() == "allshortestpaths"
             self.advance()
             self.expect_punct("(")
         nodes = [self.parse_node_pattern()]
@@ -692,7 +697,7 @@ class Parser:
                     "shortestPath() requires a single unbounded hop, e.g. "
                     "shortestPath((a)-[:V*]->(b))"
                 )
-        return A.PatternPart(nodes, rels, path_alias, shortest)
+        return A.PatternPart(nodes, rels, path_alias, shortest, all_shortest)
 
     def parse_node_pattern(self) -> A.NodePattern:
         self.expect_punct("(")

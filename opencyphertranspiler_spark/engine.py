@@ -2219,6 +2219,7 @@ class CypherEngine:
                 ).hexdigest()[:10]
 
         shortest = bool(getattr(part, "shortest", False))
+        all_shortest = bool(getattr(part, "all_shortest", False))
         if shortest and min_h > 1:
             # Neo4j rejects shortestPath with a minimal length above 1
             # rather than reinterpreting it (same fence as the plain
@@ -2235,7 +2236,7 @@ class CypherEngine:
         side = "l" if union_is_left else "r"
         key = (
             "ml_enum", tuple(verbs), vlabel, final_label, min_h, max_h,
-            mode, fsuf, row_per_path, side, asuf, shortest,
+            mode, fsuf, row_per_path, side, asuf, shortest, all_shortest,
         )
         if key not in built_edges:
             if key in self._reach_cache:
@@ -2427,19 +2428,31 @@ class CypherEngine:
                     # endpoint pair (Neo4j yields a single witness) —
                     # the enumerated frame is already path-granular, so
                     # a per-pair window picks the min-dist row, with the
-                    # node array as the deterministic tiebreak
+                    # node array as the deterministic tiebreak.
+                    # allShortestPaths (round 11): keep EVERY tied
+                    # minimal-length row instead
                     from pyspark.sql import Window
 
-                    w = Window.partitionBy("__src", "__dst").orderBy(
-                        F.col("__dist").asc(), F.col("__nodes").asc()
-                    )
-                    paths = (
-                        paths.withColumn(
-                            "__rn", F.row_number().over(w)
+                    if all_shortest:
+                        w = Window.partitionBy("__src", "__dst")
+                        paths = (
+                            paths.withColumn(
+                                "__min_d", F.min("__dist").over(w)
+                            )
+                            .filter(F.col("__dist") == F.col("__min_d"))
+                            .drop("__min_d")
                         )
-                        .filter(F.col("__rn") == 1)
-                        .drop("__rn")
-                    )
+                    else:
+                        w = Window.partitionBy("__src", "__dst").orderBy(
+                            F.col("__dist").asc(), F.col("__nodes").asc()
+                        )
+                        paths = (
+                            paths.withColumn(
+                                "__rn", F.row_number().over(w)
+                            )
+                            .filter(F.col("__rn") == 1)
+                            .drop("__rn")
+                        )
                 elif not row_per_path:
                     # unbounded without a path variable: the engine's
                     # documented endpoint-pair model
@@ -2967,13 +2980,26 @@ class CypherEngine:
             # overflow (rounds or rows — enumeration is genuinely
             # exponential, Neo4j's too) warns and falls back to the
             # witness-pair model.
+            all_shortest = bool(getattr(part, "all_shortest", False))
             enum = None
-            if part.path_alias is not None and not getattr(
-                part, "shortest", False
+            if part.path_alias is not None and (
+                not getattr(part, "shortest", False) or all_shortest
             ):
                 enum = self._enumerate_rel_unique_paths(
                     edge, tables, graph, anchor, edge_filter, asuf
                 )
+                if enum is None and all_shortest:
+                    # the witness model binds ONE path per pair — it
+                    # cannot represent all-shortest; no silent fallback
+                    raise TranspilerNotSupportedError(
+                        f"allShortestPaths() over '{edge.verb}' exceeded "
+                        f"the enumeration caps "
+                        f"({self.path_enum_max_hops} rounds / "
+                        f"{self.path_enum_max_paths} paths) — raise "
+                        "path_enum_max_hops/path_enum_max_paths on the "
+                        "engine, or use shortestPath() (one witness per "
+                        "pair)"
+                    )
                 if enum is None:
                     import warnings
 
@@ -3006,14 +3032,29 @@ class CypherEngine:
                     # the enumeration is memoized from length 1; a *n..
                     # floor is a filter, not a different fixpoint
                     enum = enum.filter(F.col("dist") >= rel.min_hops)
+                if all_shortest:
+                    # allShortestPaths (round 11): EVERY minimal-length
+                    # path per endpoint pair stays a row (ties kept) —
+                    # a per-pair min over the already-path-granular frame
+                    from pyspark.sql import Window
+
+                    w_as = Window.partitionBy("src", "dst")
+                    enum = (
+                        enum.withColumn(
+                            "__min_d", F.min("dist").over(w_as)
+                        )
+                        .filter(F.col("dist") == F.col("__min_d"))
+                        .drop("__min_d")
+                    )
                 reach = enum.select(
                     F.col("src").alias(edge.source_id_property),
                     F.col("dst").alias(edge.sink_id_property),
                     F.col("dist").alias("__dist"),
                     F.col("nodes").alias("__nodes"),
                 )
-                vname = f"__penum_{rel.min_hops}_{edge.id}{asuf}"
-                vverb = f"__PENUM{rel.min_hops}_{edge.id}{asuf}"
+                nsuf_as = "_as" if all_shortest else ""
+                vname = f"__penum_{rel.min_hops}_{edge.id}{asuf}{nsuf_as}"
+                vverb = f"__PENUM{rel.min_hops}_{edge.id}{asuf}{nsuf_as}"
                 props = (
                     EntityProperty("__dist", "long"),
                     EntityProperty(

@@ -1246,3 +1246,61 @@ def test_ml_shortest_path(chain_ml_engine):
             "MATCH p = shortestPath((n:X|Y)-[:N*2..]->(m:Z)) "
             "RETURN m.id AS m"
         )
+
+
+def test_ml_all_shortest_paths(spark):
+    """allShortestPaths over a disjunction-adjacent hop: the diamond
+    member graph ties two 2-hop routes from a member to d."""
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EdgeSchema,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+    )
+
+    reg = TableRegistry()
+    reg.register_df("ta", spark.createDataFrame([("a1",)], "id string"))
+    reg.register_df("tb", spark.createDataFrame([("b0",)], "id string"))
+    reg.register_df(
+        "tz", spark.createDataFrame([("m1",), ("m2",), ("d",)], "id string")
+    )
+    reg.register_df(
+        "ea",
+        spark.createDataFrame(
+            [("a1", "m1"), ("a1", "m2")], "src string, dst string"
+        ),
+    )
+    reg.register_df(
+        "ez",
+        spark.createDataFrame(
+            [("m1", "d"), ("m2", "d")], "src string, dst string"
+        ),
+    )
+    g = GraphSchema(
+        [
+            NodeSchema("A", "ta", "id", ()),
+            NodeSchema("B", "tb", "id", ()),
+            NodeSchema("Z", "tz", "id", ()),
+        ],
+        [
+            EdgeSchema("L", "A", "Z", "ea", "src", "dst"),
+            EdgeSchema("L", "Z", "Z", "ez", "src", "dst"),
+        ],
+    )
+    eng = CypherEngine(spark, g, reg)
+    one = eng.cypher(
+        "MATCH p = shortestPath((n:A|B)-[:L*]->(m:Z)) "
+        "WHERE m.id = 'd' RETURN nodes(p) AS ns"
+    ).collect()
+    assert len(one) == 1
+    both = sorted(
+        tuple(r.ns)
+        for r in eng.cypher(
+            "MATCH p = allShortestPaths((n:A|B)-[:L*]->(m:Z)) "
+            "WHERE m.id = 'd' RETURN nodes(p) AS ns"
+        ).collect()
+    )
+    assert both == [
+        ("A:a1", "Z:m1", "Z:d"), ("A:a1", "Z:m2", "Z:d")
+    ]

@@ -3346,3 +3346,86 @@ def test_row_per_path_matches_duckdb_recursive_cte(diamond_engine, spark):
         )
     )
     assert got == exp
+
+
+def test_all_shortest_paths(spark, movie_engine):
+    """Round 11: allShortestPaths() keeps EVERY minimal-length
+    relationship-unique path per endpoint pair (shortestPath binds one
+    witness). Diamond fixture: a->b1->d and a->b2->d tie at 2 hops."""
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EdgeSchema,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+    )
+
+    reg = TableRegistry()
+    reg.register_df(
+        "tn",
+        spark.createDataFrame([("a",), ("b1",), ("b2",), ("d",)], "id string"),
+    )
+    reg.register_df(
+        "te",
+        spark.createDataFrame(
+            [("a", "b1"), ("a", "b2"), ("b1", "d"), ("b2", "d"), ("b1", "b2")],
+            "src string, dst string",
+        ),
+    )
+    eng = CypherEngine(
+        spark,
+        GraphSchema(
+            [NodeSchema("N", "tn", "id", ())],
+            [EdgeSchema("L", "N", "N", "te", "src", "dst")],
+        ),
+        reg,
+    )
+    one = eng.cypher(
+        "MATCH p = shortestPath((a:N)-[:L*]->(b:N)) "
+        "WHERE a.id = 'a' AND b.id = 'd' RETURN nodes(p) AS ns"
+    ).collect()
+    assert len(one) == 1 and len(one[0].ns) == 3
+    both = sorted(
+        tuple(r.ns)
+        for r in eng.cypher(
+            "MATCH p = allShortestPaths((a:N)-[:L*]->(b:N)) "
+            "WHERE a.id = 'a' AND b.id = 'd' RETURN nodes(p) AS ns"
+        ).collect()
+    )
+    assert both == [("a", "b1", "d"), ("a", "b2", "d")]
+    # per-pair counts: only (a, d) has a tie
+    counts = {
+        (r.a, r.b): r.c
+        for r in eng.cypher(
+            "MATCH p = allShortestPaths((a:N)-[:L*]->(b:N)) "
+            "RETURN a.id AS a, b.id AS b, count(p) AS c"
+        ).collect()
+    }
+    assert counts[("a", "d")] == 2
+    assert all(v == 1 for k, v in counts.items() if k != ("a", "d"))
+    # on a unique-paths graph, allShortestPaths == shortestPath rows
+    a = rows(
+        movie_engine.cypher(
+            "MATCH p = allShortestPaths((x:Person)-[:FOLLOWS*]->(y:Person)) "
+            "RETURN x.Name AS a, y.Name AS b, length(p) AS hops"
+        )
+    )
+    b = rows(
+        movie_engine.cypher(
+            "MATCH p = shortestPath((x:Person)-[:FOLLOWS*]->(y:Person)) "
+            "RETURN x.Name AS a, y.Name AS b, length(p) AS hops"
+        )
+    )
+    assert a == b
+    # floors above 1 keep the Neo4j-parity typed error
+    import pytest as _pytest
+
+    from opencyphertranspiler_spark.exceptions import (
+        TranspilerNotSupportedError,
+    )
+
+    with _pytest.raises(TranspilerNotSupportedError, match="minimal hop"):
+        eng.cypher(
+            "MATCH p = allShortestPaths((a:N)-[:L*2..]->(b:N)) "
+            "RETURN count(p) AS c"
+        )
