@@ -148,6 +148,11 @@ class CypherEngine:
         # relationship vector indexes for queryRelationships (round 11):
         # name -> (verb, property, similarity)
         self._rel_vector_indexes: dict[str, tuple[str, str, str]] = {}
+        # full-text indexes for db.index.fulltext.queryNodes (round 11):
+        # name -> (label, property); corpus stats memoized per index in
+        # _fulltext_stats (N, avgdl — cleared by clear_caches)
+        self._fulltext_indexes: dict[str, tuple[str, str]] = {}
+        self._fulltext_stats: dict[str, tuple[int, float]] = {}
 
     def clear_caches(self) -> None:
         """Release engine-lifetime materializations: the unbounded-`*`
@@ -157,6 +162,7 @@ class CypherEngine:
         per entry) so one workload's pinned blocks can't pressure the
         next one's heap; results stay correct either way — the caches
         rebuild on demand."""
+        self._fulltext_stats.clear()
         for df in self._reach_cache.values():
             try:
                 # localCheckpoint pins RDD blocks, not SQL cache — drop
@@ -192,6 +198,24 @@ class CypherEngine:
                 f"Node '{label}' has no property '{property}' to index"
             )
         self._vector_indexes[name] = (label, property, similarity)
+
+    def create_fulltext_index(
+        self, name: str, label: str, property: str
+    ) -> None:
+        """Register a full-text index over a node label's string
+        property (Neo4j: ``CREATE FULLTEXT INDEX name FOR (n:Label) ON
+        EACH [n.property]``) for ``CALL db.index.fulltext.queryNodes(
+        name, $q) YIELD node, score``. Scoring is EXACT Okapi BM25
+        (k1=1.2, b=0.75) over a lowercase non-alphanumeric-split
+        analyzer — not Lucene's full analyzer chain (no stemming, no
+        phrase/boolean operator syntax; terms combine as OR, Lucene's
+        default), which is the documented divergence."""
+        nsch = self.graph.get_node(label)
+        if property not in nsch.property_names:
+            raise TranspilerBindingError(
+                f"Node '{label}' has no property '{property}' to index"
+            )
+        self._fulltext_indexes[name] = (label, property)
 
     def create_relationship_vector_index(
         self,
@@ -514,6 +538,12 @@ class CypherEngine:
                     # round 11 (VERDICT r10 missing #1)
                     new_clauses.extend(
                         self._vector_query_rel_clauses(clause, params)
+                    )
+                    continue
+                if clause.name == "db.index.fulltext.querynodes":
+                    # round 11: BM25 full-text surface
+                    new_clauses.extend(
+                        self._fulltext_query_clauses(clause, params)
                     )
                     continue
                 if len(clause.yields) > 1:
@@ -844,6 +874,18 @@ class CypherEngine:
         else:
             rows = self._vector_topk_rows(index, label, prop, similarity, k, vec)
             self._vector_topk_cache[memo_key] = rows
+        return self._id_score_winner_clauses(
+            clause, label, rows, bind_alias, node_alias, score_alias
+        )
+
+    @staticmethod
+    def _id_score_winner_clauses(
+        clause, label, rows, bind_alias, node_alias, score_alias
+    ) -> list:
+        """Shared desugar for eager (id, score) winner procedures
+        (vector / fulltext queryNodes): ``MATCH (node:Label) WHERE
+        id(node) IN [winners]`` + ``WITH *, CASE ... AS score``, plus
+        the YIELD-WHERE projection and the standalone-CALL RETURN."""
         id_of_node = A.FuncCall("id", [A.Variable(bind_alias)])
         where: A.Expr
         if rows:
@@ -892,6 +934,184 @@ class CypherEngine:
                 items.append((sa, A.Variable(sa)))
             out.append(A.ProjectionClause(items=items, is_return=True))
         return out
+
+    _FT_K1 = 1.2
+    _FT_B = 0.75
+
+    def _fulltext_query_clauses(self, clause, params: dict | None) -> list:
+        """``CALL db.index.fulltext.queryNodes(index, $q[, {limit: n}])
+        YIELD node, score`` (round 11) — EXACT Okapi BM25 scored
+        entirely JVM-side.
+
+        Analyzer: lowercase, split on non-alphanumerics (documented
+        divergence from Lucene: no stemming, no phrase/boolean query
+        syntax — terms combine as OR, Lucene's default). Corpus stats
+        (N, avgdl) are computed once per index and memoized
+        (clear_caches resets); per-query term document frequencies are
+        one aggregate pass; per-document scoring is size(filter(tokens))
+        folds — no Python anywhere. Winners (default limit 100, max
+        1024) desugar through the same MATCH…IN + CASE as the vector
+        surface, so `node` is a REAL entity."""
+        name = clause.name
+
+        def const_arg(i: int, what: str):
+            return self._call_const_arg(name, clause.args, i, what, params)
+
+        if len(clause.args) not in (2, 3):
+            raise TranspilerBindingError(
+                f"CALL {name} takes (indexName, queryString[, "
+                "{{limit: n}}])"
+            )
+        index = const_arg(0, "indexName")
+        qstr = const_arg(1, "queryString")
+        limit = 100
+        if len(clause.args) == 3:
+            opt = clause.args[2]
+            ok = isinstance(opt, A.MapLiteral)
+            if ok:
+                for okey, oval in opt.items:
+                    # LIMIT is a keyword, so the lexer may uppercase it
+                    if okey.lower() != "limit":
+                        ok = False
+                        break
+                    lv = self._call_const_arg(
+                        name, [oval], 0, "limit", params
+                    )
+                    if isinstance(lv, int) and not isinstance(lv, bool):
+                        limit = lv
+                    else:
+                        ok = False
+            if not ok:
+                raise TranspilerBindingError(
+                    f"CALL {name}: the options argument must be a map "
+                    "literal {{limit: <int>}}"
+                )
+        if not isinstance(index, str):
+            raise TranspilerBindingError(
+                f"CALL {name}: indexName must be a string"
+            )
+        if not isinstance(qstr, str) or not qstr.strip():
+            raise TranspilerBindingError(
+                f"CALL {name}: queryString must be a non-empty string"
+            )
+        if not 1 <= limit <= 1024:
+            raise TranspilerBindingError(
+                f"CALL {name}: limit must be in [1, 1024] (the yielded "
+                "rows desugar to plan-time constants)"
+            )
+        if index not in self._fulltext_indexes:
+            known = ", ".join(sorted(self._fulltext_indexes)) or "(none)"
+            raise TranspilerBindingError(
+                f"CALL {name}: no fulltext index '{index}' — register "
+                f"one with create_fulltext_index(); known: {known}"
+            )
+        label, prop = self._fulltext_indexes[index]
+        yields = list(clause.yields) or [("node", "node"), ("score", "score")]
+        node_alias = score_alias = None
+        for yname, alias in yields:
+            if yname == "node" and node_alias is None:
+                node_alias = alias
+            elif yname == "score" and score_alias is None:
+                score_alias = alias
+            else:
+                raise TranspilerNotSupportedError(
+                    f"CALL {name} yields 'node, score', not '{yname}'"
+                )
+        bind_alias = node_alias or f"__ft_node_{id(clause) & 0xFFFF:x}"
+
+        import re
+
+        terms = sorted(set(re.split(r"[^a-z0-9]+", qstr.lower())) - {""})
+        memo_key = ("ft", index, tuple(terms), limit)
+        if memo_key in self._vector_topk_cache:
+            rows = self._vector_topk_cache[memo_key]
+        else:
+            rows = self._fulltext_topk_rows(index, label, prop, terms, limit)
+            self._vector_topk_cache[memo_key] = rows
+        return self._id_score_winner_clauses(
+            clause, label, rows, bind_alias, node_alias, score_alias
+        )
+
+    def _fulltext_topk_rows(
+        self, index: str, label: str, prop: str, terms: list, limit: int
+    ) -> list:
+        """Distributed BM25 top-k: tokens = lowercase non-alnum split;
+        idf = ln(1 + (N - df + 0.5)/(df + 0.5)) from one df-aggregate
+        pass over the query's terms; per-doc term frequency via JVM
+        size(filter(...)); TakeOrderedAndProject for the winners."""
+        import math
+
+        nsch = self.graph.get_node(label)
+        df_tbl = self.tables.get(nsch.table)
+        toks = F.filter(
+            F.split(F.lower(F.col(prop)), "[^a-z0-9]+"),
+            lambda t: t != F.lit(""),
+        )
+        base = (
+            df_tbl.filter(F.col(prop).isNotNull())
+            .select(
+                F.col(nsch.id_property).alias("__id"),
+                toks.alias("__toks"),
+            )
+        )
+        if index in self._fulltext_stats:
+            n_docs, avgdl = self._fulltext_stats[index]
+        else:
+            stats = base.select(
+                F.count("*").alias("n"),
+                F.avg(F.size("__toks")).alias("adl"),
+            ).collect()[0]
+            n_docs, avgdl = int(stats["n"]), float(stats["adl"] or 0.0)
+            self._fulltext_stats[index] = (n_docs, avgdl)
+        if not terms or n_docs == 0 or avgdl == 0.0:
+            return []
+        dfs = base.select(
+            *[
+                F.sum(
+                    F.array_contains("__toks", t).cast("int")
+                ).alias(f"df{i}")
+                for i, t in enumerate(terms)
+            ]
+        ).collect()[0]
+        k1, b = self._FT_K1, self._FT_B
+
+        def eq_term(term):
+            # single-arg closure: a two-arg lambda (even via a default
+            # arg) would make F.filter pass the array INDEX as the
+            # second argument
+            return lambda x: x == F.lit(term)
+
+        score = None
+        for i, t in enumerate(terms):
+            dfi = int(dfs[f"df{i}"] or 0)
+            if dfi == 0:
+                continue
+            idf = math.log(1.0 + (n_docs - dfi + 0.5) / (dfi + 0.5))
+            tf = F.size(F.filter("__toks", eq_term(t)))
+            dl = F.size("__toks")
+            part = (
+                F.lit(idf)
+                * tf.cast("double")
+                * F.lit(k1 + 1.0)
+                / (
+                    tf.cast("double")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * dl.cast("double") / F.lit(avgdl)
+                    )
+                )
+            )
+            score = part if score is None else (score + part)
+        if score is None:
+            return []
+        return (
+            base.select(F.col("__id"), score.alias("__score"))
+            .filter(F.col("__score") > 0)
+            .orderBy(F.col("__score").desc(), F.col("__id"))
+            .limit(limit)
+            .collect()
+        )
 
     def _vector_query_rel_clauses(self, clause, params: dict | None) -> list:
         """``CALL db.index.vector.queryRelationships(index, k, $vec)

@@ -1374,3 +1374,127 @@ def test_vector_query_nodes_ivfpq_refine(vector_engine, spark):
     finally:
         vector_engine._vector_ann.clear()
         vector_engine.clear_caches()
+
+
+# -- round 11: CALL db.index.fulltext.queryNodes (BM25) -----------------------
+
+
+@pytest.fixture(scope="module")
+def fulltext_engine(spark):
+    from tests.conftest import SF_DIR
+
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EntityProperty,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+    )
+
+    reg = TableRegistry()
+    reg.register(
+        "documents",
+        lambda: spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+    )
+    g = GraphSchema(
+        [
+            NodeSchema(
+                "Doc", "documents", "doc_id",
+                (EntityProperty("text", "string"),), "bigint",
+            )
+        ],
+        [],
+    )
+    eng = CypherEngine(spark, g, reg)
+    eng.create_fulltext_index("docs_ft", "Doc", "text")
+    return eng
+
+
+def _bm25_oracle(spark, query, limit):
+    """Plain-python Okapi BM25 (k1=1.2, b=0.75) over the documents
+    parquet with the same lowercase non-alnum analyzer."""
+    import math
+    import re
+
+    from tests.conftest import SF_DIR
+
+    rows = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    toks = {
+        r.doc_id: [
+            x for x in re.split(r"[^a-z0-9]+", r.text.lower()) if x
+        ]
+        for r in rows
+        if r.text is not None
+    }
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    terms = sorted(set(re.split(r"[^a-z0-9]+", query.lower())) - {""})
+    out = {}
+    for i, tk in toks.items():
+        s = 0.0
+        for t in terms:
+            df = sum(1 for v in toks.values() if t in v)
+            if df == 0:
+                continue
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            tf = tk.count(t)
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(tk) / avgdl))
+        if s > 0:
+            out[i] = s
+    ranked = sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
+    return [(i, round(s, 6)) for i, s in ranked]
+
+
+def test_fulltext_query_nodes_bm25(fulltext_engine, spark):
+    """Exact Okapi BM25 vs a plain-python oracle over the documents
+    parquet; node binds a real entity; {limit: n} caps; memoized."""
+    got = [
+        (r.id, r.s)
+        for r in fulltext_engine.cypher(
+            "CALL db.index.fulltext.queryNodes('docs_ft', "
+            "'fast merge scan', {limit: 10}) YIELD node, score "
+            "RETURN node.doc_id AS id, round(score, 6) AS s "
+            "ORDER BY s DESC, id"
+        ).collect()
+    ]
+    exp = _bm25_oracle(spark, "fast merge scan", 10)
+    assert got == exp and got  # non-empty on the synthetic corpus
+    # composition + memo hit
+    c = fulltext_engine.cypher(
+        "CALL db.index.fulltext.queryNodes('docs_ft', "
+        "'fast merge scan', {limit: 10}) YIELD node, score "
+        "WHERE score > 0 RETURN count(*) AS c"
+    ).collect()[0].c
+    assert c == len(exp)
+    assert any(
+        k[0] == "ft" for k in fulltext_engine._vector_topk_cache
+    )
+    # standalone CALL implies YIELD node, score
+    st = fulltext_engine.cypher(
+        "CALL db.index.fulltext.queryNodes('docs_ft', 'vector', {limit: 3})"
+    )
+    assert st.columns == ["node", "score"] and st.count() <= 3
+
+
+def test_fulltext_query_nodes_errors(fulltext_engine):
+    from opencyphertranspiler_spark.exceptions import TranspilerBindingError
+
+    with pytest.raises(TranspilerBindingError, match="no fulltext"):
+        fulltext_engine.cypher(
+            "CALL db.index.fulltext.queryNodes('nope', 'x') "
+            "YIELD node, score RETURN score"
+        )
+    with pytest.raises(TranspilerBindingError, match="non-empty"):
+        fulltext_engine.cypher(
+            "CALL db.index.fulltext.queryNodes('docs_ft', '') "
+            "YIELD node, score RETURN score"
+        )
+    with pytest.raises(TranspilerBindingError, match="options"):
+        fulltext_engine.cypher(
+            "CALL db.index.fulltext.queryNodes('docs_ft', 'x', "
+            "{nope: 1}) YIELD node, score RETURN score"
+        )
+    with pytest.raises(TranspilerBindingError, match="no property"):
+        fulltext_engine.create_fulltext_index("bad", "Doc", "nope")
