@@ -171,6 +171,55 @@ def main() -> None:
         """
     ).show()
 
+    # ---- 5. BM25 full-text index -----------------------------------------
+    print("== 5. CALL db.index.fulltext.queryNodes (exact BM25) ==")
+    reg4 = TableRegistry()
+    reg4.register(
+        "documents",
+        lambda: spark.read.parquet(f"{sf_dir}/documents.parquet"),
+    )
+    g4 = GraphSchema(
+        [
+            NodeSchema(
+                "Doc", "documents", "doc_id",
+                (EntityProperty("text", "string"),), "bigint",
+            )
+        ],
+        [],
+    )
+    feng = CypherEngine(spark, g4, reg4)
+    feng.create_fulltext_index("docs_ft", "Doc", "text")
+    feng.cypher(
+        "CALL db.index.fulltext.queryNodes('docs_ft', 'fast merge scan', "
+        "{limit: 5}) YIELD node, score "
+        "RETURN node.doc_id AS id, round(score, 4) AS bm25 "
+        "ORDER BY bm25 DESC"
+    ).show()
+
+    # ---- 6. allShortestPaths ---------------------------------------------
+    print("== 6. allShortestPaths keeps every tied minimal path ==")
+    reg5 = TableRegistry()
+    reg5.register_df(
+        "nn",
+        spark.createDataFrame([("a",), ("b1",), ("b2",), ("d",)], "id string"),
+    )
+    reg5.register_df(
+        "ne",
+        spark.createDataFrame(
+            [("a", "b1"), ("a", "b2"), ("b1", "d"), ("b2", "d")],
+            "src string, dst string",
+        ),
+    )
+    g5 = GraphSchema(
+        [NodeSchema("N", "nn", "id", ())],
+        [EdgeSchema("L", "N", "N", "ne", "src", "dst")],
+    )
+    peng = CypherEngine(spark, g5, reg5)
+    peng.cypher(
+        "MATCH p = allShortestPaths((a:N)-[:L*]->(b:N)) "
+        "WHERE a.id = 'a' AND b.id = 'd' RETURN nodes(p) AS path"
+    ).show(truncate=False)
+
     spark.stop()
     print("round-11 features OK")
 
