@@ -360,8 +360,159 @@ class CypherEngine:
         """Parse, plan, and compile a Cypher query to a lazy DataFrame.
 
         ``params`` binds ``$name`` query parameters (extension — the
-        reference rejects parameters)."""
+        reference rejects parameters). Index DDL statements (``CREATE
+        VECTOR INDEX`` / ``CREATE FULLTEXT INDEX`` / ``DROP INDEX``,
+        Neo4j 5 syntax) dispatch to the index registries and return a
+        one-row summary frame."""
+        ddl = self._maybe_index_ddl(query)
+        if ddl is not None:
+            return ddl
         return self._run_ast(parse(query), params)
+
+    _DDL_RE = None  # compiled lazily in _maybe_index_ddl
+
+    def _maybe_index_ddl(self, query: str):
+        """Recognize and execute Neo4j-5 index DDL (round 11):
+
+        - ``CREATE VECTOR INDEX name [IF NOT EXISTS] FOR (n:Label) ON
+          n.prop [OPTIONS {...}]`` — similarity read from a
+          ``'cosine'``/``'euclidean'`` literal anywhere in OPTIONS
+          (Neo4j's ``vector.similarity_function``); dimensions accepted
+          and ignored (schema already types the column)
+        - the relationship form ``FOR ()-[r:TYPE]-() ON r.prop``
+        - ``CREATE FULLTEXT INDEX name [IF NOT EXISTS] FOR (n:Label) ON
+          EACH [n.prop]``
+        - ``DROP INDEX name [IF EXISTS]``
+
+        Returns a one-row (name, type, entity, property) summary frame,
+        or None when the statement is not index DDL (the ordinary query
+        path runs)."""
+        import re
+
+        q = query.strip().rstrip(";").strip()
+        mdrop = re.match(
+            r"(?is)^DROP\s+INDEX\s+(\w+)(\s+IF\s+EXISTS)?$", q
+        )
+        if mdrop:
+            name, if_exists = mdrop.group(1), bool(mdrop.group(2))
+            found = False
+            for reg in (
+                self._vector_indexes,
+                self._rel_vector_indexes,
+                self._fulltext_indexes,
+            ):
+                if name in reg:
+                    del reg[name]
+                    found = True
+            self._vector_ann.pop(name, None)
+            self._fulltext_stats.pop(name, None)
+            if found:
+                self._vector_topk_cache = {
+                    k: v
+                    for k, v in self._vector_topk_cache.items()
+                    if name not in k
+                }
+            if not found and not if_exists:
+                raise TranspilerBindingError(
+                    f"DROP INDEX: no index '{name}' (use IF EXISTS)"
+                )
+            return self.spark.createDataFrame(
+                [(name, "DROPPED" if found else "NOOP")],
+                "name string, state string",
+            )
+        m = re.match(
+            r"(?is)^CREATE\s+(VECTOR|FULLTEXT)\s+INDEX\s+(\w+)"
+            r"(\s+IF\s+NOT\s+EXISTS)?\s+FOR\s+(.*?)\s+ON\s+(.*)$",
+            q,
+        )
+        if not m:
+            return None
+        kind = m.group(1).upper()
+        name = m.group(2)
+        if_not_exists = bool(m.group(3))
+        target, on = m.group(4).strip(), m.group(5).strip()
+        exists = (
+            name in self._vector_indexes
+            or name in self._rel_vector_indexes
+            or name in self._fulltext_indexes
+        )
+        if exists:
+            if if_not_exists:
+                return self.spark.createDataFrame(
+                    [(name, kind, "NOOP")],
+                    "name string, type string, state string",
+                )
+            raise TranspilerBindingError(
+                f"CREATE {kind} INDEX: index '{name}' already exists "
+                "(use IF NOT EXISTS)"
+            )
+        node_t = re.match(r"^\(\s*(\w+)\s*:\s*(\w+)\s*\)$", target)
+        rel_t = re.match(
+            r"^\(\s*\)\s*-\s*\[\s*(\w+)\s*:\s*(\w+)\s*\]\s*-\s*\(\s*\)$",
+            target,
+        )
+        if kind == "FULLTEXT":
+            if not node_t:
+                raise TranspilerNotSupportedError(
+                    "CREATE FULLTEXT INDEX supports the node form "
+                    "FOR (n:Label) ON EACH [n.prop]"
+                )
+            alias, label = node_t.group(1), node_t.group(2)
+            mon = re.match(
+                rf"(?is)^EACH\s*\[\s*{alias}\.(\w+)\s*\]$", on
+            )
+            if not mon:
+                raise TranspilerNotSupportedError(
+                    "CREATE FULLTEXT INDEX: ON EACH [<alias>.<prop>] "
+                    "with ONE property (single-property indexes only)"
+                )
+            self.create_fulltext_index(name, label, mon.group(1))
+            return self.spark.createDataFrame(
+                [(name, "FULLTEXT", label, mon.group(1))],
+                "name string, type string, entity string, property string",
+            )
+        # VECTOR: strip OPTIONS, read similarity from it if present
+        similarity = "cosine"
+        mopt = re.match(r"(?is)^(.*?)\s+OPTIONS\s+(\{.*\})$", on)
+        if mopt:
+            on = mopt.group(1).strip()
+            sim = re.search(
+                r"(?i)['\"](cosine|euclidean)['\"]", mopt.group(2)
+            )
+            if sim:
+                similarity = sim.group(1).lower()
+        if node_t:
+            alias, label = node_t.group(1), node_t.group(2)
+            mon = re.match(rf"^{alias}\.(\w+)$", on)
+            if not mon:
+                raise TranspilerNotSupportedError(
+                    "CREATE VECTOR INDEX: ON <alias>.<prop> must use "
+                    "the FOR-clause alias"
+                )
+            self.create_vector_index(name, label, mon.group(1), similarity)
+            return self.spark.createDataFrame(
+                [(name, "VECTOR", label, mon.group(1))],
+                "name string, type string, entity string, property string",
+            )
+        if rel_t:
+            alias, verb = rel_t.group(1), rel_t.group(2)
+            mon = re.match(rf"^{alias}\.(\w+)$", on)
+            if not mon:
+                raise TranspilerNotSupportedError(
+                    "CREATE VECTOR INDEX: ON <alias>.<prop> must use "
+                    "the FOR-clause alias"
+                )
+            self.create_relationship_vector_index(
+                name, verb, mon.group(1), similarity
+            )
+            return self.spark.createDataFrame(
+                [(name, "VECTOR", verb, mon.group(1))],
+                "name string, type string, entity string, property string",
+            )
+        raise TranspilerNotSupportedError(
+            f"CREATE {kind} INDEX: FOR must be (n:Label) or "
+            "()-[r:TYPE]-()"
+        )
 
     def _run_ast(self, ast_query, params: dict | None = None, seed=None) -> DataFrame:
         """Rewrite, plan and compile an already-parsed read query (shared

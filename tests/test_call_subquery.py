@@ -1498,3 +1498,106 @@ def test_fulltext_query_nodes_errors(fulltext_engine):
         )
     with pytest.raises(TranspilerBindingError, match="no property"):
         fulltext_engine.create_fulltext_index("bad", "Doc", "nope")
+
+
+# -- round 11: index DDL (CREATE VECTOR/FULLTEXT INDEX, DROP INDEX) -----------
+
+
+def test_index_ddl(spark):
+    """Neo4j-5 index DDL runs through cypher(): CREATE VECTOR INDEX
+    (node + relationship forms, OPTIONS similarity), CREATE FULLTEXT
+    INDEX ... ON EACH [...], IF NOT EXISTS / IF EXISTS, DROP INDEX —
+    each returns a one-row summary frame and registers/unregisters the
+    engine-side index."""
+    from tests.conftest import SF_DIR
+
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EdgeSchema,
+        EntityProperty,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+    )
+    from opencyphertranspiler_spark.exceptions import (
+        TranspilerBindingError,
+        TranspilerNotSupportedError,
+    )
+
+    reg = TableRegistry()
+    reg.register(
+        "embeddings",
+        lambda: spark.read.parquet(f"{SF_DIR}/embeddings.parquet"),
+    )
+    reg.register(
+        "documents",
+        lambda: spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+    )
+    reg.register_df(
+        "tr",
+        spark.createDataFrame(
+            [(0, 1, [1.0, 0.0])], "src long, dst long, emb array<float>"
+        ),
+    )
+    g = GraphSchema(
+        [
+            NodeSchema(
+                "Emb", "embeddings", "vec_id",
+                (EntityProperty("embedding", "array<float>"),), "bigint",
+            ),
+            NodeSchema(
+                "Doc", "documents", "doc_id",
+                (EntityProperty("text", "string"),), "bigint",
+            ),
+        ],
+        [
+            EdgeSchema(
+                "SIM", "Emb", "Emb", "tr", "src", "dst",
+                (EntityProperty("emb", "array<float>"),),
+            )
+        ],
+    )
+    eng = CypherEngine(spark, g, reg)
+    r = eng.cypher(
+        "CREATE VECTOR INDEX emb_idx FOR (n:Emb) ON n.embedding"
+    ).collect()
+    assert (r[0].name, r[0].type, r[0].entity) == ("emb_idx", "VECTOR", "Emb")
+    # idempotent under IF NOT EXISTS; typed error without
+    assert eng.cypher(
+        "CREATE VECTOR INDEX emb_idx IF NOT EXISTS FOR (n:Emb) "
+        "ON n.embedding"
+    ).collect()[0].state == "NOOP"
+    with pytest.raises(TranspilerBindingError, match="already exists"):
+        eng.cypher("CREATE VECTOR INDEX emb_idx FOR (n:Emb) ON n.embedding")
+    # OPTIONS similarity_function is honored
+    eng.cypher(
+        "CREATE VECTOR INDEX e2 FOR (m:Emb) ON m.embedding OPTIONS "
+        "{indexConfig: {`vector.dimensions`: 64, "
+        "`vector.similarity_function`: 'euclidean'}}"
+    ).collect()
+    assert eng._vector_indexes["e2"][2] == "euclidean"
+    # relationship + fulltext forms
+    eng.cypher("CREATE VECTOR INDEX rsim FOR ()-[r:SIM]-() ON r.emb").collect()
+    assert "rsim" in eng._rel_vector_indexes
+    eng.cypher(
+        "CREATE FULLTEXT INDEX dft FOR (d:Doc) ON EACH [d.text]"
+    ).collect()
+    assert "dft" in eng._fulltext_indexes
+    # a DDL-created index serves queries
+    row = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").first()
+    v = [float(x) for x in row.embedding]
+    assert eng.cypher(
+        "CALL db.index.vector.queryNodes('emb_idx', 3, $v) "
+        "YIELD node, score RETURN count(*) AS c",
+        params={"v": v},
+    ).collect()[0].c == 3
+    # DROP semantics
+    assert eng.cypher("DROP INDEX e2").collect()[0].state == "DROPPED"
+    assert eng.cypher("DROP INDEX e2 IF EXISTS").collect()[0].state == "NOOP"
+    with pytest.raises(TranspilerBindingError, match="no index"):
+        eng.cypher("DROP INDEX e2")
+    # alias mismatch is a typed error
+    with pytest.raises(TranspilerNotSupportedError, match="alias"):
+        eng.cypher("CREATE VECTOR INDEX bad FOR (n:Emb) ON x.embedding")
+    # ordinary queries are untouched by the DDL pre-dispatch
+    assert eng.cypher("MATCH (d:Doc) RETURN count(*) AS c").collect()[0].c > 0
