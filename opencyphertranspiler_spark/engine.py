@@ -390,6 +390,25 @@ class CypherEngine:
         import re
 
         q = query.strip().rstrip(";").strip()
+        if re.match(r"(?is)^SHOW\s+INDEXES$", q):
+            rows = [
+                (n, "VECTOR", "NODE", lbl, p,
+                 "TRAINED" if n in self._vector_ann else "EXACT")
+                for n, (lbl, p, _s) in sorted(self._vector_indexes.items())
+            ] + [
+                (n, "VECTOR", "RELATIONSHIP", v, p, "EXACT")
+                for n, (v, p, _s) in sorted(
+                    self._rel_vector_indexes.items()
+                )
+            ] + [
+                (n, "FULLTEXT", "NODE", lbl, p, "EXACT")
+                for n, (lbl, p) in sorted(self._fulltext_indexes.items())
+            ]
+            return self.spark.createDataFrame(
+                rows or [(None, None, None, None, None, None)],
+                "name string, type string, entityType string, "
+                "entity string, property string, mode string",
+            ).filter(F.col("name").isNotNull())
         mdrop = re.match(
             r"(?is)^DROP\s+INDEX\s+(\w+)(\s+IF\s+EXISTS)?$", q
         )

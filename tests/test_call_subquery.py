@@ -1601,3 +1601,46 @@ def test_index_ddl(spark):
         eng.cypher("CREATE VECTOR INDEX bad FOR (n:Emb) ON x.embedding")
     # ordinary queries are untouched by the DDL pre-dispatch
     assert eng.cypher("MATCH (d:Doc) RETURN count(*) AS c").collect()[0].c > 0
+
+
+def test_show_indexes(spark):
+    """SHOW INDEXES lists every registered index with its kind and
+    trained/exact mode (round 11)."""
+    from tests.conftest import SF_DIR
+
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EntityProperty,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+    )
+
+    reg = TableRegistry()
+    reg.register(
+        "embeddings",
+        lambda: spark.read.parquet(f"{SF_DIR}/embeddings.parquet"),
+    )
+    g = GraphSchema(
+        [
+            NodeSchema(
+                "Emb", "embeddings", "vec_id",
+                (EntityProperty("embedding", "array<float>"),), "bigint",
+            )
+        ],
+        [],
+    )
+    eng = CypherEngine(spark, g, reg)
+    assert eng.cypher("SHOW INDEXES").count() == 0
+    eng.cypher("CREATE VECTOR INDEX vi FOR (n:Emb) ON n.embedding").collect()
+    eng.create_fulltext_index("fi", "Emb", "embedding")
+    rows = {
+        (r.name, r.type, r.mode)
+        for r in eng.cypher("SHOW INDEXES").collect()
+    }
+    assert rows == {("vi", "VECTOR", "EXACT"), ("fi", "FULLTEXT", "EXACT")}
+    eng.train_vector_index("vi", n_cells=4, nprobe=2, iters=0)
+    modes = {r.name: r.mode for r in eng.cypher("SHOW INDEXES").collect()}
+    assert modes["vi"] == "TRAINED"
+    eng.cypher("DROP INDEX vi").collect()
+    assert eng.cypher("SHOW INDEXES").count() == 1
