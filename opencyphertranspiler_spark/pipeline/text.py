@@ -445,3 +445,102 @@ def drop_boilerplate_lines(
             (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
         )
     )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Distributed Okapi BM25 ranking of a document corpus against a
+    QUERY SET (round 11) — the inverted-index join, entirely JVM-side:
+
+      1. docs -> (doc_id, term, tf) via explode + count (one shuffle,
+         map-side combined); doc lengths ride along
+      2. per-term document frequency = one count over the (doc, term)
+         relation; corpus stats (N, avgdl) are two scalars
+      3. query terms equi-join the posting relation on `term` (the
+         query side is typically bounded -> broadcast), each match
+         scores idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+      4. groupBy (query, doc) sums the per-term parts; a bucketed
+         two-phase top-k keeps k docs per query
+
+    Analyzer: lowercase split on non-alphanumerics (same as the
+    engine's fulltext index — no stemming, OR-combined terms). Output:
+    (query_id, doc_id, bm25) — ties broken by doc id. 100 TB shape:
+    cost scales with matching postings, never |queries| x |corpus|; at
+    cluster scale the posting relation is the thing you'd bucket by
+    term."""
+    from .similarity import _global_topk
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: t != F.lit(""),
+    )
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__doc"), toks.alias("__toks")
+    )
+    lengths = base.select("__doc", F.size("__toks").alias("dl"))
+    postings = (
+        base.select("__doc", F.explode("__toks").alias("term"))
+        .groupBy("__doc", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    term_df = postings.groupBy("term").agg(F.count("*").alias("df"))
+    stats = lengths.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
+    if n_docs == 0 or avgdl == 0.0:
+        return queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.lit(None).cast("long").alias("match_id"),
+            F.lit(0.0).alias("bm25"),
+        ).limit(0)
+    qtoks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.col(query_col)), "[^a-z0-9]+"),
+            lambda t: t != F.lit(""),
+        )
+    )
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"), F.explode(qtoks).alias("term")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    part = (
+        idf
+        * F.col("tf").cast("double")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+            )
+        )
+    )
+    scored = (
+        F.broadcast(qterms)
+        .join(postings, "term")
+        .join(F.broadcast(term_df), "term")
+        .join(lengths, "__doc")
+        .select(
+            "query_id",
+            F.col("__doc").alias("match_id"),
+            part.alias("part"),
+        )
+        .groupBy("query_id", "match_id")
+        .agg(F.sum("part").alias("bm25"))
+    )
+    return _global_topk(scored, k, score_col="bm25")

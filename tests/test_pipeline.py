@@ -2001,3 +2001,54 @@ def test_pq_ivf_training_sample_fraction_deterministic(spark, embs):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4, f"sampled-training PQ recall {recall:.2f} too low"
+
+
+def test_bm25_rank_vs_python_oracle(spark):
+    """Round 11: distributed BM25 query-set ranking (inverted-index
+    join, JVM-side) matches a plain-python Okapi BM25 oracle exactly at
+    6 dp; queries with no matching terms produce no rows."""
+    import math
+    import re
+
+    from opencyphertranspiler_spark.pipeline.text import bm25_rank
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    qs = [(1, "fast merge scan"), (2, "vector hash"), (3, "zzz unknownterm")]
+    queries = spark.createDataFrame(qs, "query_id long, query string")
+    got = sorted(map(tuple, bm25_rank(docs, queries, k=5).collect()))
+
+    rows = docs.select("doc_id", "text").collect()
+    toks = {
+        r.doc_id: [x for x in re.split(r"[^a-z0-9]+", r.text.lower()) if x]
+        for r in rows
+        if r.text
+    }
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+
+    def oracle(q, k=5):
+        terms = sorted(set(re.split(r"[^a-z0-9]+", q.lower())) - {""})
+        out = {}
+        for i, tk in toks.items():
+            s = 0.0
+            for t in terms:
+                df = sum(1 for v in toks.values() if t in v)
+                if df == 0:
+                    continue
+                idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+                tf = tk.count(t)
+                s += idf * tf * 2.2 / (
+                    tf + 1.2 * (0.25 + 0.75 * len(tk) / avgdl)
+                )
+            if s > 0:
+                out[i] = s
+        ranked = sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [(i, round(s, 6)) for i, s in ranked]
+
+    exp = sorted(
+        (qid, i, s, rank)
+        for qid, q in qs
+        for rank, (i, s) in enumerate(oracle(q), 1)
+    )
+    assert got == exp and len(got) == 10  # query 3 matches nothing
