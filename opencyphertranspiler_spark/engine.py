@@ -2032,15 +2032,45 @@ class CypherEngine:
                 and part.path_alias is None
                 and not rel.props
             ):
-                # round 10 (VERDICT r9 #5): UNBOUNDED directed adjacency
-                # lowers to reachability over label-qualified composite
-                # ids (pair model, consistent with the engine's plain
-                # unbounded semantics)
-                self._rewire_ml_unbounded(
-                    part, ri, node_i, graph, tables, overlay,
-                    built_edges, verbs,
-                )
-                return
+                if rel.min_hops <= 1:
+                    # round 10 (VERDICT r9 #5): UNBOUNDED directed
+                    # adjacency lowers to reachability over label-
+                    # qualified composite ids (pair model; walk-exists
+                    # == path-exists when the floor is <= 1)
+                    self._rewire_ml_unbounded(
+                        part, ri, node_i, graph, tables, overlay,
+                        built_edges, verbs,
+                    )
+                    return
+                # round 11 (caught by the tri-label fabric fuzzer): a
+                # *n.. floor (n >= 2) in the WALK model over-reports on
+                # cyclic graphs (a >= n walk can re-use a relationship
+                # where no rel-unique >= n path exists) — enumerate;
+                # only a cap overflow falls back to the walk model
+                try:
+                    self._rewire_ml_enumerate(
+                        part, ri, node_i, graph, tables, overlay,
+                        built_edges, verbs, params, sq, clause,
+                    )
+                    return
+                except TranspilerNotSupportedError as ex:
+                    if "exceeded" not in str(ex):
+                        raise
+                    import warnings
+
+                    warnings.warn(
+                        f"{ex} — falling back to the walk pair model "
+                        f"(may include pairs whose only >= "
+                        f"{rel.min_hops}-hop connections re-use a "
+                        "relationship)",
+                        PathEnumerationCapWarning,
+                        stacklevel=2,
+                    )
+                    self._rewire_ml_unbounded(
+                        part, ri, node_i, graph, tables, overlay,
+                        built_edges, verbs,
+                    )
+                    return
             # round 11 (VERDICT r10 #3/#4/#5/#6): every other var-length
             # shape — undirected (bounded or unbounded), path variables,
             # inline maps, bounded directed shapes the splice can't
@@ -2243,9 +2273,13 @@ class CypherEngine:
         edge, orientation-flipped when the union node is the walk's
         sink. Semi-naive fixpoint, localCheckpoint'ed, capped at
         reach_max_iters. The final label is the declared endpoint label,
-        or inferred when the reachable label set is a singleton. Still
-        fenced (typed errors): *0.. (zero-length would merge composite
-        and plain ids), undirected, path variables, inline maps."""
+        or inferred when the reachable label set is a singleton.
+        Round 11: only floors <= 1 route here (walk-exists ==
+        path-exists); *n.. floors with n >= 2 enumerate rel-unique
+        paths (_rewire_ml_enumerate) because the walk model over-
+        reports on cyclic graphs, and this function is also the
+        documented cap-overflow fallback for them. Undirected, path
+        variables, and inline maps live in _rewire_ml_enumerate too."""
         rel = part.rels[ri]
         union_node = part.nodes[node_i]
         other = part.nodes[ri + 1 if node_i == ri else ri]
@@ -3606,10 +3640,52 @@ class CypherEngine:
                         "engine, or use *0.. / *1.. (plain [:V*]), "
                         "shortestPath(), or a bounded *n..m"
                     )
-                reach = self._reachability(
-                    edge, max(rel.min_hops, 1), tables, anchor, graph,
-                    edge_filter=edge_filter, filter_fp=fsuf,
-                )
+                reach = None
+                if rel.min_hops >= 2:
+                    # round 11 (caught by the tri-label fabric fuzzer):
+                    # the walk decomposition for a *n.. floor OVER-
+                    # REPORTS on cyclic graphs — a >= n walk may exist
+                    # (re-using a relationship) where no rel-unique
+                    # >= n path does, and Neo4j counts paths. Enumerate
+                    # rel-unique paths and keep dist >= n pairs; only a
+                    # cap overflow falls back to the walk model, with
+                    # the same warning class as the path-variable case
+                    pe = self._enumerate_rel_unique_paths(
+                        edge, tables, graph, anchor, edge_filter, asuf
+                    )
+                    if pe is not None:
+                        reach = (
+                            pe.filter(F.col("dist") >= rel.min_hops)
+                            .select(
+                                F.col("src").alias(
+                                    edge.source_id_property
+                                ),
+                                F.col("dst").alias(
+                                    edge.sink_id_property
+                                ),
+                            )
+                            .distinct()
+                        )
+                    else:
+                        import warnings
+
+                        warnings.warn(
+                            f"Relationship-unique path enumeration over "
+                            f"'{edge.verb}' exceeded "
+                            f"{self.path_enum_max_hops} rounds / "
+                            f"{self.path_enum_max_paths} paths; the "
+                            f"*{rel.min_hops}.. floor uses the walk "
+                            "pair model (may include pairs whose only "
+                            f">= {rel.min_hops}-hop connections re-use "
+                            "a relationship)",
+                            PathEnumerationCapWarning,
+                            stacklevel=3,
+                        )
+                if reach is None:
+                    reach = self._reachability(
+                        edge, max(rel.min_hops, 1), tables, anchor, graph,
+                        edge_filter=edge_filter, filter_fp=fsuf,
+                    )
                 if rel.min_hops == 0:
                     # *0.. (round 8) = *1.. reachability ∪ length-0
                     # identity pairs: every node of the (shared) endpoint

@@ -769,7 +769,9 @@ def test_ml_unbounded_adjacency_vs_duckdb(chain_ml_engine, duck):
         )
     )
     assert got == exp and len(got) == 9
-    # *2.. floor: EXISTS a walk of length >= 2 (pair model)
+    # *2.. floor (round 11): pairs with a REL-UNIQUE path of length
+    # >= 2 (enumeration-backed; on this acyclic fixture identical to
+    # the old walk model)
     floored = pairs(
         chain_ml_engine.cypher(
             "MATCH (n:X|Y)-[:N*2..]->(m:Z) RETURN n.id AS n, m.id AS m"
