@@ -1157,6 +1157,23 @@ def _p_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
 
 
+def _p_jaccard_pair_families(spark, sf_dir):
+    """Merged p02+p03 (round 11, gate-slot economy for q46/q48): the
+    exhaustive O(n²) jaccard baseline AND the banded MinHash-LSH path
+    compute the SAME ≥0.8 pair set (LSH recall ~1 at J≥0.8 with 16x4
+    bands on this corpus; the verify step makes precision exact), so one
+    kind-discriminated slot gates BOTH implementations against one
+    oracle. The bench still times only the LSH plan (bench_fn) — the
+    exhaustive half is the correctness baseline, not the scale path."""
+    from pyspark.sql import functions as F
+
+    ex = _p_ngram_jaccard(spark, sf_dir).select(
+        F.lit("exhaustive").alias("kind"), "*"
+    )
+    lsh = _p_minhash_lsh(spark, sf_dir).select(F.lit("lsh").alias("kind"), "*")
+    return ex.unionByName(lsh)
+
+
 # gate-corpus token hash: first 60 bits of md5, so DuckDB can recompute the
 # identical simhash (xxhash64, the production default, has no SQL oracle)
 _MD5_TOKEN_HASH = "cast(conv(substring(md5({t}), 1, 15), 16, 10) as bigint)"
@@ -1261,7 +1278,7 @@ def _p_cosine_topk(spark, sf_dir):
     per query AND exhaustive threshold pairs, one entry, aligned schema."""
     from pyspark.sql import functions as F
 
-    from .pipeline.similarity import cosine_pairs, cosine_topk
+    from .pipeline.similarity import cosine_lsh_topk, cosine_pairs, cosine_topk
 
     embs = _embs(spark, sf_dir)
     topk = cosine_topk(embs, embs.filter("vec_id < 20"), k=5).select(
@@ -1278,7 +1295,17 @@ def _p_cosine_topk(spark, sf_dir):
         "cosine",
         F.lit(None).cast("int").alias("rank"),
     )
-    return topk.unionByName(pairs)
+    # merged former p11 (round 11, gate-slot economy for q46/q48): the
+    # multi-table hyperplane-LSH top-k as a third kind — same aligned
+    # schema, its own full DuckDB recomputation in the oracle
+    lsh = cosine_lsh_topk(embs, embs.filter("vec_id < 20"), k=5).select(
+        F.lit("lsh").alias("kind"),
+        F.col("query_id").alias("id_a"),
+        F.col("match_id").alias("id_b"),
+        F.col("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    return topk.unionByName(pairs).unionByName(lsh)
 
 
 def _p_cosine_topk_bench(spark, sf_dir):
@@ -1309,13 +1336,6 @@ def _p_cosine_topk_bench(spark, sf_dir):
         F.lit(None).cast("int").alias("rank"),
     )
     return topk.unionByName(pairs)
-
-
-def _p_cosine_lsh_topk(spark, sf_dir):
-    from .pipeline.similarity import cosine_lsh_topk
-
-    embs = _embs(spark, sf_dir)
-    return cosine_lsh_topk(embs, embs.filter("vec_id < 20"), k=5)
 
 
 # dot(embedding, w) folding in double — mirror of similarity._bucket_expr
@@ -1749,6 +1769,15 @@ _JACCARD_ORACLE = (
 """
 )
 
+# merged p02+p03 slot (round 11): the exhaustive and LSH families yield
+# the identical pair set, kind-discriminated
+_JACCARD_FAMILIES_ORACLE = f"""
+    WITH pairs AS ({_JACCARD_ORACLE})
+    SELECT 'exhaustive' AS kind, * FROM pairs
+    UNION ALL
+    SELECT 'lsh' AS kind, * FROM pairs
+"""
+
 _COS = (
     "list_sum([q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE FOR i IN range(1, 65)])"
     " / (sqrt(list_sum([q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE FOR i IN range(1, 65)]))"
@@ -1770,21 +1799,17 @@ PIPELINE_CATALOG: list[CatalogEntry] = [
         tags=("dedup",),
     ),
     CatalogEntry(
-        name="p02_ngram_jaccard_pairs",
-        fn=_p_ngram_jaccard,
-        oracle=_JACCARD_ORACLE,
-        # exhaustive O(n^2) verification baseline: correctness-gate only
-        # (500 docs at sf0.01); the bench/scale path is p03 minhash LSH
-        bench=False,
-        tags=("dedup", "jaccard"),
-    ),
-    CatalogEntry(
+        # merged former p02 (round 11, gate-slot economy for q46/q48):
+        # the exhaustive O(n²) jaccard baseline rides along as the
+        # 'exhaustive' kind — correctness-gate only (500 docs at
+        # sf0.01); the timed bench plan stays LSH-only via bench_fn
         name="p03_minhash_lsh_pairs",
-        fn=_p_minhash_lsh,
+        fn=_p_jaccard_pair_families,
+        bench_fn=_p_minhash_lsh,
         # LSH with 16 bands x 4 rows has recall ~1 at J>=0.8 on this corpus
         # (validated in tests against the exhaustive pairs); the verify step
         # makes precision exact, so the exhaustive oracle applies.
-        oracle=_JACCARD_ORACLE,
+        oracle=_JACCARD_FAMILIES_ORACLE,
         bench=True,
         tags=("dedup", "minhash", "lsh"),
     ),
@@ -1878,15 +1903,13 @@ PIPELINE_CATALOG: list[CatalogEntry] = [
                    round({_COS}, 6) AS cosine, CAST(NULL AS INTEGER) AS rank
             FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
             WHERE {_COS} >= 0.4
+            UNION ALL
+            SELECT 'lsh' AS kind, query_id AS id_a, match_id AS id_b,
+                   cosine, rank
+            FROM ({_p11_oracle()})
         """,
         bench=True,
-        tags=("similarity", "ann"),
-    ),
-    CatalogEntry(
-        name="p11_cosine_lsh_topk",
-        fn=_p_cosine_lsh_topk,
-        oracle=_p11_oracle(),
-        tags=("similarity", "lsh"),
+        tags=("similarity", "ann", "lsh"),
     ),
     CatalogEntry(
         name="p13_ivf_topk",
@@ -2157,6 +2180,134 @@ PIPELINE_CATALOG: list[CatalogEntry] = [
 ]
 
 CATALOG.extend(PIPELINE_CATALOG)
+
+
+# ---- round-11 index surfaces under the DuckDB gate --------------------
+# (VERDICT r10 asked for gate slots on the new CALL surfaces where one
+# can be expressed in ANSI SQL.)
+
+# deterministic 64-dim query vector, identical literal on both sides
+_QVEC = [round((((i * 37) % 19) - 9) / 9.0, 4) for i in range(64)]
+_QVEC_SQL = "[" + ", ".join(str(x) for x in _QVEC) + "]::DOUBLE[]"
+
+
+_FT_TERMS = sorted({"dup", "spark", "vector"})
+
+
+def _q_index_topk(spark: SparkSession, sf_dir: str):
+    """Gate q46 (two-family merge): the round-11 CALL index surfaces.
+    'vector' = db.index.vector.queryNodes over the driver's embeddings
+    fixture (Embedding node label) — exact distributed cosine top-k
+    (engine.py:_vector_topk_rows), Neo4j (1+cos)/2 scoring, (score desc,
+    id) tiebreak. 'bm25' = db.index.fulltext.queryNodes — exact Okapi
+    BM25 (k1=1.2, b=0.75, lowercase non-alnum analyzer) scored JVM-side
+    (engine.py:_fulltext_topk_rows). The oracle recomputes both formulas
+    in DuckDB SQL on the same double-precision arithmetic."""
+    from pyspark.sql import functions as F
+
+    eng = get_engine(spark, sf_dir)
+    eng.create_vector_index("gate_emb", "Embedding", "embedding")
+    eng.create_fulltext_index("gate_ft", "Document", "text")
+    vec = eng.cypher(
+        "CALL db.index.vector.queryNodes('gate_emb', 25, $v) "
+        "YIELD node, score "
+        "RETURN id(node) AS id, toString(node.label) AS tag, "
+        "round(score, 6) AS score",
+        params={"v": _QVEC},
+    ).select(F.lit("vector").alias("kind"), "*")
+    ft = eng.cypher(
+        "CALL db.index.fulltext.queryNodes('gate_ft', "
+        f"'{' '.join(_FT_TERMS)}', {{limit: 20}}) YIELD node, score "
+        "RETURN id(node) AS id, node.lang AS tag, round(score, 6) AS score"
+    ).select(F.lit("bm25").alias("kind"), "*")
+    return vec.unionByName(ft)
+
+
+_VECTOR_TOPK_ORACLE = f"""
+    SELECT vec_id AS id, CAST(label AS VARCHAR) AS tag,
+           round(score, 6) AS score FROM (
+      SELECT vec_id, label,
+        (1 + list_dot_product(CAST(embedding AS DOUBLE[]), {_QVEC_SQL}) /
+           (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) *
+            sqrt(list_dot_product({_QVEC_SQL}, {_QVEC_SQL})))) / 2 AS score
+      FROM embeddings
+    ) ORDER BY score DESC, vec_id LIMIT 25
+"""
+
+
+def _bm25_oracle(terms: list[str], limit: int) -> str:
+    parts = [
+        f"ln(1 + (s.n - df_{t} + 0.5) / (df_{t} + 0.5)) * "
+        f"(tf_{t} * 2.2) / (tf_{t} + 1.2 * (0.25 + 0.75 * dl / s.adl))"
+        for t in terms
+    ]
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(tk, x -> x = '{t}')) AS DOUBLE) AS tf_{t}"
+        for t in terms
+    )
+    df_cols = ", ".join(
+        f"(SELECT count(*) FROM toks WHERE list_contains(tk, '{t}')) AS df_{t}"
+        for t in terms
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                        x -> x <> '') AS tk
+          FROM documents WHERE text IS NOT NULL
+        ), s AS (
+          SELECT count(*) AS n, avg(len(tk)) AS adl, {df_cols} FROM toks
+        ), scored AS (
+          SELECT doc_id, lang, {' + '.join(parts)} AS score
+          FROM (SELECT doc_id, lang, CAST(len(tk) AS DOUBLE) AS dl,
+                       {tf_cols} FROM toks), s
+        )
+        SELECT doc_id, lang, round(score, 6) AS score FROM scored
+        WHERE score > 0 ORDER BY score DESC, doc_id LIMIT {limit}
+    """
+
+
+def _q_all_shortest(spark: SparkSession, sf_dir: str):
+    """Gate q48: allShortestPaths over a HETEROGENEOUS verb chain
+    (Orders -CONTAINS-> Lineitem -OF_PART-> Part; round-11 continuation:
+    _resolve_hetero_varlength lowers it through relationship-unique path
+    enumeration over label-qualified composite ids). Every O->P shortest
+    path has length 2 via a lineitem, so the per-pair path count equals
+    the lineitem multiplicity — which the oracle states directly."""
+    eng = get_engine(spark, sf_dir)
+    return eng.cypher(
+        "MATCH pth = allShortestPaths("
+        "(o:Orders)-[:CONTAINS|OF_PART*]->(pt:Part)) "
+        "RETURN id(o) AS o_key, id(pt) AS p_key, count(pth) AS n_paths"
+    )
+
+
+CATALOG += [
+    CatalogEntry(
+        name="q46_index_topk",
+        fn=_q_index_topk,
+        oracle=f"""
+            SELECT 'vector' AS kind, * FROM ({_VECTOR_TOPK_ORACLE})
+            UNION ALL
+            SELECT 'bm25' AS kind, doc_id AS id, lang AS tag, score
+            FROM ({_bm25_oracle(_FT_TERMS, 20)})
+        """,
+        bench=True,
+        tags=("vector", "fulltext", "bm25", "call", "index"),
+    ),
+    CatalogEntry(
+        name="q48_all_shortest_paths",
+        fn=_q_all_shortest,
+        oracle="""
+            SELECT l_orderkey AS o_key, l_partkey AS p_key,
+                   count(*) AS n_paths
+            FROM lineitem GROUP BY 1, 2
+        """,
+        bench=True,
+        tags=("path", "all-shortest", "hetero-varlength"),
+    ),
+]
 
 
 def catalog_by_name() -> dict[str, CatalogEntry]:

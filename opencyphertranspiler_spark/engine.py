@@ -568,6 +568,9 @@ class CypherEngine:
         graph, tables = self._resolve_multi_label(
             ast_query, self.graph, self.tables, params
         )
+        graph, tables = self._resolve_hetero_varlength(
+            ast_query, graph, tables, params
+        )
         graph, tables = self._resolve_multi_verb(ast_query, graph, tables)
         graph, tables = self._resolve_undirected_varlength(ast_query, graph, tables)
         graph, tables = self._resolve_unbounded(ast_query, graph, tables, params)
@@ -1746,6 +1749,100 @@ class CypherEngine:
         )
         return merged_graph, overlay
 
+    def _resolve_hetero_varlength(
+        self, ast_query, graph: GraphSchema, tables: TableRegistry,
+        params: dict | None = None,
+    ) -> tuple[GraphSchema, TableRegistry]:
+        """Round 11 (continuation): a var-length hop whose verb set does
+        not connect the endpoint labels DIRECTLY but does connect them
+        through a CHAIN of intermediate labels — e.g.
+        ``(o:Orders)-[:CONTAINS|OF_PART*]->(p:Part)`` over
+        Orders-CONTAINS->Lineitem-OF_PART->Part — lowers through the
+        same relationship-unique path enumeration over label-qualified
+        composite ids as disjunction-adjacent hops
+        (:meth:`_rewire_ml_enumerate` with a single-member label set;
+        the virtual edge's endpoints strip back to the nodes' own id
+        types). Neo4j places no label-chaining restriction on var-length
+        relationship type alternation; the union-edge model requires one
+        common (source, sink) label pair, so these shapes previously
+        raised its typed error. Scope: both endpoints labeled with plain
+        (non-disjunction) labels. Write statements compose too — unlike
+        the disjunction flow there are no union NODES (endpoints keep
+        their real backing tables), and the write executor's segment
+        compiles rewrite each deep-copied AST independently.
+        shortestPath/allShortestPaths compose (the part's flags flow
+        through the enumeration)."""
+        todo = []
+        for sq, cl, part in self._pattern_parts(ast_query):
+            for ri, rel in enumerate(part.rels):
+                if rel.min_hops is None or rel.verb is None:
+                    continue
+                left, right = part.nodes[ri], part.nodes[ri + 1]
+                if not left.label or not right.label:
+                    continue
+                if "|" in left.label or "|" in right.label:
+                    continue  # the disjunction flow owns these
+                verbs = list(
+                    dict.fromkeys(
+                        v
+                        for chunk in [rel.verb, *rel.alt_verbs]
+                        for v in chunk.split("|")
+                    )
+                )
+                if rel.direction == A.Direction.BACKWARD:
+                    src_label, dst_label = right.label, left.label
+                else:
+                    src_label, dst_label = left.label, right.label
+                either = rel.direction == A.Direction.EITHER
+                direct = True
+                for v in verbs:
+                    cands = graph.candidate_edges(v, src_label, dst_label)
+                    if either and not cands:
+                        cands = graph.candidate_edges(
+                            v, dst_label, src_label
+                        )
+                    if not cands:
+                        direct = False
+                        break
+                if direct:
+                    continue  # the union-edge model handles it
+                step: set[tuple[str, str]] = set()
+                for v in verbs:
+                    for e in graph.edges_by_verb(v):
+                        step.add((e.source_label, e.sink_label))
+                        if either:
+                            step.add((e.sink_label, e.source_label))
+                reach = {src_label}
+                changed = True
+                while changed:
+                    changed = False
+                    for s, t in step:
+                        if s in reach and t not in reach:
+                            reach.add(t)
+                            changed = True
+                if dst_label not in reach and rel.min_hops != 0:
+                    continue  # unreachable: keep the existing typed error
+                todo.append((sq, cl, part, ri, verbs))
+        if not todo:
+            return graph, tables
+        overlay = TableRegistry()
+        for name in tables.names():
+            overlay.register(name, lambda n=name: tables.get(n))
+        built_edges: dict[tuple, EdgeSchema] = {}
+        for sq, cl, part, ri, verbs in todo:
+            rel = part.rels[ri]
+            # the walk SOURCE side (pattern-left unless BACKWARD) is the
+            # enumeration's seed/anchor side
+            node_i = ri + 1 if rel.direction == A.Direction.BACKWARD else ri
+            self._rewire_ml_enumerate(
+                part, ri, node_i, graph, tables, overlay, built_edges,
+                verbs, params, sq, cl,
+            )
+        merged_graph = GraphSchema(
+            graph.nodes, graph.edges + list(built_edges.values())
+        )
+        return merged_graph, overlay
+
     @staticmethod
     def _has_write_clause(ast_query) -> bool:
         def single_queries(q):
@@ -2524,6 +2621,14 @@ class CypherEngine:
         other = part.nodes[ri + 1 if node_i == ri else ri]
         vlabel = union_node.label
         members = list(dict.fromkeys(vlabel.split("|")))
+        # round 11 (continuation): a PLAIN-labeled union side means the
+        # caller is _resolve_hetero_varlength (a var-length hop whose
+        # verb set chains across intermediate labels, e.g.
+        # (o:Orders)-[:CONTAINS|OF_PART*]->(p:Part)) — the node keeps
+        # its ordinary schema, so the virtual edge's __src strips the
+        # 'Label:' composite prefix back to the node's own id type
+        plain_union = "|" not in vlabel
+        nsch_u = graph.get_node(vlabel) if plain_union else None
         union_is_left = node_i == ri
         either = rel.direction == A.Direction.EITHER
         union_is_source = either or (
@@ -2726,11 +2831,16 @@ class CypherEngine:
                 if zero_possible and final_label in members:
                     nz = graph.get_node(final_label)
                     zc = self._ml_composite(final_label, nz.id_property)
+                    zsrc = (
+                        F.col(nz.id_property).cast(nsch_u.id_property_type)
+                        if plain_union
+                        else zc
+                    )
                     zero_df = (
                         tables.get(nz.table)
                         .filter(F.col(nz.id_property).isNotNull())
                         .select(
-                            zc.alias("__src"),
+                            zsrc.alias("__src"),
                             F.col(nz.id_property)
                             .cast(nsch_l.id_property_type)
                             .alias("__dst"),
@@ -2833,10 +2943,16 @@ class CypherEngine:
                         if union_is_left
                         else F.reverse(F.col("nodes"))
                     )
+                    src_out = (
+                        F.expr(f"substring(src, {len(vlabel) + 2})")
+                        .cast(nsch_u.id_property_type)
+                        if plain_union
+                        else F.col("src")
+                    )
                     paths = paths.filter(
                         F.col("dst").startswith(pref)
                     ).select(
-                        F.col("src").alias("__src"),
+                        src_out.alias("__src"),
                         F.expr(f"substring(dst, {len(pref) + 1})")
                         .cast(nsch_l.id_property_type)
                         .alias("__dst"),
@@ -2907,7 +3023,9 @@ class CypherEngine:
                 source_id_property="__src",
                 sink_id_property="__dst",
                 properties=props,
-                source_id_property_type="string",
+                source_id_property_type=(
+                    nsch_u.id_property_type if plain_union else "string"
+                ),
                 sink_id_property_type=nsch_l.id_property_type,
                 display_verb=disp,
             )

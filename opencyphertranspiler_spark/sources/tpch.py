@@ -84,6 +84,15 @@ def tpch_graph_schema() -> GraphSchema:
             "doc_id",
             (P("text"), P("lang"), P("source"), P("n_chars", "long")),
         ),
+        # round 11: the embeddings table as a node label so the vector
+        # index surface (CALL db.index.vector.queryNodes) has a
+        # driver-fixture-backed target for the DuckDB correctness gate
+        NodeSchema(
+            "Embedding",
+            "embeddings",
+            "vec_id",
+            (P("embedding", "array<float>"), P("label", "int")),
+        ),
         NodeSchema(
             "Lineitem",
             "lineitem_node",

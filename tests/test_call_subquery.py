@@ -283,14 +283,14 @@ def test_rare_composition_shapes(engine):
         "CALL db.labels() YIELD label RETURN label AS name "
         "UNION MATCH (r:Region) RETURN r.r_name AS name"
     ).collect()
-    assert len(r1) == 13  # 8 labels + 5 regions, distinct
+    assert len(r1) == 14  # 9 labels + 5 regions, distinct
 
     r2 = engine.cypher(
         "MATCH (r:Region) WHERE r.r_regionkey = 0 "
         "CALL { CALL db.labels() YIELD label RETURN count(label) AS nl } "
         "RETURN r.r_name AS rn, nl"
     ).collect()
-    assert r2[0]["nl"] == 8
+    assert r2[0]["nl"] == 9
 
     r3 = engine.cypher(
         "MATCH (c:Customer) WHERE c.c_custkey <= 3 AND c.c_custkey >= 1 "

@@ -887,3 +887,18 @@ def test_ml_enumerate_plan_shape(spark):
     plan = formatted_plan(spark, df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hetero_chain_enumeration_is_equi_join(spark, engine):
+    # round-11 continuation: the heterogeneous-label-chain var-length
+    # lowering (_resolve_hetero_varlength) must stay frontier equi-joins
+    # end-to-end — both the enumeration-side build and the final join of
+    # the virtual edge back to the plain-labeled endpoint tables
+    df = engine.cypher(
+        "MATCH pth = allShortestPaths("
+        "(o:Orders)-[:CONTAINS|OF_PART*]->(pt:Part)) "
+        "RETURN id(o) AS o_key, id(pt) AS p_key, count(pth) AS n_paths"
+    )
+    plan = formatted_plan(spark, df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
