@@ -220,6 +220,31 @@ def main() -> None:
         "WHERE a.id = 'a' AND b.id = 'd' RETURN nodes(p) AS path"
     ).show(truncate=False)
 
+    # -- heterogeneous label chains (round-11 continuation) ------------
+    # the verb set need not connect the endpoint labels directly:
+    # Orders -CONTAINS-> Lineitem -OF_PART-> Part enumerates
+    # relationship-unique paths, with exact per-hop types
+    print("== var-length over a heterogeneous label chain ==")
+    from opencyphertranspiler_spark.catalog import get_engine
+
+    eng2 = get_engine(spark, sf_dir)
+    eng2.cypher(
+        "MATCH p = allShortestPaths((o:Orders)-[:CONTAINS|OF_PART*]->(pt:Part)) "
+        "RETURN id(o) AS order_key, id(pt) AS part_key, count(p) AS n_paths "
+        "ORDER BY n_paths DESC, order_key LIMIT 5"
+    ).show()
+    eng2.cypher(
+        "MATCH p = (o:Orders)-[:CONTAINS|OF_PART*2..2]->(pt:Part) "
+        "RETURN relationships(p)[0].type AS hop1, "
+        "relationships(p)[1].type AS hop2 LIMIT 1"
+    ).show()
+    # unlabeled endpoint whose reachable labels differ by depth: the
+    # engine infers the label SET and tags each row
+    eng2.cypher(
+        "MATCH (a:Orders)-[:CONTAINS*0..1]->(b) "
+        "RETURN labels(b)[0] AS label, count(*) AS n"
+    ).show()
+
     spark.stop()
     print("round-11 features OK")
 

@@ -559,6 +559,7 @@ class CypherEngine:
 
         ast_query = copy.deepcopy(ast_query)
         self._resolve_procedures(ast_query, params)
+        self._infer_varlength_endpoint_labels(ast_query, self.graph)
         if seed is None and not self._has_write_clause(ast_query):
             # the *0.. disjunction expansion produces a query-level
             # UNION, which a seeded (write-segment) plan cannot span and
@@ -1749,6 +1750,96 @@ class CypherEngine:
         )
         return merged_graph, overlay
 
+    def _infer_varlength_endpoint_labels(self, ast_query, graph) -> None:
+        """Round-11 continuation: label-SET inference for the unlabeled
+        far endpoint of a var-length hop. A ``*n..m`` hop can land on
+        DIFFERENT labels at different depths — e.g.
+        ``(a:Orders)-[:CONTAINS*0..1]->(b)`` makes b Orders at length 0
+        and Lineitem at length 1 — which the single-label column model
+        cannot type (previously a raw Spark AnalysisException out of the
+        zero-splice's mismatched branch schemas). Walk the static
+        label-step graph of the hop's verb set and collect the labels
+        reachable at the hop's ALLOWED depths (level sets cycle on a
+        finite label lattice, so unbounded hops terminate); write the
+        result onto the node — one label is plain inference, several
+        become a label disjunction and the tagged-union machinery owns
+        the hop. Scope: the other endpoint carries a plain label, and
+        the unlabeled node's alias appears nowhere else in the statement
+        (a second occurrence may carry its own constraint)."""
+        from collections import Counter
+
+        alias_count: Counter = Counter()
+        for _sq, _cl, part in self._pattern_parts(ast_query):
+            for n in part.nodes:
+                if n.alias is not None:
+                    alias_count[n.alias] += 1
+        for _sq, _cl, part in self._pattern_parts(ast_query):
+            for ri, rel in enumerate(part.rels):
+                if rel.min_hops is None or rel.verb is None:
+                    continue
+                left, right = part.nodes[ri], part.nodes[ri + 1]
+                if (left.label is None) == (right.label is None):
+                    continue
+                lab, unlab = (
+                    (left, right) if right.label is None else (right, left)
+                )
+                if "|" in lab.label or unlab.extra_labels:
+                    continue
+                if unlab.alias is not None and alias_count[unlab.alias] > 1:
+                    continue
+                verbs = [
+                    v
+                    for chunk in [rel.verb, *rel.alt_verbs]
+                    for v in chunk.split("|")
+                ]
+                either = rel.direction == A.Direction.EITHER
+                lab_is_left = unlab is right
+                forward = rel.direction == A.Direction.FORWARD
+                step: set[tuple[str, str]] = set()
+                for v in verbs:
+                    for e in graph.edges_by_verb(v):
+                        if either:
+                            step.add((e.source_label, e.sink_label))
+                            step.add((e.sink_label, e.source_label))
+                        elif forward == lab_is_left:
+                            step.add((e.source_label, e.sink_label))
+                        else:
+                            step.add((e.sink_label, e.source_label))
+                min_h, max_h = rel.min_hops, rel.max_hops
+                floor = max(min_h, 1)
+                collected: set[str] = set()
+                if min_h == 0:
+                    collected.add(lab.label)
+                cur = {lab.label}
+                seen: dict[frozenset, int] = {}
+                k = 0
+                while True:
+                    k += 1
+                    if max_h is not None and k > max_h:
+                        break
+                    cur = {t for s, t in step if s in cur}
+                    if not cur:
+                        break
+                    if k >= floor:
+                        collected |= cur
+                        state = frozenset(cur)
+                        if max_h is None:
+                            # deterministic level-set sequence on a
+                            # finite lattice: a repeat at >= floor means
+                            # every future >=-floor level is already
+                            # collected
+                            if state in seen:
+                                break
+                            seen[state] = k
+                if len(collected) < 2:
+                    # empty = unreachable (the downstream typed error
+                    # fires); a single label = the existing per-hop
+                    # inference already handles it — only the
+                    # heterogeneous set (the class the single-label
+                    # column model cannot type) is rewritten
+                    continue
+                unlab.label = "|".join(sorted(collected))
+
     def _resolve_hetero_varlength(
         self, ast_query, graph: GraphSchema, tables: TableRegistry,
         params: dict | None = None,
@@ -1804,7 +1895,11 @@ class CypherEngine:
                     if not cands:
                         direct = False
                         break
-                if direct:
+                # multi-verb UNDIRECTED var-length has no other lowering
+                # even when the verbs bind the endpoint pair directly
+                # (_resolve_undirected_varlength is single-verb,
+                # same-label only) — enumerate those too
+                if direct and not (either and len(verbs) > 1):
                     continue  # the union-edge model handles it
                 step: set[tuple[str, str]] = set()
                 for v in verbs:
@@ -1926,6 +2021,39 @@ class CypherEngine:
                         # leave the hop un-spliced; _rewire_ml_enumerate
                         # lowers it through relationship-unique
                         # enumeration, which cannot reuse an edge
+                        continue
+                    # round-11 continuation: a verb set that spans MORE
+                    # THAN ONE label within the hop's window (a
+                    # heterogeneous chain, e.g. [:CONTAINS|OF_PART*1..2]
+                    # walking Lineitem then Part) cannot ride the splice
+                    # — the split single hop's members reach different
+                    # other-side labels and the remainder's union edge
+                    # has no common label pair. Leave it un-spliced for
+                    # the enumeration lowering
+                    verbs_ = [
+                        v
+                        for chunk in [rel.verb, *rel.alt_verbs]
+                        for v in chunk.split("|")
+                    ]
+                    walk_fwd = (
+                        rel.direction == A.Direction.FORWARD
+                    ) == (ri == i)
+                    steps_ = set()
+                    for v in verbs_:
+                        for e in graph.edges_by_verb(v):
+                            steps_.add(
+                                (e.source_label, e.sink_label)
+                                if walk_fwd
+                                else (e.sink_label, e.source_label)
+                            )
+                    cur_ = set(node.label.split("|"))
+                    seen_ = set()
+                    for _ in range(rel.max_hops):
+                        cur_ = {t for s, t in steps_ if s in cur_}
+                        seen_ |= cur_
+                        if not cur_:
+                            break
+                    if len(seen_) > 1:
                         continue
                     a, b = rel.min_hops, rel.max_hops
                     single = A.RelPattern(
@@ -2846,6 +2974,10 @@ class CypherEngine:
                             .alias("__dst"),
                             F.lit(0).cast("long").alias("__dist"),
                             F.array(zc).alias("__nodes"),
+                            # a zero-length path traverses no rels
+                            F.lit([])
+                            .cast("array<string>")
+                            .alias("__types"),
                         )
                     )
                 if max_h == 0 and zero_df is None:
@@ -2949,6 +3081,20 @@ class CypherEngine:
                         if plain_union
                         else F.col("src")
                     )
+                    # per-hop relationship TYPES (round-11 continuation):
+                    # each rid is '<edge id>\x1f<key cols>' and the edge
+                    # id is 'Src@VERB@Snk', so the traversed verb is
+                    # recoverable per hop — relationships(p)[i].type is
+                    # exact on multi-verb enumerated paths (pattern
+                    # order, like __nodes)
+                    types_col = F.transform(
+                        F.col("rids"),
+                        lambda r: F.split(
+                            F.split(r, "\x1f").getItem(0), "@"
+                        ).getItem(1),
+                    )
+                    if not union_is_left:
+                        types_col = F.reverse(types_col)
                     paths = paths.filter(
                         F.col("dst").startswith(pref)
                     ).select(
@@ -2958,6 +3104,7 @@ class CypherEngine:
                         .alias("__dst"),
                         F.col("dist").alias("__dist"),
                         nodes_col.alias("__nodes"),
+                        types_col.alias("__types"),
                     )
                 if paths is None:
                     paths = zero_df
@@ -3003,6 +3150,7 @@ class CypherEngine:
                 (
                     EntityProperty("__dist", "long"),
                     EntityProperty("__nodes", "array<string>"),
+                    EntityProperty("__types", "array<string>"),
                 )
                 if row_per_path
                 else ()
@@ -4197,7 +4345,7 @@ class CypherEngine:
         out, emptied, _capped = self._enum_fixpoint(e, seeds=seeds)
         result = None
         if emptied:
-            result = out
+            result = out.select("src", "dst", "dist", "nodes")
             if reverse:
                 result = result.select(
                     F.col("dst").alias("src"),
@@ -4227,8 +4375,9 @@ class CypherEngine:
         the ``path_enum_max_paths`` row cap cut enumeration short. A
         bounded caller that asked for exactly ``rounds = max_hops - 1``
         extensions is exhaustive over its window iff not capped, even
-        with emptied=False. Parallel relationships stay distinct rows
-        (rids differ) even after the rids column is dropped —
+        with emptied=False. The returned frame keeps the ``rids``
+        column (callers that don't need per-hop identities select it
+        away); parallel relationships stay distinct rows either way —
         multiplicity IS the row-per-path contract."""
         if rounds is None:
             rounds = self.path_enum_max_hops
@@ -4279,7 +4428,7 @@ class CypherEngine:
         out = levels[0]
         for lv in levels[1:]:
             out = out.unionByName(lv)
-        return out.select("src", "dst", "dist", "nodes"), emptied, capped
+        return out, emptied, capped
 
     def _edge_and_seeds(self, edge, anchor, tables, graph, edge_filter=None):
         """The hop's (src, dst) edge DataFrame — reversed when the anchor

@@ -844,13 +844,28 @@ class ExprCompiler:
                 if name == "nodes":
                     return nodes
                 if name == "relationships":
-                    verb = r.edge.display_verb or r.edge.verb
+                    if "__types" in r.edge.property_names:
+                        # multi-verb enumerated paths carry the ACTUAL
+                        # per-hop verb (round-11 continuation) — exact
+                        # type(r) per traversed relationship instead of
+                        # the joined display verb
+                        types = qcol(r.col("__types"))
+
+                        def type_at(i):
+                            return F.get(types, i)
+
+                    else:
+                        verb = r.edge.display_verb or r.edge.verb
+
+                        def type_at(i):
+                            return F.lit(verb)
+
                     return F.transform(
                         F.slice(nodes, F.lit(1), F.size(nodes) - 1),
                         lambda x, i: F.struct(
                             x.alias("src"),
                             F.get(nodes, i + 1).alias("dst"),
-                            F.lit(verb).alias("type"),
+                            type_at(i).alias("type"),
                         ),
                     )
             raise TranspilerNotSupportedError(

@@ -373,3 +373,116 @@ def test_hetero_chain_fabric_vs_duckdb(spark, duck, case):
     got = rows(eng.cypher(cy))
     exp = sorted(map(tuple, duck.sql(sql).fetchall()))
     assert got == exp, f"\ncypher: {cy}\nsql: {sql}"
+
+
+def test_relationships_per_hop_types(engine):
+    # round-11 continuation: relationships(p) on an enumerated multi-verb
+    # path reports the ACTUAL traversed verb per hop, not the joined
+    # display verb — forward and backward patterns
+    row = engine.cypher(
+        "MATCH p = (o:Orders)-[:CONTAINS|OF_PART*2..2]->(pt:Part) "
+        "RETURN relationships(p)[0].type AS t0, "
+        "relationships(p)[1].type AS t1 LIMIT 1"
+    ).collect()[0]
+    assert (row.t0, row.t1) == ("CONTAINS", "OF_PART")
+    row = engine.cypher(
+        "MATCH p = (pt:Part)<-[:CONTAINS|OF_PART*2..2]-(o:Orders) "
+        "RETURN relationships(p)[0].type AS t0, "
+        "relationships(p)[1].type AS t1 LIMIT 1"
+    ).collect()[0]
+    assert (row.t0, row.t1) == ("OF_PART", "CONTAINS")
+
+
+def test_unlabeled_endpoint_label_set_inference(engine, duck):
+    # (a:Orders)-[:CONTAINS*0..1]->(b): b is Orders at length 0 and
+    # Lineitem at length 1 — the endpoint label SET is inferred and the
+    # tagged-union machinery owns the hop (previously a raw Spark
+    # AnalysisException out of mismatched zero-splice branch schemas)
+    got = rows(
+        engine.cypher(
+            "MATCH (a:Orders)-[:CONTAINS*0..1]->(b) "
+            "RETURN labels(b)[0] AS lb, count(*) AS c"
+        )
+    )
+    n_orders = duck.sql("SELECT count(*) FROM orders").fetchone()[0]
+    n_line = duck.sql("SELECT count(*) FROM lineitem").fetchone()[0]
+    assert got == [("Lineitem", n_line), ("Orders", n_orders)]
+    # length(p) splits the same way
+    got2 = rows(
+        engine.cypher(
+            "MATCH p = (a:Orders)-[:CONTAINS*0..1]->(b) "
+            "RETURN length(p) AS l, count(*) AS c"
+        )
+    )
+    assert got2 == [(0, n_orders), (1, n_line)]
+
+
+def test_unlabeled_endpoint_hetero_chain_inference(engine, duck):
+    # bounded hetero chain with an UNLABELED endpoint: depth 1 lands on
+    # Lineitem, depth 2 on Part — the inferred disjunction skips the
+    # splice (heterogeneous window) and enumerates
+    got = rows(
+        engine.cypher(
+            "MATCH p = (a:Orders)-[:CONTAINS|OF_PART*0..2]->(b) "
+            "RETURN labels(b)[0] AS lb, length(p) AS l, count(*) AS c"
+        )
+    )
+    n_orders = duck.sql("SELECT count(*) FROM orders").fetchone()[0]
+    n_line = duck.sql("SELECT count(*) FROM lineitem").fetchone()[0]
+    assert got == [
+        ("Lineitem", 1, n_line),
+        ("Orders", 0, n_orders),
+        ("Part", 2, n_line),
+    ]
+
+
+def test_inference_skips_second_occurrence_aliases(engine):
+    # b appears in a second pattern with its own label: inference must
+    # not override it — the query keeps its pre-existing behavior
+    # (here: b:Lineitem makes the zero variant impossible, 1-hop only)
+    got = engine.cypher(
+        "MATCH (b:Lineitem) WITH count(*) AS n_l "
+        "MATCH (a:Orders)-[:CONTAINS*1..1]->(b) "
+        "RETURN n_l, count(*) AS c"
+    ).collect()[0]
+    assert got.c == got.n_l
+
+
+def test_undirected_cross_label_same_endpoints(engine, duck):
+    # (a:Nation)-[:IN_REGION*2..2]-(b:Nation): distinct nations sharing a
+    # region (a = b would reuse the single (a, region) edge) — the
+    # undirected resolver's same-label restriction no longer applies
+    got = rows(
+        engine.cypher(
+            "MATCH (a:Nation)-[:IN_REGION*2..2]-(b:Nation) "
+            "RETURN id(a) AS a_key, id(b) AS b_key"
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                "SELECT a.n_nationkey, b.n_nationkey FROM nation a "
+                "JOIN nation b ON a.n_regionkey = b.n_regionkey "
+                "AND a.n_nationkey <> b.n_nationkey"
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+
+
+def test_undirected_multi_verb_direct_pair(engine, duck):
+    # multi-verb UNDIRECTED var-length between directly-connected labels
+    # previously raised "Multiple relationship types cannot combine with
+    # an undirected variable-length relationship". PLACED and
+    # PLACED_NORMAL are parallel relationship types, so each NORMAL order
+    # matches twice at length 1; no length-2 walk ends on Orders
+    got = engine.cypher(
+        "MATCH (c:Customer)-[:PLACED|PLACED_NORMAL*1..2]-(o:Orders) "
+        "RETURN count(*) AS c"
+    ).collect()[0].c
+    exp = duck.sql(
+        "SELECT (SELECT count(*) FROM orders) + (SELECT count(*) FROM "
+        "orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))"
+    ).fetchone()[0]
+    assert got == exp
