@@ -129,7 +129,11 @@ class Compiler:
         # name-based equality conditions are unambiguous even for self-joins
         cond = None
         for l_col, r_col in op.pairs:
-            eq = F.col(l_col) == F.col(r_col)
+            eq = (
+                F.col(l_col).eqNullSafe(F.col(r_col))
+                if op.null_safe
+                else F.col(l_col) == F.col(r_col)
+            )
             cond = eq if cond is None else cond & eq
         # 'semi'/'anti' carry exists()/NOT exists() pattern predicates
         how = {"semi": "left_semi", "anti": "left_anti"}.get(op.how, op.how)

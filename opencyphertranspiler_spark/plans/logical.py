@@ -289,6 +289,10 @@ class JoinOp(LogicalOp):
     how: str  # 'inner' | 'left' | 'cross'
     pairs: list[tuple[str, str]] = field(default_factory=list)
     drop_right: list[str] = field(default_factory=list)
+    # null-safe key equality (<=>): used by CALL { WITH scalar } join-back
+    # where a null import value must still pair with its subquery rows.
+    # Spark plans EqualNullSafe keys as ordinary hash joins.
+    null_safe: bool = False
 
     def children(self):
         return [self.left, self.right]

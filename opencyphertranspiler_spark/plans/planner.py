@@ -1628,11 +1628,21 @@ class _SingleQueryPlanner:
             ref = env.get(a)
             if ref is None:
                 raise TranspilerBindingError(f"Alias '{a}' does not exist")
-            if not isinstance(ref, EntityRef) or ref.kind != "node":
-                raise TranspilerNotSupportedError(
-                    f"CALL {{ WITH {a} }}: only node-entity imports are "
-                    "supported (scalar and path imports are not)"
-                )
+            if isinstance(ref, EntityRef) and ref.kind == "node":
+                continue
+            if isinstance(ref, ValueRef):
+                # round-11 continuation: SCALAR imports — the correlated
+                # seed is a DISTINCT projection of the outer's value
+                # column (the body runs once per distinct import value;
+                # equivalent to Neo4j's per-row invocation for a
+                # deterministic body), joined back null-safely so a null
+                # import value keeps its subquery rows
+                continue
+            raise TranspilerNotSupportedError(
+                f"CALL {{ WITH {a} }}: only node-entity and scalar "
+                "imports are supported (relationship and path imports "
+                "are not)"
+            )
         final = body[-1]  # parser guarantees a trailing RETURN
         out_aliases = [a for a, _ in final.items]
         collide = (set(out_aliases) - set(imports)) & set(env)
@@ -1688,9 +1698,25 @@ class _SingleQueryPlanner:
             new_body.append(c)
 
         # correlated seed: one fresh-prefixed scan per imported node (the
-        # exists-fabric mechanics) — body clauses bind against it
+        # exists-fabric mechanics); scalar imports seed from a DISTINCT
+        # projection of the outer's value column — body clauses bind
+        # against it
         seed: LogicalOp | None = None
+        scalar_seed_items = [
+            (a, A.Variable(a))
+            for a in imports
+            if isinstance(env[a], ValueRef)
+        ]
+        if scalar_seed_items:
+            seed = ProjectOp(
+                piped,
+                scalar_seed_items,
+                distinct=True,
+                env={a: ValueRef(a) for a, _ in scalar_seed_items},
+            )
         for a in imports:
+            if isinstance(env[a], ValueRef):
+                continue
             nsch = self.schema.get_node(env[a].node.label)
             ref = EntityRef(
                 a, "node", node=nsch, col_prefix=self._gen_alias(f"call_{a}")
@@ -1720,12 +1746,15 @@ class _SingleQueryPlanner:
             for a in imports:
                 key = import_out[a] if import_out[a] in op.env else a
                 ref = op.env.get(key)
-                if not isinstance(ref, EntityRef) or ref.kind != "node":
+                if isinstance(ref, EntityRef) and ref.kind == "node":
+                    part_cols.append(ref.col(ref.node.id_property))
+                elif isinstance(ref, ValueRef):
+                    part_cols.append(ref.col)
+                else:
                     raise TranspilerBindingError(
                         f"CALL {{ }} import alias '{a}' was rebound "
                         "before its ORDER BY/LIMIT could partition on it"
                     )
-                part_cols.append(ref.col(ref.node.id_property))
             return WindowLimitOp(
                 op,
                 part_cols,
@@ -1748,14 +1777,25 @@ class _SingleQueryPlanner:
 
         pairs: list[tuple[str, str]] = []
         drop_right: list[str] = []
+        any_scalar = False
         for a in imports:
             sub_ref = sub.env.get(import_out[a])
+            outer_ref = env[a]
+            if isinstance(outer_ref, ValueRef):
+                if not isinstance(sub_ref, ValueRef):
+                    raise TranspilerBindingError(
+                        f"CALL {{ }} import alias '{a}' was rebound to a "
+                        "non-scalar inside the subquery"
+                    )
+                any_scalar = True
+                pairs.append((outer_ref.col, sub_ref.col))
+                drop_right.append(sub_ref.col)
+                continue
             if not isinstance(sub_ref, EntityRef) or sub_ref.kind != "node":
                 raise TranspilerBindingError(
                     f"CALL {{ }} import alias '{a}' was rebound to a "
                     "non-entity inside the subquery"
                 )
-            outer_ref = env[a]
             pairs.append(
                 (
                     outer_ref.col(outer_ref.node.id_property),
@@ -1776,6 +1816,7 @@ class _SingleQueryPlanner:
             "left" if (all_agg or clause.optional) else "inner",
             pairs,
             drop_right,
+            null_safe=any_scalar,
             env=new_env,
         )
         if not all_agg:

@@ -597,20 +597,21 @@ def test_call_scope_clause_star(engine):
         "RETURN c.c_custkey AS k, n"
     ).collect()
     assert sorted(map(tuple, star)) == sorted(map(tuple, expl))
-    # a referenced outer SCALAR keeps the node-entity-import typed fence
-    import pytest
-
-    from opencyphertranspiler_spark.exceptions import (
-        TranspilerNotSupportedError,
-    )
-
-    with pytest.raises(TranspilerNotSupportedError, match="node-entity"):
-        engine.cypher(
-            "MATCH (c:Customer) WITH c, 5 AS t "
-            "CALL (*) { MATCH (c)-[:PLACED]->(o:Orders) "
-            "WHERE o.o_orderkey > t RETURN count(o) AS n } "
-            "RETURN count(*) AS x"
-        )
+    # a referenced outer SCALAR imports too (round-11 continuation:
+    # scalar imports — previously the node-entity typed fence)
+    mixed = engine.cypher(
+        "MATCH (c:Customer) WHERE c.c_custkey <= 5 WITH c, 5 AS t "
+        "CALL (*) { MATCH (c)-[:PLACED]->(o:Orders) "
+        "WHERE o.o_orderkey > t RETURN count(o) AS n } "
+        "RETURN c.c_custkey AS k, n"
+    ).collect()
+    expl2 = engine.cypher(
+        "MATCH (c:Customer) WHERE c.c_custkey <= 5 "
+        "CALL (c) { MATCH (c)-[:PLACED]->(o:Orders) "
+        "WHERE o.o_orderkey > 5 RETURN count(o) AS n } "
+        "RETURN c.c_custkey AS k, n"
+    ).collect()
+    assert sorted(map(tuple, mixed)) == sorted(map(tuple, expl2))
 
 
 def test_optional_call_correlated(engine):
@@ -1644,3 +1645,100 @@ def test_show_indexes(spark):
     assert modes["vi"] == "TRAINED"
     eng.cypher("DROP INDEX vi").collect()
     assert eng.cypher("SHOW INDEXES").count() == 1
+
+
+# -- round 11 (continuation): SCALAR imports in CALL { WITH x } --------------
+# The correlated seed is a DISTINCT projection of the outer's value
+# column; the join-back is null-safe (a null import value keeps its
+# subquery rows). Previously a typed error ("only node-entity imports").
+
+
+def test_call_scalar_import_in_where(engine, duck):
+    got = engine.cypher(
+        "MATCH (n:Nation) WITH avg(n.n_nationkey) AS m "
+        "CALL { WITH m MATCH (n2:Nation) WHERE n2.n_nationkey > m "
+        "RETURN count(*) AS above } "
+        "RETURN m, above"
+    ).collect()
+    exp = duck.sql(
+        "SELECT (SELECT avg(n_nationkey) FROM nation) AS m, "
+        "(SELECT count(*) FROM nation WHERE n_nationkey > "
+        "(SELECT avg(n_nationkey) FROM nation)) AS above"
+    ).fetchall()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+
+
+def test_call_scalar_import_per_row(engine, duck):
+    got = sorted(
+        map(
+            tuple,
+            engine.cypher(
+                "MATCH (r:Region) WITH r.r_regionkey AS rk "
+                "CALL { WITH rk MATCH (n:Nation)-[:IN_REGION]->(r2:Region) "
+                "WHERE r2.r_regionkey = rk RETURN count(*) AS n_nations } "
+                "RETURN rk, n_nations"
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                "SELECT r.r_regionkey, (SELECT count(*) FROM nation n "
+                "WHERE n.n_regionkey = r.r_regionkey) FROM region r"
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+
+
+def test_call_mixed_node_and_scalar_import_with_limit(engine, duck):
+    # per-outer-row ORDER BY + LIMIT partitions on BOTH import kinds
+    got = sorted(
+        map(
+            tuple,
+            engine.cypher(
+                "MATCH (r:Region) WITH r, 1 AS lim "
+                "CALL { WITH r, lim MATCH (n:Nation)-[:IN_REGION]->(r) "
+                "RETURN n.n_name AS nn ORDER BY nn LIMIT 1 } "
+                "RETURN r.r_name AS rn, nn"
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                "SELECT r_name, (SELECT min(n_name) FROM nation n "
+                "WHERE n.n_regionkey = region.r_regionkey) FROM region"
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+
+
+def test_call_scalar_import_null_value(engine):
+    # a null import value must keep its subquery rows (null-safe
+    # join-back), and null-dependent expressions evaluate per Cypher
+    got = engine.cypher(
+        "MATCH (r:Region) WHERE r.r_regionkey = 0 "
+        "WITH CASE WHEN r.r_regionkey = 0 THEN null ELSE 1 END AS x "
+        "CALL { WITH x RETURN x IS NULL AS isn, x + 1 AS plus } "
+        "RETURN isn, plus"
+    ).collect()
+    assert len(got) == 1
+    assert got[0].isn is True and got[0].plus is None
+
+
+def test_call_relationship_import_keeps_fence(engine):
+    from opencyphertranspiler_spark.exceptions import (
+        TranspilerNotSupportedError,
+    )
+
+    with pytest.raises(
+        TranspilerNotSupportedError, match="node-entity and scalar"
+    ):
+        engine.cypher(
+            "MATCH (c:Customer)-[rel:PLACED]->(o:Orders) "
+            "CALL { WITH rel RETURN 1 AS one } RETURN count(*) AS c"
+        )
