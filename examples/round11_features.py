@@ -245,6 +245,15 @@ def main() -> None:
         "RETURN labels(b)[0] AS label, count(*) AS n"
     ).show()
 
+    # -- scalar imports in CALL subqueries ------------------------------
+    print("== CALL { WITH <scalar> } ==")
+    eng2.cypher(
+        "MATCH (c:Customer) WITH avg(c.c_acctbal) AS mean_bal "
+        "CALL { WITH mean_bal MATCH (c2:Customer) "
+        "WHERE c2.c_acctbal > mean_bal RETURN count(*) AS above } "
+        "RETURN round(mean_bal, 2) AS mean_bal, above"
+    ).show()
+
     spark.stop()
     print("round-11 features OK")
 

@@ -902,3 +902,18 @@ def test_hetero_chain_enumeration_is_equi_join(spark, engine):
     plan = formatted_plan(spark, df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scalar_call_import_joins_hash_family(spark, engine):
+    # round-11 continuation: the scalar-import join-back uses null-safe
+    # key equality — Spark must plan it in the hash/sort-merge family
+    # (coalesce+isnull keys), never a nested loop
+    df = engine.cypher(
+        "MATCH (r:Region) WITH r.r_regionkey AS rk "
+        "CALL { WITH rk MATCH (n:Nation)-[:IN_REGION]->(r2:Region) "
+        "WHERE r2.r_regionkey = rk RETURN count(*) AS n_nations } "
+        "RETURN rk, n_nations"
+    )
+    plan = formatted_plan(spark, df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
