@@ -477,32 +477,141 @@ class _SingleQueryPlanner:
         """`[(a)-[:V]->(b) WHERE p | e]`: plan the pattern standalone
         (fresh prefixes for shared aliases), filter with the inner WHERE,
         then grouped-collect the mapped expression and LEFT join back."""
-        right, pairs = self._plan_predicate_pattern_fabric(op, pc.part)
-        if pc.where is not None:
-            validate_expr(pc.where, right.env)
-            right = SelectionOp(right, predicate=pc.where, env=dict(right.env))
-        validate_expr(pc.map_expr, right.env)
+        extras = [pc.where, pc.map_expr]
+        right, pairs = self._plan_predicate_pattern_fabric(
+            op, pc.part, extras=extras
+        )
+        inner_where, map_expr = extras
+        if inner_where is not None:
+            validate_expr(inner_where, right.env)
+            right = SelectionOp(
+                right, predicate=inner_where, env=dict(right.env)
+            )
+        validate_expr(map_expr, right.env)
         return CollectPatternOp(
-            op, right, pairs, pc.map_expr, out_col, env=dict(op.env)
+            op, right, pairs, map_expr, out_col, env=dict(op.env)
         )
 
+    def _thread_fabric_scalars(
+        self,
+        op: LogicalOp,
+        part: A.PatternPart,
+        where: A.Expr | None,
+        extras: list | None = None,
+    ) -> tuple[LogicalOp | None, A.Expr | None, dict[str, str]]:
+        """Round-11 continuation: outer SCALAR bindings referenced inside
+        an exists()/pattern-comprehension fabric (inline maps, inline
+        WHEREs, the EXISTS-subquery WHERE) previously failed to resolve
+        ("Alias does not exist") because the fabric plans standalone.
+        Collect them, rewrite each reference to a FRESH alias, and return
+        a DISTINCT projection of those value columns as the fabric's
+        piped seed — the caller adds (outer col, fresh col) join pairs,
+        exactly the scalar-import mechanics of CALL subqueries. Null
+        import values correctly yield false/[]: equality with null never
+        holds, like the Cypher predicate itself."""
+        env = op.env
+        bound = {n.alias for n in part.nodes if n.alias} | {
+            r.alias for r in part.rels if r.alias
+        }
+        if part.path_alias:
+            bound.add(part.path_alias)
+        mapping: dict[str, str] = {}
+
+        def fresh_for(a: str) -> str:
+            if a not in mapping:
+                mapping[a] = self._gen_alias(f"exsv_{a}")
+            return mapping[a]
+
+        def rewrite(e):
+            if isinstance(e, A.Variable):
+                if e.name not in bound and isinstance(
+                    env.get(e.name), ValueRef
+                ):
+                    return A.Variable(fresh_for(e.name))
+                return e
+            if isinstance(e, A.Property) and not e.path:
+                if e.alias not in bound and isinstance(
+                    env.get(e.alias), ValueRef
+                ):
+                    e.alias = fresh_for(e.alias)
+                return e
+            if not isinstance(e, A.Expr):
+                return e
+            for f, v in vars(e).items():
+                if isinstance(v, A.Expr):
+                    setattr(e, f, rewrite(v))
+                elif isinstance(v, list):
+                    nv = []
+                    for item in v:
+                        if isinstance(item, A.Expr):
+                            nv.append(rewrite(item))
+                        elif isinstance(item, tuple):
+                            nv.append(
+                                tuple(
+                                    rewrite(x)
+                                    if isinstance(x, A.Expr)
+                                    else x
+                                    for x in item
+                                )
+                            )
+                        else:
+                            nv.append(item)
+                    setattr(e, f, nv)
+            return e
+
+        for n in part.nodes:
+            n.props = [(k, rewrite(v)) for k, v in n.props]
+            if n.where is not None:
+                n.where = rewrite(n.where)
+        for r in part.rels:
+            r.props = [(k, rewrite(v)) for k, v in r.props]
+            if r.where is not None:
+                r.where = rewrite(r.where)
+        if where is not None:
+            where = rewrite(where)
+        if extras is not None:
+            # pattern-comprehension WHERE / map expressions: rewritten
+            # in place through the same mapping (the list is mutated so
+            # the caller sees the fresh aliases)
+            for i, e in enumerate(extras):
+                if e is not None:
+                    extras[i] = rewrite(e)
+        if not mapping:
+            return None, where, {}
+        seed = ProjectOp(
+            op,
+            [(f, A.Variable(a)) for a, f in mapping.items()],
+            distinct=True,
+            env={f: ValueRef(f) for f in mapping.values()},
+        )
+        return seed, where, mapping
+
     def _plan_predicate_pattern_fabric(
-        self, op: LogicalOp, part: A.PatternPart, where: A.Expr | None = None
+        self,
+        op: LogicalOp,
+        part: A.PatternPart,
+        where: A.Expr | None = None,
+        extras: list | None = None,
     ) -> tuple[LogicalOp, list[tuple[str, str]]]:
         """Plan an exists() pattern standalone with fresh column prefixes
         for the shared node aliases (the OPTIONAL MATCH fork mechanics);
         returns the planned fabric and the (left, right) id-column join
-        pairs."""
+        pairs. Outer scalar references inside the pattern (and in the
+        caller's ``extras`` expressions, rewritten in place) are threaded
+        through a distinct-value seed (_thread_fabric_scalars)."""
         env = op.env
+        seed, where, scalar_map = self._thread_fabric_scalars(
+            op, part, where, extras
+        )
         shared = [
             n.alias
             for n in part.nodes
             if n.alias is not None and n.alias in env
         ]
-        if not shared:
+        if not shared and not scalar_map:
             raise TranspilerNotSupportedError(
                 "exists(pattern) must reference at least one node alias "
-                "bound in the enclosing MATCH"
+                "or outer value bound in the enclosing scope"
             )
         for a in shared:
             ref = env[a]
@@ -519,7 +628,7 @@ class _SingleQueryPlanner:
         prefix_overrides = {a: self._gen_alias(f"ex_{a}") for a in shared}
         known_labels = {a: env[a].node.label for a in shared}
         right = self._plan_match_body(
-            None, clause, known_labels=known_labels,
+            seed, clause, known_labels=known_labels,
             prefix_overrides=prefix_overrides,
         )
         # extra labels on predicate-pattern nodes (shared or fresh) apply
@@ -527,7 +636,8 @@ class _SingleQueryPlanner:
         right = self._apply_extra_labels(right, [part])
         if where is not None:
             # EXISTS { ... WHERE p } subquery form: the inner filter sees
-            # the pattern's own scope (plus shared aliases)
+            # the pattern's own scope (plus shared aliases and threaded
+            # outer scalars)
             validate_expr(where, right.env)
             right = SelectionOp(right, predicate=where, env=dict(right.env))
         pairs = []
@@ -539,6 +649,8 @@ class _SingleQueryPlanner:
                     right_ref.col(right_ref.node.id_property),
                 )
             )
+        for a, f in scalar_map.items():
+            pairs.append((env[a].col, f))
         return right, pairs
 
     def _plan_match_body(

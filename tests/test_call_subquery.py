@@ -1742,3 +1742,146 @@ def test_call_relationship_import_keeps_fence(engine):
             "MATCH (c:Customer)-[rel:PLACED]->(o:Orders) "
             "CALL { WITH rel RETURN 1 AS one } RETURN count(*) AS c"
         )
+
+
+# -- round 11 (continuation): outer SCALARS inside exists fabrics ------------
+# Inline maps / inner WHEREs inside exists(pattern), EXISTS { } and the
+# semi/anti/flag lowerings can reference outer scalar bindings; the
+# fabric threads them through a distinct-value seed (the CALL scalar-
+# import mechanics). Previously "Alias '<x>' does not exist".
+
+
+def test_exists_subquery_with_outer_scalar(engine, duck):
+    got = sorted(
+        map(
+            tuple,
+            engine.cypher(
+                "MATCH (r:Region) WITH r.r_regionkey AS rk "
+                "MATCH (n:Nation) WHERE EXISTS { MATCH (n)-[:IN_REGION]->"
+                "(:Region {r_regionkey: rk}) } "
+                "RETURN rk, count(*) AS c"
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                "SELECT r.r_regionkey, count(*) FROM region r "
+                "JOIN nation n ON n.n_regionkey = r.r_regionkey "
+                "GROUP BY 1"
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+
+
+def test_not_exists_and_or_positions_with_outer_scalar(engine, duck):
+    n_nations = duck.sql("SELECT count(*) FROM nation").fetchone()[0]
+    n_regions = duck.sql("SELECT count(*) FROM region").fetchone()[0]
+    anti = sorted(
+        map(
+            tuple,
+            engine.cypher(
+                "MATCH (r:Region) WITH r.r_regionkey AS rk "
+                "MATCH (n:Nation) WHERE NOT EXISTS { MATCH "
+                "(n)-[:IN_REGION]->(:Region {r_regionkey: rk}) } "
+                "RETURN rk, count(*) AS c"
+            ).collect(),
+        )
+    )
+    # every region excludes its own 5 nations
+    assert anti == [(rk, n_nations - 5) for rk in range(n_regions)]
+    # flag (OR) position: rk > 99 is never true, so same as plain EXISTS
+    flag = sorted(
+        map(
+            tuple,
+            engine.cypher(
+                "MATCH (r:Region) WITH r.r_regionkey AS rk "
+                "MATCH (n:Nation) WHERE EXISTS { MATCH "
+                "(n)-[:IN_REGION]->(:Region {r_regionkey: rk}) } "
+                "OR rk > 99 RETURN rk, count(*) AS c"
+            ).collect(),
+        )
+    )
+    assert flag == [(rk, 5) for rk in range(n_regions)]
+
+
+def test_exists_scalar_in_inner_where(engine, duck):
+    got = engine.cypher(
+        "MATCH (c:Customer) WITH c, 300000.0 AS thr "
+        "MATCH (c2:Customer) WHERE c2.c_custkey = c.c_custkey AND "
+        "EXISTS { MATCH (c2)-[:PLACED]->(o:Orders) "
+        "WHERE o.o_totalprice > thr } "
+        "RETURN count(*) AS n"
+    ).collect()[0].n
+    exp = duck.sql(
+        "SELECT count(*) FROM customer c WHERE EXISTS (SELECT 1 FROM "
+        "orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_totalprice > 300000.0)"
+    ).fetchone()[0]
+    assert got == exp
+
+
+def test_exists_scalar_inside_call_import(engine):
+    got = sorted(
+        map(
+            tuple,
+            engine.cypher(
+                "MATCH (r:Region) WITH r.r_regionkey AS rk "
+                "CALL { WITH rk MATCH (n:Nation) WHERE EXISTS { MATCH "
+                "(n)-[:IN_REGION]->(:Region {r_regionkey: rk}) } "
+                "RETURN count(*) AS c } "
+                "RETURN rk, c"
+            ).collect(),
+        )
+    )
+    assert got == [(rk, 5) for rk in range(5)]
+
+
+def test_pattern_comprehension_with_outer_scalar(engine, duck):
+    # outer scalars in the comprehension's map expression and inner WHERE
+    got = sorted(
+        map(
+            tuple,
+            engine.cypher(
+                "MATCH (r:Region) WITH r, 100 AS base "
+                "RETURN r.r_regionkey AS rk, "
+                "reduce(s = 0, x IN [(n:Nation)-[:IN_REGION]->(r) | "
+                "n.n_nationkey + base] | s + x) AS tot"
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                "SELECT r.r_regionkey, sum(n.n_nationkey + 100) "
+                "FROM region r JOIN nation n "
+                "ON n.n_regionkey = r.r_regionkey GROUP BY 1"
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+    wh = sorted(
+        map(
+            tuple,
+            engine.cypher(
+                "MATCH (r:Region) WITH r, 2 AS lim "
+                "RETURN r.r_regionkey AS rk, "
+                "size([(n:Nation)-[:IN_REGION]->(r) "
+                "WHERE n.n_nationkey < lim | n.n_nationkey]) AS c"
+            ).collect(),
+        )
+    )
+    exp2 = sorted(
+        map(
+            tuple,
+            duck.sql(
+                "SELECT r.r_regionkey, count(*) FILTER "
+                "(n.n_nationkey < 2) FROM region r LEFT JOIN nation n "
+                "ON n.n_regionkey = r.r_regionkey GROUP BY 1"
+            ).fetchall(),
+        )
+    )
+    assert wh == exp2
