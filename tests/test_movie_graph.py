@@ -2712,12 +2712,28 @@ def test_call_per_row_order_limit(movie_engine):
 
 
 def test_call_rejections(movie_engine):
-    with pytest.raises(TranspilerNotSupportedError, match="node-entity"):
-        movie_engine.cypher(
-            "MATCH (p:Person) WITH p.Name AS nm "
-            "CALL { WITH nm MATCH (q:Person) WHERE q.Name = nm "
-            "RETURN q.Born AS b } RETURN nm, b"
+    # round-11 continuation: a SCALAR import is now supported (distinct-
+    # value seed + null-safe join-back) — names are unique in the movie
+    # fixture, so each row pairs a person with their own Born
+    by_name = sorted(
+        map(
+            tuple,
+            movie_engine.cypher(
+                "MATCH (p:Person) WITH p.Name AS nm "
+                "CALL { WITH nm MATCH (q:Person) WHERE q.Name = nm "
+                "RETURN q.Born AS b } RETURN nm, b"
+            ).collect(),
         )
+    )
+    direct = sorted(
+        map(
+            tuple,
+            movie_engine.cypher(
+                "MATCH (p:Person) RETURN p.Name AS nm, p.Born AS b"
+            ).collect(),
+        )
+    )
+    assert by_name == direct
     # procedure calls are now an extension (engine._resolve_procedures)
     # but an in-query call still must YIELD, and only the three schema
     # procedures exist
