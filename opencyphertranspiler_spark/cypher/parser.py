@@ -1312,10 +1312,15 @@ class Parser:
         self.expect_punct("{")
         self.accept_kw("MATCH")
         part = self.parse_pattern_part()
-        if not part.rels:
+        if not part.rels and not any(
+            n.alias is not None for n in part.nodes
+        ):
+            # a rel-less pattern with no alias at all cannot correlate
+            # and has nothing to count distinct rows by
             raise TranspilerNotSupportedError(
-                f"{kind.upper()} {{ }} needs a relationship pattern "
-                "(a bare node subquery is not supported)"
+                f"{kind.upper()} {{ }} on a bare anonymous node is not "
+                "supported — alias the node, e.g. "
+                f"{kind.upper()} {{ MATCH (n:Label) }}"
             )
         where = None
         if self.accept_kw("WHERE"):

@@ -127,6 +127,12 @@ class Compiler:
             return left.crossJoin(right)
         # all column names are globally unique (per-alias namespacing), so
         # name-based equality conditions are unambiguous even for self-joins
+        if not op.pairs and op.how in ("semi", "anti"):
+            # uncorrelated exists()/NOT exists(): only the right side's
+            # non-emptiness matters — probe a broadcast limit-1 row
+            probe = F.broadcast(right.limit(1))
+            how = "left_semi" if op.how == "semi" else "left_anti"
+            return left.join(probe, on=F.lit(True), how=how)
         cond = None
         for l_col, r_col in op.pairs:
             eq = (
@@ -149,6 +155,18 @@ class Compiler:
         ec = ExprCompiler(op.right.env, right, self.params)
         val = ec.compile(op.map_expr)
         rkeys = [r for _, r in op.pairs]
+        if not rkeys:
+            # uncorrelated comprehension / COUNT { }: one global
+            # collect row, broadcast-crossed onto every left row
+            agg = right.groupBy().agg(
+                F.collect_list(val).alias(op.out_col)
+            )
+            joined = left.crossJoin(F.broadcast(agg))
+            dtype = agg.schema[op.out_col].dataType
+            return joined.withColumn(
+                op.out_col,
+                F.coalesce(qcol(op.out_col), F.array().cast(dtype)),
+            )
         agg = right.groupBy(*[qcol(c) for c in rkeys]).agg(
             F.collect_list(val).alias(op.out_col)
         )
@@ -169,6 +187,13 @@ class Compiler:
         left = self.compile(op.left)
         right = self.compile(op.right)
         rkeys = [r for _, r in op.pairs]
+        if not rkeys:
+            # uncorrelated exists in flag position: a broadcast limit-1
+            # probe — flag true everywhere iff the subquery is non-empty
+            rdf = F.broadcast(
+                right.limit(1).select(F.lit(True).alias(op.flag_col))
+            )
+            return left.join(rdf, on=F.lit(True), how="left")
         # DISTINCT on the shared keys keeps the left row count intact
         # (a matching pattern may bind many ways); the flag is true where
         # the left join hits, null where it misses

@@ -608,11 +608,11 @@ class _SingleQueryPlanner:
             for n in part.nodes
             if n.alias is not None and n.alias in env
         ]
-        if not shared and not scalar_map:
-            raise TranspilerNotSupportedError(
-                "exists(pattern) must reference at least one node alias "
-                "or outer value bound in the enclosing scope"
-            )
+        # round-11 continuation: no shared alias and no outer scalar =
+        # an UNCORRELATED subquery (COUNT { MATCH (n:Label) },
+        # EXISTS { MATCH (a)-[:X]->(b) } with fresh aliases) — planned
+        # with empty join pairs; the semi/anti/flag/collect compiles
+        # probe a limit-1 / global-aggregate broadcast instead
         for a in shared:
             ref = env[a]
             if not isinstance(ref, EntityRef) or ref.kind != "node":

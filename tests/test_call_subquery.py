@@ -1885,3 +1885,75 @@ def test_pattern_comprehension_with_outer_scalar(engine, duck):
         )
     )
     assert wh == exp2
+
+
+# -- round 11 (continuation): uncorrelated / bare-node subqueries ------------
+
+
+def test_uncorrelated_count_subquery(engine, duck):
+    n_nations = duck.sql("SELECT count(*) FROM nation").fetchone()[0]
+    got = engine.cypher(
+        "MATCH (r:Region) WHERE r.r_regionkey = 0 "
+        "RETURN COUNT { MATCH (n:Nation) } AS all_nations"
+    ).collect()[0].all_nations
+    assert got == n_nations
+    neg = duck.sql(
+        "SELECT count(*) FROM customer WHERE c_acctbal < 0"
+    ).fetchone()[0]
+    got2 = engine.cypher(
+        "MATCH (r:Region) WHERE r.r_regionkey = 0 "
+        "RETURN COUNT { MATCH (c:Customer) WHERE c.c_acctbal < 0 } AS neg"
+    ).collect()[0].neg
+    assert got2 == neg
+
+
+def test_uncorrelated_exists_subquery(engine, duck):
+    n_regions = duck.sql("SELECT count(*) FROM region").fetchone()[0]
+    hit = engine.cypher(
+        "MATCH (r:Region) WHERE EXISTS { MATCH (n:Nation) "
+        "WHERE n.n_name = 'NATION_3' } RETURN count(*) AS n"
+    ).collect()[0].n
+    assert hit == n_regions
+    miss = engine.cypher(
+        "MATCH (r:Region) WHERE EXISTS { MATCH (n:Nation) "
+        "WHERE n.n_name = 'NOPE' } RETURN count(*) AS n"
+    ).collect()[0].n
+    assert miss == 0
+    anti = engine.cypher(
+        "MATCH (r:Region) WHERE NOT EXISTS { MATCH (n:Nation) "
+        "WHERE n.n_name = 'NOPE' } RETURN count(*) AS n"
+    ).collect()[0].n
+    assert anti == n_regions
+    # flag position (OR) with an uncorrelated pattern exists
+    flag = engine.cypher(
+        "MATCH (r:Region) WHERE EXISTS { MATCH "
+        "(a:Customer)-[:PLACED]->(b:Orders) } OR r.r_regionkey > 99 "
+        "RETURN count(*) AS n"
+    ).collect()[0].n
+    assert flag == n_regions
+
+
+def test_bound_bare_node_exists(engine, duck):
+    # EXISTS { MATCH (c) WHERE pred } with c bound outside evaluates the
+    # predicate on the bound node
+    got = engine.cypher(
+        "MATCH (c:Customer) WHERE EXISTS { MATCH (c) "
+        "WHERE c.c_acctbal > 0 } RETURN count(*) AS n"
+    ).collect()[0].n
+    exp = duck.sql(
+        "SELECT count(*) FROM customer WHERE c_acctbal > 0"
+    ).fetchone()[0]
+    assert got == exp
+
+
+def test_bare_anonymous_node_subquery_still_errors(engine):
+    from opencyphertranspiler_spark.exceptions import (
+        TranspilerNotSupportedError,
+    )
+
+    with pytest.raises(
+        TranspilerNotSupportedError, match="bare anonymous node"
+    ):
+        engine.cypher(
+            "MATCH (r:Region) RETURN COUNT { MATCH (:Nation) } AS x"
+        )

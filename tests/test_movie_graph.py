@@ -2500,9 +2500,19 @@ def test_subquery_rejections(movie_engine):
             "MATCH (p:Person) WHERE EXISTS { MATCH (p)-[:ACTED_IN]->(m:Movie) "
             "RETURN m } RETURN p.Name AS n"
         )
-    with pytest.raises(TranspilerNotSupportedError, match="relationship pattern"):
+    # round-11 continuation: a bare ALIASED node subquery is now the
+    # uncorrelated count — every person passes (more than one movie)
+    n_people = movie_engine.cypher(
+        "MATCH (p:Person) RETURN count(*) AS c"
+    ).collect()[0].c
+    got = movie_engine.cypher(
+        "MATCH (p:Person) WHERE COUNT { (m:Movie) } > 1 RETURN count(*) AS c"
+    ).collect()[0].c
+    assert got == n_people
+    # a bare ANONYMOUS node keeps a typed error
+    with pytest.raises(TranspilerNotSupportedError, match="bare anonymous"):
         movie_engine.cypher(
-            "MATCH (p:Person) WHERE COUNT { (m:Movie) } > 1 RETURN p.Name AS n"
+            "MATCH (p:Person) WHERE COUNT { (:Movie) } > 1 RETURN p.Name AS n"
         )
 
 
