@@ -1840,6 +1840,25 @@ class CypherEngine:
                     continue
                 unlab.label = "|".join(sorted(collected))
 
+    def _bound_alias_labels(self, ast_query) -> dict[str, str]:
+        """alias -> plain label, from every labeled pattern occurrence in
+        the statement — a re-used alias in a later clause (`MATCH
+        (o:Orders) ... OPTIONAL MATCH (o)-[...]`) carries no label
+        syntactically, but its binding does. Conflicting or disjunction
+        labels map to None (excluded)."""
+        out: dict[str, str | None] = {}
+        for _sq, _cl, part in self._pattern_parts(ast_query):
+            for n in part.nodes:
+                if n.alias is None or n.label is None:
+                    continue
+                if "|" in n.label:
+                    out[n.alias] = None
+                elif n.alias in out and out[n.alias] != n.label:
+                    out[n.alias] = None
+                elif n.alias not in out:
+                    out[n.alias] = n.label
+        return {a: l for a, l in out.items() if l is not None}
+
     def _resolve_hetero_varlength(
         self, ast_query, graph: GraphSchema, tables: TableRegistry,
         params: dict | None = None,
@@ -1863,15 +1882,29 @@ class CypherEngine:
         compiles rewrite each deep-copied AST independently.
         shortestPath/allShortestPaths compose (the part's flags flow
         through the enumeration)."""
+        bound_labels = self._bound_alias_labels(ast_query)
         todo = []
         for sq, cl, part in self._pattern_parts(ast_query):
             for ri, rel in enumerate(part.rels):
                 if rel.min_hops is None or rel.verb is None:
                     continue
                 left, right = part.nodes[ri], part.nodes[ri + 1]
-                if not left.label or not right.label:
+
+                # a re-used alias carries its binding's label (e.g. the
+                # OPTIONAL MATCH `(o)-[:A|B*]->(x)` after `MATCH
+                # (o:Orders)`); resolve it for the analysis, and write
+                # it onto the node ONLY if the hop routes here (a no-op
+                # filter for the planner — the alias is already bound to
+                # that label)
+                def eff(nd):
+                    if nd.label is not None:
+                        return nd.label
+                    return bound_labels.get(nd.alias) if nd.alias else None
+
+                llabel, rlabel = eff(left), eff(right)
+                if not llabel or not rlabel:
                     continue
-                if "|" in left.label or "|" in right.label:
+                if "|" in llabel or "|" in rlabel:
                     continue  # the disjunction flow owns these
                 verbs = list(
                     dict.fromkeys(
@@ -1881,9 +1914,9 @@ class CypherEngine:
                     )
                 )
                 if rel.direction == A.Direction.BACKWARD:
-                    src_label, dst_label = right.label, left.label
+                    src_label, dst_label = rlabel, llabel
                 else:
-                    src_label, dst_label = left.label, right.label
+                    src_label, dst_label = llabel, rlabel
                 either = rel.direction == A.Direction.EITHER
                 direct = True
                 for v in verbs:
@@ -1917,6 +1950,7 @@ class CypherEngine:
                             changed = True
                 if dst_label not in reach and rel.min_hops != 0:
                     continue  # unreachable: keep the existing typed error
+                left.label, right.label = llabel, rlabel
                 todo.append((sq, cl, part, ri, verbs))
         if not todo:
             return graph, tables

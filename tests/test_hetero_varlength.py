@@ -486,3 +486,39 @@ def test_undirected_multi_verb_direct_pair(engine, duck):
         "orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))"
     ).fetchone()[0]
     assert got == exp
+
+
+def test_bound_alias_hetero_chain_in_optional_match(engine, duck):
+    # the OPTIONAL MATCH's (o) carries no label syntactically — its
+    # binding does; the resolver reads the bound alias's label
+    got = rows(
+        engine.cypher(
+            "MATCH (o:Orders) WHERE o.o_orderkey < 5 "
+            "OPTIONAL MATCH (o)-[:CONTAINS|OF_PART*2..2]->(pt:Part) "
+            "RETURN o.o_orderkey AS k, count(pt) AS n"
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                "SELECT o_orderkey, count(l_orderkey) FROM orders "
+                "LEFT JOIN lineitem ON l_orderkey = o_orderkey "
+                "WHERE o_orderkey < 5 GROUP BY 1"
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+
+
+def test_bound_alias_hetero_chain_in_later_match(engine, duck):
+    got = engine.cypher(
+        "MATCH (c:Customer) WHERE c.c_custkey = 1 "
+        "MATCH (c)-[:PLACED|CONTAINS*2..2]->(l:Lineitem) "
+        "RETURN count(*) AS n"
+    ).collect()[0].n
+    exp = duck.sql(
+        "SELECT count(*) FROM lineitem l JOIN orders o "
+        "ON l.l_orderkey = o.o_orderkey WHERE o.o_custkey = 1"
+    ).fetchone()[0]
+    assert got == exp
