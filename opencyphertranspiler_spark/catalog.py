@@ -2198,10 +2198,10 @@ def _q_index_topk(spark: SparkSession, sf_dir: str):
     """Gate q46 (two-family merge): the round-11 CALL index surfaces.
     'vector' = db.index.vector.queryNodes over the driver's embeddings
     fixture (Embedding node label) — exact distributed cosine top-k
-    (engine.py:_vector_topk_rows), Neo4j (1+cos)/2 scoring, (score desc,
+    (engine.py:_vector_topk_frame — lazy winner join since round 12), Neo4j (1+cos)/2 scoring, (score desc,
     id) tiebreak. 'bm25' = db.index.fulltext.queryNodes — exact Okapi
     BM25 (k1=1.2, b=0.75, lowercase non-alnum analyzer) scored JVM-side
-    (engine.py:_fulltext_topk_rows). The oracle recomputes both formulas
+    (engine.py:_fulltext_topk_frame). The oracle recomputes both formulas
     in DuckDB SQL on the same double-precision arithmetic."""
     from pyspark.sql import functions as F
 
@@ -2220,7 +2220,15 @@ def _q_index_topk(spark: SparkSession, sf_dir: str):
         f"'{' '.join(_FT_TERMS)}', {{limit: 20}}) YIELD node, score "
         "RETURN id(node) AS id, node.lang AS tag, round(score, 6) AS score"
     ).select(F.lit("bm25").alias("kind"), "*")
-    return vec.unionByName(ft)
+    # round 12 (VERDICT r11 #4): boolean operators — '+spark' is MUST
+    # (winners must contain it), the rest stay SHOULD; scores unchanged
+    ftb = eng.cypher(
+        "CALL db.index.fulltext.queryNodes('gate_ft', "
+        f"'+{_FT_TERMS[0]} {' '.join(_FT_TERMS[1:])}', {{limit: 20}}) "
+        "YIELD node, score "
+        "RETURN id(node) AS id, node.lang AS tag, round(score, 6) AS score"
+    ).select(F.lit("bm25must").alias("kind"), "*")
+    return vec.unionByName(ft).unionByName(ftb)
 
 
 _VECTOR_TOPK_ORACLE = f"""
@@ -2236,7 +2244,9 @@ _VECTOR_TOPK_ORACLE = f"""
 """
 
 
-def _bm25_oracle(terms: list[str], limit: int) -> str:
+def _bm25_oracle(
+    terms: list[str], limit: int, required: list[str] | None = None
+) -> str:
     parts = [
         f"ln(1 + (s.n - df_{t} + 0.5) / (df_{t} + 0.5)) * "
         f"(tf_{t} * 2.2) / (tf_{t} + 1.2 * (0.25 + 0.75 * dl / s.adl))"
@@ -2259,12 +2269,16 @@ def _bm25_oracle(terms: list[str], limit: int) -> str:
         ), s AS (
           SELECT count(*) AS n, avg(len(tk)) AS adl, {df_cols} FROM toks
         ), scored AS (
-          SELECT doc_id, lang, {' + '.join(parts)} AS score
+          SELECT doc_id, lang, {' + '.join(parts)} AS score,
+                 ({' AND '.join(
+                     [f'tf_{t} > 0' for t in (required or [])] or ['TRUE']
+                 )}) AS req_ok
           FROM (SELECT doc_id, lang, CAST(len(tk) AS DOUBLE) AS dl,
                        {tf_cols} FROM toks), s
         )
         SELECT doc_id, lang, round(score, 6) AS score FROM scored
-        WHERE score > 0 ORDER BY score DESC, doc_id LIMIT {limit}
+        WHERE score > 0 AND req_ok
+        ORDER BY score DESC, doc_id LIMIT {limit}
     """
 
 
@@ -2292,6 +2306,9 @@ CATALOG += [
             UNION ALL
             SELECT 'bm25' AS kind, doc_id AS id, lang AS tag, score
             FROM ({_bm25_oracle(_FT_TERMS, 20)})
+            UNION ALL
+            SELECT 'bm25must' AS kind, doc_id AS id, lang AS tag, score
+            FROM ({_bm25_oracle(_FT_TERMS, 20, required=[_FT_TERMS[0]])})
         """,
         bench=True,
         tags=("vector", "fulltext", "bm25", "call", "index"),

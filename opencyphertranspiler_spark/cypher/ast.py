@@ -528,6 +528,10 @@ class ProjectionClause:
     # `WITH *` / `RETURN *` (extension): expand to every in-scope alias
     # at plan time, before any explicit items
     star: bool = False
+    # internal (round 12): aliases the star expansion must NOT carry —
+    # engine desugars (lazy index-winner joins) bind helper entities that
+    # would otherwise leak into user scope. Never produced by the parser.
+    exclude: tuple = ()
 
 
 # ---------------------------------------------------------------------------

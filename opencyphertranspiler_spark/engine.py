@@ -104,6 +104,7 @@ class CypherEngine:
         validate_schema: bool = False,
         path_enum_max_hops: int = 20,
         path_enum_max_paths: int = 2_000_000,
+        allow_walk_fallback: bool = False,
     ):
         self.spark = spark
         self.graph = graph
@@ -123,25 +124,35 @@ class CypherEngine:
         # CYCLIC (or deeper-than-8) edge relations (round 10): path
         # enumeration is genuinely exponential — Neo4j's is too — so the
         # fixpoint stops after `path_enum_max_hops` rounds or once the
-        # accumulated path count exceeds `path_enum_max_paths`, emits a
-        # PathEnumerationCapWarning, and falls back to the witness-pair
-        # model
+        # accumulated path count exceeds `path_enum_max_paths`. What
+        # happens NEXT is gated by `allow_walk_fallback` (round 12,
+        # VERDICT r11 #2): the degraded models a cap overflow would fall
+        # back to — the walk pair model for a *n.. (n >= 2) floor, the
+        # one-witness-per-pair model for an unbounded path variable —
+        # CHANGE ROW COUNTS on cyclic graphs, so by default an overflow
+        # is a typed error (like allShortestPaths always was); pass
+        # allow_walk_fallback=True to accept the degraded semantics with
+        # a PathEnumerationCapWarning instead.
         self.path_enum_max_hops = path_enum_max_hops
         self.path_enum_max_paths = path_enum_max_paths
+        self.allow_walk_fallback = allow_walk_fallback
         # reachability DataFrames for unbounded var-length rels, keyed by
         # (edge id, min_hops) — the fixpoint runs once per engine lifetime
         self._reach_cache: dict[tuple[str, int], DataFrame] = {}
         # vector indexes for CALL db.index.vector.queryNodes (round 10,
         # VERDICT r9 #3): name -> (label, property, similarity)
         self._vector_indexes: dict[str, tuple[str, str, str]] = {}
-        # memoized queryNodes top-k winners (round 11, ADVICE r10):
-        # (index name, k, vector fingerprint) -> (ids, scores). queryNodes
-        # is EAGER — the top-k scan runs at cypher() time and the winners
-        # are frozen into the plan as constants — so repeated calls with
-        # the same literal vector reuse the collected winners instead of
-        # re-scanning the corpus. Stale if the indexed table changes;
-        # clear_caches() resets.
-        self._vector_topk_cache: dict[tuple, list] = {}
+        # LAZY index-winner surfaces (round 12, VERDICT r11 #1): each
+        # CALL db.index.{vector,fulltext}.query* desugars to a JOIN
+        # against a per-query virtual winner node whose backing frame is
+        # the distributed top-k PLAN (orderBy+limit, never collected) —
+        # no k cap, no frozen winners, no driver-side literal list, and
+        # re-registered base tables are reflected at the next cypher()
+        # without clear_caches(). _winner_seq names the virtual labels;
+        # _qtmp_tables carries one compile's (NodeSchema, table, factory)
+        # registrations from _resolve_procedures to _run_ast_env.
+        self._winner_seq = 0
+        self._qtmp_tables: list = []
         # trained IVF quantizers per index name (round 11, VERDICT r10
         # #2): name -> (centroids ndarray, nprobe, celled corpus DF)
         self._vector_ann: dict[str, tuple] = {}
@@ -150,18 +161,20 @@ class CypherEngine:
         self._rel_vector_indexes: dict[str, tuple[str, str, str]] = {}
         # full-text indexes for db.index.fulltext.queryNodes (round 11):
         # name -> (label, property); corpus stats memoized per index in
-        # _fulltext_stats (N, avgdl — cleared by clear_caches)
-        self._fulltext_indexes: dict[str, tuple[str, str]] = {}
-        self._fulltext_stats: dict[str, tuple[int, float]] = {}
+        # _fulltext_stats (N, avgdl per (index, property) — cleared by
+        # clear_caches)
+        self._fulltext_indexes: dict[str, tuple[str, tuple[str, ...]]] = {}
+        self._fulltext_stats: dict[tuple, tuple[int, float]] = {}
 
     def clear_caches(self) -> None:
         """Release engine-lifetime materializations: the unbounded-`*`
         reachability fixpoints (localCheckpoint'ed RDD blocks pinned in
-        the executor block manager) and the memoized vector top-k
-        winners. Call between independent workloads (bench.py does,
+        the executor block manager) and the memoized full-text corpus
+        stats. Call between independent workloads (bench.py does,
         per entry) so one workload's pinned blocks can't pressure the
         next one's heap; results stay correct either way — the caches
-        rebuild on demand."""
+        rebuild on demand. Index winners need no clearing since round
+        12: they are lazy plans, rebuilt at every compile."""
         self._fulltext_stats.clear()
         for df in self._reach_cache.values():
             try:
@@ -172,7 +185,6 @@ class CypherEngine:
             except Exception:
                 pass  # best effort — blocks also fall out via ContextCleaner
         self._reach_cache.clear()
-        self._vector_topk_cache.clear()
 
     def create_vector_index(
         self,
@@ -200,22 +212,39 @@ class CypherEngine:
         self._vector_indexes[name] = (label, property, similarity)
 
     def create_fulltext_index(
-        self, name: str, label: str, property: str
+        self, name: str, label: str, property: "str | list[str]"
     ) -> None:
-        """Register a full-text index over a node label's string
-        property (Neo4j: ``CREATE FULLTEXT INDEX name FOR (n:Label) ON
-        EACH [n.property]``) for ``CALL db.index.fulltext.queryNodes(
-        name, $q) YIELD node, score``. Scoring is EXACT Okapi BM25
-        (k1=1.2, b=0.75) over a lowercase non-alphanumeric-split
-        analyzer — not Lucene's full analyzer chain (no stemming, no
-        phrase/boolean operator syntax; terms combine as OR, Lucene's
-        default), which is the documented divergence."""
+        """Register a full-text index over one or MORE string properties
+        of a node label (Neo4j: ``CREATE FULLTEXT INDEX name FOR
+        (n:Label) ON EACH [n.p1, n.p2]``) for ``CALL
+        db.index.fulltext.queryNodes(name, $q) YIELD node, score``.
+
+        Scoring is EXACT Okapi BM25 (k1=1.2, b=0.75) over a lowercase
+        non-alphanumeric-split analyzer; multi-property indexes score
+        each field independently (per-field document frequencies and
+        average length, Lucene's per-field statistics) and SUM the field
+        scores per document — Lucene's BooleanQuery-across-fields
+        combination. The query string supports a minimal Lucene subset
+        (round 12, VERDICT r11 #4): bare terms combine as OR, ``+term``
+        is required (MUST), ``-term`` is excluded (MUST_NOT), and
+        ``"a phrase"`` matches the exact analyzed token sequence
+        (required if ``+``-prefixed, scored by its member terms). No
+        stemming and no further Lucene syntax (fuzzy/boost/wildcard) —
+        the documented divergence."""
         nsch = self.graph.get_node(label)
-        if property not in nsch.property_names:
+        props = (
+            [property] if isinstance(property, str) else list(property)
+        )
+        if not props:
             raise TranspilerBindingError(
-                f"Node '{label}' has no property '{property}' to index"
+                "create_fulltext_index needs at least one property"
             )
-        self._fulltext_indexes[name] = (label, property)
+        for p in props:
+            if p not in nsch.property_names:
+                raise TranspilerBindingError(
+                    f"Node '{label}' has no property '{p}' to index"
+                )
+        self._fulltext_indexes[name] = (label, tuple(props))
 
     def create_relationship_vector_index(
         self,
@@ -278,7 +307,10 @@ class CypherEngine:
         with the EXACT similarity fold, so yielded scores are exact;
         recall < 1 is possible when a true neighbor lives in an unprobed
         cell (raise nprobe/n_cells to trade cost for recall). Cosine
-        indexes only — euclidean indexes keep the exact scan.
+        indexes train spherical k-means cells; euclidean indexes train
+        plain-L2 Lloyd's cells and probe by centroid distance (round 12,
+        VERDICT r11 #5). PQ (below) stays cosine-only — its ADC scores
+        in normalized space.
 
         ``pq_m`` (round 11) additionally PQ-encodes the corpus
         (train_pq_codebooks — m subspaces, pq_ksub codes each, optionally
@@ -299,10 +331,11 @@ class CypherEngine:
                 f"create_vector_index() first; known: {known}"
             )
         label, prop, similarity = self._vector_indexes[name]
-        if similarity != "cosine":
+        if similarity != "cosine" and pq_m is not None:
             raise TranspilerNotSupportedError(
-                "train_vector_index supports cosine indexes (IVF cells "
-                "are spherical-k-means Voronoi cells)"
+                "train_vector_index: the PQ layout scores in normalized "
+                "(cosine) space — euclidean indexes support IVF cells "
+                "only (omit pq_m)"
             )
         if not 1 <= nprobe <= n_cells:
             raise TranspilerBindingError(
@@ -321,11 +354,14 @@ class CypherEngine:
             vec_col=prop,
             sample_fraction=sample_fraction,
             seed=seed,
+            metric=similarity,
         )
         celled = df.select(
             F.col(nsch.id_property).alias("__id"),
             F.col(prop).alias("__vec"),
-        ).withColumn("cell", _assign_cell_udf(cents)(F.col("__vec")))
+        ).withColumn(
+            "cell", _assign_cell_udf(cents, similarity)(F.col("__vec"))
+        )
         books = None
         if pq_m is not None:
             if refine_factor < 1:
@@ -354,7 +390,6 @@ class CypherEngine:
         self._vector_ann[name] = (
             cents, int(nprobe), celled, books, int(refine_factor),
         )
-        self._vector_topk_cache.clear()  # trained index changes the plan
 
     def cypher(self, query: str, params: dict | None = None) -> DataFrame:
         """Parse, plan, and compile a Cypher query to a lazy DataFrame.
@@ -401,8 +436,8 @@ class CypherEngine:
                     self._rel_vector_indexes.items()
                 )
             ] + [
-                (n, "FULLTEXT", "NODE", lbl, p, "EXACT")
-                for n, (lbl, p) in sorted(self._fulltext_indexes.items())
+                (n, "FULLTEXT", "NODE", lbl, ",".join(ps), "EXACT")
+                for n, (lbl, ps) in sorted(self._fulltext_indexes.items())
             ]
             return self.spark.createDataFrame(
                 rows or [(None, None, None, None, None, None)],
@@ -424,13 +459,11 @@ class CypherEngine:
                     del reg[name]
                     found = True
             self._vector_ann.pop(name, None)
-            self._fulltext_stats.pop(name, None)
-            if found:
-                self._vector_topk_cache = {
-                    k: v
-                    for k, v in self._vector_topk_cache.items()
-                    if name not in k
-                }
+            self._fulltext_stats = {
+                k: v
+                for k, v in self._fulltext_stats.items()
+                if k[0] != name
+            }
             if not found and not if_exists:
                 raise TranspilerBindingError(
                     f"DROP INDEX: no index '{name}' (use IF EXISTS)"
@@ -477,17 +510,26 @@ class CypherEngine:
                     "FOR (n:Label) ON EACH [n.prop]"
                 )
             alias, label = node_t.group(1), node_t.group(2)
-            mon = re.match(
-                rf"(?is)^EACH\s*\[\s*{alias}\.(\w+)\s*\]$", on
-            )
-            if not mon:
+            mon = re.match(r"(?is)^EACH\s*\[(.+)\]$", on)
+            props = None
+            if mon:
+                props = []
+                for piece in mon.group(1).split(","):
+                    mp = re.match(
+                        rf"(?is)^\s*{alias}\.(\w+)\s*$", piece
+                    )
+                    if not mp:
+                        props = None
+                        break
+                    props.append(mp.group(1))
+            if not props:
                 raise TranspilerNotSupportedError(
-                    "CREATE FULLTEXT INDEX: ON EACH [<alias>.<prop>] "
-                    "with ONE property (single-property indexes only)"
+                    "CREATE FULLTEXT INDEX: ON EACH "
+                    "[<alias>.<prop>, ...]"
                 )
-            self.create_fulltext_index(name, label, mon.group(1))
+            self.create_fulltext_index(name, label, props)
             return self.spark.createDataFrame(
-                [(name, "FULLTEXT", label, mon.group(1))],
+                [(name, "FULLTEXT", label, ",".join(props))],
                 "name string, type string, entity string, property string",
             )
         # VECTOR: strip OPTIONS, read similarity from it if present
@@ -559,7 +601,26 @@ class CypherEngine:
 
         ast_query = copy.deepcopy(ast_query)
         self._resolve_procedures(ast_query, params)
-        self._infer_varlength_endpoint_labels(ast_query, self.graph)
+        base_graph, base_tables = self.graph, self.tables
+        if self._qtmp_tables:
+            # lazy index-winner surfaces: extend THIS compile's schema /
+            # registry with the per-query virtual winner nodes (their
+            # factories build plans, not jobs — rebuilt every compile so
+            # base-table re-registration is reflected immediately)
+            base_graph = GraphSchema(
+                base_graph.nodes + [n for n, _, _ in self._qtmp_tables],
+                base_graph.edges,
+            )
+            reg = TableRegistry()
+            for name in base_tables.names():
+                reg.register(
+                    name, lambda n=name, s=base_tables: s.get(n)
+                )
+            for _, tname, fac in self._qtmp_tables:
+                reg.register(tname, fac)
+            base_tables = reg
+        self._infer_varlength_endpoint_labels(ast_query, base_graph)
+        self._desugar_rebound_labels(ast_query)
         if seed is None and not self._has_write_clause(ast_query):
             # the *0.. disjunction expansion produces a query-level
             # UNION, which a seeded (write-segment) plan cannot span and
@@ -567,7 +628,7 @@ class CypherEngine:
             # downstream typed fences instead
             ast_query = self._resolve_ml_zero_varlength(ast_query)
         graph, tables = self._resolve_multi_label(
-            ast_query, self.graph, self.tables, params
+            ast_query, base_graph, base_tables, params
         )
         graph, tables = self._resolve_hetero_varlength(
             ast_query, graph, tables, params
@@ -693,6 +754,10 @@ class CypherEngine:
         )
 
     def _resolve_procedures(self, ast_query, params: dict | None = None) -> None:
+        # per-compile virtual winner tables (lazy index surfaces) —
+        # consumed by _run_ast_env right after this pass
+        self._qtmp_tables = []
+
         def rewrite_single(sq) -> None:
             new_clauses = []
             for clause in sq.clauses:
@@ -849,25 +914,46 @@ class CypherEngine:
             budget[0] -= 1
             import copy
 
+            if "|" in other.label:
+                # round 12 (VERDICT r11 #8): *0.. between TWO label
+                # disjunctions — expand the OTHER endpoint's members
+                # into query-level UNION branches first; each branch is
+                # then disjunction-to-plain, which the zero/floor
+                # machinery below (and the adjacency rewires) already
+                # handle. The zero variant appears exactly in the
+                # branches whose member intersects the union node's set.
+                o_cl = next(
+                    j for j, c in enumerate(sq.clauses) if c is cl
+                )
+                o_part = next(
+                    j for j, p in enumerate(cl.patterns) if p is part
+                )
+                o_node = ri + 1 if i == ri else ri
+                out = None
+                for m in other.label.split("|"):
+                    b = copy.deepcopy(sq)
+                    b.clauses[o_cl].patterns[o_part].nodes[
+                        o_node
+                    ].label = m
+                    b = expand(b)
+                    out = (
+                        b
+                        if out is None
+                        else A.UnionQuery(out, b, all=True)
+                    )
+                return out
+
             # zero-length match merges the two endpoints, so it's
             # possible iff the LABEL SETS intersect — for a plain other
             # endpoint that's membership, for a disjunction-labeled one
-            # ('A|B' vs 'B|C') it's set intersection. When they DO
-            # intersect on a disjunction-labeled other endpoint, raise
-            # the typed error HERE (the zero variant's id equation needs
-            # a single concrete label) instead of relying on the floored
-            # branch's two-disjunction fence to catch it (ADVICE r10:
-            # correctness must not depend on a downstream fence)
-            zero_possible = bool(
-                set(other.label.split("|")) & set(members)
-            )
-            if zero_possible and "|" in other.label:
-                raise TranspilerNotSupportedError(
-                    f"*0.. between two label disjunctions "
-                    f"('{node.label}' and '{other.label}') is not "
-                    "supported: the zero-length variant merges the "
-                    "endpoints across intersecting member sets"
-                )
+            # ('A|B' vs 'B|C') it's set intersection. Round 12 (VERDICT
+            # r11 #8): an intersecting disjunction-labeled other
+            # endpoint lowers to ONE zero branch PER INTERSECTION MEMBER
+            # (the merged node narrows to that concrete member in the
+            # branch — exactly the zero-length semantics), instead of
+            # the r11 typed error.
+            inter = sorted(set(other.label.split("|")) & set(members))
+            zero_possible = bool(inter)
             if rel.max_hops == 0 and not zero_possible:
                 raise TranspilerBindingError(
                     f"(:{node.label})-[*0..0]->(:{other.label}) can "
@@ -888,40 +974,52 @@ class CypherEngine:
                 ].min_hops = 1
             if not zero_possible:
                 return expand(floored)
-            zero = copy.deepcopy(sq)
-            zcl = zero.clauses[cl_i]
-            zpart = zcl.patterns[part_i]
-            znode, zother = zpart.nodes[i], zpart.nodes[
-                ri + 1 if i == ri else ri
-            ]
-            if znode.alias is None:
-                znode.alias = f"__mlz_u_{budget[0]}"
-            if zother.alias is None:
-                zother.alias = f"__mlz_x_{budget[0]}"
-            zpart.rels.pop(ri)
-            zpart.nodes.pop(ri + 1 if i == ri else ri)
-            zcl.patterns.append(A.PatternPart([zother], []))
-            eq = A.Binary(
-                A.BinaryOp.EQ,
-                A.FuncCall("id", [A.Variable(znode.alias)]),
-                A.Binary(
-                    A.BinaryOp.PLUS,
-                    A.Literal(f"{zother.label}:"),
-                    A.FuncCall(
-                        "tostring",
-                        [A.FuncCall("id", [A.Variable(zother.alias)])],
+
+            def make_zero(member, tag):
+                zero = copy.deepcopy(sq)
+                zcl = zero.clauses[cl_i]
+                zpart = zcl.patterns[part_i]
+                znode, zother = zpart.nodes[i], zpart.nodes[
+                    ri + 1 if i == ri else ri
+                ]
+                if znode.alias is None:
+                    znode.alias = f"__mlz_u_{tag}"
+                if zother.alias is None:
+                    zother.alias = f"__mlz_x_{tag}"
+                zpart.rels.pop(ri)
+                zpart.nodes.pop(ri + 1 if i == ri else ri)
+                # the merged node is BOTH endpoints, so in this branch
+                # it narrows to the concrete intersection member
+                zother.label = member
+                zcl.patterns.append(A.PatternPart([zother], []))
+                eq = A.Binary(
+                    A.BinaryOp.EQ,
+                    A.FuncCall("id", [A.Variable(znode.alias)]),
+                    A.Binary(
+                        A.BinaryOp.PLUS,
+                        A.Literal(f"{member}:"),
+                        A.FuncCall(
+                            "tostring",
+                            [
+                                A.FuncCall(
+                                    "id", [A.Variable(zother.alias)]
+                                )
+                            ],
+                        ),
                     ),
-                ),
-            )
-            zcl.where = (
-                eq
-                if zcl.where is None
-                else A.Binary(A.BinaryOp.AND, zcl.where, eq)
-            )
-            zero = expand(zero)
-            if floored is None:
-                return zero
-            return A.UnionQuery(expand(floored), zero, all=True)
+                )
+                zcl.where = (
+                    eq
+                    if zcl.where is None
+                    else A.Binary(A.BinaryOp.AND, zcl.where, eq)
+                )
+                return expand(zero)
+
+            out = expand(floored) if floored is not None else None
+            for mi, member in enumerate(inter):
+                zb = make_zero(member, f"{budget[0]}_{mi}")
+                out = zb if out is None else A.UnionQuery(out, zb, all=True)
+            return out
 
         return expand(ast_query)
 
@@ -995,10 +1093,9 @@ class CypherEngine:
             raise TranspilerBindingError(
                 f"CALL {name}: indexName must be a string"
             )
-        if not isinstance(k, int) or isinstance(k, bool) or not 1 <= k <= 1024:
+        if not isinstance(k, int) or isinstance(k, bool) or k < 1:
             raise TranspilerBindingError(
-                f"CALL {name}: k must be an integer in [1, 1024] (the "
-                "yielded rows desugar to plan-time constants)"
+                f"CALL {name}: k must be a positive integer"
             )
         if not isinstance(vec, (list, tuple)) or not vec or not all(
             isinstance(x, (int, float)) and not isinstance(x, bool)
@@ -1038,63 +1135,73 @@ class CypherEngine:
                 )
         bind_alias = node_alias or f"__vq_node_{id(clause) & 0xFFFF:x}"
 
-        memo_key = (index, k, tuple(float(x) for x in vec), similarity)
-        if memo_key in self._vector_topk_cache:
-            # memoized winners (ADVICE r10): queryNodes is EAGER — the
-            # top-k runs at cypher() time and freezes into the plan — so
-            # repeated calls with the same (index, k, vector) reuse the
-            # collected winners. clear_caches() or re-training resets.
-            rows = self._vector_topk_cache[memo_key]
-        else:
-            rows = self._vector_topk_rows(index, label, prop, similarity, k, vec)
-            self._vector_topk_cache[memo_key] = rows
-        return self._id_score_winner_clauses(
-            clause, label, rows, bind_alias, node_alias, score_alias
+        nsch = self.graph.get_node(label)
+        vargs = (index, label, prop, similarity, int(k), [float(x) for x in vec])
+        wlabel = self._register_winner_node(
+            nsch.id_property_type,
+            lambda: self._vector_topk_frame(*vargs),
+        )
+        return self._winner_join_clauses(
+            clause, label, wlabel, bind_alias, node_alias, score_alias
         )
 
-    @staticmethod
-    def _id_score_winner_clauses(
-        clause, label, rows, bind_alias, node_alias, score_alias
+    def _register_winner_node(
+        self, id_type: str, factory, extra_props: tuple = ()
+    ) -> str:
+        """Register a per-compile virtual node over a LAZY (``__id``,
+        ``__score``[, extras]) winner frame (round 12, VERDICT r11 #1);
+        returns its label. The factory builds a PLAN (top-k =
+        orderBy+limit — no job runs until the final action), rebuilt at
+        every compile, so k is unbounded, nothing is collected to the
+        driver, and re-registered base tables are reflected at the next
+        cypher() without clear_caches()."""
+        self._winner_seq += 1
+        wlabel = f"__IdxWinner_{self._winner_seq}"
+        wnode = NodeSchema(
+            label=wlabel,
+            table=wlabel,
+            id_property="__id",
+            properties=(
+                EntityProperty("__id", id_type),
+                EntityProperty("__score", "double"),
+                *extra_props,
+            ),
+            id_property_type=id_type,
+        )
+        self._qtmp_tables.append((wnode, wlabel, factory))
+        return wlabel
+
+    def _winner_join_clauses(
+        self, clause, label, wlabel, bind_alias, node_alias, score_alias
     ) -> list:
-        """Shared desugar for eager (id, score) winner procedures
-        (vector / fulltext queryNodes): ``MATCH (node:Label) WHERE
-        id(node) IN [winners]`` + ``WITH *, CASE ... AS score``, plus
-        the YIELD-WHERE projection and the standalone-CALL RETURN."""
-        id_of_node = A.FuncCall("id", [A.Variable(bind_alias)])
-        where: A.Expr
-        if rows:
-            where = A.Binary(
-                A.BinaryOp.IN,
-                id_of_node,
-                A.ListLiteral([A.Literal(r["__id"]) for r in rows]),
-            )
-        else:
-            where = A.Literal(False)
+        """Shared desugar for LAZY (id, score) winner procedures
+        (vector / fulltext queryNodes): ``MATCH (node:Label),
+        (w:__IdxWinner_n) WHERE id(node) = w.__id`` — Catalyst folds the
+        disjoint-cross + equality into a broadcast equi-join on the
+        k-row winner side — then ``WITH *, w.__score AS score`` with the
+        helper alias excluded from the star, plus the YIELD-WHERE
+        projection and the standalone-CALL RETURN."""
+        w_alias = f"__vqw_{id(clause) & 0xFFFF:x}_{self._winner_seq}"
+        where = A.Binary(
+            A.BinaryOp.EQ,
+            A.FuncCall("id", [A.Variable(bind_alias)]),
+            A.Property(w_alias, "__id"),
+        )
         out = [
             A.MatchClause(
                 patterns=[
-                    A.PatternPart([A.NodePattern(bind_alias, label)], [])
+                    A.PatternPart([A.NodePattern(bind_alias, label)], []),
+                    A.PatternPart([A.NodePattern(w_alias, wlabel)], []),
                 ],
                 where=where,
             )
         ]
+        items = []
         if score_alias is not None:
-            case = A.CaseExpr(
-                whens=[
-                    (
-                        A.Binary(
-                            A.BinaryOp.EQ, id_of_node, A.Literal(r["__id"])
-                        ),
-                        A.Literal(float(r["__score"])),
-                    )
-                    for r in rows
-                ]
-                or [(A.Literal(False), A.Literal(0.0))],
-                else_=None,
-            )
-            out.append(
-                A.ProjectionClause(items=[(score_alias, case)], star=True)
-            )
+            items.append((score_alias, A.Property(w_alias, "__score")))
+        out.append(
+            A.ProjectionClause(items=items, star=True, exclude=(w_alias,))
+        )
         if clause.where is not None:
             out.append(
                 A.ProjectionClause(items=[], star=True, where=clause.where)
@@ -1123,9 +1230,10 @@ class CypherEngine:
         (N, avgdl) are computed once per index and memoized
         (clear_caches resets); per-query term document frequencies are
         one aggregate pass; per-document scoring is size(filter(tokens))
-        folds — no Python anywhere. Winners (default limit 100, max
-        1024) desugar through the same MATCH…IN + CASE as the vector
-        surface, so `node` is a REAL entity."""
+        folds — no Python anywhere. Winners (default limit 100,
+        unbounded) desugar through the same LAZY winner-join as the
+        vector surface, so `node` is a REAL entity and nothing collects
+        to the driver."""
         name = clause.name
 
         def const_arg(i: int, what: str):
@@ -1168,10 +1276,9 @@ class CypherEngine:
             raise TranspilerBindingError(
                 f"CALL {name}: queryString must be a non-empty string"
             )
-        if not 1 <= limit <= 1024:
+        if limit < 1:
             raise TranspilerBindingError(
-                f"CALL {name}: limit must be in [1, 1024] (the yielded "
-                "rows desugar to plan-time constants)"
+                f"CALL {name}: limit must be a positive integer"
             )
         if index not in self._fulltext_indexes:
             known = ", ".join(sorted(self._fulltext_indexes)) or "(none)"
@@ -1179,7 +1286,7 @@ class CypherEngine:
                 f"CALL {name}: no fulltext index '{index}' — register "
                 f"one with create_fulltext_index(); known: {known}"
             )
-        label, prop = self._fulltext_indexes[index]
+        label, props = self._fulltext_indexes[index]
         yields = list(clause.yields) or [("node", "node"), ("score", "score")]
         node_alias = score_alias = None
         for yname, alias in yields:
@@ -1193,61 +1300,140 @@ class CypherEngine:
                 )
         bind_alias = node_alias or f"__ft_node_{id(clause) & 0xFFFF:x}"
 
-        import re
-
-        terms = sorted(set(re.split(r"[^a-z0-9]+", qstr.lower())) - {""})
-        memo_key = ("ft", index, tuple(terms), limit)
-        if memo_key in self._vector_topk_cache:
-            rows = self._vector_topk_cache[memo_key]
-        else:
-            rows = self._fulltext_topk_rows(index, label, prop, terms, limit)
-            self._vector_topk_cache[memo_key] = rows
-        return self._id_score_winner_clauses(
-            clause, label, rows, bind_alias, node_alias, score_alias
+        ft_clauses = self._parse_fulltext_query(qstr)
+        nsch = self.graph.get_node(label)
+        fargs = (index, label, list(props), ft_clauses, int(limit))
+        wlabel = self._register_winner_node(
+            nsch.id_property_type,
+            lambda: self._fulltext_topk_frame(*fargs),
+        )
+        return self._winner_join_clauses(
+            clause, label, wlabel, bind_alias, node_alias, score_alias
         )
 
-    def _fulltext_topk_rows(
-        self, index: str, label: str, prop: str, terms: list, limit: int
-    ) -> list:
-        """Distributed BM25 top-k: tokens = lowercase non-alnum split;
-        idf = ln(1 + (N - df + 0.5)/(df + 0.5)) from one df-aggregate
-        pass over the query's terms; per-doc term frequency via JVM
-        size(filter(...)); TakeOrderedAndProject for the winners."""
+    @staticmethod
+    def _parse_fulltext_query(qstr: str) -> list:
+        """Minimal Lucene BooleanQuery subset (round 12, VERDICT r11
+        #4): ``term`` (SHOULD), ``+term`` (MUST), ``-term`` (MUST_NOT),
+        ``"a phrase"`` (exact analyzed token sequence; combine with +/-
+        for MUST/MUST_NOT). Returns deduplicated, deterministically
+        ordered (modifier, token-tuple) clauses; unquoted multi-token
+        pieces (``state-of-the-art``) analyze to separate SHOULD
+        terms, Lucene's analyzer behavior."""
+        import re
+
+        out = []
+        seen = set()
+        for m in re.finditer(r'([+\-]?)(?:"([^"]*)"|(\S+))', qstr):
+            mod, quoted, bare = m.group(1), m.group(2), m.group(3)
+            text = quoted if quoted is not None else bare
+            toks = [
+                t for t in re.split(r"[^a-z0-9]+", text.lower()) if t
+            ]
+            if not toks:
+                continue
+            pieces = (
+                [tuple(toks)]
+                if quoted is not None and len(toks) > 1
+                else [(t,) for t in toks]
+            )
+            for p in pieces:
+                key = (mod, p)
+                if key not in seen:
+                    seen.add(key)
+                    out.append(key)
+        return sorted(out)
+
+    def _fulltext_topk_frame(
+        self, index: str, label: str, props: list, clauses: list,
+        limit: int,
+    ):
+        """Distributed BM25 top-k PLAN (lazy — the winner join consumes
+        it): tokens = lowercase non-alnum split per indexed FIELD;
+        per-field idf = ln(1 + (N - df + 0.5)/(df + 0.5)) from one
+        df-aggregate pass over (field, term); per-doc term frequency via
+        JVM size(filter(...)); field scores SUM per document (Lucene's
+        per-field statistics + BooleanQuery combination). ``clauses`` is
+        the _parse_fulltext_query output: SHOULD terms score, MUST
+        clauses gate, MUST_NOT clauses exclude, multi-token tuples are
+        phrases (exact analyzed token sequence, scored by member
+        terms)."""
         import math
 
         nsch = self.graph.get_node(label)
         df_tbl = self.tables.get(nsch.table)
-        toks = F.filter(
-            F.split(F.lower(F.col(prop)), "[^a-z0-9]+"),
-            lambda t: t != F.lit(""),
-        )
-        base = (
-            df_tbl.filter(F.col(prop).isNotNull())
-            .select(
-                F.col(nsch.id_property).alias("__id"),
-                toks.alias("__toks"),
+        nprops = len(props)
+
+        def toks_col(p):
+            return F.filter(
+                F.split(
+                    F.lower(F.coalesce(F.col(p), F.lit(""))),
+                    "[^a-z0-9]+",
+                ),
+                lambda t: t != F.lit(""),
             )
+
+        base = df_tbl.select(
+            F.col(nsch.id_property).alias("__id"),
+            *[toks_col(p).alias(f"__toks{i}") for i, p in enumerate(props)],
+            *[
+                F.col(p).isNotNull().alias(f"__has{i}")
+                for i, p in enumerate(props)
+            ],
         )
-        if index in self._fulltext_stats:
-            n_docs, avgdl = self._fulltext_stats[index]
-        else:
-            stats = base.select(
-                F.count("*").alias("n"),
-                F.avg(F.size("__toks")).alias("adl"),
+        empty = base.select(
+            F.col("__id"), F.lit(0.0).alias("__score")
+        ).filter(F.lit(False))
+        # per-field corpus stats (memoized per (index, property))
+        missing = [
+            (i, p)
+            for i, p in enumerate(props)
+            if (index, p) not in self._fulltext_stats
+        ]
+        if missing:
+            srow = base.select(
+                *[
+                    F.sum(F.col(f"__has{i}").cast("int")).alias(f"n{i}")
+                    for i, _ in missing
+                ],
+                *[
+                    F.avg(
+                        F.when(F.col(f"__has{i}"), F.size(f"__toks{i}"))
+                    ).alias(f"adl{i}")
+                    for i, _ in missing
+                ],
             ).collect()[0]
-            n_docs, avgdl = int(stats["n"]), float(stats["adl"] or 0.0)
-            self._fulltext_stats[index] = (n_docs, avgdl)
-        if not terms or n_docs == 0 or avgdl == 0.0:
-            return []
+            for i, p in missing:
+                self._fulltext_stats[(index, p)] = (
+                    int(srow[f"n{i}"] or 0),
+                    float(srow[f"adl{i}"] or 0.0),
+                )
+        stats = {
+            i: self._fulltext_stats[(index, p)]
+            for i, p in enumerate(props)
+        }
+        all_terms = sorted({t for _mod, toks in clauses for t in toks})
+        if (
+            not clauses
+            or not all_terms
+            or all(n == 0 or a == 0.0 for n, a in stats.values())
+        ):
+            return empty
+        # one aggregate pass: document frequency per (field, term)
         dfs = base.select(
             *[
                 F.sum(
-                    F.array_contains("__toks", t).cast("int")
-                ).alias(f"df{i}")
-                for i, t in enumerate(terms)
+                    (
+                        F.col(f"__has{i}")
+                        & F.array_contains(f"__toks{i}", t)
+                    ).cast("int")
+                ).alias(f"df_{i}_{j}")
+                for i in range(nprops)
+                for j, t in enumerate(all_terms)
             ]
         ).collect()[0]
         k1, b = self._FT_K1, self._FT_B
+        tix = {t: j for j, t in enumerate(all_terms)}
 
         def eq_term(term):
             # single-arg closure: a two-arg lambda (even via a default
@@ -1255,14 +1441,14 @@ class CypherEngine:
             # second argument
             return lambda x: x == F.lit(term)
 
-        score = None
-        for i, t in enumerate(terms):
-            dfi = int(dfs[f"df{i}"] or 0)
-            if dfi == 0:
-                continue
+        def term_field_score(i, t):
+            n_docs, avgdl = stats[i]
+            dfi = int(dfs[f"df_{i}_{tix[t]}"] or 0)
+            if dfi == 0 or n_docs == 0 or avgdl == 0.0:
+                return None
             idf = math.log(1.0 + (n_docs - dfi + 0.5) / (dfi + 0.5))
-            tf = F.size(F.filter("__toks", eq_term(t)))
-            dl = F.size("__toks")
+            tf = F.size(F.filter(f"__toks{i}", eq_term(t)))
+            dl = F.size(f"__toks{i}")
             part = (
                 F.lit(idf)
                 * tf.cast("double")
@@ -1276,15 +1462,76 @@ class CypherEngine:
                     )
                 )
             )
-            score = part if score is None else (score + part)
-        if score is None:
-            return []
+            return F.when(F.col(f"__has{i}"), part).otherwise(F.lit(0.0))
+
+        def phrase_in_field(i, toks):
+            ln = len(toks)
+            tcol = F.col(f"__toks{i}")
+            lit = F.lit(list(toks))
+            return (F.size(tcol) >= ln) & F.exists(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size(tcol) - ln + 1, F.lit(1)),
+                ),
+                lambda s: F.slice(tcol, s, ln) == lit,
+            )
+
+        def clause_match(toks):
+            m = None
+            for i in range(nprops):
+                if len(toks) == 1:
+                    c = F.col(f"__has{i}") & F.array_contains(
+                        f"__toks{i}", toks[0]
+                    )
+                else:
+                    c = F.col(f"__has{i}") & phrase_in_field(i, toks)
+                m = c if m is None else (m | c)
+            return m
+
+        def clause_score(toks):
+            s = None
+            for t in toks:
+                for i in range(nprops):
+                    p = term_field_score(i, t)
+                    if p is None:
+                        continue
+                    s = p if s is None else (s + p)
+            return s
+
+        score = None
+        match_any = None
+        required = []
+        excluded = []
+        has_positive = False
+        for mod, toks in clauses:
+            if mod == "-":
+                excluded.append(clause_match(toks))
+                continue
+            has_positive = True
+            m = clause_match(toks)
+            if mod == "+":
+                required.append(m)
+            cs = clause_score(toks)
+            if cs is not None:
+                contrib = F.when(m, cs).otherwise(F.lit(0.0))
+                score = contrib if score is None else (score + contrib)
+            match_any = m if match_any is None else (match_any | m)
+        if not has_positive or score is None:
+            # Lucene needs at least one positive, corpus-present clause
+            return empty
+        cond = match_any
+        for r in required:
+            cond = cond & r
+        for ex in excluded:
+            cond = cond & ~ex
         return (
-            base.select(F.col("__id"), score.alias("__score"))
+            base.select(
+                F.col("__id"),
+                F.when(cond, score).otherwise(F.lit(0.0)).alias("__score"),
+            )
             .filter(F.col("__score") > 0)
             .orderBy(F.col("__score").desc(), F.col("__id"))
             .limit(limit)
-            .collect()
         )
 
     def _vector_query_rel_clauses(self, clause, params: dict | None) -> list:
@@ -1292,16 +1539,18 @@ class CypherEngine:
         YIELD relationship, score`` (Neo4j 5.13) — the relationship
         analogue of queryNodes (round 11; VERDICT r10 'missing' #1).
 
-        The top-k runs distributed over the edge table (same JVM folds +
-        TakeOrderedAndProject), winners collect as (src, dst, score) and
-        desugar to ``MATCH (a:S)-[rel:V]->(b:T) WHERE toString(src-id)
-        + SEP + toString(dst-id) IN [...]`` plus the score CASE — `rel`
-        binds a REAL relationship entity (type(rel)/properties compose).
-        Eager/frozen + memoized exactly like queryNodes. Divergence
-        note: the winner identity is the (src, dst) endpoint pair — if
-        parallel relationships with distinct vectors share endpoints,
-        all of them match when one wins. Always an exact scan (no IVF
-        routing for relationship indexes)."""
+        The top-k runs distributed over the edge table (same JVM folds,
+        orderBy+limit) as a LAZY winner frame (round 12) carrying
+        (src, dst, vec, score); the clause desugars to ``MATCH
+        (a:S)-[rel:V]->(b:T), (w:__IdxWinner_n) WHERE a.id = w.__src
+        AND b.id = w.__dst AND rel.prop = w.__vec`` — `rel` binds a
+        REAL relationship entity (type(rel)/properties compose), and
+        the winner identity includes the indexed VECTOR itself (round
+        12, VERDICT r11 #3), so parallel relationships sharing endpoints
+        no longer co-match; only parallel relationships with IDENTICAL
+        vectors (indistinguishable to the index, same score) still do.
+        Unbounded k, never frozen. Always an exact scan (no IVF routing
+        for relationship indexes)."""
         name = clause.name
 
         def const_arg(i: int, what: str):
@@ -1318,10 +1567,9 @@ class CypherEngine:
             raise TranspilerBindingError(
                 f"CALL {name}: indexName must be a string"
             )
-        if not isinstance(k, int) or isinstance(k, bool) or not 1 <= k <= 1024:
+        if not isinstance(k, int) or isinstance(k, bool) or k < 1:
             raise TranspilerBindingError(
-                f"CALL {name}: k must be an integer in [1, 1024] (the "
-                "yielded rows desugar to plan-time constants)"
+                f"CALL {name}: k must be a positive integer"
             )
         if not isinstance(vec, (list, tuple)) or not vec or not all(
             isinstance(x, (int, float)) and not isinstance(x, bool)
@@ -1359,82 +1607,52 @@ class CypherEngine:
         a_alias = f"__vqr_a_{suffix}"
         b_alias = f"__vqr_b_{suffix}"
 
-        memo_key = (
-            "rel", index, k, tuple(float(x) for x in vec), similarity
+        vprop = next(
+            (p for p in edge.properties if p.name == prop), None
         )
-        if memo_key in self._vector_topk_cache:
-            rows = self._vector_topk_cache[memo_key]
-        else:
-            cand = self.tables.get(edge.table).select(
-                F.struct(
-                    F.col(edge.source_id_property).cast("string").alias("s"),
-                    F.col(edge.sink_id_property).cast("string").alias("d"),
-                ).alias("__id"),
-                F.col(prop).alias("__vec"),
-            )
-            rows = self._vector_topk_frame_rows(cand, similarity, k, vec)
-            self._vector_topk_cache[memo_key] = rows
+        rargs = (
+            edge.table, edge.source_id_property, edge.sink_id_property,
+            prop, similarity, int(k), [float(x) for x in vec],
+        )
+        wlabel = self._register_winner_node(
+            "string",
+            lambda: self._rel_vector_topk_frame(*rargs),
+            extra_props=(
+                EntityProperty("__src", edge.source_id_property_type),
+                EntityProperty("__dst", edge.sink_id_property_type),
+                EntityProperty(
+                    "__vec", vprop.data_type if vprop else "array<float>"
+                ),
+            ),
+        )
+        w_alias = f"__vqrw_{suffix}_{self._winner_seq}"
 
-        SEP = "\x1f"
         a_id = self.graph.get_node(edge.source_label).id_property
         b_id = self.graph.get_node(edge.sink_label).id_property
-        pair = A.Binary(
-            A.BinaryOp.PLUS,
+        where = A.Binary(
+            A.BinaryOp.AND,
             A.Binary(
-                A.BinaryOp.PLUS,
-                A.FuncCall("tostring", [A.Property(a_alias, a_id)]),
-                A.Literal(SEP),
-            ),
-            A.FuncCall("tostring", [A.Property(b_alias, b_id)]),
-        )
-        where: A.Expr
-        if rows:
-            where = A.Binary(
-                A.BinaryOp.IN,
-                pair,
-                A.ListLiteral(
-                    [
-                        A.Literal(f"{r['__id']['s']}{SEP}{r['__id']['d']}")
-                        for r in rows
-                    ]
-                ),
-            )
-            # redundant PUSHDOWN-ABLE endpoint conjuncts: the pair-IN is
-            # a concat over two aliases, which no scan can absorb; these
-            # per-endpoint INs prune the node scans (PushedFilters) and
-            # shrink the joins' build sides — the pair-IN then only
-            # rejects cross-pairings among the k winners
-            raw_src = {r["__id"]["s"] for r in rows}
-            raw_dst = {r["__id"]["d"] for r in rows}
-
-            def typed_in(alias, idp, label, raw):
-                nsch = self.graph.get_node(label)
-                t = (nsch.id_property_type or "string").lower()
-                if "int" in t or "long" in t:
-                    caster = int
-                elif "double" in t or "float" in t or "decimal" in t:
-                    caster = float
-                else:
-                    caster = str
-                return A.Binary(
-                    A.BinaryOp.IN,
-                    A.Property(alias, idp),
-                    A.ListLiteral(
-                        [A.Literal(caster(s)) for s in sorted(raw)]
-                    ),
-                )
-
-            where = A.Binary(
                 A.BinaryOp.AND,
                 A.Binary(
-                    A.BinaryOp.AND,
-                    typed_in(a_alias, a_id, edge.source_label, raw_src),
-                    typed_in(b_alias, b_id, edge.sink_label, raw_dst),
+                    A.BinaryOp.EQ,
+                    A.Property(a_alias, a_id),
+                    A.Property(w_alias, "__src"),
                 ),
-                where,
-            )
-        else:
-            where = A.Literal(False)
+                A.Binary(
+                    A.BinaryOp.EQ,
+                    A.Property(b_alias, b_id),
+                    A.Property(w_alias, "__dst"),
+                ),
+            ),
+            # rel-identity: the indexed vector is part of the winner key,
+            # so parallel relationships sharing endpoints only co-match
+            # when their vectors are bytewise identical
+            A.Binary(
+                A.BinaryOp.EQ,
+                A.Property(bind_rel, prop),
+                A.Property(w_alias, "__vec"),
+            ),
+        )
         out = [
             A.MatchClause(
                 patterns=[
@@ -1448,32 +1666,18 @@ class CypherEngine:
                                 bind_rel, verb, A.Direction.FORWARD
                             )
                         ],
-                    )
+                    ),
+                    A.PatternPart([A.NodePattern(w_alias, wlabel)], []),
                 ],
                 where=where,
             )
         ]
+        items = []
         if score_alias is not None:
-            case = A.CaseExpr(
-                whens=[
-                    (
-                        A.Binary(
-                            A.BinaryOp.EQ,
-                            pair,
-                            A.Literal(
-                                f"{r['__id']['s']}{SEP}{r['__id']['d']}"
-                            ),
-                        ),
-                        A.Literal(float(r["__score"])),
-                    )
-                    for r in rows
-                ]
-                or [(A.Literal(False), A.Literal(0.0))],
-                else_=None,
-            )
-            out.append(
-                A.ProjectionClause(items=[(score_alias, case)], star=True)
-            )
+            items.append((score_alias, A.Property(w_alias, "__score")))
+        out.append(
+            A.ProjectionClause(items=items, star=True, exclude=(w_alias,))
+        )
         if clause.where is not None:
             out.append(
                 A.ProjectionClause(items=[], star=True, where=clause.where)
@@ -1487,6 +1691,42 @@ class CypherEngine:
                 items.append((sa, A.Variable(sa)))
             out.append(A.ProjectionClause(items=items, is_return=True))
         return out
+
+    def _rel_vector_topk_frame(
+        self, edge_table: str, src_col: str, dst_col: str, prop: str,
+        similarity: str, k: int, vec: list,
+    ):
+        """LAZY relationship-winner frame: (__id, __src, __dst, __vec,
+        __score) top-k over the edge table. ``__id`` is a synthetic
+        string key (endpoints + vector hash) satisfying the virtual
+        node's id contract; the join itself matches on the typed
+        endpoint + vector columns."""
+        tbl = self.tables.get(edge_table)
+        cand = tbl.select(
+            F.col(src_col).alias("__src"),
+            F.col(dst_col).alias("__dst"),
+            F.col(prop).alias("__vec"),
+        )
+        score = self._vector_score_col(similarity, vec)
+        top = (
+            cand.withColumn("__score", score)
+            .filter(F.col("__score").isNotNull())
+            .orderBy(
+                F.col("__score").desc(),
+                F.col("__src").cast("string"),
+                F.col("__dst").cast("string"),
+            )
+            .limit(k)
+        )
+        return top.select(
+            F.concat_ws(
+                "\x1f",
+                F.col("__src").cast("string"),
+                F.col("__dst").cast("string"),
+                F.xxhash64("__vec").cast("string"),
+            ).alias("__id"),
+            "__src", "__dst", "__vec", "__score",
+        )
 
     def _vector_candidate_frame(
         self, index: str, label: str, prop: str, vec: list
@@ -1506,11 +1746,19 @@ class CypherEngine:
         ann = self._vector_ann.get(index)
         if ann is not None:
             cents, nprobe, celled, books, _refine = ann
+            similarity = self._vector_indexes.get(index, (None, None, "cosine"))[2]
             qv = np.asarray([float(x) for x in vec], dtype="float64")
-            n = np.linalg.norm(qv)
-            if n > 0:
-                qv = qv / n
-            probed = np.argsort(-(cents @ qv))[:nprobe].tolist()
+            if similarity == "euclidean":
+                # plain-L2 cells: probe the nprobe nearest centroids by
+                # squared distance (round 12, VERDICT r11 #5)
+                probed = np.argsort(
+                    ((cents - qv) ** 2).sum(axis=1)
+                )[:nprobe].tolist()
+            else:
+                n = np.linalg.norm(qv)
+                if n > 0:
+                    qv = qv / n
+                probed = np.argsort(-(cents @ qv))[:nprobe].tolist()
             return (
                 celled.filter(F.col("cell").isin([int(c) for c in probed])),
                 "ivfpq" if books is not None else "ivf",
@@ -1523,15 +1771,17 @@ class CypherEngine:
             "exact",
         )
 
-    def _vector_topk_rows(
+    def _vector_topk_frame(
         self, index: str, label: str, prop: str, similarity: str,
         k: int, vec: list,
-    ) -> list:
-        """Distributed top-k for queryNodes: score the candidate frame
-        with the exact JVM similarity fold (zip_with/aggregate — scores
-        are exact even on the IVF-pruned path; recall is the only
-        approximation), then TakeOrderedAndProject (orderBy+limit never
-        materializes a global sort) and collect the ≤ k winners."""
+    ):
+        """Distributed top-k PLAN for queryNodes (lazy since round 12 —
+        the winner join consumes it; nothing collects): score the
+        candidate frame with the exact JVM similarity fold
+        (zip_with/aggregate — scores are exact even on the IVF-pruned
+        path; recall is the only approximation), then orderBy+limit
+        (TakeOrderedAndProject / Sort+GlobalLimit — never a full
+        materialized global sort)."""
         cand, how = self._vector_candidate_frame(index, label, prop, vec)
         if how == "ivfpq":
             # ADC pre-rank (round 11): fold the per-query (m x ksub)
@@ -1568,13 +1818,25 @@ class CypherEngine:
                 .orderBy(F.col("__adc").asc(), F.col("__id"))
                 .limit(int(k) * int(refine))
             )
-        return self._vector_topk_frame_rows(cand, similarity, k, vec)
+        return self._vector_score_topk(cand, similarity, k, vec)
 
     @staticmethod
-    def _vector_topk_frame_rows(cand, similarity: str, k: int, vec) -> list:
-        """Score an (``__id``, ``__vec``) frame and collect the top k
-        (__id, __score) winners — shared by queryNodes and
+    def _vector_score_topk(cand, similarity: str, k: int, vec):
+        """Score an (``__id``, ``__vec``) frame and return the LAZY top-k
+        (__id, __score) winner frame — shared by queryNodes and
         queryRelationships."""
+        score = CypherEngine._vector_score_col(similarity, vec)
+        return (
+            cand.select(F.col("__id"), score.alias("__score"))
+            .filter(F.col("__score").isNotNull())
+            .orderBy(F.col("__score").desc(), F.col("__id"))
+            .limit(k)
+        )
+
+    @staticmethod
+    def _vector_score_col(similarity: str, vec):
+        """The JVM similarity-score Column over a ``__vec`` column
+        (exact fold — zip_with/aggregate, no Python)."""
         q = F.lit([float(x) for x in vec]).cast("array<double>")
         v = F.col("__vec").cast("array<double>")
 
@@ -1586,23 +1848,15 @@ class CypherEngine:
             )
 
         if similarity == "cosine":
-            score = (F.lit(1.0) + fold_dot(v, q) / (
+            return (F.lit(1.0) + fold_dot(v, q) / (
                 F.sqrt(fold_dot(v, v)) * F.sqrt(fold_dot(q, q))
             )) / F.lit(2.0)
-        else:
-            d2 = F.aggregate(
-                F.zip_with(v, q, lambda p_, q_: p_ - q_),
-                F.lit(0.0),
-                lambda acc, z: acc + z * z,
-            )
-            score = F.lit(1.0) / (F.lit(1.0) + d2)
-        return (
-            cand.select(F.col("__id"), score.alias("__score"))
-            .filter(F.col("__score").isNotNull())
-            .orderBy(F.col("__score").desc(), F.col("__id"))
-            .limit(k)
-            .collect()
+        d2 = F.aggregate(
+            F.zip_with(v, q, lambda p_, q_: p_ - q_),
+            F.lit(0.0),
+            lambda acc, z: acc + z * z,
         )
+        return F.lit(1.0) / (F.lit(1.0) + d2)
 
     # -- unbounded variable-length rewrite ---------------------------------
     # `(a:L1)-[:V*]->(b:L2)` (and `*n..`) compiles to REACHABILITY: the
@@ -1763,29 +2017,77 @@ class CypherEngine:
         finite label lattice, so unbounded hops terminate); write the
         result onto the node — one label is plain inference, several
         become a label disjunction and the tagged-union machinery owns
-        the hop. Scope: the other endpoint carries a plain label, and
-        the unlabeled node's alias appears nowhere else in the statement
-        (a second occurrence may carry its own constraint)."""
+        the hop. Scope: the other endpoint carries a plain label
+        (syntactically or through a DOMINATING binding — an earlier
+        non-OPTIONAL clause of the same single query, see
+        :meth:`_bound_alias_labels`), and the unlabeled node's alias has
+        no other occurrence in the dominating scope (a same-scope second
+        occurrence is a structural join that may constrain it).
+        Occurrences in LATER clauses, OPTIONAL forks, or
+        expression-embedded predicate patterns do NOT block inference —
+        their labels are per-row predicates, desugared by
+        :meth:`_desugar_rebound_labels` (ADVICE r11)."""
         from collections import Counter
 
-        alias_count: Counter = Counter()
-        for _sq, _cl, part in self._pattern_parts(ast_query):
-            for n in part.nodes:
-                if n.alias is not None:
-                    alias_count[n.alias] += 1
-        for _sq, _cl, part in self._pattern_parts(ast_query):
+        _bl_cache: dict[tuple, dict] = {}
+        _cnt_cache: dict[tuple, Counter] = {}
+
+        def dominating(sq, cl):
+            key = (id(sq), id(cl))
+            if key not in _bl_cache:
+                _bl_cache[key] = self._bound_alias_labels(sq, cl)
+            return _bl_cache[key]
+
+        def dom_counts(sq, cl):
+            key = (id(sq), id(cl))
+            if key not in _cnt_cache:
+                cnt: Counter = Counter()
+                clauses = getattr(sq, "clauses", [])
+                scope = []
+                for c2 in clauses:
+                    if c2 is cl:
+                        scope.append(c2)
+                        break
+                    if isinstance(c2, A.MatchClause) and not c2.optional:
+                        scope.append(c2)
+                else:
+                    if cl is not None:
+                        scope = []
+                for c2 in scope:
+                    for p in c2.patterns:
+                        for n in p.nodes:
+                            if n.alias is not None:
+                                cnt[n.alias] += 1
+                _cnt_cache[key] = cnt
+            return _cnt_cache[key]
+
+        for sq, cl, part in self._pattern_parts(ast_query):
+            bound = dominating(sq, cl)
+            counts = dom_counts(sq, cl)
+            # a clause part's own occurrence is in `counts`; an
+            # expression-embedded part's is not
+            own = 1 if cl is not None else 0
             for ri, rel in enumerate(part.rels):
                 if rel.min_hops is None or rel.verb is None:
                     continue
                 left, right = part.nodes[ri], part.nodes[ri + 1]
-                if (left.label is None) == (right.label is None):
+
+                def eff(nd):
+                    if nd.label is not None:
+                        return nd.label
+                    return bound.get(nd.alias) if nd.alias else None
+
+                l_eff, r_eff = eff(left), eff(right)
+                if (l_eff is None) == (r_eff is None):
                     continue
-                lab, unlab = (
-                    (left, right) if right.label is None else (right, left)
+                lab, lab_eff, unlab = (
+                    (left, l_eff, right)
+                    if r_eff is None
+                    else (right, r_eff, left)
                 )
-                if "|" in lab.label or unlab.extra_labels:
+                if "|" in lab_eff or unlab.extra_labels:
                     continue
-                if unlab.alias is not None and alias_count[unlab.alias] > 1:
+                if unlab.alias is not None and counts[unlab.alias] > own:
                     continue
                 verbs = [
                     v
@@ -1809,8 +2111,8 @@ class CypherEngine:
                 floor = max(min_h, 1)
                 collected: set[str] = set()
                 if min_h == 0:
-                    collected.add(lab.label)
-                cur = {lab.label}
+                    collected.add(lab_eff)
+                cur = {lab_eff}
                 seen: dict[frozenset, int] = {}
                 k = 0
                 while True:
@@ -1838,26 +2140,215 @@ class CypherEngine:
                     # heterogeneous set (the class the single-label
                     # column model cannot type) is rewritten
                     continue
+                # stamp the effective label onto a syntactically
+                # unlabeled-but-bound side too (a no-op filter — it IS
+                # the dominating binding) so the downstream rewires see
+                # both endpoints
+                lab.label = lab_eff
                 unlab.label = "|".join(sorted(collected))
 
-    def _bound_alias_labels(self, ast_query) -> dict[str, str]:
-        """alias -> plain label, from every labeled pattern occurrence in
-        the statement — a re-used alias in a later clause (`MATCH
-        (o:Orders) ... OPTIONAL MATCH (o)-[...]`) carries no label
-        syntactically, but its binding does. Conflicting or disjunction
-        labels map to None (excluded)."""
+    def _bound_alias_labels(self, sq, hop_clause) -> dict[str, str]:
+        """alias -> plain label, restricted to occurrences that DOMINATE
+        ``hop_clause`` inside the single query ``sq`` — a re-used alias
+        (`MATCH (o:Orders) ... OPTIONAL MATCH (o)-[...]`) carries no
+        label syntactically, but its binding does. Dominating occurrences
+        are: non-OPTIONAL MATCH clauses strictly before the hop's clause,
+        plus every pattern in the hop's own clause (all patterns of one
+        MATCH conjoin, OPTIONAL or not). Labels from LATER clauses, from
+        earlier OPTIONAL MATCHes (their alias may be null at the hop),
+        from other single queries / UNION branches, and from
+        expression-embedded predicate patterns (their scope is their own)
+        must NOT become hard filters on the hop — they silently drop
+        rows Neo4j keeps (ADVICE r11). An intervening WITH re-scopes:
+        only bindings projected as bare variables survive (renames
+        follow the projection). Disjunction labels are kept (canonical
+        member order) so callers can see tagged-union bindings;
+        conflicting labels map to None (excluded)."""
         out: dict[str, str | None] = {}
-        for _sq, _cl, part in self._pattern_parts(ast_query):
-            for n in part.nodes:
-                if n.alias is None or n.label is None:
-                    continue
-                if "|" in n.label:
-                    out[n.alias] = None
-                elif n.alias in out and out[n.alias] != n.label:
-                    out[n.alias] = None
-                elif n.alias not in out:
-                    out[n.alias] = n.label
+
+        def absorb(clause):
+            for p in clause.patterns:
+                for n in p.nodes:
+                    if n.alias is None or n.label is None:
+                        continue
+                    canon = (
+                        "|".join(sorted(n.label.split("|")))
+                        if "|" in n.label
+                        else n.label
+                    )
+                    if n.alias in out and out[n.alias] != canon:
+                        out[n.alias] = None
+                    elif n.alias not in out:
+                        out[n.alias] = canon
+
+        clauses = getattr(sq, "clauses", [])
+        if hop_clause is None:
+            # expression-embedded pattern (exists() / comprehension): its
+            # clause position is unknown. Without an intermediate WITH,
+            # every non-OPTIONAL MATCH in the query conjoins with the row
+            # the predicate is evaluated on, so those bindings hold; any
+            # re-scoping WITH makes position matter — use nothing then.
+            if any(
+                isinstance(c, A.ProjectionClause) and not c.is_return
+                for c in clauses
+            ):
+                return {}
+            for c in clauses:
+                if isinstance(c, A.MatchClause) and not c.optional:
+                    absorb(c)
+            return {a: l for a, l in out.items() if l is not None}
+
+        found = False
+        for c in clauses:
+            if c is hop_clause:
+                absorb(c)
+                found = True
+                break
+            if isinstance(c, A.ProjectionClause):
+                remap: dict[str, str | None] = dict(out) if c.star else {}
+                for alias, expr in c.items:
+                    if isinstance(expr, A.Variable) and expr.name in out:
+                        remap[alias] = out[expr.name]
+                out = remap
+            elif isinstance(c, A.MatchClause) and not c.optional:
+                absorb(c)
+            # UNWIND / CALL / write clauses neither add nor mask pattern
+            # label bindings for this purpose
+        if not found:
+            return {}
         return {a: l for a, l in out.items() if l is not None}
+
+    def _desugar_rebound_labels(self, ast_query) -> None:
+        """Neo4j semantics for RE-USING a bound node alias with a label:
+        in ``MATCH (x:A|B) ... OPTIONAL MATCH (x:Part)-[...]`` the
+        ``:Part`` on the re-occurrence is a per-row PREDICATE on the
+        bound x, not a new binding — Neo4j keeps non-Part rows (with
+        nulls under OPTIONAL) and never raises a conflict. Front-end
+        desugar, per single query in clause order (round 12, ADVICE
+        r11): for every node occurrence whose alias was bound by an
+        EARLIER clause of the same single query,
+
+        - a DIFFERING label is replaced by the binding's label and
+          becomes an inline node predicate ``'L' IN labels(x)``
+          (disjunction re-labels OR their members). The planner folds
+          node-level ``where`` into the clause WHERE, which stays inside
+          an OPTIONAL MATCH fork, and the predicate-pattern fabric plans
+          embedded parts through the same clause body — so the filter
+          lands in the right scope either way. A mismatched plain label
+          therefore yields an EMPTY result like Neo4j, not the planner's
+          binding error (which remains for same-clause conflicts — the
+          reference's fixpoint, CypherVisitor.cs:644-788, also treats
+          same-clause labels as one binding).
+        - an UNLABELED re-occurrence of a disjunction-bound alias gets
+          the union label written on (a no-op filter), so the
+          tagged-union machinery (_resolve_multi_label) rewires hops
+          that hang off the re-occurrence — previously those raised
+          "Cannot bind relationship ... (ambiguous)".
+
+        Bindings follow WITH projections of bare variables (renames
+        included); CALL subquery imports keep their own scope (inner
+        queries restart with no outer bindings — conservative). Write
+        clauses are neither desugared nor absorbed (their patterns are
+        write targets; cross-segment reuse flows through the write
+        executor's seed env)."""
+
+        def canon(label):
+            if label and "|" in label:
+                return "|".join(sorted(label.split("|")))
+            return label
+
+        def label_pred(alias, label):
+            pred = None
+            for m in label.split("|"):
+                chk = A.Binary(
+                    A.BinaryOp.IN,
+                    A.Literal(m),
+                    A.FuncCall("labels", [A.Variable(alias)]),
+                )
+                pred = (
+                    chk if pred is None else A.Binary(A.BinaryOp.OR, pred, chk)
+                )
+            return pred
+
+        def desugar_part(part, bound):
+            for n in part.nodes:
+                if n.alias is None or n.alias not in bound:
+                    continue
+                blabel = bound[n.alias]
+                if n.label is None:
+                    if blabel is not None and "|" in blabel:
+                        n.label = blabel
+                    continue
+                if canon(n.label) == blabel:
+                    continue
+                pred = label_pred(n.alias, n.label)
+                n.where = (
+                    pred
+                    if n.where is None
+                    else A.Binary(A.BinaryOp.AND, n.where, pred)
+                )
+                n.label = blabel
+
+        def embedded_parts(clause):
+            exprs = []
+            where = getattr(clause, "where", None)
+            if where is not None:
+                exprs.append(where)
+            if isinstance(clause, A.ProjectionClause):
+                exprs.extend(e for _, e in clause.items)
+            if isinstance(clause, A.UnwindClause):
+                exprs.append(clause.expr)
+            for expr in exprs:
+                for nd in expr.walk():
+                    if isinstance(nd, (A.PatternPredicate, A.PatternComprehension)):
+                        yield nd.part
+
+        def single_queries(q):
+            if isinstance(q, A.UnionQuery):
+                yield from single_queries(q.left)
+                yield from single_queries(q.right)
+            else:
+                yield q
+
+        def walk_sq(sq):
+            bound: dict[str, str | None] = {}
+            for clause in sq.clauses:
+                if isinstance(clause, A.CallSubqueryClause):
+                    for inner in single_queries(clause.query):
+                        walk_sq(inner)
+                    continue
+                if isinstance(clause, A.MatchClause):
+                    for p in clause.patterns:
+                        desugar_part(p, bound)
+                    for p in clause.patterns:
+                        for n in p.nodes:
+                            if n.alias is not None and n.alias not in bound:
+                                bound[n.alias] = canon(n.label)
+                    for part in embedded_parts(clause):
+                        desugar_part(part, bound)
+                elif isinstance(clause, A.ProjectionClause):
+                    for part in embedded_parts(clause):
+                        desugar_part(part, bound)
+                    remap: dict[str, str | None] = (
+                        dict(bound) if clause.star else {}
+                    )
+                    for alias, expr in clause.items:
+                        if isinstance(expr, A.Variable) and expr.name in bound:
+                            remap[alias] = bound[expr.name]
+                        else:
+                            remap.pop(alias, None)
+                    bound = remap
+                elif isinstance(clause, A.UnwindClause):
+                    for part in embedded_parts(clause):
+                        desugar_part(part, bound)
+                    bound.pop(clause.alias, None)
+                else:
+                    # write / procedure clauses: not desugared, and any
+                    # aliases they bind stay out of the map
+                    pass
+
+        for sq in single_queries(ast_query):
+            walk_sq(sq)
 
     def _resolve_hetero_varlength(
         self, ast_query, graph: GraphSchema, tables: TableRegistry,
@@ -1882,9 +2373,15 @@ class CypherEngine:
         compiles rewrite each deep-copied AST independently.
         shortestPath/allShortestPaths compose (the part's flags flow
         through the enumeration)."""
-        bound_labels = self._bound_alias_labels(ast_query)
+        _bl_cache: dict[tuple[int, int], dict[str, str]] = {}
         todo = []
         for sq, cl, part in self._pattern_parts(ast_query):
+            _bl_key = (id(sq), id(cl))
+            bound_labels = _bl_cache.get(_bl_key)
+            if bound_labels is None:
+                bound_labels = _bl_cache[_bl_key] = self._bound_alias_labels(
+                    sq, cl
+                )
             for ri, rel in enumerate(part.rels):
                 if rel.min_hops is None or rel.verb is None:
                     continue
@@ -2315,6 +2812,18 @@ class CypherEngine:
                 except TranspilerNotSupportedError as ex:
                     if "exceeded" not in str(ex):
                         raise
+                    if not self.allow_walk_fallback:
+                        # round 12 (VERDICT r11 #2): the walk model
+                        # CHANGES ROW COUNTS on cyclic graphs — an
+                        # overflow is a typed error unless the caller
+                        # opted into the degraded semantics
+                        raise TranspilerNotSupportedError(
+                            f"{ex}; the walk pair model would over-"
+                            f"report pairs whose only >= {rel.min_hops}"
+                            "-hop connections re-use a relationship — "
+                            "pass allow_walk_fallback=True to the "
+                            "engine to accept that (with a warning)"
+                        ) from ex
                     import warnings
 
                     warnings.warn(
@@ -3724,6 +4233,20 @@ class CypherEngine:
                         "engine, or use shortestPath() (one witness per "
                         "pair)"
                     )
+                if enum is None and not self.allow_walk_fallback:
+                    # round 12 (VERDICT r11 #2): one-witness-per-pair
+                    # changes row counts — typed error unless opted in
+                    raise TranspilerNotSupportedError(
+                        f"Relationship-unique path enumeration over "
+                        f"'{edge.verb}' exceeded "
+                        f"{self.path_enum_max_hops} rounds / "
+                        f"{self.path_enum_max_paths} paths, and the "
+                        "witness model binds one path per endpoint "
+                        "pair instead of a row per path — raise "
+                        "path_enum_max_hops/path_enum_max_paths, bound "
+                        "the hop, or pass allow_walk_fallback=True to "
+                        "accept witness-per-pair (with a warning)"
+                    )
                 if enum is None:
                     import warnings
 
@@ -3965,6 +4488,22 @@ class CypherEngine:
                                 ),
                             )
                             .distinct()
+                        )
+                    elif not self.allow_walk_fallback:
+                        # round 12 (VERDICT r11 #2): row-count cliff —
+                        # typed error unless explicitly opted in
+                        raise TranspilerNotSupportedError(
+                            f"Relationship-unique path enumeration over "
+                            f"'{edge.verb}' exceeded "
+                            f"{self.path_enum_max_hops} rounds / "
+                            f"{self.path_enum_max_paths} paths, and the "
+                            f"*{rel.min_hops}.. floor's walk pair model "
+                            "would over-report pairs whose only >= "
+                            f"{rel.min_hops}-hop connections re-use a "
+                            "relationship — raise path_enum_max_hops/"
+                            "path_enum_max_paths, bound the hop, or "
+                            "pass allow_walk_fallback=True to accept "
+                            "the walk model (with a warning)"
                         )
                     else:
                         import warnings

@@ -171,12 +171,17 @@ def cosine_topk_pandas(
     return _global_topk(scored, k)
 
 
-def _assign_cell_udf(cents: np.ndarray):
+def _assign_cell_udf(cents: np.ndarray, metric: str = "cosine"):
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("int")
     def assign_cell(v: pd.Series) -> pd.Series:
         m = np.stack(v.to_numpy()).astype("float64")
+        if metric == "euclidean":
+            # argmin ||v - c||^2 = argmin (c.c - 2 v.c) — the v.v term is
+            # constant per row; never materialize the full distance cube
+            d = (cents * cents).sum(axis=1)[None, :] - 2.0 * (m @ cents.T)
+            return pd.Series(np.argmin(d, axis=1).astype("int32"))
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         return pd.Series(np.argmax(m @ cents.T, axis=1).astype("int32"))
 
@@ -191,30 +196,35 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     sample_fraction: float | None = None,
     seed: int = 42,
+    metric: str = "cosine",
 ) -> np.ndarray:
-    """Spherical k-means coarse quantizer, trained with distributed
-    DataFrame aggregations.
+    """K-means coarse quantizer, trained with distributed DataFrame
+    aggregations — SPHERICAL (max-cosine assignment, L2-normalized
+    centroids) for ``metric='cosine'``, plain-L2 Lloyd's (argmin-distance
+    assignment, raw per-cell means) for ``metric='euclidean'`` (round
+    12, VERDICT r11 #5).
 
     Init = the n_cells lowest-id corpus vectors (deterministic); each
-    iteration assigns every vector to its max-cosine centroid (vectorized
-    pandas UDF over the broadcast centroid matrix) and recomputes centroids
-    as the per-cell per-dimension mean via posexplode + groupBy — one
+    iteration assigns every vector to its centroid (vectorized pandas
+    UDF over the broadcast centroid matrix) and recomputes centroids as
+    the per-cell per-dimension mean via posexplode + groupBy — one
     shuffle of n_cells * dim partial aggregates per iteration, map-side
     combined. ``sample_fraction`` (VERDICT r9 #6) trains on a seeded
-    deterministic Bernoulli sample — the FAISS-style 100 TB play: k-means
-    quality needs a sample, not the corpus; the aggregation shape is
-    identical. Empty cells keep their previous centroid. Centroids are
-    L2-normalized so argmax-dot == argmax-cosine."""
+    deterministic Bernoulli sample — the FAISS-style 100 TB play:
+    k-means quality needs a sample, not the corpus; the aggregation
+    shape is identical. Empty cells keep their previous centroid."""
+    spherical = metric != "euclidean"
     if sample_fraction is not None:
         corpus = corpus.sample(fraction=sample_fraction, seed=seed)
     cent_rows = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
     )
     cents = np.stack([np.asarray(r[1], dtype="float64") for r in cent_rows])
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    if spherical:
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
     for _ in range(iters):
         assigned = corpus.select(
-            _assign_cell_udf(cents)(F.col(vec_col)).alias("cell"),
+            _assign_cell_udf(cents, metric)(F.col(vec_col)).alias("cell"),
             F.posexplode(vec_col).alias("pos", "x"),
         )
         means = (
@@ -227,9 +237,12 @@ def train_ivf_centroids(
         for r in means:
             by_cell.setdefault(r["cell"], np.zeros(cents.shape[1]))[r["pos"]] = r["m"]
         for cell, vec in by_cell.items():
-            n = np.linalg.norm(vec)
-            if n > 0:
-                new[cell] = vec / n
+            if spherical:
+                n = np.linalg.norm(vec)
+                if n > 0:
+                    new[cell] = vec / n
+            else:
+                new[cell] = vec
         cents = new
     return cents
 

@@ -529,7 +529,10 @@ class _SingleQueryPlanner:
                 ):
                     return A.Variable(fresh_for(e.name))
                 return e
-            if isinstance(e, A.Property) and not e.path:
+            if isinstance(e, A.Property):
+                # any path depth (ADVICE r11): the fresh ValueRef column
+                # supports nested access, so `m.a.b` over an outer map
+                # scalar threads exactly like `m.a`
                 if e.alias not in bound and isinstance(
                     env.get(e.alias), ValueRef
                 ):
@@ -652,6 +655,37 @@ class _SingleQueryPlanner:
         for a, f in scalar_map.items():
             pairs.append((env[a].col, f))
         return right, pairs
+
+    @staticmethod
+    def _reject_nondeterministic_call_body(body: list) -> None:
+        """CALL { } bodies run once per DISTINCT correlation key (import
+        value / entity identity) — or once total when uncorrelated — and
+        join back to the outer rows; Neo4j invokes the body PER OUTER
+        ROW. Indistinguishable for deterministic bodies; divergent for
+        rand()/randomUUID(), so those raise a typed error instead of
+        silently diverging (ADVICE r11)."""
+        nondet = {"rand", "randomuuid"}
+        for c in body:
+            exprs = []
+            w = getattr(c, "where", None)
+            if w is not None:
+                exprs.append(w)
+            if isinstance(c, A.ProjectionClause):
+                exprs.extend(e for _, e in c.items)
+                exprs.extend(s.expr for s in c.order_by)
+            if isinstance(c, A.UnwindClause):
+                exprs.append(c.expr)
+            for e in exprs:
+                for nd in e.walk():
+                    if isinstance(nd, A.FuncCall) and nd.name in nondet:
+                        raise TranspilerNotSupportedError(
+                            f"{nd.name}() inside a CALL {{ }} body: the "
+                            "body runs once per distinct correlation "
+                            "key, not per outer row, so "
+                            "non-deterministic functions would diverge "
+                            "from Neo4j's per-row invocation — compute "
+                            "it outside the subquery and import it"
+                        )
 
     def _plan_match_body(
         self,
@@ -1711,6 +1745,7 @@ class _SingleQueryPlanner:
             imports = [a for a, _ in first.items]
             body = body[1:]
 
+        self._reject_nondeterministic_call_body(body)
         if not imports:
             sub = self.plan(A.SingleQuery(body))
             outer_env = piped.env if piped is not None else {}
@@ -1742,6 +1777,12 @@ class _SingleQueryPlanner:
                 raise TranspilerBindingError(f"Alias '{a}' does not exist")
             if isinstance(ref, EntityRef) and ref.kind == "node":
                 continue
+            if isinstance(ref, EntityRef) and ref.kind == "edge":
+                # round 12 (VERDICT r11 #6): RELATIONSHIP imports — the
+                # correlated seed is a fresh-prefixed scan of the edge
+                # table, joined back on the edge identity columns
+                # (source, sink [+ type discriminator / identity props])
+                continue
             if isinstance(ref, ValueRef):
                 # round-11 continuation: SCALAR imports — the correlated
                 # seed is a DISTINCT projection of the outer's value
@@ -1751,9 +1792,9 @@ class _SingleQueryPlanner:
                 # import value keeps its subquery rows
                 continue
             raise TranspilerNotSupportedError(
-                f"CALL {{ WITH {a} }}: only node-entity and scalar "
-                "imports are supported (relationship and path imports "
-                "are not)"
+                f"CALL {{ WITH {a} }}: only node/relationship entity "
+                "and scalar imports are supported (path imports are "
+                "not)"
             )
         final = body[-1]  # parser guarantees a trailing RETURN
         out_aliases = [a for a, _ in final.items]
@@ -1806,6 +1847,7 @@ class _SingleQueryPlanner:
                     is_return=False,  # entity items allowed; this is not
                     # the query's final projection
                     star=c.star,
+                    exclude=c.exclude,
                 )
             new_body.append(c)
 
@@ -1829,10 +1871,18 @@ class _SingleQueryPlanner:
         for a in imports:
             if isinstance(env[a], ValueRef):
                 continue
-            nsch = self.schema.get_node(env[a].node.label)
-            ref = EntityRef(
-                a, "node", node=nsch, col_prefix=self._gen_alias(f"call_{a}")
-            )
+            if env[a].kind == "edge":
+                ref = EntityRef(
+                    a, "edge", edge=env[a].edge,
+                    left_is_source=env[a].left_is_source,
+                    col_prefix=self._gen_alias(f"call_{a}"),
+                )
+            else:
+                nsch = self.schema.get_node(env[a].node.label)
+                ref = EntityRef(
+                    a, "node", node=nsch,
+                    col_prefix=self._gen_alias(f"call_{a}"),
+                )
             scan = DataSourceOp([ref], env={a: ref})
             seed = (
                 scan
@@ -1858,8 +1908,8 @@ class _SingleQueryPlanner:
             for a in imports:
                 key = import_out[a] if import_out[a] in op.env else a
                 ref = op.env.get(key)
-                if isinstance(ref, EntityRef) and ref.kind == "node":
-                    part_cols.append(ref.col(ref.node.id_property))
+                if isinstance(ref, EntityRef):
+                    part_cols.extend(ref.key_cols())
                 elif isinstance(ref, ValueRef):
                     part_cols.append(ref.col)
                 else:
@@ -1903,18 +1953,18 @@ class _SingleQueryPlanner:
                 pairs.append((outer_ref.col, sub_ref.col))
                 drop_right.append(sub_ref.col)
                 continue
-            if not isinstance(sub_ref, EntityRef) or sub_ref.kind != "node":
+            if (
+                not isinstance(sub_ref, EntityRef)
+                or sub_ref.kind != outer_ref.kind
+            ):
                 raise TranspilerBindingError(
                     f"CALL {{ }} import alias '{a}' was rebound to a "
-                    "non-entity inside the subquery"
+                    "different kind inside the subquery"
                 )
-            pairs.append(
-                (
-                    outer_ref.col(outer_ref.node.id_property),
-                    sub_ref.col(sub_ref.node.id_property),
-                )
+            pairs.extend(zip(outer_ref.key_cols(), sub_ref.key_cols()))
+            drop_right.extend(
+                dict.fromkeys(sub_ref.columns() + sub_ref.key_cols())
             )
-            drop_right.extend(sub_ref.columns())
 
         new_env: Env = dict(env)
         for a in out_aliases:
@@ -2013,8 +2063,14 @@ class _SingleQueryPlanner:
             star_items: list[tuple[str, A.Expr]] = []
             for alias, ref in piped.env.items():
                 # skip only aliases THIS planner generated (tracked by
-                # _gen_alias) — a user's own `__foo_1` alias survives *
-                if alias in explicit or alias in self.generated_aliases:
+                # _gen_alias) — a user's own `__foo_1` alias survives * —
+                # plus any aliases an engine desugar marked as internal
+                # (clause.exclude, e.g. lazy index-winner join helpers)
+                if (
+                    alias in explicit
+                    or alias in self.generated_aliases
+                    or alias in clause.exclude
+                ):
                     continue
                 if clause.is_return and isinstance(
                     ref, (PathRef, MaterializedPathRef)

@@ -219,6 +219,117 @@ def test_call_intermediate_topk_then_aggregate(engine, duck):
 # ---------------------------------------------------------------------------
 
 
+def test_call_relationship_import_vs_duckdb(engine, duck):
+    """Round 12 (VERDICT r11 #6): CALL { WITH r } imports a
+    RELATIONSHIP entity — seeded by a fresh edge scan, joined back on
+    the edge identity (src, dst)."""
+    got = sorted(
+        map(
+            tuple,
+            engine.cypher(
+                """
+                MATCH (o:Orders)-[r:CONTAINS]->(l:Lineitem)
+                CALL { WITH r RETURN r.l_linenumber * 10 AS ln10 }
+                RETURN id(o) AS ok, ln10
+                """
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                "SELECT l_orderkey, l_linenumber * 10 FROM lineitem"
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+
+
+def test_call_relationship_import_correlated_match(engine, duck):
+    """The imported relationship's properties drive a correlated MATCH
+    + aggregate inside the body (LEFT-join defaults preserved)."""
+    got = sorted(
+        map(
+            tuple,
+            engine.cypher(
+                """
+                MATCH (o:Orders)-[r:CONTAINS]->(l:Lineitem)
+                CALL { WITH r
+                       MATCH (l2:Lineitem)
+                       WHERE l2.l_linenumber = r.l_linenumber
+                       RETURN count(*) AS n }
+                RETURN r.l_linenumber AS ln, n, count(*) AS c
+                """
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                """
+                WITH lc AS (
+                  SELECT l_linenumber, count(*) AS n
+                  FROM lineitem GROUP BY 1
+                )
+                SELECT l.l_linenumber, lc.n, count(*)
+                FROM lineitem l JOIN lc USING (l_linenumber)
+                GROUP BY 1, 2
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+
+
+def test_call_relationship_import_per_row_limit(engine, duck):
+    """ORDER BY/LIMIT inside the body is PER OUTER ROW — the window
+    partitions on the imported edge's identity columns."""
+    got = sorted(
+        map(
+            tuple,
+            engine.cypher(
+                """
+                MATCH (c:Customer)-[r:PLACED]->(o:Orders)
+                WHERE c.c_custkey <= 20
+                CALL { WITH r MATCH (n:Nation)
+                       RETURN n.n_name AS nn ORDER BY nn LIMIT 2 }
+                RETURN id(o) AS ok, nn
+                """
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                """
+                SELECT o_orderkey, nn FROM orders,
+                  (SELECT n_name AS nn FROM nation ORDER BY 1 LIMIT 2)
+                WHERE o_custkey <= 20
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+
+
+def test_call_path_import_still_fenced(engine):
+    from opencyphertranspiler_spark.exceptions import (
+        TranspilerNotSupportedError,
+    )
+
+    with pytest.raises(TranspilerNotSupportedError, match="path imports"):
+        engine.cypher(
+            """
+            MATCH p = (c:Customer)-[:PLACED]->(o:Orders)
+            CALL { WITH p RETURN 1 AS one }
+            RETURN one
+            """
+        )
+
+
 def test_call_db_labels_standalone(engine):
     got = [r["label"] for r in engine.cypher("CALL db.labels()").collect()]
     assert got == sorted(got)
@@ -1157,40 +1268,50 @@ def test_vector_query_nodes_ivf_plan_is_cell_pruned(vector_engine, spark):
         vector_engine.clear_caches()
 
 
-def test_vector_query_nodes_memoized_topk(vector_engine, spark):
-    """ADVICE r10: repeated cypher() calls with the same (index, k,
-    vector) reuse the collected winners instead of re-scanning; a
-    different k or vector is a different key; clear_caches() resets."""
+def test_vector_query_nodes_lazy_unfrozen(vector_engine, spark):
+    """Round 12 (VERDICT r11 #1): the winner top-k is a LAZY plan — a
+    re-registered base table is reflected at the next cypher() WITHOUT
+    clear_caches(), and no collect happens at cypher() time."""
     v = _qvec(spark)
-    vector_engine.clear_caches()
-    assert not vector_engine._vector_topk_cache
     q = (
         "CALL db.index.vector.queryNodes('emb_idx', 4, $v) "
         "YIELD node, score RETURN node.vec_id AS id ORDER BY id"
     )
     first = [r.id for r in vector_engine.cypher(q, params={"v": v}).collect()]
-    assert len(vector_engine._vector_topk_cache) == 1
-    calls = {"n": 0}
-    orig = vector_engine._vector_topk_rows
-
-    def counting(*a, **kw):
-        calls["n"] += 1
-        return orig(*a, **kw)
-
-    vector_engine._vector_topk_rows = counting
+    assert len(first) == 4
+    # cypher() alone runs NO job: building the plan must not collect
+    df = vector_engine.cypher(q, params={"v": v})  # no .collect()
+    assert df.columns == ["id"]
+    # shrink the corpus to the 2 winners it does NOT contain -> the same
+    # query must now return different winners, with no cache clearing
+    full = vector_engine.tables.get("embeddings")
+    keep = full.filter(~full.vec_id.isin(first[:2]))
+    vector_engine.tables.register("embeddings", lambda: keep)
     try:
-        again = [r.id for r in vector_engine.cypher(q, params={"v": v}).collect()]
-        assert again == first and calls["n"] == 0  # served from the memo
-        vector_engine.cypher(
-            "CALL db.index.vector.queryNodes('emb_idx', 5, $v) "
-            "YIELD node, score RETURN node.vec_id AS id",
-            params={"v": v},
-        ).collect()
-        assert calls["n"] == 1  # different k -> real scan
+        after = [
+            r.id for r in vector_engine.cypher(q, params={"v": v}).collect()
+        ]
+        assert len(after) == 4 and not set(after) & set(first[:2])
     finally:
-        vector_engine._vector_topk_rows = orig
-    vector_engine.clear_caches()
-    assert not vector_engine._vector_topk_cache
+        from tests.conftest import SF_DIR
+
+        vector_engine.tables.register(
+            "embeddings",
+            lambda: spark.read.parquet(f"{SF_DIR}/embeddings.parquet"),
+        )
+
+
+def test_vector_query_nodes_k_beyond_1024(vector_engine, spark):
+    """Round 12: k is unbounded (no driver-side winner literal) — a k
+    larger than the corpus returns every row, ordered by score."""
+    v = _qvec(spark)
+    total = vector_engine.tables.get("embeddings").count()
+    got = vector_engine.cypher(
+        "CALL db.index.vector.queryNodes('emb_idx', 5000, $v) "
+        "YIELD node, score RETURN count(*) AS c",
+        params={"v": v},
+    ).collect()[0].c
+    assert got == total
 
 
 def test_train_vector_index_errors(vector_engine):
@@ -1202,9 +1323,59 @@ def test_train_vector_index_errors(vector_engine):
     with pytest.raises(TranspilerBindingError, match="no vector index"):
         vector_engine.train_vector_index("nope")
     with pytest.raises(TranspilerNotSupportedError, match="cosine"):
-        vector_engine.train_vector_index("emb_l2")
+        # PQ scores in normalized space: euclidean + pq_m stays fenced
+        vector_engine.train_vector_index("emb_l2", pq_m=8)
     with pytest.raises(TranspilerBindingError, match="nprobe"):
         vector_engine.train_vector_index("emb_idx", n_cells=4, nprobe=9)
+
+
+def test_train_vector_index_euclidean(vector_engine, spark):
+    """Round 12 (VERDICT r11 #5): euclidean indexes train plain-L2
+    Lloyd's cells. Exhaustive probe (nprobe == n_cells) must equal the
+    brute scan exactly; a 1-cell probe prunes candidates."""
+    v = _qvec(spark)
+    q = (
+        "CALL db.index.vector.queryNodes('emb_l2', 6, $v) "
+        "YIELD node, score "
+        "RETURN node.vec_id AS id, round(score, 9) AS s ORDER BY s DESC, id"
+    )
+    try:
+        exact = [
+            (r.id, r.s)
+            for r in vector_engine.cypher(q, params={"v": v}).collect()
+        ]
+        vector_engine.train_vector_index(
+            "emb_l2", n_cells=6, nprobe=6, iters=2
+        )
+        trained = [
+            (r.id, r.s)
+            for r in vector_engine.cypher(q, params={"v": v}).collect()
+        ]
+        assert trained == exact and exact
+        # pruned probe: candidates come from ONE cell only
+        vector_engine.train_vector_index(
+            "emb_l2", n_cells=6, nprobe=1, iters=2
+        )
+        cents, nprobe, celled, books, _ = vector_engine._vector_ann[
+            "emb_l2"
+        ]
+        assert books is None and nprobe == 1
+        cell_sizes = {
+            r.cell: r.n
+            for r in celled.groupBy("cell").count().withColumnRenamed(
+                "count", "n"
+            ).collect()
+        }
+        pruned = vector_engine.cypher(
+            "CALL db.index.vector.queryNodes('emb_l2', 10000, $v) "
+            "YIELD node, score RETURN count(*) AS c",
+            params={"v": v},
+        ).collect()[0].c
+        assert pruned in cell_sizes.values()  # exactly one cell scanned
+        assert pruned < sum(cell_sizes.values())
+    finally:
+        vector_engine._vector_ann.clear()
+        vector_engine.clear_caches()
 
 
 # -- round 11: CALL db.index.vector.queryRelationships ------------------------
@@ -1288,10 +1459,62 @@ def test_vector_query_relationships(rel_vector_engine):
         params={"v": v},
     ).collect()[0].c
     assert c == 3
-    # memoized winners (shares the queryNodes cache, 'rel'-tagged keys)
-    assert any(
-        k[0] == "rel" for k in rel_vector_engine._vector_topk_cache
+
+
+def test_vector_query_relationships_parallel_edges(spark):
+    """Round 12 (VERDICT r11 #3): the winner identity includes the
+    indexed vector — PARALLEL relationships sharing endpoints no longer
+    co-match. Two (1)->(10) edges with different vectors: k=1 must
+    return exactly the winning edge's own properties."""
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EdgeSchema,
+        EntityProperty,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
     )
+
+    reg = TableRegistry()
+    reg.register_df("pa", spark.createDataFrame([(1,)], "id long"))
+    reg.register_df("pb", spark.createDataFrame([(10,)], "id long"))
+    reg.register_df(
+        "pr",
+        spark.createDataFrame(
+            [
+                (1, 10, [1.0, 0.0], "aligned"),
+                (1, 10, [0.0, 1.0], "orthogonal"),
+            ],
+            "src long, dst long, emb array<float>, tag string",
+        ),
+    )
+    g = GraphSchema(
+        [
+            NodeSchema("PA", "pa", "id", (), "bigint"),
+            NodeSchema("PB", "pb", "id", (), "bigint"),
+        ],
+        [
+            EdgeSchema(
+                "PR", "PA", "PB", "pr", "src", "dst",
+                (
+                    EntityProperty("emb", "array<float>"),
+                    EntityProperty("tag", "string"),
+                ),
+            )
+        ],
+    )
+    eng = CypherEngine(spark, g, reg)
+    eng.create_relationship_vector_index("pemb", "PR", "emb")
+    got = [
+        tuple(r)
+        for r in eng.cypher(
+            "CALL db.index.vector.queryRelationships('pemb', 1, $v) "
+            "YIELD relationship AS r, score "
+            "RETURN r.tag AS tag, round(score, 4) AS s",
+            params={"v": [1.0, 0.0]},
+        ).collect()
+    ]
+    assert got == [("aligned", 1.0)]  # r11 co-matched both parallel edges
 
 
 def test_vector_query_relationships_errors(rel_vector_engine):
@@ -1401,13 +1624,19 @@ def fulltext_engine(spark):
         [
             NodeSchema(
                 "Doc", "documents", "doc_id",
-                (EntityProperty("text", "string"),), "bigint",
+                (
+                    EntityProperty("text", "string"),
+                    EntityProperty("source", "string"),
+                    EntityProperty("lang", "string"),
+                ),
+                "bigint",
             )
         ],
         [],
     )
     eng = CypherEngine(spark, g, reg)
     eng.create_fulltext_index("docs_ft", "Doc", "text")
+    eng.create_fulltext_index("docs_multi", "Doc", ["text", "source"])
     return eng
 
 
@@ -1469,14 +1698,213 @@ def test_fulltext_query_nodes_bm25(fulltext_engine, spark):
         "WHERE score > 0 RETURN count(*) AS c"
     ).collect()[0].c
     assert c == len(exp)
-    assert any(
-        k[0] == "ft" for k in fulltext_engine._vector_topk_cache
-    )
     # standalone CALL implies YIELD node, score
     st = fulltext_engine.cypher(
         "CALL db.index.fulltext.queryNodes('docs_ft', 'vector', {limit: 3})"
     )
     assert st.columns == ["node", "score"] and st.count() <= 3
+
+
+def _bm25_multi_oracle(spark, fields, query, limit):
+    """Independent plain-python oracle for the round-12 fulltext
+    semantics: per-FIELD Okapi BM25 (k1=1.2, b=0.75, per-field N/avgdl/
+    df) summed per document; minimal Lucene boolean subset — bare terms
+    SHOULD, +MUST, -MUST_NOT, quoted phrases = exact analyzed token
+    sequence scored by member terms."""
+    import math
+    import re
+
+    from tests.conftest import SF_DIR
+
+    rows = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", *fields
+    ).collect()
+
+    def analyze(s):
+        return [x for x in re.split(r"[^a-z0-9]+", s.lower()) if x]
+
+    toks = {
+        f: {r.doc_id: analyze(r[f]) for r in rows if r[f] is not None}
+        for f in fields
+    }
+    stats = {
+        f: (
+            len(toks[f]),
+            (sum(len(v) for v in toks[f].values()) / len(toks[f]))
+            if toks[f]
+            else 0.0,
+        )
+        for f in fields
+    }
+
+    clauses = []
+    seen = set()
+    for m in re.finditer(r'([+\-]?)(?:"([^"]*)"|(\S+))', query):
+        mod, quoted, bare = m.group(1), m.group(2), m.group(3)
+        tks = analyze(quoted if quoted is not None else bare)
+        if not tks:
+            continue
+        pieces = (
+            [tuple(tks)]
+            if quoted is not None and len(tks) > 1
+            else [(t,) for t in tks]
+        )
+        for p in pieces:
+            if (mod, p) not in seen:
+                seen.add((mod, p))
+                clauses.append((mod, p))
+
+    def field_term_score(f, t, did):
+        n, avgdl = stats[f]
+        tk = toks[f].get(did)
+        if tk is None or n == 0 or avgdl == 0.0:
+            return 0.0
+        df = sum(1 for v in toks[f].values() if t in v)
+        if df == 0:
+            return 0.0
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        tf = tk.count(t)
+        return idf * tf * 2.2 / (
+            tf + 1.2 * (0.25 + 0.75 * len(tk) / avgdl)
+        )
+
+    def contains_seq(tk, seq):
+        ln = len(seq)
+        return any(
+            tuple(tk[i:i + ln]) == seq for i in range(len(tk) - ln + 1)
+        )
+
+    def clause_match(did, tks):
+        for f in fields:
+            tk = toks[f].get(did)
+            if tk is None:
+                continue
+            if len(tks) == 1:
+                if tks[0] in tk:
+                    return True
+            elif contains_seq(tk, tks):
+                return True
+        return False
+
+    out = {}
+    dids = {r.doc_id for r in rows}
+    for did in dids:
+        s = 0.0
+        match_any = False
+        ok = True
+        for mod, tks in clauses:
+            m = clause_match(did, tks)
+            if mod == "-":
+                if m:
+                    ok = False
+                continue
+            if mod == "+" and not m:
+                ok = False
+            if m:
+                match_any = True
+                s += sum(
+                    field_term_score(f, t, did)
+                    for t in tks
+                    for f in fields
+                )
+        if ok and match_any and s > 0:
+            out[did] = s
+    ranked = sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
+    return [(i, round(s, 6)) for i, s in ranked]
+
+
+def test_fulltext_multi_property_index(fulltext_engine, spark):
+    """Round 12 (VERDICT r11 #4): per-field BM25 summed across the
+    indexed properties, vs the independent python oracle."""
+    got = [
+        (r.id, r.s)
+        for r in fulltext_engine.cypher(
+            "CALL db.index.fulltext.queryNodes('docs_multi', "
+            "'fast src3 merge', {limit: 12}) YIELD node, score "
+            "RETURN node.doc_id AS id, round(score, 6) AS s "
+            "ORDER BY s DESC, id"
+        ).collect()
+    ]
+    exp = _bm25_multi_oracle(spark, ["text", "source"], "fast src3 merge", 12)
+    assert got == exp and got
+
+
+def test_fulltext_boolean_operators(fulltext_engine, spark):
+    """+term is MUST, -term is MUST_NOT; scores still exact BM25."""
+    q = '+fast merge -slow'
+    got = [
+        (r.id, r.s)
+        for r in fulltext_engine.cypher(
+            "CALL db.index.fulltext.queryNodes('docs_ft', $q, "
+            "{limit: 15}) YIELD node, score "
+            "RETURN node.doc_id AS id, round(score, 6) AS s "
+            "ORDER BY s DESC, id",
+            params={"q": q},
+        ).collect()
+    ]
+    exp = _bm25_multi_oracle(spark, ["text"], q, 15)
+    assert got == exp and got
+    # every winner contains 'fast' and not 'slow'
+    import re
+
+    from tests.conftest import SF_DIR
+
+    texts = {
+        r.doc_id: set(re.split(r"[^a-z0-9]+", r.text.lower()))
+        for r in spark.read.parquet(
+            f"{SF_DIR}/documents.parquet"
+        ).collect()
+        if r.text is not None
+    }
+    for did, _s in got:
+        assert "fast" in texts[did] and "slow" not in texts[did]
+
+
+def test_fulltext_phrase_query(fulltext_engine, spark):
+    """Quoted phrases match the exact analyzed token sequence."""
+    q = '+"batch batch" merge'
+    got = [
+        (r.id, r.s)
+        for r in fulltext_engine.cypher(
+            "CALL db.index.fulltext.queryNodes('docs_ft', $q, "
+            "{limit: 10}) YIELD node, score "
+            "RETURN node.doc_id AS id, round(score, 6) AS s "
+            "ORDER BY s DESC, id",
+            params={"q": q},
+        ).collect()
+    ]
+    exp = _bm25_multi_oracle(spark, ["text"], q, 10)
+    assert got == exp and got
+    # every winner really contains the adjacent sequence
+    import re
+
+    from tests.conftest import SF_DIR
+
+    for did, _s in got:
+        row = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter(f"doc_id = {did}")
+            .collect()[0]
+        )
+        tk = [x for x in re.split(r"[^a-z0-9]+", row.text.lower()) if x]
+        assert any(
+            tk[i:i + 2] == ["batch", "batch"] for i in range(len(tk) - 1)
+        )
+
+
+def test_fulltext_multi_property_ddl(fulltext_engine):
+    """CREATE FULLTEXT INDEX ... ON EACH [n.a, n.b] registers a
+    multi-property index; SHOW INDEXES lists the property list."""
+    fulltext_engine.cypher(
+        "CREATE FULLTEXT INDEX ddl_multi FOR (d:Doc) "
+        "ON EACH [d.text, d.lang]"
+    )
+    rows = {
+        r.name: r.property
+        for r in fulltext_engine.cypher("SHOW INDEXES").collect()
+    }
+    assert rows["ddl_multi"] == "text,lang"
+    fulltext_engine.cypher("DROP INDEX ddl_multi")
 
 
 def test_fulltext_query_nodes_errors(fulltext_engine):
@@ -1730,18 +2158,15 @@ def test_call_scalar_import_null_value(engine):
     assert got[0].isn is True and got[0].plus is None
 
 
-def test_call_relationship_import_keeps_fence(engine):
-    from opencyphertranspiler_spark.exceptions import (
-        TranspilerNotSupportedError,
-    )
-
-    with pytest.raises(
-        TranspilerNotSupportedError, match="node-entity and scalar"
-    ):
-        engine.cypher(
-            "MATCH (c:Customer)-[rel:PLACED]->(o:Orders) "
-            "CALL { WITH rel RETURN 1 AS one } RETURN count(*) AS c"
-        )
+def test_call_relationship_import_unfenced(engine, duck):
+    """Round 12 (VERDICT r11 #6): the r11 relationship-import fence is
+    lifted — CALL {{ WITH rel }} runs once per edge identity."""
+    got = engine.cypher(
+        "MATCH (c:Customer)-[rel:PLACED]->(o:Orders) "
+        "CALL { WITH rel RETURN 1 AS one } RETURN count(*) AS c"
+    ).collect()[0].c
+    exp = duck.sql("SELECT count(*) FROM orders").fetchall()[0][0]
+    assert got == exp
 
 
 # -- round 11 (continuation): outer SCALARS inside exists fabrics ------------
@@ -1774,6 +2199,54 @@ def test_exists_subquery_with_outer_scalar(engine, duck):
         )
     )
     assert got == exp
+
+
+def test_exists_subquery_with_outer_map_nested_path(engine, duck):
+    """ADVICE r11 (low): an outer MAP scalar accessed through a NESTED
+    path inside the exists fabric threads like a flat access."""
+    got = sorted(
+        map(
+            tuple,
+            engine.cypher(
+                "MATCH (r:Region) "
+                "WITH {outer: {rk: r.r_regionkey}} AS m "
+                "MATCH (n:Nation) WHERE EXISTS { "
+                "MATCH (n)-[:IN_REGION]->"
+                "(:Region {r_regionkey: m.outer.rk}) } "
+                "RETURN m.outer.rk AS rk, count(*) AS c"
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                "SELECT r.r_regionkey, count(*) FROM region r "
+                "JOIN nation n ON n.n_regionkey = r.r_regionkey "
+                "GROUP BY 1"
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+
+
+def test_call_body_rand_rejected(engine):
+    """ADVICE r11 (low): rand()/randomUUID() in a CALL body would run
+    once per distinct correlation key, not per outer row — typed error
+    instead of a silent divergence from Neo4j."""
+    from opencyphertranspiler_spark.exceptions import (
+        TranspilerNotSupportedError,
+    )
+
+    for fn in ("rand()", "randomUUID()"):
+        with pytest.raises(
+            TranspilerNotSupportedError, match="per outer row"
+        ):
+            engine.cypher(
+                "MATCH (c:Customer) WITH c.c_custkey AS k "
+                f"CALL {{ WITH k RETURN k + 0 * {fn.replace('randomUUID()', 'size(randomUUID())')} AS x }} "
+                "RETURN count(*) AS n"
+            )
 
 
 def test_not_exists_and_or_positions_with_outer_scalar(engine, duck):

@@ -1117,6 +1117,31 @@ def test_ml_zero_varlength_zero_impossible(chain_ml_engine):
     assert got == [("x1", "z1"), ("x2", "z2"), ("y1", "z3")]
 
 
+def test_ml_zero_between_intersecting_disjunctions(engine, duck):
+    """Round 12 (VERDICT r11 #8): *0..1 between INTERSECTING label
+    disjunctions lowers to one zero branch per intersection member
+    (here {Lineitem}) plus the floored hop — previously a typed
+    error."""
+    got = sorted(
+        map(
+            tuple,
+            engine.cypher(
+                "MATCH (u:Orders|Lineitem)-[:CONTAINS|OF_PART*0..1]->"
+                "(x:Lineitem|Part) "
+                "RETURN labels(u)[0] AS lu, labels(x)[0] AS lx, "
+                "count(*) AS n"
+            ).collect(),
+        )
+    )
+    li = duck.sql("SELECT count(*) FROM lineitem").fetchall()[0][0]
+    # zero: u = x = each Lineitem; one hop: CONTAINS (O->L), OF_PART (L->P)
+    assert got == [
+        ("Lineitem", "Lineitem", li),
+        ("Lineitem", "Part", li),
+        ("Orders", "Lineitem", li),
+    ]
+
+
 def test_ml_zero_varlength_fences(zero_ml_engine, chain_ml_engine):
     # unlabeled other endpoint: the zero variant cannot resolve the merge
     with pytest.raises(TranspilerNotSupportedError, match="labeled"):

@@ -3248,9 +3248,10 @@ def test_row_per_path_cyclic_chord_vs_duckdb(spark):
 
 
 def test_row_per_path_cap_fallback(spark):
-    """A cap overflow (here: max 2 enumeration rounds on a graph whose
-    longest rel-unique path is 3) warns and falls back to the documented
-    witness-pair model; *2.. keeps the typed error."""
+    """Round 12 (VERDICT r11 #2): a cap overflow is a TYPED ERROR by
+    default — the degraded walk/witness models change row counts on
+    cyclic graphs. allow_walk_fallback=True restores the r11 behavior
+    (warn + witness-pair model); *2.. keeps its own typed error."""
     import warnings
 
     from opencyphertranspiler_spark.exceptions import (
@@ -3268,7 +3269,17 @@ def test_row_per_path_cap_fallback(spark):
         [NodeSchema("N", "n", "id", ())],
         [EdgeSchema("L", "N", "N", "l", "src", "dst")],
     )
-    eng = CypherEngine(spark, g, reg, path_enum_max_hops=2)
+    strict = CypherEngine(spark, g, reg, path_enum_max_hops=2)
+    with pytest.raises(
+        TranspilerNotSupportedError, match="allow_walk_fallback"
+    ):
+        strict.cypher(
+            "MATCH p = (x:N)-[:L*]->(y:N) "
+            "RETURN x.id AS x, y.id AS y, length(p) AS l"
+        )
+    eng = CypherEngine(
+        spark, g, reg, path_enum_max_hops=2, allow_walk_fallback=True
+    )
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         got = sorted(
@@ -3297,6 +3308,23 @@ def test_row_per_path_cap_fallback(spark):
             eng.cypher(
                 "MATCH p = (x:N)-[:L*2..]->(y:N) RETURN length(p) AS l"
             )
+    # *n.. floor WITHOUT a path variable: strict engine -> typed error,
+    # opt-in engine -> warning + walk pair model
+    with pytest.raises(
+        TranspilerNotSupportedError, match="allow_walk_fallback"
+    ):
+        strict.cypher(
+            "MATCH (x:N)-[:L*2..]->(y:N) RETURN count(*) AS n"
+        )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        n = eng.cypher(
+            "MATCH (x:N)-[:L*2..]->(y:N) RETURN count(*) AS n"
+        ).collect()[0].n
+    assert n == 9  # walk model over the 3-cycle: every ordered pair
+    assert any(
+        issubclass(w.category, PathEnumerationCapWarning) for w in caught
+    )
 
 
 def test_row_per_path_undirected(spark):

