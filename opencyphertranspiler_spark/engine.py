@@ -165,6 +165,11 @@ class CypherEngine:
         # clear_caches)
         self._fulltext_indexes: dict[str, tuple[str, tuple[str, ...]]] = {}
         self._fulltext_stats: dict[tuple, tuple[int, float]] = {}
+        # relationship full-text indexes (round 12):
+        # name -> (verb, (property, ...))
+        self._rel_fulltext_indexes: dict[
+            str, tuple[str, tuple[str, ...]]
+        ] = {}
 
     def clear_caches(self) -> None:
         """Release engine-lifetime materializations: the unbounded-`*`
@@ -245,6 +250,41 @@ class CypherEngine:
                     f"Node '{label}' has no property '{p}' to index"
                 )
         self._fulltext_indexes[name] = (label, tuple(props))
+
+    def create_relationship_fulltext_index(
+        self, name: str, verb: str, property: "str | list[str]"
+    ) -> None:
+        """Register a full-text index over one or more string properties
+        of a relationship type (Neo4j: ``CREATE FULLTEXT INDEX name FOR
+        ()-[r:TYPE]-() ON EACH [r.p1, ...]``) for ``CALL
+        db.index.fulltext.queryRelationships(name, $q) YIELD
+        relationship, score`` (round 12). Same analyzer, per-field BM25
+        and query-syntax subset as the node surface."""
+        edges = self.graph.edges_by_verb(verb)
+        if not edges:
+            raise TranspilerBindingError(
+                f"No relationship type '{verb}' to index"
+            )
+        if len(edges) > 1:
+            raise TranspilerNotSupportedError(
+                f"Relationship type '{verb}' maps to several edge tables "
+                "— relationship fulltext indexes need a unique edge"
+            )
+        props = (
+            [property] if isinstance(property, str) else list(property)
+        )
+        if not props:
+            raise TranspilerBindingError(
+                "create_relationship_fulltext_index needs at least one "
+                "property"
+            )
+        for p in props:
+            if p not in edges[0].property_names:
+                raise TranspilerBindingError(
+                    f"Relationship '{verb}' has no property '{p}' to "
+                    "index"
+                )
+        self._rel_fulltext_indexes[name] = (verb, tuple(props))
 
     def create_relationship_vector_index(
         self,
@@ -438,6 +478,11 @@ class CypherEngine:
             ] + [
                 (n, "FULLTEXT", "NODE", lbl, ",".join(ps), "EXACT")
                 for n, (lbl, ps) in sorted(self._fulltext_indexes.items())
+            ] + [
+                (n, "FULLTEXT", "RELATIONSHIP", v, ",".join(ps), "EXACT")
+                for n, (v, ps) in sorted(
+                    self._rel_fulltext_indexes.items()
+                )
             ]
             return self.spark.createDataFrame(
                 rows or [(None, None, None, None, None, None)],
@@ -454,6 +499,7 @@ class CypherEngine:
                 self._vector_indexes,
                 self._rel_vector_indexes,
                 self._fulltext_indexes,
+                self._rel_fulltext_indexes,
             ):
                 if name in reg:
                     del reg[name]
@@ -487,6 +533,7 @@ class CypherEngine:
             name in self._vector_indexes
             or name in self._rel_vector_indexes
             or name in self._fulltext_indexes
+            or name in self._rel_fulltext_indexes
         )
         if exists:
             if if_not_exists:
@@ -504,12 +551,16 @@ class CypherEngine:
             target,
         )
         if kind == "FULLTEXT":
-            if not node_t:
+            if not node_t and not rel_t:
                 raise TranspilerNotSupportedError(
-                    "CREATE FULLTEXT INDEX supports the node form "
-                    "FOR (n:Label) ON EACH [n.prop]"
+                    "CREATE FULLTEXT INDEX supports FOR (n:Label) or "
+                    "FOR ()-[r:TYPE]-() ON EACH [<alias>.<prop>, ...]"
                 )
-            alias, label = node_t.group(1), node_t.group(2)
+            alias, entity = (
+                (node_t.group(1), node_t.group(2))
+                if node_t
+                else (rel_t.group(1), rel_t.group(2))
+            )
             mon = re.match(r"(?is)^EACH\s*\[(.+)\]$", on)
             props = None
             if mon:
@@ -527,9 +578,14 @@ class CypherEngine:
                     "CREATE FULLTEXT INDEX: ON EACH "
                     "[<alias>.<prop>, ...]"
                 )
-            self.create_fulltext_index(name, label, props)
+            if node_t:
+                self.create_fulltext_index(name, entity, props)
+            else:
+                self.create_relationship_fulltext_index(
+                    name, entity, props
+                )
             return self.spark.createDataFrame(
-                [(name, "FULLTEXT", label, ",".join(props))],
+                [(name, "FULLTEXT", entity, ",".join(props))],
                 "name string, type string, entity string, property string",
             )
         # VECTOR: strip OPTIONS, read similarity from it if present
@@ -783,6 +839,12 @@ class CypherEngine:
                     # round 11: BM25 full-text surface
                     new_clauses.extend(
                         self._fulltext_query_clauses(clause, params)
+                    )
+                    continue
+                if clause.name == "db.index.fulltext.queryrelationships":
+                    # round 12: relationship BM25 surface
+                    new_clauses.extend(
+                        self._fulltext_query_rel_clauses(clause, params)
                     )
                     continue
                 if len(clause.yields) > 1:
@@ -1235,6 +1297,42 @@ class CypherEngine:
         vector surface, so `node` is a REAL entity and nothing collects
         to the driver."""
         name = clause.name
+        index, qstr, limit = self._fulltext_call_args(clause, params)
+        if index not in self._fulltext_indexes:
+            known = ", ".join(sorted(self._fulltext_indexes)) or "(none)"
+            raise TranspilerBindingError(
+                f"CALL {name}: no fulltext index '{index}' — register "
+                f"one with create_fulltext_index(); known: {known}"
+            )
+        label, props = self._fulltext_indexes[index]
+        yields = list(clause.yields) or [("node", "node"), ("score", "score")]
+        node_alias = score_alias = None
+        for yname, alias in yields:
+            if yname == "node" and node_alias is None:
+                node_alias = alias
+            elif yname == "score" and score_alias is None:
+                score_alias = alias
+            else:
+                raise TranspilerNotSupportedError(
+                    f"CALL {name} yields 'node, score', not '{yname}'"
+                )
+        bind_alias = node_alias or f"__ft_node_{id(clause) & 0xFFFF:x}"
+
+        ft_clauses = self._parse_fulltext_query(qstr)
+        nsch = self.graph.get_node(label)
+        fargs = (index, label, list(props), ft_clauses, int(limit))
+        wlabel = self._register_winner_node(
+            nsch.id_property_type,
+            lambda: self._fulltext_topk_frame(*fargs),
+        )
+        return self._winner_join_clauses(
+            clause, label, wlabel, bind_alias, node_alias, score_alias
+        )
+
+    def _fulltext_call_args(self, clause, params):
+        """Validate ``(indexName, queryString[, {limit: n}])`` for the
+        fulltext procedures; returns (index, qstr, limit)."""
+        name = clause.name
 
         def const_arg(i: int, what: str):
             return self._call_const_arg(name, clause.args, i, what, params)
@@ -1280,35 +1378,176 @@ class CypherEngine:
             raise TranspilerBindingError(
                 f"CALL {name}: limit must be a positive integer"
             )
-        if index not in self._fulltext_indexes:
-            known = ", ".join(sorted(self._fulltext_indexes)) or "(none)"
-            raise TranspilerBindingError(
-                f"CALL {name}: no fulltext index '{index}' — register "
-                f"one with create_fulltext_index(); known: {known}"
+        return index, qstr, limit
+
+    def _fulltext_query_rel_clauses(self, clause, params: dict | None) -> list:
+        """``CALL db.index.fulltext.queryRelationships(index, $q[,
+        {limit: n}]) YIELD relationship, score`` (round 12) — the
+        relationship analogue of the node BM25 surface. Same analyzer,
+        per-field statistics and +/-/"phrase" query subset; the LAZY
+        winner frame carries (src, dst, indexed property values, score)
+        and the desugar matches on the endpoint ids plus NULL-SAFE
+        equality of every indexed property (the rel-identity treatment
+        of the vector surface — only relationships with byte-identical
+        indexed text on the same endpoints co-match, and those score
+        identically anyway)."""
+        name = clause.name
+        index, qstr, limit = self._fulltext_call_args(clause, params)
+        if index not in self._rel_fulltext_indexes:
+            known = (
+                ", ".join(sorted(self._rel_fulltext_indexes)) or "(none)"
             )
-        label, props = self._fulltext_indexes[index]
-        yields = list(clause.yields) or [("node", "node"), ("score", "score")]
-        node_alias = score_alias = None
+            raise TranspilerBindingError(
+                f"CALL {name}: no relationship fulltext index '{index}' "
+                f"— register one with "
+                f"create_relationship_fulltext_index(); known: {known}"
+            )
+        verb, props = self._rel_fulltext_indexes[index]
+        edge = self.graph.edges_by_verb(verb)[0]
+        yields = list(clause.yields) or [
+            ("relationship", "relationship"),
+            ("score", "score"),
+        ]
+        rel_alias = score_alias = None
         for yname, alias in yields:
-            if yname == "node" and node_alias is None:
-                node_alias = alias
+            if yname == "relationship" and rel_alias is None:
+                rel_alias = alias
             elif yname == "score" and score_alias is None:
                 score_alias = alias
             else:
                 raise TranspilerNotSupportedError(
-                    f"CALL {name} yields 'node, score', not '{yname}'"
+                    f"CALL {name} yields 'relationship, score', not "
+                    f"'{yname}'"
                 )
-        bind_alias = node_alias or f"__ft_node_{id(clause) & 0xFFFF:x}"
+        suffix = f"{id(clause) & 0xFFFF:x}"
+        bind_rel = rel_alias or f"__ftr_rel_{suffix}"
+        a_alias = f"__ftr_a_{suffix}"
+        b_alias = f"__ftr_b_{suffix}"
 
         ft_clauses = self._parse_fulltext_query(qstr)
-        nsch = self.graph.get_node(label)
-        fargs = (index, label, list(props), ft_clauses, int(limit))
-        wlabel = self._register_winner_node(
-            nsch.id_property_type,
-            lambda: self._fulltext_topk_frame(*fargs),
+        eprops = [
+            next(
+                (p for p in edge.properties if p.name == pr),
+                EntityProperty(pr, "string"),
+            )
+            for pr in props
+        ]
+        fargs = (
+            index, edge.table, edge.source_id_property,
+            edge.sink_id_property, list(props), ft_clauses, int(limit),
         )
-        return self._winner_join_clauses(
-            clause, label, wlabel, bind_alias, node_alias, score_alias
+        wlabel = self._register_winner_node(
+            "string",
+            lambda: self._rel_fulltext_topk_frame(*fargs),
+            extra_props=(
+                EntityProperty("__src", edge.source_id_property_type),
+                EntityProperty("__dst", edge.sink_id_property_type),
+                *[
+                    EntityProperty(f"__pv{i}", ep.data_type)
+                    for i, ep in enumerate(eprops)
+                ],
+            ),
+        )
+        w_alias = f"__ftrw_{suffix}_{self._winner_seq}"
+
+        a_id = self.graph.get_node(edge.source_label).id_property
+        b_id = self.graph.get_node(edge.sink_label).id_property
+        where = A.Binary(
+            A.BinaryOp.AND,
+            A.Binary(
+                A.BinaryOp.EQ,
+                A.Property(a_alias, a_id),
+                A.Property(w_alias, "__src"),
+            ),
+            A.Binary(
+                A.BinaryOp.EQ,
+                A.Property(b_alias, b_id),
+                A.Property(w_alias, "__dst"),
+            ),
+        )
+        for i, pr in enumerate(props):
+            nullsafe = A.Binary(
+                A.BinaryOp.OR,
+                A.Binary(
+                    A.BinaryOp.EQ,
+                    A.Property(bind_rel, pr),
+                    A.Property(w_alias, f"__pv{i}"),
+                ),
+                A.Binary(
+                    A.BinaryOp.AND,
+                    A.FuncCall("isnull", [A.Property(bind_rel, pr)]),
+                    A.FuncCall("isnull", [A.Property(w_alias, f"__pv{i}")]),
+                ),
+            )
+            where = A.Binary(A.BinaryOp.AND, where, nullsafe)
+        out = [
+            A.MatchClause(
+                patterns=[
+                    A.PatternPart(
+                        [
+                            A.NodePattern(a_alias, edge.source_label),
+                            A.NodePattern(b_alias, edge.sink_label),
+                        ],
+                        [
+                            A.RelPattern(
+                                bind_rel, verb, A.Direction.FORWARD
+                            )
+                        ],
+                    ),
+                    A.PatternPart([A.NodePattern(w_alias, wlabel)], []),
+                ],
+                where=where,
+            )
+        ]
+        items = []
+        if score_alias is not None:
+            items.append((score_alias, A.Property(w_alias, "__score")))
+        out.append(
+            A.ProjectionClause(items=items, star=True, exclude=(w_alias,))
+        )
+        if clause.where is not None:
+            out.append(
+                A.ProjectionClause(items=[], star=True, where=clause.where)
+            )
+        if clause.standalone:
+            items = []
+            if rel_alias is not None or not clause.yields:
+                items.append((bind_rel, A.Variable(bind_rel)))
+            if score_alias is not None or not clause.yields:
+                sa = score_alias or "score"
+                items.append((sa, A.Variable(sa)))
+            out.append(A.ProjectionClause(items=items, is_return=True))
+        return out
+
+    def _rel_fulltext_topk_frame(
+        self, index: str, edge_table: str, src_col: str, dst_col: str,
+        props: list, clauses: list, limit: int,
+    ):
+        """LAZY relationship BM25 winner frame: (__id, __src, __dst,
+        __pv<i>..., __score) top-k over the edge table; ``__id`` is a
+        synthetic string key satisfying the virtual node's id
+        contract."""
+        tbl = self.tables.get(edge_table)
+        key_exprs = [
+            F.col(src_col).alias("__src"),
+            F.col(dst_col).alias("__dst"),
+            *[F.col(p).alias(f"__pv{i}") for i, p in enumerate(props)],
+        ]
+        top = self._bm25_topk(
+            tbl, key_exprs,
+            ["__src", "__dst"],
+            index, props, clauses, limit,
+        )
+        return top.select(
+            F.concat_ws(
+                "\x1f",
+                F.col("__src").cast("string"),
+                F.col("__dst").cast("string"),
+                F.xxhash64(
+                    *[F.col(f"__pv{i}") for i in range(len(props))]
+                ).cast("string"),
+            ).alias("__id"),
+            "*",
         )
 
     @staticmethod
@@ -1348,20 +1587,36 @@ class CypherEngine:
         self, index: str, label: str, props: list, clauses: list,
         limit: int,
     ):
-        """Distributed BM25 top-k PLAN (lazy — the winner join consumes
-        it): tokens = lowercase non-alnum split per indexed FIELD;
-        per-field idf = ln(1 + (N - df + 0.5)/(df + 0.5)) from one
-        df-aggregate pass over (field, term); per-doc term frequency via
-        JVM size(filter(...)); field scores SUM per document (Lucene's
+        """Distributed BM25 top-k PLAN over a NODE label (lazy — the
+        winner join consumes it); scoring core shared with the
+        relationship surface via :meth:`_bm25_topk`."""
+        nsch = self.graph.get_node(label)
+        df_tbl = self.tables.get(nsch.table)
+        return self._bm25_topk(
+            df_tbl,
+            [F.col(nsch.id_property).alias("__id")],
+            ["__id"],
+            index, props, clauses, limit,
+        )
+
+    def _bm25_topk(
+        self, df_tbl, key_exprs: list, order_cols: list, index: str,
+        props: list, clauses: list, limit: int,
+    ):
+        """Generic distributed BM25 top-k PLAN: tokens = lowercase
+        non-alnum split per indexed FIELD; per-field idf =
+        ln(1 + (N - df + 0.5)/(df + 0.5)) from one df-aggregate pass
+        over (field, term); per-doc term frequency via JVM
+        size(filter(...)); field scores SUM per document (Lucene's
         per-field statistics + BooleanQuery combination). ``clauses`` is
         the _parse_fulltext_query output: SHOULD terms score, MUST
         clauses gate, MUST_NOT clauses exclude, multi-token tuples are
-        phrases (exact analyzed token sequence, scored by member
-        terms)."""
+        phrases (exact analyzed token sequence, scored by member terms).
+        ``key_exprs`` are the passthrough identity columns; the result
+        is (keys..., __score) ordered by (__score desc, order_cols)
+        limit ``limit``."""
         import math
 
-        nsch = self.graph.get_node(label)
-        df_tbl = self.tables.get(nsch.table)
         nprops = len(props)
 
         def toks_col(p):
@@ -1374,15 +1629,18 @@ class CypherEngine:
             )
 
         base = df_tbl.select(
-            F.col(nsch.id_property).alias("__id"),
+            *key_exprs,
             *[toks_col(p).alias(f"__toks{i}") for i, p in enumerate(props)],
             *[
                 F.col(p).isNotNull().alias(f"__has{i}")
                 for i, p in enumerate(props)
             ],
         )
+        key_names = [
+            base.columns[i] for i in range(len(key_exprs))
+        ]
         empty = base.select(
-            F.col("__id"), F.lit(0.0).alias("__score")
+            *key_names, F.lit(0.0).alias("__score")
         ).filter(F.lit(False))
         # per-field corpus stats (memoized per (index, property))
         missing = [
@@ -1526,11 +1784,14 @@ class CypherEngine:
             cond = cond & ~ex
         return (
             base.select(
-                F.col("__id"),
+                *key_names,
                 F.when(cond, score).otherwise(F.lit(0.0)).alias("__score"),
             )
             .filter(F.col("__score") > 0)
-            .orderBy(F.col("__score").desc(), F.col("__id"))
+            .orderBy(
+                F.col("__score").desc(),
+                *[F.col(c) for c in order_cols],
+            )
             .limit(limit)
         )
 

@@ -1981,6 +1981,99 @@ def test_fulltext_multi_property_ddl(fulltext_engine):
     fulltext_engine.cypher("DROP INDEX ddl_multi")
 
 
+def test_fulltext_query_relationships(spark):
+    """Round 12: relationship fulltext indexes — per-field BM25 over an
+    edge table's string properties; parallel edges with different text
+    don't co-match (null-safe property identity)."""
+    import math
+
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EdgeSchema,
+        EntityProperty,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+    )
+
+    rows = [
+        (1, 10, "fast merge scan", 0.1),
+        (1, 10, "slow table walk", 0.2),   # parallel edge, other text
+        (2, 10, "merge merge merge", 0.3),
+        (2, 20, None, 0.4),                # null text: never matches
+        (1, 20, "fast fast join", 0.5),
+    ]
+    reg = TableRegistry()
+    reg.register_df(
+        "fa", spark.createDataFrame([(1,), (2,)], "id long")
+    )
+    reg.register_df(
+        "fb", spark.createDataFrame([(10,), (20,)], "id long")
+    )
+    reg.register_df(
+        "fr",
+        spark.createDataFrame(
+            rows, "src long, dst long, note string, w double"
+        ),
+    )
+    g = GraphSchema(
+        [
+            NodeSchema("FA", "fa", "id", (), "bigint"),
+            NodeSchema("FB", "fb", "id", (), "bigint"),
+        ],
+        [
+            EdgeSchema(
+                "FR", "FA", "FB", "fr", "src", "dst",
+                (
+                    EntityProperty("note", "string"),
+                    EntityProperty("w", "double"),
+                ),
+            )
+        ],
+    )
+    eng = CypherEngine(spark, g, reg)
+    eng.cypher(
+        "CREATE FULLTEXT INDEX fnote FOR ()-[r:FR]-() ON EACH [r.note]"
+    )
+    shown = {
+        r.name: (r.entityType, r.property)
+        for r in eng.cypher("SHOW INDEXES").collect()
+    }
+    assert shown["fnote"] == ("RELATIONSHIP", "note")
+
+    got = [
+        (r.w, r.s)
+        for r in eng.cypher(
+            "CALL db.index.fulltext.queryRelationships('fnote', "
+            "'merge', {limit: 10}) YIELD relationship AS r, score "
+            "RETURN r.w AS w, round(score, 6) AS s ORDER BY s DESC, w"
+        ).collect()
+    ]
+
+    # plain-python oracle over the 4 non-null docs
+    toks = {
+        w: t.split()
+        for (_s, _d, t, w) in rows
+        if t is not None
+    }
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = sum(1 for v in toks.values() if "merge" in v)
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    exp = []
+    for w, tk in toks.items():
+        tf = tk.count("merge")
+        if tf == 0:
+            continue
+        s = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(tk) / avgdl))
+        exp.append((w, round(s, 6)))
+    exp.sort(key=lambda x: (-x[1], x[0]))
+    assert got == exp and len(got) == 2  # only the two merge-y edges
+    # the parallel (1,10) edge WITHOUT 'merge' must not co-match:
+    # every returned w belongs to an edge whose own text matched
+    assert 0.2 not in {w for w, _ in got}
+
+
 def test_fulltext_query_nodes_errors(fulltext_engine):
     from opencyphertranspiler_spark.exceptions import TranspilerBindingError
 

@@ -223,6 +223,86 @@ def test_match_fabric_vs_duckdb(engine, fuzz_duck, case):
     assert_frames_match(actual, expected)
 
 
+@st.composite
+def rebound_label_case(draw):
+    """Round 12 (ADVICE r11): a LATER clause re-uses a bound alias WITH
+    a label — same label is a no-op, a different label is a per-row
+    predicate (empty branch), and under OPTIONAL MATCH the predicate
+    stays inside the fork (rows survive with nulls)."""
+    chain = draw(st.sampled_from([c for c in CHAINS if len(c) >= 2]))
+    start = draw(st.integers(0, len(chain) - 2))
+    length = draw(st.integers(1, len(chain) - 1 - start))
+    hops = chain[start : start + length]
+    nxt = chain[start + length]
+    labels = [hops[0][0]] + [h[2] for h in hops]
+    aliases = [f"x{i}" for i in range(len(labels))]
+    pat = f"({aliases[0]}:{labels[0]})" + "".join(
+        f"-[:{h[1]}]->({aliases[i + 1]}:{labels[i + 1]})"
+        for i, h in enumerate(hops)
+    )
+    cy = "MATCH " + pat
+    sql_from = f"FROM {TABLE[labels[0]]} {aliases[0]}"
+    for i, h in enumerate(hops):
+        l, r = JOIN_COLS[h]
+        sql_from += (
+            f"\nJOIN {TABLE[labels[i + 1]]} {aliases[i + 1]} "
+            f"ON {aliases[i]}.{l} = {aliases[i + 1]}.{r}"
+        )
+
+    true_label = labels[-1]
+    same = draw(st.booleans())
+    wrong = draw(
+        st.sampled_from(sorted(l for l in TABLE if l != true_label))
+    )
+    relabel = true_label if same else wrong
+    optional = draw(st.booleans())
+    xa, ta = aliases[-1], "t0"
+    l, r = JOIN_COLS[nxt]
+    k = f"{aliases[0]}.{PROJ[labels[0]]}"
+    if optional:
+        cy += (
+            f"\nOPTIONAL MATCH ({xa}:{relabel})-[:{nxt[1]}]->"
+            f"({ta}:{nxt[2]})"
+        )
+        cy += f"\nRETURN {k} AS k, count({ta}) AS m, count(*) AS n"
+        on = f"{xa}.{l} = {ta}.{r}" + ("" if same else " AND FALSE")
+        sql_from += f"\nLEFT JOIN {TABLE[nxt[2]]} {ta} ON {on}"
+        sql = (
+            f"SELECT {k} AS k, count({ta}.{r}) AS m, count(*) AS n\n"
+            + sql_from
+            + "\nGROUP BY 1"
+        )
+    else:
+        cy += f"\nMATCH ({xa}:{relabel})-[:{nxt[1]}]->({ta}:{nxt[2]})"
+        cy += f"\nRETURN {k} AS k, count(*) AS n"
+        sql_from += (
+            f"\nJOIN {TABLE[nxt[2]]} {ta} ON {xa}.{l} = {ta}.{r}"
+        )
+        sql = (
+            f"SELECT {k} AS k, count(*) AS n\n"
+            + sql_from
+            + ("" if same else "\nWHERE FALSE")
+            + "\nGROUP BY 1"
+        )
+    return cy, sql
+
+
+@settings(
+    max_examples=12 * _FUZZ_SCALE,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(case=rebound_label_case())
+def test_rebound_label_fabric_vs_duckdb(engine, fuzz_duck, case):
+    cy, sql = case
+    actual = engine.cypher(cy).toPandas()
+    expected = fuzz_duck.sql(sql).df()
+    assert_frames_match(actual, expected)
+
+
 def test_optional_fork_over_duplicate_natural_keys_pinned(engine, fuzz_duck):
     """Round-7 fuzz catch, pinned deterministically (the hypothesis example
     database is gitignored, so replay must not depend on it).
