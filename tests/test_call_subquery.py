@@ -1981,6 +1981,63 @@ def test_fulltext_multi_property_ddl(fulltext_engine):
     fulltext_engine.cypher("DROP INDEX ddl_multi")
 
 
+def test_fulltext_materialized_postings(fulltext_engine, spark):
+    """Round 12: materialize_fulltext_index builds an inverted index —
+    term-only queries route through the postings (never scanning the
+    corpus) and score IDENTICALLY to the exact scan path; phrase
+    queries keep the scan path; DROP INDEX releases the postings."""
+    import copy
+
+    def run(q):
+        return [
+            (r.id, r.s)
+            for r in fulltext_engine.cypher(
+                "CALL db.index.fulltext.queryNodes('docs_mat', $q, "
+                "{limit: 12}) YIELD node, score "
+                "RETURN node.doc_id AS id, round(score, 6) AS s "
+                "ORDER BY s DESC, id",
+                params={"q": q},
+            ).collect()
+        ]
+
+    fulltext_engine.create_fulltext_index(
+        "docs_mat", "Doc", ["text", "source"]
+    )
+    queries = ["fast merge scan", "+fast merge -slow", "src3 merge"]
+    before = {q: run(q) for q in queries}
+    fulltext_engine.materialize_fulltext_index("docs_mat")
+    mode = {
+        r.name: r.mode
+        for r in fulltext_engine.cypher("SHOW INDEXES").collect()
+    }
+    assert mode["docs_mat"] == "MATERIALIZED"
+    for q in queries:
+        assert run(q) == before[q], q
+    # phrase queries fall back to the exact scan path — still correct
+    ph = run('+"batch batch" merge')
+    assert ph == [
+        (i, s)
+        for i, s in _bm25_multi_oracle(
+            spark, ["text", "source"], '+"batch batch" merge', 12
+        )
+    ]
+    # plan check: the term query's winner subtree reads the postings
+    # (an ExistingRDD from the localCheckpoint), not the parquet corpus
+    df = fulltext_engine.cypher(
+        "CALL db.index.fulltext.queryNodes('docs_mat', 'fast merge', "
+        "{limit: 5}) YIELD node, score RETURN score"
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Scan ExistingRDD" in plan  # the checkpointed postings
+    assert plan.count("documents.parquet") == 1  # only the node bind scan
+    fulltext_engine.cypher("DROP INDEX docs_mat")
+    assert "docs_mat" not in fulltext_engine._fulltext_post
+
+
 def test_fulltext_query_relationships(spark):
     """Round 12: relationship fulltext indexes — per-field BM25 over an
     edge table's string properties; parallel edges with different text
