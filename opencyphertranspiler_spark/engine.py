@@ -1692,6 +1692,46 @@ class CypherEngine:
             )
         nsch = self.graph.get_node(label)
         df_tbl = self.tables.get(nsch.table)
+        if post is not None and clauses:
+            # phrase queries keep the exact scan scoring, but the
+            # postings PRE-FILTER the corpus to candidate docs: a doc
+            # can only match a positive clause if it contains that
+            # clause's tokens, so a semi-join on "has any positive
+            # token" is a lossless candidate superset
+            pos_tokens = sorted(
+                {t for m, toks in clauses if m != "-" for t in toks}
+            )
+            if pos_tokens:
+                postings, dfreq = post[0], post[1]
+                cand_ids = (
+                    postings.filter(F.col("__t").isin(pos_tokens))
+                    .select(F.col("__id").alias("__cand_id"))
+                    .distinct()
+                )
+                df_tbl = df_tbl.join(
+                    cand_ids,
+                    F.col(nsch.id_property) == F.col("__cand_id"),
+                    "left_semi",
+                )
+                # document frequencies must stay FULL-corpus — read them
+                # from the materialized dfreq instead of aggregating the
+                # (now candidate-filtered) scan
+                all_tokens = sorted(
+                    {t for _m, toks in clauses for t in toks}
+                )
+                df_override = {
+                    (int(r["__f"]), r["__t"]): int(r["__df"])
+                    for r in dfreq.filter(
+                        F.col("__t").isin(all_tokens)
+                    ).collect()
+                }
+                return self._bm25_topk(
+                    df_tbl,
+                    [F.col(nsch.id_property).alias("__id")],
+                    ["__id"],
+                    index, props, clauses, limit,
+                    df_override=df_override,
+                )
         return self._bm25_topk(
             df_tbl,
             [F.col(nsch.id_property).alias("__id")],
@@ -1778,6 +1818,7 @@ class CypherEngine:
     def _bm25_topk(
         self, df_tbl, key_exprs: list, order_cols: list, index: str,
         props: list, clauses: list, limit: int,
+        df_override: dict | None = None,
     ):
         """Generic distributed BM25 top-k PLAN: tokens = lowercase
         non-alnum split per indexed FIELD; per-field idf =
@@ -1853,19 +1894,20 @@ class CypherEngine:
             or all(n == 0 or a == 0.0 for n, a in stats.values())
         ):
             return empty
-        # one aggregate pass: document frequency per (field, term)
-        dfs = base.select(
-            *[
-                F.sum(
-                    (
-                        F.col(f"__has{i}")
-                        & F.array_contains(f"__toks{i}", t)
-                    ).cast("int")
-                ).alias(f"df_{i}_{j}")
-                for i in range(nprops)
-                for j, t in enumerate(all_terms)
-            ]
-        ).collect()[0]
+        if df_override is None:
+            # one aggregate pass: document frequency per (field, term)
+            dfs = base.select(
+                *[
+                    F.sum(
+                        (
+                            F.col(f"__has{i}")
+                            & F.array_contains(f"__toks{i}", t)
+                        ).cast("int")
+                    ).alias(f"df_{i}_{j}")
+                    for i in range(nprops)
+                    for j, t in enumerate(all_terms)
+                ]
+            ).collect()[0]
         k1, b = self._FT_K1, self._FT_B
         tix = {t: j for j, t in enumerate(all_terms)}
 
@@ -1877,7 +1919,11 @@ class CypherEngine:
 
         def term_field_score(i, t):
             n_docs, avgdl = stats[i]
-            dfi = int(dfs[f"df_{i}_{tix[t]}"] or 0)
+            dfi = (
+                int(df_override.get((i, t), 0))
+                if df_override is not None
+                else int(dfs[f"df_{i}_{tix[t]}"] or 0)
+            )
             if dfi == 0 or n_docs == 0 or avgdl == 0.0:
                 return None
             idf = math.log(1.0 + (n_docs - dfi + 0.5) / (dfi + 0.5))
