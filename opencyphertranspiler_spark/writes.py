@@ -2082,6 +2082,11 @@ def execute_write(
     ast_query = parse(query, allow_writes=True)
     if isinstance(ast_query, A.UnionQuery):
         raise TranspilerNotSupportedError("UNION over a write query is not supported")
+    # round 12: Neo4j label-narrowing on re-bound aliases must resolve
+    # BEFORE the write executor's own binding/segment analysis reads
+    # pattern labels (a later `(c:Part)` over a Customer-bound c is a
+    # per-row predicate, not a re-typing of c)
+    engine._desugar_rebound_labels(ast_query)
     # reading patterns + CREATE/MERGE target patterns (the generic
     # traversal covers only read clauses)
     write_parts = [

@@ -1649,3 +1649,34 @@ def test_bare_single_prop_merge(weng):
     assert res.counts() == {"nodes_created": 0, "nodes_matched": 1}
     res2 = weng.cypher_write("MERGE (r:Region {r_regionkey: 88004})")
     assert res2.counts() == {"nodes_created": 1, "nodes_matched": 0}
+
+
+# ---------------------------------------------------------------------------
+# round 12: rebound-label narrowing inside write statements
+# ---------------------------------------------------------------------------
+
+
+def test_write_rebound_label_mismatch_is_noop(weng):
+    """A later (c:Part) over a Customer-bound c is a per-row predicate
+    (always false here) — the write matches zero rows, like Neo4j,
+    instead of a binding error."""
+    res = weng.cypher_write(
+        "MATCH (c:Customer) MATCH (c:Part) SET c.c_name = 'X' "
+        "RETURN count(*) AS n"
+    )
+    assert [tuple(r) for r in res.returned.collect()] == [(0,)]
+    # the no-op write left the table untouched
+    eng2 = res.engine()
+    changed = eng2.cypher(
+        "MATCH (c:Customer) WHERE c.c_name = 'X' RETURN count(*) AS n"
+    ).collect()[0].n
+    assert changed == 0
+
+
+def test_write_rebound_label_same_is_normal(weng):
+    res = weng.cypher_write(
+        "MATCH (c:Customer) WHERE c.c_custkey = 1 "
+        "MATCH (c:Customer) SET c.c_comment = 'round12' "
+        "RETURN c.c_comment AS m"
+    )
+    assert [r.m for r in res.returned.collect()] == ["round12"]
