@@ -435,8 +435,9 @@ class CypherEngine:
         cell (raise nprobe/n_cells to trade cost for recall). Cosine
         indexes train spherical k-means cells; euclidean indexes train
         plain-L2 Lloyd's cells and probe by centroid distance (round 12,
-        VERDICT r11 #5). PQ (below) stays cosine-only — its ADC scores
-        in normalized space.
+        VERDICT r11 #5). PQ composes with both: cosine codebooks train,
+        encode and ADC-score in normalized space, euclidean in raw
+        space.
 
         ``pq_m`` (round 11) additionally PQ-encodes the corpus
         (train_pq_codebooks — m subspaces, pq_ksub codes each, optionally
@@ -457,12 +458,6 @@ class CypherEngine:
                 f"create_vector_index() first; known: {known}"
             )
         label, prop, similarity = self._vector_indexes[name]
-        if similarity != "cosine" and pq_m is not None:
-            raise TranspilerNotSupportedError(
-                "train_vector_index: the PQ layout scores in normalized "
-                "(cosine) space — euclidean indexes support IVF cells "
-                "only (omit pq_m)"
-            )
         if not 1 <= nprobe <= n_cells:
             raise TranspilerBindingError(
                 f"train_vector_index: nprobe must be in [1, n_cells] "
@@ -508,9 +503,10 @@ class CypherEngine:
                 vec_col=prop,
                 sample_fraction=sample_fraction,
                 seed=seed,
+                metric=similarity,
             )
             celled = celled.withColumn(
-                "code", _pq_encode_udf(books)(F.col("__vec"))
+                "code", _pq_encode_udf(books, similarity)(F.col("__vec"))
             )
         celled = celled.localCheckpoint()
         self._vector_ann[name] = (
@@ -2276,9 +2272,12 @@ class CypherEngine:
 
             cents, nprobe, celled, books, refine = self._vector_ann[index]
             qv = np.asarray([float(x) for x in vec], dtype="float64")
-            n = np.linalg.norm(qv)
-            if n > 0:
-                qv = qv / n
+            if similarity != "euclidean":
+                # cosine codebooks live in normalized space; euclidean
+                # ADC uses the raw query vector (round 12)
+                n = np.linalg.norm(qv)
+                if n > 0:
+                    qv = qv / n
             m, ksub, dsub = books.shape
             tab = [
                 [

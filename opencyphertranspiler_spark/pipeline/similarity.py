@@ -538,11 +538,14 @@ def train_pq_codebooks(
     vec_col: str = "embedding",
     sample_fraction: float | None = None,
     seed: int = 42,
+    metric: str = "cosine",
 ) -> np.ndarray:
     """Per-subspace L2 k-means codebooks, shape (m, ksub, dim/m).
 
-    Vectors are L2-normalized first (so PQ distance approximates
-    2 - 2*cosine). Init = the ksub lowest-id vectors' subvectors
+    For ``metric='cosine'`` vectors are L2-normalized first (so PQ
+    distance approximates 2 - 2*cosine); ``'euclidean'`` trains, encodes
+    and ADC-scores in RAW space (round 12). Init = the ksub lowest-id
+    vectors' subvectors
     (deterministic); each iteration assigns every subvector to its
     nearest centroid (vectorized pandas UDF over the broadcast
     codebooks) and recomputes centroids as per-(subspace, code,
@@ -562,7 +565,10 @@ def train_pq_codebooks(
         corpus.select(id_col, vec_col).orderBy(id_col).limit(ksub).collect()
     )
     seeds = np.stack([np.asarray(r[1], dtype="float64") for r in seed_rows])
-    seeds /= np.maximum(np.linalg.norm(seeds, axis=1, keepdims=True), 1e-12)
+    if metric != "euclidean":
+        seeds /= np.maximum(
+            np.linalg.norm(seeds, axis=1, keepdims=True), 1e-12
+        )
     n_seed = seeds.shape[0]
     books = np.zeros((m, ksub, dsub))
     for s in range(m):
@@ -570,18 +576,25 @@ def train_pq_codebooks(
         if n_seed < ksub:  # fewer vectors than codes: repeat the last
             books[s, n_seed:] = books[s, n_seed - 1]
     for _ in range(iters):
-        enc = _pq_encode_udf(books)
-        # centroids are means of the NORMALIZED subvectors — encoding and
-        # ADC scoring normalize too, so training must see the same space
-        normed = corpus.withColumn(
-            "__nv",
-            F.expr(
-                f"transform({vec_col}, x -> CAST(x AS DOUBLE) / "
-                f"greatest(sqrt(aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
-                f"(acc, y) -> acc + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), "
-                f"CAST(1e-12 AS DOUBLE)))"
-            ),
-        )
+        enc = _pq_encode_udf(books, metric)
+        # centroids are means of the subvectors in the METRIC's space —
+        # L2-NORMALIZED for cosine (encoding and ADC scoring normalize
+        # too), RAW doubles for euclidean (round 12)
+        if metric == "euclidean":
+            normed = corpus.withColumn(
+                "__nv",
+                F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))"),
+            )
+        else:
+            normed = corpus.withColumn(
+                "__nv",
+                F.expr(
+                    f"transform({vec_col}, x -> CAST(x AS DOUBLE) / "
+                    f"greatest(sqrt(aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
+                    f"(acc, y) -> acc + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), "
+                    f"CAST(1e-12 AS DOUBLE)))"
+                ),
+            )
         assigned = normed.select(
             F.posexplode(enc(F.col(vec_col))).alias("sub", "code"),
             F.col("__nv").alias("v"),
@@ -609,9 +622,10 @@ def train_pq_codebooks(
     return books
 
 
-def _pq_encode_udf(books: np.ndarray):
-    """array<int> of per-subspace nearest-centroid codes (the vector is
-    L2-normalized before encoding, matching the codebook training)."""
+def _pq_encode_udf(books: np.ndarray, metric: str = "cosine"):
+    """array<int> of per-subspace nearest-centroid codes. For cosine the
+    vector is L2-normalized before encoding (matching the codebook
+    training space); euclidean encodes raw (round 12)."""
     from pyspark.sql.functions import pandas_udf
 
     m, _ksub, dsub = books.shape
@@ -619,7 +633,10 @@ def _pq_encode_udf(books: np.ndarray):
     @pandas_udf("array<int>")
     def encode(v: pd.Series) -> pd.Series:
         x = np.stack(v.to_numpy()).astype("float64")
-        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        if metric != "euclidean":
+            x /= np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+            )
         codes = np.empty((x.shape[0], m), dtype="int32")
         for s in range(m):
             xs = x[:, s * dsub : (s + 1) * dsub]

@@ -1396,9 +1396,6 @@ def test_train_vector_index_errors(vector_engine):
 
     with pytest.raises(TranspilerBindingError, match="no vector index"):
         vector_engine.train_vector_index("nope")
-    with pytest.raises(TranspilerNotSupportedError, match="cosine"):
-        # PQ scores in normalized space: euclidean + pq_m stays fenced
-        vector_engine.train_vector_index("emb_l2", pq_m=8)
     with pytest.raises(TranspilerBindingError, match="nprobe"):
         vector_engine.train_vector_index("emb_idx", n_cells=4, nprobe=9)
 
@@ -1447,6 +1444,17 @@ def test_train_vector_index_euclidean(vector_engine, spark):
         ).collect()[0].c
         assert pruned in cell_sizes.values()  # exactly one cell scanned
         assert pruned < sum(cell_sizes.values())
+        # euclidean IVFPQ (round 12): raw-space codebooks, exhaustive
+        # probe + big refine must reproduce the exact top-k
+        vector_engine.train_vector_index(
+            "emb_l2", n_cells=6, nprobe=6, iters=2, pq_m=8,
+            refine_factor=50,
+        )
+        pq = [
+            (r.id, r.s)
+            for r in vector_engine.cypher(q, params={"v": v}).collect()
+        ]
+        assert pq == exact
     finally:
         vector_engine._vector_ann.clear()
         vector_engine.clear_caches()
