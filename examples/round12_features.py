@@ -137,6 +137,14 @@ def main() -> None:
         "YIELD node, score "
         "RETURN node.doc_id AS id, round(score, 4) AS s ORDER BY s DESC"
     ).show()
+    # materialize an inverted index: term queries now cost ∝ the query
+    # terms' postings instead of a corpus scan (same scores)
+    docs.materialize_fulltext_index("ft")
+    docs.cypher(
+        "CALL db.index.fulltext.queryNodes('ft', '+fast merge', "
+        "{limit: 3}) YIELD node, score "
+        "RETURN node.doc_id AS id, round(score, 4) AS s ORDER BY s DESC"
+    ).show()
 
     # ---- 5. Relationship fulltext ----------------------------------------
     print("== 5. relationship fulltext over PLACED_URGENT priority ==")
