@@ -1375,6 +1375,48 @@ def test_vector_query_nodes_lazy_unfrozen(vector_engine, spark):
         )
 
 
+def test_vector_query_composition_shapes(vector_engine, spark):
+    """Round 12: the per-compile virtual winner tables compose — a CALL
+    index surface works inside UNION branches, inside CALL { }
+    subqueries, and twice within one query (independent winner
+    frames)."""
+    v = _qvec(spark)
+    u = sorted(
+        r.id
+        for r in vector_engine.cypher(
+            "CALL db.index.vector.queryNodes('emb_idx', 2, $v) "
+            "YIELD node, score RETURN id(node) AS id "
+            "UNION "
+            "CALL db.index.vector.queryNodes('emb_idx', 3, $v) "
+            "YIELD node, score RETURN id(node) AS id",
+            params={"v": v},
+        ).collect()
+    )
+    assert len(u) == 3  # k=2 winners ⊂ k=3 winners, UNION dedups
+    sub = sorted(
+        map(
+            tuple,
+            vector_engine.cypher(
+                "MATCH (e:Emb) WHERE e.vec_id < 3 "
+                "CALL { CALL db.index.vector.queryNodes('emb_idx', 2, $v)"
+                " YIELD node, score RETURN count(*) AS k } "
+                "RETURN e.vec_id AS id, k",
+                params={"v": v},
+            ).collect(),
+        )
+    )
+    assert sub == [(0, 2), (1, 2), (2, 2)]
+    two = vector_engine.cypher(
+        "CALL db.index.vector.queryNodes('emb_idx', 2, $v) "
+        "YIELD node AS n1, score AS s1 "
+        "CALL db.index.vector.queryNodes('emb_idx', 3, $v) "
+        "YIELD node AS n2, score AS s2 "
+        "RETURN count(*) AS c",
+        params={"v": v},
+    ).collect()[0].c
+    assert two == 6
+
+
 def test_vector_query_nodes_k_beyond_1024(vector_engine, spark):
     """Round 12: k is unbounded (no driver-side winner literal) — a k
     larger than the corpus returns every row, ordered by score."""
