@@ -1381,7 +1381,7 @@ class CypherEngine:
         vector surface, so `node` is a REAL entity and nothing collects
         to the driver."""
         name = clause.name
-        index, qstr, limit = self._fulltext_call_args(clause, params)
+        index, qstr, limit, skip = self._fulltext_call_args(clause, params)
         if index not in self._fulltext_indexes:
             known = ", ".join(sorted(self._fulltext_indexes)) or "(none)"
             raise TranspilerBindingError(
@@ -1404,7 +1404,9 @@ class CypherEngine:
 
         ft_clauses = self._parse_fulltext_query(qstr)
         nsch = self.graph.get_node(label)
-        fargs = (index, label, list(props), ft_clauses, int(limit))
+        fargs = (
+            index, label, list(props), ft_clauses, int(limit), int(skip)
+        )
         wlabel = self._register_winner_node(
             nsch.id_property_type,
             lambda: self._fulltext_topk_frame(*fargs),
@@ -1414,8 +1416,9 @@ class CypherEngine:
         )
 
     def _fulltext_call_args(self, clause, params):
-        """Validate ``(indexName, queryString[, {limit: n}])`` for the
-        fulltext procedures; returns (index, qstr, limit)."""
+        """Validate ``(indexName, queryString[, {limit: n, skip: m}])``
+        for the fulltext procedures (Neo4j's option map); returns
+        (index, qstr, limit, skip)."""
         name = clause.name
 
         def const_arg(i: int, what: str):
@@ -1424,31 +1427,36 @@ class CypherEngine:
         if len(clause.args) not in (2, 3):
             raise TranspilerBindingError(
                 f"CALL {name} takes (indexName, queryString[, "
-                "{{limit: n}}])"
+                "{{limit: n, skip: m}}])"
             )
         index = const_arg(0, "indexName")
         qstr = const_arg(1, "queryString")
-        limit = 100
+        limit, skip = 100, 0
         if len(clause.args) == 3:
             opt = clause.args[2]
             ok = isinstance(opt, A.MapLiteral)
             if ok:
                 for okey, oval in opt.items:
-                    # LIMIT is a keyword, so the lexer may uppercase it
-                    if okey.lower() != "limit":
+                    # LIMIT/SKIP are keywords, so the lexer may
+                    # uppercase them
+                    key = okey.lower()
+                    if key not in ("limit", "skip"):
                         ok = False
                         break
                     lv = self._call_const_arg(
-                        name, [oval], 0, "limit", params
+                        name, [oval], 0, key, params
                     )
                     if isinstance(lv, int) and not isinstance(lv, bool):
-                        limit = lv
+                        if key == "limit":
+                            limit = lv
+                        else:
+                            skip = lv
                     else:
                         ok = False
             if not ok:
                 raise TranspilerBindingError(
                     f"CALL {name}: the options argument must be a map "
-                    "literal {{limit: <int>}}"
+                    "literal {{limit: <int>, skip: <int>}}"
                 )
         if not isinstance(index, str):
             raise TranspilerBindingError(
@@ -1462,7 +1470,11 @@ class CypherEngine:
             raise TranspilerBindingError(
                 f"CALL {name}: limit must be a positive integer"
             )
-        return index, qstr, limit
+        if skip < 0:
+            raise TranspilerBindingError(
+                f"CALL {name}: skip must be a non-negative integer"
+            )
+        return index, qstr, limit, skip
 
     def _fulltext_query_rel_clauses(self, clause, params: dict | None) -> list:
         """``CALL db.index.fulltext.queryRelationships(index, $q[,
@@ -1476,7 +1488,7 @@ class CypherEngine:
         indexed text on the same endpoints co-match, and those score
         identically anyway)."""
         name = clause.name
-        index, qstr, limit = self._fulltext_call_args(clause, params)
+        index, qstr, limit, skip = self._fulltext_call_args(clause, params)
         if index not in self._rel_fulltext_indexes:
             known = (
                 ", ".join(sorted(self._rel_fulltext_indexes)) or "(none)"
@@ -1519,6 +1531,7 @@ class CypherEngine:
         fargs = (
             index, edge.table, edge.source_id_property,
             edge.sink_id_property, list(props), ft_clauses, int(limit),
+            int(skip),
         )
         wlabel = self._register_winner_node(
             "string",
@@ -1605,7 +1618,7 @@ class CypherEngine:
 
     def _rel_fulltext_topk_frame(
         self, index: str, edge_table: str, src_col: str, dst_col: str,
-        props: list, clauses: list, limit: int,
+        props: list, clauses: list, limit: int, skip: int = 0,
     ):
         """LAZY relationship BM25 winner frame: (__id, __src, __dst,
         __pv<i>..., __score) top-k over the edge table; ``__id`` is a
@@ -1620,7 +1633,7 @@ class CypherEngine:
         top = self._bm25_topk(
             tbl, key_exprs,
             ["__src", "__dst"],
-            index, props, clauses, limit,
+            index, props, clauses, limit, skip,
         )
         return top.select(
             F.concat_ws(
@@ -1669,7 +1682,7 @@ class CypherEngine:
 
     def _fulltext_topk_frame(
         self, index: str, label: str, props: list, clauses: list,
-        limit: int,
+        limit: int, skip: int = 0,
     ):
         """Distributed BM25 top-k PLAN over a NODE label (lazy — the
         winner join consumes it). With a MATERIALIZED inverted index
@@ -1684,7 +1697,7 @@ class CypherEngine:
             and all(len(toks) == 1 for _m, toks in clauses)
         ):
             return self._fulltext_postings_topk(
-                index, props, clauses, limit, *post
+                index, props, clauses, limit, skip, *post
             )
         nsch = self.graph.get_node(label)
         df_tbl = self.tables.get(nsch.table)
@@ -1725,19 +1738,19 @@ class CypherEngine:
                     df_tbl,
                     [F.col(nsch.id_property).alias("__id")],
                     ["__id"],
-                    index, props, clauses, limit,
+                    index, props, clauses, limit, skip,
                     df_override=df_override,
                 )
         return self._bm25_topk(
             df_tbl,
             [F.col(nsch.id_property).alias("__id")],
             ["__id"],
-            index, props, clauses, limit,
+            index, props, clauses, limit, skip,
         )
 
     def _fulltext_postings_topk(
         self, index: str, props: list, clauses: list, limit: int,
-        postings, dfreq, stats,
+        skip, postings, dfreq, stats,
     ):
         """Inverted-index BM25 top-k: equi-filter the postings to the
         query's terms, broadcast-join the per-(field, term) idf/avgdl
@@ -1808,12 +1821,13 @@ class CypherEngine:
             .select("__id", "__score")
             .filter(F.col("__score") > 0)
             .orderBy(F.col("__score").desc(), F.col("__id"))
+            .offset(skip)
             .limit(limit)
         )
 
     def _bm25_topk(
         self, df_tbl, key_exprs: list, order_cols: list, index: str,
-        props: list, clauses: list, limit: int,
+        props: list, clauses: list, limit: int, skip: int = 0,
         df_override: dict | None = None,
     ):
         """Generic distributed BM25 top-k PLAN: tokens = lowercase
@@ -2010,6 +2024,7 @@ class CypherEngine:
                 F.col("__score").desc(),
                 *[F.col(c) for c in order_cols],
             )
+            .offset(skip)
             .limit(limit)
         )
 

@@ -2016,6 +2016,29 @@ def test_fulltext_phrase_query(fulltext_engine, spark):
         )
 
 
+def test_fulltext_skip_option(fulltext_engine, spark):
+    """Round 12: Neo4j's {skip: m} option pages the ranked winners."""
+    full = [
+        (r.id, r.s)
+        for r in fulltext_engine.cypher(
+            "CALL db.index.fulltext.queryNodes('docs_ft', 'fast merge', "
+            "{limit: 10}) YIELD node, score "
+            "RETURN node.doc_id AS id, round(score, 6) AS s "
+            "ORDER BY s DESC, id"
+        ).collect()
+    ]
+    page2 = [
+        (r.id, r.s)
+        for r in fulltext_engine.cypher(
+            "CALL db.index.fulltext.queryNodes('docs_ft', 'fast merge', "
+            "{limit: 5, skip: 5}) YIELD node, score "
+            "RETURN node.doc_id AS id, round(score, 6) AS s "
+            "ORDER BY s DESC, id"
+        ).collect()
+    ]
+    assert page2 == full[5:10] and len(full) == 10
+
+
 def test_fulltext_multi_property_ddl(fulltext_engine):
     """CREATE FULLTEXT INDEX ... ON EACH [n.a, n.b] registers a
     multi-property index; SHOW INDEXES lists the property list."""
