@@ -1712,10 +1712,23 @@ class CypherEngine:
             )
             if pos_tokens:
                 postings, dfreq = post[0], post[1]
-                cand_ids = (
+                # a MUST clause's match requires EVERY one of its tokens
+                # present (a phrase contains each member), so the
+                # candidate set intersects per-required-token — still a
+                # lossless superset, much tighter for '+"a phrase"'
+                must_tokens = sorted(
+                    {t for m, toks in clauses if m == "+" for t in toks}
+                )
+                grouped = (
                     postings.filter(F.col("__t").isin(pos_tokens))
-                    .select(F.col("__id").alias("__cand_id"))
-                    .distinct()
+                    .groupBy("__id")
+                    .agg(F.collect_set("__t").alias("__cts"))
+                )
+                ccond = F.lit(True)
+                for t in must_tokens:
+                    ccond = ccond & F.array_contains("__cts", t)
+                cand_ids = grouped.filter(ccond).select(
+                    F.col("__id").alias("__cand_id")
                 )
                 df_tbl = df_tbl.join(
                     cand_ids,
