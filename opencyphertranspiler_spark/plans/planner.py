@@ -1798,6 +1798,7 @@ class _SingleQueryPlanner:
                 piped.env.get(a), (PathRef, MaterializedPathRef)
             )
         ]
+        path_internal: set[str] = set()
         if path_imports:
             pfn = ("length", "nodes", "relationships")
             fresh_map: dict[tuple[str, str], str] = {}
@@ -1883,6 +1884,10 @@ class _SingleQueryPlanner:
             imports = [a for a in imports if a not in path_imports] + [
                 fresh for fresh in fresh_map.values()
             ]
+            # the desugared scalars are INTERNAL: they must not leak
+            # into the CALL's output env (a correlated-UNION flow would
+            # otherwise see per-branch fresh names as differing columns)
+            path_internal = set(fresh_map.values())
             if not imports:
                 # the path was imported but never used: the body is
                 # effectively uncorrelated — but Neo4j still runs it
@@ -2111,7 +2116,9 @@ class _SingleQueryPlanner:
                 dict.fromkeys(sub_ref.columns() + sub_ref.key_cols())
             )
 
-        new_env: Env = dict(env)
+        new_env: Env = {
+            a: r for a, r in env.items() if a not in path_internal
+        }
         for a in out_aliases:
             new_env[a] = ValueRef(a)
         joined = JoinOp(
@@ -2132,6 +2139,8 @@ class _SingleQueryPlanner:
         # and collect = [] (others null) — re-project with coalesce
         items: list[tuple[str, A.Expr]] = []
         for alias in env:
+            if alias in path_internal:
+                continue
             items.append((alias, A.Variable(alias)))
         for a in out_aliases:
             kind = agg_kind.get(a)

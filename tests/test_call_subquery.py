@@ -368,6 +368,33 @@ def test_call_path_import_varlength(engine, duck):
     assert got == [(1, 1, li), (2, 2, li)]
 
 
+def test_call_union_with_rel_and_path_imports(engine, duck):
+    """Correlated UNION branches accept the round-12 import kinds; the
+    path desugar's internal scalar columns must not leak into the
+    branch outputs (they'd differ per branch)."""
+    n = engine.cypher(
+        "MATCH (o:Orders)-[r:CONTAINS]->(l:Lineitem) WHERE id(o) <= 3 "
+        "CALL { WITH r RETURN r.l_linenumber AS v "
+        "UNION WITH r RETURN r.l_linenumber + 100 AS v } "
+        "RETURN count(*) AS n"
+    ).collect()[0].n
+    exp = duck.sql(
+        "SELECT 2 * count(*) FROM lineitem WHERE l_orderkey <= 3"
+    ).fetchall()[0][0]
+    assert n == exp
+    m = engine.cypher(
+        "MATCH p = (c:Customer)-[:PLACED]->(o:Orders) "
+        "WHERE c.c_custkey <= 2 "
+        "CALL { WITH p RETURN length(p) AS v "
+        "UNION WITH p RETURN length(p) + 7 AS v } "
+        "RETURN count(*) AS n"
+    ).collect()[0].n
+    exp2 = duck.sql(
+        "SELECT 2 * count(*) FROM orders WHERE o_custkey <= 2"
+    ).fetchall()[0][0]
+    assert m == exp2
+
+
 def test_call_path_import_other_use_fenced(engine):
     from opencyphertranspiler_spark.exceptions import (
         TranspilerNotSupportedError,
