@@ -1210,15 +1210,18 @@ class CypherEngine:
         score`` (Neo4j 5 vector-index surface; VERDICT r9 #3) lowered
         through the ANN stack onto ordinary clauses.
 
-        The top-k itself runs DISTRIBUTED (score every node JVM-side via
-        the same zip_with/aggregate folds as vector.similarity.*, then
-        TakeOrderedAndProject — orderBy + limit k never materializes a
-        global sort); only the k (id, score) winners are collected
-        (model-sized, like the IVF centroid collects). The clause then
-        desugars to ``MATCH (node:Label) WHERE id(node) IN [ids]`` plus a
-        ``WITH *, CASE id(node) ... END AS score`` — `node` binds a REAL
-        node entity of the indexed label, so the call composes with any
-        downstream MATCH/WHERE/aggregation through the ordinary planner.
+        The top-k runs DISTRIBUTED and LAZY (round 12): scores are the
+        same zip_with/aggregate folds as vector.similarity.*, the k
+        winners are an orderBy+limit PLAN — nothing collects at
+        cypher() time, k is unbounded, and re-registered tables are
+        reflected at the next compile. The clause desugars to a join
+        against the per-compile virtual winner node (``MATCH
+        (node:Label), (w:__IdxWinner_n) WHERE id(node) = w.__id`` +
+        ``WITH *, w.__score AS score``; Catalyst folds it into a
+        broadcast hash equi-join over the k-row side) — `node` binds a
+        REAL node entity of the indexed label, so the call composes with
+        any downstream MATCH/WHERE/aggregation through the ordinary
+        planner.
         The index argument is a registered create_vector_index() name or
         the implicit '<Label>.<property>' spelling. Divergence note:
         Neo4j streams rows score-descending; this engine's rows are a
