@@ -1080,7 +1080,11 @@ def _next_order_engine(spark: SparkSession, sf_dir: str):
             ),
         ],
     )
-    return CypherEngine(spark, graph, reg)
+    # the q38 witness family DOCUMENTS the degraded one-witness-per-pair
+    # model on the deep NEXT chain (its oracle encodes it) — opt into the
+    # walk/witness fallback explicitly (round 12: cap overflows are typed
+    # errors by default)
+    return CypherEngine(spark, graph, reg, allow_walk_fallback=True)
 
 
 # ---------------------------------------------------------------------------
