@@ -2043,6 +2043,56 @@ def test_fulltext_phrase_query(fulltext_engine, spark):
         )
 
 
+def test_fulltext_query_syntax_fuzz(fulltext_engine, spark):
+    """Hypothesis differential for the minimal Lucene subset: random
+    combinations of SHOULD/MUST/MUST_NOT terms and quoted phrases vs
+    the independent python oracle."""
+    import hypothesis.strategies as st
+    from hypothesis import HealthCheck, given, settings
+
+    words = ["fast", "merge", "scan", "slow", "batch", "join", "zzz_absent"]
+
+    @st.composite
+    def ft_query(draw):
+        n = draw(st.integers(1, 4))
+        pieces = []
+        for _ in range(n):
+            mod = draw(st.sampled_from(["", "", "+", "-"]))
+            if draw(st.booleans()):
+                w1, w2 = draw(st.sampled_from(words)), draw(
+                    st.sampled_from(words)
+                )
+                pieces.append(f'{mod}"{w1} {w2}"')
+            else:
+                pieces.append(mod + draw(st.sampled_from(words)))
+        return " ".join(pieces)
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    @given(q=ft_query())
+    def check(q):
+        got = [
+            (r.id, r.s)
+            for r in fulltext_engine.cypher(
+                "CALL db.index.fulltext.queryNodes('docs_ft', $q, "
+                "{limit: 8}) YIELD node, score "
+                "RETURN node.doc_id AS id, round(score, 6) AS s "
+                "ORDER BY s DESC, id",
+                params={"q": q},
+            ).collect()
+        ]
+        exp = _bm25_multi_oracle(spark, ["text"], q, 8)
+        assert got == exp, q
+
+    check()
+
+
 def test_fulltext_skip_option(fulltext_engine, spark):
     """Round 12: Neo4j's {skip: m} option pages the ranked winners."""
     full = [
