@@ -301,12 +301,18 @@ class CypherEngine:
                 doc.select(
                     "__id",
                     F.size("__toks").alias("__dl"),
-                    F.explode("__toks").alias("__t"),
+                    F.posexplode("__toks").alias("__p", "__t"),
                 )
                 .groupBy("__id", "__dl", "__t")
-                .agg(F.count("*").alias("__tf"))
+                .agg(
+                    F.count("*").alias("__tf"),
+                    # token positions (0-based, sorted) — phrase queries
+                    # check adjacency index-side (round 12)
+                    F.sort_array(F.collect_list("__p")).alias("__pos"),
+                )
                 .select(
-                    "__id", F.lit(i).alias("__f"), "__t", "__tf", "__dl"
+                    "__id", F.lit(i).alias("__f"), "__t", "__tf",
+                    "__dl", "__pos",
                 )
             )
         stats: dict[int, tuple[int, float]] = {}
@@ -1689,74 +1695,18 @@ class CypherEngine:
     ):
         """Distributed BM25 top-k PLAN over a NODE label (lazy — the
         winner join consumes it). With a MATERIALIZED inverted index
-        (:meth:`materialize_fulltext_index`) term-only queries route to
-        the postings path (cost ∝ matching postings); phrase queries and
-        un-materialized indexes take the exact corpus-scan core shared
-        with the relationship surface (:meth:`_bm25_topk`)."""
+        (:meth:`materialize_fulltext_index`) every query shape routes to
+        the postings path (cost ∝ matching postings — phrases check
+        position adjacency index-side); un-materialized indexes take the
+        exact corpus-scan core shared with the relationship surface
+        (:meth:`_bm25_topk`)."""
         post = self._fulltext_post.get(index)
-        if (
-            post is not None
-            and clauses
-            and all(len(toks) == 1 for _m, toks in clauses)
-        ):
+        if post is not None and clauses:
             return self._fulltext_postings_topk(
                 index, props, clauses, limit, skip, *post
             )
         nsch = self.graph.get_node(label)
         df_tbl = self.tables.get(nsch.table)
-        if post is not None and clauses:
-            # phrase queries keep the exact scan scoring, but the
-            # postings PRE-FILTER the corpus to candidate docs: a doc
-            # can only match a positive clause if it contains that
-            # clause's tokens, so a semi-join on "has any positive
-            # token" is a lossless candidate superset
-            pos_tokens = sorted(
-                {t for m, toks in clauses if m != "-" for t in toks}
-            )
-            if pos_tokens:
-                postings, dfreq = post[0], post[1]
-                # a MUST clause's match requires EVERY one of its tokens
-                # present (a phrase contains each member), so the
-                # candidate set intersects per-required-token — still a
-                # lossless superset, much tighter for '+"a phrase"'
-                must_tokens = sorted(
-                    {t for m, toks in clauses if m == "+" for t in toks}
-                )
-                grouped = (
-                    postings.filter(F.col("__t").isin(pos_tokens))
-                    .groupBy("__id")
-                    .agg(F.collect_set("__t").alias("__cts"))
-                )
-                ccond = F.lit(True)
-                for t in must_tokens:
-                    ccond = ccond & F.array_contains("__cts", t)
-                cand_ids = grouped.filter(ccond).select(
-                    F.col("__id").alias("__cand_id")
-                )
-                df_tbl = df_tbl.join(
-                    cand_ids,
-                    F.col(nsch.id_property) == F.col("__cand_id"),
-                    "left_semi",
-                )
-                # document frequencies must stay FULL-corpus — read them
-                # from the materialized dfreq instead of aggregating the
-                # (now candidate-filtered) scan
-                all_tokens = sorted(
-                    {t for _m, toks in clauses for t in toks}
-                )
-                df_override = {
-                    (int(r["__f"]), r["__t"]): int(r["__df"])
-                    for r in dfreq.filter(
-                        F.col("__t").isin(all_tokens)
-                    ).collect()
-                }
-                return self._bm25_topk(
-                    df_tbl,
-                    [F.col(nsch.id_property).alias("__id")],
-                    ["__id"],
-                    index, props, clauses, limit, skip,
-                    df_override=df_override,
-                )
         return self._bm25_topk(
             df_tbl,
             [F.col(nsch.id_property).alias("__id")],
@@ -1768,17 +1718,23 @@ class CypherEngine:
         self, index: str, props: list, clauses: list, limit: int,
         skip, postings, dfreq, stats,
     ):
-        """Inverted-index BM25 top-k: equi-filter the postings to the
-        query's terms, broadcast-join the per-(field, term) idf/avgdl
-        literals, sum per document, and gate MUST/MUST_NOT via the
-        matched-term set. Never touches the corpus table."""
+        """Inverted-index BM25 top-k for EVERY query shape: equi-filter
+        the postings to the query's tokens, broadcast-join the
+        per-(field, term) idf/avgdl literals, collect each doc's matched
+        postings (term, field, score part, positions — a few entries per
+        doc, bounded by |query tokens| x |fields|), then evaluate every
+        clause as a pure column expression over that array: term
+        clauses check membership, PHRASE clauses check position
+        adjacency within one field via nested higher-order functions,
+        MUST/MUST_NOT gate, and matched clauses contribute their member
+        terms' summed field parts. Never touches the corpus table."""
         import math
 
         k1, b = self._FT_K1, self._FT_B
-        pos_terms = sorted({t[0] for m, t in clauses if m != "-"})
-        neg_terms = sorted({t[0] for m, t in clauses if m == "-"})
-        req_terms = sorted({t[0] for m, t in clauses if m == "+"})
-        all_terms = sorted(set(pos_terms) | set(neg_terms))
+        pos_terms = sorted(
+            {t for m, toks in clauses if m != "-" for t in toks}
+        )
+        all_terms = sorted({t for _m, toks in clauses for t in toks})
         empty = postings.select(
             F.col("__id"), F.lit(0.0).alias("__score")
         ).filter(F.lit(False))
@@ -1812,29 +1768,101 @@ class CypherEngine:
                 * (F.lit(1.0 - b) + F.lit(b) * dl / F.col("__avgdl"))
             )
         )
+        # per-doc matched-posting entries, SORTED (t, f) so the score
+        # folds in the scan path's deterministic order
         agg = (
             postings.filter(F.col("__t").isin(all_terms))
             .join(F.broadcast(meta), ["__f", "__t"], "left")
             .groupBy("__id")
             .agg(
-                F.sum(
-                    F.when(F.col("__idf").isNotNull(), part).otherwise(
-                        F.lit(0.0)
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__t").alias("t"),
+                            F.col("__f").alias("f"),
+                            F.when(
+                                F.col("__idf").isNotNull(), part
+                            ).otherwise(F.lit(0.0)).alias("part"),
+                            F.col("__pos").alias("pos"),
+                        )
                     )
-                ).alias("__score"),
-                F.collect_set("__t").alias("__ts"),
+                ).alias("__es")
             )
         )
-        cond = F.arrays_overlap(
-            F.col("__ts"), F.lit([str(t) for t in pos_terms])
-        )
-        for t in req_terms:
-            cond = cond & F.array_contains("__ts", t)
-        for t in neg_terms:
-            cond = cond & ~F.array_contains("__ts", t)
+        es = F.col("__es")
+
+        def has_term(t):
+            return F.exists(es, lambda e: e["t"] == F.lit(t))
+
+        def tsum(t):
+            return F.aggregate(
+                F.filter(es, lambda e: e["t"] == F.lit(t)),
+                F.lit(0.0),
+                lambda acc, e: acc + e["part"],
+            )
+
+        def phrase_match(toks):
+            firsts = F.filter(es, lambda e: e["t"] == F.lit(toks[0]))
+
+            def chain(e1, p):
+                cond = None
+                for off, t in enumerate(toks[1:], start=1):
+                    # capture (t, off) via a factory — the Spark HOF's
+                    # arity comes from the lambda's parameter count, so
+                    # default-arg binding is not an option here
+                    def nth(t=t, off=off):
+                        return lambda e2: (
+                            (e2["t"] == F.lit(t))
+                            & (e2["f"] == e1["f"])
+                            & F.array_contains(
+                                e2["pos"], p + F.lit(off)
+                            )
+                        )
+
+                    c = F.exists(es, nth())
+                    cond = c if cond is None else cond & c
+                return cond
+
+            return F.exists(
+                firsts,
+                lambda e1: F.exists(e1["pos"], lambda p: chain(e1, p)),
+            )
+
+        def clause_match(toks):
+            if len(toks) == 1:
+                return has_term(toks[0])
+            return phrase_match(toks)
+
+        score = None
+        match_any = None
+        required = []
+        excluded = []
+        for mod, toks in clauses:
+            if mod == "-":
+                excluded.append(clause_match(toks))
+                continue
+            m = clause_match(toks)
+            if mod == "+":
+                required.append(m)
+            cs = None
+            for t in toks:
+                ts = tsum(t)
+                cs = ts if cs is None else cs + ts
+            contrib = F.when(m, cs).otherwise(F.lit(0.0))
+            score = contrib if score is None else score + contrib
+            match_any = m if match_any is None else match_any | m
+        if score is None or match_any is None:
+            return empty
+        cond = match_any
+        for r in required:
+            cond = cond & r
+        for ex in excluded:
+            cond = cond & ~ex
         return (
-            agg.filter(cond)
-            .select("__id", "__score")
+            agg.select(
+                "__id",
+                F.when(cond, score).otherwise(F.lit(0.0)).alias("__score"),
+            )
             .filter(F.col("__score") > 0)
             .orderBy(F.col("__score").desc(), F.col("__id"))
             .offset(skip)
@@ -1844,7 +1872,6 @@ class CypherEngine:
     def _bm25_topk(
         self, df_tbl, key_exprs: list, order_cols: list, index: str,
         props: list, clauses: list, limit: int, skip: int = 0,
-        df_override: dict | None = None,
     ):
         """Generic distributed BM25 top-k PLAN: tokens = lowercase
         non-alnum split per indexed FIELD; per-field idf =
@@ -1920,20 +1947,19 @@ class CypherEngine:
             or all(n == 0 or a == 0.0 for n, a in stats.values())
         ):
             return empty
-        if df_override is None:
-            # one aggregate pass: document frequency per (field, term)
-            dfs = base.select(
-                *[
-                    F.sum(
-                        (
-                            F.col(f"__has{i}")
-                            & F.array_contains(f"__toks{i}", t)
-                        ).cast("int")
-                    ).alias(f"df_{i}_{j}")
-                    for i in range(nprops)
-                    for j, t in enumerate(all_terms)
-                ]
-            ).collect()[0]
+        # one aggregate pass: document frequency per (field, term)
+        dfs = base.select(
+            *[
+                F.sum(
+                    (
+                        F.col(f"__has{i}")
+                        & F.array_contains(f"__toks{i}", t)
+                    ).cast("int")
+                ).alias(f"df_{i}_{j}")
+                for i in range(nprops)
+                for j, t in enumerate(all_terms)
+            ]
+        ).collect()[0]
         k1, b = self._FT_K1, self._FT_B
         tix = {t: j for j, t in enumerate(all_terms)}
 
@@ -1945,11 +1971,7 @@ class CypherEngine:
 
         def term_field_score(i, t):
             n_docs, avgdl = stats[i]
-            dfi = (
-                int(df_override.get((i, t), 0))
-                if df_override is not None
-                else int(dfs[f"df_{i}_{tix[t]}"] or 0)
-            )
+            dfi = int(dfs[f"df_{i}_{tix[t]}"] or 0)
             if dfi == 0 or n_docs == 0 or avgdl == 0.0:
                 return None
             idf = math.log(1.0 + (n_docs - dfi + 0.5) / (dfi + 0.5))

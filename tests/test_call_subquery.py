@@ -2171,19 +2171,22 @@ def test_fulltext_materialized_postings(fulltext_engine, spark):
             spark, ["text", "source"], '+"batch batch" merge', 12
         )
     ]
-    # plan check: the term query's winner subtree reads the postings
-    # (an ExistingRDD from the localCheckpoint), not the parquet corpus
-    df = fulltext_engine.cypher(
-        "CALL db.index.fulltext.queryNodes('docs_mat', 'fast merge', "
-        "{limit: 5}) YIELD node, score RETURN score"
-    )
-    plan = df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
+    # plan check: BOTH term and PHRASE queries' winner subtrees read the
+    # postings (an ExistingRDD from the localCheckpoint), not the
+    # parquet corpus — phrases check position adjacency index-side
+    for q in ("fast merge", '+"batch batch" merge'):
+        df = fulltext_engine.cypher(
+            "CALL db.index.fulltext.queryNodes('docs_mat', $q, "
+            "{limit: 5}) YIELD node, score RETURN score",
+            params={"q": q},
         )
-    )
-    assert "Scan ExistingRDD" in plan  # the checkpointed postings
-    assert plan.count("documents.parquet") == 1  # only the node bind scan
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "Scan ExistingRDD" in plan  # the checkpointed postings
+        assert plan.count("documents.parquet") == 1, q  # node bind only
     fulltext_engine.cypher("DROP INDEX docs_mat")
     assert "docs_mat" not in fulltext_engine._fulltext_post
 
