@@ -2046,9 +2046,17 @@ def test_fulltext_phrase_query(fulltext_engine, spark):
 def test_fulltext_query_syntax_fuzz(fulltext_engine, spark):
     """Hypothesis differential for the minimal Lucene subset: random
     combinations of SHOULD/MUST/MUST_NOT terms and quoted phrases vs
-    the independent python oracle."""
+    the independent python oracle — on BOTH the exact corpus-scan path
+    and the materialized inverted-index path (term + position-adjacency
+    evaluation), which must agree."""
     import hypothesis.strategies as st
     from hypothesis import HealthCheck, given, settings
+
+    if "docs_fuzz_mat" not in fulltext_engine._fulltext_indexes:
+        fulltext_engine.create_fulltext_index(
+            "docs_fuzz_mat", "Doc", "text"
+        )
+        fulltext_engine.materialize_fulltext_index("docs_fuzz_mat")
 
     words = ["fast", "merge", "scan", "slow", "batch", "join", "zzz_absent"]
 
@@ -2077,18 +2085,21 @@ def test_fulltext_query_syntax_fuzz(fulltext_engine, spark):
     )
     @given(q=ft_query())
     def check(q):
-        got = [
-            (r.id, r.s)
-            for r in fulltext_engine.cypher(
-                "CALL db.index.fulltext.queryNodes('docs_ft', $q, "
-                "{limit: 8}) YIELD node, score "
-                "RETURN node.doc_id AS id, round(score, 6) AS s "
-                "ORDER BY s DESC, id",
-                params={"q": q},
-            ).collect()
-        ]
+        def run(idx):
+            return [
+                (r.id, r.s)
+                for r in fulltext_engine.cypher(
+                    f"CALL db.index.fulltext.queryNodes('{idx}', $q, "
+                    "{limit: 8}) YIELD node, score "
+                    "RETURN node.doc_id AS id, round(score, 6) AS s "
+                    "ORDER BY s DESC, id",
+                    params={"q": q},
+                ).collect()
+            ]
+
         exp = _bm25_multi_oracle(spark, ["text"], q, 8)
-        assert got == exp, q
+        assert run("docs_ft") == exp, ("scan", q)
+        assert run("docs_fuzz_mat") == exp, ("postings", q)
 
     check()
 
