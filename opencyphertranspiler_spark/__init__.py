@@ -7,6 +7,7 @@ Catalyst/Tungsten/AQE optimize and execute.
 
 from .engine import CypherEngine, validate_graph
 from .exceptions import (
+    StaleIndexWarning,
     TranspilerBindingError,
     TranspilerError,
     TranspilerInternalError,
@@ -25,6 +26,7 @@ __all__ = [
     "EntityProperty",
     "GraphSchema",
     "NodeSchema",
+    "StaleIndexWarning",
     "TableRegistry",
     "TranspilerBindingError",
     "TranspilerError",

@@ -25,6 +25,17 @@ class TranspilerInternalError(TranspilerError):
     """Engine invariant violated (a bug in the engine itself)."""
 
 
+class StaleIndexWarning(UserWarning):
+    """A trained (IVF/PQ) or materialized (inverted fulltext) index is
+    serving candidates from a corpus snapshot older than the current
+    table registration: the base table was re-registered after
+    train_vector_index() / materialize_fulltext_index() ran. Scores for
+    the frozen candidates stay exact, but rows added since are only
+    visible through the fresh-list delta (inserts), and removed or
+    updated rows may still win. Re-train / re-materialize, or construct
+    the engine with rebuild_stale_indexes=True to do so automatically."""
+
+
 class PathEnumerationCapWarning(UserWarning):
     """The relationship-unique path enumeration for an unbounded path
     variable exceeded its round or row cap; the engine fell back to the

@@ -675,6 +675,20 @@ class _SingleQueryPlanner:
                 exprs.extend(s.expr for s in c.order_by)
             if isinstance(c, A.UnwindClause):
                 exprs.append(c.expr)
+            if isinstance(c, A.MatchClause):
+                # ADVICE r12 (medium): inline pattern predicates and
+                # property maps — MATCH (n:L WHERE rand() < 0.5) or
+                # (n:L {p: rand()}) — desugar into the same
+                # once-per-correlation-key evaluation, so they must be
+                # fenced like the clause-level WHERE
+                for part in c.patterns:
+                    for pat in (*part.nodes, *part.rels):
+                        pw = getattr(pat, "where", None)
+                        if pw is not None:
+                            exprs.append(pw)
+                        exprs.extend(
+                            pe for _, pe in getattr(pat, "props", [])
+                        )
             for e in exprs:
                 for nd in e.walk():
                     if isinstance(nd, A.FuncCall) and nd.name in nondet:
@@ -731,14 +745,15 @@ class _SingleQueryPlanner:
                     # empty, so drop it instead of failing the query
                     zero_dropped = err
                     continue
-                if "(statically impossible)" in str(err):
-                    # round 12: a fixed-length variant whose chain
-                    # DEAD-ENDS under the bound labels (zero admissible
-                    # candidate edges for some hop — e.g. the 2-hop
-                    # variant of (o:Orders)-[:CONTAINS*1..2]->(x) when
-                    # CONTAINS only leaves Orders) contributes zero
-                    # rows in Neo4j; drop it. If EVERY variant drops,
-                    # the diagnosis surfaces below.
+                if getattr(err, "reason", None) == "statically_impossible":
+                    # round 12 (structured since round 13, ADVICE r12):
+                    # a fixed-length variant whose chain DEAD-ENDS under
+                    # the bound labels (zero admissible candidate edges
+                    # for some hop, BOTH endpoint labels concrete — e.g.
+                    # the 2-hop variant of (o:Orders)-[:CONTAINS*1..2]->
+                    # (x) when CONTAINS only leaves Orders) contributes
+                    # zero rows in Neo4j; drop it. If EVERY variant
+                    # drops, the diagnosis surfaces below.
                     zero_dropped = zero_dropped or err
                     continue
                 raise
@@ -1136,20 +1151,31 @@ class _SingleQueryPlanner:
                             r.verb, labels.get(ra), labels.get(la)
                         )
                     )
-                raise TranspilerBindingError(
+                # classification rides a STRUCTURED attribute (ADVICE
+                # r12: message sniffing misclassified would-be-ambiguous
+                # hops) — "statically impossible" additionally requires
+                # both endpoint labels to be CONCRETE schema labels, so
+                # an unrewritten disjunction or unresolved alias can
+                # never be silently dropped as an empty variant
+                concrete = all(
+                    labels.get(x) is not None
+                    and self.schema.has_node(labels[x])
+                    for x in (la, ra)
+                )
+                if n == 0:
+                    reason, note = "no_such_edge", " (no such edge)"
+                elif cands == 0 and concrete:
+                    reason = "statically_impossible"
+                    note = " (statically impossible)"
+                else:
+                    reason, note = "ambiguous", " (ambiguous)"
+                err = TranspilerBindingError(
                     f"Cannot bind relationship "
                     f"'{r.verb or '(untyped)'}' between '{labels.get(la, '?')}' and "
-                    f"'{labels.get(ra, '?')}'"
-                    + (
-                        " (no such edge)"
-                        if n == 0
-                        else (
-                            " (statically impossible)"
-                            if cands == 0
-                            else " (ambiguous)"
-                        )
-                    )
+                    f"'{labels.get(ra, '?')}'" + note
                 )
+                err.reason = reason
+                raise err
         for alias in node_aliases:
             if alias not in labels:
                 raise TranspilerBindingError(

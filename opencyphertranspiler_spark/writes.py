@@ -97,6 +97,13 @@ class WriteResult:
     #: None when the query had no RETURN
     returned: DataFrame | None = None
 
+    #: declarative index registries carried over from the source engine
+    #: (round 13, VERDICT r12 #3) — ``engine()`` imports them so a
+    #: write-then-search workflow keeps its CALL db.index.* surfaces;
+    #: trained/materialized state is NOT carried (frozen over pre-write
+    #: tables) — re-run train/materialize on the derived engine
+    index_state: dict | None = None
+
     def table(self, name: str) -> DataFrame:
         if name in self.tables:
             return self.tables[name]
@@ -117,7 +124,10 @@ class WriteResult:
     def engine(self, **kwargs):
         from .engine import CypherEngine
 
-        return CypherEngine(self.spark, self.graph, self.registry(), **kwargs)
+        eng = CypherEngine(self.spark, self.graph, self.registry(), **kwargs)
+        if self.index_state:
+            eng._import_index_state(self.index_state)
+        return eng
 
     def counts(self) -> dict[str, int]:
         """Materialize the write statistics (runs one count job per
@@ -498,6 +508,7 @@ class WriteExecutor:
             self.tables,
             self.engine.tables,
             self._counters,
+            index_state=self.engine._export_index_state(),
             returned=self._compile_returned(),
         )
 
@@ -2155,6 +2166,7 @@ def execute_write(
                 engine.tables,
                 merged_counters,
                 returned=returned,
+                index_state=engine._export_index_state(),
             )
         ex = WriteExecutor(
             eng,
@@ -2176,6 +2188,7 @@ def execute_write(
                 engine.tables,
                 merged_counters,
                 returned=res.returned,
+                index_state=engine._export_index_state(),
             )
         if seg.foreach_boundary:
             seed, graph = ex.run_to_foreach_boundary()
@@ -2184,7 +2197,8 @@ def execute_write(
         merged_tables.update(ex.tables)
         merge_counters(ex._counters)
         eng = WriteResult(
-            engine.spark, graph, dict(ex.tables), eng.tables
+            engine.spark, graph, dict(ex.tables), eng.tables,
+            index_state=engine._export_index_state(),
         ).engine(
             reach_max_iters=engine.reach_max_iters,
             ordered_aggregates=engine.ordered_aggregates,

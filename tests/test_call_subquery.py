@@ -1498,7 +1498,7 @@ def test_train_vector_index_euclidean(vector_engine, spark):
         )
         cents, nprobe, celled, books, _ = vector_engine._vector_ann[
             "emb_l2"
-        ]
+        ][:5]
         assert books is None and nprobe == 1
         cell_sizes = {
             r.cell: r.n
@@ -2635,6 +2635,29 @@ def test_call_body_rand_rejected(engine):
                 f"CALL {{ WITH k RETURN k + 0 * {fn.replace('randomUUID()', 'size(randomUUID())')} AS x }} "
                 "RETURN count(*) AS n"
             )
+
+
+def test_call_body_rand_in_pattern_rejected(engine):
+    """ADVICE r12 (medium): the nondeterminism fence must also see
+    rand() hidden in a MATCH node-pattern's inline WHERE or property
+    map inside the CALL body."""
+    from opencyphertranspiler_spark.exceptions import (
+        TranspilerNotSupportedError,
+    )
+
+    with pytest.raises(TranspilerNotSupportedError, match="per outer row"):
+        engine.cypher(
+            "MATCH (c:Customer) WITH c.c_custkey AS k "
+            "CALL { WITH k MATCH (n:Nation WHERE rand() < 0.5) "
+            "RETURN count(n) AS x } RETURN count(*) AS n"
+        )
+    with pytest.raises(TranspilerNotSupportedError, match="per outer row"):
+        engine.cypher(
+            "MATCH (c:Customer) WITH c.c_custkey AS k "
+            "CALL { WITH k MATCH (n:Nation {n_nationkey: "
+            "toInteger(rand() * 25)}) RETURN count(n) AS x } "
+            "RETURN count(*) AS n"
+        )
 
 
 def test_not_exists_and_or_positions_with_outer_scalar(engine, duck):
