@@ -1,0 +1,137 @@
+#!/usr/bin/env python3
+"""Round-13 index-lifecycle tour.
+
+Covered: the winner-frame cache (repeat actions reuse the k-row cached
+top-k; a re-registered table evicts by registration epoch), staleness
+detection for trained/materialized indexes (StaleIndexWarning or
+transparent rebuild), the IVF fresh list (post-train inserts win
+without a retrain), index registries carried into post-write engines,
+and the extended fulltext grammar (query/field boosts, stopwords,
+grouped +/- modifiers).
+
+Run:  python examples/round13_features.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import warnings
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("round13-features")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        StaleIndexWarning,
+        tpch_graph_schema,
+        tpch_table_registry,
+    )
+
+    eng = CypherEngine(
+        spark, tpch_graph_schema(), tpch_table_registry(spark, sf_dir)
+    )
+    qv = [round((((i * 37) % 19) - 9) / 9.0, 4) for i in range(64)]
+    VQ = (
+        "CALL db.index.vector.queryNodes('demo_vec', 5, $v) "
+        "YIELD node, score RETURN id(node) AS id, round(score, 4) AS s "
+        "ORDER BY s DESC, id"
+    )
+
+    # ---- 1. Winner-frame cache ------------------------------------------
+    print("== 1. repeat actions reuse the cached k-row winner frame ==")
+    eng.create_vector_index("demo_vec", "Embedding", "embedding")
+    t0 = time.perf_counter()
+    eng.cypher(VQ, params={"v": qv}).collect()
+    t1 = time.perf_counter()
+    eng.cypher(VQ, params={"v": qv}).collect()
+    t2 = time.perf_counter()
+    print(f"first action {t1 - t0:.2f}s, repeat {t2 - t1:.2f}s "
+          f"({len(eng._winner_cache)} cached winner frame)")
+
+    # ---- 2. Staleness: warn, fresh list, or rebuild ----------------------
+    print("== 2. trained index staleness + the fresh-list delta ==")
+    eng.train_vector_index("demo_vec", n_cells=4, nprobe=2, iters=2)
+    emb = eng.tables.get("embeddings")
+    new_row = (
+        spark.createDataFrame(
+            [(999999, "new", [float(x) for x in qv])],
+            "vec_id bigint, label string, embedding array<double>",
+        )
+        .select(
+            "vec_id", "label",
+            F.col("embedding")
+            .cast(emb.schema["embedding"].dataType)
+            .alias("embedding"),
+            *[
+                F.lit(None).cast(emb.schema[c].dataType).alias(c)
+                for c in emb.columns
+                if c not in ("vec_id", "label", "embedding")
+            ],
+        )
+        .select(*emb.columns)
+    )
+    grown = emb.unionByName(new_row)
+    eng.tables.register("embeddings", lambda: grown)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        top = eng.cypher(VQ, params={"v": qv}).collect()
+    stale = [x for x in w if issubclass(x.category, StaleIndexWarning)]
+    print(f"post-insert winner: {top[0].id} "
+          f"(fresh row wins without retrain; warned={bool(stale)})")
+    # rebuild_stale_indexes=True would re-train transparently instead
+
+    # ---- 3. Post-write engines keep index registrations ------------------
+    print("== 3. write-then-search keeps CALL db.index.* surfaces ==")
+    eng2 = CypherEngine(
+        spark, tpch_graph_schema(), tpch_table_registry(spark, sf_dir)
+    )
+    eng2.create_fulltext_index("demo_ft", "Document", "text")
+    res = eng2.cypher_write(
+        "CREATE (d:Document {doc_id: 777777, "
+        "text: 'zanzibar zanzibar zanzibar'})"
+    )
+    res.engine().cypher(
+        "CALL db.index.fulltext.queryNodes('demo_ft', 'zanzibar') "
+        "YIELD node, score RETURN id(node) AS id, round(score, 3) AS s"
+    ).show()
+
+    # ---- 4. Fulltext boosts, stopwords, grouped modifiers ----------------
+    print("== 4. boosts + stopwords + grouped +modifier ==")
+    eng3 = CypherEngine(
+        spark, tpch_graph_schema(), tpch_table_registry(spark, sf_dir)
+    )
+    # field boost: text counts double; 'the'/'of' never match or score
+    eng3.create_fulltext_index(
+        "demo_boost", "Document", ["text^2", "lang"],
+        stopwords={"the", "of"},
+    )
+    eng3.cypher(
+        # 'fast^2' doubles that term's contribution; '+dup-spark' is ONE
+        # grouped MUST matching ANY of (dup, spark) — Lucene semantics
+        "CALL db.index.fulltext.queryNodes('demo_boost', "
+        "'fast^2 +dup-spark \"vector\"', {limit: 5}) YIELD node, score "
+        "RETURN id(node) AS id, round(score, 3) AS s ORDER BY s DESC, id"
+    ).show()
+
+    print("round-13 feature tour complete.")
+
+
+if __name__ == "__main__":
+    main()

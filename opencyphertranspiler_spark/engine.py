@@ -185,12 +185,14 @@ class CypherEngine:
         # as a Spark-cached k-row frame, so repeat actions on the same
         # (query, corpus) stop recomputing the corpus scan while a
         # re-registered table or re-built index evicts by key.
-        # _index_epoch bumps on any index create/train/materialize/drop.
+        # _index_epochs[name] bumps on create/train/materialize/drop of
+        # THAT index, so rebuilding one index never evicts another's
+        # cached winners.
         from collections import OrderedDict
 
         self._winner_cache: "OrderedDict[tuple, DataFrame]" = OrderedDict()
         self._winner_cache_max = 64
-        self._index_epoch = 0
+        self._index_epochs: dict[str, int] = {}
         # MATERIALIZED inverted fulltext indexes (round 12):
         # name -> (postings DF (__id, __f, __t, __tf, __dl), dfreq DF
         # (__f, __t, __df)) — built once by materialize_fulltext_index();
@@ -219,7 +221,9 @@ class CypherEngine:
         self._rel_vector_indexes.update(state.get("rel_vector", {}))
         self._fulltext_indexes.update(state.get("fulltext", {}))
         self._rel_fulltext_indexes.update(state.get("rel_fulltext", {}))
-        self._index_epoch += 1
+        for d in state.values():
+            for name in d:
+                self._bump_index_epoch(name)
 
     def clear_caches(self) -> None:
         """Release engine-lifetime materializations: the unbounded-`*`
@@ -273,11 +277,34 @@ class CypherEngine:
             raise TranspilerBindingError(
                 f"Node '{label}' has no property '{property}' to index"
             )
+        if self._vector_indexes.get(name) == (label, property, similarity):
+            return  # idempotent re-create: nothing changed, keep caches
         self._vector_indexes[name] = (label, property, similarity)
-        self._index_epoch += 1
+        self._bump_index_epoch(name)
+
+    @staticmethod
+    def _parse_boosted_props(props: list) -> tuple:
+        """Split ``"title^2"``-style FIELD BOOST suffixes (round 13,
+        VERDICT r12 #6) off a property list; returns (names, boosts)."""
+        import re
+
+        names, boosts = [], []
+        for p in props:
+            m = re.match(r"^(.*[^^])\^(\d+(?:\.\d+)?)$", p)
+            if m:
+                names.append(m.group(1))
+                boosts.append(float(m.group(2)))
+            else:
+                names.append(p)
+                boosts.append(1.0)
+        return tuple(names), tuple(boosts)
 
     def create_fulltext_index(
-        self, name: str, label: str, property: "str | list[str]"
+        self,
+        name: str,
+        label: str,
+        property: "str | list[str]",
+        stopwords=None,
     ) -> None:
         """Register a full-text index over one or MORE string properties
         of a node label (Neo4j: ``CREATE FULLTEXT INDEX name FOR
@@ -291,11 +318,16 @@ class CypherEngine:
         scores per document — Lucene's BooleanQuery-across-fields
         combination. The query string supports a minimal Lucene subset
         (round 12, VERDICT r11 #4): bare terms combine as OR, ``+term``
-        is required (MUST), ``-term`` is excluded (MUST_NOT), and
+        is required (MUST), ``-term`` is excluded (MUST_NOT),
         ``"a phrase"`` matches the exact analyzed token sequence
-        (required if ``+``-prefixed, scored by its member terms). No
-        stemming and no further Lucene syntax (fuzzy/boost/wildcard) —
-        the documented divergence."""
+        (required if ``+``-prefixed, scored by its member terms), and a
+        trailing ``^<n>`` boosts a piece's score (round 13). A property
+        may carry a FIELD boost suffix (``"title^2"``) multiplying that
+        field's score part, and ``stopwords`` (an iterable of analyzed
+        tokens) are dropped by the analyzer at index AND query time —
+        stopwords do not match, score, or count toward document length.
+        No stemming and no further Lucene syntax (fuzzy/wildcard) — the
+        documented divergence."""
         nsch = self.graph.get_node(label)
         props = (
             [property] if isinstance(property, str) else list(property)
@@ -304,13 +336,35 @@ class CypherEngine:
             raise TranspilerBindingError(
                 "create_fulltext_index needs at least one property"
             )
-        for p in props:
+        pnames, boosts = self._parse_boosted_props(props)
+        for p in pnames:
             if p not in nsch.property_names:
                 raise TranspilerBindingError(
                     f"Node '{label}' has no property '{p}' to index"
                 )
-        self._fulltext_indexes[name] = (label, tuple(props))
-        self._index_epoch += 1
+        stop = frozenset(
+            t.lower() for t in (stopwords or ())
+        )
+        entry = (label, pnames, boosts, stop)
+        if self._fulltext_indexes.get(name) == entry:
+            return  # idempotent re-create: nothing changed, keep caches
+        self._fulltext_indexes[name] = entry
+        self._bump_index_epoch(name)
+
+    @staticmethod
+    def _ft_tokens(col, stopwords: frozenset = frozenset()):
+        """The analyzer as a Column: lowercase, split on
+        non-alphanumerics, drop empties and (round 13) stopwords —
+        shared by the scan path, the materializer and the fresh-doc
+        delta so every route tokenizes identically."""
+        toks = F.split(F.lower(col), "[^a-z0-9]+")
+        if stopwords:
+            stop = sorted(stopwords)
+            return F.filter(
+                toks,
+                lambda t: (t != F.lit("")) & ~t.isin(stop),
+            )
+        return F.filter(toks, lambda t: t != F.lit(""))
 
     def materialize_fulltext_index(self, name: str) -> None:
         """Build a distributed INVERTED INDEX for a registered node
@@ -336,15 +390,12 @@ class CypherEngine:
                 f"'{name}' — create_fulltext_index() first; known: "
                 f"{known}"
             )
-        label, props = self._fulltext_indexes[name]
+        label, props, _boosts, stop = self._fulltext_indexes[name]
         nsch = self.graph.get_node(label)
         tbl = self.tables.get(nsch.table)
         per_field = []
         for i, p in enumerate(props):
-            toks = F.filter(
-                F.split(F.lower(F.col(p)), "[^a-z0-9]+"),
-                lambda t: t != F.lit(""),
-            )
+            toks = self._ft_tokens(F.col(p), stop)
             doc = tbl.filter(F.col(p).isNotNull()).select(
                 F.col(nsch.id_property).alias("__id"),
                 toks.alias("__toks"),
@@ -369,10 +420,7 @@ class CypherEngine:
             )
         stats: dict[int, tuple[int, float]] = {}
         for i, p in enumerate(props):
-            toks = F.filter(
-                F.split(F.lower(F.col(p)), "[^a-z0-9]+"),
-                lambda t: t != F.lit(""),
-            )
+            toks = self._ft_tokens(F.col(p), stop)
             srow = (
                 tbl.filter(F.col(p).isNotNull())
                 .select(
@@ -407,17 +455,22 @@ class CypherEngine:
             postings, dfreq, stats, self.tables.epoch(nsch.table),
             indexed_ids,
         )
-        self._index_epoch += 1
+        self._bump_index_epoch(name)
 
     def create_relationship_fulltext_index(
-        self, name: str, verb: str, property: "str | list[str]"
+        self,
+        name: str,
+        verb: str,
+        property: "str | list[str]",
+        stopwords=None,
     ) -> None:
         """Register a full-text index over one or more string properties
         of a relationship type (Neo4j: ``CREATE FULLTEXT INDEX name FOR
         ()-[r:TYPE]-() ON EACH [r.p1, ...]``) for ``CALL
         db.index.fulltext.queryRelationships(name, $q) YIELD
-        relationship, score`` (round 12). Same analyzer, per-field BM25
-        and query-syntax subset as the node surface."""
+        relationship, score`` (round 12). Same analyzer, per-field BM25,
+        query-syntax subset, field boosts and stopwords as the node
+        surface."""
         edges = self.graph.edges_by_verb(verb)
         if not edges:
             raise TranspilerBindingError(
@@ -436,14 +489,19 @@ class CypherEngine:
                 "create_relationship_fulltext_index needs at least one "
                 "property"
             )
-        for p in props:
+        pnames, boosts = self._parse_boosted_props(props)
+        for p in pnames:
             if p not in edges[0].property_names:
                 raise TranspilerBindingError(
                     f"Relationship '{verb}' has no property '{p}' to "
                     "index"
                 )
-        self._rel_fulltext_indexes[name] = (verb, tuple(props))
-        self._index_epoch += 1
+        stop = frozenset(t.lower() for t in (stopwords or ()))
+        entry = (verb, pnames, boosts, stop)
+        if self._rel_fulltext_indexes.get(name) == entry:
+            return  # idempotent re-create
+        self._rel_fulltext_indexes[name] = entry
+        self._bump_index_epoch(name)
 
     def create_relationship_vector_index(
         self,
@@ -477,8 +535,10 @@ class CypherEngine:
                 f"Relationship '{verb}' has no property '{property}' to "
                 "index"
             )
+        if self._rel_vector_indexes.get(name) == (verb, property, similarity):
+            return  # idempotent re-create
         self._rel_vector_indexes[name] = (verb, property, similarity)
-        self._index_epoch += 1
+        self._bump_index_epoch(name)
 
     def train_vector_index(
         self,
@@ -596,7 +656,7 @@ class CypherEngine:
                 pq_ksub=pq_ksub, refine_factor=refine_factor,
             ),
         )
-        self._index_epoch += 1
+        self._bump_index_epoch(name)
 
     def cypher(self, query: str, params: dict | None = None) -> DataFrame:
         """Parse, plan, and compile a Cypher query to a lazy DataFrame.
@@ -645,10 +705,10 @@ class CypherEngine:
             ] + [
                 (n, "FULLTEXT", "NODE", lbl, ",".join(ps),
                  "MATERIALIZED" if n in self._fulltext_post else "EXACT")
-                for n, (lbl, ps) in sorted(self._fulltext_indexes.items())
+                for n, (lbl, ps, *_x) in sorted(self._fulltext_indexes.items())
             ] + [
                 (n, "FULLTEXT", "RELATIONSHIP", v, ",".join(ps), "EXACT")
-                for n, (v, ps) in sorted(
+                for n, (v, ps, *_x) in sorted(
                     self._rel_fulltext_indexes.items()
                 )
             ]
@@ -674,7 +734,7 @@ class CypherEngine:
                     found = True
             self._vector_ann.pop(name, None)
             self._fulltext_post.pop(name, None)
-            self._index_epoch += 1
+            self._bump_index_epoch(name)
             self._fulltext_stats = {
                 k: v
                 for k, v in self._fulltext_stats.items()
@@ -1376,14 +1436,18 @@ class CypherEngine:
         wlabel = self._register_winner_node(
             nsch.id_property_type,
             lambda: self._cached_winner(
-                nsch.table, vkey, lambda: self._vector_topk_frame(*vargs)
+                nsch.table, index, vkey,
+                lambda: self._vector_topk_frame(*vargs),
             ),
         )
         return self._winner_join_clauses(
             clause, label, wlabel, bind_alias, node_alias, score_alias
         )
 
-    def _cached_winner(self, table: str, key: tuple, builder):
+    def _bump_index_epoch(self, name: str) -> None:
+        self._index_epochs[name] = self._index_epochs.get(name, 0) + 1
+
+    def _cached_winner(self, table: str, index: str, key: tuple, builder):
         """Winner-frame cache (round 13, VERDICT r12 #1): serve the
         k-row top-k frame for ``key`` from a Spark-cached DataFrame,
         keyed additionally by the base table's REGISTRATION EPOCH and
@@ -1399,7 +1463,11 @@ class CypherEngine:
         bounded; clear_caches() / spark.catalog.clearCache() evict (the
         plan stays valid either way — the cache is a performance layer,
         Spark recomputes evicted entries from lineage)."""
-        full = (table, self.tables.epoch(table), self._index_epoch) + key
+        full = (
+            table,
+            self.tables.epoch(table),
+            self._index_epochs.get(index, 0),
+        ) + key
         df = self._winner_cache.get(full)
         if df is None:
             df = builder().cache()
@@ -1511,7 +1579,7 @@ class CypherEngine:
                 f"CALL {name}: no fulltext index '{index}' — register "
                 f"one with create_fulltext_index(); known: {known}"
             )
-        label, props = self._fulltext_indexes[index]
+        label, props, boosts, stop = self._fulltext_indexes[index]
         yields = list(clause.yields) or [("node", "node"), ("score", "score")]
         node_alias = score_alias = None
         for yname, alias in yields:
@@ -1525,19 +1593,21 @@ class CypherEngine:
                 )
         bind_alias = node_alias or f"__ft_node_{id(clause) & 0xFFFF:x}"
 
-        ft_clauses = self._parse_fulltext_query(qstr)
+        ft_clauses = self._parse_fulltext_query(qstr, stop)
         nsch = self.graph.get_node(label)
         fargs = (
-            index, label, list(props), ft_clauses, int(limit), int(skip)
+            index, label, list(props), ft_clauses, int(limit), int(skip),
+            list(boosts), stop,
         )
         fkey = (
             "ft", index, label, tuple(props), tuple(ft_clauses),
-            int(limit), int(skip),
+            int(limit), int(skip), tuple(boosts), stop,
         )
         wlabel = self._register_winner_node(
             nsch.id_property_type,
             lambda: self._cached_winner(
-                nsch.table, fkey, lambda: self._fulltext_topk_frame(*fargs)
+                nsch.table, index, fkey,
+                lambda: self._fulltext_topk_frame(*fargs),
             ),
         )
         return self._winner_join_clauses(
@@ -1627,7 +1697,7 @@ class CypherEngine:
                 f"— register one with "
                 f"create_relationship_fulltext_index(); known: {known}"
             )
-        verb, props = self._rel_fulltext_indexes[index]
+        verb, props, boosts, stop = self._rel_fulltext_indexes[index]
         edge = self.graph.edges_by_verb(verb)[0]
         yields = list(clause.yields) or [
             ("relationship", "relationship"),
@@ -1649,7 +1719,7 @@ class CypherEngine:
         a_alias = f"__ftr_a_{suffix}"
         b_alias = f"__ftr_b_{suffix}"
 
-        ft_clauses = self._parse_fulltext_query(qstr)
+        ft_clauses = self._parse_fulltext_query(qstr, stop)
         eprops = [
             next(
                 (p for p in edge.properties if p.name == pr),
@@ -1660,16 +1730,16 @@ class CypherEngine:
         fargs = (
             index, edge.table, edge.source_id_property,
             edge.sink_id_property, list(props), ft_clauses, int(limit),
-            int(skip),
+            int(skip), list(boosts), stop,
         )
         frkey = (
             "ftr", index, edge.table, tuple(props), tuple(ft_clauses),
-            int(limit), int(skip),
+            int(limit), int(skip), tuple(boosts), stop,
         )
         wlabel = self._register_winner_node(
             "string",
             lambda: self._cached_winner(
-                edge.table, frkey,
+                edge.table, index, frkey,
                 lambda: self._rel_fulltext_topk_frame(*fargs),
             ),
             extra_props=(
@@ -1755,11 +1825,18 @@ class CypherEngine:
     def _rel_fulltext_topk_frame(
         self, index: str, edge_table: str, src_col: str, dst_col: str,
         props: list, clauses: list, limit: int, skip: int = 0,
+        boosts: list | None = None, stop: frozenset = frozenset(),
     ):
         """LAZY relationship BM25 winner frame: (__id, __src, __dst,
         __pv<i>..., __score) top-k over the edge table; ``__id`` is a
-        synthetic string key satisfying the virtual node's id
-        contract."""
+        synthetic string key satisfying the virtual node's id contract.
+        The top-k tie-break includes the hash of the indexed property
+        values (round 13, ADVICE r12) so a truncating limit cuts
+        DETERMINISTICALLY among equal-score parallel relationships with
+        different text. n byte-identical parallel relationships still
+        each join all n identical winner rows — n*n output rows where
+        Neo4j yields n (indistinguishable to the index, same score; the
+        documented divergence)."""
         tbl = self.tables.get(edge_table)
         key_exprs = [
             F.col(src_col).alias("__src"),
@@ -1768,9 +1845,15 @@ class CypherEngine:
         ]
         top = self._bm25_topk(
             tbl, key_exprs,
-            ["__src", "__dst"],
+            [
+                "__src", "__dst",
+                F.xxhash64(
+                    *[F.col(f"__pv{i}") for i in range(len(props))]
+                ),
+            ],
             index, props, clauses, limit, skip,
             epoch=self.tables.epoch(edge_table),
+            field_boosts=boosts, stopwords=stop,
         )
         return top.select(
             F.concat_ws(
@@ -1785,33 +1868,61 @@ class CypherEngine:
         )
 
     @staticmethod
-    def _parse_fulltext_query(qstr: str) -> list:
+    def _parse_fulltext_query(qstr: str, stopwords: frozenset = frozenset()) -> list:
         """Minimal Lucene BooleanQuery subset (round 12, VERDICT r11
-        #4): ``term`` (SHOULD), ``+term`` (MUST), ``-term`` (MUST_NOT),
-        ``"a phrase"`` (exact analyzed token sequence; combine with +/-
-        for MUST/MUST_NOT). Returns deduplicated, deterministically
-        ordered (modifier, token-tuple) clauses; unquoted multi-token
-        pieces (``state-of-the-art``) analyze to separate SHOULD
-        terms, Lucene's analyzer behavior."""
+        #4; extended round 13): ``term`` (SHOULD), ``+term`` (MUST),
+        ``-term`` (MUST_NOT), ``"a phrase"`` (exact analyzed token
+        sequence), and a trailing ``^<number>`` boost on any piece
+        (``spark^2``, ``"big data"^1.5`` — multiplies the clause's
+        score contribution, Lucene query-time boost). Returns
+        deduplicated, deterministically ordered
+        (modifier, token-tuple, kind, boost) clauses with kind in
+        {'term', 'phrase', 'any'}.
+
+        Unquoted multi-token pieces: WITHOUT a modifier they analyze to
+        separate SHOULD terms (Lucene's analyzer behavior); WITH a +/-
+        modifier they form ONE grouped match-ANY clause (ADVICE r12:
+        Lucene's QueryParser applies the modifier to the analyzed
+        sub-query as a group, so ``+state-of-the-art`` requires any
+        member term, not all four). Analyzer stopwords are dropped from
+        every piece (phrase adjacency is checked over the REMAINING
+        tokens — a documented divergence from Lucene's position-gap
+        treatment)."""
         import re
 
         out = []
         seen = set()
-        for m in re.finditer(r'([+\-]?)(?:"([^"]*)"|(\S+))', qstr):
-            mod, quoted, bare = m.group(1), m.group(2), m.group(3)
-            text = quoted if quoted is not None else bare
+        for m in re.finditer(
+            r'([+\-]?)(?:"([^"]*)"(\^\d+(?:\.\d+)?)?|(\S+))', qstr
+        ):
+            mod, quoted, qboost, bare = (
+                m.group(1), m.group(2), m.group(3), m.group(4),
+            )
+            boost = 1.0
+            if quoted is not None:
+                text = quoted
+                if qboost:
+                    boost = float(qboost[1:])
+            else:
+                text = bare
+                bm = re.match(r"(.*[^^])\^(\d+(?:\.\d+)?)$", bare)
+                if bm:
+                    text, boost = bm.group(1), float(bm.group(2))
             toks = [
-                t for t in re.split(r"[^a-z0-9]+", text.lower()) if t
+                t
+                for t in re.split(r"[^a-z0-9]+", text.lower())
+                if t and t not in stopwords
             ]
             if not toks:
                 continue
-            pieces = (
-                [tuple(toks)]
-                if quoted is not None and len(toks) > 1
-                else [(t,) for t in toks]
-            )
-            for p in pieces:
-                key = (mod, p)
+            if quoted is not None and len(toks) > 1:
+                pieces = [(tuple(toks), "phrase")]
+            elif len(toks) > 1 and mod:
+                pieces = [(tuple(toks), "any")]
+            else:
+                pieces = [((t,), "term") for t in toks]
+            for p, kind in pieces:
+                key = (mod, p, kind, boost)
                 if key not in seen:
                     seen.add(key)
                     out.append(key)
@@ -1820,6 +1931,7 @@ class CypherEngine:
     def _fulltext_topk_frame(
         self, index: str, label: str, props: list, clauses: list,
         limit: int, skip: int = 0,
+        boosts: list | None = None, stop: frozenset = frozenset(),
     ):
         """Distributed BM25 top-k PLAN over a NODE label (lazy — the
         winner join consumes it). With a MATERIALIZED inverted index
@@ -1837,7 +1949,8 @@ class CypherEngine:
                 # one (registered tables are immutable DataFrames):
                 # strictly postings-served, no corpus pass
                 return self._fulltext_postings_topk(
-                    index, props, clauses, limit, skip, *post[:3]
+                    index, props, clauses, limit, skip, *post[:3],
+                    field_boosts=boosts,
                 )
             # STALE index (round 13, VERDICT r12 #5): serve the frozen
             # postings PLUS a fresh-doc delta — docs whose id is absent
@@ -1852,7 +1965,7 @@ class CypherEngine:
             postings, dfreq, stats, _ep, indexed_ids = post
             main = self._fulltext_postings_topk(
                 index, props, clauses, limit + skip, 0,
-                postings, dfreq, stats,
+                postings, dfreq, stats, field_boosts=boosts,
             )
             tbl = self.tables.get(nsch.table)
             delta_tbl = tbl.join(
@@ -1860,7 +1973,7 @@ class CypherEngine:
                 tbl[nsch.id_property] == indexed_ids["__id"],
                 "left_anti",
             )
-            terms = sorted({t for _m, toks in clauses for t in toks})
+            terms = sorted({t for _m, toks, *_r in clauses for t in toks})
             frozen_idf: dict = {}
             for r in dfreq.filter(F.col("__t").isin(terms)).collect():
                 n, avgdl = stats[int(r["__f"])]
@@ -1875,6 +1988,7 @@ class CypherEngine:
                 ["__id"],
                 index, props, clauses, limit + skip, 0,
                 frozen_stats=stats, frozen_idf=frozen_idf,
+                field_boosts=boosts, stopwords=stop,
             )
             return (
                 main.unionByName(delta)
@@ -1889,11 +2003,12 @@ class CypherEngine:
             ["__id"],
             index, props, clauses, limit, skip,
             epoch=self.tables.epoch(nsch.table),
+            field_boosts=boosts, stopwords=stop,
         )
 
     def _fulltext_postings_topk(
         self, index: str, props: list, clauses: list, limit: int,
-        skip, postings, dfreq, stats,
+        skip, postings, dfreq, stats, field_boosts: list | None = None,
     ):
         """Inverted-index BM25 top-k for EVERY query shape: equi-filter
         the postings to the query's tokens, broadcast-join the
@@ -1908,10 +2023,11 @@ class CypherEngine:
         import math
 
         k1, b = self._FT_K1, self._FT_B
+        fb = list(field_boosts or [])
         pos_terms = sorted(
-            {t for m, toks in clauses if m != "-" for t in toks}
+            {t for m, toks, *_r in clauses if m != "-" for t in toks}
         )
-        all_terms = sorted({t for _m, toks in clauses for t in toks})
+        all_terms = sorted({t for _m, toks, *_r in clauses for t in toks})
         empty = postings.select(
             F.col("__id"), F.lit(0.0).alias("__score")
         ).filter(F.lit(False))
@@ -1925,8 +2041,13 @@ class CypherEngine:
             if n == 0 or avgdl == 0.0 or dfi == 0:
                 continue
             idf = math.log(1.0 + (n - dfi + 0.5) / (dfi + 0.5))
+            fi = int(r["__f"])
+            if fi < len(fb) and fb[fi] != 1.0:
+                # FIELD boost (round 13): part is linear in idf, so the
+                # boost rides the broadcast literal — no plan change
+                idf *= fb[fi]
             idf_rows.append(
-                (int(r["__f"]), r["__t"], float(idf), float(avgdl))
+                (fi, r["__t"], float(idf), float(avgdl))
             )
         if not idf_rows:
             return empty
@@ -2005,26 +2126,34 @@ class CypherEngine:
                 lambda e1: F.exists(e1["pos"], lambda p: chain(e1, p)),
             )
 
-        def clause_match(toks):
-            if len(toks) == 1:
-                return has_term(toks[0])
-            return phrase_match(toks)
+        def clause_match(toks, kind):
+            if kind == "phrase":
+                return phrase_match(toks)
+            # 'term' (single token) or 'any' (grouped match-any of the
+            # analyzed sub-query, ADVICE r12): OR over member terms
+            m = None
+            for t in toks:
+                c = has_term(t)
+                m = c if m is None else m | c
+            return m
 
         score = None
         match_any = None
         required = []
         excluded = []
-        for mod, toks in clauses:
+        for mod, toks, kind, boost in clauses:
             if mod == "-":
-                excluded.append(clause_match(toks))
+                excluded.append(clause_match(toks, kind))
                 continue
-            m = clause_match(toks)
+            m = clause_match(toks, kind)
             if mod == "+":
                 required.append(m)
             cs = None
             for t in toks:
                 ts = tsum(t)
                 cs = ts if cs is None else cs + ts
+            if boost != 1.0:
+                cs = cs * F.lit(float(boost))
             contrib = F.when(m, cs).otherwise(F.lit(0.0))
             score = contrib if score is None else score + contrib
             match_any = m if match_any is None else match_any | m
@@ -2051,6 +2180,8 @@ class CypherEngine:
         props: list, clauses: list, limit: int, skip: int = 0,
         epoch: int = 0, frozen_stats: dict | None = None,
         frozen_idf: dict | None = None,
+        field_boosts: list | None = None,
+        stopwords: frozenset = frozenset(),
     ):
         """Generic distributed BM25 top-k PLAN: tokens = lowercase
         non-alnum split per indexed FIELD; per-field idf =
@@ -2071,14 +2202,11 @@ class CypherEngine:
         import math
 
         nprops = len(props)
+        fb = list(field_boosts or [])
 
         def toks_col(p):
-            return F.filter(
-                F.split(
-                    F.lower(F.coalesce(F.col(p), F.lit(""))),
-                    "[^a-z0-9]+",
-                ),
-                lambda t: t != F.lit(""),
+            return self._ft_tokens(
+                F.coalesce(F.col(p), F.lit("")), stopwords
             )
 
         base = df_tbl.select(
@@ -2124,7 +2252,7 @@ class CypherEngine:
             i: self._fulltext_stats[(index, p, epoch)]
             for i, p in enumerate(props)
         }
-        all_terms = sorted({t for _mod, toks in clauses for t in toks})
+        all_terms = sorted({t for _mod, toks, *_r in clauses for t in toks})
         if (
             not clauses
             or not all_terms
@@ -2132,21 +2260,28 @@ class CypherEngine:
         ):
             return empty
         # one aggregate pass: document frequency per (field, term) —
-        # skipped entirely when a frozen dfreq is supplied
-        dfs = None if frozen_idf is not None else base.select(
-            *[
-                F.sum(
-                    (
-                        F.col(f"__has{i}")
-                        & F.array_contains(f"__toks{i}", t)
-                    ).cast("int")
-                ).alias(f"df_{i}_{j}")
-                for i in range(nprops)
-                for j, t in enumerate(all_terms)
-            ]
-        ).collect()[0]
+        # a LAZY 1-row frame broadcast-crossJoined into the scoring
+        # plan (round 13, VERDICT r12 #7: no driver collect, no job at
+        # compile time — the action runs one Spark job whose two scans
+        # of the table are both pruned to the key + indexed columns,
+        # and the winner-frame cache pays it once per (query, epoch)).
+        # Skipped entirely when a frozen dfreq is supplied.
         k1, b = self._FT_K1, self._FT_B
         tix = {t: j for j, t in enumerate(all_terms)}
+        if frozen_idf is None:
+            dfs_df = base.select(
+                *[
+                    F.sum(
+                        (
+                            F.col(f"__has{i}")
+                            & F.array_contains(f"__toks{i}", t)
+                        ).cast("int")
+                    ).alias(f"__df_{i}_{j}")
+                    for i in range(nprops)
+                    for j, t in enumerate(all_terms)
+                ]
+            )
+            base = base.crossJoin(F.broadcast(dfs_df))
 
         def eq_term(term):
             # single-arg closure: a two-arg lambda (even via a default
@@ -2159,19 +2294,23 @@ class CypherEngine:
             if n_docs == 0 or avgdl == 0.0:
                 return None
             if frozen_idf is not None:
-                idf = frozen_idf.get((i, t))
-                if idf is None:
+                fidf = frozen_idf.get((i, t))
+                if fidf is None:
                     # term unseen by the frozen corpus: df=0 idf
-                    idf = math.log(1.0 + (n_docs + 0.5) / 0.5)
+                    fidf = math.log(1.0 + (n_docs + 0.5) / 0.5)
+                idf = F.lit(fidf)
             else:
-                dfi = int(dfs[f"df_{i}_{tix[t]}"] or 0)
-                if dfi == 0:
-                    return None
-                idf = math.log(1.0 + (n_docs - dfi + 0.5) / (dfi + 0.5))
+                # idf computed in-column from the broadcast df row; a
+                # df=0 term contributes 0 anyway (tf is 0 in every doc)
+                dfc = F.col(f"__df_{i}_{tix[t]}").cast("double")
+                idf = F.log(
+                    F.lit(1.0)
+                    + (F.lit(n_docs + 0.5) - dfc) / (dfc + F.lit(0.5))
+                )
             tf = F.size(F.filter(f"__toks{i}", eq_term(t)))
             dl = F.size(f"__toks{i}")
             part = (
-                F.lit(idf)
+                idf
                 * tf.cast("double")
                 * F.lit(k1 + 1.0)
                 / (
@@ -2183,6 +2322,8 @@ class CypherEngine:
                     )
                 )
             )
+            if i < len(fb) and fb[i] != 1.0:
+                part = part * F.lit(float(fb[i]))  # FIELD boost (round 13)
             return F.when(F.col(f"__has{i}"), part).otherwise(F.lit(0.0))
 
         def phrase_in_field(i, toks):
@@ -2197,15 +2338,20 @@ class CypherEngine:
                 lambda s: F.slice(tcol, s, ln) == lit,
             )
 
-        def clause_match(toks):
+        def clause_match(toks, kind):
             m = None
             for i in range(nprops):
-                if len(toks) == 1:
-                    c = F.col(f"__has{i}") & F.array_contains(
-                        f"__toks{i}", toks[0]
-                    )
-                else:
+                if kind == "phrase":
                     c = F.col(f"__has{i}") & phrase_in_field(i, toks)
+                else:
+                    # 'term' or grouped 'any' (ADVICE r12): any member
+                    # term in any field matches the clause
+                    c = None
+                    for t in toks:
+                        tc = F.col(f"__has{i}") & F.array_contains(
+                            f"__toks{i}", t
+                        )
+                        c = tc if c is None else (c | tc)
                 m = c if m is None else (m | c)
             return m
 
@@ -2224,16 +2370,18 @@ class CypherEngine:
         required = []
         excluded = []
         has_positive = False
-        for mod, toks in clauses:
+        for mod, toks, kind, boost in clauses:
             if mod == "-":
-                excluded.append(clause_match(toks))
+                excluded.append(clause_match(toks, kind))
                 continue
             has_positive = True
-            m = clause_match(toks)
+            m = clause_match(toks, kind)
             if mod == "+":
                 required.append(m)
             cs = clause_score(toks)
             if cs is not None:
+                if boost != 1.0:
+                    cs = cs * F.lit(float(boost))  # query-time boost
                 contrib = F.when(m, cs).otherwise(F.lit(0.0))
                 score = contrib if score is None else (score + contrib)
             match_any = m if match_any is None else (match_any | m)
@@ -2253,7 +2401,10 @@ class CypherEngine:
             .filter(F.col("__score") > 0)
             .orderBy(
                 F.col("__score").desc(),
-                *[F.col(c) for c in order_cols],
+                *[
+                    F.col(c) if isinstance(c, str) else c
+                    for c in order_cols
+                ],
             )
             .offset(skip)
             .limit(limit)
@@ -2346,7 +2497,7 @@ class CypherEngine:
         wlabel = self._register_winner_node(
             "string",
             lambda: self._cached_winner(
-                edge.table, rkey,
+                edge.table, index, rkey,
                 lambda: self._rel_vector_topk_frame(*rargs),
             ),
             extra_props=(
@@ -2440,6 +2591,11 @@ class CypherEngine:
             F.col(prop).alias("__vec"),
         )
         score = self._vector_score_col(similarity, vec)
+        # the vector hash joins the tie-break (round 13, ADVICE r12) so
+        # a truncating k cuts deterministically among equal-score
+        # parallel relationships with different vectors; byte-identical
+        # parallel relationships still co-match n*n (documented — the
+        # index cannot distinguish them and they score identically)
         top = (
             cand.withColumn("__score", score)
             .filter(F.col("__score").isNotNull())
@@ -2447,6 +2603,7 @@ class CypherEngine:
                 F.col("__score").desc(),
                 F.col("__src").cast("string"),
                 F.col("__dst").cast("string"),
+                F.xxhash64("__vec"),
             )
             .limit(k)
         )

@@ -1154,12 +1154,16 @@ class _SingleQueryPlanner:
                 # classification rides a STRUCTURED attribute (ADVICE
                 # r12: message sniffing misclassified would-be-ambiguous
                 # hops) — "statically impossible" additionally requires
-                # both endpoint labels to be CONCRETE schema labels, so
-                # an unrewritten disjunction or unresolved alias can
-                # never be silently dropped as an empty variant
+                # every BOUND endpoint label to be a CONCRETE schema
+                # label, so an unrewritten disjunction can never be
+                # silently dropped as an empty variant. An UNBOUND
+                # endpoint (None) does not block the classification:
+                # candidate_edges treats it as a wildcard, so zero
+                # candidates is genuinely a dead end (e.g. the too-long
+                # bounded-variant chain where no edge leaves the bound
+                # side at all).
                 concrete = all(
-                    labels.get(x) is not None
-                    and self.schema.has_node(labels[x])
+                    labels.get(x) is None or self.schema.has_node(labels[x])
                     for x in (la, ra)
                 )
                 if n == 0:

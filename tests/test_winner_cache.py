@@ -106,15 +106,27 @@ def test_index_rebuild_evicts(vector_engine, spark):
     v = _qvec(spark)
     vector_engine.cypher(Q, params={"v": v}).collect()
     assert len(vector_engine._winner_cache) == 1
-    epoch = vector_engine._index_epoch
+    # idempotent re-create: same definition, no epoch bump, cache kept
+    e0 = vector_engine._index_epochs.get("emb_idx", 0)
+    vector_engine.create_vector_index("emb_idx", "Emb", "embedding")
+    assert vector_engine._index_epochs.get("emb_idx", 0) == e0
+    vector_engine.cypher(Q, params={"v": v}).collect()
+    assert len(vector_engine._winner_cache) == 1
+    # creating an UNRELATED index must not evict this one's winners
     vector_engine.create_vector_index("wc_tmp_idx", "Emb", "embedding")
-    assert vector_engine._index_epoch == epoch + 1
+    vector_engine.cypher(Q, params={"v": v}).collect()
+    assert len(vector_engine._winner_cache) == 1
+    # re-creating THIS index with a changed definition bumps its epoch
     try:
+        vector_engine.create_vector_index(
+            "emb_idx", "Emb", "embedding", similarity="euclidean"
+        )
+        assert vector_engine._index_epochs["emb_idx"] == e0 + 1
         vector_engine.cypher(Q, params={"v": v}).collect()
-        # new index epoch -> new key (old entry still LRU-resident)
         assert len(vector_engine._winner_cache) == 2
     finally:
         vector_engine.cypher("DROP INDEX wc_tmp_idx")
+        vector_engine.create_vector_index("emb_idx", "Emb", "embedding")
         vector_engine.clear_caches()
 
 
