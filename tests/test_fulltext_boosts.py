@@ -270,3 +270,85 @@ def test_boosted_materialized_equals_scan(ft_engine, spark):
         field_boosts=[2.0, 1.0], stopwords=stop,
     )
     assert scan == exp
+
+
+def test_fulltext_extended_grammar_fuzz(ft_engine, spark):
+    """Hypothesis differential for the ROUND-13 grammar: random
+    combinations of boosted terms/phrases, hyphenated modifier groups
+    (match-ANY), and stopword-containing pieces, over a field-boosted
+    stopword index — on BOTH the scan and materialized-postings paths,
+    which must agree with the independent python oracle and each
+    other."""
+    import hypothesis.strategies as st
+    from hypothesis import HealthCheck, given, settings
+
+    stop = frozenset({"the", "of"})
+    if "bf_fuzz" not in ft_engine._fulltext_indexes:
+        ft_engine.create_fulltext_index(
+            "bf_fuzz", "Doc", ["text^2", "source"], stopwords=stop
+        )
+        ft_engine.materialize_fulltext_index("bf_fuzz")
+
+    words = ["fast", "merge", "scan", "slow", "batch", "the", "zzz_absent"]
+    boosts = ["", "^2", "^0.5", "^3"]
+
+    @st.composite
+    def ft_query(draw):
+        n = draw(st.integers(1, 4))
+        pieces = []
+        for _ in range(n):
+            mod = draw(st.sampled_from(["", "", "+", "-"]))
+            b = draw(st.sampled_from(boosts))
+            shape = draw(st.integers(0, 2))
+            if shape == 0:  # term
+                pieces.append(mod + draw(st.sampled_from(words)) + b)
+            elif shape == 1:  # quoted phrase
+                w1, w2 = (
+                    draw(st.sampled_from(words)),
+                    draw(st.sampled_from(words)),
+                )
+                pieces.append(f'{mod}"{w1} {w2}"{b}')
+            else:  # hyphenated multi-token piece (group when modified)
+                w1, w2 = (
+                    draw(st.sampled_from(words)),
+                    draw(st.sampled_from(words)),
+                )
+                pieces.append(f"{mod}{w1}-{w2}{b}")
+        return " ".join(pieces)
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    @given(q=ft_query())
+    def check(q):
+        exp = _oracle(
+            spark, ["text", "source"], q, 8,
+            field_boosts=[2.0, 1.0], stopwords=stop,
+        )
+        scan_eng_clauses = ft_engine._parse_fulltext_query(q, stop)
+        # scan path: a fresh un-materialized index over the same fields
+        ft_engine.create_fulltext_index(
+            "bf_fuzz_scan", "Doc", ["text^2", "source"], stopwords=stop
+        )
+
+        def run(idx):
+            return [
+                (r.id, r.s)
+                for r in ft_engine.cypher(
+                    f"CALL db.index.fulltext.queryNodes('{idx}', $q, "
+                    "{limit: 8}) YIELD node, score "
+                    "RETURN node.doc_id AS id, round(score, 6) AS s "
+                    "ORDER BY s DESC, id",
+                    params={"q": q},
+                ).collect()
+            ]
+
+        assert run("bf_fuzz_scan") == exp, ("scan", q, scan_eng_clauses)
+        assert run("bf_fuzz") == exp, ("postings", q, scan_eng_clauses)
+
+    check()
