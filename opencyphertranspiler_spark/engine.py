@@ -305,6 +305,7 @@ class CypherEngine:
         label: str,
         property: "str | list[str]",
         stopwords=None,
+        analyzer: str = "standard",
     ) -> None:
         """Register a full-text index over one or MORE string properties
         of a node label (Neo4j: ``CREATE FULLTEXT INDEX name FOR
@@ -326,8 +327,11 @@ class CypherEngine:
         field's score part, and ``stopwords`` (an iterable of analyzed
         tokens) are dropped by the analyzer at index AND query time —
         stopwords do not match, score, or count toward document length.
-        No stemming and no further Lucene syntax (fuzzy/wildcard) — the
-        documented divergence."""
+        ``analyzer='english-minimal'`` adds Lucene's plural-only
+        EnglishMinimalStemmer (JVM expression, applied at index and
+        query time); 'standard' (default) keeps the unstemmed analyzer.
+        No deeper stemming and no further Lucene syntax
+        (fuzzy/wildcard) — the documented divergence."""
         nsch = self.graph.get_node(label)
         props = (
             [property] if isinstance(property, str) else list(property)
@@ -342,29 +346,87 @@ class CypherEngine:
                 raise TranspilerBindingError(
                     f"Node '{label}' has no property '{p}' to index"
                 )
+        if analyzer not in ("standard", "english-minimal"):
+            raise TranspilerNotSupportedError(
+                f"Fulltext analyzer '{analyzer}' is not supported "
+                "(standard, english-minimal)"
+            )
         stop = frozenset(
             t.lower() for t in (stopwords or ())
         )
-        entry = (label, pnames, boosts, stop)
+        entry = (label, pnames, boosts, stop, analyzer)
         if self._fulltext_indexes.get(name) == entry:
             return  # idempotent re-create: nothing changed, keep caches
         self._fulltext_indexes[name] = entry
         self._bump_index_epoch(name)
 
     @staticmethod
-    def _ft_tokens(col, stopwords: frozenset = frozenset()):
+    def _stem_minimal_col(t):
+        """Lucene's EnglishMinimalStemFilter (plural-only stemming) as a
+        pure Column expression (round 13): words of length >= 3 ending
+        in 's' drop the plural — '-ies' becomes '-y' (unless preceded by
+        a/e), '-us'/'-ss' and '-[iaoe]es' are kept, everything else
+        loses the final 's'. Same rule table as
+        org.apache.lucene.analysis.en.EnglishMinimalStemmer; no Python
+        in the plan."""
+        L = F.length(t)
+        c1 = F.substring(t, -1, 1)
+        c2 = F.substring(t, -2, 1)
+        c3 = F.substring(t, -3, 1)
+        c4 = F.substring(t, -4, 1)
+        return (
+            F.when((L < F.lit(3)) | (c1 != F.lit("s")), t)
+            .when(c2.isin("u", "s"), t)
+            .when(
+                (c2 == F.lit("e"))
+                & (L > F.lit(3))
+                & (c3 == F.lit("i"))
+                & ~c4.isin("a", "e"),
+                F.concat(t.substr(F.lit(1), L - F.lit(3)), F.lit("y")),
+            )
+            .when((c2 == F.lit("e")) & c3.isin("i", "a", "o", "e"), t)
+            .otherwise(t.substr(F.lit(1), L - F.lit(1)))
+        )
+
+    @staticmethod
+    def _stem_minimal_py(w: str) -> str:
+        """Driver-side mirror of :meth:`_stem_minimal_col` for query
+        tokens — MUST stay rule-identical."""
+        if len(w) < 3 or not w.endswith("s"):
+            return w
+        if w[-2] in "us":
+            return w
+        if w[-2] == "e":
+            if len(w) > 3 and w[-3] == "i" and w[-4] not in "ae":
+                return w[:-3] + "y"
+            if w[-3] in "iaoe":
+                return w
+        return w[:-1]
+
+    @classmethod
+    def _ft_tokens(
+        cls,
+        col,
+        stopwords: frozenset = frozenset(),
+        analyzer: str = "standard",
+    ):
         """The analyzer as a Column: lowercase, split on
-        non-alphanumerics, drop empties and (round 13) stopwords —
-        shared by the scan path, the materializer and the fresh-doc
-        delta so every route tokenizes identically."""
+        non-alphanumerics, drop empties and (round 13) stopwords, then
+        optionally plural-stem (analyzer='english-minimal') — shared by
+        the scan path, the materializer and the fresh-doc delta so
+        every route tokenizes identically."""
         toks = F.split(F.lower(col), "[^a-z0-9]+")
         if stopwords:
             stop = sorted(stopwords)
-            return F.filter(
+            toks = F.filter(
                 toks,
                 lambda t: (t != F.lit("")) & ~t.isin(stop),
             )
-        return F.filter(toks, lambda t: t != F.lit(""))
+        else:
+            toks = F.filter(toks, lambda t: t != F.lit(""))
+        if analyzer == "english-minimal":
+            toks = F.transform(toks, cls._stem_minimal_col)
+        return toks
 
     def materialize_fulltext_index(self, name: str) -> None:
         """Build a distributed INVERTED INDEX for a registered node
@@ -390,12 +452,12 @@ class CypherEngine:
                 f"'{name}' — create_fulltext_index() first; known: "
                 f"{known}"
             )
-        label, props, _boosts, stop = self._fulltext_indexes[name]
+        label, props, _boosts, stop, analyzer = self._fulltext_indexes[name]
         nsch = self.graph.get_node(label)
         tbl = self.tables.get(nsch.table)
         per_field = []
         for i, p in enumerate(props):
-            toks = self._ft_tokens(F.col(p), stop)
+            toks = self._ft_tokens(F.col(p), stop, analyzer)
             doc = tbl.filter(F.col(p).isNotNull()).select(
                 F.col(nsch.id_property).alias("__id"),
                 toks.alias("__toks"),
@@ -420,7 +482,7 @@ class CypherEngine:
             )
         stats: dict[int, tuple[int, float]] = {}
         for i, p in enumerate(props):
-            toks = self._ft_tokens(F.col(p), stop)
+            toks = self._ft_tokens(F.col(p), stop, analyzer)
             srow = (
                 tbl.filter(F.col(p).isNotNull())
                 .select(
@@ -463,6 +525,7 @@ class CypherEngine:
         verb: str,
         property: "str | list[str]",
         stopwords=None,
+        analyzer: str = "standard",
     ) -> None:
         """Register a full-text index over one or more string properties
         of a relationship type (Neo4j: ``CREATE FULLTEXT INDEX name FOR
@@ -496,8 +559,13 @@ class CypherEngine:
                     f"Relationship '{verb}' has no property '{p}' to "
                     "index"
                 )
+        if analyzer not in ("standard", "english-minimal"):
+            raise TranspilerNotSupportedError(
+                f"Fulltext analyzer '{analyzer}' is not supported "
+                "(standard, english-minimal)"
+            )
         stop = frozenset(t.lower() for t in (stopwords or ()))
-        entry = (verb, pnames, boosts, stop)
+        entry = (verb, pnames, boosts, stop, analyzer)
         if self._rel_fulltext_indexes.get(name) == entry:
             return  # idempotent re-create
         self._rel_fulltext_indexes[name] = entry
@@ -791,6 +859,17 @@ class CypherEngine:
                 if node_t
                 else (rel_t.group(1), rel_t.group(2))
             )
+            # analyzer read from an 'english-minimal' literal anywhere
+            # in OPTIONS (round 13 — mirrors the vector similarity
+            # handling of Neo4j's fulltext.analyzer indexConfig)
+            analyzer = "standard"
+            mopt = re.match(r"(?is)^(.*?)\s+OPTIONS\s*\{(.*)\}$", on)
+            if mopt:
+                on = mopt.group(1).strip()
+                if re.search(
+                    r"(?i)['\"]english-minimal['\"]", mopt.group(2)
+                ):
+                    analyzer = "english-minimal"
             mon = re.match(r"(?is)^EACH\s*\[(.+)\]$", on)
             props = None
             if mon:
@@ -809,10 +888,12 @@ class CypherEngine:
                     "[<alias>.<prop>, ...]"
                 )
             if node_t:
-                self.create_fulltext_index(name, entity, props)
+                self.create_fulltext_index(
+                    name, entity, props, analyzer=analyzer
+                )
             else:
                 self.create_relationship_fulltext_index(
-                    name, entity, props
+                    name, entity, props, analyzer=analyzer
                 )
             return self.spark.createDataFrame(
                 [(name, "FULLTEXT", entity, ",".join(props))],
@@ -1579,7 +1660,7 @@ class CypherEngine:
                 f"CALL {name}: no fulltext index '{index}' — register "
                 f"one with create_fulltext_index(); known: {known}"
             )
-        label, props, boosts, stop = self._fulltext_indexes[index]
+        label, props, boosts, stop, analyzer = self._fulltext_indexes[index]
         yields = list(clause.yields) or [("node", "node"), ("score", "score")]
         node_alias = score_alias = None
         for yname, alias in yields:
@@ -1593,15 +1674,15 @@ class CypherEngine:
                 )
         bind_alias = node_alias or f"__ft_node_{id(clause) & 0xFFFF:x}"
 
-        ft_clauses = self._parse_fulltext_query(qstr, stop)
+        ft_clauses = self._parse_fulltext_query(qstr, stop, analyzer)
         nsch = self.graph.get_node(label)
         fargs = (
             index, label, list(props), ft_clauses, int(limit), int(skip),
-            list(boosts), stop,
+            list(boosts), stop, analyzer,
         )
         fkey = (
             "ft", index, label, tuple(props), tuple(ft_clauses),
-            int(limit), int(skip), tuple(boosts), stop,
+            int(limit), int(skip), tuple(boosts), stop, analyzer,
         )
         wlabel = self._register_winner_node(
             nsch.id_property_type,
@@ -1697,7 +1778,7 @@ class CypherEngine:
                 f"— register one with "
                 f"create_relationship_fulltext_index(); known: {known}"
             )
-        verb, props, boosts, stop = self._rel_fulltext_indexes[index]
+        verb, props, boosts, stop, analyzer = self._rel_fulltext_indexes[index]
         edge = self.graph.edges_by_verb(verb)[0]
         yields = list(clause.yields) or [
             ("relationship", "relationship"),
@@ -1719,7 +1800,7 @@ class CypherEngine:
         a_alias = f"__ftr_a_{suffix}"
         b_alias = f"__ftr_b_{suffix}"
 
-        ft_clauses = self._parse_fulltext_query(qstr, stop)
+        ft_clauses = self._parse_fulltext_query(qstr, stop, analyzer)
         eprops = [
             next(
                 (p for p in edge.properties if p.name == pr),
@@ -1730,11 +1811,11 @@ class CypherEngine:
         fargs = (
             index, edge.table, edge.source_id_property,
             edge.sink_id_property, list(props), ft_clauses, int(limit),
-            int(skip), list(boosts), stop,
+            int(skip), list(boosts), stop, analyzer,
         )
         frkey = (
             "ftr", index, edge.table, tuple(props), tuple(ft_clauses),
-            int(limit), int(skip), tuple(boosts), stop,
+            int(limit), int(skip), tuple(boosts), stop, analyzer,
         )
         wlabel = self._register_winner_node(
             "string",
@@ -1826,6 +1907,7 @@ class CypherEngine:
         self, index: str, edge_table: str, src_col: str, dst_col: str,
         props: list, clauses: list, limit: int, skip: int = 0,
         boosts: list | None = None, stop: frozenset = frozenset(),
+        analyzer: str = "standard",
     ):
         """LAZY relationship BM25 winner frame: (__id, __src, __dst,
         __pv<i>..., __score) top-k over the edge table; ``__id`` is a
@@ -1853,7 +1935,7 @@ class CypherEngine:
             ],
             index, props, clauses, limit, skip,
             epoch=self.tables.epoch(edge_table),
-            field_boosts=boosts, stopwords=stop,
+            field_boosts=boosts, stopwords=stop, analyzer=analyzer,
         )
         return top.select(
             F.concat_ws(
@@ -1867,8 +1949,13 @@ class CypherEngine:
             "*",
         )
 
-    @staticmethod
-    def _parse_fulltext_query(qstr: str, stopwords: frozenset = frozenset()) -> list:
+    @classmethod
+    def _parse_fulltext_query(
+        cls,
+        qstr: str,
+        stopwords: frozenset = frozenset(),
+        analyzer: str = "standard",
+    ) -> list:
         """Minimal Lucene BooleanQuery subset (round 12, VERDICT r11
         #4; extended round 13): ``term`` (SHOULD), ``+term`` (MUST),
         ``-term`` (MUST_NOT), ``"a phrase"`` (exact analyzed token
@@ -1913,6 +2000,8 @@ class CypherEngine:
                 for t in re.split(r"[^a-z0-9]+", text.lower())
                 if t and t not in stopwords
             ]
+            if analyzer == "english-minimal":
+                toks = [cls._stem_minimal_py(t) for t in toks]
             if not toks:
                 continue
             if quoted is not None and len(toks) > 1:
@@ -1932,6 +2021,7 @@ class CypherEngine:
         self, index: str, label: str, props: list, clauses: list,
         limit: int, skip: int = 0,
         boosts: list | None = None, stop: frozenset = frozenset(),
+        analyzer: str = "standard",
     ):
         """Distributed BM25 top-k PLAN over a NODE label (lazy — the
         winner join consumes it). With a MATERIALIZED inverted index
@@ -1988,7 +2078,7 @@ class CypherEngine:
                 ["__id"],
                 index, props, clauses, limit + skip, 0,
                 frozen_stats=stats, frozen_idf=frozen_idf,
-                field_boosts=boosts, stopwords=stop,
+                field_boosts=boosts, stopwords=stop, analyzer=analyzer,
             )
             return (
                 main.unionByName(delta)
@@ -2003,7 +2093,7 @@ class CypherEngine:
             ["__id"],
             index, props, clauses, limit, skip,
             epoch=self.tables.epoch(nsch.table),
-            field_boosts=boosts, stopwords=stop,
+            field_boosts=boosts, stopwords=stop, analyzer=analyzer,
         )
 
     def _fulltext_postings_topk(
@@ -2182,6 +2272,7 @@ class CypherEngine:
         frozen_idf: dict | None = None,
         field_boosts: list | None = None,
         stopwords: frozenset = frozenset(),
+        analyzer: str = "standard",
     ):
         """Generic distributed BM25 top-k PLAN: tokens = lowercase
         non-alnum split per indexed FIELD; per-field idf =
@@ -2206,7 +2297,7 @@ class CypherEngine:
 
         def toks_col(p):
             return self._ft_tokens(
-                F.coalesce(F.col(p), F.lit("")), stopwords
+                F.coalesce(F.col(p), F.lit("")), stopwords, analyzer
             )
 
         base = df_tbl.select(

@@ -352,3 +352,116 @@ def test_fulltext_extended_grammar_fuzz(ft_engine, spark):
         assert run("bf_fuzz") == exp, ("postings", q, scan_eng_clauses)
 
     check()
+
+
+def _stem_min(w):
+    # mirror of EnglishMinimalStemmer for the test oracle
+    if len(w) < 3 or not w.endswith("s"):
+        return w
+    if w[-2] in "us":
+        return w
+    if w[-2] == "e":
+        if len(w) > 3 and w[-3] == "i" and w[-4] not in "ae":
+            return w[:-3] + "y"
+        if w[-3] in "iaoe":
+            return w
+    return w[:-1]
+
+
+def test_stem_rule_table():
+    from opencyphertranspiler_spark import CypherEngine
+
+    # expectations match org.apache.lucene.analysis.en
+    # .EnglishMinimalStemmer exactly — including its quirks ('was'->'wa',
+    # 'dies'->'dy'; Lucene pairs this filter with a stopword list)
+    cases = {
+        "merges": "merge", "scans": "scan", "queries": "query",
+        "is": "is", "was": "wa", "boss": "boss", "bus": "bus",
+        "goes": "goes", "dies": "dy", "ties": "ty",
+        "fees": "fees", "as": "as", "s": "s", "ss": "ss",
+        "tables": "table", "cats": "cat", "aliases": "aliase",
+        "studies": "study", "applies": "apply",
+    }
+    for w, exp in cases.items():
+        assert CypherEngine._stem_minimal_py(w) == exp, (w, exp)
+        assert _stem_min(w) == exp, (w, exp)
+
+
+def test_english_minimal_stemmer(ft_engine, spark):
+    """analyzer='english-minimal' (round 13): plural query terms match
+    singular docs and vice versa, identically on the scan and postings
+    routes, vs a python oracle running the same stemmer."""
+    ft_engine.create_fulltext_index(
+        "b_stem", "Doc", "text", analyzer="english-minimal"
+    )
+
+    def oracle(q, limit):
+        # stem both corpus and query through the shared rule table
+        import math
+
+        rows = _corpus(spark, ["text"])
+        toks = {
+            r.doc_id: [
+                _stem_min(x)
+                for x in re.split(r"[^a-z0-9]+", r.text.lower())
+                if x
+            ]
+            for r in rows
+            if r.text is not None
+        }
+        n = len(toks)
+        avgdl = sum(len(v) for v in toks.values()) / n
+        terms = sorted(
+            {
+                _stem_min(x)
+                for x in re.split(r"[^a-z0-9]+", q.lower())
+                if x
+            }
+        )
+        out = {}
+        for i, tk in toks.items():
+            s = 0.0
+            for t in terms:
+                df = sum(1 for v in toks.values() if t in v)
+                if df == 0:
+                    continue
+                idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+                tf = tk.count(t)
+                s += idf * tf * 2.2 / (
+                    tf + 1.2 * (0.25 + 0.75 * len(tk) / avgdl)
+                )
+            if s > 0:
+                out[i] = s
+        ranked = sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
+        return [(i, round(s, 6)) for i, s in ranked]
+
+    q = "merges scans vectors"
+    scan = _run(ft_engine, "b_stem", q, 10)
+    assert scan == oracle(q, 10) and scan
+    # plural query == singular query under the stemmer
+    assert scan == _run(ft_engine, "b_stem", "merge scan vector", 10)
+    ft_engine.materialize_fulltext_index("b_stem")
+    assert _run(ft_engine, "b_stem", q, 10) == scan
+    # the unstemmed index ranks differently (plural terms are rarer)
+    ft_engine.create_fulltext_index("b_nostem", "Doc", "text")
+    assert _run(ft_engine, "b_nostem", q, 10) != scan
+
+
+def test_stemmer_via_ddl_options(ft_engine, spark):
+    """CREATE FULLTEXT INDEX ... OPTIONS {indexConfig:
+    {`fulltext.analyzer`: 'english-minimal'}} wires the stemmer."""
+    ft_engine.cypher(
+        "CREATE FULLTEXT INDEX ddl_stem IF NOT EXISTS FOR (d:Doc) "
+        "ON EACH [d.text] OPTIONS {indexConfig: "
+        "{`fulltext.analyzer`: 'english-minimal'}}"
+    )
+    try:
+        assert (
+            ft_engine._fulltext_indexes["ddl_stem"][4]
+            == "english-minimal"
+        )
+        plural = _run(ft_engine, "ddl_stem", "merges scans", 5)
+        singular = _run(ft_engine, "ddl_stem", "merge scan", 5)
+        assert plural == singular and plural
+    finally:
+        ft_engine.cypher("DROP INDEX ddl_stem IF EXISTS")
