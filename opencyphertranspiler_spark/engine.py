@@ -1980,13 +1980,21 @@ class CypherEngine:
         out = []
         seen = set()
         for m in re.finditer(
-            r'([+\-]?)(?:"([^"]*)"(\^\d+(?:\.\d+)?)?|(\S+))', qstr
+            r'([+\-]?)(?:"([^"]*)"(~\d+)?(\^\d+(?:\.\d+)?)?|(\S+))',
+            qstr,
         ):
-            mod, quoted, qboost, bare = (
+            mod, quoted, slop, qboost, bare = (
                 m.group(1), m.group(2), m.group(3), m.group(4),
+                m.group(5),
             )
             boost = 1.0
+            fuzz = None
             if quoted is not None:
+                if slop:
+                    raise TranspilerNotSupportedError(
+                        'Phrase slop ("a phrase"~n) is not supported — '
+                        "phrases match the exact analyzed token sequence"
+                    )
                 text = quoted
                 if qboost:
                     boost = float(qboost[1:])
@@ -1995,6 +2003,15 @@ class CypherEngine:
                 bm = re.match(r"(.*[^^])\^(\d+(?:\.\d+)?)$", bare)
                 if bm:
                     text, boost = bm.group(1), float(bm.group(2))
+                fm = re.match(r"(.+)~(\d)?$", text)
+                if fm:
+                    text = fm.group(1)
+                    fuzz = -1 if fm.group(2) is None else int(fm.group(2))
+                    if fuzz > 2:
+                        raise TranspilerNotSupportedError(
+                            "Fuzzy distance > 2 is not supported "
+                            "(Lucene caps edit distance at 2)"
+                        )
             toks = [
                 t
                 for t in re.split(r"[^a-z0-9]+", text.lower())
@@ -2004,7 +2021,18 @@ class CypherEngine:
                 toks = [cls._stem_minimal_py(t) for t in toks]
             if not toks:
                 continue
-            if quoted is not None and len(toks) > 1:
+            if fuzz is not None:
+                if len(toks) > 1:
+                    raise TranspilerNotSupportedError(
+                        "Fuzzy (~) applies to a single term; "
+                        f"'{text}' analyzes to {len(toks)} tokens"
+                    )
+                t = toks[0]
+                if fuzz == -1:
+                    # Lucene AUTO fuzziness by term length
+                    fuzz = 0 if len(t) < 3 else (1 if len(t) <= 5 else 2)
+                pieces = [((t,), f"fuzzy{fuzz}")]
+            elif quoted is not None and len(toks) > 1:
                 pieces = [(tuple(toks), "phrase")]
             elif len(toks) > 1 and mod:
                 pieces = [(tuple(toks), "any")]
@@ -2016,6 +2044,61 @@ class CypherEngine:
                     seen.add(key)
                     out.append(key)
         return sorted(out)
+
+    _FUZZY_MAX_EXPANSIONS = 50  # Lucene FuzzyQuery default
+
+    @staticmethod
+    def _expand_fuzzy(clauses: list, vocab) -> list:
+        """Rewrite fuzzy clauses (round 13) into plain term / match-ANY
+        groups by enumerating the index vocabulary: ``vocab`` is a
+        (__t, __df) frame (the materialized dfreq, or a per-query
+        distinct-token aggregate on the scan path); candidates within
+        the edit distance — length-banded prefilter + JVM levenshtein —
+        are capped at the top 50 by document frequency (Lucene's
+        maxExpansions), each scoring with its OWN idf (documented
+        divergence: no distance-decay boost). A fuzzy term with no
+        vocabulary match within distance stays an exact term, which
+        simply never matches (MUST then yields zero rows, like
+        Lucene)."""
+        if not any(k.startswith("fuzzy") for _m, _t, k, _b in clauses):
+            return clauses
+        grouped = (
+            vocab.groupBy("__t")
+            .agg(F.sum("__df").alias("__df"))
+        )
+        out = []
+        for mod, toks, kind, boost in clauses:
+            if not kind.startswith("fuzzy"):
+                out.append((mod, toks, kind, boost))
+                continue
+            d = int(kind[5:])
+            term = toks[0]
+            if d == 0:
+                out.append((mod, (term,), "term", boost))
+                continue
+            rows = (
+                grouped.filter(
+                    (
+                        F.abs(F.length("__t") - F.lit(len(term)))
+                        <= F.lit(d)
+                    )
+                    & (
+                        F.levenshtein(F.col("__t"), F.lit(term))
+                        <= F.lit(d)
+                    )
+                )
+                .orderBy(F.col("__df").desc(), "__t")
+                .limit(CypherEngine._FUZZY_MAX_EXPANSIONS)
+                .collect()
+            )
+            terms = tuple(sorted(r["__t"] for r in rows))
+            if not terms:
+                out.append((mod, (term,), "term", boost))
+            elif len(terms) == 1:
+                out.append((mod, terms, "term", boost))
+            else:
+                out.append((mod, terms, "any", boost))
+        return out
 
     def _fulltext_topk_frame(
         self, index: str, label: str, props: list, clauses: list,
@@ -2053,6 +2136,7 @@ class CypherEngine:
             import math
 
             postings, dfreq, stats, _ep, indexed_ids = post
+            clauses = self._expand_fuzzy(clauses, dfreq)
             main = self._fulltext_postings_topk(
                 index, props, clauses, limit + skip, 0,
                 postings, dfreq, stats, field_boosts=boosts,
@@ -2114,6 +2198,7 @@ class CypherEngine:
 
         k1, b = self._FT_K1, self._FT_B
         fb = list(field_boosts or [])
+        clauses = self._expand_fuzzy(clauses, dfreq)
         pos_terms = sorted(
             {t for m, toks, *_r in clauses if m != "-" for t in toks}
         )
@@ -2314,6 +2399,27 @@ class CypherEngine:
         empty = base.select(
             *key_names, F.lit(0.0).alias("__score")
         ).filter(F.lit(False))
+        if any(k.startswith("fuzzy") for _m, _t, k, _b in clauses):
+            # fuzzy on the UN-materialized path pays one per-query
+            # vocabulary aggregate over the scan (materialize the index
+            # to expand against the checkpointed dfreq instead)
+            vocab = (
+                base.select(
+                    F.explode(
+                        F.array_distinct(
+                            F.concat(
+                                *[
+                                    F.col(f"__toks{i}")
+                                    for i in range(nprops)
+                                ]
+                            )
+                        )
+                    ).alias("__t")
+                )
+                .groupBy("__t")
+                .agg(F.count("*").alias("__df"))
+            )
+            clauses = self._expand_fuzzy(clauses, vocab)
         # per-field corpus stats (memoized per (index, property))
         missing = [
             (i, p)

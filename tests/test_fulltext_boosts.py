@@ -465,3 +465,104 @@ def test_stemmer_via_ddl_options(ft_engine, spark):
         assert plural == singular and plural
     finally:
         ft_engine.cypher("DROP INDEX ddl_stem IF EXISTS")
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_parse_rules(ft_engine):
+    from opencyphertranspiler_spark.exceptions import (
+        TranspilerNotSupportedError,
+    )
+
+    p = ft_engine._parse_fulltext_query
+    # AUTO fuzziness by analyzed length: <3 -> 0, 3..5 -> 1, >5 -> 2
+    assert ("", ("xy",), "fuzzy0", 1.0) in p("xy~")
+    assert ("", ("merge",), "fuzzy1", 1.0) in p("merge~")
+    assert ("", ("vector",), "fuzzy2", 1.0) in p("vector~")
+    assert ("+", ("merge",), "fuzzy2", 3.0) in p("+merge~2^3")
+    with pytest.raises(TranspilerNotSupportedError, match="distance > 2"):
+        p("merge~3")
+    with pytest.raises(TranspilerNotSupportedError, match="slop"):
+        p('"merge scan"~2')
+    with pytest.raises(TranspilerNotSupportedError, match="single term"):
+        p("state-of-art~1")
+
+
+def test_fuzzy_query_vs_oracle(ft_engine, spark):
+    """term~d expands against the index vocabulary (length-banded
+    levenshtein, top-50 by df) and scores each expansion with its own
+    idf — scan and postings routes agree with the python oracle."""
+    ft_engine.create_fulltext_index("b_fuzz", "Doc", "text")
+
+    def oracle(q_terms, fuzz, limit):
+        import math
+
+        rows = _corpus(spark, ["text"])
+        toks = {
+            r.doc_id: [
+                x
+                for x in re.split(r"[^a-z0-9]+", r.text.lower())
+                if x
+            ]
+            for r in rows
+            if r.text is not None
+        }
+        n = len(toks)
+        avgdl = sum(len(v) for v in toks.values()) / n
+        dfs = {}
+        for tk in toks.values():
+            for t in set(tk):
+                dfs[t] = dfs.get(t, 0) + 1
+        terms = set()
+        for qt, d in zip(q_terms, fuzz):
+            if d == 0:
+                terms.add(qt)
+                continue
+            cand = [
+                t
+                for t in dfs
+                if abs(len(t) - len(qt)) <= d and _lev(t, qt) <= d
+            ]
+            cand.sort(key=lambda t: (-dfs[t], t))
+            terms.update(cand[:50])
+        out = {}
+        for i, tk in toks.items():
+            s = 0.0
+            for t in sorted(terms):
+                df = dfs.get(t, 0)
+                if df == 0:
+                    continue
+                idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+                tf = tk.count(t)
+                s += idf * tf * 2.2 / (
+                    tf + 1.2 * (0.25 + 0.75 * len(tk) / avgdl)
+                )
+            if s > 0:
+                out[i] = s
+        ranked = sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
+        return [(i, round(s, 6)) for i, s in ranked[:limit]]
+
+    q = "merge~1 scan"
+    scan = _run(ft_engine, "b_fuzz", q, 10)
+    exp = oracle(["merge", "scan"], [1, 0], 10)
+    assert scan == exp and scan
+    # fuzzy genuinely widens the match set vs the exact query
+    exact = _run(ft_engine, "b_fuzz", "merge scan", 1000)
+    fuzzy_all = _run(ft_engine, "b_fuzz", q, 1000)
+    assert len(fuzzy_all) >= len(exact)
+    ft_engine.materialize_fulltext_index("b_fuzz")
+    assert _run(ft_engine, "b_fuzz", q, 10) == scan
+    # an unmatchable MUST fuzzy term yields zero rows
+    assert _run(ft_engine, "b_fuzz", "+qqqqqqqqqq~1 merge", 10) == []
