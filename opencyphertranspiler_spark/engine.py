@@ -652,14 +652,35 @@ class CypherEngine:
         get the exact fold re-rank. The FAISS IVFPQ+refine layout:
         at 100 TB the scan reads m bytes of code per candidate instead
         of D floats; scores stay exact, recall additionally depends on
-        the ADC pre-rank (raise refine_factor to tighten)."""
-        if name not in self._vector_indexes:
-            known = ", ".join(sorted(self._vector_indexes)) or "(none)"
+        the ADC pre-rank (raise refine_factor to tighten).
+
+        Relationship vector indexes train too (round 13): the celled
+        corpus is the edge table keyed by (source, sink, vector), and
+        queryRelationships probes cells exactly like queryNodes."""
+        if name in self._vector_indexes:
+            label, prop, similarity = self._vector_indexes[name]
+            nsch = self.graph.get_node(label)
+            table = nsch.table
+            id_col = nsch.id_property
+            key_exprs = [F.col(nsch.id_property).alias("__id")]
+        elif name in self._rel_vector_indexes:
+            verb, prop, similarity = self._rel_vector_indexes[name]
+            edge = self.graph.edges_by_verb(verb)[0]
+            table = edge.table
+            id_col = edge.source_id_property
+            key_exprs = [
+                F.col(edge.source_id_property).alias("__src"),
+                F.col(edge.sink_id_property).alias("__dst"),
+            ]
+        else:
+            known = ", ".join(
+                sorted(self._vector_indexes)
+                + sorted(self._rel_vector_indexes)
+            ) or "(none)"
             raise TranspilerBindingError(
                 f"train_vector_index: no vector index '{name}' — "
                 f"create_vector_index() first; known: {known}"
             )
-        label, prop, similarity = self._vector_indexes[name]
         if not 1 <= nprobe <= n_cells:
             raise TranspilerBindingError(
                 f"train_vector_index: nprobe must be in [1, n_cells] "
@@ -667,20 +688,19 @@ class CypherEngine:
             )
         from .pipeline.similarity import _assign_cell_udf, train_ivf_centroids
 
-        nsch = self.graph.get_node(label)
-        df = self.tables.get(nsch.table)
+        df = self.tables.get(table)
         cents = train_ivf_centroids(
             df,
             n_cells=n_cells,
             iters=iters,
-            id_col=nsch.id_property,
+            id_col=id_col,
             vec_col=prop,
             sample_fraction=sample_fraction,
             seed=seed,
             metric=similarity,
         )
         celled = df.select(
-            F.col(nsch.id_property).alias("__id"),
+            *key_exprs,
             F.col(prop).alias("__vec"),
         ).withColumn(
             "cell", _assign_cell_udf(cents, similarity)(F.col("__vec"))
@@ -701,7 +721,7 @@ class CypherEngine:
                 m=pq_m,
                 ksub=pq_ksub,
                 iters=iters,
-                id_col=nsch.id_property,
+                id_col=id_col,
                 vec_col=prop,
                 sample_fraction=sample_fraction,
                 seed=seed,
@@ -717,7 +737,7 @@ class CypherEngine:
         # VERDICT r12 #4
         self._vector_ann[name] = (
             cents, int(nprobe), celled, books, int(refine_factor),
-            self.tables.epoch(nsch.table),
+            self.tables.epoch(table),
             dict(
                 n_cells=n_cells, nprobe=nprobe, iters=iters,
                 sample_fraction=sample_fraction, seed=seed, pq_m=pq_m,
@@ -766,7 +786,8 @@ class CypherEngine:
                  "TRAINED" if n in self._vector_ann else "EXACT")
                 for n, (lbl, p, _s) in sorted(self._vector_indexes.items())
             ] + [
-                (n, "VECTOR", "RELATIONSHIP", v, p, "EXACT")
+                (n, "VECTOR", "RELATIONSHIP", v, p,
+                 "TRAINED" if n in self._vector_ann else "EXACT")
                 for n, (v, p, _s) in sorted(
                     self._rel_vector_indexes.items()
                 )
@@ -2684,12 +2705,13 @@ class CypherEngine:
             (p for p in edge.properties if p.name == prop), None
         )
         rargs = (
-            edge.table, edge.source_id_property, edge.sink_id_property,
-            prop, similarity, int(k), [float(x) for x in vec],
+            index, edge.table, edge.source_id_property,
+            edge.sink_id_property, prop, similarity, int(k),
+            [float(x) for x in vec],
         )
         rkey = (
             "vecr", index, edge.table, prop, similarity, int(k),
-            tuple(rargs[6]),
+            tuple(rargs[7]),
         )
         wlabel = self._register_winner_node(
             "string",
@@ -2773,20 +2795,56 @@ class CypherEngine:
         return out
 
     def _rel_vector_topk_frame(
-        self, edge_table: str, src_col: str, dst_col: str, prop: str,
-        similarity: str, k: int, vec: list,
+        self, index: str, edge_table: str, src_col: str, dst_col: str,
+        prop: str, similarity: str, k: int, vec: list,
     ):
         """LAZY relationship-winner frame: (__id, __src, __dst, __vec,
         __score) top-k over the edge table. ``__id`` is a synthetic
         string key (endpoints + vector hash) satisfying the virtual
         node's id contract; the join itself matches on the typed
-        endpoint + vector columns."""
+        endpoint + vector columns. With a TRAINED index (round 13 —
+        train_vector_index works on relationship indexes too) the
+        candidates are the cell-pruned celled edge corpus (+ the
+        fresh-list delta when the table epoch moved), with the same ADC
+        pre-rank and exact re-rank as the node path."""
         tbl = self.tables.get(edge_table)
-        cand = tbl.select(
+        cur = tbl.select(
             F.col(src_col).alias("__src"),
             F.col(dst_col).alias("__dst"),
             F.col(prop).alias("__vec"),
         )
+        ann = self._vector_ann.get(index)
+        if ann is not None:
+            ann = self._check_trained_stale(index, edge_table, ann)
+            cents, nprobe, celled, books, refine = ann[:5]
+            probed = self._ivf_probed_cells(cents, nprobe, similarity, vec)
+            cand = celled.filter(F.col("cell").isin(probed))
+            if books is not None:
+                cand = self._adc_prerank(
+                    cand, books, similarity, vec, int(k) * int(refine),
+                    [
+                        F.col("__src").cast("string"),
+                        F.col("__dst").cast("string"),
+                        F.xxhash64("__vec"),
+                    ],
+                )
+            cand = cand.select("__src", "__dst", "__vec")
+            if len(ann) >= 7 and ann[5] != self.tables.epoch(edge_table):
+                # fresh-list delta: edge rows absent from the frozen
+                # celled corpus by (src, dst, vector-hash) identity
+                h = F.xxhash64("__vec").alias("__vh")
+                fresh = (
+                    cur.select("*", h)
+                    .join(
+                        celled.select("__src", "__dst", h),
+                        ["__src", "__dst", "__vh"],
+                        "left_anti",
+                    )
+                    .drop("__vh")
+                )
+                cand = cand.unionByName(fresh)
+        else:
+            cand = cur
         score = self._vector_score_col(similarity, vec)
         # the vector hash joins the tie-break (round 13, ADVICE r12) so
         # a truncating k cuts deterministically among equal-score
@@ -2813,6 +2871,23 @@ class CypherEngine:
             ).alias("__id"),
             "__src", "__dst", "__vec", "__score",
         )
+
+    @staticmethod
+    def _ivf_probed_cells(cents, nprobe: int, similarity: str, vec: list):
+        """Driver-side numpy probe: the nprobe cell ids nearest the
+        query vector (cosine: normalized dot; euclidean: squared L2) —
+        shared by the node and relationship trained paths."""
+        import numpy as np
+
+        qv = np.asarray([float(x) for x in vec], dtype="float64")
+        if similarity == "euclidean":
+            order = np.argsort(((cents - qv) ** 2).sum(axis=1))
+        else:
+            n = np.linalg.norm(qv)
+            if n > 0:
+                qv = qv / n
+            order = np.argsort(-(cents @ qv))
+        return [int(c) for c in order[:nprobe]]
 
     def _check_trained_stale(self, index: str, table: str, ann: tuple):
         """Round 13 (VERDICT r12 #4): a trained IVF corpus is a frozen
@@ -2902,8 +2977,6 @@ class CypherEngine:
         registered tables are immutable DataFrames, so an unchanged
         epoch proves the delta empty and the query stays strictly
         cell-pruned (no corpus pass)."""
-        import numpy as np
-
         nsch = self.graph.get_node(label)
         df = self.tables.get(nsch.table)
         ann = self._vector_ann.get(index)
@@ -2911,18 +2984,7 @@ class CypherEngine:
             ann = self._check_trained_stale(index, nsch.table, ann)
             cents, nprobe, celled, books, _refine = ann[:5]
             similarity = self._vector_indexes.get(index, (None, None, "cosine"))[2]
-            qv = np.asarray([float(x) for x in vec], dtype="float64")
-            if similarity == "euclidean":
-                # plain-L2 cells: probe the nprobe nearest centroids by
-                # squared distance (round 12, VERDICT r11 #5)
-                probed = np.argsort(
-                    ((cents - qv) ** 2).sum(axis=1)
-                )[:nprobe].tolist()
-            else:
-                n = np.linalg.norm(qv)
-                if n > 0:
-                    qv = qv / n
-                probed = np.argsort(-(cents @ qv))[:nprobe].tolist()
+            probed = self._ivf_probed_cells(cents, nprobe, similarity, vec)
             fresh = None
             if len(ann) >= 7 and ann[5] != self.tables.epoch(nsch.table):
                 fresh = (
@@ -2933,7 +2995,7 @@ class CypherEngine:
                     .join(celled.select("__id"), "__id", "left_anti")
                 )
             return (
-                celled.filter(F.col("cell").isin([int(c) for c in probed])),
+                celled.filter(F.col("cell").isin(probed)),
                 fresh,
                 "ivfpq" if books is not None else "ivf",
             )
@@ -2964,48 +3026,56 @@ class CypherEngine:
             index, label, prop, vec
         )
         if how == "ivfpq":
-            # ADC pre-rank (round 11): fold the per-query (m x ksub)
-            # distance lookup table into the plan as a literal — scoring
-            # a candidate is m JVM element_at gathers over its code
-            # array, no Python and no full-width vector reads; only the
-            # top k*refine ADC candidates get the exact fold re-rank
-            import numpy as np
-
-            cents, nprobe, celled, books, refine = self._vector_ann[index][:5]
-            qv = np.asarray([float(x) for x in vec], dtype="float64")
-            if similarity != "euclidean":
-                # cosine codebooks live in normalized space; euclidean
-                # ADC uses the raw query vector (round 12)
-                n = np.linalg.norm(qv)
-                if n > 0:
-                    qv = qv / n
-            m, ksub, dsub = books.shape
-            tab = [
-                [
-                    float(((qv[s * dsub:(s + 1) * dsub] - books[s][c]) ** 2).sum())
-                    for c in range(ksub)
-                ]
-                for s in range(m)
-            ]
-            adc = F.aggregate(
-                F.zip_with(
-                    F.col("code"),
-                    F.lit(tab),
-                    lambda c, row: F.element_at(row, c + F.lit(1)),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            cand = (
-                cand.withColumn("__adc", adc)
-                .orderBy(F.col("__adc").asc(), F.col("__id"))
-                .limit(int(k) * int(refine))
+            _c, _n, _cd, books, refine = self._vector_ann[index][:5]
+            cand = self._adc_prerank(
+                cand, books, similarity, vec, int(k) * int(refine),
+                [F.col("__id")],
             )
         if how != "exact":
             cand = cand.select("__id", "__vec")
             if fresh is not None:
                 cand = cand.unionByName(fresh)
         return self._vector_score_topk(cand, similarity, k, vec)
+
+    @staticmethod
+    def _adc_prerank(cand, books, similarity: str, vec, n: int, tie_cols):
+        """ADC pre-rank (round 11; shared by node and relationship
+        trained paths since round 13): fold the per-query (m x ksub)
+        distance lookup table into the plan as a literal — scoring a
+        candidate is m JVM element_at gathers over its code array, no
+        Python and no full-width vector reads; only the top ``n`` ADC
+        candidates get the exact fold re-rank."""
+        import numpy as np
+
+        qv = np.asarray([float(x) for x in vec], dtype="float64")
+        if similarity != "euclidean":
+            # cosine codebooks live in normalized space; euclidean ADC
+            # uses the raw query vector (round 12)
+            nrm = np.linalg.norm(qv)
+            if nrm > 0:
+                qv = qv / nrm
+        m, ksub, dsub = books.shape
+        tab = [
+            [
+                float(((qv[s * dsub:(s + 1) * dsub] - books[s][c]) ** 2).sum())
+                for c in range(ksub)
+            ]
+            for s in range(m)
+        ]
+        adc = F.aggregate(
+            F.zip_with(
+                F.col("code"),
+                F.lit(tab),
+                lambda c, row: F.element_at(row, c + F.lit(1)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            cand.withColumn("__adc", adc)
+            .orderBy(F.col("__adc").asc(), *tie_cols)
+            .limit(n)
+        )
 
     @staticmethod
     def _vector_score_topk(cand, similarity: str, k: int, vec):

@@ -164,3 +164,94 @@ def test_post_write_search_sees_written_rows(spark):
         " YIELD node, score RETURN id(node) AS id"
     ).collect()
     assert [r.id for r in rows] == [777777]
+
+
+def test_trained_relationship_vector_index(spark):
+    """Round 13: train_vector_index works on RELATIONSHIP vector
+    indexes — exhaustive probe reproduces the exact top-k, a pruned
+    probe serves from the celled edge corpus, and post-train edge
+    inserts arrive through the fresh-list delta."""
+    from pyspark.sql import functions as F
+
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EdgeSchema,
+        EntityProperty,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+    )
+
+    reg = TableRegistry()
+    reg.register_df("ta", spark.createDataFrame([(1,), (2,)], "id long"))
+    reg.register_df(
+        "tb", spark.createDataFrame([(10,), (20,), (30,)], "id long")
+    )
+    rows = [
+        (1, 10, [1.0, 0.0], 0.5),
+        (1, 20, [0.8, 0.6], 0.7),
+        (2, 20, [0.0, 1.0], 0.9),
+        (2, 30, [0.6, 0.8], 0.1),
+    ]
+    edges = spark.createDataFrame(
+        rows, "src long, dst long, emb array<float>, w double"
+    )
+    reg.register_df("tr", edges)
+    g = GraphSchema(
+        [
+            NodeSchema("A", "ta", "id", (), "bigint"),
+            NodeSchema("B", "tb", "id", (), "bigint"),
+        ],
+        [
+            EdgeSchema(
+                "R", "A", "B", "tr", "src", "dst",
+                (
+                    EntityProperty("emb", "array<float>"),
+                    EntityProperty("w", "double"),
+                ),
+            )
+        ],
+    )
+    eng = CypherEngine(spark, g, reg)
+    eng.create_relationship_vector_index("remb", "R", "emb")
+    v = [1.0, 0.0]
+    q = (
+        "CALL db.index.vector.queryRelationships('remb', 2, $v) "
+        "YIELD relationship AS r, score "
+        "RETURN r.w AS w, round(score, 4) AS s ORDER BY s DESC"
+    )
+    exact = [tuple(r) for r in eng.cypher(q, params={"v": v}).collect()]
+    assert exact == [(0.5, 1.0), (0.7, 0.9)]
+    # exhaustive probe == exact
+    eng.train_vector_index("remb", n_cells=2, nprobe=2, iters=2)
+    assert [
+        tuple(r) for r in eng.cypher(q, params={"v": v}).collect()
+    ] == exact
+    assert (
+        eng.cypher("SHOW INDEXES")
+        .filter("name = 'remb'")
+        .collect()[0]
+        .mode
+        == "TRAINED"
+    )
+    # post-train insert: a perfect-match parallel edge wins via the
+    # fresh-list delta (epoch moved -> StaleIndexWarning fires)
+    import warnings
+
+    new_edge = spark.createDataFrame(
+        [(2, 30, [2.0, 0.0], 9.9)],
+        "src long, dst long, emb array<float>, w double",
+    )
+    grown = edges.unionByName(new_edge)
+    eng.tables.register("tr", lambda: grown)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = [
+            tuple(r) for r in eng.cypher(q, params={"v": v}).collect()
+        ]
+    from opencyphertranspiler_spark import StaleIndexWarning
+
+    # the fresh edge ties at cos=1 and takes a top-2 slot through the
+    # delta (the deterministic src/dst tie-break orders the pair)
+    assert (9.9, 1.0) in got and (0.7, 0.9) not in got
+    assert any(issubclass(x.category, StaleIndexWarning) for x in w)
