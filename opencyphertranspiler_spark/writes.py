@@ -2202,5 +2202,9 @@ def execute_write(
         ).engine(
             reach_max_iters=engine.reach_max_iters,
             ordered_aggregates=engine.ordered_aggregates,
+            path_enum_max_hops=engine.path_enum_max_hops,
+            path_enum_max_paths=engine.path_enum_max_paths,
+            allow_walk_fallback=engine.allow_walk_fallback,
+            rebuild_stale_indexes=engine.rebuild_stale_indexes,
         )
     raise TranspilerInternalError("segment loop ended without a result")  # pragma: no cover

@@ -5,11 +5,14 @@ verified against an independent plain-python BM25 oracle, and the
 materialized postings route verified byte-equal to the scan route."""
 
 import math
+import os as _os
 import re
 
 import pytest
 
 from tests.conftest import SF_DIR
+
+_FUZZ_SCALE = int(_os.environ.get("SPARK_GRAFT_FUZZ_SCALE", "1"))
 
 
 @pytest.fixture(scope="module")
@@ -317,7 +320,7 @@ def test_fulltext_extended_grammar_fuzz(ft_engine, spark):
         return " ".join(pieces)
 
     @settings(
-        max_examples=15,
+        max_examples=15 * _FUZZ_SCALE,
         deadline=None,
         suppress_health_check=[
             HealthCheck.too_slow,
