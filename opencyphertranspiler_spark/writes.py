@@ -134,6 +134,35 @@ class WriteResult:
         counter — cheap on the small diff tables, but a real action)."""
         return {k: int(v()) for k, v in self._counters.items()}
 
+    def save(self, directory: str, mode: str = "overwrite") -> "WriteResult":
+        """Persist the write's DERIVED tables as parquet under
+        ``directory`` (round 13) and return a WriteResult whose touched
+        tables are the parquet-backed reads — the DURABLE counterpart of
+        :meth:`checkpoint`: lineage is truncated by real files instead
+        of executor-memory blocks, so the snapshot survives the session,
+        other jobs can read it, and at cluster scale this is the natural
+        "apply the write batch" step (write once, then every downstream
+        engine reads columnar parquet with pushdown). Only the tables
+        the write touched are written; untouched tables keep resolving
+        through the base registry. Index registrations carry over."""
+        import os
+
+        spark = self.spark
+        new_tables: dict[str, DataFrame] = {}
+        for name, df in self.tables.items():
+            path = os.path.join(directory, f"{name}.parquet")
+            df.write.mode(mode).parquet(path)
+            new_tables[name] = spark.read.parquet(path)
+        return WriteResult(
+            spark,
+            self.graph,
+            new_tables,
+            self.base,
+            dict(self._counters),
+            returned=self.returned,
+            index_state=self.index_state,
+        )
+
     def checkpoint(self) -> "WriteResult":
         """Truncate the derived tables' lineage (localCheckpoint, eager).
 
