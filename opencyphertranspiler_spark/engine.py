@@ -2024,7 +2024,7 @@ class CypherEngine:
                 bm = re.match(r"(.*[^^])\^(\d+(?:\.\d+)?)$", bare)
                 if bm:
                     text, boost = bm.group(1), float(bm.group(2))
-                fm = re.match(r"(.+)~(\d)?$", text)
+                fm = re.match(r"(.+)~(\d+)?$", text)
                 if fm:
                     text = fm.group(1)
                     fuzz = -1 if fm.group(2) is None else int(fm.group(2))

@@ -951,3 +951,48 @@ def test_q46_bench_trained_and_materialized_routes(spark):
     fplan = formatted_plan(spark, wf)
     assert "Scan ExistingRDD" in fplan
     assert "documents" not in fplan.lower().replace("scan existingrdd", "")
+
+
+def test_fresh_delta_plans_no_nested_loop(spark):
+    """Round 13: the stale-index fresh-list paths (anti-join delta +
+    union) plan as hash/sort-merge joins — no cartesian or BNLJ on
+    either the vector or the fulltext route."""
+    from tests.conftest import SF_DIR
+
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        tpch_graph_schema,
+        tpch_table_registry,
+    )
+
+    eng = CypherEngine(
+        spark, tpch_graph_schema(), tpch_table_registry(spark, SF_DIR)
+    )
+    qv = [float((i * 7) % 5) for i in range(64)]
+    eng.create_vector_index("pp_v", "Embedding", "embedding")
+    eng.train_vector_index("pp_v", n_cells=4, nprobe=2, iters=2)
+    eng.create_fulltext_index("pp_f", "Document", "text")
+    eng.materialize_fulltext_index("pp_f")
+    # bump the epoch so both delta paths engage
+    emb = eng.tables.get("embeddings")
+    docs = eng.tables.get("documents")
+    eng.tables.register("embeddings", lambda: emb)
+    eng.tables.register("documents", lambda: docs)
+
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        vplan = formatted_plan(
+            spark, eng._vector_topk_frame("pp_v", "Embedding", "embedding", "cosine", 5, qv)
+        )
+        fplan = formatted_plan(
+            spark,
+            eng._fulltext_topk_frame(
+                "pp_f", "Document", ["text"],
+                eng._parse_fulltext_query("spark vector"), 5, 0,
+            ),
+        )
+    for plan in (vplan, fplan):
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
