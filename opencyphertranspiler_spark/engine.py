@@ -232,8 +232,9 @@ class CypherEngine:
         stats. Call between independent workloads (bench.py does,
         per entry) so one workload's pinned blocks can't pressure the
         next one's heap; results stay correct either way — the caches
-        rebuild on demand. Index winners need no clearing since round
-        12: they are lazy plans, rebuilt at every compile."""
+        rebuild on demand. The round-13 winner-frame cache is released
+        too (purely a performance layer — keys are staleness-proof, so
+        clearing is never REQUIRED for correctness)."""
         self._fulltext_stats.clear()
         for df in self._winner_cache.values():
             try:
@@ -2423,23 +2424,20 @@ class CypherEngine:
         if any(k.startswith("fuzzy") for _m, _t, k, _b in clauses):
             # fuzzy on the UN-materialized path pays one per-query
             # vocabulary aggregate over the scan (materialize the index
-            # to expand against the checkpointed dfreq instead)
-            vocab = (
+            # to expand against the checkpointed dfreq instead); df is
+            # summed PER FIELD, matching the postings expansion order
+            per = [
                 base.select(
                     F.explode(
-                        F.array_distinct(
-                            F.concat(
-                                *[
-                                    F.col(f"__toks{i}")
-                                    for i in range(nprops)
-                                ]
-                            )
-                        )
+                        F.array_distinct(F.col(f"__toks{i}"))
                     ).alias("__t")
                 )
-                .groupBy("__t")
-                .agg(F.count("*").alias("__df"))
-            )
+                for i in range(nprops)
+            ]
+            vocab = per[0]
+            for v in per[1:]:
+                vocab = vocab.unionByName(v)
+            vocab = vocab.groupBy("__t").agg(F.count("*").alias("__df"))
             clauses = self._expand_fuzzy(clauses, vocab)
         # per-field corpus stats (memoized per (index, property))
         missing = [
