@@ -103,10 +103,24 @@ def _oracle(
             bm = re.match(r"(.*[^^])\^(\d+(?:\.\d+)?)$", bare)
             if bm:
                 text, boost = bm.group(1), float(bm.group(2))
+        has_fuzz, fuzz_d = False, None
+        if quoted is None:
+            fm = re.match(r"(.+)~(\d+)?$", text)
+            if fm:
+                text, fuzz_d = fm.group(1), fm.group(2)
+                has_fuzz = True
         tks = analyze(text)
         if not tks:
             continue
-        if quoted is not None and len(tks) > 1:
+        if has_fuzz and len(tks) == 1:
+            t = tks[0]
+            d = (
+                int(fuzz_d)
+                if fuzz_d
+                else (0 if len(t) < 3 else (1 if len(t) <= 5 else 2))
+            )
+            pieces = [((t,), f"fuzzy{d}")]
+        elif quoted is not None and len(tks) > 1:
             pieces = [(tuple(tks), "phrase")]
         elif len(tks) > 1 and mod:
             pieces = [(tuple(tks), "any")]
@@ -117,6 +131,36 @@ def _oracle(
             if key not in seen:
                 seen.add(key)
                 clauses.append(key)
+
+    # fuzzy expansion against the corpus vocabulary (df summed per
+    # field, top-50 by (df desc, term) — mirrors engine._expand_fuzzy)
+    if any(k.startswith("fuzzy") for _m, _t, k, _b in clauses):
+        dfs_all = {}
+        for f in fields:
+            for tk in toks[f].values():
+                for t in set(tk):
+                    dfs_all[t] = dfs_all.get(t, 0) + 1
+        expanded = []
+        for mod, tks, kind, boost in clauses:
+            if not kind.startswith("fuzzy"):
+                expanded.append((mod, tks, kind, boost))
+                continue
+            d = int(kind[5:])
+            qt = tks[0]
+            if d == 0:
+                expanded.append((mod, (qt,), "term", boost))
+                continue
+            cand = [
+                t
+                for t in dfs_all
+                if abs(len(t) - len(qt)) <= d and _lev(t, qt) <= d
+            ]
+            cand.sort(key=lambda t: (-dfs_all[t], t))
+            terms = tuple(sorted(cand[:50])) or (qt,)
+            expanded.append(
+                (mod, terms, "any" if len(terms) > 1 else "term", boost)
+            )
+        clauses = expanded
 
     def field_term_score(f, t, did):
         n, avgdl = stats[f]
@@ -302,9 +346,15 @@ def test_fulltext_extended_grammar_fuzz(ft_engine, spark):
         for _ in range(n):
             mod = draw(st.sampled_from(["", "", "+", "-"]))
             b = draw(st.sampled_from(boosts))
-            shape = draw(st.integers(0, 2))
+            shape = draw(st.integers(0, 3))
             if shape == 0:  # term
                 pieces.append(mod + draw(st.sampled_from(words)) + b)
+            elif shape == 3:  # fuzzy term (AUTO or explicit distance)
+                f = draw(st.sampled_from(["~", "~1", "~2"]))
+                # multi-token pieces (underscores split) are a typed
+                # error under ~, so draw single-token words only
+                w = draw(st.sampled_from([x for x in words if "_" not in x]))
+                pieces.append(mod + w + f + b)
             elif shape == 1:  # quoted phrase
                 w1, w2 = (
                     draw(st.sampled_from(words)),
