@@ -1139,7 +1139,11 @@ class CypherEngine:
             return "propertyKey", sorted(keys)
         raise TranspilerNotSupportedError(
             f"Unknown procedure '{name}'; supported: db.labels, "
-            "db.relationshipTypes, db.propertyKeys[(label)]"
+            "db.relationshipTypes, db.propertyKeys[(label)], "
+            "db.index.vector.queryNodes/queryRelationships, "
+            "db.index.fulltext.queryNodes/queryRelationships, "
+            "gds.pageRank.stream, gds.wcc.stream, "
+            "gds.labelPropagation.stream"
         )
 
     def _resolve_procedures(self, ast_query, params: dict | None = None) -> None:
@@ -1178,6 +1182,12 @@ class CypherEngine:
                     # round 12: relationship BM25 surface
                     new_clauses.extend(
                         self._fulltext_query_rel_clauses(clause, params)
+                    )
+                    continue
+                if clause.name in self._GDS_PROCS:
+                    # round 13: GDS-style graph-algorithm streams
+                    new_clauses.extend(
+                        self._graph_proc_clauses(clause, params)
                     )
                     continue
                 if len(clause.yields) > 1:
@@ -1655,6 +1665,242 @@ class CypherEngine:
                 items.append((sa, A.Variable(sa)))
             out.append(A.ProjectionClause(items=items, is_return=True))
         return out
+
+    # GDS-style graph-algorithm streams (round 13): procedure name ->
+    # (yield spec: ordered (name, source-column) pairs beyond nodeId)
+    _GDS_PROCS = {
+        "gds.pagerank.stream": ("score",),
+        "gds.wcc.stream": ("componentId",),
+        "gds.labelpropagation.stream": ("communityId",),
+    }
+
+    def _graph_proc_clauses(self, clause, params: dict | None) -> list:
+        """``CALL gds.pageRank.stream(relType[, {config}]) YIELD nodeId,
+        score`` (round 13) — Neo4j-GDS-style streaming surfaces over the
+        distributed graph algorithms in pipeline/graph.py:
+
+        - ``gds.pageRank.stream(relType[, {maxIterations, dampingFactor}])
+          YIELD nodeId, score`` — power-method PageRank with dangling-mass
+          redistribution (pipeline/graph.py:pagerank)
+        - ``gds.wcc.stream(relType[, {maxIterations}]) YIELD nodeId,
+          componentId`` — undirected min-label connected components;
+          componentId = smallest node id in the component
+        - ``gds.labelPropagation.stream(relType[, {maxIterations}])
+          YIELD nodeId, communityId`` — deterministic synchronous LPA
+
+        ``relType`` is a relationship type, or several joined with ``|``
+        (their edge tables union). Unlike Neo4j GDS there is no projected
+        graph catalog — the type names the edge set directly. The result
+        rows come back through a per-compile virtual table (the lazy
+        winner machinery), so the CALL composes with the rest of the
+        query like any MATCH; an uncorrelated CALL cross-joins the
+        incoming rows, Neo4j's semantics. The algorithms are ITERATIVE
+        and materialize on first action; the winner-frame cache reuses
+        the result per (args, table-registration epochs). When the
+        unioned endpoints carry different id types the nodeId is a
+        STRING (documented; homogeneous graphs keep the native type)."""
+        name = clause.name
+        if len(clause.args) not in (1, 2):
+            raise TranspilerBindingError(
+                f"CALL {name} takes (relationshipType[, {{config}}])"
+            )
+        verb = self._call_const_arg(name, clause.args, 0, "relType", params)
+        if not isinstance(verb, str) or not verb.strip():
+            raise TranspilerBindingError(
+                f"CALL {name}: relationshipType must be a non-empty string"
+            )
+        conf: dict = {}
+        if len(clause.args) == 2:
+            opt = clause.args[1]
+            if not isinstance(opt, A.MapLiteral):
+                raise TranspilerBindingError(
+                    f"CALL {name}: the config argument must be a map "
+                    "literal"
+                )
+            for okey, oval in opt.items:
+                conf[okey.lower()] = self._call_const_arg(
+                    name, [oval], 0, okey, params
+                )
+        allowed_conf = {
+            "gds.pagerank.stream": {"maxiterations", "dampingfactor"},
+            "gds.wcc.stream": {"maxiterations"},
+            "gds.labelpropagation.stream": {"maxiterations"},
+        }[name]
+        for k in conf:
+            if k not in allowed_conf:
+                raise TranspilerBindingError(
+                    f"CALL {name}: unknown config key '{k}' "
+                    f"(allowed: {sorted(allowed_conf)})"
+                )
+        iters = conf.get("maxiterations")
+        if iters is not None and (
+            not isinstance(iters, int) or isinstance(iters, bool) or iters < 1
+        ):
+            raise TranspilerBindingError(
+                f"CALL {name}: maxIterations must be a positive integer"
+            )
+        damping = conf.get("dampingfactor", 0.85)
+        if not isinstance(damping, (int, float)) or not 0 < damping < 1:
+            raise TranspilerBindingError(
+                f"CALL {name}: dampingFactor must be in (0, 1)"
+            )
+
+        verbs = [v.strip() for v in verb.split("|") if v.strip()]
+        edges = []
+        for v in verbs:
+            es = self.graph.edges_by_verb(v)
+            if not es:
+                raise TranspilerBindingError(
+                    f"CALL {name}: no relationship type '{v}'"
+                )
+            edges.extend(es)
+        labels = {e.source_label for e in edges} | {
+            e.sink_label for e in edges
+        }
+        if len(labels) == 1:
+            # homogeneous graph: native node ids (typed from the NODE
+            # schema — edge endpoint type hints may be defaulted)
+            qualify = False
+            id_type = self.graph.get_node(next(iter(labels))).id_property_type
+        else:
+            # the edge set spans SEVERAL labels: raw id values from
+            # different labels may collide (nation 0 vs region 0) and
+            # would silently merge graph nodes — nodeId becomes the
+            # label-qualified string 'Label:id' (the analogue of GDS's
+            # internal node ids; split on the first ':' to join back)
+            qualify = True
+            id_type = "string"
+
+        extra_name = self._GDS_PROCS[name][0]
+        yields = list(clause.yields) or [
+            ("nodeId", "nodeId"),
+            (extra_name, extra_name),
+        ]
+        id_alias = val_alias = None
+        for yname, alias in yields:
+            if yname == "nodeId" and id_alias is None:
+                id_alias = alias
+            elif yname == extra_name and val_alias is None:
+                val_alias = alias
+            else:
+                raise TranspilerNotSupportedError(
+                    f"CALL {name} yields 'nodeId, {extra_name}', "
+                    f"not '{yname}'"
+                )
+
+        tables = tuple(sorted({e.table for e in edges}))
+        gkey = (
+            "gds", name, tuple(verbs), id_type, qualify,
+            iters, float(damping),
+            tuple(self.tables.epoch(t) for t in tables),
+        )
+        gargs = (name, [
+            (
+                e.table, e.source_id_property, e.sink_id_property,
+                e.source_label, e.sink_label,
+            )
+            for e in edges
+        ], id_type, qualify, iters, float(damping))
+        extra_props = (
+            ()
+            if name == "gds.pagerank.stream"
+            else (EntityProperty("__val", id_type),)
+        )
+        wlabel = self._register_winner_node(
+            id_type,
+            lambda: self._cached_winner(
+                tables[0], name, gkey,
+                lambda: self._graph_proc_frame(*gargs),
+            ),
+            extra_props=extra_props,
+        )
+        w_alias = f"__gds_{id(clause) & 0xFFFF:x}_{self._winner_seq}"
+        out = [
+            A.MatchClause(
+                patterns=[
+                    A.PatternPart([A.NodePattern(w_alias, wlabel)], [])
+                ],
+                where=None,
+            )
+        ]
+        items = []
+        if id_alias is not None:
+            items.append((id_alias, A.Property(w_alias, "__id")))
+        if val_alias is not None:
+            src_col = (
+                "__score" if name == "gds.pagerank.stream" else "__val"
+            )
+            items.append((val_alias, A.Property(w_alias, src_col)))
+        out.append(
+            A.ProjectionClause(items=items, star=True, exclude=(w_alias,))
+        )
+        if clause.where is not None:
+            out.append(
+                A.ProjectionClause(items=[], star=True, where=clause.where)
+            )
+        if clause.standalone:
+            ritems = []
+            if id_alias is not None or not clause.yields:
+                ritems.append(
+                    (id_alias or "nodeId", A.Variable(id_alias or "nodeId"))
+                )
+            if val_alias is not None or not clause.yields:
+                va = val_alias or extra_name
+                ritems.append((va, A.Variable(va)))
+            out.append(A.ProjectionClause(items=ritems, is_return=True))
+        return out
+
+    def _graph_proc_frame(
+        self, name: str, edge_specs: list, id_type: str, qualify: bool,
+        iters, damping: float,
+    ):
+        """The (__id[, __score | __val]) frame behind a GDS stream —
+        union the verb's edge tables (endpoints cast to the common id
+        type; label-qualified 'Label:id' strings when the edge set
+        spans several labels, so cross-label raw-id collisions cannot
+        merge nodes) and run the pipeline algorithm; iterative
+        fixpoints materialize here (localCheckpoint'ed rounds), once
+        per winner-cache key."""
+        from .pipeline import graph as G
+
+        def endpoint(col, label):
+            c = F.col(col).cast("string" if qualify else id_type)
+            if qualify:
+                c = F.concat(F.lit(f"{label}:"), c)
+            return c
+
+        parts = []
+        for table, src_c, dst_c, src_l, dst_l in edge_specs:
+            t = self.tables.get(table)
+            parts.append(
+                t.select(
+                    endpoint(src_c, src_l).alias("src"),
+                    endpoint(dst_c, dst_l).alias("dst"),
+                )
+            )
+        edges = parts[0]
+        for p in parts[1:]:
+            edges = edges.unionByName(p)
+        if name == "gds.pagerank.stream":
+            res = G.pagerank(
+                edges, iters=int(iters or 10), damping=float(damping)
+            )
+            return res.select(
+                F.col("node").alias("__id"),
+                F.col("rank").cast("double").alias("__score"),
+            )
+        if name == "gds.wcc.stream":
+            res = G.connected_components(
+                edges, max_iters=int(iters or 200)
+            )
+        else:
+            res = G.label_propagation(edges, max_iters=int(iters or 20))
+        val = "comp" if name == "gds.wcc.stream" else "community"
+        return res.select(
+            F.col("node").alias("__id"),
+            F.lit(0.0).alias("__score"),
+            F.col(val).cast(id_type).alias("__val"),
+        )
 
     _FT_K1 = 1.2
     _FT_B = 0.75

@@ -1,0 +1,169 @@
+"""Round 13: GDS-style graph-algorithm streams — CALL
+gds.{pageRank,wcc,labelPropagation}.stream over the pipeline/graph.py
+distributed algorithms, with label-qualified node ids whenever the edge
+set spans several labels (cross-label raw-id collisions must not merge
+graph nodes)."""
+
+import pytest
+
+from opencyphertranspiler_spark import (
+    CypherEngine,
+    EdgeSchema,
+    GraphSchema,
+    NodeSchema,
+    TableRegistry,
+    tpch_graph_schema,
+    tpch_table_registry,
+)
+from opencyphertranspiler_spark.exceptions import (
+    TranspilerBindingError,
+    TranspilerNotSupportedError,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    return CypherEngine(
+        spark, tpch_graph_schema(), tpch_table_registry(spark, SF_DIR)
+    )
+
+
+def test_wcc_structure_vs_duckdb(eng, duck):
+    """Each region with its nations is exactly one component of size 6
+    (5 nations + the region), and the componentId is the smallest
+    label-qualified node id of the group."""
+    got = sorted(
+        (r.componentId, r.n)
+        for r in eng.cypher(
+            "CALL gds.wcc.stream('IN_REGION') YIELD nodeId, componentId "
+            "RETURN componentId, count(*) AS n"
+        ).collect()
+    )
+    want = sorted(
+        (cid, n)
+        for cid, n in duck.sql(
+            """
+            SELECT min(qid) AS cid, count(*) AS n FROM (
+                SELECT r_regionkey AS grp,
+                       'Nation:' || n_nationkey AS qid
+                FROM nation JOIN region ON n_regionkey = r_regionkey
+                UNION ALL
+                SELECT r_regionkey, 'Region:' || r_regionkey FROM region
+            ) GROUP BY grp
+            """
+        ).fetchall()
+    )
+    assert got == want and got
+
+
+def test_pagerank_hand_graph_oracle(spark):
+    """Exact power-method oracle on a 4-node single-label graph — the
+    homogeneous edge set keeps NATIVE (long) node ids."""
+    import numpy as np
+
+    reg = TableRegistry()
+    reg.register_df(
+        "tn", spark.createDataFrame([(i,) for i in range(4)], "id long")
+    )
+    pairs = [(0, 1), (1, 2), (2, 0), (3, 2)]
+    reg.register_df(
+        "te", spark.createDataFrame(pairs, "src long, dst long")
+    )
+    g = GraphSchema(
+        [NodeSchema("N", "tn", "id", (), "bigint")],
+        [EdgeSchema("E", "N", "N", "te", "src", "dst")],
+    )
+    e = CypherEngine(spark, g, reg)
+    got = {
+        r.nodeId: r.s
+        for r in e.cypher(
+            "CALL gds.pageRank.stream('E', {maxIterations: 10, "
+            "dampingFactor: 0.85}) YIELD nodeId, score "
+            "RETURN nodeId, round(score, 6) AS s"
+        ).collect()
+    }
+    assert all(isinstance(k, int) for k in got)  # native ids
+    # python power method with dangling-mass redistribution
+    n = 4
+    out = {0: [1], 1: [2], 2: [0], 3: [2]}
+    rank = np.full(n, 1.0 / n)
+    for _ in range(10):
+        nxt = np.zeros(n)
+        dangling = 0.0
+        for u in range(n):
+            if out[u]:
+                share = rank[u] / len(out[u])
+                for v in out[u]:
+                    nxt[v] += share
+            else:
+                dangling += rank[u]
+        nxt += dangling / n
+        rank = (1 - 0.85) / n + 0.85 * nxt
+    want = {i: round(float(rank[i]), 6) for i in range(n)}
+    assert got == want
+
+
+def test_lpa_and_composition(eng):
+    comm = eng.cypher(
+        "CALL gds.labelPropagation.stream('IN_REGION', "
+        "{maxIterations: 10}) YIELD nodeId, communityId "
+        "RETURN count(DISTINCT communityId) AS c"
+    ).collect()[0].c
+    assert comm >= 1
+    # YIELD ... WHERE + downstream MATCH join-back via the qualified id
+    n = eng.cypher(
+        "CALL gds.pageRank.stream('PLACED') YIELD nodeId, score "
+        "WHERE score > 0 "
+        "MATCH (c:Customer) "
+        "WHERE nodeId = 'Customer:' + toString(id(c)) "
+        "RETURN count(*) AS n"
+    ).collect()[0].n
+    assert n > 0
+
+
+def test_multi_verb_union(eng, duck):
+    """'A|B' unions the edge sets: PLACED|CONTAINS chains customers ->
+    orders -> lineitems into per-customer components."""
+    comps = eng.cypher(
+        "CALL gds.wcc.stream('PLACED|CONTAINS') "
+        "YIELD nodeId, componentId "
+        "RETURN count(DISTINCT componentId) AS c"
+    ).collect()[0].c
+    want = duck.sql(
+        "SELECT count(DISTINCT c_custkey) FROM customer "
+        "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+    ).fetchone()[0]
+    assert comps == want
+
+
+def test_gds_errors(eng):
+    with pytest.raises(TranspilerBindingError, match="no relationship"):
+        eng.cypher("CALL gds.pageRank.stream('NOPE')")
+    with pytest.raises(TranspilerBindingError, match="unknown config"):
+        eng.cypher("CALL gds.wcc.stream('PLACED', {bogus: 1})")
+    with pytest.raises(TranspilerBindingError, match="dampingFactor"):
+        eng.cypher(
+            "CALL gds.pageRank.stream('PLACED', {dampingFactor: 2.0})"
+        )
+    with pytest.raises(TranspilerNotSupportedError, match="yields"):
+        eng.cypher(
+            "CALL gds.wcc.stream('PLACED') YIELD nodeId, score "
+            "RETURN count(*) AS n"
+        )
+
+
+def test_gds_result_cached_by_epoch(eng):
+    eng.clear_caches()
+    q = (
+        "CALL gds.pageRank.stream('IN_REGION') YIELD nodeId, score "
+        "RETURN count(*) AS n"
+    )
+    a = eng.cypher(q).collect()[0].n
+    assert a > 0
+    keys = [k for k in eng._winner_cache if "gds" in k]
+    assert len(keys) == 1
+    b = eng.cypher(q).collect()[0].n
+    assert b == a
+    assert len([k for k in eng._winner_cache if "gds" in k]) == 1
+    eng.clear_caches()
