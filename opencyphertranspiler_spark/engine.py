@@ -1669,9 +1669,11 @@ class CypherEngine:
     # GDS-style graph-algorithm streams (round 13): procedure name ->
     # (yield spec: ordered (name, source-column) pairs beyond nodeId)
     _GDS_PROCS = {
-        "gds.pagerank.stream": ("score",),
-        "gds.wcc.stream": ("componentId",),
-        "gds.labelpropagation.stream": ("communityId",),
+        # name -> (second yield column, value kind: 'score'|'id'|'double')
+        "gds.pagerank.stream": ("score", "score"),
+        "gds.wcc.stream": ("componentId", "id"),
+        "gds.labelpropagation.stream": ("communityId", "id"),
+        "gds.allshortestpaths.dijkstra.stream": ("distance", "double"),
     }
 
     def _graph_proc_clauses(self, clause, params: dict | None) -> list:
@@ -1687,6 +1689,12 @@ class CypherEngine:
           componentId = smallest node id in the component
         - ``gds.labelPropagation.stream(relType[, {maxIterations}])
           YIELD nodeId, communityId`` — deterministic synchronous LPA
+        - ``gds.allShortestPaths.dijkstra.stream(relType, {sourceId[,
+          weightProperty, maxIterations]}) YIELD nodeId, distance`` —
+          single-source minimum-cost distances (semi-naive distributed
+          Bellman-Ford over non-negative weights; omit weightProperty
+          for hop counts). ``sourceId`` is the raw node id, or the
+          'Label:id' string on a multi-label edge set
 
         ``relType`` is a relationship type, or several joined with ``|``
         (their edge tables union). Unlike Neo4j GDS there is no projected
@@ -1725,6 +1733,9 @@ class CypherEngine:
             "gds.pagerank.stream": {"maxiterations", "dampingfactor"},
             "gds.wcc.stream": {"maxiterations"},
             "gds.labelpropagation.stream": {"maxiterations"},
+            "gds.allshortestpaths.dijkstra.stream": {
+                "maxiterations", "sourceid", "weightproperty"
+            },
         }[name]
         for k in conf:
             if k not in allowed_conf:
@@ -1744,6 +1755,17 @@ class CypherEngine:
             raise TranspilerBindingError(
                 f"CALL {name}: dampingFactor must be in (0, 1)"
             )
+        source_id = conf.get("sourceid")
+        weight_prop = conf.get("weightproperty")
+        if name == "gds.allshortestpaths.dijkstra.stream":
+            if source_id is None:
+                raise TranspilerBindingError(
+                    f"CALL {name}: config needs sourceId"
+                )
+            if weight_prop is not None and not isinstance(weight_prop, str):
+                raise TranspilerBindingError(
+                    f"CALL {name}: weightProperty must be a string"
+                )
 
         verbs = [v.strip() for v in verb.split("|") if v.strip()]
         edges = []
@@ -1771,7 +1793,14 @@ class CypherEngine:
             qualify = True
             id_type = "string"
 
-        extra_name = self._GDS_PROCS[name][0]
+        if weight_prop is not None:
+            for e in edges:
+                if weight_prop not in e.property_names:
+                    raise TranspilerBindingError(
+                        f"CALL {name}: relationship '{e.verb}' has no "
+                        f"property '{weight_prop}'"
+                    )
+        extra_name, val_kind = self._GDS_PROCS[name]
         yields = list(clause.yields) or [
             ("nodeId", "nodeId"),
             (extra_name, extra_name),
@@ -1791,7 +1820,7 @@ class CypherEngine:
         tables = tuple(sorted({e.table for e in edges}))
         gkey = (
             "gds", name, tuple(verbs), id_type, qualify,
-            iters, float(damping),
+            iters, float(damping), source_id, weight_prop,
             tuple(self.tables.epoch(t) for t in tables),
         )
         gargs = (name, [
@@ -1800,11 +1829,16 @@ class CypherEngine:
                 e.source_label, e.sink_label,
             )
             for e in edges
-        ], id_type, qualify, iters, float(damping))
+        ], id_type, qualify, iters, float(damping), source_id,
+            weight_prop)
         extra_props = (
             ()
-            if name == "gds.pagerank.stream"
-            else (EntityProperty("__val", id_type),)
+            if val_kind == "score"
+            else (
+                EntityProperty(
+                    "__val", id_type if val_kind == "id" else "double"
+                ),
+            )
         )
         wlabel = self._register_winner_node(
             id_type,
@@ -1827,9 +1861,7 @@ class CypherEngine:
         if id_alias is not None:
             items.append((id_alias, A.Property(w_alias, "__id")))
         if val_alias is not None:
-            src_col = (
-                "__score" if name == "gds.pagerank.stream" else "__val"
-            )
+            src_col = "__score" if val_kind == "score" else "__val"
             items.append((val_alias, A.Property(w_alias, src_col)))
         out.append(
             A.ProjectionClause(items=items, star=True, exclude=(w_alias,))
@@ -1852,7 +1884,7 @@ class CypherEngine:
 
     def _graph_proc_frame(
         self, name: str, edge_specs: list, id_type: str, qualify: bool,
-        iters, damping: float,
+        iters, damping: float, source_id=None, weight_prop=None,
     ):
         """The (__id[, __score | __val]) frame behind a GDS stream —
         union the verb's edge tables (endpoints cast to the common id
@@ -1872,15 +1904,38 @@ class CypherEngine:
         parts = []
         for table, src_c, dst_c, src_l, dst_l in edge_specs:
             t = self.tables.get(table)
-            parts.append(
-                t.select(
-                    endpoint(src_c, src_l).alias("src"),
-                    endpoint(dst_c, dst_l).alias("dst"),
+            cols = [
+                endpoint(src_c, src_l).alias("src"),
+                endpoint(dst_c, dst_l).alias("dst"),
+            ]
+            if name == "gds.allshortestpaths.dijkstra.stream":
+                cols.append(
+                    (
+                        F.col(weight_prop).cast("double")
+                        if weight_prop is not None
+                        else F.lit(1.0)
+                    ).alias("weight")
                 )
-            )
+            parts.append(t.select(*cols))
         edges = parts[0]
         for p in parts[1:]:
             edges = edges.unionByName(p)
+        if name == "gds.allshortestpaths.dijkstra.stream":
+            sources = self.spark.createDataFrame(
+                [(str(source_id),)], "node string"
+            ).select(
+                F.col("node")
+                .cast("string" if qualify else id_type)
+                .alias("node")
+            )
+            res = G.weighted_shortest_paths(
+                edges, sources, max_iters=int(iters or 200)
+            )
+            return res.select(
+                F.col("node").alias("__id"),
+                F.lit(0.0).alias("__score"),
+                F.col("dist").cast("double").alias("__val"),
+            )
         if name == "gds.pagerank.stream":
             res = G.pagerank(
                 edges, iters=int(iters or 10), damping=float(damping)

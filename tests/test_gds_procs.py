@@ -167,3 +167,54 @@ def test_gds_result_cached_by_epoch(eng):
     assert b == a
     assert len([k for k in eng._winner_cache if "gds" in k]) == 1
     eng.clear_caches()
+
+
+def test_dijkstra_stream_weighted_and_unweighted(spark):
+    from opencyphertranspiler_spark import EntityProperty
+
+    reg = TableRegistry()
+    reg.register_df(
+        "tn", spark.createDataFrame([(i,) for i in range(5)], "id long")
+    )
+    #      0 -1.0-> 1 -1.0-> 2
+    #      0 -5.0-> 2        2 -2.0-> 3      4 unreachable
+    pairs = [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 5.0), (2, 3, 2.0)]
+    reg.register_df(
+        "te",
+        spark.createDataFrame(pairs, "src long, dst long, w double"),
+    )
+    g = GraphSchema(
+        [NodeSchema("N", "tn", "id", (), "bigint")],
+        [
+            EdgeSchema(
+                "E", "N", "N", "te", "src", "dst",
+                (EntityProperty("w", "double"),),
+            )
+        ],
+    )
+    e = CypherEngine(spark, g, reg)
+    got = {
+        r.nodeId: r.d
+        for r in e.cypher(
+            "CALL gds.allShortestPaths.dijkstra.stream('E', "
+            "{sourceId: 0, weightProperty: 'w'}) YIELD nodeId, distance "
+            "RETURN nodeId, distance AS d"
+        ).collect()
+    }
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0, 3: 4.0}  # 4 unreachable
+    hops = {
+        r.nodeId: r.d
+        for r in e.cypher(
+            "CALL gds.allShortestPaths.dijkstra.stream('E', "
+            "{sourceId: 0}) YIELD nodeId, distance "
+            "RETURN nodeId, distance AS d"
+        ).collect()
+    }
+    assert hops == {0: 0.0, 1: 1.0, 2: 1.0, 3: 2.0}
+    with pytest.raises(TranspilerBindingError, match="sourceId"):
+        e.cypher("CALL gds.allShortestPaths.dijkstra.stream('E')")
+    with pytest.raises(TranspilerBindingError, match="no property"):
+        e.cypher(
+            "CALL gds.allShortestPaths.dijkstra.stream('E', "
+            "{sourceId: 0, weightProperty: 'nope'})"
+        )
