@@ -130,6 +130,31 @@ def main() -> None:
         "RETURN id(node) AS id, round(score, 3) AS s ORDER BY s DESC, id"
     ).show()
 
+    # ---- 5. Fuzzy + stemmed search ---------------------------------------
+    print("== 5. fuzzy terms + english-minimal stemming ==")
+    eng3.create_fulltext_index(
+        "demo_stem", "Document", "text", analyzer="english-minimal"
+    )
+    eng3.cypher(
+        # 'mergs~1' is within edit distance 1 of 'merge'; plurals stem
+        "CALL db.index.fulltext.queryNodes('demo_stem', "
+        "'mergs~1 vectors', {limit: 3}) YIELD node, score "
+        "RETURN id(node) AS id, round(score, 3) AS s ORDER BY s DESC, id"
+    ).show()
+
+    # ---- 6. GDS-style graph algorithm streams ----------------------------
+    print("== 6. CALL gds.*.stream over the TPC-H graph ==")
+    eng3.cypher(
+        "CALL gds.wcc.stream('IN_REGION') YIELD nodeId, componentId "
+        "RETURN componentId, count(*) AS members ORDER BY componentId"
+    ).show()
+    eng3.cypher(
+        "CALL gds.pageRank.stream('PLACED', {maxIterations: 5}) "
+        "YIELD nodeId, score "
+        "MATCH (c:Customer) WHERE nodeId = 'Customer:' + toString(id(c)) "
+        "RETURN count(*) AS ranked_customers"
+    ).show()
+
     print("round-13 feature tour complete.")
 
 
