@@ -1669,11 +1669,15 @@ class CypherEngine:
     # GDS-style graph-algorithm streams (round 13): procedure name ->
     # (yield spec: ordered (name, source-column) pairs beyond nodeId)
     _GDS_PROCS = {
-        # name -> (second yield column, value kind: 'score'|'id'|'double')
+        # name -> (second yield column, value kind:
+        #          'score'|'id'|'double'|'long')
         "gds.pagerank.stream": ("score", "score"),
         "gds.wcc.stream": ("componentId", "id"),
         "gds.labelpropagation.stream": ("communityId", "id"),
         "gds.allshortestpaths.dijkstra.stream": ("distance", "double"),
+        "gds.betweenness.stream": ("score", "score"),
+        "gds.kcore.stream": ("coreValue", "long"),
+        "gds.degree.stream": ("score", "score"),
     }
 
     def _graph_proc_clauses(self, clause, params: dict | None) -> list:
@@ -1695,6 +1699,17 @@ class CypherEngine:
           Bellman-Ford over non-negative weights; omit weightProperty
           for hop counts). ``sourceId`` is the raw node id, or the
           'Label:id' string on a multi-label edge set
+        - ``gds.betweenness.stream(relType[, {samplingSize,
+          maxIterations}]) YIELD nodeId, score`` — Brandes betweenness
+          restricted to a DETERMINISTIC hash-ordered source sample
+          (default 16; Bader-style sampling — exact when samplingSize
+          >= |V|)
+        - ``gds.kCore.stream(relType[, {maxIterations}]) YIELD nodeId,
+          coreValue`` — coreness by distributed peeling over the
+          undirected simple view
+        - ``gds.degree.stream(relType[, {orientation: 'NATURAL' |
+          'REVERSE' | 'UNDIRECTED'}]) YIELD nodeId, score`` —
+          relationship counts per node (one aggregation, no iteration)
 
         ``relType`` is a relationship type, or several joined with ``|``
         (their edge tables union). Unlike Neo4j GDS there is no projected
@@ -1736,6 +1751,9 @@ class CypherEngine:
             "gds.allshortestpaths.dijkstra.stream": {
                 "maxiterations", "sourceid", "weightproperty"
             },
+            "gds.betweenness.stream": {"maxiterations", "samplingsize"},
+            "gds.kcore.stream": {"maxiterations"},
+            "gds.degree.stream": {"orientation"},
         }[name]
         for k in conf:
             if k not in allowed_conf:
@@ -1754,6 +1772,18 @@ class CypherEngine:
         if not isinstance(damping, (int, float)) or not 0 < damping < 1:
             raise TranspilerBindingError(
                 f"CALL {name}: dampingFactor must be in (0, 1)"
+            )
+        sampling = conf.get("samplingsize", 16)
+        if not isinstance(sampling, int) or isinstance(sampling, bool) \
+                or sampling < 1:
+            raise TranspilerBindingError(
+                f"CALL {name}: samplingSize must be a positive integer"
+            )
+        orientation = str(conf.get("orientation", "NATURAL")).upper()
+        if orientation not in ("NATURAL", "REVERSE", "UNDIRECTED"):
+            raise TranspilerBindingError(
+                f"CALL {name}: orientation must be NATURAL, REVERSE or "
+                "UNDIRECTED"
             )
         source_id = conf.get("sourceid")
         weight_prop = conf.get("weightproperty")
@@ -1821,6 +1851,7 @@ class CypherEngine:
         gkey = (
             "gds", name, tuple(verbs), id_type, qualify,
             iters, float(damping), source_id, weight_prop,
+            int(sampling), orientation,
             tuple(self.tables.epoch(t) for t in tables),
         )
         gargs = (name, [
@@ -1830,15 +1861,12 @@ class CypherEngine:
             )
             for e in edges
         ], id_type, qualify, iters, float(damping), source_id,
-            weight_prop)
+            weight_prop, int(sampling), orientation)
+        val_types = {"id": id_type, "double": "double", "long": "bigint"}
         extra_props = (
             ()
             if val_kind == "score"
-            else (
-                EntityProperty(
-                    "__val", id_type if val_kind == "id" else "double"
-                ),
-            )
+            else (EntityProperty("__val", val_types[val_kind]),)
         )
         wlabel = self._register_winner_node(
             id_type,
@@ -1885,6 +1913,7 @@ class CypherEngine:
     def _graph_proc_frame(
         self, name: str, edge_specs: list, id_type: str, qualify: bool,
         iters, damping: float, source_id=None, weight_prop=None,
+        sampling: int = 16, orientation: str = "NATURAL",
     ):
         """The (__id[, __score | __val]) frame behind a GDS stream —
         union the verb's edge tables (endpoints cast to the common id
@@ -1920,6 +1949,57 @@ class CypherEngine:
         edges = parts[0]
         for p in parts[1:]:
             edges = edges.unionByName(p)
+        if name == "gds.degree.stream":
+            # one aggregation — the node universe keeps zero-degree
+            # endpoints via a left join
+            nodes = (
+                edges.select(F.col("src").alias("__id"))
+                .unionByName(edges.select(F.col("dst").alias("__id")))
+                .distinct()
+            )
+            if orientation == "NATURAL":
+                cnt = edges.groupBy(F.col("src").alias("__id"))
+            elif orientation == "REVERSE":
+                cnt = edges.groupBy(F.col("dst").alias("__id"))
+            else:
+                und = edges.select("src", "dst").unionByName(
+                    edges.select(
+                        F.col("dst").alias("src"),
+                        F.col("src").alias("dst"),
+                    )
+                )
+                cnt = und.groupBy(F.col("src").alias("__id"))
+            cnt = cnt.agg(F.count("*").alias("__n"))
+            return nodes.join(cnt, "__id", "left").select(
+                "__id",
+                F.coalesce(F.col("__n"), F.lit(0))
+                .cast("double")
+                .alias("__score"),
+            )
+        if name == "gds.betweenness.stream":
+            nodes = (
+                edges.select(F.col("src").alias("node"))
+                .unionByName(edges.select(F.col("dst").alias("node")))
+                .distinct()
+            )
+            sources = (
+                nodes.orderBy(F.xxhash64("node"), "node")
+                .limit(int(sampling))
+            )
+            res = G.betweenness_approx(
+                edges, sources, max_iters=int(iters or 200)
+            )
+            return res.select(
+                F.col("node").alias("__id"),
+                F.col("betweenness").cast("double").alias("__score"),
+            )
+        if name == "gds.kcore.stream":
+            res = G.k_core(edges, max_iters=int(iters or 500))
+            return res.select(
+                F.col("node").alias("__id"),
+                F.lit(0.0).alias("__score"),
+                F.col("coreness").cast("bigint").alias("__val"),
+            )
         if name == "gds.allshortestpaths.dijkstra.stream":
             sources = self.spark.createDataFrame(
                 [(str(source_id),)], "node string"

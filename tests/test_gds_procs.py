@@ -218,3 +218,75 @@ def test_dijkstra_stream_weighted_and_unweighted(spark):
             "CALL gds.allShortestPaths.dijkstra.stream('E', "
             "{sourceId: 0, weightProperty: 'nope'})"
         )
+
+
+def test_degree_stream_vs_duckdb(eng, duck):
+    got = sorted(
+        (r.nodeId, r.d)
+        for r in eng.cypher(
+            "CALL gds.degree.stream('PLACED') YIELD nodeId, score "
+            "RETURN nodeId, score AS d"
+        ).collect()
+        if r.nodeId.startswith("Customer:")
+    )
+    want = sorted(
+        (f"Customer:{k}", float(n))
+        for k, n in duck.sql(
+            "SELECT o_custkey, count(*) FROM orders GROUP BY 1"
+        ).fetchall()
+    )
+    assert got == want and got
+    # UNDIRECTED doubles nothing here but counts both endpoints' views
+    und = {
+        r.nodeId: r.d
+        for r in eng.cypher(
+            "CALL gds.degree.stream('PLACED', "
+            "{orientation: 'UNDIRECTED'}) YIELD nodeId, score "
+            "RETURN nodeId, score AS d"
+        ).collect()
+    }
+    for k, d in got:
+        assert und[k] == d  # customer side unchanged under symmetrize
+
+
+def test_kcore_and_betweenness_hand_graph(spark):
+    reg = TableRegistry()
+    reg.register_df(
+        "tn", spark.createDataFrame([(i,) for i in range(5)], "id long")
+    )
+    # triangle 0-1-2 plus tail 2-3, path continues 3-4
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    reg.register_df(
+        "te", spark.createDataFrame(pairs, "src long, dst long")
+    )
+    g = GraphSchema(
+        [NodeSchema("N", "tn", "id", (), "bigint")],
+        [EdgeSchema("E", "N", "N", "te", "src", "dst")],
+    )
+    e = CypherEngine(spark, g, reg)
+    cores = {
+        r.nodeId: r.c
+        for r in e.cypher(
+            "CALL gds.kCore.stream('E') YIELD nodeId, coreValue "
+            "RETURN nodeId, coreValue AS c"
+        ).collect()
+    }
+    assert cores == {0: 2, 1: 2, 2: 2, 3: 1, 4: 1}
+    # directed betweenness with an exhaustive source sample is exact:
+    # paths 0->1->2->3->4 etc. via the triangle's direction
+    bt = {
+        r.nodeId: r.s
+        for r in e.cypher(
+            "CALL gds.betweenness.stream('E', {samplingSize: 5}) "
+            "YIELD nodeId, score RETURN nodeId, score AS s"
+        ).collect()
+    }
+    # hand-derived Brandes (directed, endpoints excluded). All-pairs
+    # shortest paths: from 0: ->1,->2,->3,->4; from 1: ->2,->0(via 2),
+    # ->3,->4; from 2: ->0,->1(via 0),->3,->4; from 3: ->4.
+    # interior counts: node 0 carries 2->1 (1); node 1 carries
+    # 0->2,0->3,0->4 (3); node 2 carries 0->3,0->4,1->0,1->3,1->4 (5);
+    # node 3 carries 0->4,1->4,2->4 (3); node 4 none.
+    assert bt == {0: 1.0, 1: 3.0, 2: 5.0, 3: 3.0, 4: 0.0} or bt == {
+        0: 1.0, 1: 3.0, 2: 5.0, 3: 3.0
+    }
