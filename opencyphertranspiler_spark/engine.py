@@ -1678,6 +1678,7 @@ class CypherEngine:
         "gds.betweenness.stream": ("score", "score"),
         "gds.kcore.stream": ("coreValue", "long"),
         "gds.degree.stream": ("score", "score"),
+        "gds.trianglecount.stream": ("triangleCount", "long"),
     }
 
     def _graph_proc_clauses(self, clause, params: dict | None) -> list:
@@ -1710,6 +1711,10 @@ class CypherEngine:
         - ``gds.degree.stream(relType[, {orientation: 'NATURAL' |
           'REVERSE' | 'UNDIRECTED'}]) YIELD nodeId, score`` —
           relationship counts per node (one aggregation, no iteration)
+        - ``gds.triangleCount.stream(relType) YIELD nodeId,
+          triangleCount`` — per-node triangle participation over the
+          undirected simple view (degree-oriented wedge join — the
+          curse-of-the-last-reducer-safe design of pipeline/graph.py)
 
         ``relType`` is a relationship type, or several joined with ``|``
         (their edge tables union). Unlike Neo4j GDS there is no projected
@@ -1754,6 +1759,7 @@ class CypherEngine:
             "gds.betweenness.stream": {"maxiterations", "samplingsize"},
             "gds.kcore.stream": {"maxiterations"},
             "gds.degree.stream": {"orientation"},
+            "gds.trianglecount.stream": set(),
         }[name]
         for k in conf:
             if k not in allowed_conf:
@@ -1999,6 +2005,13 @@ class CypherEngine:
                 F.col("node").alias("__id"),
                 F.lit(0.0).alias("__score"),
                 F.col("coreness").cast("bigint").alias("__val"),
+            )
+        if name == "gds.trianglecount.stream":
+            res = G.triangle_counts_per_node(edges)
+            return res.select(
+                F.col("node").alias("__id"),
+                F.lit(0.0).alias("__score"),
+                F.col("n_triangles").cast("bigint").alias("__val"),
             )
         if name == "gds.allshortestpaths.dijkstra.stream":
             sources = self.spark.createDataFrame(

@@ -290,3 +290,53 @@ def test_kcore_and_betweenness_hand_graph(spark):
     assert bt == {0: 1.0, 1: 3.0, 2: 5.0, 3: 3.0, 4: 0.0} or bt == {
         0: 1.0, 1: 3.0, 2: 5.0, 3: 3.0
     }
+
+
+def test_triangle_count_stream(spark):
+    """Per-node triangle participation on a hand graph vs a brute-force
+    python oracle; sum == 3 * global triangle count; zero-triangle
+    nodes appear with 0."""
+    from itertools import combinations
+
+    reg = TableRegistry()
+    reg.register_df(
+        "tn", spark.createDataFrame([(i,) for i in range(6)], "id long")
+    )
+    # two triangles sharing node 2: (0,1,2) and (2,3,4); plus a
+    # pendant 4-5 edge
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (4, 5)]
+    reg.register_df(
+        "te", spark.createDataFrame(pairs, "src long, dst long")
+    )
+    g = GraphSchema(
+        [NodeSchema("N", "tn", "id", (), "bigint")],
+        [EdgeSchema("E", "N", "N", "te", "src", "dst")],
+    )
+    e = CypherEngine(spark, g, reg)
+    got = {
+        r.nodeId: r.t
+        for r in e.cypher(
+            "CALL gds.triangleCount.stream('E') "
+            "YIELD nodeId, triangleCount RETURN nodeId, triangleCount AS t"
+        ).collect()
+    }
+    und = {frozenset(p) for p in pairs}
+    nodes = sorted({x for p in pairs for x in p})
+    want = {n: 0 for n in nodes}
+    ntri = 0
+    for a, b, c in combinations(nodes, 3):
+        if (
+            frozenset((a, b)) in und
+            and frozenset((b, c)) in und
+            and frozenset((a, c)) in und
+        ):
+            ntri += 1
+            for x in (a, b, c):
+                want[x] += 1
+    assert got == want and ntri == 2
+    assert sum(got.values()) == 3 * ntri
+    # pipeline parity: the global count agrees
+    from opencyphertranspiler_spark.pipeline.graph import triangle_count
+
+    tot = triangle_count(e.tables.get("te")).collect()[0].n_triangles
+    assert tot == ntri
