@@ -1679,6 +1679,7 @@ class CypherEngine:
         "gds.kcore.stream": ("coreValue", "long"),
         "gds.degree.stream": ("score", "score"),
         "gds.trianglecount.stream": ("triangleCount", "long"),
+        "gds.nodesimilarity.stream": ("similarity", "pair"),
     }
 
     def _graph_proc_clauses(self, clause, params: dict | None) -> list:
@@ -1715,6 +1716,11 @@ class CypherEngine:
           triangleCount`` — per-node triangle participation over the
           undirected simple view (degree-oriented wedge join — the
           curse-of-the-last-reducer-safe design of pipeline/graph.py)
+        - ``gds.nodeSimilarity.stream(relType[, {topK,
+          similarityCutoff, degreeCutoff}]) YIELD node1, node2,
+          similarity`` — Jaccard of OUT-neighbor sets; candidate pairs
+          come from the shared-neighbor equi-join, never an all-pairs
+          cross (degreeCutoff bounds the popular-neighbor blowup)
 
         ``relType`` is a relationship type, or several joined with ``|``
         (their edge tables union). Unlike Neo4j GDS there is no projected
@@ -1760,6 +1766,9 @@ class CypherEngine:
             "gds.kcore.stream": {"maxiterations"},
             "gds.degree.stream": {"orientation"},
             "gds.trianglecount.stream": set(),
+            "gds.nodesimilarity.stream": {
+                "topk", "similaritycutoff", "degreecutoff"
+            },
         }[name]
         for k in conf:
             if k not in allowed_conf:
@@ -1790,6 +1799,25 @@ class CypherEngine:
             raise TranspilerBindingError(
                 f"CALL {name}: orientation must be NATURAL, REVERSE or "
                 "UNDIRECTED"
+            )
+        top_k = conf.get("topk", 10)
+        if not isinstance(top_k, int) or isinstance(top_k, bool) \
+                or top_k < 1:
+            raise TranspilerBindingError(
+                f"CALL {name}: topK must be a positive integer"
+            )
+        sim_cut = conf.get("similaritycutoff", 1e-42)
+        if not isinstance(sim_cut, (int, float)):
+            raise TranspilerBindingError(
+                f"CALL {name}: similarityCutoff must be numeric"
+            )
+        deg_cut = conf.get("degreecutoff")
+        if deg_cut is not None and (
+            not isinstance(deg_cut, int) or isinstance(deg_cut, bool)
+            or deg_cut < 1
+        ):
+            raise TranspilerBindingError(
+                f"CALL {name}: degreeCutoff must be a positive integer"
             )
         source_id = conf.get("sourceid")
         weight_prop = conf.get("weightproperty")
@@ -1837,27 +1865,50 @@ class CypherEngine:
                         f"property '{weight_prop}'"
                     )
         extra_name, val_kind = self._GDS_PROCS[name]
-        yields = list(clause.yields) or [
-            ("nodeId", "nodeId"),
-            (extra_name, extra_name),
-        ]
-        id_alias = val_alias = None
-        for yname, alias in yields:
-            if yname == "nodeId" and id_alias is None:
-                id_alias = alias
-            elif yname == extra_name and val_alias is None:
-                val_alias = alias
-            else:
-                raise TranspilerNotSupportedError(
-                    f"CALL {name} yields 'nodeId, {extra_name}', "
-                    f"not '{yname}'"
-                )
+        if val_kind == "pair":
+            yields = list(clause.yields) or [
+                ("node1", "node1"),
+                ("node2", "node2"),
+                ("similarity", "similarity"),
+            ]
+            n1_alias = n2_alias = val_alias = None
+            for yname, alias in yields:
+                if yname == "node1" and n1_alias is None:
+                    n1_alias = alias
+                elif yname == "node2" and n2_alias is None:
+                    n2_alias = alias
+                elif yname == "similarity" and val_alias is None:
+                    val_alias = alias
+                else:
+                    raise TranspilerNotSupportedError(
+                        f"CALL {name} yields 'node1, node2, "
+                        f"similarity', not '{yname}'"
+                    )
+            id_alias = None
+        else:
+            yields = list(clause.yields) or [
+                ("nodeId", "nodeId"),
+                (extra_name, extra_name),
+            ]
+            id_alias = val_alias = None
+            n1_alias = n2_alias = None
+            for yname, alias in yields:
+                if yname == "nodeId" and id_alias is None:
+                    id_alias = alias
+                elif yname == extra_name and val_alias is None:
+                    val_alias = alias
+                else:
+                    raise TranspilerNotSupportedError(
+                        f"CALL {name} yields 'nodeId, {extra_name}', "
+                        f"not '{yname}'"
+                    )
 
         tables = tuple(sorted({e.table for e in edges}))
         gkey = (
             "gds", name, tuple(verbs), id_type, qualify,
             iters, float(damping), source_id, weight_prop,
             int(sampling), orientation,
+            int(top_k), float(sim_cut), deg_cut,
             tuple(self.tables.epoch(t) for t in tables),
         )
         gargs = (name, [
@@ -1867,13 +1918,22 @@ class CypherEngine:
             )
             for e in edges
         ], id_type, qualify, iters, float(damping), source_id,
-            weight_prop, int(sampling), orientation)
+            weight_prop, int(sampling), orientation, int(top_k),
+            float(sim_cut), deg_cut)
         val_types = {"id": id_type, "double": "double", "long": "bigint"}
-        extra_props = (
-            ()
-            if val_kind == "score"
-            else (EntityProperty("__val", val_types[val_kind]),)
-        )
+        if val_kind == "pair":
+            extra_props = (
+                EntityProperty("__n1", id_type),
+                EntityProperty("__n2", id_type),
+                EntityProperty("__val", "double"),
+            )
+            id_type = "string"  # synthetic unique pair key
+        else:
+            extra_props = (
+                ()
+                if val_kind == "score"
+                else (EntityProperty("__val", val_types[val_kind]),)
+            )
         wlabel = self._register_winner_node(
             id_type,
             lambda: self._cached_winner(
@@ -1894,6 +1954,11 @@ class CypherEngine:
         items = []
         if id_alias is not None:
             items.append((id_alias, A.Property(w_alias, "__id")))
+        if val_kind == "pair":
+            if n1_alias is not None:
+                items.append((n1_alias, A.Property(w_alias, "__n1")))
+            if n2_alias is not None:
+                items.append((n2_alias, A.Property(w_alias, "__n2")))
         if val_alias is not None:
             src_col = "__score" if val_kind == "score" else "__val"
             items.append((val_alias, A.Property(w_alias, src_col)))
@@ -1906,13 +1971,21 @@ class CypherEngine:
             )
         if clause.standalone:
             ritems = []
-            if id_alias is not None or not clause.yields:
-                ritems.append(
-                    (id_alias or "nodeId", A.Variable(id_alias or "nodeId"))
-                )
-            if val_alias is not None or not clause.yields:
-                va = val_alias or extra_name
-                ritems.append((va, A.Variable(va)))
+            if val_kind == "pair":
+                for a in (n1_alias, n2_alias, val_alias):
+                    if a is not None:
+                        ritems.append((a, A.Variable(a)))
+            else:
+                if id_alias is not None or not clause.yields:
+                    ritems.append(
+                        (
+                            id_alias or "nodeId",
+                            A.Variable(id_alias or "nodeId"),
+                        )
+                    )
+                if val_alias is not None or not clause.yields:
+                    va = val_alias or extra_name
+                    ritems.append((va, A.Variable(va)))
             out.append(A.ProjectionClause(items=ritems, is_return=True))
         return out
 
@@ -1920,6 +1993,7 @@ class CypherEngine:
         self, name: str, edge_specs: list, id_type: str, qualify: bool,
         iters, damping: float, source_id=None, weight_prop=None,
         sampling: int = 16, orientation: str = "NATURAL",
+        top_k: int = 10, sim_cut: float = 1e-42, deg_cut=None,
     ):
         """The (__id[, __score | __val]) frame behind a GDS stream —
         union the verb's edge tables (endpoints cast to the common id
@@ -2012,6 +2086,22 @@ class CypherEngine:
                 F.col("node").alias("__id"),
                 F.lit(0.0).alias("__score"),
                 F.col("n_triangles").cast("bigint").alias("__val"),
+            )
+        if name == "gds.nodesimilarity.stream":
+            res = G.node_similarity(
+                edges, top_k=int(top_k), cutoff=float(sim_cut),
+                degree_cutoff=deg_cut,
+            )
+            return res.select(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("a").cast("string"),
+                    F.col("b").cast("string"),
+                ).alias("__id"),
+                F.lit(0.0).alias("__score"),
+                F.col("a").alias("__n1"),
+                F.col("b").alias("__n2"),
+                F.col("similarity").cast("double").alias("__val"),
             )
         if name == "gds.allshortestpaths.dijkstra.stream":
             sources = self.spark.createDataFrame(

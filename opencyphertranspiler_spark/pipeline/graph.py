@@ -1160,3 +1160,75 @@ def random_walks(
             frontier = nxt
         e.unpersist()
         return out.select("walk_id", "step", "node")
+
+
+def node_similarity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    top_k: int = 10,
+    cutoff: float = 1e-42,
+    degree_cutoff: int | None = None,
+) -> DataFrame:
+    """(a, b, similarity) — Jaccard similarity of OUT-neighbor sets for
+    every node pair that shares at least one neighbor (GDS
+    nodeSimilarity semantics; both (a, b) and (b, a) are emitted, like
+    GDS's stream). ``top_k`` keeps each node's k best partners
+    (similarity desc, partner asc — deterministic), ``cutoff`` drops
+    weaker pairs, and ``degree_cutoff`` (GDS: upperDegreeCutoff)
+    optionally EXCLUDES nodes above an out-degree bound.
+
+    100 TB design: candidate pairs come from an equi-join of the edge
+    set with itself ON THE SHARED NEIGHBOR — never an all-pairs cross.
+    The quadratic risk is a super-popular neighbor (|in(n)|² pairs);
+    that is inherent to exact node similarity, and ``degree_cutoff``
+    (or pre-bucketing with pipeline.dedup's MinHash-LSH over neighbor
+    shingles) is the standard mitigation. Intersections aggregate
+    map-side; degrees join back as two broadcast-size frames; top-k is
+    a per-node window over the already-filtered pair set."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("n"))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("a").agg(F.count("*").alias("d"))
+    if degree_cutoff is not None:
+        keep = deg.filter(F.col("d") <= degree_cutoff).select("a")
+        e_f = e.join(keep, "a")
+    else:
+        e_f = e
+    inter = (
+        e_f.select(F.col("a").alias("x"), "n")
+        .join(e_f.select(F.col("a").alias("y"), "n"), "n")
+        .filter(F.col("x") != F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("i"))
+    )
+    dx = deg.select(F.col("a").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("a").alias("y"), F.col("d").alias("dy"))
+    sims = (
+        inter.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            F.col("x").alias("a"),
+            F.col("y").alias("b"),
+            (
+                F.col("i").cast("double")
+                / (F.col("dx") + F.col("dy") - F.col("i")).cast("double")
+            ).alias("similarity"),
+        )
+        .filter(F.col("similarity") >= cutoff)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a").orderBy(
+        F.col("similarity").desc(), F.col("b")
+    )
+    out = (
+        sims.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_k)
+        .drop("__rn")
+        .localCheckpoint()
+    )
+    e.unpersist()
+    return out

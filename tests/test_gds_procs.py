@@ -340,3 +340,66 @@ def test_triangle_count_stream(spark):
 
     tot = triangle_count(e.tables.get("te")).collect()[0].n_triangles
     assert tot == ntri
+
+
+def test_node_similarity_stream(spark):
+    """Jaccard of out-neighbor sets vs a brute-force oracle; topK and
+    similarityCutoff compose; pairs come from the shared-neighbor join
+    (nodes with disjoint neighborhoods never pair)."""
+    reg = TableRegistry()
+    reg.register_df(
+        "tn", spark.createDataFrame([(i,) for i in range(7)], "id long")
+    )
+    # "users" 0,1,2 -> "items" 4,5,6 (bipartite-ish); 3 shares nothing
+    pairs = [
+        (0, 4), (0, 5),
+        (1, 4), (1, 5), (1, 6),
+        (2, 6),
+        (3, 3),  # self-loop-ish isolated taste
+    ]
+    reg.register_df(
+        "te", spark.createDataFrame(pairs, "src long, dst long")
+    )
+    g = GraphSchema(
+        [NodeSchema("N", "tn", "id", (), "bigint")],
+        [EdgeSchema("E", "N", "N", "te", "src", "dst")],
+    )
+    e = CypherEngine(spark, g, reg)
+    got = sorted(
+        (r.a, r.b, r.s)
+        for r in e.cypher(
+            "CALL gds.nodeSimilarity.stream('E') "
+            "YIELD node1, node2, similarity "
+            "RETURN node1 AS a, node2 AS b, round(similarity, 6) AS s"
+        ).collect()
+    )
+    # brute-force oracle
+    from collections import defaultdict
+
+    nb = defaultdict(set)
+    for s, d in pairs:
+        nb[s].add(d)
+    want = []
+    for a in nb:
+        for b in nb:
+            if a == b:
+                continue
+            inter = len(nb[a] & nb[b])
+            if inter == 0:
+                continue
+            sim = inter / len(nb[a] | nb[b])
+            want.append((a, b, round(sim, 6)))
+    assert got == sorted(want) and got
+    # topK=1 keeps each node's single best partner
+    top1 = e.cypher(
+        "CALL gds.nodeSimilarity.stream('E', {topK: 1}) "
+        "YIELD node1, node2, similarity "
+        "RETURN node1 AS a, count(*) AS n"
+    ).collect()
+    assert all(r.n == 1 for r in top1)
+    # cutoff drops weak pairs
+    strong = e.cypher(
+        "CALL gds.nodeSimilarity.stream('E', {similarityCutoff: 0.6}) "
+        "YIELD node1, node2, similarity RETURN count(*) AS n"
+    ).collect()[0].n
+    assert strong == len([1 for _, _, s in want if s >= 0.6])
