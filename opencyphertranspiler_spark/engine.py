@@ -193,6 +193,12 @@ class CypherEngine:
         self._winner_cache: "OrderedDict[tuple, DataFrame]" = OrderedDict()
         self._winner_cache_max = 64
         self._index_epochs: dict[str, int] = {}
+        # round 14 (VERDICT r13 #7): fuzzy (~) rewrite memoization —
+        # (index, route, ..., term, d) -> expanded clause, plus the
+        # scan-path vocabulary frame per (index, props, epochs) so
+        # repeat fuzzy queries on an unchanged corpus run no new job
+        self._fuzzy_expansions: dict[tuple, tuple] = {}
+        self._fuzzy_vocab: dict[tuple, DataFrame] = {}
         # MATERIALIZED inverted fulltext indexes (round 12):
         # name -> (postings DF (__id, __f, __t, __tf, __dl), dfreq DF
         # (__f, __t, __df)) — built once by materialize_fulltext_index();
@@ -236,6 +242,13 @@ class CypherEngine:
         too (purely a performance layer — keys are staleness-proof, so
         clearing is never REQUIRED for correctness)."""
         self._fulltext_stats.clear()
+        self._fuzzy_expansions.clear()
+        for df in self._fuzzy_vocab.values():
+            try:
+                df.rdd.unpersist(False)
+            except Exception:
+                pass
+        self._fuzzy_vocab.clear()
         for df in self._winner_cache.values():
             try:
                 df.unpersist(False)
@@ -1559,6 +1572,41 @@ class CypherEngine:
 
     def _bump_index_epoch(self, name: str) -> None:
         self._index_epochs[name] = self._index_epochs.get(name, 0) + 1
+        # round 14 (VERDICT r13 #6): entries cached under the OLD epoch
+        # can never be served again (the epoch is part of the key), so
+        # evict them now instead of letting up to 64 dead k-row frames
+        # pin executor storage until LRU pressure
+        self._sweep_winner_cache(index=name)
+
+    def _sweep_winner_cache(
+        self, index: str | None = None, table: str | None = None
+    ) -> None:
+        """Evict (and unpersist) winner-cache entries matching ``index``
+        and/or ``table`` whose epoch stamps no longer match the current
+        registration state. Called on index-epoch bumps (eager) and from
+        :meth:`_cached_winner` inserts (lazy — catches base-table
+        re-registration, which happens in the TableRegistry without an
+        engine hook)."""
+        cache = getattr(self, "_winner_cache", None)
+        if not cache:
+            return
+        dead = []
+        for k in cache:
+            k_table, k_index, k_tep, k_iep = k[:4]
+            if index is not None and k_index != index:
+                continue
+            if table is not None and k_table != table:
+                continue
+            if k_tep != self.tables.epoch(k_table) or k_iep != (
+                self._index_epochs.get(k_index, 0)
+            ):
+                dead.append(k)
+        for k in dead:
+            df = cache.pop(k)
+            try:
+                df.unpersist(False)
+            except Exception:
+                pass
 
     def _cached_winner(self, table: str, index: str, key: tuple, builder):
         """Winner-frame cache (round 13, VERDICT r12 #1): serve the
@@ -1576,13 +1624,31 @@ class CypherEngine:
         bounded; clear_caches() / spark.catalog.clearCache() evict (the
         plan stays valid either way — the cache is a performance layer,
         Spark recomputes evicted entries from lineage)."""
+        # round 14 (ADVICE r13): resolve trained/materialized staleness
+        # BEFORE forming the key — a rebuild bumps the index epoch, and
+        # doing it inside the builder would store the rebuilt frame
+        # under the pre-rebuild (stale) key, missing on every repeat
+        if self.rebuild_stale_indexes:
+            ann = self._vector_ann.get(index)
+            if ann is not None and len(ann) >= 7 and ann[5] != (
+                self.tables.epoch(table)
+            ):
+                self._check_trained_stale(index, table, ann)
+            post = self._fulltext_post.get(index)
+            if post is not None and post[3] != self.tables.epoch(table):
+                self._check_materialized_stale(index, table, post)
         full = (
             table,
+            index,
             self.tables.epoch(table),
             self._index_epochs.get(index, 0),
         ) + key
         df = self._winner_cache.get(full)
         if df is None:
+            # lazy half of the round-14 sweep: a base-table re-register
+            # has no engine hook, so dead-epoch entries for this
+            # (table, index) are dropped when the next query runs
+            self._sweep_winner_cache(index=index, table=table)
             df = builder().cache()
             while len(self._winner_cache) >= self._winner_cache_max:
                 _, old = self._winner_cache.popitem(last=False)
@@ -2111,6 +2177,26 @@ class CypherEngine:
                 .cast("string" if qualify else id_type)
                 .alias("node")
             )
+            # round 14 (ADVICE r13): validate the seed against the node
+            # universe — a typo'd / unqualified / non-castable sourceId
+            # would otherwise silently return zero rows where Neo4j GDS
+            # raises. One tiny job at winner-build time, consistent with
+            # the iterative fixpoint this proc runs anyway.
+            uni = edges.select(F.col("src").alias("node")).unionByName(
+                edges.select(F.col("dst").alias("node"))
+            )
+            if sources.join(uni, "node", "left_semi").isEmpty():
+                hint = (
+                    " (this edge set spans several labels — use the "
+                    "'Label:id' form, e.g. 'Customer:42')"
+                    if qualify
+                    else ""
+                )
+                raise TranspilerBindingError(
+                    f"CALL {name}: sourceId {source_id!r} is not an "
+                    f"endpoint of relationship type(s) in this edge "
+                    f"set{hint}"
+                )
             res = G.weighted_shortest_paths(
                 edges, sources, max_iters=int(iters or 200)
             )
@@ -2554,18 +2640,64 @@ class CypherEngine:
     _FUZZY_MAX_EXPANSIONS = 50  # Lucene FuzzyQuery default
 
     @staticmethod
-    def _expand_fuzzy(clauses: list, vocab) -> list:
+    def _osa_distance(a: str, b: str, cap: int) -> int:
+        """Optimal-string-alignment (restricted Damerau-Levenshtein)
+        distance — an adjacent TRANSPOSITION counts as ONE edit, the
+        metric Lucene/Neo4j FuzzyQuery uses ('sprak'~1 matches 'spark').
+        Early-outs at ``cap + 1`` via the row-minimum bound; candidate
+        strings are already length-banded so the DP is tiny."""
+        la, lb = len(a), len(b)
+        if abs(la - lb) > cap:
+            return cap + 1
+        prev2: list[int] | None = None
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cost = 0 if a[i - 1] == b[j - 1] else 1
+                cur[j] = min(
+                    prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost
+                )
+                if (
+                    prev2 is not None
+                    and i > 1
+                    and j > 1
+                    and a[i - 1] == b[j - 2]
+                    and a[i - 2] == b[j - 1]
+                ):
+                    cur[j] = min(cur[j], prev2[j - 2] + 1)
+            if min(cur) > cap:
+                return cap + 1
+            prev2, prev = prev, cur
+        return prev[lb]
+
+    def _expand_fuzzy(
+        self, clauses: list, vocab, memo_key: tuple | None = None
+    ) -> list:
         """Rewrite fuzzy clauses (round 13) into plain term / match-ANY
         groups by enumerating the index vocabulary: ``vocab`` is a
         (__t, __df) frame (the materialized dfreq, or a per-query
         distinct-token aggregate on the scan path); candidates within
-        the edit distance — length-banded prefilter + JVM levenshtein —
-        are capped at the top 50 by document frequency (Lucene's
-        maxExpansions), each scoring with its OWN idf (documented
-        divergence: no distance-decay boost). A fuzzy term with no
+        the edit distance are capped at the top 50 by document frequency
+        (Lucene's maxExpansions), each scoring with its OWN idf
+        (documented divergence: no distance-decay boost).
+
+        Metric (round 14, ADVICE r13): OSA / restricted
+        Damerau-Levenshtein, matching Lucene's FuzzyQuery — the Spark
+        side prefilters with the length band and classic
+        ``levenshtein <= d + 1`` (a transposition costs at most 2
+        classic edits), collects a df-ranked candidate window (all
+        classic-``<= d`` matches rank ahead of the ``d + 1`` fringe, so
+        widening never displaces them), and the driver re-checks the
+        fringe with the transposition-aware DP. A fuzzy term with no
         vocabulary match within distance stays an exact term, which
-        simply never matches (MUST then yields zero rows, like
-        Lucene)."""
+        simply never matches (MUST then yields zero rows, like Lucene).
+
+        The enumeration itself is a Spark job at winner-BUILD time
+        (Lucene also enumerates at query rewrite); ``memo_key``
+        (index + epoch stamps) memoizes each (term, d) expansion so
+        repeat fuzzy queries on an unchanged corpus run NO job
+        (round 14, VERDICT r13 #7) — clear_caches() resets."""
         if not any(k.startswith("fuzzy") for _m, _t, k, _b in clauses):
             return clauses
         grouped = (
@@ -2582,6 +2714,15 @@ class CypherEngine:
             if d == 0:
                 out.append((mod, (term,), "term", boost))
                 continue
+            mkey = None
+            if memo_key is not None:
+                mkey = memo_key + (term, d)
+                hit = self._fuzzy_expansions.get(mkey)
+                if hit is not None:
+                    out.append(hit if hit[0] == mod and hit[3] == boost
+                               else (mod, hit[1], hit[2], boost))
+                    continue
+            exact_band = F.levenshtein(F.col("__t"), F.lit(term)) <= F.lit(d)
             rows = (
                 grouped.filter(
                     (
@@ -2590,20 +2731,34 @@ class CypherEngine:
                     )
                     & (
                         F.levenshtein(F.col("__t"), F.lit(term))
-                        <= F.lit(d)
+                        <= F.lit(d + 1)
                     )
                 )
-                .orderBy(F.col("__df").desc(), "__t")
-                .limit(CypherEngine._FUZZY_MAX_EXPANSIONS)
+                .orderBy(
+                    exact_band.desc(), F.col("__df").desc(), "__t"
+                )
+                .limit(CypherEngine._FUZZY_MAX_EXPANSIONS * 5)
                 .collect()
             )
-            terms = tuple(sorted(r["__t"] for r in rows))
+            kept = [
+                r
+                for r in rows
+                if self._osa_distance(r["__t"], term, d) <= d
+            ]
+            kept.sort(key=lambda r: (-r["__df"], r["__t"]))
+            terms = tuple(sorted(
+                r["__t"]
+                for r in kept[: CypherEngine._FUZZY_MAX_EXPANSIONS]
+            ))
             if not terms:
-                out.append((mod, (term,), "term", boost))
+                ex = (mod, (term,), "term", boost)
             elif len(terms) == 1:
-                out.append((mod, terms, "term", boost))
+                ex = (mod, terms, "term", boost)
             else:
-                out.append((mod, terms, "any", boost))
+                ex = (mod, terms, "any", boost)
+            if mkey is not None:
+                self._fuzzy_expansions[mkey] = ex
+            out.append(ex)
         return out
 
     def _fulltext_topk_frame(
@@ -2642,7 +2797,12 @@ class CypherEngine:
             import math
 
             postings, dfreq, stats, _ep, indexed_ids = post
-            clauses = self._expand_fuzzy(clauses, dfreq)
+            clauses = self._expand_fuzzy(
+                clauses, dfreq,
+                memo_key=(
+                    index, "post", self._index_epochs.get(index, 0)
+                ),
+            )
             main = self._fulltext_postings_topk(
                 index, props, clauses, limit + skip, 0,
                 postings, dfreq, stats, field_boosts=boosts,
@@ -2704,7 +2864,10 @@ class CypherEngine:
 
         k1, b = self._FT_K1, self._FT_B
         fb = list(field_boosts or [])
-        clauses = self._expand_fuzzy(clauses, dfreq)
+        clauses = self._expand_fuzzy(
+            clauses, dfreq,
+            memo_key=(index, "post", self._index_epochs.get(index, 0)),
+        )
         pos_terms = sorted(
             {t for m, toks, *_r in clauses if m != "-" for t in toks}
         )
@@ -2906,23 +3069,40 @@ class CypherEngine:
             *key_names, F.lit(0.0).alias("__score")
         ).filter(F.lit(False))
         if any(k.startswith("fuzzy") for _m, _t, k, _b in clauses):
-            # fuzzy on the UN-materialized path pays one per-query
-            # vocabulary aggregate over the scan (materialize the index
-            # to expand against the checkpointed dfreq instead); df is
-            # summed PER FIELD, matching the postings expansion order
-            per = [
-                base.select(
-                    F.explode(
-                        F.array_distinct(F.col(f"__toks{i}"))
-                    ).alias("__t")
+            # fuzzy on the UN-materialized path pays ONE vocabulary
+            # aggregate over the scan per (index, epoch) — the frame is
+            # lazily localCheckpoint'ed and memoized (round 14, VERDICT
+            # r13 #7), and each (term, d) expansion is memoized on top,
+            # so repeat fuzzy queries on an unchanged corpus run no new
+            # job (materialize the index to expand against the
+            # checkpointed dfreq instead); df is summed PER FIELD,
+            # matching the postings expansion order
+            vkey = (index, "scanvocab", tuple(props), epoch,
+                    self._index_epochs.get(index, 0))
+            vocab = self._fuzzy_vocab.get(vkey)
+            if vocab is None:
+                per = [
+                    base.select(
+                        F.explode(
+                            F.array_distinct(F.col(f"__toks{i}"))
+                        ).alias("__t")
+                    )
+                    for i in range(nprops)
+                ]
+                vocab = per[0]
+                for v in per[1:]:
+                    vocab = vocab.unionByName(v)
+                vocab = (
+                    vocab.groupBy("__t")
+                    .agg(F.count("*").alias("__df"))
+                    .localCheckpoint(eager=False)
                 )
-                for i in range(nprops)
-            ]
-            vocab = per[0]
-            for v in per[1:]:
-                vocab = vocab.unionByName(v)
-            vocab = vocab.groupBy("__t").agg(F.count("*").alias("__df"))
-            clauses = self._expand_fuzzy(clauses, vocab)
+                self._fuzzy_vocab[vkey] = vocab
+            clauses = self._expand_fuzzy(
+                clauses, vocab,
+                memo_key=(index, "scan", tuple(props), epoch,
+                          self._index_epochs.get(index, 0)),
+            )
         # per-field corpus stats (memoized per (index, property))
         missing = [
             (i, p)
@@ -3313,7 +3493,14 @@ class CypherEngine:
             cand = cand.select("__src", "__dst", "__vec")
             if len(ann) >= 7 and ann[5] != self.tables.epoch(edge_table):
                 # fresh-list delta: edge rows absent from the frozen
-                # celled corpus by (src, dst, vector-hash) identity
+                # celled corpus by (src, dst, vector-hash) identity —
+                # PROBABILISTIC identity (ADVICE r13): a 64-bit xxhash
+                # collision between a new edge's vector and a frozen
+                # edge's vector on the SAME endpoint pair would drop the
+                # new edge from the delta (~2^-64 per colliding pair;
+                # comparing float arrays directly would make the
+                # anti-join key unhashable for shuffle, so the hash
+                # identity is the deliberate trade)
                 h = F.xxhash64("__vec").alias("__vh")
                 fresh = (
                     cur.select("*", h)

@@ -619,3 +619,93 @@ def test_fuzzy_query_vs_oracle(ft_engine, spark):
     assert _run(ft_engine, "b_fuzz", q, 10) == scan
     # an unmatchable MUST fuzzy term yields zero rows
     assert _run(ft_engine, "b_fuzz", "+qqqqqqqqqq~1 merge", 10) == []
+
+
+def test_osa_distance_unit():
+    """Round 14 (ADVICE r13): fuzzy uses OSA / restricted
+    Damerau-Levenshtein — an adjacent transposition is ONE edit, the
+    Lucene/Neo4j FuzzyQuery metric."""
+    from opencyphertranspiler_spark.engine import CypherEngine
+
+    osa = CypherEngine._osa_distance
+    assert osa("spark", "spark", 2) == 0
+    assert osa("sprak", "spark", 2) == 1  # classic levenshtein says 2
+    assert osa("ab", "ba", 2) == 1
+    assert osa("abcd", "badc", 2) == 2  # two disjoint transpositions
+    assert osa("kitten", "sitting", 3) == 3
+    assert osa("a", "abcd", 2) == 3  # length band early-out: cap + 1
+
+
+def test_fuzzy_transposition_matches_like_lucene(spark):
+    """'sprak~1' must match documents containing 'spark' (transposition
+    = 1 edit under OSA; classic levenshtein would say 2 and miss) on
+    both the scan and the postings route."""
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EntityProperty,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+    )
+
+    reg = TableRegistry()
+    reg.register_df(
+        "tinydocs",
+        spark.createDataFrame(
+            [
+                (1, "spark shuffle tuning"),
+                (2, "spork cutlery review"),
+                (3, "entirely unrelated words"),
+            ],
+            "doc_id bigint, text string",
+        ),
+    )
+    g = GraphSchema(
+        [
+            NodeSchema(
+                "TDoc", "tinydocs", "doc_id",
+                (EntityProperty("text", "string"),), "bigint",
+            )
+        ],
+        [],
+    )
+    eng = CypherEngine(spark, g, reg)
+    eng.create_fulltext_index("tiny_ft", "TDoc", "text")
+    q = (
+        "CALL db.index.fulltext.queryNodes('tiny_ft', 'sprak~1', "
+        "{limit: 10}) YIELD node, score "
+        "RETURN node.doc_id AS id ORDER BY id"
+    )
+    scan = [r.id for r in eng.cypher(q).collect()]
+    # 'spark' matches (transposition = OSA 1); 'spork' does NOT
+    # (r->o, a->r is 2 edits) — and with classic levenshtein NEITHER
+    # would match, so this pins the metric change
+    assert scan == [1]
+    eng.materialize_fulltext_index("tiny_ft")
+    assert [r.id for r in eng.cypher(q).collect()] == scan
+    # at distance 2 the substitution-pair candidate joins
+    q2 = q.replace("sprak~1", "sprak~2")
+    assert [r.id for r in eng.cypher(q2).collect()] == [1, 2]
+
+
+def test_fuzzy_expansion_memoized_no_compile_job(ft_engine, spark):
+    """Round 14 (VERDICT r13 #7): the scan-path fuzzy vocabulary and
+    each (term, distance) expansion are memoized per (index, epoch) —
+    after the first fuzzy query, COMPILING another fuzzy query on the
+    same index runs NO Spark job (the first query's winner key differs
+    via the limit, so the builder genuinely re-runs)."""
+    ft_engine.create_fulltext_index("b_fuzz_memo", "Doc", "text")
+    ft_engine.clear_caches()
+    q = (
+        "CALL db.index.fulltext.queryNodes('b_fuzz_memo', 'merge~1', "
+        "{limit: %d}) YIELD node, score RETURN node.doc_id AS id"
+    )
+    ft_engine.cypher(q % 10).collect()  # pays the vocabulary aggregate
+    sc = spark.sparkContext
+    sc.setJobGroup("fuzzmemo14", "fuzzy memo probe")
+    try:
+        ft_engine.cypher(q % 20)  # compile only — new winner key
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    ids = sc.statusTracker().getJobIdsForGroup("fuzzmemo14")
+    assert list(ids) == []

@@ -218,6 +218,30 @@ def test_dijkstra_stream_weighted_and_unweighted(spark):
             "CALL gds.allShortestPaths.dijkstra.stream('E', "
             "{sourceId: 0, weightProperty: 'nope'})"
         )
+    # round 14 (ADVICE r13): a sourceId that is not a node raises
+    # instead of silently streaming zero rows (Neo4j GDS parity)
+    with pytest.raises(TranspilerBindingError, match="not an endpoint"):
+        e.cypher(
+            "CALL gds.allShortestPaths.dijkstra.stream('E', "
+            "{sourceId: 424242})"
+        )
+
+
+def test_dijkstra_bad_source_hints_label_form(eng):
+    """On a multi-label edge set the error points at the 'Label:id'
+    qualified form (a raw id never matches the qualified universe)."""
+    with pytest.raises(TranspilerBindingError, match="Label:id"):
+        eng.cypher(
+            "CALL gds.allShortestPaths.dijkstra.stream('IN_REGION', "
+            "{sourceId: 0})"
+        )
+    # the qualified form works
+    rows = eng.cypher(
+        "CALL gds.allShortestPaths.dijkstra.stream('IN_REGION', "
+        "{sourceId: 'Nation:0'}) YIELD nodeId, distance "
+        "RETURN nodeId, distance AS d"
+    ).collect()
+    assert {r.nodeId for r in rows} == {"Nation:0", "Region:0"}
 
 
 def test_degree_stream_vs_duckdb(eng, duck):

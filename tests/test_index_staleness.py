@@ -282,3 +282,30 @@ def test_write_result_save_parquet(spark, tmp_path):
         "MATCH (d:Document) RETURN count(*) AS n"
     )._jdf.queryExecution().executedPlan().toString()
     assert "parquet" in plan.lower()
+
+
+def test_rebuild_stores_under_fresh_cache_key(spark):
+    """Round 14 (ADVICE r13): with rebuild_stale_indexes=True the
+    retrain resolves BEFORE the winner-cache key forms, so the rebuilt
+    frame lands under the POST-rebuild epoch stamps and the next
+    identical query is a cache HIT (no second rebuild, no dead entry
+    occupying an LRU slot under the stale key)."""
+    eng = _engine(spark, rebuild_stale_indexes=True)
+    eng.create_vector_index("v1", "Embedding", "embedding")
+    eng.train_vector_index("v1", n_cells=4, nprobe=2, iters=2)
+    grown = _grow_embeddings(spark, eng.tables.get("embeddings"))
+    eng.tables.register("embeddings", lambda: grown)
+    eng.cypher(VQ, params={"v": QV}).collect()
+    assert len(eng._winner_cache) == 1
+    ((key, frame),) = list(eng._winner_cache.items())
+    # key layout: (table, index, table epoch, index epoch, *args) — the
+    # stamps must be the POST-rebuild ones
+    assert key[0] == "embeddings" and key[1] == "v1"
+    assert key[2] == eng.tables.epoch("embeddings")
+    assert key[3] == eng._index_epochs.get("v1", 0)
+    epoch_after_first = eng._vector_ann["v1"][5]
+    eng.cypher(VQ, params={"v": QV}).collect()
+    # cache hit: same frame object, no re-train, still one entry
+    assert len(eng._winner_cache) == 1
+    assert next(iter(eng._winner_cache.values())) is frame
+    assert eng._vector_ann["v1"][5] == epoch_after_first

@@ -87,12 +87,16 @@ def test_reregister_evicts_by_epoch(vector_engine, spark):
     keep = full.filter(~full.vec_id.isin(first[:2]))
     vector_engine.tables.register("embeddings", lambda: keep)
     try:
+        stale = next(iter(vector_engine._winner_cache.values()))
         after = [
             r.id for r in vector_engine.cypher(Q, params={"v": v}).collect()
         ]
         # stale winners are NOT served: the epoch changed the cache key
         assert not set(after) & set(first[:2])
-        assert len(vector_engine._winner_cache) == 2
+        # round 14 (VERDICT r13 #6): the dead-epoch entry is SWEPT on
+        # the next insert (not left to LRU pressure) and unpersisted
+        assert len(vector_engine._winner_cache) == 1
+        assert stale.storageLevel.useMemory is False
     finally:
         vector_engine.tables.register(
             "embeddings",
@@ -122,8 +126,11 @@ def test_index_rebuild_evicts(vector_engine, spark):
             "emb_idx", "Emb", "embedding", similarity="euclidean"
         )
         assert vector_engine._index_epochs["emb_idx"] == e0 + 1
+        # round 14 (VERDICT r13 #6): the bump itself sweeps the
+        # dead-epoch entry eagerly — no query needed
+        assert len(vector_engine._winner_cache) == 0
         vector_engine.cypher(Q, params={"v": v}).collect()
-        assert len(vector_engine._winner_cache) == 2
+        assert len(vector_engine._winner_cache) == 1
     finally:
         vector_engine.cypher("DROP INDEX wc_tmp_idx")
         vector_engine.create_vector_index("emb_idx", "Emb", "embedding")
