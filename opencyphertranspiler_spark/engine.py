@@ -1156,7 +1156,7 @@ class CypherEngine:
             "db.index.vector.queryNodes/queryRelationships, "
             "db.index.fulltext.queryNodes/queryRelationships, "
             "gds.pageRank.stream, gds.wcc.stream, "
-            "gds.labelPropagation.stream"
+            "gds.labelPropagation.stream, gds.louvain.stream"
         )
 
     def _resolve_procedures(self, ast_query, params: dict | None = None) -> None:
@@ -1740,6 +1740,7 @@ class CypherEngine:
         "gds.pagerank.stream": ("score", "score"),
         "gds.wcc.stream": ("componentId", "id"),
         "gds.labelpropagation.stream": ("communityId", "id"),
+        "gds.louvain.stream": ("communityId", "id"),
         "gds.allshortestpaths.dijkstra.stream": ("distance", "double"),
         "gds.betweenness.stream": ("score", "score"),
         "gds.kcore.stream": ("coreValue", "long"),
@@ -1753,14 +1754,25 @@ class CypherEngine:
         score`` (round 13) — Neo4j-GDS-style streaming surfaces over the
         distributed graph algorithms in pipeline/graph.py:
 
-        - ``gds.pageRank.stream(relType[, {maxIterations, dampingFactor}])
-          YIELD nodeId, score`` — power-method PageRank with dangling-mass
-          redistribution (pipeline/graph.py:pagerank)
+        - ``gds.pageRank.stream(relType[, {maxIterations, dampingFactor,
+          relationshipWeightProperty}]) YIELD nodeId, score`` —
+          power-method PageRank with dangling-mass redistribution;
+          ``relationshipWeightProperty`` (round 14) splits rank over
+          out-edges proportionally to the weight
+          (pipeline/graph.py:pagerank)
         - ``gds.wcc.stream(relType[, {maxIterations}]) YIELD nodeId,
           componentId`` — undirected min-label connected components;
           componentId = smallest node id in the component
         - ``gds.labelPropagation.stream(relType[, {maxIterations}])
           YIELD nodeId, communityId`` — deterministic synchronous LPA
+        - ``gds.louvain.stream(relType[, {maxIterations, maxLevels,
+          tolerance, relationshipWeightProperty}]) YIELD nodeId,
+          communityId`` (round 14) — Louvain modularity optimization:
+          local-move rounds + graph contraction per level, a
+          deterministic distributed variant (monotone move rule +
+          per-round modularity acceptance — Q never decreases;
+          pipeline/graph.py:louvain); communityId = smallest member
+          node id
         - ``gds.allShortestPaths.dijkstra.stream(relType, {sourceId[,
           weightProperty, maxIterations]}) YIELD nodeId, distance`` —
           single-source minimum-cost distances (semi-naive distributed
@@ -1822,15 +1834,25 @@ class CypherEngine:
                     name, [oval], 0, okey, params
                 )
         allowed_conf = {
-            "gds.pagerank.stream": {"maxiterations", "dampingfactor"},
+            "gds.pagerank.stream": {
+                "maxiterations", "dampingfactor",
+                "relationshipweightproperty",
+            },
             "gds.wcc.stream": {"maxiterations"},
             "gds.labelpropagation.stream": {"maxiterations"},
+            "gds.louvain.stream": {
+                "maxiterations", "maxlevels", "tolerance",
+                "relationshipweightproperty",
+            },
             "gds.allshortestpaths.dijkstra.stream": {
-                "maxiterations", "sourceid", "weightproperty"
+                "maxiterations", "sourceid", "weightproperty",
+                "relationshipweightproperty",
             },
             "gds.betweenness.stream": {"maxiterations", "samplingsize"},
             "gds.kcore.stream": {"maxiterations"},
-            "gds.degree.stream": {"orientation"},
+            "gds.degree.stream": {
+                "orientation", "relationshipweightproperty"
+            },
             "gds.trianglecount.stream": set(),
             "gds.nodesimilarity.stream": {
                 "topk", "similaritycutoff", "degreecutoff"
@@ -1885,16 +1907,31 @@ class CypherEngine:
             raise TranspilerBindingError(
                 f"CALL {name}: degreeCutoff must be a positive integer"
             )
+        max_levels = conf.get("maxlevels", 10)
+        if not isinstance(max_levels, int) or isinstance(max_levels, bool) \
+                or max_levels < 1:
+            raise TranspilerBindingError(
+                f"CALL {name}: maxLevels must be a positive integer"
+            )
+        tolerance = conf.get("tolerance", 1e-4)
+        if not isinstance(tolerance, (int, float)) \
+                or isinstance(tolerance, bool) or tolerance < 0:
+            raise TranspilerBindingError(
+                f"CALL {name}: tolerance must be a non-negative number"
+            )
         source_id = conf.get("sourceid")
-        weight_prop = conf.get("weightproperty")
+        weight_prop = conf.get(
+            "relationshipweightproperty", conf.get("weightproperty")
+        )
+        if weight_prop is not None and not isinstance(weight_prop, str):
+            raise TranspilerBindingError(
+                f"CALL {name}: relationshipWeightProperty must be a "
+                "string"
+            )
         if name == "gds.allshortestpaths.dijkstra.stream":
             if source_id is None:
                 raise TranspilerBindingError(
                     f"CALL {name}: config needs sourceId"
-                )
-            if weight_prop is not None and not isinstance(weight_prop, str):
-                raise TranspilerBindingError(
-                    f"CALL {name}: weightProperty must be a string"
                 )
 
         verbs = [v.strip() for v in verb.split("|") if v.strip()]
@@ -1975,6 +2012,7 @@ class CypherEngine:
             iters, float(damping), source_id, weight_prop,
             int(sampling), orientation,
             int(top_k), float(sim_cut), deg_cut,
+            int(max_levels), float(tolerance),
             tuple(self.tables.epoch(t) for t in tables),
         )
         gargs = (name, [
@@ -1985,7 +2023,7 @@ class CypherEngine:
             for e in edges
         ], id_type, qualify, iters, float(damping), source_id,
             weight_prop, int(sampling), orientation, int(top_k),
-            float(sim_cut), deg_cut)
+            float(sim_cut), deg_cut, int(max_levels), float(tolerance))
         val_types = {"id": id_type, "double": "double", "long": "bigint"}
         if val_kind == "pair":
             extra_props = (
@@ -2060,6 +2098,7 @@ class CypherEngine:
         iters, damping: float, source_id=None, weight_prop=None,
         sampling: int = 16, orientation: str = "NATURAL",
         top_k: int = 10, sim_cut: float = 1e-42, deg_cut=None,
+        max_levels: int = 10, tolerance: float = 1e-4,
     ):
         """The (__id[, __score | __val]) frame behind a GDS stream —
         union the verb's edge tables (endpoints cast to the common id
@@ -2083,7 +2122,14 @@ class CypherEngine:
                 endpoint(src_c, src_l).alias("src"),
                 endpoint(dst_c, dst_l).alias("dst"),
             ]
-            if name == "gds.allshortestpaths.dijkstra.stream":
+            if name == "gds.allshortestpaths.dijkstra.stream" or (
+                weight_prop is not None
+                and name in (
+                    "gds.pagerank.stream",
+                    "gds.degree.stream",
+                    "gds.louvain.stream",
+                )
+            ):
                 cols.append(
                     (
                         F.col(weight_prop).cast("double")
@@ -2103,19 +2149,31 @@ class CypherEngine:
                 .unionByName(edges.select(F.col("dst").alias("__id")))
                 .distinct()
             )
+            wagg = (
+                F.sum("weight") if weight_prop is not None
+                else F.count("*")
+            )
             if orientation == "NATURAL":
                 cnt = edges.groupBy(F.col("src").alias("__id"))
             elif orientation == "REVERSE":
                 cnt = edges.groupBy(F.col("dst").alias("__id"))
             else:
-                und = edges.select("src", "dst").unionByName(
+                cols = ["src", "dst"] + (
+                    ["weight"] if weight_prop is not None else []
+                )
+                und = edges.select(*cols).unionByName(
                     edges.select(
                         F.col("dst").alias("src"),
                         F.col("src").alias("dst"),
+                        *(
+                            ["weight"]
+                            if weight_prop is not None
+                            else []
+                        ),
                     )
                 )
                 cnt = und.groupBy(F.col("src").alias("__id"))
-            cnt = cnt.agg(F.count("*").alias("__n"))
+            cnt = cnt.agg(wagg.alias("__n"))
             return nodes.join(cnt, "__id", "left").select(
                 "__id",
                 F.coalesce(F.col("__n"), F.lit(0))
@@ -2207,13 +2265,22 @@ class CypherEngine:
             )
         if name == "gds.pagerank.stream":
             res = G.pagerank(
-                edges, iters=int(iters or 10), damping=float(damping)
+                edges, iters=int(iters or 10), damping=float(damping),
+                weight="weight" if weight_prop is not None else None,
             )
             return res.select(
                 F.col("node").alias("__id"),
                 F.col("rank").cast("double").alias("__score"),
             )
-        if name == "gds.wcc.stream":
+        if name == "gds.louvain.stream":
+            res = G.louvain(
+                edges,
+                weight="weight" if weight_prop is not None else None,
+                max_iters=int(iters or 10),
+                max_levels=int(max_levels),
+                tolerance=float(tolerance),
+            )
+        elif name == "gds.wcc.stream":
             res = G.connected_components(
                 edges, max_iters=int(iters or 200)
             )

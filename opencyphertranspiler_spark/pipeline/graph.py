@@ -615,26 +615,50 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    weight: str | None = None,
 ) -> DataFrame:
     """(node, rank) after ``iters`` power-method rounds on the DISTINCT
     directed edge set; ranks sum to 1. Dangling nodes (no out-edges)
     redistribute their mass uniformly each round, the standard
     stochastic-matrix completion.
 
+    ``weight`` (round 14 — GDS ``relationshipWeightProperty``) makes
+    the walk WEIGHTED: a node splits its rank over out-edges
+    proportionally to edge weight (parallel edges sum their weights,
+    GDS's aggregation), nodes whose out-weight sums to zero are
+    dangling, and negative weights raise. Unweighted is the weight-1.0
+    special case of the same plan — one code path, no divergence.
+
     100 TB design: per round one equi-join (ranks x out-edges, shuffled
     on the join key) + one groupBy(dst) with map-side partial sums; the
     rank vector is localCheckpoint'ed so lineage stays O(1) deep across
     rounds. The dangling mass is a single aggregated scalar per round —
     bounded driver state like the IVF centroids (similarity.py), not a
-    per-row collect. The node set and out-degrees are computed once and
+    per-row collect. The node set and out-weights are computed once and
     persisted; iteration count is fixed (power method), so there is no
     per-round convergence check shuffle.
     """
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .persist()
-    )
+    if weight is None:
+        e = (
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .distinct()
+            .withColumn("w", F.lit(1.0))
+            .persist()
+        )
+    else:
+        e = (
+            edges.select(
+                F.col(src).alias("src"),
+                F.col(dst).alias("dst"),
+                F.col(weight).cast("double").alias("w"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+            .persist()
+        )
+        if not e.where(F.col("w") < 0).isEmpty():
+            e.unpersist()
+            raise ValueError("pagerank requires non-negative edge weights")
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -646,10 +670,15 @@ def pagerank(
         e.unpersist()
         nodes.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
+    outw = (
+        e.groupBy("src")
+        .agg(F.sum("w").alias("outw"))
+        .where(F.col("outw") > 0)
+        .persist()
+    )
     with_deg = nodes.join(
-        outdeg, nodes.node == outdeg.src, "left"
-    ).select("node", "outdeg")
+        outw, nodes.node == outw.src, "left"
+    ).select("node", "outw")
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
         eager=True
     )
@@ -657,16 +686,18 @@ def pagerank(
     for _ in range(iters):
         rd = ranks.join(with_deg, "node")
         # bounded scalar: total rank mass sitting on dangling nodes
+        # (no out-edges, or out-weight summing to zero)
         dangling = (
-            rd.filter(F.col("outdeg").isNull())
+            rd.filter(F.col("outw").isNull())
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
             .first()[0]
         )
         contribs = (
             e.join(rd, e.src == rd.node)
+            .where(F.col("outw").isNotNull())
             .select(
                 F.col("dst").alias("node"),
-                (F.col("rank") / F.col("outdeg")).alias("c"),
+                (F.col("rank") * F.col("w") / F.col("outw")).alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
@@ -688,7 +719,7 @@ def pagerank(
         )
     e.unpersist()
     nodes.unpersist()
-    outdeg.unpersist()
+    outw.unpersist()
     return ranks
 
 
@@ -826,6 +857,270 @@ def label_propagation(
                 break
         und.unpersist()
         return labels
+
+
+def _modularity(sym: DataFrame, labels: DataFrame, two_m: float) -> float:
+    """Newman modularity Q of a community assignment over a SYMMETRIC
+    weighted edge list (each undirected edge appears in both directions;
+    a self-loop appears once with weight 2w, the A_uu convention):
+    Q = sum_c [ S_in(c)/2m - (S_tot(c)/2m)^2 ]. One aggregate scalar —
+    bounded driver state, the pagerank-dangling-mass pattern."""
+    deg = sym.groupBy(F.col("a").alias("node")).agg(F.sum("w").alias("k"))
+    tot = (
+        labels.join(deg, "node")
+        .groupBy("community")
+        .agg(F.sum("k").alias("tot"))
+    )
+    la = labels.select(
+        F.col("node").alias("a"), F.col("community").alias("ca")
+    )
+    lb = labels.select(
+        F.col("node").alias("b"), F.col("community").alias("cb")
+    )
+    s_in = (
+        sym.join(la, "a")
+        .join(lb, "b")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.sum("w").alias("s_in"))
+    )
+    row = (
+        tot.join(s_in, "community", "left")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("s_in"), F.lit(0.0)) / F.lit(two_m)
+                - (F.col("tot") / F.lit(two_m)) ** 2
+            ).alias("q")
+        )
+        .first()
+    )
+    return float(row["q"] or 0.0)
+
+
+def louvain(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    max_iters: int = 10,
+    max_levels: int = 10,
+    tolerance: float = 1e-4,
+    _trace: list | None = None,
+) -> DataFrame:
+    """(node, community) — Louvain community detection (Blondel et al.
+    2008) over the UNDIRECTED (optionally weighted) view of the edge
+    set, distributed: synchronous local-move rounds (every node
+    evaluates the standard modularity-gain criterion against its
+    neighbor communities at once) followed by graph CONTRACTION
+    (communities become super-nodes, edge weights sum, intra-community
+    weight becomes a self-loop), repeated per level. Community ids are
+    relabeled to the smallest member node id (the wcc convention), so
+    the result is deterministic given the edge set, independent of
+    partitioning.
+
+    Convergence: synchronous moves can oscillate (two adjacent nodes
+    swapping), so each round's assignment is SCORED — the round is kept
+    only if modularity did not decrease, and the local-move phase stops
+    when the gain falls below ``tolerance`` (modularity is therefore
+    non-decreasing across accepted rounds AND levels; ``_trace``
+    collects the accepted Q sequence for tests). Levels stop when a
+    level moves nothing or ``max_levels`` is hit.
+
+    100 TB design: a round is two equi-joins + two aggregations (all
+    map-side combinable) over the symmetric edge list, the per-community
+    totals frame is at most |V| rows and shrinks geometrically with
+    levels, modularity is one aggregate SCALAR per round (the
+    pagerank-dangling pattern, not a collect), and every kept frame is
+    localCheckpoint'ed so lineage stays O(1) across rounds. Contraction
+    shrinks the edge list itself, so later levels are near-free."""
+    with _no_constraint_propagation(edges):
+        return _louvain_impl(
+            edges, src, dst, weight, max_iters, max_levels, tolerance,
+            _trace,
+        )
+
+
+def _louvain_impl(
+    edges, src, dst, weight, max_iters, max_levels, tolerance, _trace
+) -> DataFrame:
+    w_col = (
+        F.col(weight).cast("double")
+        if weight is not None
+        else F.lit(1.0)
+    )
+    base = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b"), w_col.alias("w")
+    )
+    if weight is not None and not base.where(F.col("w") < 0).isEmpty():
+        raise ValueError("louvain requires non-negative edge weights")
+    # symmetric list: both directions for a != b (parallel edges sum),
+    # self-loops once with doubled weight (the A_uu = 2w convention)
+    plain = base.where(F.col("a") != F.col("b"))
+    sym = (
+        plain.unionByName(
+            plain.select(
+                F.col("b").alias("a"), F.col("a").alias("b"), "w"
+            )
+        )
+        .unionByName(
+            base.where(F.col("a") == F.col("b")).select(
+                "a", "b", (F.col("w") * 2).alias("w")
+            )
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    two_m = sym.agg(F.coalesce(F.sum("w"), F.lit(0.0))).first()[0]
+    nodes0 = sym.select(F.col("a").alias("node")).distinct()
+    if two_m <= 0:
+        return nodes0.withColumn("community", F.col("node"))
+    # mapping: original node -> current super-node (level-composed)
+    mapping = nodes0.withColumn("comm", F.col("node")).localCheckpoint(
+        eager=True
+    )
+    for _level in range(max_levels):
+        labels = (
+            sym.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("community", F.col("node"))
+            .localCheckpoint(eager=True)
+        )
+        deg = (
+            sym.groupBy(F.col("a").alias("node"))
+            .agg(F.sum("w").alias("k"))
+            .localCheckpoint(eager=True)
+        )
+        q = _modularity(sym, labels, two_m)
+        if _trace is not None:
+            _trace.append(q)
+        moved_any = False
+        for _round in range(max_iters):
+            lb = labels.select(
+                F.col("node").alias("b"), F.col("community").alias("cb")
+            )
+            # k_i->c: weight from each node to each NEIGHBOR community
+            # (self-loops excluded — they move with the node)
+            ki_to = (
+                sym.where(F.col("a") != F.col("b"))
+                .join(lb, "b")
+                .groupBy(F.col("a").alias("node"), F.col("cb").alias("c"))
+                .agg(F.sum("w").alias("kin"))
+            )
+            # ensure the CURRENT community is always a candidate (kin
+            # may be 0 when no neighbor shares it)
+            cand = ki_to.unionByName(
+                labels.select(
+                    "node", F.col("community").alias("c")
+                ).withColumn("kin", F.lit(0.0))
+            ).groupBy("node", "c").agg(F.sum("kin").alias("kin"))
+            tot = (
+                labels.join(deg, "node")
+                .groupBy(F.col("community").alias("c"))
+                .agg(F.sum("k").alias("tot"))
+            )
+            cur = labels.select("node", F.col("community").alias("ci"))
+            scored = (
+                cand.join(tot, "c")
+                .join(cur, "node")
+                .join(deg, "node")
+                # monotone move rule: a node may only move to a SMALLER
+                # community id. Synchronous best-gain moves swap-cycle
+                # (two adjacent singletons adopting each other's label
+                # forever); making every node's label non-increasing
+                # breaks all cycles deterministically, labels still flow
+                # together over rounds (the LPA min-label trick applied
+                # to Louvain), and the modularity acceptance check below
+                # rejects any residual simultaneous-move regression
+                .where(F.col("c") <= F.col("ci"))
+                .select(
+                    "node",
+                    "c",
+                    "ci",
+                    (
+                        F.col("kin")
+                        - F.col("k")
+                        * (
+                            F.col("tot")
+                            - F.when(
+                                F.col("c") == F.col("ci"), F.col("k")
+                            ).otherwise(F.lit(0.0))
+                        )
+                        / F.lit(two_m)
+                    ).alias("score"),
+                )
+            )
+            best = scored.groupBy("node").agg(
+                F.min_by(
+                    F.struct("c", "score"),
+                    F.struct((-F.col("score")).alias("s"), F.col("c")),
+                ).alias("bc"),
+                F.max(
+                    F.when(F.col("c") == F.col("ci"), F.col("score"))
+                ).alias("stay"),
+                F.first("ci").alias("ci"),
+            )
+            new = best.select(
+                "node",
+                F.when(
+                    F.col("bc.score") > F.col("stay") + F.lit(1e-12),
+                    F.col("bc.c"),
+                )
+                .otherwise(F.col("ci"))
+                .alias("community"),
+            ).localCheckpoint(eager=True)
+            changed = not (
+                new.alias("x")
+                .join(labels.alias("y"), "node")
+                .where(F.col("x.community") != F.col("y.community"))
+                .isEmpty()
+            )
+            if not changed:
+                break
+            q_new = _modularity(sym, new, two_m)
+            if q_new < q:
+                # synchronous oscillation decreased Q: reject and stop
+                break
+            labels = new
+            moved_any = True
+            if _trace is not None:
+                _trace.append(q_new)
+            if q_new - q < tolerance:
+                q = q_new
+                break
+            q = q_new
+        if not moved_any:
+            break
+        # compose the per-level assignment into the original-node map
+        lvl = labels.select(
+            F.col("node").alias("comm"), F.col("community").alias("nc")
+        )
+        mapping = (
+            mapping.join(lvl, "comm")
+            .select("node", F.col("nc").alias("comm"))
+            .localCheckpoint(eager=True)
+        )
+        # contract: communities -> super-nodes; cross-pair weights sum
+        # (both directions survive, keeping the list symmetric) and
+        # intra-community weight folds into the (c, c) self-loop row
+        la = labels.select(
+            F.col("node").alias("a"), F.col("community").alias("ca")
+        )
+        lb = labels.select(
+            F.col("node").alias("b"), F.col("community").alias("cb")
+        )
+        sym = (
+            sym.join(la, "a")
+            .join(lb, "b")
+            .groupBy(
+                F.col("ca").alias("a"), F.col("cb").alias("b")
+            )
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
+        )
+    # pretty deterministic ids: smallest member node id per community
+    relabel = mapping.groupBy("comm").agg(F.min("node").alias("community"))
+    return mapping.join(relabel, "comm").select("node", "community")
 
 
 def shortest_path_counts(

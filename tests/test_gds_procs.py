@@ -427,3 +427,175 @@ def test_node_similarity_stream(spark):
         "YIELD node1, node2, similarity RETURN count(*) AS n"
     ).collect()[0].n
     assert strong == len([1 for _, _, s in want if s >= 0.6])
+
+
+def _weighted_graph(spark):
+    from opencyphertranspiler_spark import EntityProperty
+
+    reg = TableRegistry()
+    reg.register_df(
+        "tn", spark.createDataFrame([(i,) for i in range(6)], "id long")
+    )
+    # two weighted triangles bridged by a light edge
+    wpairs = [
+        (0, 1, 3.0), (1, 2, 1.0), (0, 2, 1.0),
+        (3, 4, 2.0), (4, 5, 2.0), (3, 5, 2.0),
+        (2, 3, 0.5),
+    ]
+    reg.register_df(
+        "te",
+        spark.createDataFrame(wpairs, "src long, dst long, w double"),
+    )
+    g = GraphSchema(
+        [NodeSchema("N", "tn", "id", (), "bigint")],
+        [
+            EdgeSchema(
+                "E", "N", "N", "te", "src", "dst",
+                (EntityProperty("w", "double"),),
+            )
+        ],
+    )
+    return CypherEngine(spark, g, reg), wpairs
+
+
+def test_weighted_pagerank_exact_oracle(spark):
+    """Round 14 (VERDICT r13 #1): relationshipWeightProperty splits
+    rank proportionally to edge weight — exact python power-method
+    oracle with weighted mass split and dangling redistribution."""
+    import numpy as np
+
+    e, wpairs = _weighted_graph(spark)
+    got = {
+        r.nodeId: r.s
+        for r in e.cypher(
+            "CALL gds.pageRank.stream('E', {maxIterations: 8, "
+            "relationshipWeightProperty: 'w'}) YIELD nodeId, score "
+            "RETURN nodeId, round(score, 6) AS s"
+        ).collect()
+    }
+    n = 6
+    W = np.zeros((n, n))
+    for s, d, w in wpairs:
+        W[s][d] += w
+    outw = W.sum(axis=1)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(8):
+        nxt = np.zeros(n)
+        dangling = rank[outw == 0].sum()
+        for u in range(n):
+            if outw[u] > 0:
+                nxt += rank[u] * W[u] / outw[u]
+        nxt += dangling / n
+        rank = (1 - 0.85) / n + 0.85 * nxt
+    want = {i: round(float(rank[i]), 6) for i in range(n)}
+    assert got == want
+    # unweighted on the same graph differs (weights genuinely used)
+    unw = {
+        r.nodeId: r.s
+        for r in e.cypher(
+            "CALL gds.pageRank.stream('E', {maxIterations: 8}) "
+            "YIELD nodeId, score RETURN nodeId, round(score, 6) AS s"
+        ).collect()
+    }
+    assert unw != got
+
+
+def test_weighted_degree_stream(spark):
+    e, wpairs = _weighted_graph(spark)
+    got = {
+        r.nodeId: r.s
+        for r in e.cypher(
+            "CALL gds.degree.stream('E', {orientation: 'UNDIRECTED', "
+            "relationshipWeightProperty: 'w'}) YIELD nodeId, score "
+            "RETURN nodeId, score AS s"
+        ).collect()
+    }
+    want = {i: 0.0 for i in range(6)}
+    for s, d, w in wpairs:
+        want[s] += w
+        want[d] += w
+    assert got == want
+    nat = {
+        r.nodeId: r.s
+        for r in e.cypher(
+            "CALL gds.degree.stream('E', "
+            "{relationshipWeightProperty: 'w'}) YIELD nodeId, score "
+            "RETURN nodeId, score AS s"
+        ).collect()
+    }
+    out_want = {i: 0.0 for i in range(6)}
+    for s, d, w in wpairs:
+        out_want[s] += w
+    assert nat == out_want
+
+
+def test_louvain_planted_split_and_modularity(spark):
+    """Round 14 (VERDICT r13 #2): Louvain finds the planted
+    two-community split, the accepted modularity sequence is
+    non-decreasing, the final Q is the known optimum for the barbell,
+    and the result is deterministic across input partitionings."""
+    from opencyphertranspiler_spark.pipeline import graph as G
+
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    el = spark.createDataFrame(edges, "src long, dst long")
+    trace = []
+    res = {
+        r.node: r.community
+        for r in G.louvain(el, _trace=trace).collect()
+    }
+    assert res == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+    assert all(b >= a - 1e-12 for a, b in zip(trace, trace[1:])), trace
+    assert abs(trace[-1] - 5.0 / 14.0) < 1e-9  # known optimum Q
+    # determinism across partitionings
+    for parts in (1, 7):
+        res2 = {
+            r.node: r.community
+            for r in G.louvain(el.repartition(parts)).collect()
+        }
+        assert res2 == res
+
+
+def test_louvain_stream_weighted_and_config(spark):
+    e, _ = _weighted_graph(spark)
+    for cfg in ("", ", {relationshipWeightProperty: 'w'}"):
+        lv = {
+            r.nodeId: r.communityId
+            for r in e.cypher(
+                f"CALL gds.louvain.stream('E'{cfg}) "
+                "YIELD nodeId, communityId RETURN nodeId, communityId"
+            ).collect()
+        }
+        assert lv == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+    with pytest.raises(TranspilerBindingError, match="maxLevels"):
+        e.cypher("CALL gds.louvain.stream('E', {maxLevels: 0})")
+    with pytest.raises(TranspilerBindingError, match="tolerance"):
+        e.cypher("CALL gds.louvain.stream('E', {tolerance: -1})")
+    with pytest.raises(TranspilerBindingError, match="unknown config"):
+        e.cypher(
+            "CALL gds.wcc.stream('E', "
+            "{relationshipWeightProperty: 'w'})"
+        )
+    with pytest.raises(TranspilerBindingError, match="no property"):
+        e.cypher(
+            "CALL gds.pageRank.stream('E', "
+            "{relationshipWeightProperty: 'nope'})"
+        )
+
+
+def test_louvain_on_tpch_matches_wcc_grouping(eng):
+    """On the region-nation star graph communities are exactly the
+    connected components (stars have no denser substructure to split):
+    5 communities of 6 members each, labeled by smallest member id."""
+    rows = eng.cypher(
+        "CALL gds.louvain.stream('IN_REGION') YIELD nodeId, communityId "
+        "RETURN communityId, count(*) AS n"
+    ).collect()
+    got = sorted((r.communityId, r.n) for r in rows)
+    wcc = sorted(
+        (r.componentId, r.n)
+        for r in eng.cypher(
+            "CALL gds.wcc.stream('IN_REGION') YIELD nodeId, componentId "
+            "RETURN componentId, count(*) AS n"
+        ).collect()
+    )
+    assert got == wcc and len(got) == 5
