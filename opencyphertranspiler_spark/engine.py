@@ -343,9 +343,12 @@ class CypherEngine:
         stopwords do not match, score, or count toward document length.
         ``analyzer='english-minimal'`` adds Lucene's plural-only
         EnglishMinimalStemmer (JVM expression, applied at index and
-        query time); 'standard' (default) keeps the unstemmed analyzer.
-        No deeper stemming and no further Lucene syntax
-        (fuzzy/wildcard) — the documented divergence."""
+        query time); ``analyzer='english'`` (round 14) applies the full
+        PORTER stemmer — the original 1980 paper's rule tables as a
+        staged pure-Column pipeline index-side (porter.py) with a
+        rule-identical python mirror query-side; 'standard' (default)
+        keeps the unstemmed analyzer. No wildcard syntax — the
+        documented divergence (fuzzy ``term~d`` is supported)."""
         nsch = self.graph.get_node(label)
         props = (
             [property] if isinstance(property, str) else list(property)
@@ -360,10 +363,10 @@ class CypherEngine:
                 raise TranspilerBindingError(
                     f"Node '{label}' has no property '{p}' to index"
                 )
-        if analyzer not in ("standard", "english-minimal"):
+        if analyzer not in ("standard", "english-minimal", "english"):
             raise TranspilerNotSupportedError(
                 f"Fulltext analyzer '{analyzer}' is not supported "
-                "(standard, english-minimal)"
+                "(standard, english-minimal, english)"
             )
         stop = frozenset(
             t.lower() for t in (stopwords or ())
@@ -440,6 +443,13 @@ class CypherEngine:
             toks = F.filter(toks, lambda t: t != F.lit(""))
         if analyzer == "english-minimal":
             toks = F.transform(toks, cls._stem_minimal_col)
+        elif analyzer == "english":
+            # full Porter stemming (round 14) as a staged pure-Column
+            # pipeline — see porter.py for the rule tables and why the
+            # steps are separate transform lambdas
+            from .porter import porter_stem_array_col
+
+            toks = porter_stem_array_col(toks)
         return toks
 
     def materialize_fulltext_index(self, name: str) -> None:
@@ -573,10 +583,10 @@ class CypherEngine:
                     f"Relationship '{verb}' has no property '{p}' to "
                     "index"
                 )
-        if analyzer not in ("standard", "english-minimal"):
+        if analyzer not in ("standard", "english-minimal", "english"):
             raise TranspilerNotSupportedError(
                 f"Fulltext analyzer '{analyzer}' is not supported "
-                "(standard, english-minimal)"
+                "(standard, english-minimal, english)"
             )
         stop = frozenset(t.lower() for t in (stopwords or ()))
         entry = (verb, pnames, boosts, stop, analyzer)
@@ -905,6 +915,10 @@ class CypherEngine:
                     r"(?i)['\"]english-minimal['\"]", mopt.group(2)
                 ):
                     analyzer = "english-minimal"
+                elif re.search(
+                    r"(?i)['\"]english['\"]", mopt.group(2)
+                ):
+                    analyzer = "english"
             mon = re.match(r"(?is)^EACH\s*\[(.+)\]$", on)
             props = None
             if mon:
@@ -2678,6 +2692,10 @@ class CypherEngine:
             ]
             if analyzer == "english-minimal":
                 toks = [cls._stem_minimal_py(t) for t in toks]
+            elif analyzer == "english":
+                from .porter import porter_stem_py
+
+                toks = [porter_stem_py(t) for t in toks]
             if not toks:
                 continue
             if fuzz is not None:
