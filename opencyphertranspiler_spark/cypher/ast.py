@@ -480,6 +480,13 @@ class CallSubqueryClause:
     # body references — the planner expands it against the outer scope
     # (the parser cannot know it) into the ordinary import-WITH form
     scope_star: bool = False
+    # `CALL { ... } IN TRANSACTIONS [OF n ROWS]` (round 14; Neo4j's
+    # batched bulk-write form) — only meaningful through cypher_write:
+    # the driving rows are segmented into n-row batches and the body's
+    # writes commit batch-by-batch (a later batch observes an earlier
+    # batch's writes). The read planner rejects it with a typed error.
+    in_transactions: bool = False
+    batch_rows: int | None = None
 
 
 @dataclass

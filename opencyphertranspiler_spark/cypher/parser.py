@@ -173,6 +173,11 @@ class Parser:
                 if t.is_kw("WITH"):
                     clauses.append(self.parse_projection(is_return=False))
                     continue
+                if t.is_punct("}"):
+                    # inside `CALL { <writes> }` (round 14: the
+                    # IN TRANSACTIONS body is write-only) — the brace
+                    # closes the subquery; the caller consumes it
+                    break
                 if t.kind == "ident" and str(t.value).upper() == "FOREACH":
                     # round 7: FOREACH after other writes (the classic
                     # conditional-write idiom MERGE ... FOREACH (_ IN
@@ -223,6 +228,14 @@ class Parser:
                 clauses.append(call)
                 if isinstance(call, A.CallProcedureClause) and call.standalone:
                     break  # implicit RETURN of the procedure's column
+                if (
+                    isinstance(call, A.CallSubqueryClause)
+                    and call.in_transactions
+                    and self.cur.kind == "eof"
+                ):
+                    # a batched write statement may end at the CALL —
+                    # there is nothing to RETURN (round 14)
+                    break
             else:
                 raise TranspilerSyntaxError(
                     f"Expected a clause keyword at position {t.pos}, got {t.value!r}"
@@ -302,7 +315,12 @@ class Parser:
                         inner, self.parse_single_query(), all_
                     )
                 self.expect_punct("}")
-                return A.CallSubqueryClause(inner, scope_star=True)
+                in_tx, batch = self._maybe_in_transactions()
+                self._check_call_body_writes(inner, in_tx)
+                return A.CallSubqueryClause(
+                    inner, scope_star=True,
+                    in_transactions=in_tx, batch_rows=batch,
+                )
             scope_vars = []
             if not self.cur.is_punct(")"):
                 scope_vars.append(self.expect_ident())
@@ -333,7 +351,78 @@ class Parser:
             right = with_scope(self.parse_single_query())
             inner = A.UnionQuery(inner, right, all_)
         self.expect_punct("}")
-        return A.CallSubqueryClause(inner)
+        in_tx, batch = self._maybe_in_transactions()
+        self._check_call_body_writes(inner, in_tx)
+        return A.CallSubqueryClause(
+            inner, in_transactions=in_tx, batch_rows=batch
+        )
+
+    @staticmethod
+    def _check_call_body_writes(inner: "A.Query", in_tx: bool) -> None:
+        """Write clauses inside ``CALL { }`` are only executed by the
+        IN TRANSACTIONS form (round 14) — without the suffix the
+        subquery is a READ in this engine, so a write body would be
+        silently dropped; fence it with a typed error instead."""
+        if in_tx:
+            return
+
+        def singles(q):
+            if isinstance(q, A.UnionQuery):
+                yield from singles(q.left)
+                yield from singles(q.right)
+            else:
+                yield q
+
+        for sq in singles(inner):
+            if any(isinstance(c, A.WriteClause) for c in sq.clauses):
+                raise TranspilerNotSupportedError(
+                    "Write clauses inside CALL { } are only supported "
+                    "with the IN TRANSACTIONS suffix (cypher_write); a "
+                    "plain CALL { } subquery is read-only"
+                )
+
+    def _maybe_in_transactions(self) -> "tuple[bool, int | None]":
+        """Optional ``IN TRANSACTIONS [OF <n> ROWS]`` suffix after a
+        ``CALL { }`` (round 14; Neo4j's batched bulk-write form —
+        executed by cypher_write, rejected with a typed error by the
+        read planner). ``ON ERROR ...`` / ``REPORT STATUS`` error
+        handling is a typed fence. TRANSACTIONS/OF/ROWS are contextual
+        words (not reserved keywords), matched case-insensitively."""
+
+        def is_word(tok, *words):
+            return tok.kind == "ident" and tok.value.upper() in words
+
+        if not (self.cur.is_kw("IN") and is_word(self.peek(), "TRANSACTIONS")):
+            return False, None
+        self.advance()
+        self.advance()
+        batch: int | None = None
+        if is_word(self.cur, "OF"):
+            self.advance()
+            if self.cur.kind != "int":
+                raise TranspilerSyntaxError(
+                    f"Expected a row count after IN TRANSACTIONS OF at "
+                    f"position {self.cur.pos}, got {self.cur.value!r}"
+                )
+            batch = int(self.cur.value)
+            self.advance()
+            if not is_word(self.cur, "ROWS", "ROW"):
+                raise TranspilerSyntaxError(
+                    f"Expected ROWS after IN TRANSACTIONS OF <n> at "
+                    f"position {self.cur.pos}, got {self.cur.value!r}"
+                )
+            self.advance()
+            if batch < 1:
+                raise TranspilerSyntaxError(
+                    "IN TRANSACTIONS OF <n> ROWS needs a positive n"
+                )
+        if is_word(self.cur, "ON", "REPORT"):
+            raise TranspilerNotSupportedError(
+                "IN TRANSACTIONS error handling (ON ERROR ... / "
+                "REPORT STATUS) is not supported — batches either all "
+                "apply or the statement raises"
+            )
+        return True, batch
 
     def parse_unwind(self) -> A.UnwindClause:
         self.expect_kw("UNWIND")

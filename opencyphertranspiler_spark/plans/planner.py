@@ -1640,6 +1640,12 @@ class _SingleQueryPlanner:
         LIMIT inside a correlated subquery (per-outer-row windows),
         correlated UNION (an import WITH in any branch), rebinding an
         import alias."""
+        if getattr(clause, "in_transactions", False):
+            raise TranspilerNotSupportedError(
+                "CALL { } IN TRANSACTIONS is a batched WRITE form — "
+                "run it through cypher_write(); the read planner has "
+                "no transaction boundaries to honor"
+            )
         if clause.scope_star:
             clause = self._expand_scope_star(piped, clause)
         if isinstance(clause.query, A.UnionQuery):

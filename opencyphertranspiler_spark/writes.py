@@ -2161,14 +2161,52 @@ def execute_write(
                 "to (reads over (n:A|B) in the same statement are fine)"
             )
     clauses = list(ast_query.clauses)
+    itx = [
+        c
+        for c in clauses
+        if isinstance(c, A.CallSubqueryClause)
+        and getattr(c, "in_transactions", False)
+    ]
+    if itx:
+        return _execute_in_transactions(
+            engine, clauses, params, validate, on_conflict
+        )
     if not any(isinstance(c, A.WriteClause) for c in clauses):
         raise TranspilerSyntaxError("cypher_write() requires a write clause")
-    segs = _split_segments(clauses)
+    return _run_write_segments(
+        engine, engine, _split_segments(clauses), params, validate,
+        on_conflict, None, {}, {},
+    )
 
-    eng = engine
-    seed: SeedOp | None = None
-    merged_tables: dict[str, DataFrame] = {}
-    merged_counters: dict[str, object] = {}
+
+def _engine_opts(engine) -> dict:
+    return dict(
+        reach_max_iters=engine.reach_max_iters,
+        ordered_aggregates=engine.ordered_aggregates,
+        path_enum_max_hops=engine.path_enum_max_hops,
+        path_enum_max_paths=engine.path_enum_max_paths,
+        allow_walk_fallback=engine.allow_walk_fallback,
+        rebuild_stale_indexes=engine.rebuild_stale_indexes,
+    )
+
+
+def _run_write_segments(
+    eng,
+    base_engine,
+    segs: "list[_Segment]",
+    params,
+    validate: bool,
+    on_conflict: str,
+    seed: "SeedOp | None",
+    merged_tables: dict,
+    merged_counters: dict,
+) -> WriteResult:
+    """The clause-sequential segment loop (shared by the plain write path
+    and, per batch, by CALL { } IN TRANSACTIONS): run each segment
+    against the previous segment's post-write tables, carry the boundary
+    WITH as a SeedOp, and fold tables/counters into the passed-in merge
+    dicts (mutated — the IN TRANSACTIONS driver accumulates across
+    batches)."""
 
     def merge_counters(counters: dict[str, object]) -> None:
         for k, v in counters.items():
@@ -2189,13 +2227,13 @@ def execute_write(
                     A.SingleQuery(list(seg.reading)), params, seed=seed
                 )
             return WriteResult(
-                engine.spark,
+                base_engine.spark,
                 eng.graph,
                 merged_tables,
-                engine.tables,
+                base_engine.tables,
                 merged_counters,
                 returned=returned,
-                index_state=engine._export_index_state(),
+                index_state=base_engine._export_index_state(),
             )
         ex = WriteExecutor(
             eng,
@@ -2210,14 +2248,15 @@ def execute_write(
         if last:
             res = ex.run()
             merge_counters(res._counters)
+            merged_tables.update(res.tables)
             return WriteResult(
-                engine.spark,
+                base_engine.spark,
                 res.graph,
-                {**merged_tables, **res.tables},
-                engine.tables,
+                dict(merged_tables),
+                base_engine.tables,
                 merged_counters,
                 returned=res.returned,
-                index_state=engine._export_index_state(),
+                index_state=base_engine._export_index_state(),
             )
         if seg.foreach_boundary:
             seed, graph = ex.run_to_foreach_boundary()
@@ -2226,14 +2265,188 @@ def execute_write(
         merged_tables.update(ex.tables)
         merge_counters(ex._counters)
         eng = WriteResult(
-            engine.spark, graph, dict(ex.tables), eng.tables,
-            index_state=engine._export_index_state(),
-        ).engine(
-            reach_max_iters=engine.reach_max_iters,
-            ordered_aggregates=engine.ordered_aggregates,
-            path_enum_max_hops=engine.path_enum_max_hops,
-            path_enum_max_paths=engine.path_enum_max_paths,
-            allow_walk_fallback=engine.allow_walk_fallback,
-            rebuild_stale_indexes=engine.rebuild_stale_indexes,
-        )
+            base_engine.spark, graph, dict(ex.tables), eng.tables,
+            index_state=base_engine._export_index_state(),
+        ).engine(**_engine_opts(base_engine))
     raise TranspilerInternalError("segment loop ended without a result")  # pragma: no cover
+
+
+def _execute_in_transactions(
+    engine, clauses: list, params, validate: bool, on_conflict: str
+) -> WriteResult:
+    """``<reads> CALL { <write body> } IN TRANSACTIONS [OF n ROWS]``
+    (round 14) — Neo4j's batched bulk-write form:
+
+    1. The reading prefix compiles ONCE into the driving-row frame
+       (imported values are fixed there, Neo4j semantics).
+    2. Rows are segmented into n-row batches (default 1000) by a
+       distributed global index — per-partition row_number plus
+       broadcast partition offsets (one small per-partition-count
+       collect), then the assignment is localCheckpoint'ed so it is
+       frozen for the whole statement. No global sort, no single-
+       partition window.
+    3. Each batch folds the body through the ordinary clause-sequential
+       segment machinery (:func:`_run_write_segments`) seeded with that
+       batch's rows, and the post-batch tables roll into the next
+       batch's engine — a later batch OBSERVES an earlier batch's
+       writes, the semantic that distinguishes this form from a plain
+       write. Batch tables are lazily localCheckpoint'ed so lineage
+       depth stays O(1) in the batch count.
+    4. Clauses after the CALL run read-only against the final state
+       (driving variables are out of scope, Neo4j's rule).
+
+    Divergences (typed): the body must write and must not RETURN;
+    ``ON ERROR`` / ``REPORT STATUS`` are rejected at parse; there is no
+    mid-statement rollback — Spark DataFrames are immutable snapshots,
+    so a failed statement leaves the engine's registered tables
+    untouched (stronger than Neo4j, where completed batches stay
+    committed)."""
+    import copy
+
+    from pyspark.sql import Window
+
+    idx = [
+        i
+        for i, c in enumerate(clauses)
+        if isinstance(c, A.CallSubqueryClause)
+        and getattr(c, "in_transactions", False)
+    ]
+    if len(idx) > 1:
+        raise TranspilerNotSupportedError(
+            "Only one CALL { } IN TRANSACTIONS per statement"
+        )
+    pos = idx[0]
+    call = clauses[pos]
+    prefix, suffix = clauses[:pos], clauses[pos + 1:]
+    if any(isinstance(c, A.WriteClause) for c in prefix):
+        raise TranspilerNotSupportedError(
+            "CALL { } IN TRANSACTIONS cannot follow a write clause in "
+            "the same statement (Neo4j: implicit-transaction form)"
+        )
+    if any(
+        isinstance(c, (A.WriteClause, A.CallSubqueryClause))
+        for c in suffix
+    ):
+        raise TranspilerNotSupportedError(
+            "Only read clauses / RETURN may follow "
+            "CALL { } IN TRANSACTIONS"
+        )
+    if isinstance(call.query, A.UnionQuery):
+        raise TranspilerNotSupportedError(
+            "UNION inside CALL { } IN TRANSACTIONS is not supported"
+        )
+    body = list(call.query.clauses)
+    if not any(isinstance(c, A.WriteClause) for c in body):
+        raise TranspilerNotSupportedError(
+            "The CALL { } IN TRANSACTIONS body must contain a write "
+            "clause (for batched reads, run the query through cypher())"
+        )
+    last_body = body[-1]
+    if isinstance(last_body, A.ProjectionClause) and last_body.is_return:
+        raise TranspilerNotSupportedError(
+            "A RETURN inside CALL { } IN TRANSACTIONS is not supported "
+            "— the batched form is write-only here"
+        )
+    batch_rows = call.batch_rows or 1000
+
+    # -- driving rows ------------------------------------------------------
+    seed_env = None
+    batched = None
+    n_batches = 1
+    if prefix:
+        scope_names = [
+            n
+            for n in _resolve_scope(prefix, engine.graph)
+            if not n.startswith("__")
+        ]
+        proj = A.ProjectionClause(
+            items=[(n, A.Variable(n)) for n in scope_names],
+            is_return=False,
+        )
+        df, seed_env = engine._run_ast_env(
+            A.SingleQuery(list(prefix) + [proj]), params
+        )
+        # distributed n-row batching: per-partition index + broadcast
+        # cumulative offsets -> global index -> batch id; checkpointed
+        # so the (otherwise nondeterministic) assignment is frozen
+        pid = df.withColumn("__itx_pid", F.spark_partition_id())
+        counts = sorted(
+            (r["__itx_pid"], r["cnt"])
+            for r in pid.groupBy("__itx_pid")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        total = sum(c for _p, c in counts)
+        if total == 0:
+            n_batches = 0
+        else:
+            n_batches = -(-total // batch_rows)
+        offs = []
+        run = 0
+        for p, c in counts:
+            offs.append((p, run))
+            run += c
+        if offs:
+            odf = engine.spark.createDataFrame(
+                offs, "__itx_pid int, __itx_off long"
+            )
+            w = Window.partitionBy("__itx_pid").orderBy(
+                F.monotonically_increasing_id()
+            )
+            batched = (
+                pid.withColumn(
+                    "__itx_ridx", F.row_number().over(w) - F.lit(1)
+                )
+                .join(F.broadcast(odf), "__itx_pid")
+                .withColumn(
+                    "__itx_bid",
+                    (
+                        (F.col("__itx_off") + F.col("__itx_ridx"))
+                        / F.lit(batch_rows)
+                    ).cast("int"),
+                )
+                .drop("__itx_pid", "__itx_ridx", "__itx_off")
+                .localCheckpoint(eager=True)
+            )
+
+    # -- batch loop --------------------------------------------------------
+    eng = engine
+    merged_tables: dict[str, DataFrame] = {}
+    merged_counters: dict[str, object] = {}
+    graph = engine.graph
+    for b in range(n_batches):
+        if batched is not None:
+            bdf = batched.filter(F.col("__itx_bid") == b).drop("__itx_bid")
+            seed = SeedOp(df=bdf, env=dict(seed_env))
+        else:
+            seed = None
+        body_copy = copy.deepcopy(body)
+        res = _run_write_segments(
+            eng, engine, _split_segments(body_copy), params, validate,
+            on_conflict, seed, merged_tables, merged_counters,
+        )
+        graph = res.graph
+        # roll forward: next batch reads this batch's writes; lazy
+        # checkpoints bound lineage depth across many batches
+        tables = {
+            k: v.localCheckpoint(eager=False)
+            for k, v in merged_tables.items()
+        }
+        merged_tables.update(tables)
+        eng = WriteResult(
+            engine.spark, graph, dict(tables), engine.tables,
+            index_state=engine._export_index_state(),
+        ).engine(**_engine_opts(engine))
+
+    returned = None
+    if suffix:
+        returned = eng._run_ast(A.SingleQuery(list(suffix)), params)
+    return WriteResult(
+        engine.spark,
+        graph,
+        merged_tables,
+        engine.tables,
+        merged_counters,
+        returned=returned,
+        index_state=engine._export_index_state(),
+    )
