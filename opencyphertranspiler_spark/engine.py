@@ -778,10 +778,90 @@ class CypherEngine:
         VECTOR INDEX`` / ``CREATE FULLTEXT INDEX`` / ``DROP INDEX``,
         Neo4j 5 syntax) dispatch to the index registries and return a
         one-row summary frame."""
+        import re
+
+        m = re.match(r"(?is)^\s*(EXPLAIN|PROFILE)\b(.+)$", query)
+        if m:
+            # Neo4j-style inline prefixes (round 14). EXPLAIN returns
+            # the plan WITHOUT executing (one row per line of
+            # engine.explain()'s logical + physical dump); PROFILE
+            # EXECUTES the query and returns the per-operator tree with
+            # RUNTIME metrics (numOutputRows etc. from the executed
+            # Spark plan). Divergence from Neo4j (documented): the
+            # result frame IS the plan/profile — Neo4j attaches it to
+            # the result summary; run the query without the prefix for
+            # its rows.
+            if m.group(1).upper() == "EXPLAIN":
+                text = self.explain(m.group(2), params=params)
+                return self.spark.createDataFrame(
+                    [(i, ln) for i, ln in enumerate(text.split("\n"))],
+                    "line int, plan string",
+                )
+            return self._profile(m.group(2), params)
         ddl = self._maybe_index_ddl(query)
         if ddl is not None:
             return ddl
         return self._run_ast(parse(query), params)
+
+    def _profile(self, query: str, params: dict | None = None):
+        """``PROFILE <query>``: compile, EXECUTE (the result rows are
+        collected and discarded — profiling is a debug surface), then
+        walk the executed physical plan and return one row per operator
+        with its runtime SQL metrics. AQE's final plan is unwrapped so
+        the operators shown are the ones that actually ran."""
+        df = self._run_ast(parse(query), params)
+        df.collect()  # populate runtime SQLMetrics on THIS execution
+        node = df._jdf.queryExecution().executedPlan()
+        rows: list = []
+
+        def walk(node, depth: int) -> None:
+            # unwrap AQE wrappers: AdaptiveSparkPlanExec's final plan,
+            # and QueryStageExec nodes (childless — the materialized
+            # stage lives in .plan())
+            for _ in range(8):
+                name = node.nodeName()
+                try:
+                    if name == "AdaptiveSparkPlan":
+                        node = node.executedPlan()
+                    elif name.endswith("QueryStage"):
+                        node = node.plan()
+                    else:
+                        break
+                except Exception:
+                    break
+            name = node.nodeName()
+            metrics = {}
+            try:
+                it = node.metrics().iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    try:
+                        metrics[kv._1()] = int(kv._2().value())
+                    except Exception:
+                        pass
+            except Exception:
+                pass
+            rows.append(
+                (
+                    len(rows),
+                    depth,
+                    name,
+                    metrics.get("numOutputRows"),
+                    "; ".join(
+                        f"{k}={v}" for k, v in sorted(metrics.items())
+                    ),
+                )
+            )
+            ch = node.children().iterator()
+            while ch.hasNext():
+                walk(ch.next(), depth + 1)
+
+        walk(node, 0)
+        return self.spark.createDataFrame(
+            rows,
+            "id int, depth int, operator string, rows bigint, "
+            "metrics string",
+        )
 
     _DDL_RE = None  # compiled lazily in _maybe_index_ddl
 
