@@ -1596,6 +1596,67 @@ _CHAIN_EDGES_SQL = (
 )
 
 
+def _pagerank3_ctes() -> str:
+    """EXACT 3x-unrolled PageRank over the customer->orders graph as
+    DuckDB CTEs (round 14 gate for gds.pageRank.stream): same formula as
+    pipeline/graph.py:pagerank — r_{k+1}(v) = 0.15/n + 0.85*(sum of
+    r_k(u)/outdeg(u) over in-edges + dangling_k/n), every Orders node
+    dangling. Float parity: both engines sum doubles; the gate rounds to
+    8 decimals on both sides (values are O(1e-4), summation-order error
+    is O(1e-19) — boundary collisions are negligible)."""
+    out = [
+        """pr_edges AS (
+            SELECT 'Customer:' || o_custkey AS src,
+                   'Orders:' || o_orderkey AS dst FROM orders
+        ),
+        pr_nodes AS (
+            -- explicit DISTINCT: inside a WITH RECURSIVE block DuckDB
+            -- gives sibling-CTE UNION recursive (non-deduplicating)
+            -- semantics
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM pr_edges
+                UNION ALL SELECT dst FROM pr_edges
+            )
+        ),
+        pr_np AS (SELECT count(*)::DOUBLE AS n FROM pr_nodes),
+        pr_out AS (
+            SELECT src, count(*)::DOUBLE AS d FROM pr_edges GROUP BY src
+        ),
+        pr_r0 AS (
+            SELECT node, (SELECT 1.0 / n FROM pr_np) AS r FROM pr_nodes
+        ),"""
+    ]
+    for k in range(3):
+        out.append(
+            f"""pr_d{k} AS (
+                SELECT coalesce(sum(rr.r), 0)::DOUBLE AS dm
+                FROM pr_r{k} rr LEFT JOIN pr_out o ON rr.node = o.src
+                WHERE o.src IS NULL
+            ),
+            pr_c{k} AS (
+                SELECT e.dst AS node, sum(rr.r / o.d) AS c
+                FROM pr_edges e
+                JOIN pr_r{k} rr ON e.src = rr.node
+                JOIN pr_out o ON e.src = o.src
+                GROUP BY e.dst
+            ),
+            pr_r{k + 1} AS (
+                SELECT nn.node,
+                       (SELECT 0.15 / n FROM pr_np)
+                       + 0.85 * (
+                           coalesce(c.c, 0)
+                           + (SELECT dm FROM pr_d{k})
+                             / (SELECT n FROM pr_np)
+                       ) AS r
+                FROM pr_nodes nn LEFT JOIN pr_c{k} c ON nn.node = c.node
+            ),"""
+        )
+    return "\n".join(out)
+
+
+_PAGERANK3_CTES = _pagerank3_ctes()
+
+
 def _chain_edges(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1613,9 +1674,90 @@ def _p_transitive_closure(spark, sf_dir):
 
 
 def _p_connected_components(spark, sf_dir):
+    """Merged GDS-stream family gate (round 14, VERDICT r13 #8 — the
+    50-slot economy move, q46's pattern): four kinds in one frame so the
+    iterative fixpoint machinery is differentially gated, not just
+    pytested. 'cc' keeps the original chain-graph connected components;
+    'pagerank' runs CALL gds.pageRank.stream over the customer->orders
+    graph for EXACTLY 3 iterations against a 3x-unrolled SQL oracle
+    (dangling-mass redistribution included — every orders node is
+    dangling); 'louvain' runs CALL gds.louvain.stream over the
+    region-nation stars (deterministic: one community per region,
+    labeled by the min member id); 'degw' is weighted
+    gds.degree.stream over CONTAINS (sum of l_linenumber per order;
+    lineitem endpoints score 0)."""
+    from pyspark.sql import functions as F
+
     from .pipeline.graph import connected_components
 
-    return connected_components(_chain_edges(spark, sf_dir))
+    eng = get_engine(spark, sf_dir)
+    cc = connected_components(_chain_edges(spark, sf_dir)).select(
+        F.lit("cc").alias("kind"),
+        F.col("node").cast("string").alias("node"),
+        F.lit(0.0).alias("score"),
+        F.col("comp").cast("string").alias("val"),
+    )
+    pr = eng.cypher(
+        "CALL gds.pageRank.stream('PLACED', {maxIterations: 3}) "
+        "YIELD nodeId, score RETURN nodeId, score"
+    ).select(
+        F.lit("pagerank").alias("kind"),
+        F.col("nodeId").alias("node"),
+        F.round("score", 8).alias("score"),
+        F.lit("").alias("val"),
+    )
+    lv = eng.cypher(
+        "CALL gds.louvain.stream('IN_REGION') "
+        "YIELD nodeId, communityId RETURN nodeId, communityId"
+    ).select(
+        F.lit("louvain").alias("kind"),
+        F.col("nodeId").alias("node"),
+        F.lit(0.0).alias("score"),
+        F.col("communityId").alias("val"),
+    )
+    dg = eng.cypher(
+        "CALL gds.degree.stream('CONTAINS', "
+        "{relationshipWeightProperty: 'l_linenumber'}) "
+        "YIELD nodeId, score RETURN nodeId, score"
+    ).select(
+        F.lit("degw").alias("kind"),
+        F.col("nodeId").alias("node"),
+        F.col("score"),
+        F.lit("").alias("val"),
+    )
+    return cc.unionByName(pr).unionByName(lv).unionByName(dg)
+
+
+def _p_graph_streams_bench(spark, sf_dir):
+    """Scale-representative bench plan for p15 (round 14): a
+    3-iteration WEIGHTED PageRank over the customer->orders graph,
+    calling the pipeline algorithm DIRECTLY — the CALL surface would
+    serve bench.py's min-of-2 repeat from the winner cache (q46
+    deliberately times that; this entry must time the FIXPOINT so
+    regressions in the iteration machinery show up in BENCH, not just
+    pytest). CC is excluded from the clock (p14 already benches the
+    semi-naive fixpoint shape) and louvain's gate graph is the 30-node
+    region star (dozens of tiny Spark jobs that time scheduler
+    overhead, not the operator); the gate still checks both."""
+    from pyspark.sql import functions as F
+
+    from .pipeline.graph import pagerank
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges = orders.select(
+        F.concat(F.lit("Customer:"), F.col("o_custkey").cast("string")).alias(
+            "src"
+        ),
+        F.concat(F.lit("Orders:"), F.col("o_orderkey").cast("string")).alias(
+            "dst"
+        ),
+        F.col("o_totalprice").cast("double").alias("w"),
+    )
+    return pagerank(edges, iters=3, weight="w").select(
+        F.lit("pagerank").alias("kind"),
+        F.col("node"),
+        F.round("rank", 8).alias("score"),
+    )
 
 
 def _p_asof_join(spark, sf_dir):
@@ -1982,6 +2124,7 @@ PIPELINE_CATALOG: list[CatalogEntry] = [
     CatalogEntry(
         name="p15_connected_components",
         fn=_p_connected_components,
+        bench_fn=_p_graph_streams_bench,
         oracle=f"""
             WITH RECURSIVE e AS ({_CHAIN_EDGES_SQL}),
             und AS (
@@ -1992,11 +2135,37 @@ PIPELINE_CATALOG: list[CatalogEntry] = [
                 SELECT a, b FROM und
                 UNION
                 SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
-            )
-            SELECT a AS node, least(a, min(b)) AS comp
-            FROM reach GROUP BY a
+            ),
+            cc AS (
+                SELECT a::VARCHAR AS node,
+                       least(a, min(b))::VARCHAR AS comp
+                FROM reach GROUP BY a
+            ),
+            {_PAGERANK3_CTES}
+            lv_m AS (
+                SELECT n_regionkey AS grp,
+                       'Nation:' || n_nationkey AS node
+                FROM nation
+                UNION ALL
+                SELECT r_regionkey, 'Region:' || r_regionkey FROM region
+            ),
+            lv_lab AS (SELECT grp, min(node) AS cid FROM lv_m GROUP BY grp)
+            SELECT 'cc' AS kind, node, 0.0 AS score, comp AS val FROM cc
+            UNION ALL
+            SELECT 'pagerank', node, round(r, 8), '' FROM pr_r3
+            UNION ALL
+            SELECT 'louvain', lv_m.node, 0.0, lv_lab.cid
+            FROM lv_m JOIN lv_lab USING (grp)
+            UNION ALL
+            SELECT 'degw', 'Orders:' || l_orderkey,
+                   sum(l_linenumber)::DOUBLE, ''
+            FROM lineitem GROUP BY l_orderkey
+            UNION ALL
+            SELECT DISTINCT 'degw', 'Lineitem:' || l_id, 0.0, ''
+            FROM {_LN} AS li
         """,
-        tags=("graph", "iterative", "dedup-clusters"),
+        bench=True,
+        tags=("graph", "iterative", "gds", "dedup-clusters"),
     ),
     CatalogEntry(
         # triangle count over the co-ordered-parts graph via degree

@@ -632,11 +632,12 @@ def pagerank(
     100 TB design: per round one equi-join (ranks x out-edges, shuffled
     on the join key) + one groupBy(dst) with map-side partial sums; the
     rank vector is localCheckpoint'ed so lineage stays O(1) deep across
-    rounds. The dangling mass is a single aggregated scalar per round —
-    bounded driver state like the IVF centroids (similarity.py), not a
-    per-row collect. The node set and out-weights are computed once and
-    persisted; iteration count is fixed (power method), so there is no
-    per-round convergence check shuffle.
+    rounds. The dangling mass rides the SAME round job as a broadcast
+    1-row aggregate frame (round 14 — the BM25 df-broadcast pattern:
+    collecting it per round was a driver sync barrier and a second Spark
+    job per iteration). The node set and out-weights are computed once
+    and persisted; iteration count is fixed (power method), so there is
+    no per-round convergence check shuffle.
     """
     if weight is None:
         e = (
@@ -685,12 +686,12 @@ def pagerank(
     base = (1.0 - damping) / n
     for _ in range(iters):
         rd = ranks.join(with_deg, "node")
-        # bounded scalar: total rank mass sitting on dangling nodes
-        # (no out-edges, or out-weight summing to zero)
-        dangling = (
+        # total rank mass on dangling nodes (no out-edges, or out-weight
+        # summing to zero) as a LAZY 1-row frame broadcast into the rank
+        # update — the whole round is one Spark job at the checkpoint
+        dang = (
             rd.filter(F.col("outw").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
         )
         contribs = (
             e.join(rd, e.src == rd.node)
@@ -704,6 +705,7 @@ def pagerank(
         )
         ranks = (
             nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
                 (
@@ -711,7 +713,7 @@ def pagerank(
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("c"), F.lit(0.0))
-                        + F.lit(dangling / n)
+                        + F.col("__dm") / F.lit(float(n))
                     )
                 ).alias("rank"),
             )
