@@ -1949,7 +1949,8 @@ class CypherEngine:
             },
             "gds.trianglecount.stream": set(),
             "gds.nodesimilarity.stream": {
-                "topk", "similaritycutoff", "degreecutoff"
+                "topk", "similaritycutoff", "degreecutoff",
+                "relationshipweightproperty",
             },
         }[name]
         for k in conf:
@@ -2222,6 +2223,7 @@ class CypherEngine:
                     "gds.pagerank.stream",
                     "gds.degree.stream",
                     "gds.louvain.stream",
+                    "gds.nodesimilarity.stream",
                 )
             ):
                 cols.append(
@@ -2309,6 +2311,7 @@ class CypherEngine:
             res = G.node_similarity(
                 edges, top_k=int(top_k), cutoff=float(sim_cut),
                 degree_cutoff=deg_cut,
+                weight="weight" if weight_prop is not None else None,
             )
             return res.select(
                 F.concat_ws(
@@ -2717,7 +2720,18 @@ class CypherEngine:
         score contribution, Lucene query-time boost). Returns
         deduplicated, deterministically ordered
         (modifier, token-tuple, kind, boost) clauses with kind in
-        {'term', 'phrase', 'any'}.
+        {'term', 'phrase', 'slop<n>', 'any', 'fuzzy<d>'}.
+
+        Sloppy phrases (round 14): ``"t0 .. tk"~s`` matches a field
+        when there exist positions p_j with
+        max_j(p_j - j) - min_j(p_j - j) <= s. For TWO-term phrases this
+        is exactly Lucene's edit distance (in-order gap = p2 - p1 - 1;
+        a transposition costs 2, so ``"b a"~2`` matches "a b"); for
+        k >= 3 it is a window approximation of Lucene's move count, a
+        repeated term may reuse one position, and scoring stays
+        member-term BM25 with no proximity-decayed tf — the documented
+        divergences. Phrases are capped at 10 analyzed tokens (the
+        anchor expansion is quadratic in length).
 
         Unquoted multi-token pieces: WITHOUT a modifier they analyze to
         separate SHOULD terms (Lucene's analyzer behavior); WITH a +/-
@@ -2742,12 +2756,12 @@ class CypherEngine:
             )
             boost = 1.0
             fuzz = None
+            pslop = 0
             if quoted is not None:
                 if slop:
-                    raise TranspilerNotSupportedError(
-                        'Phrase slop ("a phrase"~n) is not supported — '
-                        "phrases match the exact analyzed token sequence"
-                    )
+                    # round 14: sloppy phrases ("a b"~n) — see
+                    # _sloppy_phrase_window for the match criterion
+                    pslop = int(slop[1:])
                 text = quoted
                 if qboost:
                     boost = float(qboost[1:])
@@ -2790,7 +2804,16 @@ class CypherEngine:
                     fuzz = 0 if len(t) < 3 else (1 if len(t) <= 5 else 2)
                 pieces = [((t,), f"fuzzy{fuzz}")]
             elif quoted is not None and len(toks) > 1:
-                pieces = [(tuple(toks), "phrase")]
+                if pslop > 0:
+                    if len(toks) > 10:
+                        raise TranspilerNotSupportedError(
+                            "Sloppy phrases are capped at 10 analyzed "
+                            "tokens (the anchor expansion is quadratic "
+                            "in phrase length)"
+                        )
+                    pieces = [(tuple(toks), f"slop{pslop}")]
+                else:
+                    pieces = [(tuple(toks), "phrase")]
             elif len(toks) > 1 and mod:
                 pieces = [(tuple(toks), "any")]
             else:
@@ -3135,9 +3158,63 @@ class CypherEngine:
                 lambda e1: F.exists(e1["pos"], lambda p: chain(e1, p)),
             )
 
+        def sloppy_match(toks, slop):
+            """Sloppy phrase over postings positions (round 14): the
+            window criterion documented in _parse_fulltext_query — anchor
+            on every term's OFFSET-ADJUSTED positions, require each
+            term to land inside [anchor, anchor + slop] in the SAME
+            field. Every Spark HOF lambda below is built by a factory
+            so it stays SINGLE-parameter (a default arg would change
+            the HOF's arity)."""
+
+            def all_terms(e1, x):
+                cond = None
+                for j, t in enumerate(toks):
+                    def entry_pred(t=t, j=j):
+                        def inner(e2):
+                            def pos_pred(j=j):
+                                return lambda q: (
+                                    ((q - F.lit(j)) >= x)
+                                    & ((q - F.lit(j)) <= x + F.lit(slop))
+                                )
+
+                            return (
+                                (e2["t"] == F.lit(t))
+                                & (e2["f"] == e1["f"])
+                                & F.exists(e2["pos"], pos_pred())
+                            )
+
+                        return inner
+
+                    c = F.exists(es, entry_pred())
+                    cond = c if cond is None else cond & c
+                return cond
+
+            conds = None
+            for ja, ta in enumerate(toks):
+                def anchor_pred(ta=ta):
+                    return lambda e: e["t"] == F.lit(ta)
+
+                def anchor_exists(ja=ja):
+                    def outer(e1):
+                        def at_pos(p):
+                            return all_terms(e1, p - F.lit(ja))
+
+                        return F.exists(e1["pos"], at_pos)
+
+                    return outer
+
+                c = F.exists(
+                    F.filter(es, anchor_pred()), anchor_exists()
+                )
+                conds = c if conds is None else conds | c
+            return conds
+
         def clause_match(toks, kind):
             if kind == "phrase":
                 return phrase_match(toks)
+            if kind.startswith("slop"):
+                return sloppy_match(toks, int(kind[4:]))
             # 'term' (single token) or 'any' (grouped match-any of the
             # analyzed sub-query, ADVICE r12): OR over member terms
             m = None
@@ -3383,11 +3460,55 @@ class CypherEngine:
                 lambda s: F.slice(tcol, s, ln) == lit,
             )
 
+        def sloppy_in_field(i, toks, slop):
+            """Scan-path sloppy phrase (round 14): token positions are
+            the array indexes; same window criterion as the postings
+            route (documented in _parse_fulltext_query). ``F.get`` (0-based,
+            null out of bounds) keeps ANSI mode from raising on the
+            boundary probe; factories keep every HOF lambda
+            single-parameter."""
+            tcol = F.col(f"__toks{i}")
+            idxs = F.sequence(
+                F.lit(1), F.greatest(F.size(tcol), F.lit(1))
+            )
+
+            def pos_of(t):
+                def pred(t=t):
+                    return lambda s: F.get(tcol, s - 1) == F.lit(t)
+
+                return F.filter(idxs, pred())
+
+            def all_terms(x):
+                cond = None
+                for j, t in enumerate(toks):
+                    def in_window(j=j, t=t):
+                        return lambda q: (
+                            ((q - F.lit(j)) >= x)
+                            & ((q - F.lit(j)) <= x + F.lit(slop))
+                        )
+
+                    c = F.exists(pos_of(t), in_window())
+                    cond = c if cond is None else cond & c
+                return cond
+
+            conds = None
+            for ja, ta in enumerate(toks):
+                def anchored(ja=ja):
+                    return lambda p: all_terms(p - F.lit(ja))
+
+                c = F.exists(pos_of(ta), anchored())
+                conds = c if conds is None else conds | c
+            return (F.size(tcol) >= F.lit(len(toks))) & conds
+
         def clause_match(toks, kind):
             m = None
             for i in range(nprops):
                 if kind == "phrase":
                     c = F.col(f"__has{i}") & phrase_in_field(i, toks)
+                elif kind.startswith("slop"):
+                    c = F.col(f"__has{i}") & sloppy_in_field(
+                        i, toks, int(kind[4:])
+                    )
                 else:
                     # 'term' or grouped 'any' (ADVICE r12): any member
                     # term in any field matches the clause

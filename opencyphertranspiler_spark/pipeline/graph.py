@@ -1466,6 +1466,7 @@ def node_similarity(
     top_k: int = 10,
     cutoff: float = 1e-42,
     degree_cutoff: int | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
     """(a, b, similarity) — Jaccard similarity of OUT-neighbor sets for
     every node pair that shares at least one neighbor (GDS
@@ -1475,6 +1476,14 @@ def node_similarity(
     weaker pairs, and ``degree_cutoff`` (GDS: upperDegreeCutoff)
     optionally EXCLUDES nodes above an out-degree bound.
 
+    ``weight`` (round 14 — GDS ``relationshipWeightProperty``) switches
+    to WEIGHTED Jaccard over the neighbor weight vectors:
+    sum_n min(w_A(n), w_B(n)) / sum_n max(w_A(n), w_B(n)), computed as
+    summin / (W_A + W_B - summin) so only SHARED neighbors join
+    (pointwise max = a + b - min; non-shared neighbors contribute their
+    full weight through the per-node totals). Parallel edges sum their
+    weights (the pagerank convention); negative weights raise.
+
     100 TB design: candidate pairs come from an equi-join of the edge
     set with itself ON THE SHARED NEIGHBOR — never an all-pairs cross.
     The quadratic risk is a super-popular neighbor (|in(n)|² pairs);
@@ -1483,26 +1492,51 @@ def node_similarity(
     shingles) is the standard mitigation. Intersections aggregate
     map-side; degrees join back as two broadcast-size frames; top-k is
     a per-node window over the already-filtered pair set."""
-    e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("n"))
-        .distinct()
-        .persist()
+    if weight is None:
+        e = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("n"))
+            .distinct()
+            .withColumn("w", F.lit(1.0))
+            .persist()
+        )
+    else:
+        e = (
+            edges.select(
+                F.col(src).alias("a"),
+                F.col(dst).alias("n"),
+                F.col(weight).cast("double").alias("w"),
+            )
+            .groupBy("a", "n")
+            .agg(F.sum("w").alias("w"))
+            .persist()
+        )
+        if not e.where(F.col("w") < 0).isEmpty():
+            e.unpersist()
+            raise ValueError(
+                "node_similarity requires non-negative edge weights"
+            )
+    # d: out-degree (the degree_cutoff bound stays COUNT-based, GDS's
+    # definition); wsum: total out-weight (the weighted-Jaccard mass)
+    deg = e.groupBy("a").agg(
+        F.count("*").alias("d"), F.sum("w").alias("wsum")
     )
-    deg = e.groupBy("a").agg(F.count("*").alias("d"))
     if degree_cutoff is not None:
         keep = deg.filter(F.col("d") <= degree_cutoff).select("a")
         e_f = e.join(keep, "a")
     else:
         e_f = e
     inter = (
-        e_f.select(F.col("a").alias("x"), "n")
-        .join(e_f.select(F.col("a").alias("y"), "n"), "n")
+        e_f.select(F.col("a").alias("x"), "n", F.col("w").alias("wx"))
+        .join(
+            e_f.select(F.col("a").alias("y"), "n", F.col("w").alias("wy")),
+            "n",
+        )
         .filter(F.col("x") != F.col("y"))
         .groupBy("x", "y")
-        .agg(F.count("*").alias("i"))
+        .agg(F.sum(F.least("wx", "wy")).alias("i"))
     )
-    dx = deg.select(F.col("a").alias("x"), F.col("d").alias("dx"))
-    dy = deg.select(F.col("a").alias("y"), F.col("d").alias("dy"))
+    dx = deg.select(F.col("a").alias("x"), F.col("wsum").alias("dx"))
+    dy = deg.select(F.col("a").alias("y"), F.col("wsum").alias("dy"))
     sims = (
         inter.join(dx, "x")
         .join(dy, "y")

@@ -547,8 +547,9 @@ def test_fuzzy_parse_rules(ft_engine):
     assert ("+", ("merge",), "fuzzy2", 3.0) in p("+merge~2^3")
     with pytest.raises(TranspilerNotSupportedError, match="distance > 2"):
         p("merge~3")
-    with pytest.raises(TranspilerNotSupportedError, match="slop"):
-        p('"merge scan"~2')
+    # round 14: phrase slop now PARSES into a slop<n> clause
+    assert ("", ("merge", "scan"), "slop2", 1.0) in p('"merge scan"~2')
+    assert ("", ("merge", "scan"), "phrase", 1.0) in p('"merge scan"~0')
     with pytest.raises(TranspilerNotSupportedError, match="single term"):
         p("state-of-art~1")
 
@@ -709,3 +710,68 @@ def test_fuzzy_expansion_memoized_no_compile_job(ft_engine, spark):
         sc.setLocalProperty("spark.jobGroup.id", None)
     ids = sc.statusTracker().getJobIdsForGroup("fuzzmemo14")
     assert list(ids) == []
+
+
+def test_sloppy_phrase_matching(spark):
+    """Round 14: '"a b"~n' sloppy phrases — the window criterion is
+    exactly Lucene's edit distance for 2-term phrases (gap = p2-p1-1,
+    transposition costs 2) and a documented window approximation for
+    k >= 3; scan and postings routes agree."""
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        EntityProperty,
+        GraphSchema,
+        NodeSchema,
+        TableRegistry,
+    )
+
+    reg = TableRegistry()
+    reg.register_df(
+        "slopdocs",
+        spark.createDataFrame(
+            [
+                (1, "alpha beta gamma"),
+                (2, "beta alpha"),
+                (3, "alpha x y beta"),
+                (4, "unrelated words"),
+                (5, "alpha beta q gamma"),
+            ],
+            "doc_id bigint, text string",
+        ),
+    )
+    g = GraphSchema(
+        [
+            NodeSchema(
+                "SDoc", "slopdocs", "doc_id",
+                (EntityProperty("text", "string"),), "bigint",
+            )
+        ],
+        [],
+    )
+    eng = CypherEngine(spark, g, reg)
+    eng.create_fulltext_index("slop_ft", "SDoc", "text")
+
+    def run(q):
+        rows = eng.cypher(
+            "CALL db.index.fulltext.queryNodes('slop_ft', $q, "
+            "{limit: 10}) YIELD node, score "
+            "RETURN node.doc_id AS id ORDER BY id",
+            params={"q": q},
+        ).collect()
+        return [r.id for r in rows]
+
+    cases = {
+        '"alpha beta"': [1, 5],        # exact adjacency
+        '"alpha beta"~1': [1, 5],      # gap 2 (doc 3) still out
+        '"alpha beta"~2': [1, 2, 3, 5],  # transposition + gap 2 join
+        '"beta alpha"~2': [1, 2, 5],  # doc3: transposition+gap = 4 > 2
+        '"alpha gamma"~1': [1],        # doc5's gap is two tokens
+        '"alpha gamma"~0': [],         # never adjacent (slop 0 = exact)
+        '+"alpha beta"~2 -gamma': [2, 3],  # composes with MUST/NOT
+        '"alpha beta gamma"~1': [1, 5],  # 3-term window
+        '"alpha beta gamma"~0': [1],
+    }
+    scan = {q: run(q) for q in cases}
+    assert scan == cases, scan
+    eng.materialize_fulltext_index("slop_ft")
+    assert {q: run(q) for q in cases} == cases

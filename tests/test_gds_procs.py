@@ -599,3 +599,75 @@ def test_louvain_on_tpch_matches_wcc_grouping(eng):
         ).collect()
     )
     assert got == wcc and len(got) == 5
+
+
+def test_weighted_node_similarity_oracle(spark):
+    """Round 14: relationshipWeightProperty on nodeSimilarity.stream —
+    weighted Jaccard sum(min)/sum(max) over neighbor weight vectors,
+    against a brute-force python oracle on a hand graph."""
+    from opencyphertranspiler_spark import EntityProperty
+
+    reg = TableRegistry()
+    reg.register_df(
+        "tn", spark.createDataFrame([(i,) for i in range(6)], "id long")
+    )
+    wpairs = [
+        (0, 3, 2.0), (0, 4, 1.0),
+        (1, 3, 1.0), (1, 4, 3.0), (1, 5, 1.0),
+        (2, 5, 4.0),
+    ]
+    reg.register_df(
+        "te",
+        spark.createDataFrame(wpairs, "src long, dst long, w double"),
+    )
+    g = GraphSchema(
+        [NodeSchema("N", "tn", "id", (), "bigint")],
+        [
+            EdgeSchema(
+                "E", "N", "N", "te", "src", "dst",
+                (EntityProperty("w", "double"),),
+            )
+        ],
+    )
+    e = CypherEngine(spark, g, reg)
+    got = {
+        (r.node1, r.node2): round(r.s, 9)
+        for r in e.cypher(
+            "CALL gds.nodeSimilarity.stream('E', "
+            "{relationshipWeightProperty: 'w'}) "
+            "YIELD node1, node2, similarity "
+            "RETURN node1, node2, similarity AS s"
+        ).collect()
+    }
+    # brute-force weighted jaccard
+    adj: dict = {}
+    for s, d, w in wpairs:
+        adj.setdefault(s, {})[d] = adj.setdefault(s, {}).get(d, 0) + w
+    want = {}
+    for x in adj:
+        for y in adj:
+            if x == y or not set(adj[x]) & set(adj[y]):
+                continue
+            keys = set(adj[x]) | set(adj[y])
+            smin = sum(min(adj[x].get(k, 0.0), adj[y].get(k, 0.0)) for k in keys)
+            smax = sum(max(adj[x].get(k, 0.0), adj[y].get(k, 0.0)) for k in keys)
+            want[(x, y)] = round(smin / smax, 9)
+    assert got == want and got
+    # unweighted on the same graph differs (weights genuinely used)
+    unw = {
+        (r.node1, r.node2): round(r.s, 9)
+        for r in e.cypher(
+            "CALL gds.nodeSimilarity.stream('E') "
+            "YIELD node1, node2, similarity "
+            "RETURN node1, node2, similarity AS s"
+        ).collect()
+    }
+    assert unw != got
+    # config fence unchanged for procs without the key
+    with pytest.raises(TranspilerBindingError, match="unknown config"):
+        e.cypher(
+            "CALL gds.triangleCount.stream('E') YIELD nodeId, "
+            "triangleCount RETURN count(*) AS n".replace(
+                "('E')", "('E', {relationshipWeightProperty: 'w'})"
+            )
+        )
