@@ -2867,8 +2867,13 @@ class CypherEngine:
         (__t, __df) frame (the materialized dfreq, or a per-query
         distinct-token aggregate on the scan path); candidates within
         the edit distance are capped at the top 50 by document frequency
-        (Lucene's maxExpansions), each scoring with its OWN idf
-        (documented divergence: no distance-decay boost).
+        (Lucene's maxExpansions), each scoring with its OWN idf AND
+        Lucene's FuzzyTermsEnum distance-decay boost (round 14):
+        ``1 - distance / min(len(query term), len(candidate))`` — a
+        SHOULD/MUST fuzzy expands into one decayed-boost term clause per
+        candidate (plus, for MUST, a zero-boost match-ANY gate so the
+        requirement stays group-level); a MUST_NOT fuzzy stays one
+        excluded group (exclusion does not score).
 
         Metric (round 14, ADVICE r13): OSA / restricted
         Damerau-Levenshtein, matching Lucene's FuzzyQuery — the Spark
@@ -2903,50 +2908,73 @@ class CypherEngine:
                 out.append((mod, (term,), "term", boost))
                 continue
             mkey = None
+            exp = None
             if memo_key is not None:
                 mkey = memo_key + (term, d)
-                hit = self._fuzzy_expansions.get(mkey)
-                if hit is not None:
-                    out.append(hit if hit[0] == mod and hit[3] == boost
-                               else (mod, hit[1], hit[2], boost))
-                    continue
-            exact_band = F.levenshtein(F.col("__t"), F.lit(term)) <= F.lit(d)
-            rows = (
-                grouped.filter(
-                    (
-                        F.abs(F.length("__t") - F.lit(len(term)))
-                        <= F.lit(d)
+                exp = self._fuzzy_expansions.get(mkey)
+            if exp is None:
+                exact_band = (
+                    F.levenshtein(F.col("__t"), F.lit(term)) <= F.lit(d)
+                )
+                rows = (
+                    grouped.filter(
+                        (
+                            F.abs(F.length("__t") - F.lit(len(term)))
+                            <= F.lit(d)
+                        )
+                        & (
+                            F.levenshtein(F.col("__t"), F.lit(term))
+                            <= F.lit(d + 1)
+                        )
                     )
-                    & (
-                        F.levenshtein(F.col("__t"), F.lit(term))
-                        <= F.lit(d + 1)
+                    .orderBy(
+                        exact_band.desc(), F.col("__df").desc(), "__t"
+                    )
+                    .limit(CypherEngine._FUZZY_MAX_EXPANSIONS * 5)
+                    .collect()
+                )
+                kept = [
+                    (r["__t"], self._osa_distance(r["__t"], term, d), r["__df"])
+                    for r in rows
+                ]
+                kept = [k for k in kept if k[1] <= d]
+                kept.sort(key=lambda k: (-k[2], k[0]))
+                # (candidate, Lucene decay) pairs — mod/boost-agnostic,
+                # so the memo entry is reusable across query shapes
+                exp = tuple(
+                    sorted(
+                        (
+                            t,
+                            1.0
+                            - dist / max(1, min(len(term), len(t))),
+                        )
+                        for t, dist, _df in kept[
+                            : CypherEngine._FUZZY_MAX_EXPANSIONS
+                        ]
                     )
                 )
-                .orderBy(
-                    exact_band.desc(), F.col("__df").desc(), "__t"
+                if mkey is not None:
+                    self._fuzzy_expansions[mkey] = exp
+            if not exp:
+                # no vocabulary match: stays an exact never-matching term
+                out.append((mod, (term,), "term", boost))
+                continue
+            terms = tuple(t for t, _dec in exp)
+            if mod == "-":
+                out.append(
+                    ("-", terms, "any" if len(terms) > 1 else "term",
+                     boost)
                 )
-                .limit(CypherEngine._FUZZY_MAX_EXPANSIONS * 5)
-                .collect()
-            )
-            kept = [
-                r
-                for r in rows
-                if self._osa_distance(r["__t"], term, d) <= d
-            ]
-            kept.sort(key=lambda r: (-r["__df"], r["__t"]))
-            terms = tuple(sorted(
-                r["__t"]
-                for r in kept[: CypherEngine._FUZZY_MAX_EXPANSIONS]
-            ))
-            if not terms:
-                ex = (mod, (term,), "term", boost)
-            elif len(terms) == 1:
-                ex = (mod, terms, "term", boost)
-            else:
-                ex = (mod, terms, "any", boost)
-            if mkey is not None:
-                self._fuzzy_expansions[mkey] = ex
-            out.append(ex)
+                continue
+            if mod == "+":
+                # group-level requirement (any candidate), scoring via
+                # the decayed SHOULD terms below
+                out.append(
+                    ("+", terms, "any" if len(terms) > 1 else "term",
+                     0.0)
+                )
+            for t, dec in exp:
+                out.append(("", (t,), "term", boost * dec))
         return out
 
     def _fulltext_topk_frame(

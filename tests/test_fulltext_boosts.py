@@ -140,6 +140,9 @@ def _oracle(
             for tk in toks[f].values():
                 for t in set(tk):
                     dfs_all[t] = dfs_all.get(t, 0) + 1
+        from opencyphertranspiler_spark.engine import CypherEngine
+
+        osa = CypherEngine._osa_distance
         expanded = []
         for mod, tks, kind, boost in clauses:
             if not kind.startswith("fuzzy"):
@@ -153,13 +156,30 @@ def _oracle(
             cand = [
                 t
                 for t in dfs_all
-                if abs(len(t) - len(qt)) <= d and _lev(t, qt) <= d
+                if abs(len(t) - len(qt)) <= d and osa(t, qt, d) <= d
             ]
             cand.sort(key=lambda t: (-dfs_all[t], t))
-            terms = tuple(sorted(cand[:50])) or (qt,)
-            expanded.append(
-                (mod, terms, "any" if len(terms) > 1 else "term", boost)
-            )
+            kept = cand[:50]
+            if not kept:
+                expanded.append((mod, (qt,), "term", boost))
+                continue
+            terms = tuple(sorted(kept))
+            if mod == "-":
+                expanded.append(
+                    ("-", terms, "any" if len(terms) > 1 else "term",
+                     boost)
+                )
+                continue
+            if mod == "+":
+                expanded.append(
+                    ("+", terms, "any" if len(terms) > 1 else "term",
+                     0.0)
+                )
+            # round 14: one decayed-boost SHOULD term per candidate
+            # (Lucene FuzzyTermsEnum: 1 - dist/min(len))
+            for t in terms:
+                dec = 1.0 - osa(t, qt, d) / max(1, min(len(qt), len(t)))
+                expanded.append(("", (t,), "term", boost * dec))
         clauses = expanded
 
     def field_term_score(f, t, did):
@@ -520,18 +540,8 @@ def test_stemmer_via_ddl_options(ft_engine, spark):
         ft_engine.cypher("DROP INDEX ddl_stem IF EXISTS")
 
 
-def _lev(a, b):
-    if len(a) < len(b):
-        a, b = b, a
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(
-                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
-            )
-        prev = cur
-    return prev[-1]
+# (the classic-levenshtein helper retired round 14 — both the engine
+# and the oracles use the OSA metric, CypherEngine._osa_distance)
 
 
 def test_fuzzy_parse_rules(ft_engine):
@@ -579,28 +589,36 @@ def test_fuzzy_query_vs_oracle(ft_engine, spark):
         for tk in toks.values():
             for t in set(tk):
                 dfs[t] = dfs.get(t, 0) + 1
-        terms = set()
+        from opencyphertranspiler_spark.engine import CypherEngine
+
+        osa = CypherEngine._osa_distance
+        # term -> summed weight: exact query terms weigh 1.0, fuzzy
+        # expansions weigh Lucene's decay 1 - dist/min(len) (round 14);
+        # overlapping clauses SUM (separate BooleanQuery clauses)
+        weights: dict = {}
         for qt, d in zip(q_terms, fuzz):
             if d == 0:
-                terms.add(qt)
+                weights[qt] = weights.get(qt, 0.0) + 1.0
                 continue
             cand = [
                 t
                 for t in dfs
-                if abs(len(t) - len(qt)) <= d and _lev(t, qt) <= d
+                if abs(len(t) - len(qt)) <= d and osa(t, qt, d) <= d
             ]
             cand.sort(key=lambda t: (-dfs[t], t))
-            terms.update(cand[:50])
+            for t in cand[:50]:
+                dec = 1.0 - osa(t, qt, d) / max(1, min(len(qt), len(t)))
+                weights[t] = weights.get(t, 0.0) + dec
         out = {}
         for i, tk in toks.items():
             s = 0.0
-            for t in sorted(terms):
+            for t in sorted(weights):
                 df = dfs.get(t, 0)
                 if df == 0:
                     continue
                 idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
                 tf = tk.count(t)
-                s += idf * tf * 2.2 / (
+                s += weights[t] * idf * tf * 2.2 / (
                     tf + 1.2 * (0.25 + 0.75 * len(tk) / avgdl)
                 )
             if s > 0:
