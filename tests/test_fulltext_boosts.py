@@ -88,10 +88,10 @@ def _oracle(
     clauses = []
     seen = set()
     for m in re.finditer(
-        r'([+\-]?)(?:"([^"]*)"(\^\d+(?:\.\d+)?)?|(\S+))', query
+        r'([+\-]?)(?:"([^"]*)"(~\d+)?(\^\d+(?:\.\d+)?)?|(\S+))', query
     ):
-        mod, quoted, qboost, bare = (
-            m.group(1), m.group(2), m.group(3), m.group(4),
+        mod, quoted, qslop, qboost, bare = (
+            m.group(1), m.group(2), m.group(3), m.group(4), m.group(5),
         )
         boost = 1.0
         if quoted is not None:
@@ -121,7 +121,10 @@ def _oracle(
             )
             pieces = [((t,), f"fuzzy{d}")]
         elif quoted is not None and len(tks) > 1:
-            pieces = [(tuple(tks), "phrase")]
+            n_slop = int(qslop[1:]) if qslop else 0
+            pieces = [
+                (tuple(tks), f"slop{n_slop}" if n_slop else "phrase")
+            ]
         elif len(tks) > 1 and mod:
             pieces = [(tuple(tks), "any")]
         else:
@@ -202,6 +205,22 @@ def _oracle(
             tuple(tk[i:i + ln]) == seq for i in range(len(tk) - ln + 1)
         )
 
+    def sloppy_seq(tk, seq, slop):
+        pos = {
+            j: [i for i, t in enumerate(tk) if t == term]
+            for j, term in enumerate(seq)
+        }
+        if any(not v for v in pos.values()):
+            return False
+        anchors = {p - j for j, ps in pos.items() for p in ps}
+        return any(
+            all(
+                any(x <= q - j <= x + slop for q in pos[j])
+                for j in range(len(seq))
+            )
+            for x in anchors
+        )
+
     def clause_match(did, tks, kind):
         for f in fields:
             tk = toks[f].get(did)
@@ -209,6 +228,9 @@ def _oracle(
                 continue
             if kind == "phrase":
                 if contains_seq(tk, tks):
+                    return True
+            elif kind.startswith("slop"):
+                if sloppy_seq(tk, tks, int(kind[4:])):
                     return True
             elif any(t in tk for t in tks):
                 return True
@@ -375,12 +397,13 @@ def test_fulltext_extended_grammar_fuzz(ft_engine, spark):
                 # error under ~, so draw single-token words only
                 w = draw(st.sampled_from([x for x in words if "_" not in x]))
                 pieces.append(mod + w + f + b)
-            elif shape == 1:  # quoted phrase
+            elif shape == 1:  # quoted phrase, optionally sloppy
                 w1, w2 = (
                     draw(st.sampled_from(words)),
                     draw(st.sampled_from(words)),
                 )
-                pieces.append(f'{mod}"{w1} {w2}"{b}')
+                sl = draw(st.sampled_from(["", "~1", "~2", "~4"]))
+                pieces.append(f'{mod}"{w1} {w2}"{sl}{b}')
             else:  # hyphenated multi-token piece (group when modified)
                 w1, w2 = (
                     draw(st.sampled_from(words)),
