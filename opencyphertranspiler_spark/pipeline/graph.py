@@ -683,46 +683,63 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
         eager=True
     )
-    base = (1.0 - damping) / n
     for _ in range(iters):
-        rd = ranks.join(with_deg, "node")
-        # total rank mass on dangling nodes (no out-edges, or out-weight
-        # summing to zero) as a LAZY 1-row frame broadcast into the rank
-        # update — the whole round is one Spark job at the checkpoint
-        dang = (
-            rd.filter(F.col("outw").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
-        )
-        contribs = (
-            e.join(rd, e.src == rd.node)
-            .where(F.col("outw").isNotNull())
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") * F.col("w") / F.col("outw")).alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").alias("c"))
-        )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("c"), F.lit(0.0))
-                        + F.col("__dm") / F.lit(float(n))
-                    )
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        ranks = _pagerank_round(
+            e, nodes, with_deg, ranks, n, damping
+        ).localCheckpoint(eager=True)
     e.unpersist()
     nodes.unpersist()
     outw.unpersist()
     return ranks
+
+
+def _pagerank_round(
+    e: DataFrame,
+    nodes: DataFrame,
+    with_deg: DataFrame,
+    ranks: DataFrame,
+    n: int,
+    damping: float,
+) -> DataFrame:
+    """One LAZY power-method round: (node, rank) -> (node, rank).
+
+    The dangling mass (rank on nodes with no out-edges / zero
+    out-weight) rides the same round as a 1-row aggregate frame
+    broadcast-crossed into the rank update, so the whole round is one
+    Spark job when the caller checkpoints it — no per-round driver
+    collect. Factored out of :func:`pagerank` so plan tests can pin the
+    round's physical shape without executing the fixpoint."""
+    base = (1.0 - damping) / n
+    rd = ranks.join(with_deg, "node")
+    dang = (
+        rd.filter(F.col("outw").isNull())
+        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+    )
+    contribs = (
+        e.join(rd, e.src == rd.node)
+        .where(F.col("outw").isNotNull())
+        .select(
+            F.col("dst").alias("node"),
+            (F.col("rank") * F.col("w") / F.col("outw")).alias("c"),
+        )
+        .groupBy("node")
+        .agg(F.sum("c").alias("c"))
+    )
+    return (
+        nodes.join(contribs, "node", "left")
+        .crossJoin(F.broadcast(dang))
+        .select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("c"), F.lit(0.0))
+                    + F.col("__dm") / F.lit(float(n))
+                )
+            ).alias("rank"),
+        )
+    )
 
 
 def weighted_shortest_paths(

@@ -996,3 +996,105 @@ def test_fresh_delta_plans_no_nested_loop(spark):
     for plan in (vplan, fplan):
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_pagerank_round_plan_shape(spark):
+    """Round 14: one power-method round's rank update joins the 1-row
+    dangling-mass aggregate via BroadcastNestedLoopJoin (the lazy
+    broadcast frame that replaced the per-round driver collect) — no
+    shuffle for the scalar, no Python UDF anywhere, and the parquet
+    scan of the bench edge frame is pruned to exactly the three used
+    columns. Pinned on the un-checkpointed round helper (the fixpoint's
+    returned frame is a localCheckpoint, so its plan is opaque)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from opencyphertranspiler_spark.pipeline.graph import _pagerank_round
+    from tests.conftest import SF_DIR
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    e = (
+        orders.select(
+            F.col("o_custkey").cast("string").alias("src"),
+            F.col("o_orderkey").cast("string").alias("dst"),
+            F.col("o_totalprice").cast("double").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw")).where(
+        F.col("outw") > 0
+    )
+    with_deg = nodes.join(outw, nodes.node == outw.src, "left").select(
+        "node", "outw"
+    )
+    ranks = nodes.withColumn("rank", F.lit(0.001))
+    rnd = _pagerank_round(e, nodes, with_deg, ranks, n=1000, damping=0.85)
+    plan = formatted_plan(spark, rnd)
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row dangling frame
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # column pruning: no orders scan reads beyond the 3 used columns
+    # (Catalyst prunes harder still — node-side scans drop o_totalprice)
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    orders_scans = [s for s in scans if "o_custkey" in s]
+    assert orders_scans and all(
+        {c.split(":")[0] for c in s.split(",")}
+        <= {"o_custkey", "o_orderkey", "o_totalprice"}
+        for s in orders_scans
+    ), orders_scans
+
+
+def test_sloppy_and_decay_plans_stay_jvm_side(spark):
+    """Round 14: sloppy phrases and decayed fuzzy expansions compile to
+    higher-order-function expressions — no Python UDF in either the
+    scan or the postings plan."""
+    from tests.conftest import SF_DIR
+
+    from opencyphertranspiler_spark import (
+        CypherEngine,
+        tpch_graph_schema,
+        tpch_table_registry,
+    )
+
+    eng = CypherEngine(
+        spark, tpch_graph_schema(), tpch_table_registry(spark, SF_DIR)
+    )
+    eng.create_fulltext_index("ppq_ft", "Document", "text")
+    q = (
+        "CALL db.index.fulltext.queryNodes('ppq_ft', "
+        "'\"data model\"~2 window~1', {limit: 5}) "
+        "YIELD node, score RETURN id(node) AS id, score"
+    )
+    scan_plan = formatted_plan(spark, eng.cypher(q))
+    eng.materialize_fulltext_index("ppq_ft")
+    post_plan = formatted_plan(spark, eng.cypher(q))
+    for plan in (scan_plan, post_plan):
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+    # postings route: no re-scan of the documents corpus — candidates
+    # come from the checkpointed postings (Scan ExistingRDD)
+    assert "Scan ExistingRDD" in post_plan
+
+
+def test_porter_analyzer_plan_stays_jvm_side(spark):
+    """Round 14: the staged Porter pipeline is pure Column transforms —
+    tokenization with analyzer='english' plans without any Python
+    evaluation node."""
+    from pyspark.sql import functions as F
+
+    from opencyphertranspiler_spark.engine import CypherEngine
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = CypherEngine._ft_tokens(
+        F.col("text"), frozenset(), "english"
+    )
+    plan = formatted_plan(spark, docs.select(toks.alias("t")))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
