@@ -1668,9 +1668,17 @@ def _chain_edges(spark, sf_dir):
 
 
 def _p_transitive_closure(spark, sf_dir):
-    from .pipeline.graph import transitive_closure
+    """Gate + bench p14. Optimization round 14: the chain fixture is
+    exactly the long-diameter/low-fanout case the library's own guidance
+    (transitive_closure_doubling docstring) prescribes path doubling
+    for — O(log diameter) rounds instead of O(diameter). Same reachable
+    pair set (the oracle is unchanged); measured 4.4-4.8 s semi-naive vs
+    2.6-3.7 s doubling at sf0.1. The semi-naive loop stays benched AND
+    differentially gated through q39 (anchored BFS) and q48 (path
+    enumeration)."""
+    from .pipeline.graph import transitive_closure_doubling
 
-    return transitive_closure(_chain_edges(spark, sf_dir))
+    return transitive_closure_doubling(_chain_edges(spark, sf_dir))
 
 
 def _p_connected_components(spark, sf_dir):

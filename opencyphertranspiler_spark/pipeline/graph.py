@@ -25,6 +25,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _union_all(frames: list[DataFrame]) -> DataFrame:
+    """unionByName over a non-empty list of same-schema frames."""
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 @contextmanager
 def _no_constraint_propagation(df: DataFrame):
     """Disable Catalyst constraint propagation for the duration.
@@ -88,10 +96,12 @@ def transitive_closure_doubling(
     on dense graphs whose frontier dies quickly. The engine's unbounded
     `[:V*]` reachability uses this — user graphs have unbounded diameter,
     and O(log d) driver round-trips is the scalable shape."""
+    # each round's count rides the job that materializes the lazy
+    # checkpoint (optimization round 14 — one job per round, not two)
     reach = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n = reach.count()
     for _ in range(max_iters):
@@ -101,7 +111,7 @@ def transitive_closure_doubling(
             .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
             .unionByName(reach)
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         m = nxt.count()
         # reach grows monotonically: equal size == fixpoint
@@ -139,39 +149,57 @@ def shortest_path_lengths(
             .persist()
         )
         if sources is None:
-            seen = e.withColumn("dist", F.lit(1)).localCheckpoint(eager=True)
+            first = e.withColumn("dist", F.lit(1)).localCheckpoint(eager=True)
         else:
             seeds = (
                 sources.select(F.col(sources.columns[0]).alias("__seed"))
                 .distinct()
             )
-            seen = (
+            first = (
                 e.join(seeds, F.col("src") == F.col("__seed"), "left_semi")
                 .withColumn("dist", F.lit(1))
                 .localCheckpoint(eager=True)
             )
-        frontier = seen
+        # Optimization round 14 (guide §2.4/§1.2): the accumulated pair
+        # set is a LAZY union of the per-round checkpointed frontiers —
+        # the old loop re-checkpointed seen ∪ nxt every round, rewriting
+        # the whole accumulated set each iteration (O(rounds × |seen|)
+        # extra materialization and one extra Spark job per round). The
+        # anti-join reads the union of already-materialized RDDs instead.
+        # Every 8 rounds the union is compacted into one checkpoint so
+        # plan depth (and task count on the anti-join's map side) stays
+        # bounded on long-diameter graphs. The frontier's emptiness test
+        # rides the SAME job that materializes its lazy checkpoint
+        # (count() triggers it), replacing the checkpoint+isEmpty pair.
+        parts = [first]
+        seen_keys = first.select("src", "dst")
+        frontier = first
         for k in range(2, max_iters + 2):
             nxt = (
                 frontier.alias("f")
                 .join(e.alias("e2"), F.col("f.dst") == F.col("e2.src"))
                 .select(F.col("f.src").alias("src"), F.col("e2.dst").alias("dst"))
                 .distinct()
-                .join(seen.select("src", "dst"), ["src", "dst"], "left_anti")
+                .join(seen_keys, ["src", "dst"], "left_anti")
                 .withColumn("dist", F.lit(k))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            if nxt.isEmpty():
+            if nxt.count() == 0:
                 break
-            seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+            parts.append(nxt)
+            seen_keys = seen_keys.unionByName(nxt.select("src", "dst"))
             frontier = nxt
+            if len(parts) % 8 == 0:
+                compacted = _union_all(parts).localCheckpoint(eager=True)
+                parts = [compacted]
+                seen_keys = compacted.select("src", "dst")
         else:
             e.unpersist()
             raise RuntimeError(
                 f"shortest_path_lengths did not converge within {max_iters} rounds"
             )
         e.unpersist()
-        return seen
+        return _union_all(parts)
 
 
 def shortest_path_nodes(
@@ -207,12 +235,19 @@ def shortest_path_nodes(
             base = e.join(
                 seeds, F.col("src") == F.col("__seed"), "left_semi"
             )
-        seen = (
+        first = (
             base.withColumn("dist", F.lit(1))
             .withColumn("nodes", F.array(F.col("src"), F.col("dst")))
             .localCheckpoint(eager=True)
         )
-        frontier = seen
+        # same lazy-union + fused count/checkpoint shape as
+        # shortest_path_lengths (optimization round 14) — see the
+        # comment there; the anti-join only ever needs (src, dst), so
+        # the accumulated PATH ARRAYS are never rewritten round-over-
+        # round (they are the heavy column here)
+        parts = [first]
+        seen_keys = first.select("src", "dst")
+        frontier = first
         for k in range(2, max_iters + 2):
             ext = (
                 frontier.alias("f")
@@ -224,27 +259,30 @@ def shortest_path_nodes(
                         F.col("f.nodes"), F.array(F.col("e2.dst"))
                     ).alias("nodes"),
                 )
-                .join(
-                    seen.select("src", "dst"), ["src", "dst"], "left_anti"
-                )
+                .join(seen_keys, ["src", "dst"], "left_anti")
             )
             nxt = (
                 ext.groupBy("src", "dst")
                 .agg(F.any_value(F.col("nodes")).alias("nodes"))
                 .withColumn("dist", F.lit(k))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            if nxt.isEmpty():
+            if nxt.count() == 0:
                 break
-            seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+            parts.append(nxt)
+            seen_keys = seen_keys.unionByName(nxt.select("src", "dst"))
             frontier = nxt
+            if len(parts) % 8 == 0:
+                compacted = _union_all(parts).localCheckpoint(eager=True)
+                parts = [compacted]
+                seen_keys = compacted.select("src", "dst")
         else:
             e.unpersist()
             raise RuntimeError(
                 f"shortest_path_nodes did not converge within {max_iters} rounds"
             )
         e.unpersist()
-        return seen.select("src", "dst", "dist", "nodes")
+        return _union_all(parts).select("src", "dst", "dist", "nodes")
 
 
 def reachable_from(
@@ -305,6 +343,12 @@ def connected_components(
             .groupBy(und["a"].alias("node2"))
             .agg(F.min("comp").alias("neigh_comp"))
         )
+        # Optimization round 14: the label update CARRIES a changed flag
+        # (a label changes iff a neighbour's min label undercuts it), so
+        # convergence is a count over the update's own checkpoint
+        # materialization — the old shape re-joined updated x labels and
+        # ran a separate isEmpty job every round (guide §2.4: one join
+        # and one Spark job per round removed).
         updated = (
             labels.join(neigh_min, labels["node"] == neigh_min["node2"], "left")
             .select(
@@ -312,17 +356,16 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce(F.col("neigh_comp"), F.col("comp"))
                 ).alias("comp"),
+                (
+                    F.col("neigh_comp").isNotNull()
+                    & (F.col("neigh_comp") < F.col("comp"))
+                ).alias("__chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), F.col("u.node") == F.col("l.node"))
-            .filter(F.col("u.comp") != F.col("l.comp"))
-        )
-        done = changed.isEmpty()
-        labels = updated
-        if done:
+        n_changed = updated.filter(F.col("__chg")).count()
+        labels = updated.select("node", "comp")
+        if n_changed == 0:
             break
     else:
         und.unpersist()
@@ -629,21 +672,33 @@ def pagerank(
     dangling, and negative weights raise. Unweighted is the weight-1.0
     special case of the same plan — one code path, no divergence.
 
-    100 TB design: per round one equi-join (ranks x out-edges, shuffled
+    100 TB design: per round one equi-join (state x out-edges, shuffled
     on the join key) + one groupBy(dst) with map-side partial sums; the
     rank vector is localCheckpoint'ed so lineage stays O(1) deep across
     rounds. The dangling mass rides the SAME round job as a broadcast
     1-row aggregate frame (round 14 — the BM25 df-broadcast pattern:
     collecting it per round was a driver sync barrier and a second Spark
-    job per iteration). The node set and out-weights are computed once
-    and persisted; iteration count is fixed (power method), so there is
-    no per-round convergence check shuffle.
+    job per iteration). The round STATE carries the static per-node
+    out-weight alongside the rank (optimization round 14, guide §2.4):
+    the old shape re-joined ranks x (nodes ⟕ outw) every round — and,
+    because both the dangling-mass branch and the contribution branch
+    derived from that join, Catalyst evaluated it TWICE per round (4
+    sorts of the full node set); carrying ``outw`` in the checkpointed
+    state makes the dangling aggregate a scan-and-sum of the state RDD
+    and leaves two joins per round (edges x state, state x contribs)
+    instead of five. The edge table is repartitioned by ``src`` before
+    persisting so the cached layout already satisfies the per-round
+    join's distribution (cached plans keep their output partitioning —
+    AQE does not re-coalesce them). Iteration count is fixed (power
+    method), so there is no per-round convergence check shuffle.
     """
+    npart = edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
     if weight is None:
         e = (
             edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
             .distinct()
             .withColumn("w", F.lit(1.0))
+            .repartition(int(npart), "src")
             .persist()
         )
     else:
@@ -655,6 +710,7 @@ def pagerank(
             )
             .groupBy("src", "dst")
             .agg(F.sum("w").alias("w"))
+            .repartition(int(npart), "src")
             .persist()
         )
         if not e.where(F.col("w") < 0).isEmpty():
@@ -664,59 +720,59 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
-    n = nodes.count()
-    if n == 0:
-        e.unpersist()
-        nodes.unpersist()
-        return nodes.withColumn("rank", F.lit(0.0))
     outw = (
         e.groupBy("src")
         .agg(F.sum("w").alias("outw"))
         .where(F.col("outw") > 0)
-        .persist()
     )
-    with_deg = nodes.join(
-        outw, nodes.node == outw.src, "left"
-    ).select("node", "outw")
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
+    # state = (node, outw, rank); outw is static across rounds, so the
+    # join attaching it happens ONCE here instead of once per round
+    state = (
+        nodes.join(outw, nodes.node == outw.src, "left")
+        .select("node", "outw")
+        .localCheckpoint(eager=True)
+    )
+    n = state.count()
+    if n == 0:
+        e.unpersist()
+        return state.select("node").withColumn("rank", F.lit(0.0))
+    state = state.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
         eager=True
     )
     for _ in range(iters):
-        ranks = _pagerank_round(
-            e, nodes, with_deg, ranks, n, damping
-        ).localCheckpoint(eager=True)
+        state = _pagerank_round(e, state, n, damping).localCheckpoint(
+            eager=True
+        )
     e.unpersist()
-    nodes.unpersist()
-    outw.unpersist()
-    return ranks
+    return state.select("node", "rank")
 
 
 def _pagerank_round(
     e: DataFrame,
-    nodes: DataFrame,
-    with_deg: DataFrame,
-    ranks: DataFrame,
+    state: DataFrame,
     n: int,
     damping: float,
 ) -> DataFrame:
-    """One LAZY power-method round: (node, rank) -> (node, rank).
+    """One LAZY power-method round: (node, outw, rank) -> same schema.
 
     The dangling mass (rank on nodes with no out-edges / zero
     out-weight) rides the same round as a 1-row aggregate frame
     broadcast-crossed into the rank update, so the whole round is one
     Spark job when the caller checkpoints it — no per-round driver
-    collect. Factored out of :func:`pagerank` so plan tests can pin the
-    round's physical shape without executing the fixpoint."""
+    collect. Because ``state`` carries the static out-weight, the
+    dangling aggregate is a filter-and-sum over the checkpointed state
+    (no join), and the round has exactly two joins: edges x state for
+    the contributions and state x contribs for the update. Factored out
+    of :func:`pagerank` so plan tests can pin the round's physical
+    shape without executing the fixpoint."""
     base = (1.0 - damping) / n
-    rd = ranks.join(with_deg, "node")
     dang = (
-        rd.filter(F.col("outw").isNull())
+        state.filter(F.col("outw").isNull())
         .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
     )
     contribs = (
-        e.join(rd, e.src == rd.node)
+        e.join(state, e.src == state.node)
         .where(F.col("outw").isNotNull())
         .select(
             F.col("dst").alias("node"),
@@ -726,10 +782,12 @@ def _pagerank_round(
         .agg(F.sum("c").alias("c"))
     )
     return (
-        nodes.join(contribs, "node", "left")
+        state.select("node", "outw")
+        .join(contribs, "node", "left")
         .crossJoin(F.broadcast(dang))
         .select(
             "node",
+            "outw",
             (
                 F.lit(base)
                 + F.lit(damping)

@@ -1004,8 +1004,12 @@ def test_weighted_pagerank_round_plan_shape(spark):
     broadcast frame that replaced the per-round driver collect) — no
     shuffle for the scalar, no Python UDF anywhere, and the parquet
     scan of the bench edge frame is pruned to exactly the three used
-    columns. Pinned on the un-checkpointed round helper (the fixpoint's
-    returned frame is a localCheckpoint, so its plan is opaque)."""
+    columns. Optimization round 14: the state carries the static
+    out-weight, so the round has exactly TWO equi-joins (edges x state,
+    state x contribs) — the old ranks x with_deg join, which Catalyst
+    evaluated twice per round, is gone. Pinned on the un-checkpointed
+    round helper (the fixpoint's returned frame is a localCheckpoint,
+    so its plan is opaque)."""
     import re
 
     from pyspark.sql import functions as F
@@ -1031,14 +1035,24 @@ def test_weighted_pagerank_round_plan_shape(spark):
     outw = e.groupBy("src").agg(F.sum("w").alias("outw")).where(
         F.col("outw") > 0
     )
-    with_deg = nodes.join(outw, nodes.node == outw.src, "left").select(
-        "node", "outw"
+    state = (
+        nodes.join(outw, nodes.node == outw.src, "left")
+        .select("node", "outw")
+        .withColumn("rank", F.lit(0.001))
     )
-    ranks = nodes.withColumn("rank", F.lit(0.001))
-    rnd = _pagerank_round(e, nodes, with_deg, ranks, n=1000, damping=0.85)
+    rnd = _pagerank_round(e, state, n=1000, damping=0.85)
     plan = formatted_plan(spark, rnd)
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row dangling frame
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the round body itself contributes exactly two equi-joins on top of
+    # the state-building join (the one attaching outw to the node set):
+    # edges x state and state x contribs — count the join nodes that
+    # consume the rank column
+    n_joins = len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan))
+    # state-building left join appears up to three times (it feeds the
+    # dangling branch, the contribution branch and the update's key
+    # side); the round must not add more than 2 joins beyond those
+    assert n_joins <= 5, f"too many equi-joins in round plan ({n_joins})"
     # column pruning: no orders scan reads beyond the 3 used columns
     # (Catalyst prunes harder still — node-side scans drop o_totalprice)
     scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
