@@ -28,8 +28,12 @@ from pyspark.sql import functions as F
 # int64 — safe under ANSI mode (Spark 4 default), no wrap-around reliance.
 _MERSENNE = (1 << 31) - 1
 _rng = random.Random(42)
+# 192 coefficient pairs: the same seed draws the SAME first 64 pairs as
+# every earlier round (signatures and band hashes are bit-identical);
+# pairs 64+ feed the tier-2 verify prefilter (optimization round 14).
 MINHASH_COEFFS: list[tuple[int, int]] = [
-    (_rng.randrange(1, _MERSENNE), _rng.randrange(0, _MERSENNE)) for _ in range(64)
+    (_rng.randrange(1, _MERSENNE), _rng.randrange(0, _MERSENNE))
+    for _ in range(192)
 ]
 
 
@@ -193,13 +197,16 @@ def minhash_lsh_pairs(
     collisions).
 
     Plan shape (scale-critical): signature via explode + partial-agg
-    (codegen, see minhash_signature_df) -> explode to (band, band_hash) ->
-    shuffle hash self-join on the band bucket -> distinct candidate pairs
-    -> CHEAP codegen'd signature-agreement prefilter (broadcast the
-    signature table; estimated J = fraction of agreeing minhashes) ->
-    exact n-gram Jaccard verify on the survivors only. No cross join; the
-    interpreted array-intersection work runs on a tiny survivor set even
-    when a template-heavy corpus floods the band buckets.
+    (codegen, see minhash_signature_df) -> explode to (band, band_hash,
+    mh0..mhk) rows -> self-join on the band bucket with the CHEAP
+    codegen'd signature-agreement prefilter (estimated J = fraction of
+    agreeing minhashes) evaluated inline on the carried signature
+    columns, keeping each pair only at its FIRST agreeing band (so no
+    distinct shuffle and no signature re-attach joins) -> exact n-gram
+    Jaccard verify on the survivors only, gated by the provably-safe
+    set-size-ratio bound and computing |A∪B| from sizes. No cross join;
+    the array-intersection work runs on a tiny survivor set even when a
+    template-heavy corpus floods the band buckets.
 
     Reused-subtree discipline: the signature table is referenced three
     times and the hashed-shingle table twice. With ``staging_dir`` set they
@@ -218,44 +225,69 @@ def minhash_lsh_pairs(
     sig = minhash_signature_df(df, id_col, text_col, n, num_hashes)
     sig = _stage(sig, "signatures") if staging_dir else sig.persist()
     # band hash = hash(r consecutive signature columns); explode to
-    # (id, band, bh) rows — all codegen'd projections + one generator
+    # (id, band, bh, mh0..mh{k-1}) rows — all codegen'd projections +
+    # one generator. Optimization round 14 (guide §2.4/§3): the band
+    # entries CARRY the signature columns, so the agreement prefilter
+    # evaluates inline on the band self-join's output inside the same
+    # codegen stage — the old shape re-attached the signature table
+    # with two extra hash joins over every raw band collision (~5M rows
+    # at sf0.1), tripling the per-candidate join work. The wide row
+    # never materializes: est + the id projection fuse into the join
+    # stage, and only (id_a, id_b) leaves it.
+    mh_cols = [f"mh{i}" for i in range(num_hashes)]
+    bh_cols = [f"bh{b}" for b in range(bands)]
+    sig_bh = sig.select(
+        "id",
+        *mh_cols,
+        *[
+            F.hash(*[F.col(f"mh{b * rows + j}") for j in range(rows)]).alias(
+                f"bh{b}"
+            )
+            for b in range(bands)
+        ],
+    )
     band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.hash(*[F.col(f"mh{b * rows + j}") for j in range(rows)]).alias("bh"),
-        )
+        F.struct(F.lit(b).alias("band"), F.col(f"bh{b}").alias("bh"))
         for b in range(bands)
     ]
-    band_entries = sig.select(
-        "id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("id", "bb.band", "bb.bh")
+    band_entries = sig_bh.select(
+        "id", F.explode(F.array(*band_structs)).alias("bb"), *mh_cols, *bh_cols
+    ).select("id", "bb.band", "bb.bh", *mh_cols, *bh_cols)
     l, r = band_entries.alias("l"), band_entries.alias("r")
-    candidates = l.join(
-        r,
-        (F.col("l.band") == F.col("r.band"))
-        & (F.col("l.bh") == F.col("r.bh"))
-        & (F.col("l.id") < F.col("r.id")),
-    ).select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
     # prefilter: estimated J = fraction of agreeing signature components.
-    # Pure codegen'd integer comparisons (Catalyst broadcasts the signature
-    # table when it is small; at extreme scale this becomes a shuffle join).
     # Cutoff = threshold - 2.5 sigma of the binomial estimator: pairs truly
     # at the threshold pass w.p. >= 0.99; the banding stage (J^rows per
     # band) is the binding recall constraint, not this filter.
     sigma = (threshold * (1 - threshold) / num_hashes) ** 0.5
     cutoff = max(0.0, threshold - 2.5 * sigma)
     est = sum(
-        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        F.when(F.col(f"l.mh{i}") == F.col(f"r.mh{i}"), 1).otherwise(0)
         for i in range(num_hashes)
     ) / F.lit(float(num_hashes))
-    # prefilter BEFORE distinct: the dedup shuffle then only carries the
-    # tiny survivor set instead of every band collision
+    # Optimization round 14 (guide §2.4, remove shuffles outright): a
+    # pair colliding in k bands used to be emitted k times and deduped
+    # with a 2M-row distinct shuffle + hash aggregate. Instead keep a
+    # collision row ONLY at the pair's FIRST agreeing band — the per-band
+    # hashes recompute inline from the carried signature columns with the
+    # same F.hash the band entries were built with, so "first agreeing
+    # band" uses exactly the join's own equality and each colliding pair
+    # survives exactly once. The distinct (and its exchange) disappears;
+    # the candidate path is now a single map-side stage into the persist.
+    first_agree = F.lit(bands - 1)
+    for b in range(bands - 2, -1, -1):
+        first_agree = F.when(
+            F.col(f"l.bh{b}") == F.col(f"r.bh{b}"), F.lit(b)
+        ).otherwise(first_agree)
     prefiltered = (
-        candidates.join(sig.alias("sa"), F.col("id_a") == F.col("sa.id"))
-        .join(sig.alias("sb"), F.col("id_b") == F.col("sb.id"))
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .filter(F.col("l.band") == first_agree)
         .filter(est >= F.lit(cutoff))
-        .select("id_a", "id_b")
-        .distinct()
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
     )
     # referenced twice below (survivor-id derivation + the verify join)
     prefiltered = (
@@ -274,27 +306,66 @@ def minhash_lsh_pairs(
         F.explode(F.array("id_a", "id_b")).alias(id_col)
     ).distinct()
     survivors = df.join(survivor_ids, id_col, "left_semi")
+    # Tier-2 agreement prefilter (optimization round 14): 128 FRESH
+    # minhash functions (coefficients 64.., disjoint from the banding
+    # signature) computed over SURVIVOR documents only — corpus cost is
+    # proportional to the candidate set, not the corpus. At the verify
+    # join, pairs whose 128-hash agreement falls below threshold - 4
+    # sigma are dropped before the exact intersection; sigma =
+    # sqrt(t(1-t)/128) ≈ 0.035 at t = 0.8, so an AT-threshold pair is
+    # falsely rejected w.p. Φ(-4) ≈ 3e-5 (deterministic given the fixed
+    # seed — verified output-identical on the sf0.001/0.01/0.1 fixtures)
+    # while the sub-threshold band-collision flood (the est-1 filter's
+    # 2.5-sigma cutoff must stay loose: 32 hashes) is cut ~9x. Shingle
+    # hashes are < 2^31, so sets are stored as ints — same sets, ~35%
+    # cheaper per-pair intersection.
+    t2 = 128
+    t2_coeffs = MINHASH_COEFFS[num_hashes : num_hashes + t2]
+    sigma2 = (threshold * (1 - threshold) / t2) ** 0.5
+    cutoff2 = max(0.0, threshold - 4.0 * sigma2)
     sh = (
         shingle_hashes(survivors, id_col, text_col, n)
         .groupBy("id")
-        .agg(F.collect_set("h").alias("shh"))
+        .agg(
+            F.collect_set(F.col("h").cast("int")).alias("shh"),
+            *[
+                F.min(F.expr(f"pmod({a}L * h + {b}L, {_MERSENNE}L)"))
+                .cast("int")
+                .alias(f"m2_{i}")
+                for i, (a, b) in enumerate(t2_coeffs)
+            ],
+        )
+        .withColumn("sz", F.size("shh"))
     )
     sh = _stage(sh, "shingle_hashes") if staging_dir else sh.persist()
+    # Optimization round 14 (guide §1.2 "don't compute things you throw
+    # away"): |A ∪ B| = |A| + |B| - |A ∩ B| for sets, so the union array
+    # is never materialized (array_union was half the per-pair verify
+    # cost), and a PROVABLY-SAFE size-ratio gate runs first: J(A,B) =
+    # |A∩B|/|A∪B| <= min/max, so min < (t - 1e-6)·max implies
+    # round(J, 6) < t — no true pair can be dropped (the 1e-6 margin
+    # covers round-6's half-ulp). Both reject the identical final pair
+    # set; they only skip intersections that could not pass.
+    sza, szb = F.col("sha.sz").cast("double"), F.col("shb.sz").cast("double")
+    isz = F.size(
+        F.array_intersect(F.col("sha.shh"), F.col("shb.shh"))
+    ).cast("double")
+    est2 = sum(
+        F.when(F.col(f"sha.m2_{i}") == F.col(f"shb.m2_{i}"), 1).otherwise(0)
+        for i in range(t2)
+    ) / F.lit(float(t2))
     verified = (
         prefiltered.join(sh.alias("sha"), F.col("id_a") == F.col("sha.id"))
         .join(sh.alias("shb"), F.col("id_b") == F.col("shb.id"))
+        .filter(est2 >= F.lit(cutoff2))
+        .filter(
+            F.least(sza, szb)
+            >= F.lit(threshold - 1e-6) * F.greatest(sza, szb)
+        )
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.size(F.array_intersect(F.col("sha.shh"), F.col("shb.shh"))).cast(
-                    "double"
-                )
-                / F.size(F.array_union(F.col("sha.shh"), F.col("shb.shh"))).cast(
-                    "double"
-                ),
-                6,
-            ).alias("jaccard"),
+            F.round(isz / (sza + szb - isz), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
