@@ -18,6 +18,7 @@ Catalyst/AQE carry the scaling story:
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import DataFrame
@@ -260,10 +261,13 @@ def minhash_lsh_pairs(
     # band) is the binding recall constraint, not this filter.
     sigma = (threshold * (1 - threshold) / num_hashes) ** 0.5
     cutoff = max(0.0, threshold - 2.5 * sigma)
-    est = sum(
-        F.when(F.col(f"l.mh{i}") == F.col(f"r.mh{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
-    ) / F.lit(float(num_hashes))
+    # integer form of the same est >= cutoff decision (k/num_hashes is
+    # exact, so k >= ceil(num_hashes * cutoff) is the identical set);
+    # single parsed string — see the tier-2 comment on driver overhead
+    min_agree1 = math.ceil(cutoff * num_hashes - 1e-9)
+    est_sum = " + ".join(
+        f"IF(l.mh{i} = r.mh{i}, 1, 0)" for i in range(num_hashes)
+    )
     # Optimization round 14 (guide §2.4, remove shuffles outright): a
     # pair colliding in k bands used to be emitted k times and deduped
     # with a 2M-row distinct shuffle + hash aggregate. Instead keep a
@@ -273,11 +277,15 @@ def minhash_lsh_pairs(
     # band" uses exactly the join's own equality and each colliding pair
     # survives exactly once. The distinct (and its exchange) disappears;
     # the candidate path is now a single map-side stage into the persist.
-    first_agree = F.lit(bands - 1)
-    for b in range(bands - 2, -1, -1):
-        first_agree = F.when(
-            F.col(f"l.bh{b}") == F.col(f"r.bh{b}"), F.lit(b)
-        ).otherwise(first_agree)
+    first_agree = "CASE " + " ".join(
+        f"WHEN l.bh{b} = r.bh{b} THEN {b}" for b in range(bands - 1)
+    ) + f" ELSE {bands - 1} END"
+    # the trailing repartition replaces the distinct's exchange as the
+    # LOAD BALANCER: hot band buckets concentrate surviving pairs in a
+    # few map tasks, and without redistribution the verify stage (which
+    # reads this frame's persisted layout) inherits that skew (guide
+    # §2.5) — a 20 MB hash shuffle of bare id pairs, no dedup aggregate
+    npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     prefiltered = (
         l.join(
             r,
@@ -285,9 +293,10 @@ def minhash_lsh_pairs(
             & (F.col("l.bh") == F.col("r.bh"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .filter(F.col("l.band") == first_agree)
-        .filter(est >= F.lit(cutoff))
+        .filter(F.expr(f"l.band = ({first_agree})"))
+        .filter(F.expr(f"({est_sum}) >= {min_agree1}"))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .repartition(npart, "id_a", "id_b")
     )
     # referenced twice below (survivor-id derivation + the verify join)
     prefiltered = (
@@ -323,17 +332,21 @@ def minhash_lsh_pairs(
     t2_coeffs = MINHASH_COEFFS[num_hashes : num_hashes + t2]
     sigma2 = (threshold * (1 - threshold) / t2) ** 0.5
     cutoff2 = max(0.0, threshold - 4.0 * sigma2)
+    # the 128 min-aggregates live inside ONE struct expression parsed
+    # from a single string — building them as individual Column objects
+    # cost ~1s of py4j round trips and attribute-heavy analysis per
+    # query (driver overhead measured at sf0.001, where it is the whole
+    # entry)
+    min_fields = ", ".join(
+        f"cast(min(pmod({a}L * h + {b}L, {_MERSENNE}L)) as int) as m{i}"
+        for i, (a, b) in enumerate(t2_coeffs)
+    )
     sh = (
         shingle_hashes(survivors, id_col, text_col, n)
         .groupBy("id")
         .agg(
             F.collect_set(F.col("h").cast("int")).alias("shh"),
-            *[
-                F.min(F.expr(f"pmod({a}L * h + {b}L, {_MERSENNE}L)"))
-                .cast("int")
-                .alias(f"m2_{i}")
-                for i, (a, b) in enumerate(t2_coeffs)
-            ],
+            F.expr(f"struct({min_fields})").alias("m2"),
         )
         .withColumn("sz", F.size("shh"))
     )
@@ -350,14 +363,15 @@ def minhash_lsh_pairs(
     isz = F.size(
         F.array_intersect(F.col("sha.shh"), F.col("shb.shh"))
     ).cast("double")
-    est2 = sum(
-        F.when(F.col(f"sha.m2_{i}") == F.col(f"shb.m2_{i}"), 1).otherwise(0)
-        for i in range(t2)
-    ) / F.lit(float(t2))
+    # integer form of est2/t2 >= cutoff2 (one parsed expression)
+    min_agree = math.ceil(cutoff2 * t2 - 1e-9)
+    est2_sum = " + ".join(
+        f"IF(sha.m2.m{i} = shb.m2.m{i}, 1, 0)" for i in range(t2)
+    )
     verified = (
         prefiltered.join(sh.alias("sha"), F.col("id_a") == F.col("sha.id"))
         .join(sh.alias("shb"), F.col("id_b") == F.col("shb.id"))
-        .filter(est2 >= F.lit(cutoff2))
+        .filter(F.expr(f"({est2_sum}) >= {min_agree}"))
         .filter(
             F.least(sza, szb)
             >= F.lit(threshold - 1e-6) * F.greatest(sza, szb)
