@@ -727,19 +727,20 @@ def pagerank(
         .where(F.col("outw") > 0)
     )
     # state = (node, outw, rank); outw is static across rounds, so the
-    # join attaching it happens ONCE here instead of once per round
+    # join attaching it happens ONCE here instead of once per round.
+    # The node count rides the job that materializes the lazy
+    # checkpoint, and the rank init stays a lazy projection over the
+    # checkpointed RDD — two fewer barriers in the setup.
     state = (
         nodes.join(outw, nodes.node == outw.src, "left")
         .select("node", "outw")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n = state.count()
     if n == 0:
         e.unpersist()
         return state.select("node").withColumn("rank", F.lit(0.0))
-    state = state.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
-        eager=True
-    )
+    state = state.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
         state = _pagerank_round(e, state, n, damping).localCheckpoint(
             eager=True
@@ -771,8 +772,14 @@ def _pagerank_round(
         state.filter(F.col("outw").isNull())
         .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
     )
+    # SHUFFLE_HASH hints (guide §3.1, strategy picked deliberately):
+    # without them AQE re-broadcasts the cached edge table (or the
+    # contribs frame) every round — a per-round driver collect + build.
+    # Shuffled-hash keeps both joins partition-local builds of the
+    # smaller side; the edge cache is already hash(src)-partitioned, and
+    # neither side of these joins is broadcastable at cluster scale.
     contribs = (
-        e.join(state, e.src == state.node)
+        e.join(state.hint("shuffle_hash"), e.src == state.node)
         .where(F.col("outw").isNotNull())
         .select(
             F.col("dst").alias("node"),
@@ -783,7 +790,7 @@ def _pagerank_round(
     )
     return (
         state.select("node", "outw")
-        .join(contribs, "node", "left")
+        .join(contribs.hint("shuffle_hash"), "node", "left")
         .crossJoin(F.broadcast(dang))
         .select(
             "node",
