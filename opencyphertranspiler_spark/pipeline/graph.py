@@ -865,9 +865,10 @@ def weighted_shortest_paths(
                 cand.join(dist, "node", "left")
                 .where(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
                 .select("node", F.col("cand").alias("dist"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            if improved.isEmpty():
+            # emptiness rides the materializing job (optimization r14)
+            if improved.count() == 0:
                 break
             dist = (
                 dist.unionByName(improved)
@@ -930,14 +931,24 @@ def label_propagation(
                     F.col("lab"), F.struct((-F.col("cnt")).alias("c"), F.col("lab"))
                 ).alias("community")
             )
-            changed = (
+            # fold the changed-check into the update (optimization r14):
+            # join the OLD labels once, carry a changed flag, and let the
+            # count ride the checkpoint's materializing job — the old
+            # shape ran a second comparison join plus an isEmpty job
+            upd = (
                 new.alias("x")
-                .join(labels.alias("y"), "node")
-                .where(F.col("x.community") != F.col("y.community"))
-                .isEmpty()
+                .join(labels.alias("y").select("node",
+                      F.col("community").alias("__old")), "node")
+                .select(
+                    "node",
+                    F.col("community"),
+                    (F.col("community") != F.col("__old")).alias("__chg"),
+                )
+                .localCheckpoint(eager=False)
             )
-            labels = new.localCheckpoint(eager=True)
-            if changed:
+            n_changed = upd.filter(F.col("__chg")).count()
+            labels = upd.select("node", "community")
+            if n_changed == 0:
                 break
         und.unpersist()
         return labels
