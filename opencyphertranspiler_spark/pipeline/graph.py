@@ -407,8 +407,12 @@ def connected_components_star(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    # count() materializes the lazy checkpoint in the same job; the count
+    # is carried across rounds so convergence never re-counts the
+    # previous edge set
+    cur_count = cur.count()
     rounds = 0
     for _ in range(max_iters):
         rounds += 1
@@ -439,13 +443,16 @@ def connected_components_star(
             .unionByName(joined.select("u", F.col("mn").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        same_count = small.count() == cur.count()
-        if same_count and small.join(cur, ["u", "v"], "left_anti").isEmpty():
+        small_count = small.count()
+        if small_count == cur_count and small.join(
+            cur, ["u", "v"], "left_anti"
+        ).isEmpty():
             cur = small
             break
         cur = small
+        cur_count = small_count
     else:
         raise RuntimeError(
             f"connected_components_star did not converge within {max_iters} rounds"
@@ -1317,12 +1324,20 @@ def betweenness_approx(
                 .join(settled.select("root", "node"), ["root", "node"], "left_anti")
                 .withColumn("dist", F.lit(k))
                 .select("root", "node", "dist", "sigma")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            if nxt.isEmpty():
+            # count() materializes the checkpoint AND answers the
+            # emptiness check in one job (was: eager checkpoint + isEmpty)
+            if nxt.count() == 0:
                 depth = k - 1
                 break
-            settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+            # settled is a LAZY union of checkpointed frontiers — the old
+            # loop re-checkpointed the whole accumulated set every round.
+            # Periodic compaction bounds plan depth on deep graphs; the
+            # compacted frame materializes inside the next round's count.
+            settled = settled.unionByName(nxt)
+            if k % 8 == 0:
+                settled = settled.localCheckpoint(eager=False)
             frontier = nxt
         else:
             e.unpersist()
@@ -1513,7 +1528,7 @@ def random_walks(
                     .agg(F.min_by(F.col("dst"), h).alias("node"))
                     .withColumn("step", F.lit(step))
                     .select("walk_id", "node", "step")
-                    .localCheckpoint(eager=True)
+                    .localCheckpoint(eager=False)
                 )
             else:
                 cand = frontier.join(e, frontier["node"] == e["src"]).select(
@@ -1542,9 +1557,10 @@ def random_walks(
                     )
                     .withColumn("step", F.lit(step))
                     .select("walk_id", "node", "step", "prev")
-                    .localCheckpoint(eager=True)
+                    .localCheckpoint(eager=False)
                 )
-            if nxt.isEmpty():
+            # one job: materializes the checkpoint and checks emptiness
+            if nxt.count() == 0:
                 break
             out = out.unionByName(nxt)
             frontier = nxt

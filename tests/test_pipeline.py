@@ -1436,6 +1436,25 @@ def test_betweenness_path_graph(spark):
     assert got == {2: 2.0, 3: 1.0, 4: 0.0}
 
 
+def test_betweenness_deep_path_crosses_compaction(spark):
+    # depth-12 BFS crosses the settled lazy-union's 8-round compaction
+    # boundary (r14 count-fusion/lazy-union rewrite of the forward pass);
+    # on a directed path 1->...->12 from source 1, node i carries the
+    # 12 - i source-target pairs that pass through it
+    from opencyphertranspiler_spark.pipeline.graph import betweenness_approx
+
+    n = 12
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "src long, dst long"
+    )
+    srcs = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_approx(e, srcs).collect()
+    }
+    assert got == {i: float(n - i) for i in range(2, n + 1)}
+
+
 def test_k_core_clique_plus_tail(spark):
     from opencyphertranspiler_spark.pipeline.graph import k_core
 
