@@ -63,6 +63,8 @@ def main() -> None:
     # steady-state per-query cost, matching BASELINE.md §3.
     warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
     timings: dict[str, float] = {}
+    metrics: dict[str, dict[str, int]] = {}
+    sc = spark.sparkContext
     for e in bench_entries:
         # per-entry isolation (round 11, after the r10 s03 flag): drop
         # the previous entry's engine-lifetime materializations —
@@ -72,7 +74,9 @@ def main() -> None:
         # query. Caches rebuild inside the timed run where the entry
         # itself owns them, which is what BASELINE.md's bands measure.
         clear_engine_caches(spark)
+        sc.setJobGroup(f"warm:{e.name}", f"warm-up {e.name}")
         run_entry(e, spark, warm_dir, bench=True).count()  # warm-up, not timed
+        sc.setJobGroup(e.name, e.name)
         best = None
         for _ in range(2):  # min-of-2: the box is noisy (2-3x run-to-run)
             t0 = time.perf_counter()
@@ -81,6 +85,17 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[e.name] = round(best, 3)
+        # DETERMINISTIC per-entry metrics (optimization round 15,
+        # additions-only): Spark job count and shuffle bytes of the two
+        # timed reps, read from the AppStatusStore right after the entry
+        # runs (before the store's retention limits can evict its
+        # stages). Wall-clock on this box drifts 2-3x run-to-run; these
+        # numbers don't, so round-over-round comparisons stay possible
+        # under load. Collection must never fail the bench.
+        try:
+            metrics[e.name] = _entry_metrics(spark, e.name)
+        except Exception:
+            pass
 
     total = round(sum(timings.values()), 3)
     print(
@@ -96,10 +111,48 @@ def main() -> None:
                     "aqe": True,
                     "shuffle_partitions": int(cpus),
                 },
+                "metrics": metrics,
             }
         )
     )
     spark.stop()
+
+
+def _entry_metrics(spark, group: str) -> dict[str, int]:
+    """Jobs + shuffle read/write bytes attributed to one job group.
+
+    Read from the driver's AppStatusStore (the store behind the UI/REST
+    API — available with the UI disabled) via the status tracker and a
+    stage-id -> bytes map. Unlike wall-clock these are deterministic for
+    a fixed plan, so they let a regression be told apart from box noise."""
+    sc = spark.sparkContext
+    job_ids = set(sc.statusTracker().getJobIdsForGroup(group))
+    store = sc._jsc.sc().statusStore()
+    empty = sc._jvm.java.util.ArrayList()
+    stages = store.stageList(
+        empty,
+        *[getattr(store, f"stageList$default${i}")() for i in range(2, 6)],
+    )
+    stage_bytes = {}
+    for i in range(stages.size()):
+        s = stages.apply(i)
+        stage_bytes[s.stageId()] = (s.shuffleReadBytes(), s.shuffleWriteBytes())
+    jobs = store.jobsList(None)
+    read = write = 0
+    for i in range(jobs.size()):
+        j = jobs.apply(i)
+        if j.jobId() not in job_ids:
+            continue
+        for sid_s in j.stageIds().mkString(",").split(","):
+            if sid_s:
+                rb, wb = stage_bytes.get(int(sid_s), (0, 0))
+                read += rb
+                write += wb
+    return {
+        "jobs": len(job_ids),
+        "shuffle_read_bytes": int(read),
+        "shuffle_write_bytes": int(write),
+    }
 
 
 if __name__ == "__main__":
