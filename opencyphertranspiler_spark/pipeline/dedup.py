@@ -31,7 +31,8 @@ _MERSENNE = (1 << 31) - 1
 _rng = random.Random(42)
 # 192 coefficient pairs: the same seed draws the SAME first 64 pairs as
 # every earlier round (signatures and band hashes are bit-identical);
-# pairs 64+ feed the tier-2 verify prefilter (optimization round 14).
+# the pool is larger than any default so callers can ask for longer
+# signatures without changing the existing ones.
 MINHASH_COEFFS: list[tuple[int, int]] = [
     (_rng.randrange(1, _MERSENNE), _rng.randrange(0, _MERSENNE))
     for _ in range(192)
@@ -199,21 +200,30 @@ def minhash_lsh_pairs(
 
     Plan shape (scale-critical): signature via explode + partial-agg
     (codegen, see minhash_signature_df) -> explode to (band, band_hash,
-    mh0..mhk) rows -> self-join on the band bucket with the CHEAP
-    codegen'd signature-agreement prefilter (estimated J = fraction of
-    agreeing minhashes) evaluated inline on the carried signature
-    columns, keeping each pair only at its FIRST agreeing band (so no
-    distinct shuffle and no signature re-attach joins) -> exact n-gram
-    Jaccard verify on the survivors only, gated by the provably-safe
-    set-size-ratio bound and computing |A∪B| from sizes. No cross join;
-    the array-intersection work runs on a tiny survivor set even when a
-    template-heavy corpus floods the band buckets.
+    packed signature) rows -> self-join on the band bucket with the
+    CHEAP codegen'd signature-agreement prefilter (estimated J =
+    fraction of agreeing minhashes) evaluated inline on the carried
+    signature columns, keeping each pair only at its FIRST agreeing band
+    (so no distinct shuffle and no signature re-attach joins) -> exact
+    n-gram Jaccard verify on the survivors only, gated by the
+    provably-safe set-size-ratio bound and computing |A∪B| from sizes.
+    The carried signature is PACKED two 31-bit minhashes per long
+    (optimization round 15, guide §2.3 "shuffle fewer bytes"): UnsafeRow
+    spends an 8-byte slot per field regardless of type, so halving the
+    column count halves the band self-join's shuffled row width; the
+    agreement comparison unpacks with shiftright/mask inline — the same
+    per-hash equality decisions, bit for bit. No cross join; the
+    array-intersection work runs only on pairs whose estimated J clears
+    the prefilter even when a template-heavy corpus floods the band
+    buckets.
 
-    Reused-subtree discipline: the signature table is referenced three
-    times and the hashed-shingle table twice. With ``staging_dir`` set they
-    are written to parquet and read back (the 100 TB pattern — no executor
+    Reused-subtree discipline: the packed signature table feeds both
+    sides of the band self-join, the prefiltered pair table is read
+    twice (survivor-id derivation + the verify join) and the
+    hashed-shingle table twice. With ``staging_dir`` set they are
+    written to parquet and read back (the 100 TB pattern — no executor
     cache at all); otherwise they are persisted for the duration of the
-    call, the (tiny) verified result is materialized eagerly, and both
+    call, the (tiny) verified result is materialized eagerly, and the
     input caches are released before returning — no corpus-sized blocks
     outlive the operator."""
 
@@ -224,10 +234,9 @@ def minhash_lsh_pairs(
 
     rows = num_hashes // bands
     sig = minhash_signature_df(df, id_col, text_col, n, num_hashes)
-    sig = _stage(sig, "signatures") if staging_dir else sig.persist()
     # band hash = hash(r consecutive signature columns); explode to
-    # (id, band, bh, mh0..mh{k-1}) rows — all codegen'd projections +
-    # one generator. Optimization round 14 (guide §2.4/§3): the band
+    # (id, band, bh, pk0..) rows — all codegen'd projections + one
+    # generator. Optimization round 14 (guide §2.4/§3): the band
     # entries CARRY the signature columns, so the agreement prefilter
     # evaluates inline on the band self-join's output inside the same
     # codegen stage — the old shape re-attached the signature table
@@ -235,25 +244,43 @@ def minhash_lsh_pairs(
     # at sf0.1), tripling the per-candidate join work. The wide row
     # never materializes: est + the id projection fuse into the join
     # stage, and only (id_a, id_b) leaves it.
-    mh_cols = [f"mh{i}" for i in range(num_hashes)]
+    #
+    # Optimization round 15 (guide §2.3): the carried signature is
+    # PACKED two 31-bit minhashes per long — pk{j} = (mh{2j} << 31) |
+    # mh{2j+1}; both halves are < 2^31 so the pack is exact and
+    # non-negative. The band self-join's input row drops from
+    # (num_hashes + bands + 3) to (num_hashes/2 + bands + 3) UnsafeRow
+    # slots (8 bytes each), roughly halving the bytes both band-join
+    # exchanges shuffle. Band hashes are computed from the UNPACKED mh
+    # columns first, so their values (and the candidate set they
+    # define) are bit-identical to every earlier round.
+    npk = (num_hashes + 1) // 2
+    pack_exprs = [
+        F.expr(
+            f"shiftleft(mh{2 * j}, 31) + mh{2 * j + 1}"
+            if 2 * j + 1 < num_hashes
+            else f"shiftleft(mh{2 * j}, 31)"
+        ).alias(f"pk{j}")
+        for j in range(npk)
+    ]
+    bh_exprs = [
+        F.hash(*[F.col(f"mh{b * rows + j}") for j in range(rows)]).alias(f"bh{b}")
+        for b in range(bands)
+    ]
+    pk_cols = [f"pk{j}" for j in range(npk)]
     bh_cols = [f"bh{b}" for b in range(bands)]
-    sig_bh = sig.select(
-        "id",
-        *mh_cols,
-        *[
-            F.hash(*[F.col(f"mh{b * rows + j}") for j in range(rows)]).alias(
-                f"bh{b}"
-            )
-            for b in range(bands)
-        ],
-    )
+    # the persisted/staged reused subtree is the packed+hashed form: the
+    # cache itself is ~40% narrower than the raw signature table, and
+    # both band-join sides read it without recomputing the pack
+    sig_bh = sig.select("id", *pack_exprs, *bh_exprs)
+    sig_bh = _stage(sig_bh, "signatures") if staging_dir else sig_bh.persist()
     band_structs = [
         F.struct(F.lit(b).alias("band"), F.col(f"bh{b}").alias("bh"))
         for b in range(bands)
     ]
     band_entries = sig_bh.select(
-        "id", F.explode(F.array(*band_structs)).alias("bb"), *mh_cols, *bh_cols
-    ).select("id", "bb.band", "bb.bh", *mh_cols, *bh_cols)
+        "id", F.explode(F.array(*band_structs)).alias("bb"), *pk_cols, *bh_cols
+    ).select("id", "bb.band", "bb.bh", *pk_cols, *bh_cols)
     l, r = band_entries.alias("l"), band_entries.alias("r")
     # prefilter: estimated J = fraction of agreeing signature components.
     # Cutoff = threshold - 2.5 sigma of the binomial estimator: pairs truly
@@ -263,10 +290,22 @@ def minhash_lsh_pairs(
     cutoff = max(0.0, threshold - 2.5 * sigma)
     # integer form of the same est >= cutoff decision (k/num_hashes is
     # exact, so k >= ceil(num_hashes * cutoff) is the identical set);
-    # single parsed string — see the tier-2 comment on driver overhead
+    # single parsed string (building ~100 Column objects costs ~1s of
+    # py4j round trips per query — measured in round 14). Each per-hash
+    # equality unpacks its half of the packed long inline: hash 2j is
+    # shiftright(pk{j}, 31), hash 2j+1 is pk{j} & (2^31 - 1) — the
+    # identical comparisons the unpacked columns made.
     min_agree1 = math.ceil(cutoff * num_hashes - 1e-9)
+
+    def _mh_slot(side: str, i: int) -> str:
+        j, odd = divmod(i, 2)
+        if odd:
+            return f"({side}.pk{j} & {_MERSENNE}L)"
+        return f"shiftright({side}.pk{j}, 31)"
+
     est_sum = " + ".join(
-        f"IF(l.mh{i} = r.mh{i}, 1, 0)" for i in range(num_hashes)
+        f"IF({_mh_slot('l', i)} = {_mh_slot('r', i)}, 1, 0)"
+        for i in range(num_hashes)
     )
     # Optimization round 14 (guide §2.4, remove shuffles outright): a
     # pair colliding in k bands used to be emitted k times and deduped
@@ -284,8 +323,13 @@ def minhash_lsh_pairs(
     # LOAD BALANCER: hot band buckets concentrate surviving pairs in a
     # few map tasks, and without redistribution the verify stage (which
     # reads this frame's persisted layout) inherits that skew (guide
-    # §2.5) — a 20 MB hash shuffle of bare id pairs, no dedup aggregate
-    npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # §2.5) — a 20 MB hash shuffle of bare id pairs, no dedup aggregate.
+    # The conf can be non-numeric on some platforms ("auto"): fall back
+    # to the cluster's default parallelism.
+    try:
+        npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        npart = df.sparkSession.sparkContext.defaultParallelism
     prefiltered = (
         l.join(
             r,
@@ -315,39 +359,18 @@ def minhash_lsh_pairs(
         F.explode(F.array("id_a", "id_b")).alias(id_col)
     ).distinct()
     survivors = df.join(survivor_ids, id_col, "left_semi")
-    # Tier-2 agreement prefilter (optimization round 14): 128 FRESH
-    # minhash functions (coefficients 64.., disjoint from the banding
-    # signature) computed over SURVIVOR documents only — corpus cost is
-    # proportional to the candidate set, not the corpus. At the verify
-    # join, pairs whose 128-hash agreement falls below threshold - 4
-    # sigma are dropped before the exact intersection; sigma =
-    # sqrt(t(1-t)/128) ≈ 0.035 at t = 0.8, so an AT-threshold pair is
-    # falsely rejected w.p. Φ(-4) ≈ 3e-5 (deterministic given the fixed
-    # seed — verified output-identical on the sf0.001/0.01/0.1 fixtures)
-    # while the sub-threshold band-collision flood (the est-1 filter's
-    # 2.5-sigma cutoff must stay loose: 32 hashes) is cut ~9x. Shingle
-    # hashes are < 2^31, so sets are stored as ints — same sets, ~35%
-    # cheaper per-pair intersection.
-    t2 = 128
-    t2_coeffs = MINHASH_COEFFS[num_hashes : num_hashes + t2]
-    sigma2 = (threshold * (1 - threshold) / t2) ** 0.5
-    cutoff2 = max(0.0, threshold - 4.0 * sigma2)
-    # the 128 min-aggregates live inside ONE struct expression parsed
-    # from a single string — building them as individual Column objects
-    # cost ~1s of py4j round trips and attribute-heavy analysis per
-    # query (driver overhead measured at sf0.001, where it is the whole
-    # entry)
-    min_fields = ", ".join(
-        f"cast(min(pmod({a}L * h + {b}L, {_MERSENNE}L)) as int) as m{i}"
-        for i, (a, b) in enumerate(t2_coeffs)
-    )
+    # Shingle hashes are < 2^31, so sets are stored as ints — same sets,
+    # ~35% cheaper per-pair intersection. (Round 14's tier-2 128-hash
+    # verify prefilter was REMOVED in optimization round 15: unlike the
+    # size-ratio gate below it had no proof that a true pair could never
+    # be dropped — only a Φ(-4) ≈ 3e-5 bound — and it both regressed the
+    # measured wall clock at this scale factor and widened the plan. The
+    # exact verify now runs on every band-collision survivor, keeping
+    # the declared candidates → exact-verify semantics exactly.)
     sh = (
         shingle_hashes(survivors, id_col, text_col, n)
         .groupBy("id")
-        .agg(
-            F.collect_set(F.col("h").cast("int")).alias("shh"),
-            F.expr(f"struct({min_fields})").alias("m2"),
-        )
+        .agg(F.collect_set(F.col("h").cast("int")).alias("shh"))
         .withColumn("sz", F.size("shh"))
     )
     sh = _stage(sh, "shingle_hashes") if staging_dir else sh.persist()
@@ -363,15 +386,9 @@ def minhash_lsh_pairs(
     isz = F.size(
         F.array_intersect(F.col("sha.shh"), F.col("shb.shh"))
     ).cast("double")
-    # integer form of est2/t2 >= cutoff2 (one parsed expression)
-    min_agree = math.ceil(cutoff2 * t2 - 1e-9)
-    est2_sum = " + ".join(
-        f"IF(sha.m2.m{i} = shb.m2.m{i}, 1, 0)" for i in range(t2)
-    )
     verified = (
         prefiltered.join(sh.alias("sha"), F.col("id_a") == F.col("sha.id"))
         .join(sh.alias("shb"), F.col("id_b") == F.col("shb.id"))
-        .filter(F.expr(f"({est2_sum}) >= {min_agree}"))
         .filter(
             F.least(sza, szb)
             >= F.lit(threshold - 1e-6) * F.greatest(sza, szb)
@@ -387,7 +404,7 @@ def minhash_lsh_pairs(
         # materialize the (tiny) result once, then release the
         # corpus-sized input caches before handing the frame back
         verified = verified.localCheckpoint(eager=True)
-        sig.unpersist()
+        sig_bh.unpersist()
         sh.unpersist()
         prefiltered.unpersist()
     return verified
