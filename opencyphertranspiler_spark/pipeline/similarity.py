@@ -344,9 +344,25 @@ def cosine_lsh_topk(
     per_table = [
         _hyperplanes(dim, n_planes, seed=42 + 1000 * t) for t in range(n_tables)
     ]
+    # Optimization round 15 (guide §1.2 driver/planning cost, same move
+    # as cosine_near_dup_pairs): each table's bucket id is computed ONCE
+    # as a plain column and the explode/probe structs reference the
+    # column. The old shape embedded a full _bucket_expr tree (n_planes
+    # x dim literal terms) in every struct — 7 copies per table on the
+    # multiprobe query side — so Catalyst analyzed ~7x more expression
+    # nodes than the query needs. Bucket values (and the candidate set)
+    # are bit-identical.
     c_buckets = corpus.select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv")
     ).withColumn("cn", _norm("cv")).select(
+        "match_id",
+        "cv",
+        "cn",
+        *[
+            _bucket_expr("cv", per_table[t]).alias(f"bk{t}")
+            for t in range(n_tables)
+        ],
+    ).select(
         "match_id",
         "cv",
         "cn",
@@ -354,8 +370,7 @@ def cosine_lsh_topk(
             F.array(
                 *[
                     F.struct(
-                        F.lit(t).alias("tbl"),
-                        _bucket_expr("cv", per_table[t]).alias("bucket"),
+                        F.lit(t).alias("tbl"), F.col(f"bk{t}").alias("bucket")
                     )
                     for t in range(n_tables)
                 ]
@@ -364,10 +379,18 @@ def cosine_lsh_topk(
     ).select("match_id", "cv", "cn", "tb.tbl", "tb.bucket")
     q_base = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("qn", _norm("qv"))
+    ).withColumn("qn", _norm("qv")).select(
+        "query_id",
+        "qv",
+        "qn",
+        *[
+            _bucket_expr("qv", per_table[t]).alias(f"bk{t}")
+            for t in range(n_tables)
+        ],
+    )
     probe_structs = []
     for t in range(n_tables):
-        b0 = _bucket_expr("qv", per_table[t])
+        b0 = F.col(f"bk{t}")
         probe_structs.append(F.struct(F.lit(t).alias("tbl"), b0.alias("bucket")))
         if multiprobe:
             for bit in range(n_planes):
@@ -414,32 +437,59 @@ def cosine_near_dup_pairs(
     bits with overwhelming probability, so recall at high thresholds is
     excellent; tables multiply recall for borderline pairs (miss prob
     ~(1 - p_table)^L). Feed the pairs to
-    pipeline.graph.connected_components_star for duplicate clusters."""
+    pipeline.graph.connected_components_star for duplicate clusters.
+
+    Optimization round 15 (guide §2.4, the same move as
+    dedup.minhash_lsh_pairs' first-agreeing-band): a pair colliding in k
+    tables is kept only at its FIRST agreeing table — each row carries
+    all n_tables bucket ids (tiny longs, computed once per vector), so
+    the filter is pure codegen on the join output. This removes the
+    candidate ``distinct``, whose exchange + hash aggregate carried both
+    64-double vectors per candidate pair — the heaviest bytes in the
+    plan — and at 100 TB would re-shuffle the whole collision set."""
     per_table = [
         _hyperplanes(dim, n_planes, seed=97 + 1000 * t) for t in range(n_tables)
     ]
+    bk_cols = [f"bk{t}" for t in range(n_tables)]
     b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
         "nrm", _norm("v")  # folded once per vector, BEFORE bucket fan-out
     ).select(
         "id",
         "v",
         "nrm",
+        # bucket ids computed ONCE per (vector, table) as plain columns;
+        # the explode below only re-arranges them into (tbl, bucket) rows
+        *[
+            _bucket_expr("v", per_table[t]).alias(f"bk{t}")
+            for t in range(n_tables)
+        ],
+    ).select(
+        "id",
+        "v",
+        "nrm",
+        *bk_cols,
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(t).alias("tbl"),
-                        _bucket_expr("v", per_table[t]).alias("bucket"),
+                        F.lit(t).alias("tbl"), F.col(f"bk{t}").alias("bucket")
                     )
                     for t in range(n_tables)
                 ]
             )
         ).alias("tb"),
-    ).select("id", "v", "nrm", "tb.tbl", "tb.bucket")
+    ).select("id", "v", "nrm", *bk_cols, "tb.tbl", "tb.bucket")
+    # first agreeing table, decided from the carried bucket ids with the
+    # join's own equality — each colliding pair survives exactly once,
+    # replacing the distinct outright
+    first_tbl = "CASE " + " ".join(
+        f"WHEN l.bk{t} = r.bk{t} THEN {t}" for t in range(n_tables - 1)
+    ) + f" ELSE {n_tables - 1} END"
     cands = (
         b.alias("l")
         .join(b.alias("r"), ["tbl", "bucket"])
         .filter(F.col("l.id") < F.col("r.id"))
+        .filter(F.expr(f"tbl = ({first_tbl})"))
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
@@ -448,7 +498,6 @@ def cosine_near_dup_pairs(
             F.col("l.nrm").alias("na"),
             F.col("r.nrm").alias("nb"),
         )
-        .distinct()
     )
     return (
         cands.withColumn(
