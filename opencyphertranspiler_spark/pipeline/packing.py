@@ -36,11 +36,15 @@ def token_offsets(
     Plan shape: DETERMINISTIC explicit range buckets from approxQuantile
     bounds (one driver-bounded stats pass — the same "collect the model,
     never the data" discipline as the IVF centroids), one tiny per-bucket
-    aggregate (num_buckets rows through the driver), one broadcast join of
-    the bucket base offsets, then an INTRA-bucket window. No global
+    aggregate whose running total becomes each bucket's base offset via a
+    window over the num_buckets aggregate rows (single-task, but over
+    n_buckets rows, not data — optimization round 15 folded the old
+    collect + createDataFrame round trip into the lazy plan, so
+    approxQuantile is the ONLY driver action), one broadcast join of the
+    bucket base offsets, then an INTRA-bucket window. No global
     single-task sort anywhere — ``Window.orderBy`` without partitionBy
-    collapses Spark to one sort task and would not survive 100 TB; skew is
-    bounded by the quantile accuracy. Explicit bounds (rather than
+    collapses Spark to one DATA sort task and would not survive 100 TB;
+    skew is bounded by the quantile accuracy. Explicit bounds (rather than
     repartitionByRange + spark_partition_id) make the bucket assignment a
     pure function of the row, so re-evaluations of this lazy plan can never
     disagree about which bucket a row is in."""
@@ -59,17 +63,19 @@ def token_offsets(
     for i in range(len(bounds) - 1, -1, -1):
         bucket = F.when(F.col(order_col) <= F.lit(bounds[i]), i).otherwise(bucket)
     with_b = df.withColumn("__bkt", bucket)
-    totals = (
+    # each bucket's base offset = running sum of the PRECEDING buckets'
+    # totals; the orderBy window runs over num_buckets aggregate rows
+    # (one per bucket), never over the data
+    w_tot = (
+        Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off_df = (
         with_b.groupBy("__bkt")
         .agg(F.sum(F.col(n_col).cast("long")).alias("__tot"))
-        .collect()
-    )
-    base, offsets = 0, {}
-    for row in sorted(totals, key=lambda r: r["__bkt"]):
-        offsets[row["__bkt"]] = base
-        base += row["__tot"]
-    off_df = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], "__bkt int, __off long"
+        .select(
+            "__bkt",
+            F.coalesce(F.sum("__tot").over(w_tot), F.lit(0)).alias("__off"),
+        )
     )
     w = (
         Window.partitionBy("__bkt")
