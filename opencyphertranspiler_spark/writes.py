@@ -130,9 +130,29 @@ class WriteResult:
         return eng
 
     def counts(self) -> dict[str, int]:
-        """Materialize the write statistics (runs one count job per
-        counter — cheap on the small diff tables, but a real action)."""
-        return {k: int(v()) for k, v in self._counters.items()}
+        """Materialize the write statistics. Every counter leaf (a diff
+        DataFrame and a row multiplier) folds into ONE Spark action — a
+        union of per-frame global counts aggregated by counter key — so a
+        statement with many SET/MERGE clauses pays one job, not one
+        count job per counted frame."""
+        leaves = [
+            (k, df, n) for k, ls in self._counters.items() for df, n in ls
+        ]
+        if not leaves:
+            return {}
+        parts = [
+            df.groupBy()
+            .agg((F.count(F.lit(1)) * F.lit(int(n))).alias("__c"))
+            .select(F.lit(k).alias("__k"), "__c")
+            for k, df, n in leaves
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        out = {k: 0 for k, _, _ in leaves}
+        for r in u.groupBy("__k").agg(F.sum("__c").alias("__c")).collect():
+            out[r["__k"]] = int(r["__c"])
+        return out
 
     def save(self, directory: str, mode: str = "overwrite") -> "WriteResult":
         """Persist the write's DERIVED tables as parquet under
@@ -518,11 +538,9 @@ class WriteExecutor:
             props.append(EntityProperty(prop, dtype))
 
     def _count_into(self, key: str, df: DataFrame, n: int = 1):
-        prev = self._counters.get(key)
-        if prev is None:
-            self._counters[key] = lambda d=df, k=n: d.count() * k
-        else:
-            self._counters[key] = lambda p=prev, d=df, k=n: p() + d.count() * k
+        # counters are (frame, multiplier) leaves; WriteResult.counts()
+        # folds ALL of them into a single Spark action
+        self._counters.setdefault(key, []).append((df, n))
 
     # -- main --------------------------------------------------------------
     def run(self) -> WriteResult:
@@ -2210,10 +2228,7 @@ def _run_write_segments(
 
     def merge_counters(counters: dict[str, object]) -> None:
         for k, v in counters.items():
-            prev = merged_counters.get(k)
-            merged_counters[k] = (
-                v if prev is None else (lambda a=prev, b=v: a() + b())
-            )
+            merged_counters.setdefault(k, []).extend(v)
 
     for i, seg in enumerate(segs):
         last = i == len(segs) - 1

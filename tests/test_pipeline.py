@@ -1673,7 +1673,26 @@ def test_near_dup_stream_matches_batch_banding(spark, docs, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # availableNow + ProcessingTimeTimeout state: after the data batches
+    # the engine keeps running empty "cleaning up state" batches until the
+    # 60-min timeout horizon, so awaitTermination(180) always burned its
+    # full budget (and processAllAvailable never returns while that loop
+    # spins). Poll progress until the data batches are committed — some
+    # batch carried rows and the newest batch carried none — then stop.
+    import time as _time
+
+    deadline = _time.time() + 180
+    while _time.time() < deadline:
+        ps = q.recentProgress
+        if (
+            ps
+            and any(p["numInputRows"] > 0 for p in ps)
+            and ps[-1]["numInputRows"] == 0
+        ):
+            break
+        _time.sleep(1)
+    q.stop()
+    q.awaitTermination(60)
     got = {
         (r2["id_a"], r2["id_b"])
         for r2 in spark.sql("SELECT DISTINCT id_a, id_b FROM near_dups").collect()
