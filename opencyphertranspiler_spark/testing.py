@@ -14,6 +14,40 @@ import math
 import pandas as pd
 
 
+def arrow_df(spark, rows, ddl: str):
+    """Test-fixture helper: build a DataFrame from python rows through
+    pandas + Arrow so the scan stays JVM-resident. A plain-list
+    ``createDataFrame`` produces a pickled Python RDD whose EVERY scan
+    re-pays a Python-worker round trip — expensive for fixtures that
+    iterative/chained plans re-scan many times (~4x per action, measured).
+    The Arrow conf is scoped to the (eager) conversion so session
+    ``toPandas()`` behavior is untouched. Falls back to the plain path for
+    schemas this simple parser doesn't cover (nested commas) or on any
+    conversion difference."""
+    try:
+        fields = [f.strip().rsplit(" ", 1) for f in ddl.split(",")]
+        if rows and len(fields) != len(rows[0]):
+            raise ValueError("comma inside a type — not field-separable")
+        data = {}
+        for i, (name, typ) in enumerate(fields):
+            col = [r[i] for r in rows]
+            dtype = (
+                "Int64"
+                if typ.lower() in ("long", "bigint", "int", "integer", "smallint")
+                else "object"
+            )
+            data[name] = pd.array(col, dtype=dtype)
+        key = "spark.sql.execution.arrow.pyspark.enabled"
+        old = spark.conf.get(key, "false")
+        spark.conf.set(key, "true")
+        try:
+            return spark.createDataFrame(pd.DataFrame(data), ddl)
+        finally:
+            spark.conf.set(key, old)
+    except Exception:
+        return spark.createDataFrame(rows, ddl)
+
+
 def duckdb_connection(sf_dir: str):
     """A DuckDB connection with the driver's tables registered as views,
     mirroring the driver's oracle environment."""

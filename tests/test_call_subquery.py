@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import pytest
 
+from opencyphertranspiler_spark.testing import arrow_df
+
 
 def test_call_correlated_aggregates_vs_duckdb(engine, duck):
     got = sorted(
@@ -1544,9 +1546,9 @@ def rel_vector_engine(spark):
     )
 
     reg = TableRegistry()
-    reg.register_df("ta", spark.createDataFrame([(1,), (2,)], "id long"))
+    reg.register_df("ta", arrow_df(spark, [(1,), (2,)], "id long"))
     reg.register_df(
-        "tb", spark.createDataFrame([(10,), (20,), (30,)], "id long")
+        "tb", arrow_df(spark, [(10,), (20,), (30,)], "id long")
     )
     rows = [
         (1, 10, [1.0, 0.0], 0.5),
@@ -1556,7 +1558,7 @@ def rel_vector_engine(spark):
     ]
     reg.register_df(
         "tr",
-        spark.createDataFrame(
+        arrow_df(spark, 
             rows, "src long, dst long, emb array<float>, w double"
         ),
     )
@@ -1627,11 +1629,11 @@ def test_vector_query_relationships_parallel_edges(spark):
     )
 
     reg = TableRegistry()
-    reg.register_df("pa", spark.createDataFrame([(1,)], "id long"))
-    reg.register_df("pb", spark.createDataFrame([(10,)], "id long"))
+    reg.register_df("pa", arrow_df(spark, [(1,)], "id long"))
+    reg.register_df("pb", arrow_df(spark, [(10,)], "id long"))
     reg.register_df(
         "pr",
-        spark.createDataFrame(
+        arrow_df(spark, 
             [
                 (1, 10, [1.0, 0.0], "aligned"),
                 (1, 10, [0.0, 1.0], "orthogonal"),
@@ -2226,14 +2228,14 @@ def test_fulltext_query_relationships(spark):
     ]
     reg = TableRegistry()
     reg.register_df(
-        "fa", spark.createDataFrame([(1,), (2,)], "id long")
+        "fa", arrow_df(spark, [(1,), (2,)], "id long")
     )
     reg.register_df(
-        "fb", spark.createDataFrame([(10,), (20,)], "id long")
+        "fb", arrow_df(spark, [(10,), (20,)], "id long")
     )
     reg.register_df(
         "fr",
-        spark.createDataFrame(
+        arrow_df(spark, 
             rows, "src long, dst long, note string, w double"
         ),
     )
@@ -2352,7 +2354,7 @@ def test_index_ddl(spark):
     )
     reg.register_df(
         "tr",
-        spark.createDataFrame(
+        arrow_df(spark, 
             [(0, 1, [1.0, 0.0])], "src long, dst long, emb array<float>"
         ),
     )

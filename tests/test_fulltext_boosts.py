@@ -10,6 +10,8 @@ import re
 
 import pytest
 
+from opencyphertranspiler_spark.testing import arrow_df
+
 from tests.conftest import SF_DIR
 
 _FUZZ_SCALE = int(_os.environ.get("SPARK_GRAFT_FUZZ_SCALE", "1"))
@@ -693,7 +695,7 @@ def test_fuzzy_transposition_matches_like_lucene(spark):
     reg = TableRegistry()
     reg.register_df(
         "tinydocs",
-        spark.createDataFrame(
+        arrow_df(spark, 
             [
                 (1, "spark shuffle tuning"),
                 (2, "spork cutlery review"),
@@ -769,7 +771,7 @@ def test_sloppy_phrase_matching(spark):
     reg = TableRegistry()
     reg.register_df(
         "slopdocs",
-        spark.createDataFrame(
+        arrow_df(spark, 
             [
                 (1, "alpha beta gamma"),
                 (2, "beta alpha"),

@@ -6,6 +6,8 @@ graph nodes)."""
 
 import pytest
 
+from opencyphertranspiler_spark.testing import arrow_df
+
 from opencyphertranspiler_spark import (
     CypherEngine,
     EdgeSchema,
@@ -64,11 +66,11 @@ def test_pagerank_hand_graph_oracle(spark):
 
     reg = TableRegistry()
     reg.register_df(
-        "tn", spark.createDataFrame([(i,) for i in range(4)], "id long")
+        "tn", arrow_df(spark, [(i,) for i in range(4)], "id long")
     )
     pairs = [(0, 1), (1, 2), (2, 0), (3, 2)]
     reg.register_df(
-        "te", spark.createDataFrame(pairs, "src long, dst long")
+        "te", arrow_df(spark, pairs, "src long, dst long")
     )
     g = GraphSchema(
         [NodeSchema("N", "tn", "id", (), "bigint")],
@@ -174,14 +176,14 @@ def test_dijkstra_stream_weighted_and_unweighted(spark):
 
     reg = TableRegistry()
     reg.register_df(
-        "tn", spark.createDataFrame([(i,) for i in range(5)], "id long")
+        "tn", arrow_df(spark, [(i,) for i in range(5)], "id long")
     )
     #      0 -1.0-> 1 -1.0-> 2
     #      0 -5.0-> 2        2 -2.0-> 3      4 unreachable
     pairs = [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 5.0), (2, 3, 2.0)]
     reg.register_df(
         "te",
-        spark.createDataFrame(pairs, "src long, dst long, w double"),
+        arrow_df(spark, pairs, "src long, dst long, w double"),
     )
     g = GraphSchema(
         [NodeSchema("N", "tn", "id", (), "bigint")],
@@ -276,12 +278,12 @@ def test_degree_stream_vs_duckdb(eng, duck):
 def test_kcore_and_betweenness_hand_graph(spark):
     reg = TableRegistry()
     reg.register_df(
-        "tn", spark.createDataFrame([(i,) for i in range(5)], "id long")
+        "tn", arrow_df(spark, [(i,) for i in range(5)], "id long")
     )
     # triangle 0-1-2 plus tail 2-3, path continues 3-4
     pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
     reg.register_df(
-        "te", spark.createDataFrame(pairs, "src long, dst long")
+        "te", arrow_df(spark, pairs, "src long, dst long")
     )
     g = GraphSchema(
         [NodeSchema("N", "tn", "id", (), "bigint")],
@@ -324,13 +326,13 @@ def test_triangle_count_stream(spark):
 
     reg = TableRegistry()
     reg.register_df(
-        "tn", spark.createDataFrame([(i,) for i in range(6)], "id long")
+        "tn", arrow_df(spark, [(i,) for i in range(6)], "id long")
     )
     # two triangles sharing node 2: (0,1,2) and (2,3,4); plus a
     # pendant 4-5 edge
     pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (4, 5)]
     reg.register_df(
-        "te", spark.createDataFrame(pairs, "src long, dst long")
+        "te", arrow_df(spark, pairs, "src long, dst long")
     )
     g = GraphSchema(
         [NodeSchema("N", "tn", "id", (), "bigint")],
@@ -372,7 +374,7 @@ def test_node_similarity_stream(spark):
     (nodes with disjoint neighborhoods never pair)."""
     reg = TableRegistry()
     reg.register_df(
-        "tn", spark.createDataFrame([(i,) for i in range(7)], "id long")
+        "tn", arrow_df(spark, [(i,) for i in range(7)], "id long")
     )
     # "users" 0,1,2 -> "items" 4,5,6 (bipartite-ish); 3 shares nothing
     pairs = [
@@ -382,7 +384,7 @@ def test_node_similarity_stream(spark):
         (3, 3),  # self-loop-ish isolated taste
     ]
     reg.register_df(
-        "te", spark.createDataFrame(pairs, "src long, dst long")
+        "te", arrow_df(spark, pairs, "src long, dst long")
     )
     g = GraphSchema(
         [NodeSchema("N", "tn", "id", (), "bigint")],
@@ -434,7 +436,7 @@ def _weighted_graph(spark):
 
     reg = TableRegistry()
     reg.register_df(
-        "tn", spark.createDataFrame([(i,) for i in range(6)], "id long")
+        "tn", arrow_df(spark, [(i,) for i in range(6)], "id long")
     )
     # two weighted triangles bridged by a light edge
     wpairs = [
@@ -444,7 +446,7 @@ def _weighted_graph(spark):
     ]
     reg.register_df(
         "te",
-        spark.createDataFrame(wpairs, "src long, dst long, w double"),
+        arrow_df(spark, wpairs, "src long, dst long, w double"),
     )
     g = GraphSchema(
         [NodeSchema("N", "tn", "id", (), "bigint")],
@@ -537,7 +539,7 @@ def test_louvain_planted_split_and_modularity(spark):
     from opencyphertranspiler_spark.pipeline import graph as G
 
     edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
-    el = spark.createDataFrame(edges, "src long, dst long")
+    el = arrow_df(spark, edges, "src long, dst long")
     trace = []
     res = {
         r.node: r.community
@@ -609,7 +611,7 @@ def test_weighted_node_similarity_oracle(spark):
 
     reg = TableRegistry()
     reg.register_df(
-        "tn", spark.createDataFrame([(i,) for i in range(6)], "id long")
+        "tn", arrow_df(spark, [(i,) for i in range(6)], "id long")
     )
     wpairs = [
         (0, 3, 2.0), (0, 4, 1.0),
@@ -618,7 +620,7 @@ def test_weighted_node_similarity_oracle(spark):
     ]
     reg.register_df(
         "te",
-        spark.createDataFrame(wpairs, "src long, dst long, w double"),
+        arrow_df(spark, wpairs, "src long, dst long, w double"),
     )
     g = GraphSchema(
         [NodeSchema("N", "tn", "id", (), "bigint")],

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import pytest
 
+from opencyphertranspiler_spark.testing import arrow_df
+
 from opencyphertranspiler_spark.exceptions import (
     TranspilerBindingError,
     TranspilerNotSupportedError,
@@ -308,16 +310,16 @@ def test_hetero_chain_fabric_vs_duckdb(spark, duck, case):
 
     p_edges, q_edges, r_edges, use_r, lo, hi, undirected = case
     reg = TableRegistry()
-    reg.register_df("ta", spark.createDataFrame([(x,) for x in _A], "id string"))
-    reg.register_df("tb", spark.createDataFrame([(x,) for x in _B], "id string"))
-    reg.register_df("tc", spark.createDataFrame([(x,) for x in _C], "id string"))
-    reg.register_df("ep", spark.createDataFrame(p_edges, "src string, dst string"))
-    reg.register_df("eq", spark.createDataFrame(q_edges, "src string, dst string"))
+    reg.register_df("ta", arrow_df(spark, [(x,) for x in _A], "id string"))
+    reg.register_df("tb", arrow_df(spark, [(x,) for x in _B], "id string"))
+    reg.register_df("tc", arrow_df(spark, [(x,) for x in _C], "id string"))
+    reg.register_df("ep", arrow_df(spark, p_edges, "src string, dst string"))
+    reg.register_df("eq", arrow_df(spark, q_edges, "src string, dst string"))
     reg.register_df(
         "er",
-        spark.createDataFrame(r_edges, "src string, dst string")
+        arrow_df(spark, r_edges, "src string, dst string")
         if r_edges
-        else spark.createDataFrame([], "src string, dst string"),
+        else arrow_df(spark, [], "src string, dst string"),
     )
     g = GraphSchema(
         [

@@ -13,6 +13,8 @@ _FUZZ_SCALE = int(_os.environ.get("SPARK_GRAFT_FUZZ_SCALE", "1"))
 
 import pytest
 
+from opencyphertranspiler_spark.testing import arrow_df
+
 from opencyphertranspiler_spark.exceptions import (
     TranspilerNotSupportedError,
 )
@@ -444,29 +446,29 @@ def chain_ml_engine(spark):
     )
 
     reg = TableRegistry()
-    reg.register_df("tx", spark.createDataFrame([("x1",), ("x2",)], "id string"))
-    reg.register_df("ty", spark.createDataFrame([("y1",)], "id string"))
+    reg.register_df("tx", arrow_df(spark, [("x1",), ("x2",)], "id string"))
+    reg.register_df("ty", arrow_df(spark, [("y1",)], "id string"))
     reg.register_df(
         "tz",
-        spark.createDataFrame([("z1",), ("z2",), ("z3",), ("z4",)], "id string"),
+        arrow_df(spark, [("z1",), ("z2",), ("z3",), ("z4",)], "id string"),
     )
     reg.register_df(
-        "nx", spark.createDataFrame([("x1", "z1"), ("x2", "z2")], "src string, dst string")
+        "nx", arrow_df(spark, [("x1", "z1"), ("x2", "z2")], "src string, dst string")
     )
     reg.register_df(
-        "ny", spark.createDataFrame([("y1", "z3")], "src string, dst string")
+        "ny", arrow_df(spark, [("y1", "z3")], "src string, dst string")
     )
     reg.register_df(
         "nz",
-        spark.createDataFrame(
+        arrow_df(spark, 
             [("z1", "z2"), ("z2", "z3"), ("z3", "z4")], "src string, dst string"
         ),
     )
     reg.register_df(
-        "sx", spark.createDataFrame([("x1", "z3")], "src string, dst string")
+        "sx", arrow_df(spark, [("x1", "z3")], "src string, dst string")
     )
     reg.register_df(
-        "sz", spark.createDataFrame([("z4", "z1")], "src string, dst string")
+        "sz", arrow_df(spark, [("z4", "z1")], "src string, dst string")
     )
     g = GraphSchema(
         [
@@ -1040,11 +1042,11 @@ def zero_ml_engine(spark):
     )
 
     reg = TableRegistry()
-    reg.register_df("ta", spark.createDataFrame([("a1",), ("a2",)], "id string"))
-    reg.register_df("tb", spark.createDataFrame([("b1",), ("b2",)], "id string"))
+    reg.register_df("ta", arrow_df(spark, [("a1",), ("a2",)], "id string"))
+    reg.register_df("tb", arrow_df(spark, [("b1",), ("b2",)], "id string"))
     reg.register_df(
         "ob",
-        spark.createDataFrame(
+        arrow_df(spark, 
             [("b1", "a1"), ("b2", "a2"), ("b2", "a1")],
             "src string, dst string",
         ),
@@ -1287,20 +1289,20 @@ def test_ml_all_shortest_paths(spark):
     )
 
     reg = TableRegistry()
-    reg.register_df("ta", spark.createDataFrame([("a1",)], "id string"))
-    reg.register_df("tb", spark.createDataFrame([("b0",)], "id string"))
+    reg.register_df("ta", arrow_df(spark, [("a1",)], "id string"))
+    reg.register_df("tb", arrow_df(spark, [("b0",)], "id string"))
     reg.register_df(
-        "tz", spark.createDataFrame([("m1",), ("m2",), ("d",)], "id string")
+        "tz", arrow_df(spark, [("m1",), ("m2",), ("d",)], "id string")
     )
     reg.register_df(
         "ea",
-        spark.createDataFrame(
+        arrow_df(spark, 
             [("a1", "m1"), ("a1", "m2")], "src string, dst string"
         ),
     )
     reg.register_df(
         "ez",
-        spark.createDataFrame(
+        arrow_df(spark, 
             [("m1", "d"), ("m2", "d")], "src string, dst string"
         ),
     )

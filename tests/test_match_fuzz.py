@@ -21,7 +21,7 @@ import hypothesis.strategies as st
 import pytest
 from hypothesis import HealthCheck, given, settings
 
-from opencyphertranspiler_spark.testing import assert_frames_match
+from opencyphertranspiler_spark.testing import arrow_df, assert_frames_match
 
 from .conftest import SF_DIR
 
@@ -373,8 +373,8 @@ def test_row_per_path_fabric_vs_duckdb(spark, case):
 
     nodes, edges, min_hops, undirected = case
     reg = TableRegistry()
-    reg.register_df("n", spark.createDataFrame([(x,) for x in nodes], "id string"))
-    reg.register_df("l", spark.createDataFrame(edges, "src string, dst string"))
+    reg.register_df("n", arrow_df(spark, [(x,) for x in nodes], "id string"))
+    reg.register_df("l", arrow_df(spark, edges, "src string, dst string"))
     g = GraphSchema(
         [NodeSchema("N", "n", "id", ())],
         [EdgeSchema("L", "N", "N", "l", "src", "dst")],
@@ -479,7 +479,7 @@ def test_ml_varlength_fabric_vs_duckdb(spark, case):
     for lbl in ("A", "B", "C"):
         reg.register_df(
             f"t{lbl}",
-            spark.createDataFrame(
+            arrow_df(spark, 
                 [(nid,) for l2, nid in nodes if l2 == lbl], "id string"
             ),
         )
@@ -491,7 +491,7 @@ def test_ml_varlength_fabric_vs_duckdb(spark, case):
     for (sl, dl), rows in sorted(by_pair.items()):
         tname = f"e{sl}{dl}"
         reg.register_df(
-            tname, spark.createDataFrame(rows, "src string, dst string")
+            tname, arrow_df(spark, rows, "src string, dst string")
         )
         schemas.append(EdgeSchema("L", sl, dl, tname, "src", "dst"))
     g = GraphSchema(
