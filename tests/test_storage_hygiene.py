@@ -25,8 +25,13 @@ import pytest
 from pyspark.sql import functions as F
 
 
-def _cache_manager_empty(spark) -> bool:
-    return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+def _n_cached_plans(spark) -> int:
+    """Entries in the session CacheManager. The suite's session fixture is
+    shared, so earlier tests may legitimately hold engine-lifetime caches —
+    all assertions here are RELATIVE to the pre-call count, never absolute."""
+    return (
+        spark._jsparkSession.sharedState().cacheManager().cachedData().size()
+    )
 
 
 def _n_storage_rdds(spark) -> int:
@@ -55,21 +60,21 @@ def test_pagerank_releases_edge_cache_and_state(spark):
     from opencyphertranspiler_spark.pipeline.graph import pagerank
 
     edges = _weighted_edges(spark)
-    assert _cache_manager_empty(spark), "cache not empty before test"
+    cached0 = _n_cached_plans(spark)
     base = _settle(spark, 0)
 
     out1 = pagerank(edges, iters=3, weight="w")
     out1.count()
     # the repartitioned edge persist must be GONE the moment the call
     # returns (pagerank unpersists it) — deterministic, no GC involved
-    assert _cache_manager_empty(spark)
+    assert _n_cached_plans(spark) == cached0
     del out1
     settled1 = _settle(spark, base)
     assert settled1 <= base, (base, settled1)
 
     out2 = pagerank(edges, iters=3, weight="w")
     out2.count()
-    assert _cache_manager_empty(spark)
+    assert _n_cached_plans(spark) == cached0
     del out2
     # no growth across consecutive invocations: every run releases back
     # to the pre-run floor once the (async) ContextCleaner has run
@@ -86,19 +91,20 @@ def test_bfs_loop_releases_edge_blocks(spark):
         [(i, i + 1) for i in range(40)], "src long, dst long"
     )
     seeds = spark.createDataFrame([(0,)], "node long")
-    assert _cache_manager_empty(spark)
+    cached0 = _n_cached_plans(spark)
     base = _settle(spark, 0)
 
     out1 = shortest_path_lengths(edges, sources=seeds)
     n1 = out1.count()
-    assert _cache_manager_empty(spark)  # no persist leaked (checkpoint mode)
+    # no persist leaked (checkpoint mode)
+    assert _n_cached_plans(spark) == cached0
     del out1
     settled1 = _settle(spark, base)
     assert settled1 <= base, (base, settled1)
 
     out2 = shortest_path_lengths(edges, sources=seeds)
     assert out2.count() == n1
-    assert _cache_manager_empty(spark)
+    assert _n_cached_plans(spark) == cached0
     del out2
     settled2 = _settle(spark, base)
     assert settled2 <= base, (base, settled2)
